@@ -1,0 +1,265 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dsl._
+import graft.graph.Dag
+import graft.ops.{Joins, Keyed}
+
+/** Batch interpreter of a [[Topology]]: the Spark-native analogue of the
+  * reference's pure experiment interpreter (willa `experiment.clj:241-255`)
+  * — same topological traversal (`core.clj:122-133`), but each node's
+  * "output" is a lazy DataFrame (Catalyst logical plan), so the whole
+  * topology optimizes and executes as one distributed Spark job per sink
+  * action. Per-node observability (`README.md:39-41`) falls out: every
+  * intermediate node's DataFrame is in the returned map.
+  *
+  * Semantics: FINAL-STATE (each table/aggregate contributes its final
+  * value per key/window), i.e. SQL semantics — the suppressed view of the
+  * reference's eager changelog emission (divergence documented in
+  * SURVEY §7.3; the changelog form is available via
+  * [[graft.ops.Keyed.runningAggregate]]).
+  */
+object BatchCompiler {
+
+  import Records._
+
+  /** How a built node participates in downstream joins — the analogue of
+    * the reference's joinable coercion (`core.clj:40-56`,
+    * `experiment.clj:134-138`). */
+  sealed trait Kind
+  object Kind {
+    case object Stream extends Kind
+    case object Table extends Kind
+    case object Global extends Kind
+  }
+
+  /** @param df        node output, record shape (+ window_start/end for
+    *                  windowed tables)
+    * @param kind      join-dispatch class
+    * @param nFields   >0 when `value` is a join-struct of that many
+    *                  `v1..vN` fields (n-ary join fold, `streams.clj:119-123`)
+    * @param changelog for tables: the full update history (used by as-of
+    *                  stream–table joins, `experiment.clj:64-81`) */
+  final case class Built(
+      df: DataFrame,
+      kind: Kind,
+      nFields: Int = 0,
+      changelog: Option[DataFrame] = None)
+
+  /** Per-node builder override hook (`core.clj:122-136`,
+    * `build-topology-unsafe!`): the reference's extensibility story. */
+  type Override = (Entity, Seq[Built]) => Built
+
+  def run(
+      topology: Topology,
+      inputs: Map[String, DataFrame],
+      overrides: Map[String, Override] = Map.empty): Map[String, DataFrame] =
+    runBuilt(topology, inputs, overrides).map { case (k, b) => k -> b.df }
+
+  def runBuilt(
+      topology: Topology,
+      inputs: Map[String, DataFrame],
+      overrides: Map[String, Override] = Map.empty): Map[String, Built] = {
+    topology.validated()
+    val order = Dag.topsort(topology.workflow).get
+    val preds = topology.predecessors
+    order.foldLeft(Map.empty[String, Built]) { (acc, id) =>
+      val entity = topology.entities(id)
+      val parents = preds(id).map(acc)
+      val built = overrides.get(id) match {
+        case Some(f) => f(entity, parents)
+        case None    => buildNode(topology, id, entity, preds(id), parents, inputs)
+      }
+      acc + (id -> built)
+    }
+  }
+
+  private def buildNode(
+      topology: Topology,
+      id: String,
+      entity: Entity,
+      parentIds: Seq[String],
+      parents: Seq[Built],
+      inputs: Map[String, DataFrame]): Built = entity match {
+
+    case Entity.Topic(name) =>
+      if (parents.isEmpty) {
+        val df = inputs.getOrElse(id, inputs.getOrElse(name,
+          sys.error(s"no input DataFrame for source topic '$id'")))
+        Built(df, Kind.Stream)
+      } else {
+        // sink: implicit fan-in merge of all parents (core.clj:75-78)
+        val in = combineParents(topology, parentIds, parents)
+        Built(asStream(in), Kind.Stream, in.nFields)
+      }
+
+    case Entity.KStream(xform, _) =>
+      val in = combineParents(topology, parentIds, parents)
+      val df = asStream(in)
+      Built(xform.fold(df)(_.apply(df)), Kind.Stream,
+        // an xform may rewrite `value`; a join-struct survives only if untouched
+        if (xform.isEmpty) in.nFields else 0)
+
+    case t: Entity.KTable =>
+      val in = combineParents(topology, parentIds, parents)
+      buildTable(t, in)
+
+    case Entity.GlobalKTable() =>
+      require(parents.size == 1, s"global-ktable '$id' needs exactly one parent")
+      Built(broadcast(parents.head.df), Kind.Global, parents.head.nFields)
+  }
+
+  /** Coerce + join/merge parents into one stream-shaped Built
+    * (`core.clj:59-68` join lookup; merge default `experiment.clj:199-201`). */
+  private def combineParents(
+      topology: Topology,
+      parentIds: Seq[String],
+      parents: Seq[Built]): Built = {
+    if (parents.size == 1) return parents.head
+    val byId = parentIds.zip(parents).toMap
+    topology.joinFor(parentIds) match {
+      case Some((declared, cfg)) =>
+        // fold in declared order (streams.clj:119-123)
+        declared.map(byId).reduceLeft((l, r) => joinPair(l, r, cfg))
+      case None =>
+        // default fan-in: merge (union)
+        Built(parents.map(p => asStream(p)).reduceLeft(_ unionByName _),
+          Kind.Stream)
+    }
+  }
+
+  /** Binary join dispatch on (joinType, left kind, right kind) — the
+    * reference's `join*` multimethod (`streams.clj:58-59`). Output value =
+    * flattened struct v1..vN of all sides (reference: vector conj,
+    * `streams.clj:118-123`); unjoined side = null field
+    * (`core_test.clj:134`). */
+  private def joinPair(l: Built, r: Built, cfg: JoinConfig): Built = {
+    val nL = math.max(l.nFields, 1)
+    val lv = (df: DataFrame) => df  // left df, fields helper below
+    def leftFields(c: Column): Seq[Column] =
+      if (l.nFields == 0) Seq(c.as("v1"))
+      else (1 to l.nFields).map(i => c.getField(s"v$i").as(s"v$i"))
+    def joined(out: DataFrame): Built = Built(out, Kind.Stream, nL + 1)
+
+    val lf = l.df.withColumnRenamed(KeyCol, "__lk")
+      .withColumnRenamed(ValueCol, "__lv").withColumnRenamed(TsCol, "__lt")
+    val rf = r.df.select(col(KeyCol).as("__rk"), col(ValueCol).as("__rv"),
+      col(TsCol).as("__rt"))
+
+    def out(j: DataFrame): DataFrame = j.select(
+      coalesce(col("__lk"), col("__rk")).as(KeyCol),
+      struct(leftFields(col("__lv")) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
+      greatest(col("__lt"), col("__rt")).as(TsCol))
+
+    (cfg.joinType, l.kind, r.kind) match {
+      case (JoinType.Merge, _, _) =>
+        Built(asStream(l) unionByName asStream(r), Kind.Stream)
+
+      case (jt, Kind.Stream, Kind.Global) =>
+        // foreign-key broadcast join (#30-31); kv-mapper default = key
+        val lookup = cfg.kvMapper
+          .map(f => f(col("__lk"), col("__lv")))
+          .getOrElse(col("__lk"))
+        val how = if (jt == JoinType.Left) "left" else "inner"
+        val j = lf.join(broadcast(rf), lookup === col("__rk"), how)
+        joined(j.select(
+          col("__lk").as(KeyCol),
+          struct(leftFields(col("__lv")) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
+          col("__lt").as(TsCol)))
+
+      case (jt, Kind.Stream, Kind.Stream) =>
+        // windowed stream-stream join (#22-24)
+        val w = cfg.window.getOrElse(JoinWindow(0L, 0L))
+        val how = jt match {
+          case JoinType.Inner => "inner"
+          case JoinType.Left  => "left"
+          case JoinType.Outer => "full_outer"
+          case JoinType.Merge => "inner" // unreachable
+        }
+        val cond = col("__lk") === col("__rk") &&
+          col("__rt") >= col("__lt") - expr(s"INTERVAL ${w.beforeMs} MILLISECONDS") &&
+          col("__rt") <= col("__lt") + expr(s"INTERVAL ${w.afterMs} MILLISECONDS")
+        joined(out(lf.join(rf, cond, how)))
+
+      case (jt, Kind.Table, Kind.Table) =>
+        // table-table (#26-28): final-state equi-join of snapshots
+        val how = jt match {
+          case JoinType.Inner => "inner"
+          case JoinType.Left  => "left"
+          case _              => "full_outer"
+        }
+        joined(out(lf.join(rf, col("__lk") === col("__rk"), how)))
+
+      case (jt, Kind.Stream, Kind.Table) =>
+        // stream-table as-of join (#29): latest table value at ts' <= ts
+        val hist = r.changelog.getOrElse(r.df)
+          .select(col(KeyCol), col(ValueCol), col(TsCol))
+        val j = Joins.asOf(
+          l.df, hist, KeyCol, KeyCol, TsCol, TsCol,
+          rightVal = ValueCol, rightAs = "__rv",
+          inner = jt == JoinType.Inner)
+        joined(j.select(
+          col(KeyCol),
+          struct(leftFields(col(ValueCol)) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
+          col(TsCol)))
+
+      case (jt, lk, rk) =>
+        sys.error(s"unsupported join: ($jt, $lk, $rk)")
+    }
+  }
+
+  /** Coerce to stream records (`core.clj:14-24`): tables' snapshots/
+    * changelogs flow as records; windowed keys are unwrapped — the window
+    * struct columns are dropped, the original key kept (`core.clj:20-24`). */
+  private def asStream(b: Built): DataFrame = {
+    val drop = b.df.columns.filter(c => c == "window_start" || c == "window_end")
+    drop.foldLeft(b.df)(_ drop _)
+  }
+
+  /** KTable build chain with the reference's fixed physical ordering:
+    * coerce → group-by → window → aggregate → suppress
+    * (`core.clj:97-106`). */
+  private def buildTable(t: Entity.KTable, in: Built): Built = {
+    val rekeyed0 = asStream(in)
+    // group-by re-key (#15): key := expr over (key, value) (core.clj:99)
+    val rekeyed = t.groupBy.fold(rekeyed0)(e => rekeyed0.withColumn(KeyCol, e))
+
+    val (grouped, winCols): (DataFrame, Seq[Column]) = t.window match {
+      case Some(WindowSpec.TimeWindows(size, adv)) =>
+        val w = window(col(TsCol), s"$size milliseconds", s"$adv milliseconds")
+        (rekeyed.withColumn("__w", w), Seq(col("__w")))
+      case Some(WindowSpec.SessionWindows(gap)) =>
+        val w = session_window(col(TsCol), s"$gap milliseconds")
+        (rekeyed.withColumn("__w", w), Seq(col("__w")))
+      case None => (rekeyed, Seq.empty)
+    }
+
+    def finishWindowed(df: DataFrame): DataFrame =
+      if (winCols.isEmpty) df
+      else df
+        .withColumn("window_start", col("__w.start"))
+        .withColumn("window_end", col("__w.end"))
+        .drop("__w")
+
+    val result = t.aggregate match {
+      case None =>
+        // latest-per-key view (#2/#13): dedup on (key [, window])
+        val keys = Seq(KeyCol) ++ (if (winCols.nonEmpty) Seq("__w") else Nil)
+        finishWindowed(Keyed.latestPerKey(grouped, keys, Seq(col(TsCol))))
+      case Some(AggSpec.ExprAgg(e)) =>
+        val gcols = Seq(col(KeyCol)) ++ winCols
+        finishWindowed(grouped.groupBy(gcols: _*)
+          .agg(e.as(ValueCol), max(col(TsCol)).as(TsCol)))
+      case Some(AggSpec.FoldAgg(init, adder)) =>
+        val gcols = Seq(KeyCol) ++ (if (winCols.nonEmpty) Seq("__w") else Nil)
+        val pairs = sort_array(collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v"))))
+        finishWindowed(grouped.groupBy(gcols.map(col): _*)
+          .agg(aggregate(pairs, init, (acc, p) => adder(acc, p("v"))).as(ValueCol),
+            max(col(TsCol)).as(TsCol)))
+    }
+    // suppression (#20) is a no-op in batch: results are already final.
+    // changelog for downstream as-of joins: the pre-dedup update stream
+    Built(result, Kind.Table, 0, changelog = Some(rekeyed))
+  }
+}

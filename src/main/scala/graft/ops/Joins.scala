@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators: batch forms of the reference's 10 join variants
+  * (willa `streams.clj:58-123`, semantics `experiment.clj:84-131`).
+  *
+  * Scale notes baked into each builder:
+  *  - equi-keys always appear in the join condition first so Catalyst
+  *    plans a hash/sort-merge join partitioned on the key, with the time
+  *    predicate as a post-join filter inside the same stage — never a
+  *    cartesian;
+  *  - broadcast variants wrap the dimension side in `broadcast()`;
+  *  - as-of joins avoid per-row subqueries: union + one window function
+  *    = one shuffle on the key, linear scan within partitions.
+  */
+object Joins {
+
+  /** Stream–stream windowed join (#22-24): equal keys and
+    * `ts_r ∈ [ts_l − before, ts_l + after]` (`experiment.clj:10-24`);
+    * output ts = max of the two (`experiment.clj:87-91`). */
+  def interval(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTs: Column, rightTs: Column,
+      beforeMs: Long, afterMs: Long,
+      joinType: String = "inner"): DataFrame = {
+    val cond = leftKey === rightKey &&
+      rightTs >= (leftTs - expr(s"INTERVAL $beforeMs MILLISECONDS")) &&
+      rightTs <= (leftTs + expr(s"INTERVAL $afterMs MILLISECONDS"))
+    left.join(right, cond, joinType)
+  }
+
+  /** Stream–table as-of join (#29, `experiment.clj:64-81`): for each left
+    * record, the latest right value with `right.ts <= left.ts`, equal key.
+    *
+    * Implementation: union both sides tagged, one window
+    * `last(right_value) ignoreNulls over (partition by key order by ts,
+    * side)` — right rows sort before left rows at equal ts so a same-ts
+    * table update is visible (reference resolves equal-ts by processing
+    * table records first in its sorted fold, `experiment.clj:64-81`).
+    * One shuffle on the key; no per-row lookup.
+    *
+    * @param leftCols  columns of `left` to carry through (record shape)
+    * @param rightVal  single column of `right` to expose as `rightAs`
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightVal: String, rightAs: String,
+      inner: Boolean): DataFrame = {
+    val lTag = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
+      .withColumnRenamed(leftKey, "__k").withColumnRenamed(leftTs, "__t")
+    val carried = lTag.columns.filterNot(Set("__side", "__rv", "__k", "__t"))
+    val rTag = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__side"), col(rightVal).as("__rv"))
+    val unioned = lTag.select(
+      (Seq("__k", "__t", "__side", "__rv") ++ carried).map(col): _*)
+      .unionByName(rTag.select(
+        (Seq("__k", "__t", "__side", "__rv").map(col) ++
+          carried.map(c => lit(null).cast(lTag.schema(c).dataType).as(c))): _*))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = unioned
+      .withColumn(rightAs, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+      .withColumnRenamed("__k", leftKey).withColumnRenamed("__t", leftTs)
+    if (inner) joined.filter(col(rightAs).isNotNull) else joined
+  }
+
+  /** Stream–global-table broadcast join (#30-31): foreign-key lookup into
+    * a broadcast dimension (`streams.clj:104-112`); `lookupKey` is the
+    * kv-mapper expression over the stream side (`streams.clj:106`). */
+  def broadcastLookup(
+      stream: DataFrame, dim: DataFrame,
+      lookupKey: Column, dimKey: Column,
+      joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), lookupKey === dimKey, joinType)
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyed-state operators: the batch forms of the reference's KTable
+  * semantics. All are single-shuffle (one `partitionBy`/`groupBy` on the
+  * key) and Catalyst-native (window functions / `max_by`), so at cluster
+  * scale they hash-partition on the key and stream within partitions —
+  * no driver-side state. */
+object Keyed {
+
+  /** Latest value per key — the stream→table coercion
+    * (willa `streams.clj:34-39`: groupByKey + reduce keep-last).
+    *
+    * Tie-break: at equal `ts` the reference keeps the LAST record in input
+    * order (`experiment.clj:41-47`); input order doesn't exist in a
+    * distributed batch, so callers pass `order` columns that make the
+    * ordering total (e.g. a sequence/id column). Implemented with
+    * `row_number` over a descending sort — one shuffle on `keyCols`,
+    * whole-stage-codegen'd, no spill risk beyond per-key sort.
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Running (changelog) aggregate: one output per input record carrying
+    * the aggregate-so-far — the reference's eager emission
+    * (`experiment.clj:231-238`, `streams_test.clj:35-60`: inputs 1,2 →
+    * outputs 1,3). Batch form: aggregate expression over a running window
+    * ordered by `ts` (+ tiebreakers). */
+  def runningAggregate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      order: Seq[Column],
+      aggExpr: Column,
+      as: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, aggExpr.over(w))
+  }
+
+  /** Order-sensitive fold per key in `order` order — exact parity with the
+    * reference's adder fold (`experiment.clj:231-238`) for non-associative
+    * adders. `sort_array(collect_list(struct(order, value)))` then
+    * `aggregate()` (higher-order fn) folds in order. One shuffle; the
+    * per-key list must fit in memory — fine for table-state semantics
+    * (latest-ish cardinality), not for unbounded groups. */
+  def sortedFold(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: Column,
+      valueCol: Column,
+      init: Column,
+      adder: (Column, Column) => Column,
+      as: String): DataFrame = {
+    val pairs = sort_array(collect_list(struct(orderCol.as("o"), valueCol.as("v"))))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(aggregate(pairs, init, (acc, p) => adder(acc, p("v"))).as(as))
+  }
+}
