@@ -40,12 +40,15 @@ object BatchCompiler {
     * @param nFields   >0 when `value` is a join-struct of that many
     *                  `v1..vN` fields (n-ary join fold, `streams.clj:119-123`)
     * @param changelog for tables: the full update history (used by as-of
-    *                  stream–table joins, `experiment.clj:64-81`) */
+    *                  stream–table joins, `experiment.clj:64-81`). Lazy
+    *                  (thunk): the running-aggregate form is only valid /
+    *                  only paid for when an as-of join actually consumes
+    *                  it. */
   final case class Built(
       df: DataFrame,
       kind: Kind,
       nFields: Int = 0,
-      changelog: Option[DataFrame] = None)
+      changelog: Option[() => DataFrame] = None)
 
   /** Per-node builder override hook (`core.clj:122-136`,
     * `build-topology-unsafe!`): the reference's extensibility story. */
@@ -98,8 +101,9 @@ object BatchCompiler {
       val in = combineParents(topology, parentIds, parents)
       val df = asStream(in)
       Built(xform.fold(df)(_.apply(df)), Kind.Stream,
-        // an xform may rewrite `value`; a join-struct survives only if untouched
-        if (xform.isEmpty) in.nFields else 0)
+        // value-preserving xforms (Filter/MapKey) keep a join-struct intact;
+        // value-rewriting ones (MapValue/FlatMapValue/Custom) destroy it
+        if (xform.forall(preservesValue)) in.nFields else 0)
 
     case t: Entity.KTable =>
       val in = combineParents(topology, parentIds, parents)
@@ -107,7 +111,19 @@ object BatchCompiler {
 
     case Entity.GlobalKTable() =>
       require(parents.size == 1, s"global-ktable '$id' needs exactly one parent")
-      Built(broadcast(parents.head.df), Kind.Global, parents.head.nFields)
+      // GlobalKTable semantics are latest-value-per-key (core.clj:109-118 →
+      // Kafka GlobalKTable): reduce before broadcasting so a topic with
+      // multiple updates per key doesn't duplicate matching stream records.
+      Built(broadcast(Keyed.latestPerKey(parents.head.df, Seq(KeyCol), Seq(col(TsCol)))),
+        Kind.Global, parents.head.nFields)
+  }
+
+  /** Does this xform leave the `value` column untouched? (Filter and
+    * MapKey never rewrite `value`, so a join-struct survives them.) */
+  private def preservesValue(x: Xform): Boolean = x match {
+    case _: Xform.Filter | _: Xform.MapKey => true
+    case Xform.Chain(xs)                   => xs.forall(preservesValue)
+    case _                                 => false
   }
 
   /** Coerce + join/merge parents into one stream-shaped Built
@@ -136,7 +152,6 @@ object BatchCompiler {
     * (`core_test.clj:134`). */
   private def joinPair(l: Built, r: Built, cfg: JoinConfig): Built = {
     val nL = math.max(l.nFields, 1)
-    val lv = (df: DataFrame) => df  // left df, fields helper below
     def leftFields(c: Column): Seq[Column] =
       if (l.nFields == 0) Seq(c.as("v1"))
       else (1 to l.nFields).map(i => c.getField(s"v$i").as(s"v$i"))
@@ -156,8 +171,10 @@ object BatchCompiler {
       case (JoinType.Merge, _, _) =>
         Built(asStream(l) unionByName asStream(r), Kind.Stream)
 
-      case (jt, Kind.Stream, Kind.Global) =>
-        // foreign-key broadcast join (#30-31); kv-mapper default = key
+      case (jt @ (JoinType.Inner | JoinType.Left), Kind.Stream, Kind.Global) =>
+        // foreign-key broadcast join (#30-31); kv-mapper default = key.
+        // Only inner/left exist in the reference (streams.clj:104-112);
+        // Outer falls through to the sys.error arm instead of mis-answering.
         val lookup = cfg.kvMapper
           .map(f => f(col("__lk"), col("__lv")))
           .getOrElse(col("__lk"))
@@ -169,8 +186,11 @@ object BatchCompiler {
           col("__lt").as(TsCol)))
 
       case (jt, Kind.Stream, Kind.Stream) =>
-        // windowed stream-stream join (#22-24)
-        val w = cfg.window.getOrElse(JoinWindow(0L, 0L))
+        // windowed stream-stream join (#22-24). A missing window would
+        // silently join only equal-ts records; the reference requires one
+        // (JoinWindows is mandatory) — fail fast instead.
+        val w = cfg.window.getOrElse(sys.error(
+          "stream-stream join requires JoinConfig.window (JoinWindow)"))
         val how = jt match {
           case JoinType.Inner => "inner"
           case JoinType.Left  => "left"
@@ -191,9 +211,10 @@ object BatchCompiler {
         }
         joined(out(lf.join(rf, col("__lk") === col("__rk"), how)))
 
-      case (jt, Kind.Stream, Kind.Table) =>
-        // stream-table as-of join (#29): latest table value at ts' <= ts
-        val hist = r.changelog.getOrElse(r.df)
+      case (jt @ (JoinType.Inner | JoinType.Left), Kind.Stream, Kind.Table) =>
+        // stream-table as-of join (#29): latest table value at ts' <= ts.
+        // Only inner/left exist (experiment.clj:123-131); Outer errors.
+        val hist = r.changelog.map(_.apply()).getOrElse(r.df)
           .select(col(KeyCol), col(ValueCol), col(TsCol))
         val j = Joins.asOf(
           l.df, hist, KeyCol, KeyCol, TsCol, TsCol,
@@ -259,7 +280,34 @@ object BatchCompiler {
             max(col(TsCol)).as(TsCol)))
     }
     // suppression (#20) is a no-op in batch: results are already final.
-    // changelog for downstream as-of joins: the pre-dedup update stream
-    Built(result, Kind.Table, 0, changelog = Some(rekeyed))
+    //
+    // Changelog for downstream as-of joins (#29): the table's OUTPUT
+    // update stream, not its input. For a plain table that's the raw
+    // rekeyed updates; for an aggregated table each update carries the
+    // aggregate-so-far (reference `experiment.clj:231-238`: reductions).
+    // Windowed tables have no meaningful as-of changelog — leave None so
+    // joinPair falls back to the final snapshot.
+    val changelog: Option[() => DataFrame] =
+      if (t.window.nonEmpty) None
+      else t.aggregate match {
+        case None => Some(() => rekeyed)
+        case Some(AggSpec.ExprAgg(e)) =>
+          // running form: valid when e is a single aggregate function
+          // (sum/count/...); a composite expr (struct of aggs) cannot be
+          // windowed as-is — such tables can't be as-of-joined yet.
+          Some(() => Keyed.runningAggregate(rekeyed, Seq(KeyCol), Seq(col(TsCol)), e, ValueCol))
+        case Some(AggSpec.FoldAgg(init, adder)) =>
+          Some(() => {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(KeyCol)).orderBy(col(TsCol))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)
+            val pairs = sort_array(
+              collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v"))).over(w))
+            rekeyed.withColumn(ValueCol,
+              aggregate(pairs, init, (acc, p) => adder(acc, p("v"))))
+          })
+      }
+    Built(result, Kind.Table, 0, changelog = changelog)
   }
 }

@@ -22,9 +22,11 @@ object Records {
   val ValueCol = "value"
   val TsCol = "ts"
 
-  /** Normalize an arbitrary table to record shape. */
+  /** Normalize an arbitrary table to record shape. The ts column is cast
+    * to TIMESTAMP (with the session's UTC zone) so mixed NTZ/TZ inputs
+    * compare and union consistently across entities. */
   def fromTable(df: DataFrame, key: Column, value: Column, ts: Column): DataFrame =
-    df.select(key.as(KeyCol), value.as(ValueCol), ts.as(TsCol))
+    df.select(key.as(KeyCol), value.as(ValueCol), ts.cast("timestamp").as(TsCol))
 }
 
 /** Window specifications (willa `streams.clj:162-165`, semantics

@@ -68,9 +68,10 @@ object Joins {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = unioned
-      .withColumn(rightAs, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__side", "__rv")
+      .withColumnRenamed("__asof", rightAs)
       .withColumnRenamed("__k", leftKey).withColumnRenamed("__t", leftTs)
     if (inner) joined.filter(col(rightAs).isNotNull) else joined
   }

@@ -17,11 +17,26 @@ object Keyed {
     * Tie-break: at equal `ts` the reference keeps the LAST record in input
     * order (`experiment.clj:41-47`); input order doesn't exist in a
     * distributed batch, so callers pass `order` columns that make the
-    * ordering total (e.g. a sequence/id column). Implemented with
-    * `row_number` over a descending sort — one shuffle on `keyCols`,
-    * whole-stage-codegen'd, no spill risk beyond per-key sort.
+    * ordering total (e.g. a sequence/id column).
+    *
+    * Implemented as `max_by(struct(rest), struct(order))` — a single-pass
+    * partial+final HASH aggregate: map-side combine shrinks the shuffle to
+    * one row per (partition, key), and a hot key costs O(n) with O(1)
+    * state instead of the full per-key sort a `row_number` window needs.
+    * Use [[latestPerKeyRank]] when you need rank-window semantics.
     */
   def latestPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column]): DataFrame = {
+    val rest = df.columns.filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(rest.map(col): _*), struct(order: _*)).as("__last"))
+      .select(keyCols.map(col) ++ rest.map(c => col(s"__last.`$c`").as(c)): _*)
+  }
+
+  /** Window-rank variant of [[latestPerKey]]: full per-key descending sort
+    * + `row_number = 1`. Keeps the input's column order and works when the
+    * order columns aren't struct-comparable. Costlier at scale (sort, no
+    * partial aggregation) — prefer [[latestPerKey]]. */
+  def latestPerKeyRank(df: DataFrame, keyCols: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(order.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w))

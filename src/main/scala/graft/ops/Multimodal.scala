@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `BINARY`
+  * payloads with a typed metadata struct, plus decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * The container has no image/audio codecs, so the *decode kernels* are
+  * STUBS — deterministic fakes computed from the raw bytes (clearly marked
+  * below). Everything around them — the schema, the batch shape, the
+  * partitioning, the `mapPartitions` seam where a real codec (JNI/FFI or
+  * a vectorized Python worker) would plug in — is real Spark plumbing and
+  * is what matters at 100 TB:
+  *
+  *  - payloads stay in one `BINARY` column (never exploded into rows), so
+  *    a scan prunes them away unless the operator actually needs bytes;
+  *  - decode is a narrow map (no shuffle); batches are bounded by
+  *    `spark.sql.files.maxPartitionBytes`, not row counts, so a partition
+  *    of 100 MB images and a partition of 100 MB thumbnails cost the same;
+  *  - per-record outputs are fixed-width structs/arrays, so downstream
+  *    joins/aggs are columnar and codegen'd.
+  */
+object Multimodal {
+
+  val MetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("source", StringType),
+    StructField("n_bytes", LongType)))
+
+  /** Wrap a binary payload with typed metadata. */
+  def pack(df: DataFrame, id: Column, payload: Column, mime: Column, source: Column): DataFrame =
+    df.select(
+      id.as("id"),
+      payload.as("payload"),
+      struct(mime.as("mime"), source.as("source"),
+        length(payload).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB image decode: a real implementation hands `payload` to a codec.
+    * The fake derives (width, height, channels) deterministically from the
+    * byte length so plumbing and tests are real while the kernel is not. */
+  def decodeImageStub(payload: Column): Column = {
+    val n = length(payload).cast("long")
+    struct(
+      (pmod(n * 7919L, lit(1024L)) + 1L).as("width"),
+      (pmod(n * 104729L, lit(1024L)) + 1L).as("height"),
+      (pmod(n, lit(3L)) + 1L).as("channels"))
+  }
+
+  /** STUB resize: a real kernel would rescale pixels; the fake rescales
+    * the stub dimensions, preserving aspect via exact integer floor
+    * division (cross-engine reproducible). */
+  def resizeStub(decoded: Column, maxSide: Int): Column = {
+    val w = decoded.getField("width"); val h = decoded.getField("height")
+    val side = greatest(w, h)
+    val scaleNum = lit(maxSide.toLong)
+    struct(
+      when(side <= maxSide, w).otherwise(floor(w * scaleNum / side).cast("long")).as("width"),
+      when(side <= maxSide, h).otherwise(floor(h * scaleNum / side).cast("long")).as("height"),
+      decoded.getField("channels").as("channels"))
+  }
+
+  /** STUB feature extraction: fake `dims`-dim embedding from the payload
+    * bytes (md5-seeded LCG, deterministic; all intermediates < 2^63 so the
+    * math is exact on any engine); a real kernel runs a vision/audio model
+    * over the decoded tensor. Output: array<double> in [0, 1). */
+  def extractFeaturesStub(payload: Column, dims: Int): Column = {
+    val seed = conv(substring(md5(payload), 1, 15), 16, 10).cast("long") % 1000000007L
+    transform(sequence(lit(0), lit(dims - 1)),
+      i => pmod(seed * 1009L + i * 9973L, lit(1000000L)).cast("double") / 1000000.0)
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th frame index up
+    * to nFrames (metadata-driven — no decode needed to plan the sample). */
+  def sampleFrameIdx(nFrames: Column, stride: Int): Column =
+    sequence(lit(0L), greatest(nFrames - 1L, lit(0L)), lit(stride.toLong))
+
+  /** The imperative seam: run `kernel` over each partition's rows — this
+    * is where a real JNI/FFI codec binds (one codec instance per
+    * partition, batched I/O). The default kernel is the identity. Narrow
+    * op: no shuffle, preserves partitioning. */
+  def mapBinaryPartitions(
+      df: DataFrame,
+      schema: StructType,
+      kernel: Iterator[Row] => Iterator[Row]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions(kernel)(enc)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`).
+  *
+  * Two physical shapes:
+  *  - [[bruteForceTopK]]: broadcast the (small) query set, one pass over
+  *    the corpus, per-query top-k via window rank. Exact; the baseline.
+  *    At 100 TB the corpus side stays partition-parallel and the only
+  *    shuffle is the final per-query top-k (tiny after the rank filter
+  *    — a per-partition `LIMIT`-style pushdown happens via the window's
+  *    partial sort on each mapper... rank runs post-shuffle, so the
+  *    shuffle carries candidate rows only; see lshTopK for the pruned
+  *    variant).
+  *  - [[lshTopK]]: sign-bit LSH bucketing (coordinate hyperplanes) —
+  *    queries probe only their own bucket, so the scanned fraction drops
+  *    ~2^signBits×. Approximate; the scale path.
+  *
+  * All math is Column expressions (`zip_with`/`aggregate` higher-order
+  * functions, codegen'd) in double precision, rounded to 6 dp so results
+  * are stable across engines for oracle comparison.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm in double precision. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity, rounded to 6 dp (cross-engine stability). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Exact top-k nearest neighbours by cosine for each query vector.
+    * `queries` is expected to be small (it is broadcast); ties broken by
+    * ascending item id so results are total-ordered and deterministic.
+    * Output: qid, id, cos, rank. */
+  def bruteForceTopK(
+      items: DataFrame, itemId: String, itemVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val joined = items.crossJoin(
+      broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("__qv"))))
+      .withColumn("cos", cosine(col(itemVec), col("__qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col(itemId).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(itemId).as("id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Sign-bit LSH bucket key: bit i set iff dimension i is non-negative.
+    * Deterministic (no random planes) so oracles can mirror it. */
+  def signBucket(vec: Column, signBits: Int): Column =
+    (0 until signBits).map(i =>
+      when(vec.getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L)): Column).reduce(_ + _)
+
+  /** Approximate top-k: probe only the query's own sign bucket. Scanned
+    * fraction ≈ 2^-signBits of the corpus per query; recall depends on the
+    * data's sign stability. Output: qid, id, cos, rank (rank within the
+    * probed bucket). */
+  def lshTopK(
+      items: DataFrame, itemId: String, itemVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, signBits: Int): DataFrame = {
+    val bItems = items.withColumn("__bkt", signBucket(col(itemVec), signBits))
+    val bQueries = broadcast(queries.select(
+      col(queryId).as("qid"), col(queryVec).as("__qv"),
+      signBucket(col(queryVec), signBits).as("__bkt")))
+    val joined = bItems.join(bQueries, Seq("__bkt"))
+      .withColumn("cos", cosine(col(itemVec), col("__qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col(itemId).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(itemId).as("id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (whole-stage codegen, no UDFs), with integer-exact
+  * or 6-dp-rounded outputs so a DuckDB oracle can reproduce them bit-for-
+  * bit. Each is embarrassingly parallel — a map over the corpus with no
+  * shuffle — so 100 TB scaling is just partition count. */
+object TextAnalysis {
+
+  /** Number of non-overlapping occurrences of literal `w` in `t`
+    * (classic length-difference trick; exact integer). */
+  def occurrences(t: Column, w: String): Column =
+    ((length(t) - length(replace(t, lit(w), lit("")))) / w.length).cast("long")
+
+  /** Language-marker stopwords (n-gram heuristic): padded-text substring
+    * counts per language. Order = tie-break precedence. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "es" -> Seq(" el ", " la ", " los ", " es "),
+    "de" -> Seq(" der ", " die ", " und ", " ist "),
+    "fr" -> Seq(" le ", " les ", " et ", " est "),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Per-language marker score over ' '||text||' '. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    markers.map(m => occurrences(padded, m)).reduce(_ + _)
+  }
+
+  /** Heuristic language ID: argmax of marker scores, earlier language wins
+    * ties, "und" (undetermined) when all scores are 0. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val best = scores.tail.foldLeft(scores.head._2)((b, s) => greatest(b, s._2))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Whitespace token count (single-space tokenization). */
+  def wsTokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-space
+    * symbols each count as one token. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
+  /** Quality stats: exact integers + 6-dp ratios.
+    * Returns (n_chars, n_words, avg_word_len, stopword_ratio, punct_cnt). */
+  def qualityStats(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("long")
+    val nWords = wsTokenCount(text)
+    val spaceCnt = (length(text) - length(replace(text, lit(" "), lit("")))).cast("long")
+    val stopCnt = langScore(text, Seq(" the ", " a ", " of ", " and ", " is "))
+    val punctCnt =
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("long")
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "avg_word_len" -> round((nChars - spaceCnt).cast("double") / nWords.cast("double"), 6),
+      "stopword_ratio" -> round(stopCnt.cast("double") / nWords.cast("double"), 6),
+      "punct_cnt" -> punctCnt)
+  }
+
+  /** Fingerprint modulus (1e9+7): keeps `acc*31 + h` < 2^63 so the fold is
+    * exact 64-bit on both engines. */
+  val FpP = 1000000007L
+
+  /** Rolling-hash document fingerprint: fold (acc*31 + h60(word) mod p)
+    * mod p over words in order. Content-sensitive and order-sensitive —
+    * the cheap "same doc modulo nothing" identity for exact dedup at
+    * scale. DuckDB twin: list_reduce(list_prepend(0, hashes), ...). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, " "), w => Dedup.hash60(w) % FpP),
+      lit(0L),
+      (acc, h) => (acc * 31L + h) % FpP)
+}
