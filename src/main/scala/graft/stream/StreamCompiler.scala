@@ -1,0 +1,215 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dsl._
+import graft.graph.Dag
+import graft.ops.Keyed
+
+/** Structured-Streaming interpreter of a [[Topology]] — the analogue of
+  * the reference's live Kafka Streams path (willa `core.clj:122-140` +
+  * `streams.clj`), compiled onto Spark's micro-batch engine:
+  *
+  *  - topic source  → a streaming DataFrame (`readStream` / MemoryStream),
+  *    record-shaped (key, value, ts), optionally watermarked;
+  *  - kstream xform → the same Column combinators as batch (stateless ops
+  *    are engine-agnostic — this is the point of the shared [[Xform]] ADT);
+  *  - ktable        → streaming aggregation: latest-per-key via
+  *    `max_by(struct(value), struct(ts))` (update/complete mode), grouped/
+  *    windowed/session aggregates via `groupBy(window(...), key).agg(...)`;
+  *  - suppression   → watermark + append output mode (emit-on-window-close,
+  *    exactly Kafka's `Suppressed/untilWindowCloses`);
+  *  - stream–stream joins → watermarked interval joins (append mode);
+  *  - stream–global joins → stream–static broadcast joins (the static side
+  *    is re-read per micro-batch, matching GlobalKTable refresh semantics).
+  *
+  * Divergences from batch, by Spark's design (documented, erroring
+  * loudly): stream–table as-of joins and FoldAgg need per-key ordered
+  * state — use [[Streamed.latestPerKeyState]]-style
+  * `flatMapGroupsWithState` operators with typed Datasets; the generic
+  * Row-typed path rejects them.
+  *
+  * Output-mode guidance (`modeFor`): stateless/join-only topologies →
+  * append; aggregating topologies → complete (tests/small state) or
+  * update; suppressed+watermarked → append.
+  */
+object StreamCompiler {
+
+  import Records._
+
+  sealed trait Kind
+  object Kind { case object Stream extends Kind; case object Table extends Kind
+    case object Global extends Kind }
+
+  final case class Built(df: DataFrame, kind: Kind, nFields: Int = 0)
+
+  /** Compile a topology over streaming sources.
+    * @param streams      streaming record-shaped DataFrames per source topic
+    * @param statics      batch DataFrames for GlobalKTable-feeding topics
+    * @param watermarkMs  watermark applied to every streaming source's ts
+    *                     (required for suppression and stream–stream joins)
+    */
+  def run(
+      topology: Topology,
+      streams: Map[String, DataFrame],
+      statics: Map[String, DataFrame] = Map.empty,
+      watermarkMs: Option[Long] = None): Map[String, DataFrame] = {
+    topology.validated()
+    val order = Dag.topsort(topology.workflow).get
+    val preds = topology.predecessors
+    val built = order.foldLeft(Map.empty[String, Built]) { (acc, id) =>
+      acc + (id -> buildNode(topology, id, topology.entities(id),
+        preds(id), preds(id).map(acc), streams, statics, watermarkMs))
+    }
+    built.map { case (k, b) => k -> b.df }
+  }
+
+  /** The output mode a sink of this topology needs: append unless some
+    * entity aggregates without suppression (then update/complete). */
+  def modeFor(topology: Topology): String = {
+    val aggregating = topology.entities.values.exists {
+      case t: Entity.KTable => !t.suppress
+      case _ => false
+    }
+    if (aggregating) "complete" else "append"
+  }
+
+  private def buildNode(
+      topology: Topology, id: String, entity: Entity,
+      parentIds: Seq[String], parents: Seq[Built],
+      streams: Map[String, DataFrame], statics: Map[String, DataFrame],
+      watermarkMs: Option[Long]): Built = entity match {
+
+    case Entity.Topic(name) =>
+      if (parents.isEmpty) {
+        statics.get(id).orElse(statics.get(name)) match {
+          case Some(df) => Built(df, Kind.Stream) // static feed (for globals)
+          case None =>
+            val df = streams.getOrElse(id, streams.getOrElse(name,
+              sys.error(s"no streaming input for source topic '$id'")))
+            val wm = watermarkMs.fold(df)(ms => df.withWatermark(TsCol, s"$ms milliseconds"))
+            Built(wm, Kind.Stream)
+        }
+      } else {
+        val in = combineParents(topology, parentIds, parents)
+        Built(in.df, Kind.Stream, in.nFields)
+      }
+
+    case Entity.KStream(xform, _) =>
+      val in = combineParents(topology, parentIds, parents)
+      Built(xform.fold(in.df)(_.apply(in.df)), Kind.Stream,
+        if (xform.forall(preservesValue)) in.nFields else 0)
+
+    case t: Entity.KTable =>
+      val in = combineParents(topology, parentIds, parents)
+      buildTable(t, in)
+
+    case Entity.GlobalKTable() =>
+      require(parents.size == 1, s"global-ktable '$id' needs exactly one parent")
+      require(!parents.head.df.isStreaming,
+        s"global-ktable '$id' needs a static (batch) feed in streaming mode")
+      Built(broadcast(Keyed.latestPerKey(parents.head.df, Seq(KeyCol), Seq(col(TsCol)))),
+        Kind.Global)
+  }
+
+  private def preservesValue(x: Xform): Boolean = x match {
+    case _: Xform.Filter | _: Xform.MapKey => true
+    case Xform.Chain(xs)                   => xs.forall(preservesValue)
+    case _                                 => false
+  }
+
+  private def combineParents(
+      topology: Topology, parentIds: Seq[String], parents: Seq[Built]): Built = {
+    if (parents.size == 1) return parents.head
+    val byId = parentIds.zip(parents).toMap
+    topology.joinFor(parentIds) match {
+      case Some((declared, cfg)) =>
+        declared.map(byId).reduceLeft((l, r) => joinPair(l, r, cfg))
+      case None =>
+        Built(parents.map(_.df).reduceLeft(_ unionByName _), Kind.Stream)
+    }
+  }
+
+  private def joinPair(l: Built, r: Built, cfg: JoinConfig): Built = {
+    val nL = math.max(l.nFields, 1)
+    def leftFields(c: Column): Seq[Column] =
+      if (l.nFields == 0) Seq(c.as("v1"))
+      else (1 to l.nFields).map(i => c.getField(s"v$i").as(s"v$i"))
+
+    val lf = l.df.withColumnRenamed(KeyCol, "__lk")
+      .withColumnRenamed(ValueCol, "__lv").withColumnRenamed(TsCol, "__lt")
+    val rf = r.df.select(col(KeyCol).as("__rk"), col(ValueCol).as("__rv"),
+      col(TsCol).as("__rt"))
+
+    (cfg.joinType, l.kind, r.kind) match {
+      case (JoinType.Merge, _, _) =>
+        Built(l.df unionByName r.df, Kind.Stream)
+
+      case (jt @ (JoinType.Inner | JoinType.Left), Kind.Stream, Kind.Global) =>
+        val lookup = cfg.kvMapper.map(f => f(col("__lk"), col("__lv")))
+          .getOrElse(col("__lk"))
+        val how = if (jt == JoinType.Left) "left" else "inner"
+        val j = lf.join(rf, lookup === col("__rk"), how)
+        Built(j.select(
+          col("__lk").as(KeyCol),
+          struct(leftFields(col("__lv")) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
+          col("__lt").as(TsCol)), Kind.Stream, nL + 1)
+
+      case (jt, Kind.Stream, Kind.Stream) =>
+        val w = cfg.window.getOrElse(sys.error(
+          "stream-stream join requires JoinConfig.window (JoinWindow)"))
+        val how = jt match {
+          case JoinType.Inner => "inner"
+          case JoinType.Left  => "leftOuter"
+          case JoinType.Outer => "fullOuter"
+          case JoinType.Merge => "inner" // unreachable
+        }
+        val cond = col("__lk") === col("__rk") &&
+          col("__rt") >= col("__lt") - expr(s"INTERVAL ${w.beforeMs} MILLISECONDS") &&
+          col("__rt") <= col("__lt") + expr(s"INTERVAL ${w.afterMs} MILLISECONDS")
+        Built(lf.join(rf, cond, how).select(
+          coalesce(col("__lk"), col("__rk")).as(KeyCol),
+          struct(leftFields(col("__lv")) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
+          greatest(col("__lt"), col("__rt")).as(TsCol)), Kind.Stream, nL + 1)
+
+      case (jt, lk, rk) =>
+        sys.error(s"streaming join ($jt, $lk, $rk) needs typed stateful " +
+          "operators (flatMapGroupsWithState) — see graft.stream.Streamed")
+    }
+  }
+
+  /** KTable chain: group-by → window → aggregate (→ suppress via the
+    * source watermark + append mode at the sink). */
+  private def buildTable(t: Entity.KTable, in: Built): Built = {
+    val rekeyed = t.groupBy.fold(in.df)(e => in.df.withColumn(KeyCol, e))
+    val winCol: Option[Column] = t.window.map {
+      case WindowSpec.TimeWindows(size, adv) =>
+        window(col(TsCol), s"$size milliseconds", s"$adv milliseconds")
+      case WindowSpec.SessionWindows(gap) =>
+        session_window(col(TsCol), s"$gap milliseconds")
+    }
+    val agg = t.aggregate match {
+      case Some(AggSpec.ExprAgg(e)) => e
+      case None =>
+        // latest-per-key as a streaming-safe hash aggregate
+        max_by(struct(col(ValueCol)), struct(col(TsCol))).getField(ValueCol)
+      case Some(_: AggSpec.FoldAgg) =>
+        sys.error("FoldAgg needs ordered per-key state in streaming — " +
+          "use a typed flatMapGroupsWithState operator (graft.stream.Streamed)")
+    }
+    val grouped = winCol match {
+      case Some(w) => rekeyed.groupBy(w.as("__w"), col(KeyCol))
+      case None    => rekeyed.groupBy(col(KeyCol))
+      }
+    val out = grouped.agg(agg.as(ValueCol), max(col(TsCol)).as(TsCol))
+    val finished = winCol match {
+      case Some(_) => out
+        .withColumn("window_start", col("__w.start"))
+        .withColumn("window_end", col("__w.end"))
+        .drop("__w")
+        .select(col(KeyCol), col(ValueCol), col(TsCol), col("window_start"), col("window_end"))
+      case None => out.select(col(KeyCol), col(ValueCol), col(TsCol))
+    }
+    Built(finished, Kind.Table)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed record for the stateful streaming operators (the reference's
+  * `{:key k :value v :timestamp t}`, `experiment.clj:287-291`), with
+  * epoch-millis timestamps like the reference. */
+final case class Rec[K, V](key: K, value: V, tsMs: Long)
+
+/** Typed stateful streaming operators via `flatMapGroupsWithState` — the
+  * pieces of the reference's semantics that Spark's declarative streaming
+  * aggregation cannot express:
+  *
+  *  - [[latestPerKeyState]]: per-record changelog emission of the latest
+  *    value per key (willa's eager KTable updates,
+  *    `cache.max.bytes.buffering=0`, `example.clj:17`) — a streaming
+  *    aggregate emits per micro-batch, not per record; this emits every
+  *    update.
+  *  - [[aggregateState]]: running aggregate changelog (adder fold,
+  *    `experiment.clj:231-238`: inputs 1,2 → outputs 1,3).
+  *  - [[aggregateWithSubtractor]]: KGroupedTable adder+subtractor
+  *    (`streams.clj:44-50`): when a key's value is replaced, the old value
+  *    is subtracted from the group aggregate and the new one added.
+  *
+  * State is one small object per group key, partitioned by Spark's state
+  * store — memory scales with key cardinality, not stream length, and
+  * each group's records are processed independently (cluster-parallel). */
+object Streamed {
+
+  /** Latest-per-key with per-update changelog emission. */
+  def latestPerKeyState[K: Encoder, V: Encoder](
+      ds: Dataset[Rec[K, V]])(implicit re: Encoder[Rec[K, V]]): Dataset[Rec[K, V]] = {
+    implicit val tupleEnc: Encoder[(V, Long)] = Encoders.tuple(
+      implicitly[Encoder[V]], Encoders.scalaLong)
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(V, Long), Rec[K, V]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, V]], state: GroupState[(V, Long)]) =>
+          val sorted = records.toSeq.sortBy(_.tsMs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Rec[K, V]]
+          var cur = state.getOption
+          sorted.foreach { r =>
+            if (cur.forall(_._2 <= r.tsMs)) {
+              cur = Some((r.value, r.tsMs))
+              out += r
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Running-aggregate changelog: emits acc-so-far for every input record
+    * in ts order within each micro-batch (exact parity with
+    * `streams_test.clj:35-60` when records arrive in order). */
+  def aggregateState[K: Encoder, V: Encoder, A: Encoder](
+      ds: Dataset[Rec[K, V]], init: A, adder: (A, V) => A)(
+      implicit outEnc: Encoder[Rec[K, A]]): Dataset[Rec[K, A]] = {
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[A, Rec[K, A]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, V]], state: GroupState[A]) =>
+          var acc = state.getOption.getOrElse(init)
+          val out = records.toSeq.sortBy(_.tsMs).map { r =>
+            acc = adder(acc, r.value)
+            Rec(key, acc, r.tsMs)
+          }
+          state.update(acc)
+          out.iterator
+      }
+  }
+
+  /** KGroupedTable-style aggregate with subtractor: the stream is a table
+    * changelog keyed by the TABLE key; `groupKey` re-keys for aggregation.
+    * On an update to a table key, the previous value is subtracted and the
+    * new one added (willa `streams.clj:44-50`). Emits the group aggregate
+    * after every update. State per group: the group acc + the latest value
+    * per member table-key (bounded by member cardinality). */
+  def aggregateWithSubtractor[K: Encoder, G: Encoder, V: Encoder, A: Encoder](
+      ds: Dataset[Rec[K, V]],
+      groupKey: Rec[K, V] => G,
+      init: A,
+      adder: (A, V) => A,
+      subtractor: (A, V) => A)(
+      implicit stEnc: Encoder[(A, Map[K, V])], outEnc: Encoder[Rec[G, A]]): Dataset[Rec[G, A]] = {
+    ds.groupByKey(groupKey)
+      .flatMapGroupsWithState[(A, Map[K, V]), Rec[G, A]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (gkey: G, records: Iterator[Rec[K, V]], state: GroupState[(A, Map[K, V])]) =>
+          var (acc, members) = state.getOption.getOrElse((init, Map.empty[K, V]))
+          val out = records.toSeq.sortBy(_.tsMs).map { r =>
+            members.get(r.key).foreach(old => acc = subtractor(acc, old))
+            acc = adder(acc, r.value)
+            members = members + (r.key -> r.value)
+            Rec(gkey, acc, r.tsMs)
+          }
+          state.update((acc, members))
+          out.iterator
+      }
+  }
+}

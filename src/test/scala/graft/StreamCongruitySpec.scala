@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dsl._
+import graft.batch.BatchCompiler
+import graft.stream.{Rec, StreamCompiler, Streamed}
+
+/** Batch ≡ streaming congruity — the reference's distinctive test layer
+  * (willa `test_utils.clj:68-83`: the same topology + inputs through the
+  * pure experiment interpreter AND the real Kafka engine must agree).
+  * Here: BatchCompiler vs StreamCompiler over MemoryStream sources with a
+  * memory sink, compared on (key, value[, window]). */
+class StreamCongruitySpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  private var qn = 0
+
+  /** Run the topology's sink through Structured Streaming and return the
+    * collected memory-sink rows. */
+  private def runStreaming(
+      topo: Topology,
+      inputs: Map[String, Seq[(String, Int, Long)]],
+      statics: Map[String, DataFrame] = Map.empty,
+      sink: String,
+      mode: String,
+      watermarkMs: Option[Long] = None): DataFrame = {
+    implicit val sql = spark.sqlContext
+    val streams = inputs.map { case (id, rows) =>
+      val ms = MemoryStream[(String, Int, Long)]
+      ms.addData(rows)
+      id -> (ms, ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms"))
+    }
+    val dfs = StreamCompiler.run(topo, streams.map { case (k, v) => k -> v._2 },
+      statics, watermarkMs)
+    qn += 1
+    val name = s"congruity_$qn"
+    val q = dfs(sink).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  private def kvOf(df: DataFrame): Seq[(String, Int)] = kvInt(df)
+
+  test("congruity: stateless map/filter/merge pipeline") {
+    val topo = Topology(
+      Seq("in" -> "up", "in" -> "down", "up" -> "m", "down" -> "m", "m" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "up" -> Entity.KStream(Some(Xform.MapValue(col("value") + 100))),
+        "down" -> Entity.KStream(Some(
+          Xform.Filter(col("value") % 2 === 0).andThen(Xform.MapValue(col("value") - 100)))),
+        "m" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("a", 1, 100L), ("b", 2, 200L), ("a", 3, 300L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("out")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "out", mode = "append")
+    assert(kvOf(stream) == kvOf(batch))
+    assert(kvOf(batch).nonEmpty)
+  }
+
+  test("congruity: flatMap fan-out") {
+    val topo = Topology(
+      Seq("in" -> "fm", "fm" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "fm" -> Entity.KStream(Some(Xform.FlatMapValue(
+          array(col("value") * 10, col("value") * 10 + 1)))),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("a", 1, 100L), ("b", 2, 200L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("out")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "out", mode = "append")
+    assert(kvOf(stream) == kvOf(batch))
+  }
+
+  test("congruity: windowed aggregate (complete mode = final state)") {
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("k", 1, 0L), ("k", 2, 50L), ("k", 5, 500L), ("j", 7, 20L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "tbl", mode = "complete")
+    def canon(df: DataFrame) =
+      df.select(col("key"), col("value").cast("long"), col("window_start"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime))
+        .toSeq.sorted
+    assert(canon(stream) == canon(batch))
+    assert(canon(batch).size == 3)
+  }
+
+  test("congruity: latest-per-key table") {
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"), "tbl" -> Entity.KTable(),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("k", 1, 100L), ("k", 9, 300L), ("j", 4, 50L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "tbl", mode = "complete")
+    assert(kvOf(stream) == kvOf(batch))
+    assert(kvOf(batch) == Seq(("j", 4), ("k", 9)))
+  }
+
+  test("congruity: windowed stream-stream inner join") {
+    val topo = Topology(
+      Seq("a" -> "j", "b" -> "j", "j" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("a", "b") -> JoinConfig(JoinType.Inner, Some(JoinWindow.of(100L)))))
+    val aRows = Seq(("k", 1, 100L), ("k", 3, 1000L))
+    val bRows = Seq(("k", 2, 150L), ("k", 4, 5000L))
+    val batch = BatchCompiler.run(topo,
+      Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("out")
+    val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
+      sink = "out", mode = "append", watermarkMs = Some(10000L))
+    def canon(df: DataFrame) = df.select("key", "value.v1", "value.v2")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(stream) == canon(batch))
+    assert(canon(batch) == Seq(Seq("k", 1, 2)))
+  }
+
+  test("congruity: stream-global broadcast join with static dim") {
+    val topo = Topology(
+      Seq("in" -> "j", "dim" -> "g", "g" -> "j", "j" -> "out"),
+      Map("in" -> Entity.Topic("in"), "dim" -> Entity.Topic("dim"),
+        "g" -> Entity.GlobalKTable(), "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("in", "g") -> JoinConfig(JoinType.Left)))
+    val inRows = Seq(("k", 1, 100L), ("x", 2, 200L))
+    val dim = records(("k", 7, 50L))
+    val batch = BatchCompiler.run(topo,
+      Map("in" -> records(inRows: _*), "dim" -> dim))("out")
+    val stream = runStreaming(topo, Map("in" -> inRows),
+      statics = Map("dim" -> dim), sink = "out", mode = "append")
+    def canon(df: DataFrame) = df.select("key", "value.v1", "value.v2")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(stream) == canon(batch))
+    assert(canon(batch) == Seq(Seq("k", 1, 7), Seq("x", 2, null)))
+  }
+
+  // ---- typed stateful operators (flatMapGroupsWithState) ----
+
+  private def statefulQuery[A](ds: org.apache.spark.sql.Dataset[A]): Seq[A] = {
+    qn += 1
+    val name = s"stateful_$qn"
+    val q = ds.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name).as(ds.encoder).collect().toSeq
+  }
+
+  test("stateful latest-per-key emits per-update changelog") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Rec[String, Int]]
+    ms.addData(Rec("k", 1, 100L), Rec("k", 2, 200L), Rec("j", 5, 50L))
+    val out = statefulQuery(Streamed.latestPerKeyState(ms.toDS()))
+    assert(out.toSet == Set(Rec("k", 1, 100L), Rec("k", 2, 200L), Rec("j", 5, 50L)))
+  }
+
+  test("stateful running aggregate emits 1,3 for inputs 1,2") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Rec[String, Int]]
+    ms.addData(Rec("k", 1, 100L), Rec("k", 2, 200L))
+    val out = statefulQuery(Streamed.aggregateState[String, Int, Int](ms.toDS(), 0, _ + _))
+    assert(out.sortBy(_.tsMs).map(_.value) == Seq(1, 3))
+  }
+
+  test("stateful aggregate with subtractor retracts replaced values") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Rec[String, Int]]
+    // table key "k" updates 10 → 3 within group "g": aggregate goes 10 → 3
+    ms.addData(Rec("k", 10, 100L), Rec("k", 3, 200L), Rec("m", 5, 300L))
+    val out = statefulQuery(Streamed.aggregateWithSubtractor[String, String, Int, Int](
+      ms.toDS(), _ => "g", 0, _ + _, _ - _))
+    assert(out.sortBy(_.tsMs).map(_.value) == Seq(10, 3, 8))
+  }
+}

@@ -31,7 +31,8 @@ object TestKit {
     * (`test_utils.clj:86-92`). */
   def kvInt(df: DataFrame): Seq[(String, Int)] =
     df.select("key", "value").collect()
-      .map(r => (r.getString(0), if (r.isNullAt(1)) Int.MinValue else r.getInt(1)))
+      .map(r => (r.getString(0), if (r.isNullAt(1)) Int.MinValue
+        else r.get(1).asInstanceOf[Number].intValue()))
       .toSeq.sorted
 
   def kvRows(df: DataFrame): Seq[Seq[Any]] =
