@@ -67,12 +67,15 @@ object BatchCompiler {
     topology.validated()
     val order = Dag.topsort(topology.workflow).get
     val preds = topology.predecessors
+    // store-name registry (streams.clj:28-32): a KTable materialized under
+    // a store name is persisted once and reused by every same-named table
+    val stores = scala.collection.mutable.Map.empty[String, Built]
     order.foldLeft(Map.empty[String, Built]) { (acc, id) =>
       val entity = topology.entities(id)
       val parents = preds(id).map(acc)
       val built = overrides.get(id) match {
         case Some(f) => f(entity, parents)
-        case None    => buildNode(topology, id, entity, preds(id), parents, inputs)
+        case None    => buildNode(topology, id, entity, preds(id), parents, inputs, stores)
       }
       acc + (id -> built)
     }
@@ -84,7 +87,8 @@ object BatchCompiler {
       entity: Entity,
       parentIds: Seq[String],
       parents: Seq[Built],
-      inputs: Map[String, DataFrame]): Built = entity match {
+      inputs: Map[String, DataFrame],
+      stores: scala.collection.mutable.Map[String, Built]): Built = entity match {
 
     case Entity.Topic(name) =>
       if (parents.isEmpty) {
@@ -106,8 +110,14 @@ object BatchCompiler {
         if (xform.forall(preservesValue)) in.nFields else 0)
 
     case t: Entity.KTable =>
-      val in = combineParents(topology, parentIds, parents)
-      buildTable(t, in)
+      t.storeName match {
+        case Some(name) =>
+          stores.getOrElseUpdate(name, {
+            val b = buildTable(t, combineParents(topology, parentIds, parents))
+            b.copy(df = b.df.persist())
+          })
+        case None => buildTable(t, combineParents(topology, parentIds, parents))
+      }
 
     case Entity.GlobalKTable() =>
       require(parents.size == 1, s"global-ktable '$id' needs exactly one parent")
@@ -272,7 +282,7 @@ object BatchCompiler {
         val gcols = Seq(col(KeyCol)) ++ winCols
         finishWindowed(grouped.groupBy(gcols: _*)
           .agg(e.as(ValueCol), max(col(TsCol)).as(TsCol)))
-      case Some(AggSpec.FoldAgg(init, adder)) =>
+      case Some(AggSpec.FoldAgg(init, adder, _)) =>
         val gcols = Seq(KeyCol) ++ (if (winCols.nonEmpty) Seq("__w") else Nil)
         val pairs = sort_array(collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v"))))
         finishWindowed(grouped.groupBy(gcols.map(col): _*)
@@ -296,7 +306,7 @@ object BatchCompiler {
           // (sum/count/...); a composite expr (struct of aggs) cannot be
           // windowed as-is — such tables can't be as-of-joined yet.
           Some(() => Keyed.runningAggregate(rekeyed, Seq(KeyCol), Seq(col(TsCol)), e, ValueCol))
-        case Some(AggSpec.FoldAgg(init, adder)) =>
+        case Some(AggSpec.FoldAgg(init, adder, _)) =>
           Some(() => {
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col(KeyCol)).orderBy(col(TsCol))

@@ -121,8 +121,17 @@ object AggSpec {
   /** Order-sensitive fold in timestamp order — exact parity with the
     * reference's adder fold (`experiment.clj:231-238`). Compiled via
     * sort-within-group; `adder` folds `value` column values. Slower than
-    * ExprAgg; for parity tests and genuinely non-associative folds. */
-  final case class FoldAgg(init: Column, adder: (Column, Column) => Column) extends AggSpec
+    * ExprAgg; for parity tests and genuinely non-associative folds.
+    *
+    * `subtractor` is the KGroupedTable retraction fn (`streams.clj:44-50`,
+    * API parity with willa's `::aggregate-subtractor-fn`). Batch recomputes
+    * groups from scratch, so it is accepted but never invoked here; the
+    * streaming path applies it via
+    * [[graft.stream.Streamed.aggregateWithSubtractor]]. */
+  final case class FoldAgg(
+      init: Column,
+      adder: (Column, Column) => Column,
+      subtractor: Option[(Column, Column) => Column] = None) extends AggSpec
 }
 
 /** Entity types (willa `core.clj:11-12` dispatch). */
@@ -170,6 +179,11 @@ final case class Topology(
     joins: Map[Seq[String], JoinConfig] = Map.empty) {
 
   def predecessors: Map[String, Seq[String]] = Dag.predecessors(workflow)
+
+  /** Topic-name → (entity-id, Topic) index (willa `utils.clj:49-54`:
+    * `get-topic-name->metadata`, used by test transports). */
+  def topicIndex: Map[String, (String, Entity.Topic)] =
+    entities.collect { case (id, t: Entity.Topic) => t.name -> (id, t) }
 
   /** Join config whose input set equals this node's parent set
     * (`core.clj:59-62`). Returns the declared input order too. */

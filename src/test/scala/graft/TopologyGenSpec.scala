@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dsl._
+import graft.batch.BatchCompiler
+import graft.viz.Dot
+
+/** Generative topology tests mirroring willa `specs.clj:148-172`: random
+  * valid topologies must validate, compile, and execute on random records;
+  * random invalid ones must be rejected. Deterministically seeded. */
+class TopologyGenSpec extends AnyFunSuite {
+
+  import TestKit._
+
+  private val genXform: Gen[Xform] = Gen.oneOf(
+    Gen.choose(1, 9).map(n => Xform.MapValue(col("value") + n)),
+    Gen.const(Xform.Filter(col("value") % 2 === 0)),
+    Gen.const(Xform.FlatMapValue(array(col("value"), col("value") * 2))),
+    Gen.const(Xform.MapKey(concat(col("key"), lit("_x")))),
+    Gen.choose(1, 5).map(n =>
+      Xform.MapValue(col("value") * n).andThen(Xform.Filter(col("value") >= 0))))
+
+  private val genMiddle: Gen[Entity] = Gen.frequency(
+    5 -> Gen.option(genXform).map(x => Entity.KStream(x)),
+    2 -> Gen.const(Entity.KTable()),
+    2 -> Gen.const(Entity.KTable(aggregate = Some(AggSpec.ExprAgg(sum(col("value")))))),
+    1 -> Gen.const(Entity.KTable(
+      window = Some(WindowSpec.TimeWindows.tumbling(1000L)),
+      aggregate = Some(AggSpec.ExprAgg(count(lit(1)))))))
+
+  /** Linear chain topic → middle* → topic, the generative shape of
+    * specs.clj (boundary topics, interior derived entities). */
+  private val genTopology: Gen[Topology] = for {
+    n <- Gen.choose(1, 4)
+    mids <- Gen.listOfN(n, genMiddle)
+  } yield {
+    val ids = mids.indices.map(i => s"m$i")
+    val nodes = ("in" +: ids) :+ "out"
+    val edges = nodes.zip(nodes.tail)
+    val entities = Map("in" -> Entity.Topic("in"), "out" -> Entity.Topic("out")) ++
+      ids.zip(mids).toMap
+    Topology(edges, entities)
+  }
+
+  private val genRecords: Gen[Seq[(String, Int, Long)]] = for {
+    n <- Gen.choose(3, 12)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-5, 20)
+      t <- Gen.choose(0L, 5000L)
+    } yield (k, v, t))
+  } yield rows
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("random valid topologies validate, compile, run, and render") {
+    (1L to 20L).foreach { i =>
+      val topo = sample(genTopology, i)
+      val rows = sample(genRecords, i * 31)
+      assert(topo.validate().isEmpty, s"seed $i: ${topo.validate()}")
+      val out = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("out")
+      val cnt = out.count()
+      assert(cnt >= 0, s"seed $i")
+      val dot = Dot.render(topo)
+      assert(dot.startsWith("digraph") && dot.contains("\"in\"") && dot.contains("cylinder"))
+    }
+  }
+
+  test("invalid topologies are rejected") {
+    // cycle
+    assert(Topology(Seq("a" -> "b", "b" -> "a"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"))).validate().nonEmpty)
+    // non-topic boundary
+    assert(Topology(Seq("a" -> "b"),
+      Map("a" -> Entity.KStream(), "b" -> Entity.Topic("b"))).validate().nonEmpty)
+    // missing entity
+    assert(Topology(Seq("a" -> "b"),
+      Map("a" -> Entity.Topic("a"))).validate().nonEmpty)
+    // join matching no node's parents
+    assert(Topology(Seq("a" -> "b"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b")),
+      Map(Seq("a", "z") -> JoinConfig(JoinType.Inner))).validate().nonEmpty)
+    // global-ktable with non-topic parent
+    assert(Topology(Seq("a" -> "s", "s" -> "g", "g" -> "out"),
+      Map("a" -> Entity.Topic("a"), "s" -> Entity.KStream(),
+        "g" -> Entity.GlobalKTable(), "out" -> Entity.Topic("out"))).validate().nonEmpty)
+  }
+
+  test("store-name registry reuses one materialization") {
+    val topo = Topology(
+      Seq("in" -> "t1", "in" -> "t2", "t1" -> "out1", "t2" -> "out2"),
+      Map("in" -> Entity.Topic("in"),
+        "t1" -> Entity.KTable(storeName = Some("shared")),
+        "t2" -> Entity.KTable(storeName = Some("shared")),
+        "out1" -> Entity.Topic("out1"), "out2" -> Entity.Topic("out2")))
+    val built = BatchCompiler.run(topo, Map("in" -> records(("k", 1, 100L))))
+    assert(built("t1") eq built("t2")) // same persisted DataFrame instance
+    assert(kvInt(built("out1")) == Seq(("k", 1)))
+    built("t1").unpersist()
+  }
+
+  test("topic index maps names to entities") {
+    val t = Topology(Seq("in" -> "out"),
+      Map("in" -> Entity.Topic("input-topic"), "out" -> Entity.Topic("output-topic")))
+    assert(t.topicIndex.keySet == Set("input-topic", "output-topic"))
+    assert(t.topicIndex("input-topic")._1 == "in")
+  }
+}
