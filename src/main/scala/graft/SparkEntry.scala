@@ -402,8 +402,9 @@ object SparkEntry {
       n = 3, threshold = 0.5, maxDf = 100)
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    // one row per doc, consumed by banding + both sides of the est join
     val sigs = Dedup.minHashSignatures(table(s, dir, "documents"), "doc_id",
-      col("text"), n = 3, k = 8)
+      col("text"), n = 3, k = 8).persist()
     val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 4)
     val sa = sigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
     val sb = sigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
@@ -416,6 +417,7 @@ object SparkEntry {
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = Dedup.simHashSignatures(table(s, dir, "documents"), "doc_id", col("text"))
+      .persist() // one row per doc, read by both banded join sides
     Dedup.simHashPairs(sigs, "doc_id", bits = 32, maxHamming = 3)
       .withColumn("hamming", col("hamming").cast("long"))
   }
