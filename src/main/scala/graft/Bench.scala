@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: absorbs one-time session costs (codegen compiler,
+    // parquet committer, shuffle service init) so per-query numbers
+    // measure the queries, not JVM warmup
+    spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full execution of every operator without result

@@ -110,14 +110,17 @@ object BatchCompiler {
         if (xform.forall(preservesValue)) in.nFields else 0)
 
     case t: Entity.KTable =>
-      t.storeName match {
-        case Some(name) =>
-          stores.getOrElseUpdate(name, {
-            val b = buildTable(t, combineParents(topology, parentIds, parents))
-            b.copy(df = b.df.persist())
-          })
-        case None => buildTable(t, combineParents(topology, parentIds, parents))
-      }
+      // default store naming (core.clj:95-96: store = ::store-name or a
+      // parents-derived name): same-named stores share one materialization
+      // — explicit names additionally persist() (user opted into reuse);
+      // auto names dedupe only a literally shared entity instance under
+      // the same parents (identity, not structural hash — a structural
+      // hash could collide across different configs and alias two tables).
+      val autoName = s"__auto:${parentIds.mkString("+")}:${System.identityHashCode(t)}"
+      stores.getOrElseUpdate(t.storeName.getOrElse(autoName), {
+        val b = buildTable(t, combineParents(topology, parentIds, parents))
+        if (t.storeName.isDefined) b.copy(df = b.df.persist()) else b
+      })
 
     case Entity.GlobalKTable() =>
       require(parents.size == 1, s"global-ktable '$id' needs exactly one parent")

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.dsl.Records
+
+/** Source/sink builders producing record-shaped DataFrames — the physical
+  * layer behind [[graft.dsl.Entity.Topic]] (the reference's topics,
+  * `core.clj:14-15,75-78`). Batch topics are parquet paths; streaming
+  * topics are file/rate/kafka streams. All normalize to (key, value, ts).
+  *
+  * Scale notes: parquet readers get partition pruning + filter pushdown
+  * from Catalyst for free; file-stream sources bound per-batch work with
+  * `maxFilesPerTrigger`; sinks partition output by a key expression when
+  * given so downstream consumers co-locate reads. */
+object Sources {
+
+  /** Batch topic source: parquet path → records. */
+  def parquetTopic(s: SparkSession, path: String,
+      key: Column, value: Column, ts: Column): DataFrame =
+    Records.fromTable(s.read.parquet(path), key, value, ts)
+
+  /** Batch topic sink. `partitionBy` co-locates downstream reads on the
+    * given columns (e.g. a date derived from ts). */
+  def writeParquetTopic(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Streaming topic source over a directory of parquet files (the
+    * broker-less streaming transport: each appended file is a batch of
+    * records). `maxFilesPerTrigger` bounds micro-batch size. */
+  def fileStreamTopic(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      key: Column, value: Column, ts: Column,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    Records.fromTable(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(path),
+      key, value, ts)
+
+  /** Rate source → records (synthetic keyed stream for soak tests). */
+  def rateStreamTopic(s: SparkSession, rowsPerSecond: Int, nKeys: Int): DataFrame =
+    Records.fromTable(
+      s.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load(),
+      pmod(col("value"), lit(nKeys)).cast("string"), col("value"), col("timestamp"))
+
+  /** Kafka topic source (the reference's native transport,
+    * `streams.clj:12-14` serde decode ↔ `from_json` here). Requires the
+    * spark-sql-kafka connector on the classpath; value payloads are JSON
+    * decoded against `valueSchema`. */
+  def kafkaStreamTopic(s: SparkSession, bootstrap: String, topic: String,
+      valueSchema: org.apache.spark.sql.types.DataType): DataFrame = {
+    val raw = s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+    Records.fromTable(raw,
+      col("key").cast("string"),
+      from_json(col("value").cast("string"), valueSchema.asInstanceOf[org.apache.spark.sql.types.StructType]),
+      col("timestamp"))
+  }
+
+  /** Streaming parquet sink with checkpointing; `availableNow` processes
+    * the backlog and stops (the batch-replay trigger). */
+  def writeStreamTopic(df: DataFrame, path: String, checkpoint: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val w: DataStreamWriter[Row] = df.writeStream
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+}

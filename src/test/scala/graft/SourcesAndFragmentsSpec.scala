@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dsl._
+import graft.batch.BatchCompiler
+import graft.sources.Sources
+import graft.stream.StreamCompiler
+
+class SourcesAndFragmentsSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  test("dedupe fragment keeps first occurrence per identity") {
+    val (edges, ents) = Fragments.dedupe("in", "out", col("value") % 10)
+    val topo = Topology(
+      edges,
+      Map("in" -> Entity.Topic("in"), "out" -> Entity.Topic("out")) ++ ents)
+    // ids: 11→1, 21→1 (dup), 32→2: the ts-earliest per id survives
+    val out = BatchCompiler.run(topo,
+      Map("in" -> records(("a", 21, 300L), ("b", 11, 100L), ("c", 32, 200L))))("out")
+    assert(kvInt(out) == Seq(("b", 11), ("c", 32)))
+  }
+
+  test("parquet topic source/sink round-trips records") {
+    val dir = Files.createTempDirectory("graft-topic").toString
+    val df = records(("k", 1, 100L), ("j", 2, 200L))
+    Sources.writeParquetTopic(df, s"$dir/t")
+    val back = Sources.parquetTopic(spark, s"$dir/t", col("key"), col("value"), col("ts"))
+    assert(kvInt(back) == Seq(("j", 2), ("k", 1)))
+  }
+
+  test("file-stream topic source feeds the stream compiler") {
+    val dir = Files.createTempDirectory("graft-stream-topic").toString
+    val df = records(("k", 1, 100L), ("k", 2, 200L))
+    Sources.writeParquetTopic(df, s"$dir/t")
+    val src = Sources.fileStreamTopic(spark, s"$dir/t", df.schema,
+      col("key"), col("value"), col("ts"))
+    val topo = Topology(
+      Seq("in" -> "s", "s" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "s" -> Entity.KStream(Some(Xform.MapValue(col("value") * 10))),
+        "out" -> Entity.Topic("out")))
+    val outDf = StreamCompiler.run(topo, Map("in" -> src))("out")
+    val q = outDf.writeStream.format("memory").queryName("filesrc")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(kvInt(spark.table("filesrc")) == Seq(("k", 10), ("k", 20)))
+  }
+
+  test("suppressed windowed aggregate emits only closed windows (append mode)") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value")))),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "append")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(0L))
+    val q = dfs("tbl").writeStream.format("memory").queryName("suppressed")
+      .outputMode("append").start()
+    try {
+      ms.addData(("k", 1, 0L), ("k", 2, 50L), ("k", 5, 500L))
+      q.processAllAvailable() // watermark advances to 500 after this batch
+      ms.addData(("z", 9, 100000L)) // pushes watermark past window [500,600)
+      q.processAllAvailable()
+    } finally q.stop()
+    // closed windows: [0,100)=3 and [500,600)=5; the sentinel's own window
+    // is still open and therefore suppressed
+    assert(kvInt(spark.table("suppressed")) == Seq(("k", 3), ("k", 5)))
+  }
+}
