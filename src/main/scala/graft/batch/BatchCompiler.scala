@@ -229,10 +229,16 @@ object BatchCompiler {
         // Only inner/left exist (experiment.clj:123-131); Outer errors.
         val hist = r.changelog.map(_.apply()).getOrElse(r.df)
           .select(col(KeyCol), col(ValueCol), col(TsCol))
-        val j = Joins.asOf(
-          l.df, hist, KeyCol, KeyCol, TsCol, TsCol,
-          rightVal = ValueCol, rightAs = "__rv",
-          inner = jt == JoinType.Inner)
+        val j = cfg.asOfBucketMs match {
+          case Some(b) => Joins.asOfBucketed(
+            l.df, hist, KeyCol, KeyCol, TsCol, TsCol,
+            rightVal = ValueCol, rightAs = "__rv",
+            inner = jt == JoinType.Inner, bucketMs = b)
+          case None => Joins.asOf(
+            l.df, hist, KeyCol, KeyCol, TsCol, TsCol,
+            rightVal = ValueCol, rightAs = "__rv",
+            inner = jt == JoinType.Inner)
+        }
         joined(j.select(
           col(KeyCol),
           struct(leftFields(col(ValueCol)) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),

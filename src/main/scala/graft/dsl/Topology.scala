@@ -66,11 +66,16 @@ object JoinType {
   * @param kvMapper optional function of the LEFT/stream side's
   *   (key, value) columns producing the foreign key for global-table
   *   joins (`streams.clj:106`); defaults to the stream key.
+  * @param asOfBucketMs skew control for stream–table as-of joins: when
+  *   set, the as-of scan is split into per-key time buckets of this width
+  *   ([[graft.ops.Joins.asOfBucketed]]) so a hot key's history fans out
+  *   across tasks instead of serializing into one window partition.
   */
 final case class JoinConfig(
     joinType: JoinType,
     window: Option[JoinWindow] = None,
-    kvMapper: Option[(Column, Column) => Column] = None)
+    kvMapper: Option[(Column, Column) => Column] = None,
+    asOfBucketMs: Option[Long] = None)
 
 /** Stateless per-record transformation — the analogue of willa's
   * transducer `::xform` (`streams.clj:126-145`): each input record yields

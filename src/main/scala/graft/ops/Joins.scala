@@ -76,6 +76,73 @@ object Joins {
     if (inner) joined.filter(col(rightAs).isNotNull) else joined
   }
 
+  /** Skew-resistant as-of join: identical semantics to [[asOf]], but a
+    * hot key no longer serializes into one window task. Two passes:
+    *
+    *  1. bucket the timeline per key into `bucketMs` ranges; within each
+    *     (key, bucket) run the same union+window scan — parallelism is now
+    *     keys × buckets, so one key's history splits across tasks;
+    *  2. the per-(key, bucket) LAST right-value (one row per bucket — tiny)
+    *     is prefix-scanned per key (a window over the small bucket table)
+    *     to produce each bucket's carry-in, joined back and coalesced
+    *     with the in-bucket running value.
+    *
+    * Cost: one extra shuffle of the bucket-summary table (|keys| ×
+    * |buckets| rows) against pass 1's full shuffle — negligible — in
+    * exchange for bounding any task at one bucket of one key. */
+  def asOfBucketed(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightVal: String, rightAs: String,
+      inner: Boolean, bucketMs: Long): DataFrame = {
+    val lTag = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
+      .withColumnRenamed(leftKey, "__k").withColumnRenamed(leftTs, "__t")
+    val carried = lTag.columns.filterNot(Set("__side", "__rv", "__k", "__t"))
+    val rTag = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__side"), col(rightVal).as("__rv"))
+    val unioned = lTag.select(
+      (Seq("__k", "__t", "__side", "__rv") ++ carried).map(col): _*)
+      .unionByName(rTag.select(
+        (Seq("__k", "__t", "__side", "__rv").map(col) ++
+          carried.map(c => lit(null).cast(lTag.schema(c).dataType).as(c))): _*))
+      .withColumn("__b", (unix_millis(col("__t")) / bucketMs).cast("long"))
+
+    // pass 1: in-bucket running last right-value; parallel in (key, bucket)
+    val wIn = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = unioned.withColumn("__in", last(col("__rv"), ignoreNulls = true).over(wIn))
+
+    // pass 2: carry-in per bucket = last right-value of any EARLIER bucket
+    // (one row per (key, bucket); the prefix window runs over a tiny table)
+    val bucketLast = unioned.filter(col("__side") === 0)
+      .groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__rv"), struct(col("__t"), col("__side"))).as("__bl"))
+    // occupied buckets (including left-only ones, which have no bucketLast
+    // row) get their carry from the latest earlier bucket's last value
+    val carryAll = unioned.select(col("__k"), col("__b")).distinct()
+      .join(bucketLast.select(col("__k"), col("__b"), col("__bl")), Seq("__k", "__b"), "left")
+      .withColumn("__carry",
+        last(col("__bl"), ignoreNulls = true).over(
+          Window.partitionBy(col("__k")).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__k").as("__ck"), col("__b").as("__cb"), col("__carry"))
+
+    val joined = scanned
+      .join(carryAll,
+        col("__k") === col("__ck") && col("__b") === col("__cb"), "left")
+      .withColumn("__res", coalesce(col("__in"), col("__carry")))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv", "__in", "__b", "__ck", "__cb", "__carry")
+      .withColumnRenamed("__res", rightAs)
+      .withColumnRenamed("__k", leftKey).withColumnRenamed("__t", leftTs)
+      .select((Seq(leftKey, leftTs) ++ carried :+ rightAs).map(col): _*)
+    if (inner) joined.filter(col(rightAs).isNotNull) else joined
+  }
+
   /** Stream–global-table broadcast join (#30-31): foreign-key lookup into
     * a broadcast dimension (`streams.clj:104-112`); `lookupKey` is the
     * kv-mapper expression over the stream side (`streams.clj:106`). */

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dsl._
+import graft.batch.BatchCompiler
+import graft.ops.Joins
+
+/** As-of join depth: the skew-resistant bucketed variant must agree with
+  * the single-window form, and as-of joins against AGGREGATED tables must
+  * see the running aggregate as of the stream ts (the table's output
+  * changelog, willa `experiment.clj:231-238`), not the raw inputs. */
+class AsOfSpec extends AnyFunSuite {
+
+  import TestKit._
+
+  test("bucketed as-of equals plain as-of on a dense keyed history") {
+    // interleaved left lookups and right updates across many buckets,
+    // including left rows before any right row (null) and left-only buckets
+    val rng = new scala.util.Random(7)
+    val rightRows = (1 to 60).map(i => (s"k${i % 3}", i, rng.nextInt(5000).toLong))
+    val leftRows = (1 to 80).map(i => (s"k${i % 4}", i, rng.nextInt(6000).toLong))
+    val right = records(rightRows: _*)
+    val left = records(leftRows: _*)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "ts", "value", "rv").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq.sorted
+    val plain = Joins.asOf(left, right, "key", "key", "ts", "ts",
+      rightVal = "value", rightAs = "rv", inner = false)
+    val bucketed = Joins.asOfBucketed(left, right, "key", "key", "ts", "ts",
+      rightVal = "value", rightAs = "rv", inner = false, bucketMs = 500L)
+    assert(canon(bucketed) == canon(plain))
+    assert(canon(plain).nonEmpty)
+    // inner variant agreement too
+    val pInner = Joins.asOf(left, right, "key", "key", "ts", "ts", "value", "rv", inner = true)
+    val bInner = Joins.asOfBucketed(left, right, "key", "key", "ts", "ts", "value", "rv",
+      inner = true, bucketMs = 500L)
+    assert(canon(bInner) == canon(pInner))
+  }
+
+  test("as-of against an aggregated table sees the running aggregate") {
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")))
+    // table inputs: +1@100, +2@200 → running aggregate 1@100, 3@200
+    val u = records(("k", 1, 100L), ("k", 2, 200L))
+    // lookups: @150 must see 1 (not 3, not the raw 2); @250 sees 3; @50 null
+    val s = records(("k", 10, 150L), ("k", 20, 250L), ("k", 30, 50L))
+    val topoL = topo.copy(joins = Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+    val out = BatchCompiler.run(topoL, Map("s" -> s, "u" -> u))("out")
+    val got = out.select("value.v1", "value.v2").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.get(1))).toMap
+    assert(got == Map(10 -> 1L, 20 -> 3L, 30 -> null))
+  }
+
+  test("DSL asOfBucketMs routes through the bucketed as-of") {
+    def topo(bucket: Option[Long]) = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(), "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left, asOfBucketMs = bucket)))
+    val u = records(("k", 1, 100L), ("k", 2, 2000L))
+    val s = records(("k", 10, 150L), ("k", 20, 2500L), ("k", 30, 50L))
+    def canon(m: Map[String, org.apache.spark.sql.DataFrame]) =
+      m("out").select("value.v1", "value.v2").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.get(1))).toMap
+    val plain = canon(BatchCompiler.run(topo(None), Map("s" -> s, "u" -> u)))
+    val bucketed = canon(BatchCompiler.run(topo(Some(500L)), Map("s" -> s, "u" -> u)))
+    assert(plain == Map(10 -> 1, 20 -> 2, 30 -> null))
+    assert(bucketed == plain)
+  }
+
+  test("as-of against a fold-aggregated table sees the running fold") {
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(aggregate = Some(
+          AggSpec.FoldAgg(lit(0), (acc, v) => acc * 10 + v))),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+    val u = records(("k", 1, 100L), ("k", 2, 200L), ("k", 3, 300L))
+    val s = records(("k", 10, 250L))
+    val out = BatchCompiler.run(topo, Map("s" -> s, "u" -> u))("out")
+    // fold so far at ts 250: (0*10+1)*10+2 = 12
+    assert(out.select("value.v2").collect().map(_.getInt(0)).toSeq == Seq(12))
+  }
+}
