@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CosineSim
+import graft.ops.Similarity
+
+/** The codegen'd CosineSim expression must be bit-identical to the
+  * higher-order-function form (same sequential double fold), including
+  * through whole-stage codegen and the interpreted path. */
+class CosineSimSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(0.1f, -0.2f, 0.3f, 0.9f)),
+    (2L, Array(0.4f, 0.5f, -0.6f, 0.0f)),
+    (3L, Array(-1.0f, 2.0f, 0.5f, 0.25f)),
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    .toDF("id", "v")
+
+  test("native expression matches HOF cosine bit-for-bit") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("hof"),
+        CosineSim(col("a.v"), col("b.v")).as("native"))
+    val rows = pairs.collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(3)) == 0,
+        s"mismatch at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("self-similarity is 1 and type errors are rejected at analysis") {
+    val self = vecs.select(CosineSim(col("v"), col("v")).as("c")).collect()
+    assert(self.forall(_.getDouble(0) == 1.0))
+    val err = intercept[Exception] {
+      vecs.select(CosineSim(col("id"), col("v"))).collect()
+    }
+    assert(err.getMessage.contains("cosine_sim") || err.getMessage.contains("DATATYPE"))
+  }
+
+  test("null inputs yield null") {
+    val withNull = vecs.withColumn("n",
+      when(col("id") === 1, col("v")).otherwise(lit(null).cast("array<float>")))
+    val out = withNull.select(col("id"), CosineSim(col("v"), col("n")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) == false && out(2L) == true)
+  }
+}
