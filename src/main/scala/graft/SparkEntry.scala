@@ -477,9 +477,39 @@ object SparkEntry {
         col("__feat").getItem(1).as("f1"))
   }
 
+  /** End-to-end training-data pipeline as ONE topology: JSON props
+    * extraction (MapValue) → quality filter → first-occurrence dedupe
+    * (the spliced [[Fragments.dedupe]] fragment) per (user, event_type). */
+  private def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ev = Records.fromTable(eventsDf(s, dir),
+      col("event_id"),
+      struct(col("user_id"), col("event_type"), col("value"), col("props")),
+      col("ts"))
+    val (dedupeEdges, dedupeEnts) = Fragments.dedupe("filt", "out",
+      struct(col(s"$ValueCol.user_id"), col(s"$ValueCol.event_type")))
+    val topo = Topology(
+      workflow = Seq("events" -> "kx", "kx" -> "filt") ++ dedupeEdges,
+      entities = Map(
+        "events" -> Entity.Topic("events"),
+        "kx" -> Entity.KStream(Some(Xform.MapValue(struct(
+          col(s"$ValueCol.user_id").as("user_id"),
+          col(s"$ValueCol.event_type").as("event_type"),
+          get_json_object(col(s"$ValueCol.props"), "$.k").cast("int").as("k_val"),
+          col(s"$ValueCol.value").as("amount"))))),
+        "filt" -> Entity.KStream(Some(Xform.Filter(col(s"$ValueCol.amount") >= 1.0))),
+        "out" -> Entity.Topic("out")) ++ dedupeEnts)
+    run1(topo, Map("events" -> ev), "out").select(
+      col(KeyCol).as("event_id"),
+      col(s"$ValueCol.user_id").as("user_id"),
+      col(s"$ValueCol.event_type").as("event_type"),
+      col(s"$ValueCol.k_val").as("k_val"),
+      col(s"$ValueCol.amount").as("amount"))
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_pipeline" -> (qPipeline _),
     "q01_agg_pricing" -> (q01 _),
     "q02_join_global_inner" -> ((s: SparkSession, d: String) => qGlobal(s, d, JoinType.Inner, partFiltered = false)),
     "q03_join_global_left" -> ((s: SparkSession, d: String) => qGlobal(s, d, JoinType.Left, partFiltered = true)),
@@ -540,6 +570,12 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q35_pipeline" ->
+      """SELECT event_id, user_id, event_type,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        | value AS amount
+        |FROM events WHERE value >= 1.0
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) = 1""".stripMargin,
     "q01_agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
         | ${dsumSql("l_quantity")} AS sum_qty,

@@ -96,6 +96,26 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch).size == 3)
   }
 
+  test("congruity: session-window aggregate") {
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(100L)),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("k", 1, 0L), ("k", 2, 50L), ("k", 5, 500L), ("j", 7, 20L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "tbl",
+      mode = "complete", watermarkMs = Some(0L))
+    def canon(df: DataFrame) =
+      df.select(col("key"), col("value").cast("long"), col("window_start"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime))
+        .toSeq.sorted
+    assert(canon(stream) == canon(batch))
+    assert(canon(batch).size == 3)
+  }
+
   test("congruity: latest-per-key table") {
     val topo = Topology(
       Seq("in" -> "tbl", "tbl" -> "out"),
