@@ -41,7 +41,11 @@ object StreamCompiler {
   object Kind { case object Stream extends Kind; case object Table extends Kind
     case object Global extends Kind }
 
-  final case class Built(df: DataFrame, kind: Kind, nFields: Int = 0)
+  /** @param staticChangelog for tables built from a STATIC feed: the raw
+    *   update history, enabling stream–static as-of joins (validity
+    *   intervals) without stateful operators. */
+  final case class Built(df: DataFrame, kind: Kind, nFields: Int = 0,
+      staticChangelog: Option[DataFrame] = None)
 
   /** Compile a topology over streaming sources.
     * @param streams      streaming record-shaped DataFrames per source topic
@@ -172,6 +176,27 @@ object StreamCompiler {
           struct(leftFields(col("__lv")) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
           greatest(col("__lt"), col("__rt")).as(TsCol)), Kind.Stream, nL + 1)
 
+      case (jt @ (JoinType.Inner | JoinType.Left), Kind.Stream, Kind.Table)
+          if r.staticChangelog.isDefined =>
+        // stream–static as-of: turn the static table's changelog into
+        // validity intervals [ts, next ts) per key (batch-side window),
+        // then a plain stream–static range join — each stream record
+        // matches exactly the version valid at its event time. No state.
+        val hist = r.staticChangelog.get
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(KeyCol)).orderBy(col(TsCol))
+        val versions = hist.select(
+          col(KeyCol).as("__rk"), col(ValueCol).as("__rv"), col(TsCol).as("__vf"),
+          lead(col(TsCol), 1).over(w).as("__vt"))
+        val cond = col("__lk") === col("__rk") &&
+          col("__lt") >= col("__vf") &&
+          (col("__vt").isNull || col("__lt") < col("__vt"))
+        val how = if (jt == JoinType.Left) "left" else "inner"
+        Built(lf.join(versions, cond, how).select(
+          col("__lk").as(KeyCol),
+          struct(leftFields(col("__lv")) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
+          col("__lt").as(TsCol)), Kind.Stream, nL + 1)
+
       case (jt, lk, rk) =>
         sys.error(s"streaming join ($jt, $lk, $rk) needs typed stateful " +
           "operators (flatMapGroupsWithState) — see graft.stream.Streamed")
@@ -210,6 +235,11 @@ object StreamCompiler {
         .select(col(KeyCol), col(ValueCol), col(TsCol), col("window_start"), col("window_end"))
       case None => out.select(col(KeyCol), col(ValueCol), col(TsCol))
     }
-    Built(finished, Kind.Table)
+    // a table over a static feed keeps its update history so downstream
+    // stream–static as-of joins can build validity intervals
+    val staticLog =
+      if (!rekeyed.isStreaming && t.window.isEmpty && t.aggregate.isEmpty) Some(rekeyed)
+      else None
+    Built(finished, Kind.Table, staticChangelog = staticLog)
   }
 }

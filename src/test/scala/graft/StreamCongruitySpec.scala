@@ -165,6 +165,26 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch) == Seq(Seq("k", 1, 7), Seq("x", 2, null)))
   }
 
+  test("congruity: stream-static as-of join via validity intervals") {
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(), "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+    val sRows = Seq(("k", 10, 150L), ("k", 20, 250L), ("k", 30, 50L))
+    val u = records(("k", 1, 100L), ("k", 2, 200L))
+    val batch = BatchCompiler.run(topo,
+      Map("s" -> records(sRows: _*), "u" -> u))("out")
+    val stream = runStreaming(topo, Map("s" -> sRows),
+      statics = Map("u" -> u), sink = "out", mode = "append")
+    def canon(df: DataFrame) = df.select("value.v1", "value.v2")
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.get(1))).toMap
+    assert(canon(stream) == canon(batch))
+    assert(canon(batch) == Map(10 -> 1, 20 -> 2, 30 -> null))
+  }
+
   // ---- typed stateful operators (flatMapGroupsWithState) ----
 
   private def statefulQuery[A](ds: org.apache.spark.sql.Dataset[A]): Seq[A] = {
