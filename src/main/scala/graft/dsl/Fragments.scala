@@ -25,10 +25,18 @@ object Fragments {
   def dedupe(inId: String, outId: String, idExpr: Column): (Seq[(String, String)], Map[String, Entity]) = {
     val nodeId = s"__dedupe_${inId}_$outId"
     val entity = Entity.KStream(Some(Xform.Custom { df =>
-      Dedup.keepFirst(
-        df.withColumn("__did", idExpr),
-        Seq("__did"), Seq(TsCol, KeyCol, ValueCol))
-        .select(col(KeyCol), col(ValueCol), col(TsCol))
+      if (df.isStreaming)
+        // streaming: keyed first-arrival state (exactly the reference's
+        // live semantics — Kafka Streams also dedupes in ARRIVAL order,
+        // willa workflow.clj:6-24; batch replays get the ts total order)
+        df.withColumn("__did", idExpr)
+          .dropDuplicates("__did")
+          .select(col(KeyCol), col(ValueCol), col(TsCol))
+      else
+        Dedup.keepFirst(
+          df.withColumn("__did", idExpr),
+          Seq("__did"), Seq(TsCol, KeyCol, ValueCol))
+          .select(col(KeyCol), col(ValueCol), col(TsCol))
     }))
     (Seq(inId -> nodeId, nodeId -> outId), Map(nodeId -> entity))
   }

@@ -25,6 +25,24 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(kvInt(out) == Seq(("b", 11), ("c", 32)))
   }
 
+  test("dedupe fragment dedupes arrival-ordered streams") {
+    implicit val sql = spark.sqlContext
+    val (edges, ents) = Fragments.dedupe("in", "out", col("value") % 10)
+    val topo = Topology(
+      edges,
+      Map("in" -> Entity.Topic("in"), "out" -> Entity.Topic("out")) ++ ents)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int, Long)]
+    ms.addData(Seq(("b", 11, 100L), ("c", 32, 200L), ("a", 21, 300L)))
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("out").writeStream.format("memory").queryName("dedupe_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    // ids 11%10=1 and 21%10=1 collide; first ARRIVAL (11) wins
+    assert(kvInt(spark.table("dedupe_stream")) == Seq(("b", 11), ("c", 32)))
+  }
+
   test("parquet topic source/sink round-trips records") {
     val dir = Files.createTempDirectory("graft-topic").toString
     val df = records(("k", 1, 100L), ("j", 2, 200L))
