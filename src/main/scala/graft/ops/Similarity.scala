@@ -49,11 +49,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim(a, b)
 
+  /** Reduce scored candidates to per-query top-k via the bounded-heap
+    * [[graft.functions.TopKAggregator]]: partial aggregation trims each
+    * map task's slice to k rows BEFORE the shuffle, so the exchange
+    * carries k × tasks rows — not the whole scored corpus like a
+    * window-rank would. Ties broken by ascending id (deterministic). */
+  private def topKReduce(scored: DataFrame, itemId: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col(itemId).cast("long"), col("cos")).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")).as(Seq("__pos", "__s")))
+      .select(col("qid"), col("__s.id").as("id"), col("__s.score").as("cos"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Exact top-k nearest neighbours by cosine for each query vector.
     * `queries` is expected to be small (it is broadcast); ties broken by
     * ascending item id so results are total-ordered and deterministic.
     * Output: qid, id, cos, rank. */
   def bruteForceTopK(
+      items: DataFrame, itemId: String, itemVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val joined = items.crossJoin(
+      broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("__qv"))))
+      .withColumn("cos", cosine(col(itemVec), col("__qv")))
+    topKReduce(joined, itemId, k)
+  }
+
+  /** Window-rank form of [[bruteForceTopK]] — same results; shuffles all
+    * scored rows (kept for comparison and for rank-window semantics). */
+  def bruteForceTopKWindow(
       items: DataFrame, itemId: String, itemVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
@@ -89,12 +115,6 @@ object Similarity {
       signBucket(col(queryVec), signBits).as("__bkt")))
     val joined = bItems.join(bQueries, Seq("__bkt"))
       .withColumn("cos", cosine(col(itemVec), col("__qv")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col(itemId).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col(itemId).as("id"), col("cos"),
-        col("rank").cast("long").as("rank"))
+    topKReduce(joined, itemId, k)
   }
 }

@@ -42,6 +42,23 @@ class CosineSimSpec extends AnyFunSuite {
     assert(err.getMessage.contains("cosine_sim") || err.getMessage.contains("DATATYPE"))
   }
 
+  test("bounded-heap top-k equals window-rank top-k") {
+    val items = Seq.tabulate(200)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 6f)))
+      .toDF("vec_id", "embedding")
+    val queries = items.filter(col("vec_id") < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "cos", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq.sorted
+    val heap = Similarity.bruteForceTopK(items, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 7)
+    val window = Similarity.bruteForceTopKWindow(items, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 7)
+    assert(canon(heap) == canon(window))
+    assert(canon(heap).size == 21)
+  }
+
   test("null inputs yield null") {
     val withNull = vecs.withColumn("n",
       when(col("id") === 1, col("v")).otherwise(lit(null).cast("array<float>")))
