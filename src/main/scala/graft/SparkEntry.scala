@@ -729,7 +729,8 @@ object SparkEntry {
 
     "q23_dedup_ngram" ->
       s"""${OSql.shingleCte},
-        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM sh) WHERE df <= 100)
+        |shh AS (SELECT doc_id, nsh, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 100)
         |SELECT x.doc_id AS a, y.doc_id AS b,
         | round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) AS jaccard
         |FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id

@@ -121,9 +121,14 @@ object Dedup {
     // both sides of the pair self-join) — persist it so the explode runs
     // once, not four times (measured 3× faster than recompute; at cluster
     // scale the same role is played by checkpointing the index).
+    // Index key = 60-bit hash of the shingle, not the string: the joins
+    // shuffle 8-byte longs instead of ~20-byte strings, and the oracle
+    // mirrors the same md5-based hash so collisions (≈n²/2^60) are
+    // identical on both engines.
     val sh = df.select(col(idCol).as("id"), wordShingles(text, n).as("__shs"))
       .withColumn("nsh", size(col("__shs")))
-      .select(col("id"), col("nsh"), explode(col("__shs")).as("sh"))
+      .select(col("id"), col("nsh"), explode(col("__shs")).as("__shstr"))
+      .withColumn("sh", hash60(col("__shstr"))).drop("__shstr")
       .persist()
     // df-cap via hash aggregate + equi-join (partial aggregation shrinks
     // the shuffle; no per-shingle sort)
