@@ -71,6 +71,42 @@ object Streamed {
       }
   }
 
+  /** Stream–table as-of join with BOTH sides streaming: per-key state
+    * holds the latest table value; each left record is emitted with the
+    * table value current at its event time within the micro-batch
+    * (records are ts-sorted per batch, table updates applied before
+    * same-ts lookups — the reference's equal-ts rule). Cross-batch, the
+    * state carries the latest value; event-time correctness across
+    * batches assumes sources deliver roughly in order (no reordering
+    * buffer — willa/Kafka Streams make the same assumption). */
+  def asOfState[K: Encoder, VL: Encoder, VR: Encoder](
+      lefts: Dataset[Rec[K, VL]], rights: Dataset[Rec[K, VR]])(
+      implicit inEnc: Encoder[Rec[K, (Option[VL], Option[VR])]],
+      stEnc: Encoder[(VR, Long)],
+      outEnc: Encoder[Rec[K, (VL, Option[VR])]]): Dataset[Rec[K, (VL, Option[VR])]] = {
+    val tagged = lefts.map(r => Rec(r.key, (Option(r.value), Option.empty[VR]), r.tsMs))
+      .union(rights.map(r => Rec(r.key, (Option.empty[VL], Option(r.value)), r.tsMs)))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[(VR, Long), Rec[K, (VL, Option[VR])]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, (Option[VL], Option[VR])]],
+         state: GroupState[(VR, Long)]) =>
+          // table updates sort before lookups at equal ts (right side = 0)
+          val sorted = records.toSeq.sortBy(r => (r.tsMs, if (r.value._2.isDefined) 0 else 1))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Rec[K, (VL, Option[VR])]]
+          sorted.foreach { r =>
+            r.value match {
+              case (_, Some(rv)) => if (cur.forall(_._2 <= r.tsMs)) cur = Some((rv, r.tsMs))
+              case (Some(lv), _) => out += Rec(key, (lv, cur.map(_._1)), r.tsMs)
+              case _ => ()
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** KGroupedTable-style aggregate with subtractor: the stream is a table
     * changelog keyed by the TABLE key; `groupKey` re-keys for aggregation.
     * On an update to a table key, the previous value is subtracted and the

@@ -196,6 +196,52 @@ class StreamCongruitySpec extends AnyFunSuite {
     spark.table(name).as(ds.encoder).collect().toSeq
   }
 
+  test("congruity: windowed stream-stream LEFT join (null pad on watermark close)") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("a" -> "j", "b" -> "j", "j" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("a", "b") -> JoinConfig(JoinType.Left, Some(JoinWindow.of(100L)))))
+    val aRows = Seq(("k", 1, 100L), ("k", 3, 1000L))
+    val bRows = Seq(("k", 2, 150L))
+    val batch = BatchCompiler.run(topo,
+      Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("out")
+    val msA = MemoryStream[(String, Int, Long)]
+    val msB = MemoryStream[(String, Int, Long)]
+    def rec(ms: MemoryStream[(String, Int, Long)]) =
+      ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("a" -> rec(msA), "b" -> rec(msB)),
+      watermarkMs = Some(0L))
+    val q = dfs("out").writeStream.format("memory").queryName("ssleft")
+      .outputMode("append").start()
+    try {
+      msA.addData(aRows); msB.addData(bRows)
+      q.processAllAvailable()
+      // watermark sentinels on both sides close the join buffer for the
+      // unmatched left row at ts 1000 → the null-padded result is emitted
+      msA.addData(("z", 0, 100000L)); msB.addData(("z", 0, 100000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: DataFrame) = df.filter(col("key") =!= "z")
+      .select("key", "value.v1", "value.v2")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(spark.table("ssleft")) == canon(batch))
+    assert(canon(batch) == Seq(Seq("k", 1, 2), Seq("k", 3, null)))
+  }
+
+  test("stateful as-of join sees latest table value at event time") {
+    implicit val sql = spark.sqlContext
+    val ml = MemoryStream[Rec[String, Int]]
+    val mr = MemoryStream[Rec[String, Int]]
+    mr.addData(Rec("k", 1, 100L), Rec("k", 2, 200L))
+    ml.addData(Rec("k", 10, 150L), Rec("k", 20, 250L), Rec("k", 30, 50L))
+    val out = statefulQuery(Streamed.asOfState(ml.toDS(), mr.toDS()))
+    val got = out.map(r => r.value._1 -> r.value._2).toMap
+    assert(got == Map(10 -> Some(1), 20 -> Some(2), 30 -> None))
+  }
+
   test("stateful latest-per-key emits per-update changelog") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[Rec[String, Int]]
