@@ -27,6 +27,17 @@ object Dot {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
+  /** Experiment-mode viz (willa `viz.clj:46-58`): render the topology
+    * with up to `n` sampled output rows per node, taken from a
+    * BatchCompiler run's node map. */
+  def renderWithSamples(
+      t: Topology,
+      outputs: Map[String, org.apache.spark.sql.DataFrame],
+      n: Int = 3): String =
+    render(t, outputs.map { case (id, df) =>
+      id -> df.take(n).map(_.mkString("(", ", ", ")")).toSeq
+    })
+
   /** Render the topology; `samples` adds "k → v" lines under a node's
     * name (per-node observability, mirrors experiment-mode viz). */
   def render(t: Topology, samples: Map[String, Seq[String]] = Map.empty): String = {

@@ -103,6 +103,24 @@ class TopologyGenSpec extends AnyFunSuite {
     built("t1").unpersist()
   }
 
+  test("latestPerKey hash-agg and window-rank variants agree") {
+    val df = records(("k", 1, 100L), ("k", 9, 300L), ("k", 4, 200L), ("j", 7, 50L))
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("key", "value").collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    val hashAgg = graft.ops.Keyed.latestPerKey(df, Seq("key"), Seq(col("ts")))
+    val rank = graft.ops.Keyed.latestPerKeyRank(df, Seq("key"), Seq(col("ts")))
+    assert(canon(hashAgg) == canon(rank))
+    assert(canon(hashAgg) == Seq(("j", 7), ("k", 9)))
+  }
+
+  test("viz with sampled outputs embeds rows") {
+    val topo = Topology(Seq("in" -> "out"),
+      Map("in" -> Entity.Topic("in"), "out" -> Entity.Topic("out")))
+    val built = BatchCompiler.run(topo, Map("in" -> records(("k", 42, 100L))))
+    val dot = Dot.renderWithSamples(topo, built, 2)
+    assert(dot.contains("42"))
+  }
+
   test("topic index maps names to entities") {
     val t = Topology(Seq("in" -> "out"),
       Map("in" -> Entity.Topic("input-topic"), "out" -> Entity.Topic("output-topic")))
