@@ -506,10 +506,29 @@ object SparkEntry {
       col(s"$ValueCol.amount").as("amount"))
   }
 
+  /** #18/#19 FoldAgg: order-sensitive per-key fold in timestamp order —
+    * a rolling hash of each user's event-value sequence (non-associative,
+    * so it proves the fold runs in ts order, not in shuffle order). */
+  private def qFoldAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Records.fromTable(eventsDf(s, dir),
+      col("user_id"), round(col("value") * 100).cast("long"), col("ts"))
+    val p = 1000000007L
+    val topo = Topology(
+      workflow = Seq("events" -> "folded", "folded" -> "out"),
+      entities = Map(
+        "events" -> Entity.Topic("events"),
+        "folded" -> Entity.KTable(aggregate = Some(AggSpec.FoldAgg(
+          lit(0L), (acc, v) => (acc * 31L + v) % p))),
+        "out" -> Entity.Topic("out")))
+    run1(topo, Map("events" -> ev), "out").select(
+      col(KeyCol).as("user_id"), col(ValueCol).as("fold_hash"))
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_pipeline" -> (qPipeline _),
+    "q36_fold_agg" -> (qFoldAgg _),
     "q01_agg_pricing" -> (q01 _),
     "q02_join_global_inner" -> ((s: SparkSession, d: String) => qGlobal(s, d, JoinType.Inner, partFiltered = false)),
     "q03_join_global_left" -> ((s: SparkSession, d: String) => qGlobal(s, d, JoinType.Left, partFiltered = true)),
@@ -570,6 +589,13 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q36_fold_agg" ->
+      """SELECT user_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list(CAST(round(value * 100) AS BIGINT) ORDER BY ts)),
+        |   (acc, v) -> (acc * 31 + v) % 1000000007) AS fold_hash
+        |FROM events GROUP BY user_id""".stripMargin,
     "q35_pipeline" ->
       """SELECT event_id, user_id, event_type,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
