@@ -116,6 +116,41 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch).size == 3)
   }
 
+  test("congruity: hopping-window aggregate") {
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows(200L, 100L)),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("k", 1, 50L), ("k", 2, 150L), ("k", 4, 250L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "tbl", mode = "complete")
+    def canon(df: DataFrame) =
+      df.select(col("key"), col("value").cast("long"), col("window_start"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime))
+        .toSeq.sorted
+    assert(canon(stream) == canon(batch))
+    // each record lands in 2 overlapping windows: starts -100,0,100,200
+    assert(canon(batch).map(_._3).toSet == Set(-100L, 0L, 100L, 200L))
+  }
+
+  test("congruity: group-by re-key aggregation") {
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          groupBy = Some(concat(lit("g"), (col("value") % 2).cast("string"))),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("a", 1, 100L), ("b", 2, 200L), ("c", 3, 300L), ("d", 4, 400L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "tbl", mode = "complete")
+    assert(kvOf(stream) == kvOf(batch))
+    assert(kvOf(batch) == Seq(("g0", 6), ("g1", 4)))
+  }
+
   test("congruity: latest-per-key table") {
     val topo = Topology(
       Seq("in" -> "tbl", "tbl" -> "out"),
