@@ -111,7 +111,31 @@ object Xform {
   final case class Chain(xs: Seq[Xform]) extends Xform
   /** Arbitrary DataFrame transform — must preserve record shape. */
   final case class Custom(f: DataFrame => DataFrame) extends Xform
+
+  /** Typed transducer path (the reference's arbitrary-transducer case,
+    * `streams.clj:126-145`: each input record yields 0..n outputs via an
+    * opaque function). The record DataFrame round-trips through
+    * `Dataset[TRec[K, V]]` (ts as epoch millis, like the reference), runs
+    * the closure, and converts back. Opaque to Catalyst — prefer the
+    * Column-based constructors when the transform is expressible; this is
+    * for logic that genuinely needs arbitrary Scala. */
+  def typedFlatMap[K: org.apache.spark.sql.Encoder, V: org.apache.spark.sql.Encoder, K2, V2](
+      f: TRec[K, V] => IterableOnce[TRec[K2, V2]])(
+      implicit outEnc: org.apache.spark.sql.Encoder[TRec[K2, V2]],
+      inEnc: org.apache.spark.sql.Encoder[TRec[K, V]]): Xform = Custom { df =>
+    import org.apache.spark.sql.functions._
+    val typed = df.select(
+      col(Records.KeyCol).as("key"), col(Records.ValueCol).as("value"),
+      unix_millis(col(Records.TsCol)).as("tsMs")).as[TRec[K, V]]
+    typed.flatMap(r => f(r).iterator.to(Iterable))
+      .select(col("key").as(Records.KeyCol), col("value").as(Records.ValueCol),
+        timestamp_millis(col("tsMs")).as(Records.TsCol))
+  }
 }
+
+/** Typed record for [[Xform.typedFlatMap]] (mirrors
+  * `{:key k :value v :timestamp t}`, ts in epoch millis). */
+final case class TRec[K, V](key: K, value: V, tsMs: Long)
 
 /** Aggregation spec for KTable entities (willa
   * `::aggregate-initial-value` / `::aggregate-adder-fn` /

@@ -314,6 +314,37 @@ class BatchCompilerSpec extends AnyFunSuite {
     }
   }
 
+  /** typed transducer path (#8's Dataset.flatMap form): arbitrary Scala
+    * over typed records, 1→0..n outputs, key/value types may change. */
+  test("typed flatMap xform") {
+    import spark.implicits._
+    val t = Topology(
+      Seq("in" -> "s", "s" -> "out"),
+      Map("in" -> topic("in"),
+        "s" -> Entity.KStream(Some(Xform.typedFlatMap[String, Int, String, Int] { r =>
+          if (r.value < 0) Nil
+          else Seq(TRec(r.key + "!", r.value * 2, r.tsMs), TRec(r.key, r.value + 1, r.tsMs))
+        })),
+        "out" -> topic("out")))
+    val out = BatchCompiler.run(t,
+      Map("in" -> records(("k", 3, 100L), ("j", -1, 200L))))("out")
+    assert(kvInt(out) == Seq(("k", 4), ("k!", 6)))
+  }
+
+  /** run-experiment parity (experiment.clj:241-263): literal records in,
+    * per-entity outputs back. */
+  test("experiment over literal records") {
+    val t = Topology(
+      Seq("in" -> "s", "s" -> "out"),
+      Map("in" -> topic("in"),
+        "s" -> Entity.KStream(Some(Xform.MapValue(col("value") + 1))),
+        "out" -> topic("out")))
+    val results = graft.batch.Experiment.resultsOnly(spark, t,
+      Map("in" -> Seq(("k", 1, 100L), ("j", 5, 200L))))
+    assert(results.keySet == Set("out"))
+    assert(results("out").toSet == Set(("k", 2), ("j", 6)))
+  }
+
   /** per-node builder override hook (core.clj:122-136). */
   test("builder override replaces a node") {
     val t = Topology(
