@@ -249,9 +249,17 @@ final case class Topology(
         }
       }
     // every join key-set must match some node's parent set
-    joins.keys.foreach { ins =>
+    joins.foreach { case (ins, cfg) =>
       val matched = nodes.exists(n => preds(n).toSet == ins.toSet && preds(n).size > 1)
       if (!matched) errs += s"join over ${ins.mkString("[", ",", "]")} matches no node's parents"
+      // stream-stream joins need a window (the reference's JoinWindows is
+      // mandatory); catching it here beats a mid-compile error
+      val allStreams = ins.forall(id => entities.get(id).exists {
+        case _: Entity.Topic | _: Entity.KStream => true
+        case _ => false
+      })
+      if (matched && allStreams && cfg.joinType != JoinType.Merge && cfg.window.isEmpty)
+        errs += s"stream-stream join over ${ins.mkString("[", ",", "]")} requires a JoinWindow"
     }
     errs.toSeq
   }
