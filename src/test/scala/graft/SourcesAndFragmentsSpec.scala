@@ -69,6 +69,21 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(kvInt(spark.table("filesrc")) == Seq(("k", 10), ("k", 20)))
   }
 
+  test("multimodal mapPartitions seam runs a per-partition kernel") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = Seq((1L, "hello"), (2L, "binary world")).toDF("doc_id", "text")
+    val packed = graft.ops.Multimodal.pack(docs, col("doc_id"),
+      encode(col("text"), "UTF-8"), lit("text/plain"), lit("test"))
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("n_bytes", IntegerType)))
+    // stand-in decode kernel: one codec instance per partition, batched rows
+    val out = graft.ops.Multimodal.mapBinaryPartitions(packed, outSchema,
+      rows => rows.map(r => Row(r.getLong(0), r.getAs[Array[Byte]](1).length)))
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(1))).toMap ==
+      Map(1L -> 5, 2L -> 12))
+  }
+
   test("suppressed windowed aggregate emits only closed windows (append mode)") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
