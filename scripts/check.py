@@ -17,7 +17,11 @@ def canon(df):
     cols = sorted(df.columns)
     rows = [tuple(r) for r in df[cols].itertuples(index=False, name=None)]
     def key(row):
-        return tuple((v is None, str(v)) for v in row)
+        # sort by the SAME rounded representation the hash uses, so
+        # sub-1e-9 float jitter can't reorder rows between engines
+        return tuple(
+            (v is None, repr(round(v, 9)) if isinstance(v, float) else str(v))
+            for v in row)
     rows.sort(key=key)
     return cols, rows
 

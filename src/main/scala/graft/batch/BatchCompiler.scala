@@ -54,6 +54,24 @@ object BatchCompiler {
     * `build-topology-unsafe!`): the reference's extensibility story. */
   type Override = (Entity, Seq[Built]) => Built
 
+  /** Store-registry key: explicit names compare by value; auto keys
+    * compare the entity by REFERENCE (eq) so only a literally shared
+    * KTable instance under the same parents deduplicates. */
+  sealed private trait StoreKey
+  private object StoreKey {
+    final case class Named(name: String) extends StoreKey
+    final class Auto(val parents: Seq[String], val entity: Entity) extends StoreKey {
+      override def hashCode: Int = parents.hashCode * 31 + System.identityHashCode(entity)
+      override def equals(o: Any): Boolean = o match {
+        case a: Auto => a.parents == parents && (a.entity eq entity)
+        case _       => false
+      }
+    }
+    object Auto {
+      def apply(parents: Seq[String], e: Entity): Auto = new Auto(parents, e)
+    }
+  }
+
   def run(
       topology: Topology,
       inputs: Map[String, DataFrame],
@@ -69,7 +87,7 @@ object BatchCompiler {
     val preds = topology.predecessors
     // store-name registry (streams.clj:28-32): a KTable materialized under
     // a store name is persisted once and reused by every same-named table
-    val stores = scala.collection.mutable.Map.empty[String, Built]
+    val stores = scala.collection.mutable.Map.empty[StoreKey, Built]
     order.foldLeft(Map.empty[String, Built]) { (acc, id) =>
       val entity = topology.entities(id)
       val parents = preds(id).map(acc)
@@ -88,7 +106,7 @@ object BatchCompiler {
       parentIds: Seq[String],
       parents: Seq[Built],
       inputs: Map[String, DataFrame],
-      stores: scala.collection.mutable.Map[String, Built]): Built = entity match {
+      stores: scala.collection.mutable.Map[StoreKey, Built]): Built = entity match {
 
     case Entity.Topic(name) =>
       if (parents.isEmpty) {
@@ -113,11 +131,14 @@ object BatchCompiler {
       // default store naming (core.clj:95-96: store = ::store-name or a
       // parents-derived name): same-named stores share one materialization
       // — explicit names additionally persist() (user opted into reuse);
-      // auto names dedupe only a literally shared entity instance under
-      // the same parents (identity, not structural hash — a structural
-      // hash could collide across different configs and alias two tables).
-      val autoName = s"__auto:${parentIds.mkString("+")}:${System.identityHashCode(t)}"
-      stores.getOrElseUpdate(t.storeName.getOrElse(autoName), {
+      // auto keys dedupe only a literally shared entity instance under
+      // the same parents (reference identity, not a structural or
+      // identity HASH — hashes can collide and alias two tables).
+      val key = t.storeName match {
+        case Some(name) => StoreKey.Named(name)
+        case None       => StoreKey.Auto(parentIds, t)
+      }
+      stores.getOrElseUpdate(key, {
         val b = buildTable(t, combineParents(topology, parentIds, parents))
         if (t.storeName.isDefined) b.copy(df = b.df.persist()) else b
       })

@@ -20,8 +20,14 @@ final case class Scored(id: Long, score: Double)
   */
 final class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare total order (NaN sorts above +∞, matching
+  // Spark's descending sort in the window-rank variant) so NaN scores —
+  // e.g. cosine of a zero vector — keep the buffer invariant intact and
+  // both top-k forms stay row-identical.
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   /** Insert keeping the buffer sorted best-first, truncated at k. */
   private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] = {

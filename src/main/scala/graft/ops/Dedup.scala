@@ -120,7 +120,9 @@ object Dedup {
     // The inverted index feeds three consumers (the df-cap aggregate and
     // both sides of the pair self-join) — persist it so the explode runs
     // once, not four times (measured 3× faster than recompute; at cluster
-    // scale the same role is played by checkpointing the index).
+    // scale the same role is played by checkpointing the index). The
+    // cached blocks live until the session ends or the caller unpersists;
+    // size is bounded by the exploded index (rows × distinct shingles).
     // Index key = 60-bit hash of the shingle, not the string: the joins
     // shuffle 8-byte longs instead of ~20-byte strings, and the oracle
     // mirrors the same md5-based hash so collisions (≈n²/2^60) are
@@ -199,9 +201,8 @@ object Dedup {
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vec: Column,
       signBits: Int, threshold: Double): DataFrame = {
-    val bucket = (0 until signBits).map(i =>
-      when(vec.getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L)): Column).reduce(_ + _)
-    val b = df.select(col(idCol), vec.as("v"), bucket.as("__bkt"))
+    val b = df.select(col(idCol), vec.as("v"),
+      Similarity.signBucket(vec, signBits).as("__bkt"))
     val l = b.select(col("__bkt"), col(idCol).as("a"), col("v").as("va"))
     val r = b.select(col("__bkt"), col(idCol).as("b"), col("v").as("vb"))
     l.join(r, Seq("__bkt")).filter(col("a") < col("b"))

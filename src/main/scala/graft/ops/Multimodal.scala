@@ -73,9 +73,12 @@ object Multimodal {
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th frame index up
-    * to nFrames (metadata-driven — no decode needed to plan the sample). */
+    * to nFrames (metadata-driven — no decode needed to plan the sample).
+    * Zero or corrupt (negative) frame counts yield an empty sample, not a
+    * phantom frame 0. */
   def sampleFrameIdx(nFrames: Column, stride: Int): Column =
-    sequence(lit(0L), greatest(nFrames - 1L, lit(0L)), lit(stride.toLong))
+    when(nFrames <= 0L, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nFrames - 1L, lit(stride.toLong)))
 
   /** The imperative seam: run `kernel` over each partition's rows — this
     * is where a real JNI/FFI codec binds (one codec instance per

@@ -60,7 +60,7 @@ object Sources {
       .load()
     Records.fromTable(raw,
       col("key").cast("string"),
-      from_json(col("value").cast("string"), valueSchema.asInstanceOf[org.apache.spark.sql.types.StructType]),
+      from_json(col("value").cast("string"), valueSchema),
       col("timestamp"))
   }
 

@@ -69,10 +69,21 @@ object StreamCompiler {
   }
 
   /** The output mode a sink of this topology needs: append unless some
-    * entity aggregates without suppression (then update/complete). */
-  def modeFor(topology: Topology): String = {
-    val aggregating = topology.entities.values.exists {
-      case t: Entity.KTable => !t.suppress
+    * entity performs a STREAMING aggregation without suppression (then
+    * complete/update). `staticTopics` are source topics fed from batch
+    * DataFrames (the `statics` arg of [[run]]); a table whose every
+    * ancestor source is static aggregates at plan time, not as streaming
+    * state, and doesn't force a stateful output mode. */
+  def modeFor(topology: Topology, staticTopics: Set[String] = Set.empty): String = {
+    val preds = topology.predecessors
+    def ancestors(id: String): Set[String] = {
+      val ps = preds.getOrElse(id, Seq.empty).toSet
+      ps ++ ps.flatMap(ancestors)
+    }
+    val aggregating = topology.entities.exists {
+      case (id, t: Entity.KTable) if !t.suppress =>
+        val roots = (ancestors(id) + id).filter(n => preds.getOrElse(n, Seq.empty).isEmpty)
+        !roots.forall(staticTopics.contains)
       case _ => false
     }
     if (aggregating) "complete" else "append"
@@ -96,12 +107,13 @@ object StreamCompiler {
         }
       } else {
         val in = combineParents(topology, parentIds, parents)
-        Built(in.df, Kind.Stream, in.nFields)
+        Built(asStream(in), Kind.Stream, in.nFields)
       }
 
     case Entity.KStream(xform, _) =>
       val in = combineParents(topology, parentIds, parents)
-      Built(xform.fold(in.df)(_.apply(in.df)), Kind.Stream,
+      val df = asStream(in)
+      Built(xform.fold(df)(_.apply(df)), Kind.Stream,
         if (xform.forall(preservesValue)) in.nFields else 0)
 
     case t: Entity.KTable =>
@@ -114,6 +126,14 @@ object StreamCompiler {
         s"global-ktable '$id' needs a static (batch) feed in streaming mode")
       Built(broadcast(Keyed.latestPerKey(parents.head.df, Seq(KeyCol), Seq(col(TsCol)))),
         Kind.Global)
+  }
+
+  /** Stream coercion (matches BatchCompiler.asStream): windowed-key
+    * unwrap — drop window_start/window_end so downstream schemas agree
+    * with batch and merges of mixed branches union cleanly. */
+  private def asStream(b: Built): org.apache.spark.sql.DataFrame = {
+    val drop = b.df.columns.filter(c => c == "window_start" || c == "window_end")
+    drop.foldLeft(b.df)(_ drop _)
   }
 
   private def preservesValue(x: Xform): Boolean = x match {
@@ -130,7 +150,7 @@ object StreamCompiler {
       case Some((declared, cfg)) =>
         declared.map(byId).reduceLeft((l, r) => joinPair(l, r, cfg))
       case None =>
-        Built(parents.map(_.df).reduceLeft(_ unionByName _), Kind.Stream)
+        Built(parents.map(asStream).reduceLeft(_ unionByName _), Kind.Stream)
     }
   }
 
@@ -147,7 +167,7 @@ object StreamCompiler {
 
     (cfg.joinType, l.kind, r.kind) match {
       case (JoinType.Merge, _, _) =>
-        Built(l.df unionByName r.df, Kind.Stream)
+        Built(asStream(l) unionByName asStream(r), Kind.Stream)
 
       case (jt @ (JoinType.Inner | JoinType.Left), Kind.Stream, Kind.Global) =>
         val lookup = cfg.kvMapper.map(f => f(col("__lk"), col("__lv")))

@@ -59,6 +59,34 @@ class CosineSimSpec extends AnyFunSuite {
     assert(canon(heap).size == 21)
   }
 
+  test("mismatched-length arrays yield null like the HOF form") {
+    val ragged = Seq(
+      (1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (2L, Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "a", "b")
+    val out = ragged.select(col("id"),
+      CosineSim(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out == Map(1L -> (false, false), 2L -> (true, true)))
+  }
+
+  test("top-k handles NaN scores (zero vectors) identically to window rank") {
+    val items = (Seq((0L, Array(0.0f, 0.0f, 0.0f))) ++
+      Seq.tabulate(20)(i => ((i + 1).toLong,
+        Array.tabulate(3)(j => ((i * 7 + j * 3) % 11 - 5).toFloat / 5f))))
+      .toDF("vec_id", "embedding")
+    val queries = items.filter(col("vec_id") === 1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val heap = Similarity.bruteForceTopK(items, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+    val window = Similarity.bruteForceTopKWindow(items, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+    assert(canon(heap) == canon(window))
+  }
+
   test("null inputs yield null") {
     val withNull = vecs.withColumn("n",
       when(col("id") === 1, col("v")).otherwise(lit(null).cast("array<float>")))

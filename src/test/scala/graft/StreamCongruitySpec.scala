@@ -151,6 +151,22 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(kvOf(batch) == Seq(("g0", 6), ("g1", 4)))
   }
 
+  test("streaming sink unwraps windowed keys like batch (schema congruity)") {
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("k", 1, 0L), ("k", 2, 50L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("out")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "out", mode = "complete")
+    assert(stream.columns.sorted.toSeq == batch.columns.sorted.toSeq)
+    assert(stream.columns.toSet == Set("key", "value", "ts"))
+    assert(kvOf(stream) == kvOf(batch))
+  }
+
   test("congruity: latest-per-key table") {
     val topo = Topology(
       Seq("in" -> "tbl", "tbl" -> "out"),
