@@ -70,6 +70,36 @@ class TopologyGenSpec extends AnyFunSuite {
     }
   }
 
+  test("random topologies are batch/streaming congruent") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    var qn = 0
+    (1L to 12L).foreach { i =>
+      val topo = sample(genTopology, i)
+      // Spark's micro-batch engine rejects CHAINED stateful operators
+      // without per-stage watermark design (global-watermark correctness
+      // check) — the congruity property holds for single-stateful
+      // topologies; multi-table chains stay covered by the batch run test
+      val nTables = topo.entities.values.count(_.isInstanceOf[Entity.KTable])
+      if (nTables <= 1) {
+      val rows = sample(genRecords, i * 131)
+      val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("out")
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int, Long)]
+      ms.addData(rows)
+      val src = ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+      val dfs = graft.stream.StreamCompiler.run(topo, Map("in" -> src))
+      qn += 1
+      val name = s"gen_congruity_$qn"
+      val q = dfs("out").writeStream.format("memory").queryName(name)
+        .outputMode(graft.stream.StreamCompiler.modeFor(topo)).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val got = kvInt(spark.table(name))
+      assert(got == kvInt(batch), s"seed $i: streaming $got != batch ${kvInt(batch)}")
+      }
+    }
+  }
+
   test("invalid topologies are rejected") {
     // cycle
     assert(Topology(Seq("a" -> "b", "b" -> "a"),
