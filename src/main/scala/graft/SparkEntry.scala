@@ -24,6 +24,17 @@ object SparkEntry {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Read a table that feeds CPU-heavy per-row work (shingling, hashing,
+    * cosine). The testdata files are single-row-group parquet —
+    * unsplittable, so a bare scan plans ONE partition and serializes all
+    * that work onto one core; [[graft.sources.Sources.scatter]]
+    * redistributes when (and only when) the scan is narrower than the
+    * cluster. Shuffle-bound queries keep the plain `table` read: the
+    * first shuffle re-spreads them anyway, and the extra exchange would
+    * just add latency. */
+  def cpuTable(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Sources.scatter(table(s, dir, name))
+
   /** events has a TIMESTAMP(NANOS) ts column, which Spark only reads as
     * LongType (spark.sql.legacy.parquet.nanosAsLong=true, set in
     * Verify/Bench). Convert to a microsecond TIMESTAMP by exact integer
@@ -398,12 +409,12 @@ object SparkEntry {
       .drop("l_shipdate")
 
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", col("text"),
+    Dedup.ngramJaccardPairs(cpuTable(s, dir, "documents"), "doc_id", col("text"),
       n = 3, threshold = 0.5, maxDf = 100)
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // one row per doc, consumed by banding + both sides of the est join
-    val sigs = Dedup.minHashSignatures(table(s, dir, "documents"), "doc_id",
+    val sigs = Dedup.minHashSignatures(cpuTable(s, dir, "documents"), "doc_id",
       col("text"), n = 3, k = 8).persist()
     val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 4)
     val sa = sigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
@@ -416,7 +427,7 @@ object SparkEntry {
   }
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.simHashSignatures(table(s, dir, "documents"), "doc_id", col("text"))
+    val sigs = Dedup.simHashSignatures(cpuTable(s, dir, "documents"), "doc_id", col("text"))
       .persist() // one row per doc, read by both banded join sides
     Dedup.simHashPairs(sigs, "doc_id", bits = 32, maxHamming = 3)
       .withColumn("hamming", col("hamming").cast("long"))

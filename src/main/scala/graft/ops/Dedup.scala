@@ -49,7 +49,15 @@ object Dedup {
   // ---------------------------------------------------------------- text
 
   /** Distinct word `n`-gram shingles of a whitespace-tokenized text.
-    * Empty array when the text has fewer than `n` tokens. */
+    * Empty array when the text has fewer than `n` tokens.
+    *
+    * Kept as ONE inline expression deliberately: splitting it into a
+    * words-array projection consumed by the lambda looks cheaper but is
+    * ~15× slower end-to-end, because `InferFiltersFromGenerate` copies
+    * the generator expression into a pushed-down `size(..)>0` filter and
+    * alias substitution re-inlines the `split` under every `element_at`
+    * — the filter then re-tokenizes each document several times per
+    * shingle (measured on the documents corpus). */
   def wordShingles(text: Column, n: Int): Column = {
     val words = split(text, " ")
     when(size(words) >= n,
@@ -79,7 +87,14 @@ object Dedup {
     * (array<long> of length k), plus `nsh` (distinct shingle count).
     * One explode + one hash aggregate — no pairwise work. */
   def minHashSignatures(df: DataFrame, idCol: String, text: Column, n: Int, k: Int): DataFrame = {
-    val ex = df.select(col(idCol), explode(wordShingles(text, n)).as("__sh"))
+    // explode_outer + isnotnull, NOT plain explode: InferFiltersFromGenerate
+    // would clone the whole shingle expression into a `size(..)>0` filter
+    // that pushes below any exchange — evaluating the generator twice, on
+    // the scan's (possibly single-partition) side. The outer form keeps
+    // one evaluation, above the repartition; <n-word docs yield one null
+    // row dropped by the filter.
+    val ex = df.select(col(idCol), explode_outer(wordShingles(text, n)).as("__sh"))
+      .filter(col("__sh").isNotNull)
       .withColumn("__h", hash60(col("__sh")))
     ex.groupBy(col(idCol))
       .agg(
@@ -127,11 +142,21 @@ object Dedup {
     // shuffle 8-byte longs instead of ~20-byte strings, and the oracle
     // mirrors the same md5-based hash so collisions (≈n²/2^60) are
     // identical on both engines.
+    // explode_outer + isnotnull for the same InferFiltersFromGenerate
+    // reason as in minHashSignatures (single evaluation of the shingle
+    // expression, above the scatter exchange).
     val sh = df.select(col(idCol).as("id"), wordShingles(text, n).as("__shs"))
       .withColumn("nsh", size(col("__shs")))
-      .select(col("id"), col("nsh"), explode(col("__shs")).as("__shstr"))
+      .select(col("id"), col("nsh"), explode_outer(col("__shs")).as("__shstr"))
+      .filter(col("__shstr").isNotNull)
       .withColumn("sh", hash60(col("__shstr"))).drop("__shstr")
       .persist()
+    // materialize the cache in ONE pass before fanning out: the df-cap
+    // aggregate and both pair-join sides otherwise race to compute the
+    // same partitions concurrently (duplicate shingling + block-manager
+    // contention; the executor logs "Block already exists" and wall-clock
+    // spikes 3-4x). One cheap count is the deterministic fix.
+    sh.count()
     // df-cap via hash aggregate + equi-join (partial aggregation shrinks
     // the shuffle; no per-shingle sort)
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
@@ -139,7 +164,12 @@ object Dedup {
     val capped = sh.join(rare, "sh")
     val l = capped.select(col("sh"), col("id").as("a"), col("nsh").as("na"))
     val r = capped.select(col("sh"), col("id").as("b"), col("nsh").as("nb"))
+    // length-ratio prune (lossless): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    // so a pair whose shingle counts differ by more than the threshold
+    // ratio can never qualify — drop it before the per-pair aggregation
+    // instead of after (at scale this is most of the candidate volume)
     l.join(r, Seq("sh")).filter(col("a") < col("b"))
+      .filter(col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

@@ -17,10 +17,26 @@ import graft.dsl.Records
   * given so downstream consumers co-locate reads. */
 object Sources {
 
+  /** Redistribute an under-partitioned scan across the cluster.
+    *
+    * Parquet scans parallelize at row-group granularity; a table written
+    * as a few single-row-group files plans fewer scan partitions than the
+    * session has cores, and then every per-row operator downstream (hash,
+    * shingle, JSON parse) runs on a handful of cores no matter how wide
+    * the cluster is. When that happens — and only then — insert one
+    * round-robin exchange so the CPU-heavy work after the scan scales
+    * with the cluster, not with the writer's file layout. At production
+    * scale (files ≫ cores) the condition is false and this is a no-op,
+    * so it never adds a shuffle to a healthy scan. */
+  def scatter(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Batch topic source: parquet path → records. */
   def parquetTopic(s: SparkSession, path: String,
       key: Column, value: Column, ts: Column): DataFrame =
-    Records.fromTable(s.read.parquet(path), key, value, ts)
+    Records.fromTable(scatter(s.read.parquet(path)), key, value, ts)
 
   /** Batch topic sink. `partitionBy` co-locates downstream reads on the
     * given columns (e.g. a date derived from ts). */
