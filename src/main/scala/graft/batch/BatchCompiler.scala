@@ -72,6 +72,23 @@ object BatchCompiler {
     }
   }
 
+  /** Registry entry: the defining entity + parents, kept so a same-named
+    * table with a DIFFERENT definition is rejected instead of silently
+    * aliasing whichever built first (Kafka Streams likewise rejects
+    * duplicate store registration). */
+  private final case class StoreEntry(
+      parents: Seq[String], entity: Entity.KTable, built: Built, persisted: Boolean)
+
+  /** Result of a compiled run: every node's Built plus the DataFrames
+    * this run `persist()`ed for named stores. Cached blocks live until the
+    * caller releases them — call [[RunResult.unpersistStores]] when the
+    * run's outputs have been consumed (or keep them deliberately for
+    * cross-run reuse; they are keyed by store name, so repeated runs with
+    * the same names re-persist fresh copies). */
+  final case class RunResult(nodes: Map[String, Built], persistedStores: Seq[DataFrame]) {
+    def unpersistStores(): Unit = persistedStores.foreach(_.unpersist())
+  }
+
   def run(
       topology: Topology,
       inputs: Map[String, DataFrame],
@@ -81,14 +98,20 @@ object BatchCompiler {
   def runBuilt(
       topology: Topology,
       inputs: Map[String, DataFrame],
-      overrides: Map[String, Override] = Map.empty): Map[String, Built] = {
+      overrides: Map[String, Override] = Map.empty): Map[String, Built] =
+    runTracked(topology, inputs, overrides).nodes
+
+  def runTracked(
+      topology: Topology,
+      inputs: Map[String, DataFrame],
+      overrides: Map[String, Override] = Map.empty): RunResult = {
     topology.validated()
     val order = Dag.topsort(topology.workflow).get
     val preds = topology.predecessors
     // store-name registry (streams.clj:28-32): a KTable materialized under
     // a store name is persisted once and reused by every same-named table
-    val stores = scala.collection.mutable.Map.empty[StoreKey, Built]
-    order.foldLeft(Map.empty[String, Built]) { (acc, id) =>
+    val stores = scala.collection.mutable.Map.empty[StoreKey, StoreEntry]
+    val nodes = order.foldLeft(Map.empty[String, Built]) { (acc, id) =>
       val entity = topology.entities(id)
       val parents = preds(id).map(acc)
       val built = overrides.get(id) match {
@@ -97,6 +120,8 @@ object BatchCompiler {
       }
       acc + (id -> built)
     }
+    RunResult(nodes,
+      stores.values.collect { case e if e.persisted => e.built.df }.toSeq)
   }
 
   private def buildNode(
@@ -106,7 +131,7 @@ object BatchCompiler {
       parentIds: Seq[String],
       parents: Seq[Built],
       inputs: Map[String, DataFrame],
-      stores: scala.collection.mutable.Map[StoreKey, Built]): Built = entity match {
+      stores: scala.collection.mutable.Map[StoreKey, StoreEntry]): Built = entity match {
 
     case Entity.Topic(name) =>
       if (parents.isEmpty) {
@@ -138,10 +163,23 @@ object BatchCompiler {
         case Some(name) => StoreKey.Named(name)
         case None       => StoreKey.Auto(parentIds, t)
       }
-      stores.getOrElseUpdate(key, {
-        val b = buildTable(t, combineParents(topology, parentIds, parents))
-        if (t.storeName.isDefined) b.copy(df = b.df.persist()) else b
-      })
+      stores.get(key) match {
+        case Some(e) =>
+          // reuse is only sound when the second registration is the SAME
+          // materialization: same parents and a structurally identical (or
+          // literally shared) entity — otherwise error out like Kafka
+          // Streams does on duplicate store registration
+          if (e.parents != parentIds || !((e.entity eq t) || e.entity == t))
+            sys.error(s"store '${t.storeName.getOrElse(id)}' already registered " +
+              s"with a different table definition (parents ${e.parents.mkString(",")})" +
+              s" — same-named KTables must be structurally identical")
+          e.built
+        case None =>
+          val b0 = buildTable(t, combineParents(topology, parentIds, parents))
+          val b = if (t.storeName.isDefined) b0.copy(df = b0.df.persist()) else b0
+          stores(key) = StoreEntry(parentIds, t, b, persisted = t.storeName.isDefined)
+          b
+      }
 
     case Entity.GlobalKTable() =>
       require(parents.size == 1, s"global-ktable '$id' needs exactly one parent")
