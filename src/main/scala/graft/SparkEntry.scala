@@ -376,7 +376,9 @@ object SparkEntry {
   /** #34 dedup + JSON props (#extension): scalar JSON extraction through
     * a MapValue xform. */
   private def qJson(s: SparkSession, dir: String): DataFrame = {
-    val ev = Records.fromTable(eventsDf(s, dir),
+    // JSON parsing is per-row CPU work with no shuffle after it — scatter
+    // the single-row-group events scan like the documents/embeddings reads
+    val ev = Records.fromTable(graft.sources.Sources.scatter(eventsDf(s, dir)),
       col("event_id"), col("props"), col("ts"))
     val topo = Topology(
       workflow = Seq("events" -> "kx", "kx" -> "out"),
@@ -392,6 +394,12 @@ object SparkEntry {
   // ------------------------------------------------------------------ //
   //  LLM-pipeline extension operators (graft.ops)                       //
   // ------------------------------------------------------------------ //
+
+  /** LSH bucket-size cap for the band/sign candidate self-joins (q24/q25/
+    * q28) — the `maxDf` analogue: a degenerate bucket key would put its
+    * whole bucket on one reducer doing O(bucket²) pairs. Mirrored in the
+    * oracles via `QUALIFY count(*) OVER (PARTITION BY bucket) <= cap`. */
+  private val LshMaxBucket = 1000L
 
   private val DedupCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
     "l_extendedprice", "l_discount")
@@ -416,7 +424,8 @@ object SparkEntry {
     // one row per doc, consumed by banding + both sides of the est join
     val sigs = Dedup.minHashSignatures(cpuTable(s, dir, "documents"), "doc_id",
       col("text"), n = 3, k = 8).persist()
-    val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 4)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 4,
+      maxBucket = LshMaxBucket)
     val sa = sigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
     val sb = sigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
     cands.join(sa, "a").join(sb, "b")
@@ -429,48 +438,49 @@ object SparkEntry {
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = Dedup.simHashSignatures(cpuTable(s, dir, "documents"), "doc_id", col("text"))
       .persist() // one row per doc, read by both banded join sides
-    Dedup.simHashPairs(sigs, "doc_id", bits = 32, maxHamming = 3)
+    Dedup.simHashPairs(sigs, "doc_id", bits = 32, maxHamming = 3,
+      maxBucket = LshMaxBucket)
       .withColumn("hamming", col("hamming").cast("long"))
   }
 
   private def qSimTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = cpuTable(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
   }
 
   private def qSimLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = cpuTable(s, dir, "embeddings")
     Similarity.lshTopK(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, signBits = 8)
   }
 
   private def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.cosineNearDupPairs(table(s, dir, "embeddings"), "vec_id",
-      col("embedding"), signBits = 8, threshold = 0.9)
+    Dedup.cosineNearDupPairs(cpuTable(s, dir, "embeddings"), "vec_id",
+      col("embedding"), signBits = 8, threshold = 0.9, maxBucket = LshMaxBucket)
 
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val st = TextAnalysis.qualityStats(col("text"))
-    table(s, dir, "documents").select(
+    cpuTable(s, dir, "documents").select(
       col("doc_id") +: st.map { case (n, c) => c.as(n) }: _*)
   }
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents").select(
+    cpuTable(s, dir, "documents").select(
       col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
 
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents").select(
+    cpuTable(s, dir, "documents").select(
       col("doc_id"),
       TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
 
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents").select(
+    cpuTable(s, dir, "documents").select(
       col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
-    val packed = Multimodal.pack(table(s, dir, "documents"),
+    val packed = Multimodal.pack(cpuTable(s, dir, "documents"),
       col("doc_id"), encode(col("text"), "UTF-8"), lit("text/plain"), col("source"))
     packed
       .withColumn("__dec", Multimodal.decodeImageStub(col("payload")))
@@ -777,9 +787,11 @@ object SparkEntry {
     "q24_dedup_minhash" ->
       s"""${OSql.shingleCte},
         |${OSql.sigCte},
-        |bands AS (
+        |bands0 AS (
         | SELECT doc_id, 0 AS band, ${OSql.bkey(0)} AS bkey FROM sig
         | UNION ALL SELECT doc_id, 1, ${OSql.bkey(4)} FROM sig),
+        |bands AS (SELECT doc_id, band, bkey FROM bands0
+        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 1000),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
         |  WHERE x.doc_id < y.doc_id)
@@ -792,9 +804,11 @@ object SparkEntry {
         |h AS (SELECT doc_id, CAST(('0x'||substr(md5(w),1,8)) AS BIGINT) AS h FROM t),
         |s AS (SELECT doc_id, ${OSql.simSums} FROM h GROUP BY doc_id),
         |sig AS (SELECT doc_id, ${OSql.simBits} AS simhash FROM s),
-        |bands AS (
+        |bands0 AS (
         | SELECT doc_id, 0 AS band, simhash >> 16 AS bkey, simhash FROM sig
         | UNION ALL SELECT doc_id, 1, simhash & 65535, simhash FROM sig),
+        |bands AS (SELECT * FROM bands0
+        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 1000),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
         |   bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
         | FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
@@ -835,9 +849,10 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 5""".stripMargin,
 
     "q28_cosine_neardup" ->
-      s"""WITH b AS (SELECT *, ${(0 until 8).map(i =>
+      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= 1000)
         |SELECT * FROM (
         | SELECT x.vec_id AS a, y.vec_id AS b,
         |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(x.embedding, y.embedding),

@@ -102,14 +102,34 @@ object Dedup {
         count(lit(1)).as("nsh"))
   }
 
+  /** Drop rows whose bucket (the given key columns) holds more than
+    * `maxBucket` members — the [[ngramJaccardPairs]] `maxDf` analogue for
+    * LSH band/sign buckets. A degenerate bucket key (boilerplate-heavy
+    * corpus, all-zero embeddings) otherwise lands its whole bucket on one
+    * reducer doing O(bucket²) pair work — the classic LSH skew bomb at
+    * scale. Capping drops only candidate *pairs between already-known
+    * near-identical docs* (that's what an over-full bucket is), which
+    * callers handle the same way they handle `maxDf`: the cap is part of
+    * the operator contract and is mirrored in oracles. Implemented as a
+    * hash aggregate on the bucket key + semi-style equi-join — partial
+    * aggregation keeps the count shuffle small, no sorts. */
+  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame =
+    if (maxBucket <= 0) df
+    else df.join(
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket).drop("__bn"),
+      keys)
+
   /** LSH banding: candidate pairs are docs sharing at least one band of
     * `rowsPerBand` consecutive signature values. The join is *per band
     * bucket* (equi-join on the band key) — the scale-out shape: a band
     * bucket holds only near-identical docs, so the pair blowup is local.
-    * Returns distinct (a, b) id pairs with a < b. */
-  def lshCandidates(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    * Buckets larger than `maxBucket` are dropped entirely (skew guard;
+    * `maxBucket <= 0` disables). Returns distinct (a, b) pairs, a < b. */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
+      maxBucket: Long = 0L): DataFrame = {
     val nBands = k / rowsPerBand
-    val banded = sigs.select(
+    val banded0 = sigs.select(
       col(idCol),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
@@ -117,6 +137,7 @@ object Dedup {
             col("sig").getItem(b * rowsPerBand + r).cast("string")): _*).as("bkey"))
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
+    val banded = capBuckets(banded0, Seq("band", "bkey"), maxBucket)
     val l = banded.select(col("band"), col("bkey"), col(idCol).as("a"))
     val r = banded.select(col("band"), col("bkey"), col(idCol).as("b"))
     l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
@@ -204,16 +225,18 @@ object Dedup {
     * over 32 bits collides on one exact half with high probability when
     * maxHamming is small); verified with `bit_count(xor) <= maxHamming`.
     * Returns a, b, hamming. */
-  def simHashPairs(sigs: DataFrame, idCol: String, bits: Int, maxHamming: Int): DataFrame = {
+  def simHashPairs(sigs: DataFrame, idCol: String, bits: Int, maxHamming: Int,
+      maxBucket: Long = 0L): DataFrame = {
     val half = bits / 2
-    val banded = sigs.select(
+    val banded = capBuckets(sigs.select(
       col(idCol),
       explode(array(
         struct(lit(0).as("band"), shiftright(col("simhash"), half).as("bkey")),
         struct(lit(1).as("band"),
           col("simhash").bitwiseAND(lit((1L << half) - 1)).as("bkey")))).as("bk"),
       col("simhash"))
-      .select(col(idCol), col("bk.band"), col("bk.bkey"), col("simhash"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"), col("simhash")),
+      Seq("band", "bkey"), maxBucket)
     val l = banded.select(col("band"), col("bkey"), col(idCol).as("a"), col("simhash").as("ha"))
     val r = banded.select(col("band"), col("bkey"), col(idCol).as("b"), col("simhash").as("hb"))
     l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
@@ -230,9 +253,10 @@ object Dedup {
     * exact cosine ≥ threshold. Returns a, b, cos. */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vec: Column,
-      signBits: Int, threshold: Double): DataFrame = {
-    val b = df.select(col(idCol), vec.as("v"),
-      Similarity.signBucket(vec, signBits).as("__bkt"))
+      signBits: Int, threshold: Double, maxBucket: Long = 0L): DataFrame = {
+    val b = capBuckets(df.select(col(idCol), vec.as("v"),
+      Similarity.signBucket(vec, signBits).as("__bkt")),
+      Seq("__bkt"), maxBucket)
     val l = b.select(col("__bkt"), col(idCol).as("a"), col("v").as("va"))
     val r = b.select(col("__bkt"), col(idCol).as("b"), col("v").as("vb"))
     l.join(r, Seq("__bkt")).filter(col("a") < col("b"))

@@ -25,21 +25,24 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " les ", " et ", " est "),
     "zh" -> Seq("的", "是", "了"))
 
-  /** Per-language marker score over ' '||text||' '. */
-  def langScore(text: Column, markers: Seq[String]): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    markers.map(m => occurrences(padded, m)).reduce(_ + _)
-  }
+  /** Per-language marker score over ' '||text||' ': one codegen counting
+    * scan per marker ([[graft.functions.MarkerCountSum]]) instead of a
+    * whole-document `replace` copy per marker. Counts are the replace
+    * trick's non-overlapping left-to-right semantics — the DuckDB oracle
+    * keeps the replace form and matches exactly. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MarkerCountSum(
+        org.apache.spark.sql.GraftBridge.expression(text), markers))
 
   /** Heuristic language ID: argmax of marker scores, earlier language wins
-    * ties, "und" (undetermined) when all scores are 0. */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
-    val best = scores.tail.foldLeft(scores.head._2)((b, s) => greatest(b, s._2))
-    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
-      when(s > 0 && s === best, lit(l)).otherwise(els)
-    }
-  }
+    * ties, "und" (undetermined) when all scores are 0. One codegen call
+    * per row ([[graft.functions.LangIdExpr]]) — the Column form re-scanned
+    * each document 23 times through replace copies. */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.LangIdExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), LangMarkers))
 
   /** Whitespace token count (single-space tokenization). */
   def wsTokenCount(text: Column): Column = size(split(text, " ")).cast("long")
@@ -73,10 +76,10 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint: fold (acc*31 + h60(word) mod p)
     * mod p over words in order. Content-sensitive and order-sensitive —
     * the cheap "same doc modulo nothing" identity for exact dedup at
-    * scale. DuckDB twin: list_reduce(list_prepend(0, hashes), ...). */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, " "), w => Dedup.hash60(w) % FpP),
-      lit(0L),
-      (acc, h) => (acc * 31L + h) % FpP)
+    * scale. Native codegen fold ([[graft.functions.FoldHash]]) — the
+    * `aggregate(transform(split(...)))` HOF form ran its lambdas
+    * interpreted, outside whole-stage codegen (the pattern CosineSim
+    * replaced for ~20×). DuckDB twin unchanged:
+    * list_reduce(list_prepend(0, hashes), ...). */
+  def fingerprint(text: Column): Column = graft.functions.FoldHashFn(text)
 }

@@ -29,14 +29,20 @@ object Sources {
     * scale (files ≫ cores) the condition is false and this is a no-op,
     * so it never adds a shuffle to a healthy scan. */
   def scatter(df: DataFrame): DataFrame = {
+    // Streaming plans have no static partitioning to inspect (`df.rdd`
+    // throws) and micro-batches re-plan per trigger anyway — pass through.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Batch topic source: parquet path → records. */
+  /** Batch topic source: parquet path → records. No scatter here: topic
+    * reads feed shuffle-bound topology ops (joins/aggs re-spread at their
+    * first exchange) or tiny dimension tables where an extra exchange is
+    * pure cost — callers with CPU-heavy per-row work scatter explicitly. */
   def parquetTopic(s: SparkSession, path: String,
       key: Column, value: Column, ts: Column): DataFrame =
-    Records.fromTable(scatter(s.read.parquet(path)), key, value, ts)
+    Records.fromTable(s.read.parquet(path), key, value, ts)
 
   /** Batch topic sink. `partitionBy` co-locates downstream reads on the
     * given columns (e.g. a date derived from ts). */

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+/** The LSH bucket-size cap: a degenerate corpus (many near-identical
+  * docs → one huge band/sign bucket) must not go O(bucket²); capped runs
+  * drop the hot bucket, uncapped small runs are unchanged. */
+class DedupCapSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  test("minhash banding: 1k identical docs produce zero capped candidates") {
+    val docs = (0 until 1000).map(i => (i.toLong, "the same exact document text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", col("text"), n = 3, k = 8)
+    val capped = Dedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 4,
+      maxBucket = 10)
+    // every doc shares every band bucket → all buckets are size 1000 > 10
+    assert(capped.count() == 0)
+    // sanity: a small uncapped subset still pairs up quadratically
+    val small = Dedup.minHashSignatures(docs.limit(5), "doc_id", col("text"), n = 3, k = 8)
+    assert(Dedup.lshCandidates(small, "doc_id", 8, 4).count() == 10)
+  }
+
+  test("simhash banding: cap drops the degenerate bucket, disabled cap keeps it") {
+    val docs = (0 until 1000).map(i => (i.toLong, "another identical corpus line for simhash"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHashSignatures(docs, "doc_id", col("text"))
+    assert(Dedup.simHashPairs(sigs, "doc_id", 32, 3, maxBucket = 50).count() == 0)
+    val few = Dedup.simHashSignatures(docs.limit(4), "doc_id", col("text"))
+    assert(Dedup.simHashPairs(few, "doc_id", 32, 3).count() == 6)
+  }
+
+  test("cosine sign-bucket cap drops over-full buckets only") {
+    // 200 vectors in bucket A (identical), 3 in bucket B (identical)
+    val vs = ((0 until 200).map(i => (i.toLong, Array(1.0f, 1.0f, 0.5f))) ++
+      (200 until 203).map(i => (i.toLong, Array(-1.0f, -1.0f, -0.5f))))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDupPairs(vs, "vec_id", col("embedding"),
+      signBits = 3, threshold = 0.9, maxBucket = 100)
+    // bucket A (size 200) dropped; bucket B (size 3) yields C(3,2) pairs
+    assert(pairs.count() == 3)
+    assert(pairs.agg(min(col("a"))).as[Long].head() >= 200L)
+  }
+
+  test("capBuckets is a no-op when maxBucket <= 0") {
+    val docs = (0 until 50).map(i => (i.toLong, s"doc $i has words ${i % 3}"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", col("text"), n = 2, k = 8)
+    val a = Dedup.lshCandidates(sigs, "doc_id", 8, 4, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.lshCandidates(sigs, "doc_id", 8, 4, maxBucket = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, TextAnalysis}
+
+/** The codegen text expressions (FoldHash, MarkerCountSum, LangIdExpr)
+  * must match the Column forms they replaced — the replace-trick counts
+  * and the HOF fingerprint fold — bit-for-bit, since the DuckDB oracles
+  * still mirror those original forms. */
+class TextExprSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat and the dog is on the mat"),
+    (2L, "el gato y la casa es los perros"),
+    (3L, "der hund und die katze ist hier"),
+    (4L, "le chat et les chiens est la"),
+    (5L, "这是的一个测试了是的"),
+    (6L, ""),
+    (7L, "   "),
+    (8L, "a  b   c"),
+    (9L, "the the the the"),
+    (10L, "is is is and and of of of the"),
+    (11L, "word"),
+    (12L, "the la der le 的 mixed is es ist est 是"))
+    .toDF("doc_id", "text")
+
+  // --- original Column forms, reproduced for comparison ---------------- //
+
+  private def occurrences(t: Column, w: String): Column =
+    ((length(t) - length(replace(t, lit(w), lit("")))) / w.length).cast("long")
+
+  private def langScoreOld(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    markers.map(m => occurrences(padded, m)).reduce(_ + _)
+  }
+
+  private def langIdOld(text: Column): Column = {
+    val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      l -> langScoreOld(text, ms) }
+    val best = scores.tail.foldLeft(scores.head._2)((b, s) => greatest(b, s._2))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  private def fingerprintOld(text: Column): Column =
+    aggregate(
+      transform(split(text, " "), w => Dedup.hash60(w) % TextAnalysis.FpP),
+      lit(0L),
+      (acc, h) => (acc * 31L + h) % TextAnalysis.FpP)
+
+  // --------------------------------------------------------------------- //
+
+  test("langId matches the replace-trick Column form on every row") {
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("nu"),
+      langIdOld(col("text")).as("old")).collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc ${r.getLong(0)}: ${r.getString(1)} != ${r.getString(2)}"))
+  }
+
+  test("langScore matches the replace-trick count sum, per language") {
+    TextAnalysis.LangMarkers.foreach { case (lang, ms) =>
+      val out = docs.select(col("doc_id"),
+        TextAnalysis.langScore(col("text"), ms).as("nu"),
+        langScoreOld(col("text"), ms).as("old")).collect()
+      out.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"$lang doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
+    }
+  }
+
+  test("stopword score used by qualityStats matches") {
+    val ms = Seq(" the ", " a ", " of ", " and ", " is ")
+    val out = docs.select(
+      TextAnalysis.langScore(col("text"), ms).as("nu"),
+      langScoreOld(col("text"), ms).as("old")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("fingerprint matches the HOF fold bit-for-bit") {
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("nu"),
+      fingerprintOld(col("text")).as("old")).collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
+  }
+
+  test("null text yields null in all three expressions") {
+    val d = Seq((1L, Option("x y z")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.langId(col("text")).as("lid"),
+      TextAnalysis.langScore(col("text"), Seq(" x ")).as("sc"))
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(out(1L) == (false, false, false))
+    assert(out(2L) == (true, true, true))
+  }
+
+  test("expressions survive the interpreted (non-codegen) path too") {
+    val noCodegen = docs.repartition(1)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val out = noCodegen.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("nu"),
+        fingerprintOld(col("text")).as("old"),
+        TextAnalysis.langId(col("text")).as("lid"),
+        langIdOld(col("text")).as("lidOld")).collect()
+      out.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2))
+        assert(r.getString(3) == r.getString(4))
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
