@@ -370,10 +370,12 @@ object BatchCompiler {
       else t.aggregate match {
         case None => Some(() => rekeyed)
         case Some(AggSpec.ExprAgg(e)) =>
-          // running form: valid when e is a single aggregate function
-          // (sum/count/...); a composite expr (struct of aggs) cannot be
-          // windowed as-is — such tables can't be as-of-joined yet.
-          Some(() => Keyed.runningAggregate(rekeyed, Seq(KeyCol), Seq(col(TsCol)), e, ValueCol))
+          // running form for ANY aggregate expression — a composite expr
+          // (struct of aggs, sum/count arithmetic) is handled by rewriting
+          // each resolved AggregateExpression into a running window
+          // (runningAggregateExpr); a bare Column.over would reject it.
+          Some(() => Keyed.runningAggregateExpr(
+            rekeyed, Seq(KeyCol), Seq(col(TsCol)), e, ValueCol))
         case Some(AggSpec.FoldAgg(init, adder, _)) =>
           Some(() => {
             val w = org.apache.spark.sql.expressions.Window

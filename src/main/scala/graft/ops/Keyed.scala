@@ -61,6 +61,46 @@ object Keyed {
     df.withColumn(as, aggExpr.over(w))
   }
 
+  /** [[runningAggregate]] for ARBITRARY aggregate expressions — including
+    * a struct of aggregates and compound fields like `sum(x)/count(1)`,
+    * which `Column.over` rejects (it wraps the whole expression in one
+    * WindowExpression, and a struct/division is not a window function).
+    *
+    * Mechanism: analyze the expression once through a throwaway
+    * `groupBy().agg()` (resolving `sum`/`count`/... into real Catalyst
+    * `AggregateExpression` nodes — the pre-analysis tree only has
+    * `UnresolvedFunction`s, which can't be pattern-matched), then rewrite
+    * every `AggregateExpression` node into a `WindowExpression` over the
+    * running per-key frame and project it back onto `df`. Same single
+    * shuffle + per-partition sort as [[runningAggregate]]. */
+  def runningAggregateExpr(
+      df: DataFrame,
+      keyCols: Seq[String],
+      order: Seq[Column],
+      aggExpr: Column,
+      as: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, CurrentRow,
+      RowFrame, SortOrder, SpecifiedWindowFrame, UnboundedPreceding,
+      WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val resolved = df.groupBy(keyCols.map(col): _*).agg(aggExpr.as("__ra"))
+      .queryExecution.analyzed.asInstanceOf[Aggregate]
+      .aggregateExpressions.last.asInstanceOf[Alias].child
+    val spec = WindowSpecDefinition(
+      keyCols.map(c => GraftBridge.expression(df(c))),
+      order.map(c => SortOrder(GraftBridge.expression(c), Ascending)),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    // transformUp, NOT transform: top-down would re-visit the freshly
+    // built WindowExpression, re-match its AggregateExpression child, and
+    // wrap forever; up applies the rule once per original node.
+    val rewritten = resolved.transformUp {
+      case ae: AggregateExpression => WindowExpression(ae, spec)
+    }
+    df.withColumn(as, GraftBridge.column(rewritten))
+  }
+
   /** Order-sensitive fold per key in `order` order — exact parity with the
     * reference's adder fold (`experiment.clj:231-238`) for non-associative
     * adders. `sort_array(collect_list(struct(order, value)))` then

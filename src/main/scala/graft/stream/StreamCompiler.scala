@@ -43,9 +43,14 @@ object StreamCompiler {
 
   /** @param staticChangelog for tables built from a STATIC feed: the raw
     *   update history, enabling stream–static as-of joins (validity
-    *   intervals) without stateful operators. */
+    *   intervals) without stateful operators.
+    * @param streamChangelog for plain (latest-per-key) tables over a
+    *   STREAMING feed: the raw update stream, enabling stateful
+    *   table–table joins without joining streaming aggregations (which
+    *   Spark rejects). */
   final case class Built(df: DataFrame, kind: Kind, nFields: Int = 0,
-      staticChangelog: Option[DataFrame] = None)
+      staticChangelog: Option[DataFrame] = None,
+      streamChangelog: Option[DataFrame] = None)
 
   /** Compile a topology over streaming sources.
     * @param streams      streaming record-shaped DataFrames per source topic
@@ -217,10 +222,116 @@ object StreamCompiler {
           struct(leftFields(col("__lv")) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
           col("__lt").as(TsCol)), Kind.Stream, nL + 1)
 
+      case (jt @ (JoinType.Inner | JoinType.Left | JoinType.Outer), Kind.Table, Kind.Table)
+          if l.streamChangelog.isDefined && r.streamChangelog.isDefined =>
+        tableTableState(l, r, jt)
+
+      case (jt @ (JoinType.Inner | JoinType.Left | JoinType.Outer), Kind.Table, Kind.Table)
+          if !l.df.isStreaming && !r.df.isStreaming =>
+        // both tables over static feeds: final-state equi-join at plan
+        // time, exactly the batch compiler's table–table arm
+        val how = jt match {
+          case JoinType.Inner => "inner"
+          case JoinType.Left  => "left"
+          case _              => "full_outer"
+        }
+        Built(lf.join(rf, col("__lk") === col("__rk"), how).select(
+          coalesce(col("__lk"), col("__rk")).as(KeyCol),
+          struct(leftFields(col("__lv")) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
+          greatest(col("__lt"), col("__rt")).as(TsCol)), Kind.Stream, nL + 1)
+
+      case (jt, Kind.Table, Kind.Table) =>
+        sys.error(s"streaming table-table join ($jt) over AGGREGATED tables " +
+          "has no per-update changelog (Spark cannot join streaming " +
+          "aggregations) — join plain latest-per-key KTables, or use " +
+          "graft.stream.Streamed.aggregateWithSubtractor downstream of the join")
+
       case (jt, lk, rk) =>
         sys.error(s"streaming join ($jt, $lk, $rk) needs typed stateful " +
           "operators (flatMapGroupsWithState) — see graft.stream.Streamed")
     }
+  }
+
+  /** Streaming table–table join (the reference's live KTable–KTable join,
+    * `streams.clj:84-97`): co-grouped per-key state over the UNION of the
+    * two tables' update changelogs. State = latest (value, ts) per side;
+    * every update emits the joined pair per the join type (inner: both
+    * present; left: left present; outer: always) — Kafka Streams KTable
+    * join emission. The LAST emission per key equals the batch compiler's
+    * final-state join, which is what the congruity suite checks.
+    *
+    * Scale shape: state is two values per key, partitioned by Spark's
+    * state store — memory grows with key cardinality, not stream length,
+    * and groups process independently (cluster-parallel). Row-typed via
+    * `Encoders.row`, so the generic compiler needs no case classes. */
+  private def tableTableState(l: Built, r: Built, jt: JoinType): Built = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val lc = l.streamChangelog.get
+    val rc = r.streamChangelog.get
+    val nL = math.max(l.nFields, 1)
+    val keyType = lc.schema(KeyCol).dataType
+    val lvType = lc.schema(ValueCol).dataType
+    val rvType = rc.schema(ValueCol).dataType
+
+    // tagged union of both changelogs: (k, side, lv, rv, tsus)
+    val lcT = lc.select(col(KeyCol).as("k"), lit(0).as("side"),
+      col(ValueCol).as("lv"), lit(null).cast(rvType).as("rv"),
+      unix_micros(col(TsCol)).as("tsus"))
+    val rcT = rc.select(col(KeyCol).as("k"), lit(1).as("side"),
+      lit(null).cast(lvType).as("lv"), col(ValueCol).as("rv"),
+      unix_micros(col(TsCol)).as("tsus"))
+    val union = lcT.unionByName(rcT)
+
+    val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
+    val stateEnc = Encoders.row(StructType(Seq(
+      StructField("lv", lvType), StructField("lts", LongType),
+      StructField("rv", rvType), StructField("rts", LongType))))
+    val leftFieldSchema: Seq[StructField] =
+      if (l.nFields == 0) Seq(StructField("v1", lvType))
+      else lvType.asInstanceOf[StructType].fields.toSeq
+    val valueSchema = StructType(leftFieldSchema :+ StructField(s"v${nL + 1}", rvType))
+    val outEnc = Encoders.row(StructType(Seq(
+      StructField("k", keyType), StructField("value", valueSchema),
+      StructField("tsus", LongType))))
+
+    val nLefts = l.nFields // capture primitives, not the Built, in the closure
+    val joined = union
+      .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
+          var (lv, lts, rv, rts): (Any, Long, Any, Long) = state.getOption match {
+            case Some(s) => (s.get(0), s.getLong(1), s.get(2), s.getLong(3))
+            case None    => (null, Long.MinValue, null, Long.MinValue)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          // ts order within the batch; right updates after left at equal ts
+          records.toSeq.sortBy(rec => (rec.getLong(4), rec.getInt(1))).foreach { rec =>
+            val ts = rec.getLong(4)
+            if (rec.getInt(1) == 0) { if (ts >= lts) { lv = rec.get(2); lts = ts } }
+            else { if (ts >= rts) { rv = rec.get(3); rts = ts } }
+            val emit = jt match {
+              case JoinType.Inner => lv != null && rv != null
+              case JoinType.Left  => lv != null
+              case _              => true
+            }
+            if (emit) {
+              val leftVals: Seq[Any] =
+                if (nLefts == 0) Seq(lv)
+                else (0 until nLefts).map(i =>
+                  if (lv == null) null else lv.asInstanceOf[Row].get(i))
+              out += Row(key.get(0), Row.fromSeq(leftVals :+ rv), math.max(lts, rts))
+            }
+          }
+          state.update(Row(lv, lts, rv, rts))
+          out.iterator
+      }(stateEnc, outEnc)
+
+    Built(joined.toDF().select(
+      col("k").as(KeyCol), col("value").as(ValueCol),
+      timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, nL + 1)
   }
 
   /** KTable chain: group-by → window → aggregate (→ suppress via the
@@ -256,10 +367,13 @@ object StreamCompiler {
       case None => out.select(col(KeyCol), col(ValueCol), col(TsCol))
     }
     // a table over a static feed keeps its update history so downstream
-    // stream–static as-of joins can build validity intervals
-    val staticLog =
-      if (!rekeyed.isStreaming && t.window.isEmpty && t.aggregate.isEmpty) Some(rekeyed)
-      else None
-    Built(finished, Kind.Table, staticChangelog = staticLog)
+    // stream–static as-of joins can build validity intervals; a PLAIN
+    // table over a streaming feed keeps its update stream so downstream
+    // table–table joins can run as co-grouped state (tableTableState)
+    val plain = t.window.isEmpty && t.aggregate.isEmpty
+    val staticLog = if (!rekeyed.isStreaming && plain) Some(rekeyed) else None
+    val streamLog = if (rekeyed.isStreaming && plain) Some(rekeyed) else None
+    Built(finished, Kind.Table, staticChangelog = staticLog,
+      streamChangelog = streamLog)
   }
 }

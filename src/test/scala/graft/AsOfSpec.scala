@@ -56,6 +56,30 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Map(10 -> 1L, 20 -> 3L, 30 -> null))
   }
 
+  test("as-of against a COMPOSITE-aggregate table windows each agg (struct of aggs)") {
+    // struct(sum, count, sum/count): not a single aggregate function, so
+    // Column.over rejects it — runningAggregateExpr rewrites each resolved
+    // AggregateExpression into its own running window
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(struct(
+          sum(col("value")).as("s"),
+          count(lit(1)).as("n"),
+          (sum(col("value")) / count(lit(1))).as("avg"))))),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+    // table inputs: +1@100, +3@200 → running (s,n,avg) = (1,1,1.0)@100, (4,2,2.0)@200
+    val u = records(("k", 1, 100L), ("k", 3, 200L))
+    val s = records(("k", 10, 150L), ("k", 20, 250L), ("k", 30, 50L))
+    val out = BatchCompiler.run(topo, Map("s" -> s, "u" -> u))("out")
+    val got = out.select("value.v1", "value.v2").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else {
+        val st = r.getStruct(1); (st.getLong(0), st.getLong(1), st.getDouble(2))
+      })).toMap
+    assert(got == Map(10 -> ((1L, 1L, 1.0)), 20 -> ((4L, 2L, 2.0)), 30 -> null))
+  }
+
   test("DSL asOfBucketMs routes through the bucketed as-of") {
     def topo(bucket: Option[Long]) = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),

@@ -236,6 +236,53 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch) == Map(10 -> 1, 20 -> 2, 30 -> null))
   }
 
+  test("congruity: streaming table-table joins match batch final state") {
+    val aRows = Seq(("k", 1, 100L), ("k", 9, 300L), ("j", 4, 50L))
+    val bRows = Seq(("k", 7, 150L), ("x", 2, 75L))
+    for (jt <- Seq(JoinType.Inner, JoinType.Left, JoinType.Outer)) {
+      val topo = Topology(
+        Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+        Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+          "ta" -> Entity.KTable(), "tb" -> Entity.KTable(),
+          "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+        Map(Seq("ta", "tb") -> JoinConfig(jt)))
+      val batch = BatchCompiler.run(topo,
+        Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
+      val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
+        sink = "jn", mode = "update")
+      def canonBatch(df: DataFrame) = df.select("key", "value.v1", "value.v2")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      // streaming emits a changelog; the LAST emission per key is the
+      // final joined state batch computes
+      def canonStream(df: DataFrame) = df
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key")).orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1)
+        .select("key", "value.v1", "value.v2")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(canonStream(stream) == canonBatch(batch), s"join type $jt")
+    }
+  }
+
+  test("streaming table-table join over aggregated tables errors loudly") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "ta" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner)))
+    val ms = MemoryStream[(String, Int, Long)]
+    def rec = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val err = intercept[RuntimeException] {
+      StreamCompiler.run(topo, Map("a" -> rec, "b" -> rec))
+    }
+    assert(err.getMessage.contains("AGGREGATED"))
+  }
+
   // ---- typed stateful operators (flatMapGroupsWithState) ----
 
   private def statefulQuery[A](ds: org.apache.spark.sql.Dataset[A]): Seq[A] = {
