@@ -1,16 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Plan-audit utility: prints the formatted physical plan of the named
-  * queries (default: a representative set) so scan pruning, pushed
-  * filters, broadcast joins, and whole-stage-codegen spans can be
-  * inspected. Usage: runMain graft.Explain <sfDir> [query ...] */
+/** Plan-audit utility.
+  *
+  * Print mode (`runMain graft.Explain <sfDir> [query ...]`): prints the
+  * formatted physical plan of the named queries (default: a representative
+  * set) so scan pruning, pushed filters, broadcast joins, and
+  * whole-stage-codegen spans can be inspected.
+  *
+  * Check mode (`runMain graft.Explain --check [sfDir]`): plan-regression
+  * gate over EVERY registered query — fails (exit 1) on plan shapes that
+  * are correct-but-wrong-at-scale and don't show up as test failures:
+  *   - a `CartesianProduct` anywhere (an unconstrained all-pairs join;
+  *     the only sanctioned cross join is against a broadcast-tiny query
+  *     set, which plans as BroadcastNestedLoopJoin, not CartesianProduct);
+  *   - a global-table join that is not a broadcast hash join (a shuffle
+  *     of the big side against a dimension that fits in memory);
+  *   - a CPU-heavy query (per-row hash/JSON/cosine work) whose plan lost
+  *     its scatter exchange — on the single-row-group testdata layout the
+  *     scan plans 1 partition, and without `RoundRobinPartitioning` all
+  *     per-row work lands on one core regardless of cluster width.
+  */
 object Explain {
+
+  /** Queries whose per-row CPU work must sit behind a scatter exchange on
+    * the narrow testdata layout (see [[SparkEntry.cpuTable]]). */
+  private val CpuHeavy = Seq(
+    "q23_dedup_ngram", "q24_dedup_minhash", "q25_dedup_simhash",
+    "q26_sim_topk", "q27_sim_lsh", "q28_cosine_neardup",
+    "q29_text_quality", "q30_text_langid", "q31_token_count",
+    "q32_fingerprint", "q33_json_props", "q34_multimodal")
+
+  /** Joins against a broadcast-worthy global/dimension table. */
+  private val MustBroadcast = Seq("q02_join_global_inner", "q03_join_global_left")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q01_agg_pricing", "q02_join_global_inner", "q10_asof_left",
-        "q23_dedup_ngram", "q26_sim_topk")
+    val check = args.headOption.contains("--check")
+    val rest = if (check) args.drop(1) else args
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -19,11 +46,39 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+
+    def plan(n: String): String =
+      SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+
+    if (check) {
+      val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+        val p = plan(n)
+        val errs = Seq(
+          Option.when(p.contains("CartesianProduct"))(
+            "CartesianProduct (unconstrained all-pairs join)"),
+          Option.when(MustBroadcast.contains(n) && !p.contains("BroadcastHashJoin"))(
+            "global-table join is not a BroadcastHashJoin"),
+          Option.when(CpuHeavy.contains(n) && !p.contains("RoundRobinPartitioning"))(
+            "CPU-heavy query lost its scatter exchange (1-partition scan)")
+        ).flatten
+        errs.foreach(e => println(s"[plan-check] FAIL $n: $e"))
+        if (errs.isEmpty) println(s"[plan-check] pass $n")
+        errs.map(n -> _)
+      }
+      println(s"[plan-check] ${SparkEntry.queries.size - failures.map(_._1).distinct.size} ok, " +
+        s"${failures.size} violations")
+      spark.stop()
+      if (failures.nonEmpty) sys.exit(1)
+    } else {
+      val names = if (rest.length > 1) rest.drop(1).toSeq
+        else Seq("q01_agg_pricing", "q02_join_global_inner", "q10_asof_left",
+          "q23_dedup_ngram", "q26_sim_topk")
+      names.foreach { n =>
+        println(s"\n========== $n ==========")
+        println(plan(n))
+      }
+      spark.stop()
     }
-    spark.stop()
   }
 }

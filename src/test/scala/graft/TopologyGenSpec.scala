@@ -52,13 +52,16 @@ class TopologyGenSpec extends AnyFunSuite {
       v <- Gen.choose(-5, 20)
       t <- Gen.choose(0L, 5000L)
     } yield (k, v, t))
-  } yield rows
+    // globally unique ts: a (key, ts) collision makes latest-per-key
+    // ambiguous — batch tie-breaks on the order struct, streaming on
+    // arrival order, and the congruity property would flake on it
+  } yield rows.zipWithIndex.map { case ((k, v, t), i) => (k, v, t * 16 + i) }
 
   private def sample[A](g: Gen[A], seed: Long): A =
     g.apply(Gen.Parameters.default, Seed(seed)).get
 
   test("random valid topologies validate, compile, run, and render") {
-    (1L to 20L).foreach { i =>
+    (1L to 60L).foreach { i =>
       val topo = sample(genTopology, i)
       val rows = sample(genRecords, i * 31)
       assert(topo.validate().isEmpty, s"seed $i: ${topo.validate()}")
@@ -74,7 +77,7 @@ class TopologyGenSpec extends AnyFunSuite {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     var qn = 0
-    (1L to 12L).foreach { i =>
+    (1L to 40L).foreach { i =>
       val topo = sample(genTopology, i)
       // Spark's micro-batch engine rejects CHAINED stateful operators
       // without per-stage watermark design (global-watermark correctness
