@@ -133,7 +133,8 @@ object BatchCompiler {
       inputs: Map[String, DataFrame],
       stores: scala.collection.mutable.Map[StoreKey, StoreEntry]): Built = entity match {
 
-    case Entity.Topic(name) =>
+    case t: Entity.Topic =>
+      val name = t.name
       if (parents.isEmpty) {
         val df = inputs.getOrElse(id, inputs.getOrElse(name,
           sys.error(s"no input DataFrame for source topic '$id'")))

@@ -168,8 +168,22 @@ sealed trait Entity
 object Entity {
   /** Durable boundary node. In batch, sources resolve from the compiler's
     * `inputs` map (record-shaped DataFrames); sinks union their parents
-    * (`core.clj:75-78`). `name` is the physical topic/path name. */
-  final case class Topic(name: String) extends Entity
+    * (`core.clj:75-78`). `name` is the physical topic/path name.
+    *
+    * Admin config mirrors willa's per-topic map (`example.clj:20-25`,
+    * README.md:94-99): `partitionCount` is the topic's fixed parallelism —
+    * on the parquet transport it is the file count a sink writes (so
+    * downstream scans plan at least that many partitions); on a Kafka
+    * transport it is the partition count an admin client provisions.
+    * `replicationFactor` has no single-filesystem analogue — it is carried
+    * as provisioning metadata (see [[graft.sources.Admin]]). `partitionBy`
+    * names record columns for directory-style layout, co-locating
+    * downstream reads (no Kafka analogue; a parquet-transport extra). */
+  final case class Topic(
+      name: String,
+      partitionCount: Option[Int] = None,
+      replicationFactor: Option[Int] = None,
+      partitionBy: Seq[String] = Nil) extends Entity
 
   /** Unbounded record stream; optional stateless xform
     * (`core.clj:81-88`). `preventRepartition` is accepted for API parity

@@ -52,6 +52,18 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** [[writeParquetTopic]] honoring a Topic's admin config: the declared
+    * `partitionCount` fixes the file count (a Kafka topic's partition
+    * count is fixed at creation; on the parquet transport the file count
+    * IS the scan parallelism floor downstream readers see), and
+    * `partitionBy` lays out directories for partition-pruned reads.
+    * `replicationFactor` is storage-level provisioning, not a write-path
+    * concern — surfaced through [[Admin.topicSpecs]]. */
+  def writeTopic(df: DataFrame, basePath: String, topic: graft.dsl.Entity.Topic): Unit = {
+    val sized = topic.partitionCount.fold(df)(df.repartition)
+    writeParquetTopic(sized, s"$basePath/${topic.name}", topic.partitionBy)
+  }
+
   /** Streaming topic source over a directory of parquet files (the
     * broker-less streaming transport: each appended file is a batch of
     * records). `maxFilesPerTrigger` bounds micro-batch size. */

@@ -100,7 +100,8 @@ object StreamCompiler {
       streams: Map[String, DataFrame], statics: Map[String, DataFrame],
       watermarkMs: Option[Long]): Built = entity match {
 
-    case Entity.Topic(name) =>
+    case t: Entity.Topic =>
+      val name = t.name
       if (parents.isEmpty) {
         statics.get(id).orElse(statics.get(name)) match {
           case Some(df) => Built(df, Kind.Stream) // static feed (for globals)

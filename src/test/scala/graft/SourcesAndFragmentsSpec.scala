@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.dsl._
 import graft.batch.BatchCompiler
-import graft.sources.Sources
+import graft.sources.{Admin, Sources}
 import graft.stream.StreamCompiler
 
 class SourcesAndFragmentsSpec extends AnyFunSuite {
@@ -49,6 +49,37 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     Sources.writeParquetTopic(df, s"$dir/t")
     val back = Sources.parquetTopic(spark, s"$dir/t", col("key"), col("value"), col("ts"))
     assert(kvInt(back) == Seq(("j", 2), ("k", 1)))
+  }
+
+  test("topic admin config drives sink layout and provisioning specs") {
+    val dir = Files.createTempDirectory("graft-admin").toString
+    val out = Entity.Topic("out", partitionCount = Some(3),
+      replicationFactor = Some(2))
+    val rows = (1 to 40).map(i => (s"k$i", i, i * 10L))
+    Sources.writeTopic(records(rows: _*), dir, out)
+    // partitionCount fixes the file count — the scan-parallelism floor
+    // a downstream reader sees (a Kafka topic's partition count)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files == 3)
+    val back = Sources.parquetTopic(spark, s"$dir/out",
+      col("key"), col("value"), col("ts"))
+    assert(back.count() == 40)
+
+    // provisioning specs: declared config + reference-example defaults
+    val topo = Topology(
+      Seq("in" -> "s", "s" -> "out"),
+      Map("in" -> Entity.Topic("in"), "s" -> Entity.KStream(), "out" -> out))
+    assert(Admin.topicSpecs(topo) == Seq(
+      Admin.TopicSpec("in", 1, 1, Nil),
+      Admin.TopicSpec("out", 3, 2, Nil)))
+    // conflicting configs for one physical topic are rejected
+    val conflict = Topology(
+      Seq("a" -> "s2", "s2" -> "b"),
+      Map("a" -> Entity.Topic("t", partitionCount = Some(1)),
+        "s2" -> Entity.KStream(),
+        "b" -> Entity.Topic("t", partitionCount = Some(2))))
+    intercept[IllegalArgumentException](Admin.topicSpecs(conflict))
   }
 
   test("file-stream topic source feeds the stream compiler") {
