@@ -93,9 +93,9 @@ object Dedup {
     // the scan's (possibly single-partition) side. The outer form keeps
     // one evaluation, above the repartition; <n-word docs yield one null
     // row dropped by the filter.
-    val ex = df.select(col(idCol), explode_outer(wordShingles(text, n)).as("__sh"))
-      .filter(col("__sh").isNotNull)
-      .withColumn("__h", hash60(col("__sh")))
+    val ex = df.select(col(idCol),
+        explode_outer(graft.functions.ShingleHashesFn(text, n)).as("__h"))
+      .filter(col("__h").isNotNull)
     ex.groupBy(col(idCol))
       .agg(
         array((0 until k).map(i => min(permHash(col("__h"), i))): _*).as("sig"),
@@ -166,11 +166,11 @@ object Dedup {
     // explode_outer + isnotnull for the same InferFiltersFromGenerate
     // reason as in minHashSignatures (single evaluation of the shingle
     // expression, above the scatter exchange).
-    val sh = df.select(col(idCol).as("id"), wordShingles(text, n).as("__shs"))
+    val sh = df.select(col(idCol).as("id"),
+        graft.functions.ShingleHashesFn(text, n).as("__shs"))
       .withColumn("nsh", size(col("__shs")))
-      .select(col("id"), col("nsh"), explode_outer(col("__shs")).as("__shstr"))
-      .filter(col("__shstr").isNotNull)
-      .withColumn("sh", hash60(col("__shstr"))).drop("__shstr")
+      .select(col("id"), col("nsh"), explode_outer(col("__shs")).as("sh"))
+      .filter(col("sh").isNotNull)
       .persist()
     // materialize the cache in ONE pass before fanning out: the df-cap
     // aggregate and both pair-join sides otherwise race to compute the

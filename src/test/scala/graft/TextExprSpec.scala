@@ -90,6 +90,31 @@ class TextExprSpec extends AnyFunSuite {
       s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
   }
 
+  test("shingle hashes match the HOF shingle builder on every row") {
+    // the HOF form ShingleHashes replaced: distinct shingle STRINGS,
+    // hashed after dedup — order and multiset must agree exactly
+    def shinglesOld(text: Column, n: Int): Column =
+      transform(Dedup.wordShingles(text, n), s => Dedup.hash60(s))
+    val tricky = docs.union(Seq(
+      (13L, "a b"),                   // fewer words than n
+      (14L, "x y z x y z x y z"),     // repeated shingles (dedup path)
+      (15L, "  leading and  double"), // empty words from space runs
+      (16L, "tail space "),
+      (17L, "一 二 三 四 五"))
+      .toDF("doc_id", "text"))
+    for (n <- Seq(2, 3)) {
+      val out = tricky.select(col("doc_id"),
+        graft.functions.ShingleHashesFn(col("text"), n).as("nu"),
+        shinglesOld(col("text"), n).as("old")).collect()
+      out.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"n=$n doc ${r.getLong(0)}: ${r.getSeq[Long](1)} != ${r.getSeq[Long](2)}"))
+    }
+    // null text → null array (nullIntolerant), like the split-based form's input
+    val withNull = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(withNull.select(graft.functions.ShingleHashesFn(col("text"), 3))
+      .collect().head.isNullAt(0))
+  }
+
   test("null text yields null in all three expressions") {
     val d = Seq((1L, Option("x y z")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
