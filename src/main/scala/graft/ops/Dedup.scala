@@ -202,23 +202,14 @@ object Dedup {
 
   /** 32-bit SimHash signature per doc: for each bit j, the sign of the
     * sum over tokens of (2*bit_j(hash(token)) − 1). Output: id, simhash
-    * (long, 32 bits), computed in one explode + one hash aggregate with
-    * 32 partial-aggregable sums. */
-  def simHashSignatures(df: DataFrame, idCol: String, text: Column, bits: Int = 32): DataFrame = {
-    val ex = df.select(col(idCol), explode(split(text, " ")).as("__w"))
-      .withColumn("__h", conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long"))
-    val sums = (0 until bits).map { j =>
-      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"__s$j")
-    }
-    ex.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .withColumn("simhash",
-        (0 until bits).map(j =>
-          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)): Column)
-          .reduce(_ + _))
-      .select(col(idCol), col("simhash"))
-  }
+    * (long, 32 bits). One narrow codegen pass ([[graft.functions.SimHash]])
+    * — no token explode and no shuffle; the original explode + 32-sum
+    * hash aggregate pushed one row per TOKEN through an exchange just to
+    * collapse it back to one row per doc. Docs with null text are absent,
+    * as they were from the exploded form. */
+  def simHashSignatures(df: DataFrame, idCol: String, text: Column, bits: Int = 32): DataFrame =
+    df.select(col(idCol), graft.functions.SimHashFn(text, bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: candidates share the high or the low half of
     * the signature (2-band LSH — a pair within Hamming distance maxHamming

@@ -115,6 +115,30 @@ class TextExprSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("simhash matches the explode + conditional-sum aggregate form") {
+    // the shuffle-based form SimHash replaced, reproduced
+    def simhashOld(df: org.apache.spark.sql.DataFrame, bits: Int) = {
+      val ex = df.select(col("doc_id"), explode(split(col("text"), " ")).as("__w"))
+        .withColumn("__h", conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long"))
+      val sums = (0 until bits).map { j =>
+        sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"__s$j")
+      }
+      ex.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .withColumn("old", (0 until bits).map(j =>
+          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)): Column)
+          .reduce(_ + _))
+        .select(col("doc_id"), col("old"))
+    }
+    for (bits <- Seq(16, 32)) {
+      val nu = graft.ops.Dedup.simHashSignatures(docs, "doc_id", col("text"), bits)
+      val both = nu.join(simhashOld(docs, bits), "doc_id").collect()
+      assert(both.length == docs.count())
+      both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"bits=$bits doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
+    }
+  }
+
   test("null text yields null in all three expressions") {
     val d = Seq((1L, Option("x y z")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
