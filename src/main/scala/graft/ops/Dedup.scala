@@ -85,22 +85,25 @@ object Dedup {
   /** Per-doc MinHash signature: for each of `k` permutations, the min
     * permuted hash over the doc's shingles. Output: `idCol`, `sig`
     * (array<long> of length k), plus `nsh` (distinct shingle count).
-    * One explode + one hash aggregate — no pairwise work. */
-  def minHashSignatures(df: DataFrame, idCol: String, text: Column, n: Int, k: Int): DataFrame = {
-    // explode_outer + isnotnull, NOT plain explode: InferFiltersFromGenerate
-    // would clone the whole shingle expression into a `size(..)>0` filter
-    // that pushes below any exchange — evaluating the generator twice, on
-    // the scan's (possibly single-partition) side. The outer form keeps
-    // one evaluation, above the repartition; <n-word docs yield one null
-    // row dropped by the filter.
-    val ex = df.select(col(idCol),
-        explode_outer(graft.functions.ShingleHashesFn(text, n)).as("__h"))
-      .filter(col("__h").isNotNull)
-    ex.groupBy(col(idCol))
-      .agg(
-        array((0 until k).map(i => min(permHash(col("__h"), i))): _*).as("sig"),
-        count(lit(1)).as("nsh"))
-  }
+    * Two chained codegen passes ([[graft.functions.ShingleHashes]] →
+    * [[graft.functions.MinHashSig]]) in one narrow projection — no
+    * shingle explode, no shuffle; the original explode + k-min hash
+    * aggregate pushed one row per SHINGLE through an exchange just to
+    * collapse back to one row per doc. Docs with no shingles (under n
+    * words, or null text) are absent, as they were from the exploded
+    * form. */
+  def minHashSignatures(df: DataFrame, idCol: String, text: Column, n: Int, k: Int): DataFrame =
+    // the empty-doc filter tests the cheap word count, NOT size(__shs):
+    // a predicate on __shs gets pushed below the projection with the
+    // shingle expression substituted in — hashing every doc twice
+    // (verified in the optimized plan). Same predicate by construction:
+    // shingles are empty iff the doc has under n words (null text → null
+    // → dropped, as explode_outer+filter dropped it before).
+    df.filter(size(split(text, " ")) >= n)
+      .select(col(idCol), graft.functions.ShingleHashesFn(text, n).as("__shs"))
+      .select(col(idCol),
+        graft.functions.MinHashSigFn(col("__shs"), k).as("sig"),
+        size(col("__shs")).cast("long").as("nsh"))
 
   /** Drop rows whose bucket (the given key columns) holds more than
     * `maxBucket` members — the [[ngramJaccardPairs]] `maxDf` analogue for
