@@ -452,7 +452,8 @@ object SparkEntry {
   private def qSimLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = cpuTable(s, dir, "embeddings")
     Similarity.lshTopK(emb, "vec_id", "embedding",
-      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, signBits = 8)
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, signBits = 8,
+      probeHamming = 1)
   }
 
   private def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
@@ -834,7 +835,9 @@ object SparkEntry {
       s"""WITH b AS (SELECT *, ${(0 until 8).map(i =>
             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
         |  FROM embeddings),
-        |q AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM b WHERE vec_id < 5),
+        |q0 AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM b WHERE vec_id < 5),
+        |q AS (SELECT qid, qv, unnest([bkt${(0 until 8).map(i =>
+             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM q0),
         |sc AS (SELECT q.qid, e.vec_id AS id,
         |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qv),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)

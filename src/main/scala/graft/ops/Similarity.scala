@@ -101,18 +101,30 @@ object Similarity {
     (0 until signBits).map(i =>
       when(vec.getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L)): Column).reduce(_ + _)
 
-  /** Approximate top-k: probe only the query's own sign bucket. Scanned
-    * fraction ≈ 2^-signBits of the corpus per query; recall depends on the
-    * data's sign stability. Output: qid, id, cos, rank (rank within the
-    * probed bucket). */
+  /** Approximate top-k over sign-bucket LSH. `probeHamming = 0` probes
+    * only the query's own bucket (scanned fraction ≈ 2^-signBits per
+    * query; recall depends on the data's sign stability — a neighbor
+    * whose vector crosses ONE hyperplane is invisible). `probeHamming = 1`
+    * is multi-probe: each query also probes the signBits buckets at
+    * Hamming distance 1 (one flipped sign), the standard recall fix —
+    * scanned fraction ≈ (signBits+1)·2^-signBits, still bucket-bounded.
+    * Only the broadcast-small query side fans out (one row per probe);
+    * the corpus is scanned once either way, and a corpus row matches at
+    * most one probe per query (probe keys are distinct), so no dedup is
+    * needed. Output: qid, id, cos, rank (rank within the probed set). */
   def lshTopK(
       items: DataFrame, itemId: String, itemVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, signBits: Int): DataFrame = {
+      k: Int, signBits: Int, probeHamming: Int = 0): DataFrame = {
     val bItems = items.withColumn("__bkt", signBucket(col(itemVec), signBits))
+    val own = signBucket(col(queryVec), signBits)
+    val probes =
+      if (probeHamming <= 0) array(own)
+      else array(own +: (0 until signBits).map(i =>
+        own.bitwiseXOR(lit(1L << i)): Column): _*)
     val bQueries = broadcast(queries.select(
       col(queryId).as("qid"), col(queryVec).as("__qv"),
-      signBucket(col(queryVec), signBits).as("__bkt")))
+      explode(probes).as("__bkt")))
     val joined = bItems.join(bQueries, Seq("__bkt"))
       .withColumn("cos", cosine(col(itemVec), col("__qv")))
     topKReduce(joined, itemId, k)

@@ -59,6 +59,26 @@ class CosineSimSpec extends AnyFunSuite {
     assert(canon(heap).size == 21)
   }
 
+  test("multi-probe LSH improves recall vs single-probe, never duplicates pairs") {
+    val items = Seq.tabulate(400)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 6f)))
+      .toDF("vec_id", "embedding")
+    val queries = items.filter(col("vec_id") < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = pairs(Similarity.bruteForceTopK(
+      items, "vec_id", "embedding", queries, "vec_id", "embedding", 5)).toSet
+    val single = pairs(Similarity.lshTopK(items, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, signBits = 8))
+    val multi = pairs(Similarity.lshTopK(items, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, signBits = 8, probeHamming = 1))
+    assert(multi.distinct == multi) // one probe per matching corpus row
+    val rs = single.toSet.intersect(exact).size
+    val rm = multi.toSet.intersect(exact).size
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(multi.size >= single.size) // probes only widen the candidate set
+  }
+
   test("mismatched-length arrays yield null like the HOF form") {
     val ragged = Seq(
       (1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
