@@ -456,6 +456,20 @@ object SparkEntry {
       probeHamming = 1)
   }
 
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = cpuTable(s, dir, "embeddings")
+    // centroids are a model parameter (production: offline k-means); the
+    // 8 lowest-id corpus vectors make the cell assignment deterministic
+    // and oracle-mirrorable. Driver-side collect of 8 rows, like the
+    // broadcast query set.
+    val cents = table(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      cents, k = 5, nProbe = 2)
+  }
+
   private def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.cosineNearDupPairs(cpuTable(s, dir, "embeddings"), "vec_id",
       col("embedding"), signBits = 8, threshold = 0.9, maxBucket = LshMaxBucket)
@@ -579,6 +593,7 @@ object SparkEntry {
     "q26_sim_topk" -> (qSimTopK _),
     "q27_sim_lsh" -> (qSimLsh _),
     "q28_cosine_neardup" -> (qCosineNearDup _),
+    "q37_sim_ivf" -> (qSimIvf _),
     "q29_text_quality" -> (qTextQuality _),
     "q30_text_langid" -> (qLangId _),
     "q31_token_count" -> (qTokenCount _),
@@ -608,6 +623,14 @@ object SparkEntry {
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
     val simBits = (0 until 32).map(j =>
       s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    /** The 6-dp cosine fold, identical to CosineSim's sequential order. */
+    def cosSql(a: String, b: String): String =
+      s"""round(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)
+         |   / (sqrt(list_reduce(list_prepend(0.0, list_transform($a,
+         |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))
+         |    * sqrt(list_reduce(list_prepend(0.0, list_transform($b,
+         |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))), 6)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -866,6 +889,27 @@ object SparkEntry {
         |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))), 6) AS cos
         | FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
         |WHERE cos >= 0.9""".stripMargin,
+
+    "q37_sim_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+        |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
+        | FROM embeddings e CROSS JOIN c),
+        |a AS (SELECT vec_id, embedding, cid FROM a0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1),
+        |q0 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |p0 AS (SELECT q0.qid, q0.qv, c.cid,
+        |  ${OSql.cosSql("q0.qv", "c.cvec")} AS cc
+        | FROM q0 CROSS JOIN c),
+        |p AS (SELECT qid, qv, cid FROM p0
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid ASC) <= 2),
+        |sc AS (SELECT p.qid, a.vec_id AS id,
+        |  ${OSql.cosSql("a.embedding", "p.qv")} AS cos
+        | FROM a JOIN p ON a.cid = p.cid)
+        |SELECT qid, id, cos,
+        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 5""".stripMargin,
 
     "q29_text_quality" ->
       """SELECT doc_id,

@@ -95,6 +95,54 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into Voronoi cells around `centroids` (by cosine, ties to the lowest
+    * centroid id), and each query probes only its `nProbe` nearest cells.
+    * Scanned fraction ≈ nProbe / |centroids|, tunable independently of
+    * the data's sign structure — the complement to [[lshTopK]].
+    *
+    * `centroids` is a MODEL PARAMETER (driver-side, like the broadcast
+    * query set): production trains it offline (k-means over a sample) and
+    * passes it in; tests/oracles pick deterministic corpus vectors so the
+    * assignment is reproducible cross-engine. Cell assignment is a chain
+    * of codegen cosine expressions against centroid literals — one
+    * narrow pass over the corpus, NO shuffle (an argmax-by-join would
+    * shuffle the whole corpus once per run; at ingest time a real
+    * deployment would persist `__cid` as a partition column and prune
+    * probed cells at the scan). Items land in exactly one cell and a
+    * query's probe list is distinct, so no dedup pass is needed.
+    * Output: qid, id, cos, rank. */
+  def ivfTopK(
+      items: DataFrame, itemId: String, itemVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Seq[(Int, Array[Float])], k: Int, nProbe: Int): DataFrame = {
+    require(centroids.size >= 2 && nProbe >= 1 && nProbe <= centroids.size,
+      s"need >=2 centroids and 1 <= nProbe <= ${centroids.size}")
+    def nearestCell(vec: Column): (Column, Seq[(Int, Column)]) = {
+      val cos = centroids.map { case (cid, v) => cid -> cosine(vec, typedLit(v)) }
+      val best = greatest(cos.map(_._2): _*)
+      val cell = cos.foldRight(lit(-1): Column) { case ((cid, c), els) =>
+        when(c === best, lit(cid)).otherwise(els) // earliest (lowest) cid wins ties
+      }
+      (cell, cos)
+    }
+    val assigned = items.withColumn("__cid", nearestCell(col(itemVec))._1)
+    // probe list: nProbe nearest centroids per query (query side is tiny)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cdf = centroids.toDF("__cid", "__cvec")
+    val probes = queries.select(col(queryId).as("qid"), col(queryVec).as("__qv"))
+      .crossJoin(cdf)
+      .withColumn("__cc", cosine(col("__qv"), col("__cvec")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("__cc").desc, col("__cid").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("__qv"), col("__cid"))
+    val joined = assigned.join(broadcast(probes), Seq("__cid"))
+      .withColumn("cos", cosine(col(itemVec), col("__qv")))
+    topKReduce(joined, itemId, k)
+  }
+
   /** Sign-bit LSH bucket key: bit i set iff dimension i is non-negative.
     * Deterministic (no random planes) so oracles can mirror it. */
   def signBucket(vec: Column, signBits: Int): Column =

@@ -79,6 +79,32 @@ class CosineSimSpec extends AnyFunSuite {
     assert(multi.size >= single.size) // probes only widen the candidate set
   }
 
+  test("IVF with nProbe = all cells equals brute force; fewer probes narrow it") {
+    val items = Seq.tabulate(300)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 6f)))
+      .toDF("vec_id", "embedding")
+    val queries = items.filter(col("vec_id") < 3)
+    val cents = items.filter(col("vec_id") < 6)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "cos", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq.sorted
+    val exact = Similarity.bruteForceTopK(items, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+    // probing every cell scans the whole corpus: identical to brute force
+    val all = Similarity.ivfTopK(items, "vec_id", "embedding",
+      queries, "vec_id", "embedding", cents, k = 5, nProbe = cents.size)
+    assert(canon(all) == canon(exact))
+    // a narrow probe returns a subset of scored pairs, never duplicates
+    val narrow = Similarity.ivfTopK(items, "vec_id", "embedding",
+      queries, "vec_id", "embedding", cents, k = 5, nProbe = 1)
+    val np = narrow.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(np.distinct == np)
+    assert(np.nonEmpty)
+  }
+
   test("mismatched-length arrays yield null like the HOF form") {
     val ragged = Seq(
       (1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
