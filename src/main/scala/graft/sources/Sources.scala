@@ -64,6 +64,30 @@ object Sources {
     writeParquetTopic(sized, s"$basePath/${topic.name}", topic.partitionBy)
   }
 
+  /** Write a DataFrame as a BUCKETED parquet table: rows are hash-split
+    * on `bucketCols` into `nBuckets` files per write task, and the bucket
+    * spec is recorded in the catalog. Two tables bucketed the same way
+    * (same columns, same count) equi-join on those columns WITHOUT a
+    * shuffle — each task reads matching bucket files from both sides —
+    * and an aggregate keyed on the bucket columns skips its exchange
+    * too. At 100 TB this is the difference between re-shuffling the fact
+    * table on every join and shuffling it once at ingest; the batch-side
+    * analogue of Kafka's co-partitioned topics (which is exactly what the
+    * reference relies on for its table–table joins). `sortCols` addition-
+    * ally sorts within each bucket file (merge-join without a sort when
+    * one file per bucket). Requires a catalog table name; `path` makes it
+    * external. */
+  def writeBucketedTable(df: DataFrame, name: String, nBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
+    var w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(name)
+  }
+
   /** Streaming topic source over a directory of parquet files (the
     * broker-less streaming transport: each appended file is a batch of
     * records). `maxFilesPerTrigger` bounds micro-batch size. */
@@ -97,6 +121,25 @@ object Sources {
       from_json(col("value").cast("string"), valueSchema),
       col("timestamp"))
   }
+
+  /** Kafka topic sink — the write half of [[kafkaStreamTopic]]: record
+    * key as the message key, value JSON-encoded (`to_json` ↔ the serde
+    * encode in `streams.clj:12-14`). Honors the topology's declared
+    * partition count only insofar as the BROKER topic was provisioned
+    * with it ([[Admin.topicSpecs]]); Kafka's default partitioner routes
+    * by key hash, preserving per-key ordering. Requires the
+    * spark-sql-kafka connector on the classpath (not present in this
+    * sandbox — mirrors the source's untestable-here status). */
+  def kafkaSinkTopic(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): StreamingQuery =
+    df.select(
+        col(Records.KeyCol).cast("string").as("key"),
+        to_json(struct(col(Records.ValueCol), col(Records.TsCol))).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
 
   /** Streaming parquet sink with checkpointing; `availableNow` processes
     * the backlog and stops (the batch-replay trigger). */

@@ -82,6 +82,30 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Admin.topicSpecs(conflict))
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val dir = Files.createTempDirectory("graft-bucketed").toString
+    val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 500).map(i => (i.toLong, i * 10)).toDF("k", "rv")
+    Sources.writeBucketedTable(left, "bkt_l", 4, Seq("k"), Seq("k"), Some(s"$dir/l"))
+    Sources.writeBucketedTable(right, "bkt_r", 4, Seq("k"), Seq("k"), Some(s"$dir/r"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 500)
+      // aggregation on the bucket key skips its exchange too
+      val agg = spark.table("bkt_l").groupBy("k").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS bkt_l")
+      spark.sql("DROP TABLE IF EXISTS bkt_r")
+    }
+  }
+
   test("file-stream topic source feeds the stream compiler") {
     val dir = Files.createTempDirectory("graft-stream-topic").toString
     val df = records(("k", 1, 100L), ("k", 2, 200L))
