@@ -41,16 +41,32 @@ object StreamCompiler {
   object Kind { case object Stream extends Kind; case object Table extends Kind
     case object Global extends Kind }
 
+  /** A left-deep chain of live-table joins awaiting compilation: the RAW
+    * leaf changelogs plus the join type between each successive pair.
+    * Spark rejects chained stateful operators in update mode, so a chain
+    * of KTable joins cannot compile as nested `flatMapGroupsWithState` —
+    * instead the whole chain compiles to ONE state operator over the
+    * union of all leaves ([[StreamCompiler.tableChainState]]), and each
+    * further join extends the chain rather than stacking state. */
+  final case class TableChain(leaves: Seq[DataFrame], joins: Seq[JoinType]) {
+    require(leaves.size == joins.size + 1, "chain arity mismatch")
+  }
+
   /** @param staticChangelog for tables built from a STATIC feed: the raw
     *   update history, enabling stream–static as-of joins (validity
     *   intervals) without stateful operators.
     * @param streamChangelog for plain (latest-per-key) tables over a
     *   STREAMING feed: the raw update stream, enabling stateful
     *   table–table joins without joining streaming aggregations (which
-    *   Spark rejects). */
+    *   Spark rejects).
+    * @param tableChain for a table-table join result (or a plain,
+    *   un-rekeyed KTable over one): the leaf changelogs, so further
+    *   table joins re-compile one flat state op instead of chaining
+    *   stateful operators. */
   final case class Built(df: DataFrame, kind: Kind, nFields: Int = 0,
       staticChangelog: Option[DataFrame] = None,
-      streamChangelog: Option[DataFrame] = None)
+      streamChangelog: Option[DataFrame] = None,
+      tableChain: Option[TableChain] = None)
 
   /** Compile a topology over streaming sources.
     * @param streams      streaming record-shaped DataFrames per source topic
@@ -224,8 +240,13 @@ object StreamCompiler {
           col("__lt").as(TsCol)), Kind.Stream, nL + 1)
 
       case (jt @ (JoinType.Inner | JoinType.Left | JoinType.Outer), Kind.Table, Kind.Table)
-          if l.streamChangelog.isDefined && r.streamChangelog.isDefined =>
-        tableTableState(l, r, jt)
+          if chainOf(l).isDefined && chainOf(r).isDefined =>
+        val lc = chainOf(l).get
+        val rc = chainOf(r).get
+        if (rc.leaves.size > 1)
+          sys.error("bushy streaming table-join trees are not supported — " +
+            "chain left-deep: join each next table onto the previous join's KTable")
+        tableChainState(TableChain(lc.leaves :+ rc.leaves.head, lc.joins :+ jt))
 
       case (jt @ (JoinType.Inner | JoinType.Left | JoinType.Outer), Kind.Table, Kind.Table)
           if !l.df.isStreaming && !r.df.isStreaming =>
@@ -253,86 +274,113 @@ object StreamCompiler {
     }
   }
 
-  /** Streaming table–table join (the reference's live KTable–KTable join,
-    * `streams.clj:84-97`): co-grouped per-key state over the UNION of the
-    * two tables' update changelogs. State = latest (value, ts) per side;
-    * every update emits the joined pair per the join type (inner: both
-    * present; left: left present; outer: always) — Kafka Streams KTable
-    * join emission. The LAST emission per key equals the batch compiler's
-    * final-state join, which is what the congruity suite checks.
+  /** A Built's view as a join chain: an explicit chain if it carries one,
+    * else its own changelog as a 1-leaf chain. */
+  private def chainOf(b: Built): Option[TableChain] =
+    b.tableChain.orElse(b.streamChangelog.map(c => TableChain(Seq(c), Nil)))
+
+  /** Streaming table–table join chain (the reference's live KTable–KTable
+    * joins, `streams.clj:84-97`, including CHAINED joins through declared
+    * intermediate KTables): ONE co-grouped per-key state operator over
+    * the union of ALL leaf changelogs. State = latest (value, ts) per
+    * leaf; every update folds the left-deep join and emits per Kafka
+    * Streams KTable semantics (inner: both present; left: left present;
+    * outer: either present; null value = tombstone = absent). The value
+    * nests left-deep — struct(v1 = previous join's value, v2 = new leaf)
+    * — exactly the shape the batch compiler produces for a KTable-of-a-
+    * join joined again, so the LAST emission per key equals batch's
+    * final-state join (congruity-tested per join type and for 3-table
+    * chains).
     *
-    * Scale shape: state is two values per key, partitioned by Spark's
-    * state store — memory grows with key cardinality, not stream length,
-    * and groups process independently (cluster-parallel). Row-typed via
+    * Compiling the chain FLAT rather than nesting state operators is
+    * load-bearing: Spark rejects multiple flatMapGroupsWithState in
+    * update mode, so nested compilation cannot run at all. Scale shape:
+    * state is one (value, ts) pair per leaf per key in the state store —
+    * memory grows with key cardinality, not stream length — and groups
+    * process independently (cluster-parallel). Row-typed via
     * `Encoders.row`, so the generic compiler needs no case classes. */
-  private def tableTableState(l: Built, r: Built, jt: JoinType): Built = {
+  private def tableChainState(chain: TableChain): Built = {
     import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField, StructType}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-    val lc = l.streamChangelog.get
-    val rc = r.streamChangelog.get
-    val nL = math.max(l.nFields, 1)
-    val keyType = lc.schema(KeyCol).dataType
-    val lvType = lc.schema(ValueCol).dataType
-    val rvType = rc.schema(ValueCol).dataType
+    val leaves = chain.leaves
+    val joins = chain.joins
+    val n = leaves.size
+    val keyType = leaves.head.schema(KeyCol).dataType
+    val vTypes: Seq[DataType] = leaves.map(_.schema(ValueCol).dataType)
 
-    // tagged union of both changelogs: (k, side, lv, rv, tsus)
-    val lcT = lc.select(col(KeyCol).as("k"), lit(0).as("side"),
-      col(ValueCol).as("lv"), lit(null).cast(rvType).as("rv"),
-      unix_micros(col(TsCol)).as("tsus"))
-    val rcT = rc.select(col(KeyCol).as("k"), lit(1).as("side"),
-      lit(null).cast(lvType).as("lv"), col(ValueCol).as("rv"),
-      unix_micros(col(TsCol)).as("tsus"))
-    val union = lcT.unionByName(rcT)
+    // tagged union of all changelogs: (k, side, v0..v{n-1}, tsus) — only
+    // column `side` is non-null per record
+    val union = leaves.zipWithIndex.map { case (c, i) =>
+      c.select(Seq(col(KeyCol).as("k"), lit(i).as("side")) ++
+        vTypes.zipWithIndex.map { case (t, j) =>
+          (if (j == i) col(ValueCol) else lit(null).cast(t)).as(s"v$j")
+        } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*)
+    }.reduceLeft(_ unionByName _)
 
+    // left-deep nesting: acc type after stage i
+    val accTypes: Seq[DataType] = vTypes.tail.scanLeft(vTypes.head) { (acc, leaf) =>
+      StructType(Seq(StructField("v1", acc), StructField("v2", leaf)))
+    }
     val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
-    val stateEnc = Encoders.row(StructType(Seq(
-      StructField("lv", lvType), StructField("lts", LongType),
-      StructField("rv", rvType), StructField("rts", LongType))))
-    val leftFieldSchema: Seq[StructField] =
-      if (l.nFields == 0) Seq(StructField("v1", lvType))
-      else lvType.asInstanceOf[StructType].fields.toSeq
-    val valueSchema = StructType(leftFieldSchema :+ StructField(s"v${nL + 1}", rvType))
+    val stateEnc = Encoders.row(StructType(
+      vTypes.zipWithIndex.map { case (t, i) => StructField(s"v$i", t) } ++
+        (0 until n).map(i => StructField(s"t$i", LongType))))
     val outEnc = Encoders.row(StructType(Seq(
-      StructField("k", keyType), StructField("value", valueSchema),
+      StructField("k", keyType), StructField("value", accTypes.last),
       StructField("tsus", LongType))))
 
-    val nLefts = l.nFields // capture primitives, not the Built, in the closure
+    val joinTags: Array[Int] = joins.map {
+      case JoinType.Inner => 0
+      case JoinType.Left  => 1
+      case _              => 2
+    }.toArray
+    val nn = n // capture primitives in the closure, not the chain
     val joined = union
       .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
       .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
-          var (lv, lts, rv, rts): (Any, Long, Any, Long) = state.getOption match {
-            case Some(s) => (s.get(0), s.getLong(1), s.get(2), s.getLong(3))
-            case None    => (null, Long.MinValue, null, Long.MinValue)
+          val vs = new Array[Any](nn)
+          val ts = Array.fill(nn)(Long.MinValue)
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < nn) { vs(i) = s.get(i); ts(i) = s.getLong(nn + i); i += 1 }
           }
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          // ts order within the batch; right updates after left at equal ts
-          records.toSeq.sortBy(rec => (rec.getLong(4), rec.getInt(1))).foreach { rec =>
-            val ts = rec.getLong(4)
-            if (rec.getInt(1) == 0) { if (ts >= lts) { lv = rec.get(2); lts = ts } }
-            else { if (ts >= rts) { rv = rec.get(3); rts = ts } }
-            val emit = jt match {
-              case JoinType.Inner => lv != null && rv != null
-              case JoinType.Left  => lv != null
-              case _              => true
+          // ts order within the batch; later sides after earlier at equal ts
+          records.toSeq.sortBy(rec => (rec.getLong(nn + 2), rec.getInt(1))).foreach { rec =>
+            val side = rec.getInt(1)
+            val t = rec.getLong(nn + 2)
+            if (t >= ts(side)) { vs(side) = rec.get(2 + side); ts(side) = t }
+            // fold the chain left-deep
+            var accPresent = vs(0) != null
+            var accVal: Any = vs(0)
+            var accTs = if (accPresent) ts(0) else Long.MinValue
+            var i = 1
+            while (i < nn) {
+              val leafPresent = vs(i) != null
+              val newPresent = joinTags(i - 1) match {
+                case 0 => accPresent && leafPresent
+                case 1 => accPresent
+                case _ => accPresent || leafPresent
+              }
+              accVal = Row(if (accPresent) accVal else null, vs(i))
+              accTs = math.max(if (accPresent) accTs else Long.MinValue,
+                if (leafPresent) ts(i) else Long.MinValue)
+              accPresent = newPresent
+              i += 1
             }
-            if (emit) {
-              val leftVals: Seq[Any] =
-                if (nLefts == 0) Seq(lv)
-                else (0 until nLefts).map(i =>
-                  if (lv == null) null else lv.asInstanceOf[Row].get(i))
-              out += Row(key.get(0), Row.fromSeq(leftVals :+ rv), math.max(lts, rts))
-            }
+            if (accPresent) out += Row(key.get(0), accVal, accTs)
           }
-          state.update(Row(lv, lts, rv, rts))
+          state.update(Row(vs.toIndexedSeq ++ ts.map(Long.box).toIndexedSeq: _*))
           out.iterator
       }(stateEnc, outEnc)
 
     Built(joined.toDF().select(
       col("k").as(KeyCol), col("value").as(ValueCol),
-      timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, nL + 1)
+      timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, 2,
+      tableChain = Some(chain))
   }
 
   /** KTable chain: group-by → window → aggregate (→ suppress via the
@@ -370,11 +418,17 @@ object StreamCompiler {
     // a table over a static feed keeps its update history so downstream
     // stream–static as-of joins can build validity intervals; a PLAIN
     // table over a streaming feed keeps its update stream so downstream
-    // table–table joins can run as co-grouped state (tableTableState)
+    // table–table joins can run as co-grouped state (tableChainState).
+    // A plain UN-REKEYED table additionally propagates its parent's join
+    // chain, so chained KTable joins extend one flat state op instead of
+    // nesting stateful operators (which Spark rejects); a re-key breaks
+    // the chain (the leaves' keys no longer match) and falls back to the
+    // table's own changelog.
     val plain = t.window.isEmpty && t.aggregate.isEmpty
     val staticLog = if (!rekeyed.isStreaming && plain) Some(rekeyed) else None
     val streamLog = if (rekeyed.isStreaming && plain) Some(rekeyed) else None
     Built(finished, Kind.Table, staticChangelog = staticLog,
-      streamChangelog = streamLog)
+      streamChangelog = streamLog,
+      tableChain = if (plain && t.groupBy.isEmpty) in.tableChain else None)
   }
 }

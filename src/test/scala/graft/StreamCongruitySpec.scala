@@ -265,6 +265,41 @@ class StreamCongruitySpec extends AnyFunSuite {
     }
   }
 
+  test("congruity: CHAINED table-table joins (3 live KTables) match batch") {
+    // willa's model: the intermediate join result is itself a declared
+    // KTable, so its changelog feeds the next table-table join
+    val aRows = Seq(("k", 1, 100L), ("k", 9, 300L), ("j", 4, 50L))
+    val bRows = Seq(("k", 7, 150L), ("j", 2, 75L))
+    val cRows = Seq(("k", 5, 120L), ("k", 6, 400L), ("z", 3, 10L))
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "c" -> "tc",
+        "ta" -> "j1", "tb" -> "j1", "j1" -> "j2", "tc" -> "j2", "j2" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"), "c" -> Entity.Topic("c"),
+        "ta" -> Entity.KTable(), "tb" -> Entity.KTable(), "tc" -> Entity.KTable(),
+        "j1" -> Entity.KTable(), "j2" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner),
+        Seq("j1", "tc") -> JoinConfig(JoinType.Left)))
+    val batch = BatchCompiler.run(topo, Map(
+      "a" -> records(aRows: _*), "b" -> records(bRows: _*),
+      "c" -> records(cRows: _*)))("j2")
+    val stream = runStreaming(topo,
+      Map("a" -> aRows, "b" -> bRows, "c" -> cRows), sink = "j2", mode = "update")
+    // j1 is a declared KTable, so j2's value nests: (v1 = j1's join
+    // struct, v2 = tc's value) — same shape from both compilers
+    val cols = Seq("key", "value.v1.v1", "value.v1.v2", "value.v2")
+    def canonBatch(df: DataFrame) = df.select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    def canonStream(df: DataFrame) = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canonStream(stream) == canonBatch(batch))
+    assert(canonBatch(batch).nonEmpty)
+  }
+
   test("streaming table-table join over aggregated tables errors loudly") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
