@@ -64,6 +64,21 @@ object Sources {
     writeParquetTopic(sized, s"$basePath/${topic.name}", topic.partitionBy)
   }
 
+  /** Write every SINK topic of a compiled topology to the parquet
+    * transport, honoring each topic's admin config ([[writeTopic]]):
+    * the batch analogue of the reference's "run the app, outputs land in
+    * the output topics" contract. `results` is the compiler's output map
+    * (node id → DataFrame); sinks are the Topic nodes with parents. */
+  def writeSinks(topology: graft.dsl.Topology,
+      results: Map[String, DataFrame], baseDir: String): Unit = {
+    val preds = topology.predecessors
+    topology.entities.foreach {
+      case (id, t: graft.dsl.Entity.Topic) if preds.getOrElse(id, Nil).nonEmpty =>
+        writeTopic(results(id), baseDir, t)
+      case _ => ()
+    }
+  }
+
   /** Write a DataFrame as a BUCKETED parquet table: rows are hash-split
     * on `bucketCols` into `nBuckets` files per write task, and the bucket
     * spec is recorded in the catalog. Two tables bucketed the same way

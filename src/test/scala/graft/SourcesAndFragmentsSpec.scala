@@ -82,6 +82,27 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Admin.topicSpecs(conflict))
   }
 
+  test("writeSinks lands every sink topic with its admin config") {
+    val dir = Files.createTempDirectory("graft-sinks").toString
+    val topo = Topology(
+      Seq("in" -> "s", "s" -> "out1", "s" -> "out2"),
+      Map("in" -> Entity.Topic("in"),
+        "s" -> Entity.KStream(Some(Xform.MapValue(col("value") * 2))),
+        "out1" -> Entity.Topic("t_out1", partitionCount = Some(2)),
+        "out2" -> Entity.Topic("t_out2")))
+    val results = BatchCompiler.run(topo,
+      Map("in" -> records((1 to 20).map(i => (s"k$i", i, i * 10L)): _*)))
+    Sources.writeSinks(topo, results, dir)
+    val files1 = new java.io.File(s"$dir/t_out1").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files1 == 2)
+    val back = Sources.parquetTopic(spark, s"$dir/t_out2",
+      col("key"), col("value"), col("ts"))
+    assert(back.count() == 20)
+    // the source topic (no parents) is not written
+    assert(!new java.io.File(s"$dir/in").exists())
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val dir = Files.createTempDirectory("graft-bucketed").toString
     val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
