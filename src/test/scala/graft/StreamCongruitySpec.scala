@@ -300,6 +300,26 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canonBatch(batch).nonEmpty)
   }
 
+  test("congruity: table-table join over two STATIC feeds (plan-time equi-join)") {
+    val aRows = records(("k", 1, 100L), ("k", 9, 300L), ("j", 4, 50L))
+    val bRows = records(("k", 7, 150L), ("x", 2, 75L))
+    for (jt <- Seq(JoinType.Inner, JoinType.Left, JoinType.Outer)) {
+      val topo = Topology(
+        Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+        Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+          "ta" -> Entity.KTable(), "tb" -> Entity.KTable(),
+          "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+        Map(Seq("ta", "tb") -> JoinConfig(jt)))
+      val batch = BatchCompiler.run(topo, Map("a" -> aRows, "b" -> bRows))("jn")
+      // both feeds static → the stream compiler's plan-time equi-join arm
+      val dfs = StreamCompiler.run(topo, Map.empty,
+        statics = Map("a" -> aRows, "b" -> bRows))
+      def canon(df: DataFrame) = df.select("key", "value.v1", "value.v2")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(canon(dfs("jn")) == canon(batch), s"join type $jt")
+    }
+  }
+
   test("streaming table-table join over aggregated tables errors loudly") {
     implicit val sql = spark.sqlContext
     val topo = Topology(

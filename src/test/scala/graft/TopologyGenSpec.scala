@@ -103,6 +103,70 @@ class TopologyGenSpec extends AnyFunSuite {
     }
   }
 
+  test("random table-join chains are batch/streaming congruent") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val jts = Seq(JoinType.Inner, JoinType.Left, JoinType.Outer)
+    var qn = 0
+    (1L to 12L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nTables = 2 + rnd.nextInt(2)
+      val joinTypes = Seq.fill(nTables - 1)(jts(rnd.nextInt(3)))
+      // ts disjoint ACROSS topics too: equal-ts updates on different
+      // leaves would make "last emission per key" ambiguous
+      def rowsFor(ti: Int) = sample(genRecords, seed * 131 + ti)
+        .map { case (k, v, t) => (k, v, t * 4 + ti) }
+      val topicIds = (0 until nTables).map(i => s"in$i")
+      val tableIds = (0 until nTables).map(i => s"tb$i")
+      val joinIds = (1 until nTables).map(i => s"j$i")
+      val edges =
+        topicIds.zip(tableIds) ++
+          Seq(tableIds(0) -> joinIds(0), tableIds(1) -> joinIds(0)) ++
+          (2 until nTables).map(i => tableIds(i) -> joinIds(i - 1)) ++
+          (1 until nTables - 1).map(i => joinIds(i - 1) -> joinIds(i)) ++
+          Seq(joinIds.last -> "out")
+      val entities: Map[String, Entity] =
+        topicIds.map(id => id -> (Entity.Topic(id): Entity)).toMap ++
+          tableIds.map(id => id -> (Entity.KTable(): Entity)).toMap ++
+          joinIds.init.map(id => id -> (Entity.KTable(): Entity)).toMap +
+          (joinIds.last -> (Entity.KStream(): Entity)) +
+          ("out" -> (Entity.Topic("out"): Entity))
+      val joins =
+        Map(Seq(tableIds(0), tableIds(1)) -> JoinConfig(joinTypes(0))) ++
+          (2 until nTables).map(i =>
+            Seq(joinIds(i - 2), tableIds(i)) -> JoinConfig(joinTypes(i - 1))).toMap
+      val topo = Topology(edges, entities, joins)
+      assert(topo.validate().isEmpty, s"seed $seed: ${topo.validate()}")
+      val inputs = topicIds.zipWithIndex.map { case (id, i) => id -> rowsFor(i) }.toMap
+      val batch = BatchCompiler.run(topo,
+        inputs.map { case (k, v) => k -> records(v: _*) })(joinIds.last)
+      val streams = inputs.map { case (id, rows) =>
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int, Long)]
+        ms.addData(rows)
+        id -> ms.toDF().toDF("key", "value", "__ms")
+          .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+      }
+      val dfs = graft.stream.StreamCompiler.run(topo, streams)
+      qn += 1
+      val name = s"gen_join_congruity_$qn"
+      val q = dfs(joinIds.last).writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try { q.processAllAvailable() } finally q.stop()
+      def canonBatch(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("key"), col("value").cast("string"))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val got = spark.table(name)
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key")).orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("key"), col("value").cast("string"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(got == canonBatch(batch),
+        s"seed $seed ($nTables tables, $joinTypes): $got != ${canonBatch(batch)}")
+    }
+  }
+
   test("invalid topologies are rejected") {
     // cycle
     assert(Topology(Seq("a" -> "b", "b" -> "a"),
