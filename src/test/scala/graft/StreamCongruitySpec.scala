@@ -300,6 +300,49 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canonBatch(batch).nonEmpty)
   }
 
+  test("chained table join keeps state across micro-batches") {
+    // updates arrive in THREE micro-batches — the chain's per-leaf state
+    // must round-trip through the state store (Encoders.row schema), not
+    // just fold within one batch
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "c" -> "tc",
+        "ta" -> "j1", "tb" -> "j1", "j1" -> "j2", "tc" -> "j2", "j2" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"), "c" -> Entity.Topic("c"),
+        "ta" -> Entity.KTable(), "tb" -> Entity.KTable(), "tc" -> Entity.KTable(),
+        "j1" -> Entity.KTable(), "j2" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner),
+        Seq("j1", "tc") -> JoinConfig(JoinType.Left)))
+    val srcs = Seq("a", "b", "c").map { id =>
+      id -> MemoryStream[(String, Int, Long)]
+    }.toMap
+    val streams = srcs.map { case (id, ms) =>
+      id -> ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    }
+    val dfs = StreamCompiler.run(topo, streams)
+    val q = dfs("j2").writeStream.format("memory").queryName("chain_batches")
+      .outputMode("update").start()
+    try {
+      srcs("a").addData(Seq(("k", 1, 100L))); q.processAllAvailable()
+      srcs("b").addData(Seq(("k", 7, 150L))); q.processAllAvailable()
+      srcs("c").addData(Seq(("k", 5, 120L), ("j", 3, 10L))); q.processAllAvailable()
+      srcs("a").addData(Seq(("k", 9, 300L))); q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("chain_batches")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1)
+      .select("key", "value.v1.v1", "value.v1.v2", "value.v2")
+      .collect().map(r => r.getString(0) ->
+        (r.get(1), r.get(2), r.get(3))).toMap
+    // k: a=9 (updated in batch 4), b=7, c=5 — all three joined
+    assert(last == Map("k" -> ((9, 7, 5))))
+    // j only has a c-update: inner (a ⋈ b) absent → left side absent → no row
+    assert(!last.contains("j"))
+  }
+
   test("congruity: table-table join over two STATIC feeds (plan-time equi-join)") {
     val aRows = records(("k", 1, 100L), ("k", 9, 300L), ("j", 4, 50L))
     val bRows = records(("k", 7, 150L), ("x", 2, 75L))
