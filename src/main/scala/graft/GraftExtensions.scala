@@ -4,22 +4,44 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, FoldHash, MinHashSig, ShingleHashes, SimHash}
 
 /** Spark-native extension point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
   * works next to the Column API. Install with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * `SparkSession.builder.withExtensions(new GraftExtensions)`. */
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Registered: `cosine_sim(a, b)`, `fold_hash(text)`,
+  * `shingle_hashes(text, n)`, `simhash(text, bits)`,
+  * `minhash_sig(hashes, k)` — the size parameters must be integer
+  * literals (they shape the generated code, like `round`'s scale). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "cosine_sim takes exactly 2 arguments")
-        CosineSim(args(0), args(1))
-      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
-  }
+  private def intLit(e: Expression, fn: String): Int =
+    if (e.foldable) e.eval() match {
+      case n: Number => n.intValue()
+      case other => sys.error(s"$fn: expected an integer literal, got $other")
+    } else sys.error(s"$fn: size parameter must be a literal")
+
+  private def fn(name: String, arity: Int, build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[CosineSim].getName, name),
+    (args: Seq[Expression]) => {
+      require(args.length == arity, s"$name takes exactly $arity arguments")
+      build(args)
+    })
+
+  /** All registered functions; exposed so tests (and sessions built
+    * before the extension was installed) can register the same set. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
+    fn("cosine_sim", 2, a => CosineSim(a(0), a(1))),
+    fn("fold_hash", 1, a => FoldHash(a(0))),
+    fn("shingle_hashes", 2, a => ShingleHashes(a(0), intLit(a(1), "shingle_hashes"))),
+    fn("simhash", 2, a => SimHash(a(0), intLit(a(1), "simhash"))),
+    fn("minhash_sig", 2, a => MinHashSig(a(0), intLit(a(1), "minhash_sig"))))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
 }

@@ -133,24 +133,34 @@ class CosineSimSpec extends AnyFunSuite {
     assert(canon(heap) == canon(window))
   }
 
-  test("cosine_sim is callable from SQL via GraftExtensions") {
+  test("all graft functions are callable from SQL via GraftExtensions") {
+    val exts = new GraftExtensions
     // the extension applies cleanly to a fresh extensions container
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    // inject into the live session's registry the same way the extension does
+    exts.apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // inject into the live session's registry the same set the extension does
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[graft.functions.CosineSim].getName, "cosine_sim"),
-        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.CosineSim(args(0), args(1)))
+    exts.functions.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
     vecs.createOrReplaceTempView("vecs_sql")
     val out = spark.sql(
       """SELECT a.id, round(cosine_sim(a.v, a.v), 6) AS c FROM vecs_sql a""")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out.values.forall(_ == 1.0))
+    import spark.implicits._
+    Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+      .createOrReplaceTempView("docs_sql")
+    val text = spark.sql(
+      """SELECT id, fold_hash(text) AS fh, simhash(text, 32) AS sh,
+        |  shingle_hashes(text, 2) AS shs,
+        |  minhash_sig(shingle_hashes(text, 2), 4) AS sig
+        |FROM docs_sql""".stripMargin).collect()
+    assert(text.length == 2)
+    assert(text.forall(r => r.getSeq[Long](4).length == 4))
+    // non-literal size parameter is rejected at analysis
+    val err = intercept[Exception](
+      spark.sql("SELECT simhash(text, id) FROM docs_sql").collect())
+    assert(err.getMessage.contains("literal"))
   }
 
   test("null inputs yield null") {
