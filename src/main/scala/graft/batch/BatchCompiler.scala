@@ -191,6 +191,18 @@ object BatchCompiler {
         Kind.Global, parents.head.nFields)
   }
 
+  /** FoldAgg's runaway-hot-key guard: a buffered fold group over
+    * `maxGroup` rows raises a clear error (with the group size) at
+    * execution instead of silently OOM-ing the executor that drew the
+    * hot key. No-op when unset. */
+  private def guardFoldGroup(pairs: Column, maxGroup: Option[Long]): Column =
+    maxGroup.fold(pairs)(m =>
+      when(size(pairs) <= m, pairs).otherwise(raise_error(concat(
+        lit(s"FoldAgg group exceeds maxGroup=$m rows (got "),
+        size(pairs).cast("string"),
+        lit(") — a hot key at this cardinality needs an associative ExprAgg " +
+          "or a pre-aggregation, not a buffered fold")))))
+
   /** Does this xform leave the `value` column untouched? (Filter and
     * MapKey never rewrite `value`, so a join-struct survives them.) */
   private def preservesValue(x: Xform): Boolean = x match {
@@ -351,11 +363,13 @@ object BatchCompiler {
         val gcols = Seq(col(KeyCol)) ++ winCols
         finishWindowed(grouped.groupBy(gcols: _*)
           .agg(e.as(ValueCol), max(col(TsCol)).as(TsCol)))
-      case Some(AggSpec.FoldAgg(init, adder, _)) =>
+      case Some(f: AggSpec.FoldAgg) =>
         val gcols = Seq(KeyCol) ++ (if (winCols.nonEmpty) Seq("__w") else Nil)
-        val pairs = sort_array(collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v"))))
+        val pairs = guardFoldGroup(
+          sort_array(collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v")))),
+          f.maxGroup)
         finishWindowed(grouped.groupBy(gcols.map(col): _*)
-          .agg(aggregate(pairs, init, (acc, p) => adder(acc, p("v"))).as(ValueCol),
+          .agg(aggregate(pairs, f.init, (acc, p) => f.adder(acc, p("v"))).as(ValueCol),
             max(col(TsCol)).as(TsCol)))
     }
     // suppression (#20) is a no-op in batch: results are already final.
@@ -377,16 +391,17 @@ object BatchCompiler {
           // (runningAggregateExpr); a bare Column.over would reject it.
           Some(() => Keyed.runningAggregateExpr(
             rekeyed, Seq(KeyCol), Seq(col(TsCol)), e, ValueCol))
-        case Some(AggSpec.FoldAgg(init, adder, _)) =>
+        case Some(f: AggSpec.FoldAgg) =>
           Some(() => {
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col(KeyCol)).orderBy(col(TsCol))
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                 org.apache.spark.sql.expressions.Window.currentRow)
-            val pairs = sort_array(
-              collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v"))).over(w))
+            val pairs = guardFoldGroup(sort_array(
+              collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v"))).over(w)),
+              f.maxGroup)
             rekeyed.withColumn(ValueCol,
-              aggregate(pairs, init, (acc, p) => adder(acc, p("v"))))
+              aggregate(pairs, f.init, (acc, p) => f.adder(acc, p("v"))))
           })
       }
     Built(result, Kind.Table, 0, changelog = changelog)

@@ -156,11 +156,18 @@ object AggSpec {
     * API parity with willa's `::aggregate-subtractor-fn`). Batch recomputes
     * groups from scratch, so it is accepted but never invoked here; the
     * streaming path applies it via
-    * [[graft.stream.Streamed.aggregateWithSubtractor]]. */
+    * [[graft.stream.Streamed.aggregateWithSubtractor]].
+    *
+    * `maxGroup`: the fold buffers each key's whole history in one
+    * `collect_list` — fine for table-state cardinality, fatal for a
+    * runaway hot key at scale. When set, a group over the bound fails
+    * fast with the offending key in the message instead of taking the
+    * executor down with it. */
   final case class FoldAgg(
       init: Column,
       adder: (Column, Column) => Column,
-      subtractor: Option[(Column, Column) => Column] = None) extends AggSpec
+      subtractor: Option[(Column, Column) => Column] = None,
+      maxGroup: Option[Long] = None) extends AggSpec
 }
 
 /** Entity types (willa `core.clj:11-12` dispatch). */

@@ -80,6 +80,26 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Map(10 -> ((1L, 1L, 1.0)), 20 -> ((4L, 2L, 2.0)), 30 -> null))
   }
 
+  test("FoldAgg maxGroup fails fast on a hot key instead of buffering it") {
+    def topo(maxGroup: Option[Long]) = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate = Some(AggSpec.FoldAgg(
+          lit(0), (acc, v) => acc + v, maxGroup = maxGroup))),
+        "out" -> Entity.Topic("out")))
+    val rows = records(("k", 1, 100L), ("k", 2, 200L), ("k", 3, 300L), ("j", 5, 50L))
+    // bound above the hot key: normal fold
+    val ok = BatchCompiler.run(topo(Some(10L)), Map("in" -> rows))("out")
+      .select("key", "value").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ok == Map("k" -> 6, "j" -> 5))
+    // bound below: the error names the bound and observed size
+    val err = intercept[Exception] {
+      BatchCompiler.run(topo(Some(2L)), Map("in" -> rows))("out").collect()
+    }
+    assert(err.getMessage.contains("maxGroup=2") || Option(err.getCause)
+      .exists(_.getMessage.contains("maxGroup=2")), s"got: ${err.getMessage}")
+  }
+
   test("DSL asOfBucketMs routes through the bucketed as-of") {
     def topo(bucket: Option[Long]) = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
