@@ -553,8 +553,11 @@ object SparkEntry {
       workflow = Seq("events" -> "folded", "folded" -> "out"),
       entities = Map(
         "events" -> Entity.Topic("events"),
+        // maxGroup: per-user event counts are bounded; a hot key past
+        // this is a data bug — fail fast, don't buffer it (no-op on
+        // healthy data, so the oracle is unaffected)
         "folded" -> Entity.KTable(aggregate = Some(AggSpec.FoldAgg(
-          lit(0L), (acc, v) => (acc * 31L + v) % p))),
+          lit(0L), (acc, v) => (acc * 31L + v) % p, maxGroup = Some(1000000L)))),
         "out" -> Entity.Topic("out")))
     run1(topo, Map("events" -> ev), "out").select(
       col(KeyCol).as("user_id"), col(ValueCol).as("fold_hash"))
