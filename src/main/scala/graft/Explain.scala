@@ -34,6 +34,17 @@ object Explain {
   /** Joins against a broadcast-worthy global/dimension table. */
   private val MustBroadcast = Seq("q02_join_global_inner", "q03_join_global_left")
 
+  /** Violations for one query's formatted physical plan (empty = clean).
+    * Exposed so the test suite runs the same gate as `--check`. */
+  def violations(name: String, plan: String): Seq[String] = Seq(
+    Option.when(plan.contains("CartesianProduct"))(
+      "CartesianProduct (unconstrained all-pairs join)"),
+    Option.when(MustBroadcast.contains(name) && !plan.contains("BroadcastHashJoin"))(
+      "global-table join is not a BroadcastHashJoin"),
+    Option.when(CpuHeavy.contains(name) && !plan.contains("RoundRobinPartitioning"))(
+      "CPU-heavy query lost its scatter exchange (1-partition scan)")
+  ).flatten
+
   def main(args: Array[String]): Unit = {
     val check = args.headOption.contains("--check")
     val rest = if (check) args.drop(1) else args
@@ -53,15 +64,7 @@ object Explain {
 
     if (check) {
       val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
-        val p = plan(n)
-        val errs = Seq(
-          Option.when(p.contains("CartesianProduct"))(
-            "CartesianProduct (unconstrained all-pairs join)"),
-          Option.when(MustBroadcast.contains(n) && !p.contains("BroadcastHashJoin"))(
-            "global-table join is not a BroadcastHashJoin"),
-          Option.when(CpuHeavy.contains(n) && !p.contains("RoundRobinPartitioning"))(
-            "CPU-heavy query lost its scatter exchange (1-partition scan)")
-        ).flatten
+        val errs = violations(n, plan(n))
         errs.foreach(e => println(s"[plan-check] FAIL $n: $e"))
         if (errs.isEmpty) println(s"[plan-check] pass $n")
         errs.map(n -> _)

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression gate, wired into `sbt test` so a correct-but-wrong-
+  * at-scale plan shape fails the suite, not just the optional
+  * `Explain --check` run: no CartesianProduct anywhere, global-table
+  * joins must broadcast, CPU-heavy queries must keep their scatter
+  * exchange over the single-row-group testdata layout. Plans are built
+  * (never executed) at sf0.001, so this is analysis-only. */
+class PlanGateSpec extends AnyFunSuite {
+
+  import TestKit._
+
+  test("every query's physical plan passes the scale gate") {
+    val sfDir = "/root/testdata/sf0.001"
+    // events.parquet carries TIMESTAMP(NANOS) — readable only as long
+    // (the same conf Verify/Bench set at session build)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+        val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+        Explain.violations(n, plan).map(v => s"$n: $v")
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+  }
+}
