@@ -152,6 +152,52 @@ class TextExprSpec extends AnyFunSuite {
     assert(out(2L) == (true, true, true))
   }
 
+  test("fuzz: codegen text expressions match HOF twins on random unicode") {
+    import org.scalacheck.{Gen, rng}
+    // words over ASCII, accented, CJK, and emoji (multi-byte UTF-8), plus
+    // empty words via explicit space runs — md5 runs over raw byte spans,
+    // so multi-byte boundaries are exactly where a slicing bug would hide
+    val word = Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaNumChar),
+      Gen.oneOf("é", "ß", "ñé", "测试", "日本語", "🙂", "a🙂b", ""),
+      Gen.oneOf("ж", "жж", "א", "بب"))
+    val text = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    def sample(seed: Long): String =
+      text.apply(Gen.Parameters.default, rng.Seed(seed)).getOrElse("")
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, sample(i))).toDF("doc_id", "text")
+    def shinglesOld(t: Column, n: Int): Column =
+      transform(Dedup.wordShingles(t, n), s => Dedup.hash60(s))
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fpN"),
+      fingerprintOld(col("text")).as("fpO"),
+      graft.functions.ShingleHashesFn(col("text"), 3).as("shN"),
+      shinglesOld(col("text"), 3).as("shO"),
+      graft.functions.SimHashFn(col("text"), 32).as("smN")).collect()
+    // simhash old form needs the explode+agg; join it back
+    val old = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("__w"))
+      .withColumn("__h", conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long"))
+      .groupBy("doc_id")
+      .agg((0 until 32).map(j =>
+        sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"s$j")).head,
+        (0 until 32).map(j =>
+          sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"s$j")).tail: _*)
+      .select(col("doc_id"), (0 until 32).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)): Column)
+        .reduce(_ + _).as("smO"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == r.getLong(2), s"fingerprint mismatch doc $id")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"shingles mismatch doc $id")
+      assert(r.getLong(5) == old(id), s"simhash mismatch doc $id")
+    }
+  }
+
   test("expressions survive the interpreted (non-codegen) path too") {
     val noCodegen = docs.repartition(1)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
