@@ -427,6 +427,42 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch) == Seq(Seq("k", 1, 2), Seq("k", 3, null)))
   }
 
+  test("congruity: windowed stream-stream OUTER join (null pad both sides)") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("a" -> "j", "b" -> "j", "j" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("a", "b") -> JoinConfig(JoinType.Outer, Some(JoinWindow.of(100L)))))
+    // k@1000 unmatched on the left, x@2000 unmatched on the right —
+    // outer pads BOTH directions on watermark close
+    val aRows = Seq(("k", 1, 100L), ("k", 3, 1000L))
+    val bRows = Seq(("k", 2, 150L), ("x", 9, 2000L))
+    val batch = BatchCompiler.run(topo,
+      Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("out")
+    val msA = MemoryStream[(String, Int, Long)]
+    val msB = MemoryStream[(String, Int, Long)]
+    def rec(ms: MemoryStream[(String, Int, Long)]) =
+      ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("a" -> rec(msA), "b" -> rec(msB)),
+      watermarkMs = Some(0L))
+    val q = dfs("out").writeStream.format("memory").queryName("ssouter")
+      .outputMode("append").start()
+    try {
+      msA.addData(aRows); msB.addData(bRows)
+      q.processAllAvailable()
+      msA.addData(("z", 0, 100000L)); msB.addData(("z", 0, 100000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: DataFrame) = df.filter(col("key") =!= "z")
+      .select("key", "value.v1", "value.v2")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(spark.table("ssouter")) == canon(batch))
+    assert(canon(batch) ==
+      Seq(Seq("k", 1, 2), Seq("k", 3, null), Seq("x", null, 9)))
+  }
+
   test("stateful as-of join sees latest table value at event time") {
     implicit val sql = spark.sqlContext
     val ml = MemoryStream[Rec[String, Int]]
