@@ -463,6 +463,80 @@ class StreamCongruitySpec extends AnyFunSuite {
       Seq(Seq("k", 1, 2), Seq("k", 3, null), Seq("x", null, 9)))
   }
 
+  test("congruity: 3-way windowed stream-stream inner join (chained interval joins)") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("a" -> "j", "b" -> "j", "c" -> "j", "j" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "c" -> Entity.Topic("c"),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("a", "b", "c") -> JoinConfig(JoinType.Inner, Some(JoinWindow.of(100L)))))
+    val aRows = Seq(("k", 1, 100L), ("k", 4, 1000L), ("m", 6, 500L))
+    val bRows = Seq(("k", 2, 150L), ("m", 7, 560L))
+    val cRows = Seq(("k", 3, 120L), ("k", 5, 1050L))
+    val batch = BatchCompiler.run(topo, Map(
+      "a" -> records(aRows: _*), "b" -> records(bRows: _*),
+      "c" -> records(cRows: _*)))("out")
+    val srcs = Seq("a" -> aRows, "b" -> bRows, "c" -> cRows).map {
+      case (id, rows) =>
+        val ms = MemoryStream[(String, Int, Long)]
+        ms.addData(rows)
+        id -> ms.toDF().toDF("key", "value", "__ms")
+          .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    }.toMap
+    val dfs = StreamCompiler.run(topo, srcs, watermarkMs = Some(0L))
+    val q = dfs("out").writeStream.format("memory").queryName("ss3way")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: DataFrame) = df.select("key", "value.v1", "value.v2", "value.v3")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(spark.table("ss3way")) == canon(batch))
+    // k@100 matches b@150 (within 100ms? |100-150|=50 ok) and c@120;
+    // k@1000 matches c@1050 but no b within window → inner drops it;
+    // m@500 matches b@560 but no c → dropped
+    assert(canon(batch) == Seq(Seq("k", 1, 2, 3)))
+  }
+
+  test("congruity: 3-way windowed stream-stream LEFT join chain (padded rows flow on)") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("a" -> "j", "b" -> "j", "c" -> "j", "j" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "c" -> Entity.Topic("c"),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("a", "b", "c") -> JoinConfig(JoinType.Left, Some(JoinWindow.of(100L)))))
+    // k@1000: no b within window (padded v2=null) but c@1050 matches —
+    // the null-padded intermediate row must still join the third stream
+    val aRows = Seq(("k", 1, 100L), ("k", 4, 1000L))
+    val bRows = Seq(("k", 2, 150L))
+    val cRows = Seq(("k", 3, 120L), ("k", 5, 1050L))
+    val batch = BatchCompiler.run(topo, Map(
+      "a" -> records(aRows: _*), "b" -> records(bRows: _*),
+      "c" -> records(cRows: _*)))("out")
+    val srcs = Seq("a", "b", "c").map(id => id -> MemoryStream[(String, Int, Long)]).toMap
+    def rec(ms: MemoryStream[(String, Int, Long)]) =
+      ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo,
+      srcs.map { case (id, ms) => id -> rec(ms) }, watermarkMs = Some(0L))
+    val q = dfs("out").writeStream.format("memory").queryName("ss3left")
+      .outputMode("append").start()
+    try {
+      srcs("a").addData(aRows); srcs("b").addData(bRows); srcs("c").addData(cRows)
+      q.processAllAvailable()
+      // sentinels close all join buffers so padded rows emit
+      Seq("a", "b", "c").foreach(id => srcs(id).addData(("z", 0, 100000L)))
+      q.processAllAvailable()
+      Seq("a", "b", "c").foreach(id => srcs(id).addData(("z", 0, 200000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: DataFrame) = df.filter(col("key") === "k")
+      .select("key", "value.v1", "value.v2", "value.v3")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(spark.table("ss3left")) == canon(batch))
+    assert(canon(batch) == Seq(Seq("k", 1, 2, 3), Seq("k", 4, null, 5)))
+  }
+
   test("stateful as-of join sees latest table value at event time") {
     implicit val sql = spark.sqlContext
     val ml = MemoryStream[Rec[String, Int]]
