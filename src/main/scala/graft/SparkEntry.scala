@@ -456,6 +456,13 @@ object SparkEntry {
       probeHamming = 1)
   }
 
+  private def qDedupNormalized(s: SparkSession, dir: String): DataFrame =
+    // full canonical mapping (onlyDups = false): the testdata has no
+    // normalized duplicates at small SF, and the mapping is what a
+    // pipeline persists and anti-joins against anyway
+    Dedup.exactNormalized(cpuTable(s, dir, "documents"), "doc_id", col("text"),
+      onlyDups = false)
+
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = cpuTable(s, dir, "embeddings")
     // centroids are a model parameter (production: offline k-means); the
@@ -597,6 +604,7 @@ object SparkEntry {
     "q27_sim_lsh" -> (qSimLsh _),
     "q28_cosine_neardup" -> (qCosineNearDup _),
     "q37_sim_ivf" -> (qSimIvf _),
+    "q38_dedup_normalized" -> (qDedupNormalized _),
     "q29_text_quality" -> (qTextQuality _),
     "q30_text_langid" -> (qLangId _),
     "q31_token_count" -> (qTokenCount _),
@@ -892,6 +900,15 @@ object SparkEntry {
         |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))), 6) AS cos
         | FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
         |WHERE cos >= 0.9""".stripMargin,
+
+    "q38_dedup_normalized" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),
+        |       ' +', ' ', 'g')) AS norm
+        | FROM documents)
+        |SELECT CAST(('0x'||substr(md5(norm),1,15)) AS BIGINT) AS norm_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM n GROUP BY 1""".stripMargin,
 
     "q37_sim_ivf" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

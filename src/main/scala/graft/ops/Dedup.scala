@@ -29,6 +29,32 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).distinct()
 
+  /** Canonical text normalization for exact-after-normalization dedup
+    * (the standard training-data "exact-norm" family): strip every
+    * non-ASCII-alphanumeric to a space FIRST (so no engine-specific
+    * unicode lowercasing is ever involved), then lowercase, collapse
+    * space runs, and trim. Pure ASCII ops — byte-identical across
+    * engines, so the oracle mirrors it directly. */
+  def normalizeText(t: Column): Column =
+    trim(regexp_replace(
+      lower(regexp_replace(t, "[^A-Za-z0-9 ]", " ")), " +", " "))
+
+  /** Exact dedup after normalization: groups documents whose normalized
+    * text collides (60-bit hash of [[normalizeText]]), keeping the lowest
+    * id as the canonical representative and the group size. With
+    * `onlyDups` the output is the (small) duplicate report; without, the
+    * full canonical mapping — the table a pipeline persists and
+    * anti-joins against to drop duplicates. One hash aggregate; partial
+    * aggregation shrinks the shuffle. */
+  def exactNormalized(df: DataFrame, idCol: String, text: Column,
+      onlyDups: Boolean = true): DataFrame = {
+    val groups = df
+      .select(col(idCol), hash60(normalizeText(text)).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+    if (onlyDups) groups.filter(col("n_dups") > 1) else groups
+  }
+
   /** Dedup-by-id keeping the record that is maximal under the total
     * lexicographic order of `payloadCols` (deterministic even when ids
     * collide with different payloads — the reference's keep-"latest" with

@@ -46,6 +46,23 @@ class DedupCapSpec extends AnyFunSuite {
     assert(pairs.agg(min(col("a"))).as[Long].head() >= 200L)
   }
 
+  test("normalized exact dedup groups case/punct/whitespace variants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "an unrelated document"),
+      (5L, "¡Hello — world!")) // non-ASCII stripped before lowercasing
+      .toDF("doc_id", "text")
+    val dups = graft.ops.Dedup.exactNormalized(docs, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(dups.toSeq == Seq((1L, 4L))) // keep_id = 1, all four variants
+    val all = graft.ops.Dedup.exactNormalized(docs, "doc_id", col("text"),
+      onlyDups = false)
+    assert(all.count() == 2) // the dup group + the unrelated doc
+  }
+
   test("capBuckets is a no-op when maxBucket <= 0") {
     val docs = (0 until 50).map(i => (i.toLong, s"doc $i has words ${i % 3}"))
       .toDF("doc_id", "text")
