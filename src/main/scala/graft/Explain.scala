@@ -28,7 +28,8 @@ object Explain {
   private val CpuHeavy = Seq(
     "q23_dedup_ngram", "q24_dedup_minhash", "q25_dedup_simhash",
     "q26_sim_topk", "q27_sim_lsh", "q28_cosine_neardup", "q37_sim_ivf",
-    "q29_text_quality", "q30_text_langid", "q31_token_count", "q38_dedup_normalized",
+    "q29_text_quality", "q30_text_langid", "q31_token_count",
+    "q38_dedup_normalized", "q39_dedup_drop_normalized",
     "q32_fingerprint", "q33_json_props", "q34_multimodal")
 
   /** Joins against a broadcast-worthy global/dimension table. */

@@ -463,6 +463,10 @@ object SparkEntry {
     Dedup.exactNormalized(cpuTable(s, dir, "documents"), "doc_id", col("text"),
       onlyDups = false)
 
+  private def qDedupDropNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNormalizedDups(cpuTable(s, dir, "documents"), "doc_id", col("text"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = cpuTable(s, dir, "embeddings")
     // centroids are a model parameter (production: offline k-means); the
@@ -605,6 +609,7 @@ object SparkEntry {
     "q28_cosine_neardup" -> (qCosineNearDup _),
     "q37_sim_ivf" -> (qSimIvf _),
     "q38_dedup_normalized" -> (qDedupNormalized _),
+    "q39_dedup_drop_normalized" -> (qDedupDropNormalized _),
     "q29_text_quality" -> (qTextQuality _),
     "q30_text_langid" -> (qLangId _),
     "q31_token_count" -> (qTokenCount _),
@@ -909,6 +914,16 @@ object SparkEntry {
         |SELECT CAST(('0x'||substr(md5(norm),1,15)) AS BIGINT) AS norm_hash,
         | min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM n GROUP BY 1""".stripMargin,
+
+    "q39_dedup_drop_normalized" ->
+      """WITH n AS (SELECT doc_id, lang, n_chars,
+        |  trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),
+        |       ' +', ' ', 'g')) AS norm
+        | FROM documents)
+        |SELECT doc_id, lang, n_chars FROM (
+        | SELECT doc_id, lang, n_chars,
+        |  CAST(('0x'||substr(md5(norm),1,15)) AS BIGINT) AS nh FROM n)
+        |QUALIFY row_number() OVER (PARTITION BY nh ORDER BY doc_id) = 1""".stripMargin,
 
     "q37_sim_ivf" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

@@ -55,6 +55,17 @@ object Dedup {
     if (onlyDups) groups.filter(col("n_dups") > 1) else groups
   }
 
+  /** Keep exactly one document per normalized-text group — the lowest id,
+    * i.e. the `keep_id` of [[exactNormalized]]'s canonical mapping — and
+    * drop the rest: the consumer half of normalized dedup, applied as a
+    * LEFT SEMI join against the mapping (shuffle on the id, no payload
+    * duplication, survivors keep all their columns). */
+  def dropNormalizedDups(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val keep = exactNormalized(df, idCol, text, onlyDups = false)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Dedup-by-id keeping the record that is maximal under the total
     * lexicographic order of `payloadCols` (deterministic even when ids
     * collide with different payloads — the reference's keep-"latest" with

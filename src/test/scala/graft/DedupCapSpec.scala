@@ -61,6 +61,10 @@ class DedupCapSpec extends AnyFunSuite {
     val all = graft.ops.Dedup.exactNormalized(docs, "doc_id", col("text"),
       onlyDups = false)
     assert(all.count() == 2) // the dup group + the unrelated doc
+    // the consumer half: survivors are the lowest id per group, full rows
+    val kept = graft.ops.Dedup.dropNormalizedDups(docs, "doc_id", col("text"))
+      .select("doc_id", "text").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
   }
 
   test("capBuckets is a no-op when maxBucket <= 0") {
