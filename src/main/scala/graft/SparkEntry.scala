@@ -911,7 +911,7 @@ object SparkEntry {
         |  trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),
         |       ' +', ' ', 'g')) AS norm
         | FROM documents)
-        |SELECT CAST(('0x'||substr(md5(norm),1,15)) AS BIGINT) AS norm_hash,
+        |SELECT md5(norm) AS norm_key,
         | min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM n GROUP BY 1""".stripMargin,
 
@@ -921,8 +921,7 @@ object SparkEntry {
         |       ' +', ' ', 'g')) AS norm
         | FROM documents)
         |SELECT doc_id, lang, n_chars FROM (
-        | SELECT doc_id, lang, n_chars,
-        |  CAST(('0x'||substr(md5(norm),1,15)) AS BIGINT) AS nh FROM n)
+        | SELECT doc_id, lang, n_chars, md5(norm) AS nh FROM n)
         |QUALIFY row_number() OVER (PARTITION BY nh ORDER BY doc_id) = 1""".stripMargin,
 
     "q37_sim_ivf" ->

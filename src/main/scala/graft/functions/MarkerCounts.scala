@@ -26,9 +26,12 @@ object MarkerOps {
 
   private val Space = UTF8String.fromString(" ")
 
-  /** Non-overlapping occurrences of `m` in `s`, scanning left-to-right. */
+  /** Non-overlapping occurrences of `m` in `s`, scanning left-to-right.
+    * An empty marker counts 0 (indexOf("") returns its start position, so
+    * without the guard the scan position never advances). */
   def countIn(s: UTF8String, m: UTF8String): Long = {
     val mlen = m.numChars()
+    if (mlen == 0) return 0L
     var cnt = 0L
     var pos = 0
     var i = s.indexOf(m, pos)

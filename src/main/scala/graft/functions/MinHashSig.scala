@@ -47,19 +47,25 @@ object MinHashSigUtil {
 
   /** k-permutation signature; an empty array yields all-p (no shingle
     * beats the identity minimum — callers filter empty docs out first,
-    * matching the group-by form where such docs simply had no rows). */
+    * matching the group-by form where such docs simply had no rows).
+    * Null slots (reachable via the SQL-registered function with a
+    * nullable array<bigint>, never from [[ShingleHashes]] output) are
+    * skipped, matching what the explode+min group-by form did with
+    * null shingle hashes. */
   def sig(hashes: ArrayData, k: Int): ArrayData = {
     val out = new Array[Long](k)
     java.util.Arrays.fill(out, P)
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val hp = hashes.getLong(i) % P
-      var j = 0
-      while (j < k) {
-        val v = (hp * (2 * j + 1) + 12289L * (j + 1)) % P
-        if (v < out(j)) out(j) = v
-        j += 1
+      if (!hashes.isNullAt(i)) {
+        val hp = hashes.getLong(i) % P
+        var j = 0
+        while (j < k) {
+          val v = (hp * (2 * j + 1) + 12289L * (j + 1)) % P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
       }
       i += 1
     }

@@ -40,17 +40,20 @@ object Dedup {
       lower(regexp_replace(t, "[^A-Za-z0-9 ]", " ")), " +", " "))
 
   /** Exact dedup after normalization: groups documents whose normalized
-    * text collides (60-bit hash of [[normalizeText]]), keeping the lowest
-    * id as the canonical representative and the group size. With
-    * `onlyDups` the output is the (small) duplicate report; without, the
-    * full canonical mapping — the table a pipeline persists and
-    * anti-joins against to drop duplicates. One hash aggregate; partial
-    * aggregation shrinks the shuffle. */
+    * text collides (full 128-bit md5 of [[normalizeText]] — this operator
+    * is advertised as EXACT, and at corpus scale the 60-bit birthday
+    * bound ~n²/2⁶¹ would make a silent false merge probable; 128 bits
+    * keeps the shuffle key a fixed 32 bytes instead of the whole
+    * document), keeping the lowest id as the canonical representative and
+    * the group size. With `onlyDups` the output is the (small) duplicate
+    * report; without, the full canonical mapping — the table a pipeline
+    * persists and anti-joins against to drop duplicates. One hash
+    * aggregate; partial aggregation shrinks the shuffle. */
   def exactNormalized(df: DataFrame, idCol: String, text: Column,
       onlyDups: Boolean = true): DataFrame = {
     val groups = df
-      .select(col(idCol), hash60(normalizeText(text)).as("norm_hash"))
-      .groupBy(col("norm_hash"))
+      .select(col(idCol), md5(normalizeText(text)).as("norm_key"))
+      .groupBy(col("norm_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
     if (onlyDups) groups.filter(col("n_dups") > 1) else groups
   }
@@ -152,13 +155,25 @@ object Dedup {
     * callers handle the same way they handle `maxDf`: the cap is part of
     * the operator contract and is mirrored in oracles. Implemented as a
     * hash aggregate on the bucket key + semi-style equi-join — partial
-    * aggregation keeps the count shuffle small, no sorts. */
+    * aggregation keeps the count shuffle small, no sorts.
+    *
+    * The bucketed input feeds both the count aggregate and the join probe
+    * side, so it is persisted and eagerly materialized once (same
+    * rationale as [[ngramJaccardPairs]]' index cache: without it the
+    * upstream scan + bucket projection runs twice, and the two consumers
+    * race to compute the same partitions). Cached blocks live until the
+    * session ends or the caller clears the cache; size is one row per
+    * (input row, bucket key). */
   private def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame =
     if (maxBucket <= 0) df
-    else df.join(
-      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") <= maxBucket).drop("__bn"),
-      keys)
+    else {
+      val b = df.persist()
+      b.count()
+      b.join(
+        b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucket).drop("__bn"),
+        keys)
+    }
 
   /** LSH banding: candidate pairs are docs sharing at least one band of
     * `rowsPerBand` consecutive signature values. The join is *per band

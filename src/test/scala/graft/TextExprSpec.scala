@@ -217,4 +217,29 @@ class TextExprSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("empty marker counts zero instead of looping forever") {
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.MarkerOps.countIn(
+      UTF8String.fromString("any text"), UTF8String.fromString("")) == 0L)
+    // reachable through the public API: langScore with an empty marker
+    val out = docs.select(
+      TextAnalysis.langScore(col("text"), Seq("the", "")).as("s"),
+      TextAnalysis.langScore(col("text"), Seq("the")).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("minhash_sig skips null slots in a nullable array<bigint>") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val withNull = new GenericArrayData(Array[Any](7L, null, 11L))
+    val dense = new GenericArrayData(Array[Any](7L, 11L))
+    assert(graft.functions.MinHashSigUtil.sig(withNull, 4).toLongArray().toSeq ==
+      graft.functions.MinHashSigUtil.sig(dense, 4).toLongArray().toSeq)
+    // and through the SQL-registered function (nullable array literal)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array(7L, CAST(NULL AS BIGINT), 11L), 4) AS s," +
+        " minhash_sig(array(7L, 11L), 4) AS d").head()
+    assert(viaSql.getSeq[Long](0) == viaSql.getSeq[Long](1))
+  }
 }
