@@ -524,6 +524,41 @@ object SparkEntry {
         col("__feat").getItem(1).as("f1"))
   }
 
+  // ------------------------------------------------------------------ //
+  //  Scale-shape operators: skew salting, range join                    //
+  // ------------------------------------------------------------------ //
+
+  /** Skew-salted fact-to-dimension equi-join ([[Joins.salted]]): lineitem
+    * (probe) × orders (build) on the order key, spread over 8 salts, then
+    * aggregated per priority. Result identical to the plain join — the
+    * salt only changes row placement. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+    val ord = table(s, dir, "orders")
+      .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+    graft.ops.Joins.salted(li, ord, Seq("orderkey"), nSalts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Bucketed point-in-range join ([[Joins.rangeJoin]]): orders priced
+    * into $50k bands (a 12-row ranges table Spark would otherwise plan as
+    * BroadcastNestedLoop with a per-row range test). Prices as exact
+    * cents (round half-up matches DuckDB on IEEE doubles). */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bandW = 5000000L // $50k in cents
+    val bands = s.range(12).select(col("id").as("band_id"),
+      (col("id") * bandW).as("lo"), ((col("id") + 1) * bandW - 1).as("hi"))
+    val pts = table(s, dir, "orders").select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_totalprice"))
+    graft.ops.Joins.rangeJoin(pts, "cents", bands, "lo", "hi",
+      bucketWidth = 1000000L)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   /** End-to-end training-data pipeline as ONE topology: JSON props
     * extraction (MapValue) → quality filter → first-occurrence dedupe
     * (the spliced [[Fragments.dedupe]] fragment) per (user, event_type). */
@@ -616,6 +651,8 @@ object SparkEntry {
     "q32_fingerprint" -> (qFingerprint _),
     "q33_json_props" -> (qJson _),
     "q34_multimodal" -> (qMultimodal _),
+    "q40_salted_join" -> (qSaltedJoin _),
+    "q41_range_join" -> (qRangeJoin _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1011,5 +1048,24 @@ object SparkEntry {
         | (sd * 1009 + 0 * 9973) % 1000000 / CAST(1000000 AS DOUBLE) AS f0,
         | (sd * 1009 + 1 * 9973) % 1000000 / CAST(1000000 AS DOUBLE) AS f1
         |FROM d""".stripMargin,
+
+    // the salt never changes results — the oracle is the PLAIN join
+    "q40_salted_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+        | ${dsumSql("l_quantity")} AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // bucketing never changes results — the oracle is the naive
+    // range-predicate join
+    "q41_range_join" ->
+      s"""WITH bands AS (SELECT band_id, band_id * 5000000 AS lo,
+        |  (band_id + 1) * 5000000 - 1 AS hi FROM range(12) t(band_id)),
+        |p AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  o_totalprice FROM orders)
+        |SELECT band_id, count(*) AS n_orders,
+        | ${dsumSql("o_totalprice")} AS sum_price
+        |FROM p JOIN bands ON cents >= lo AND cents <= hi
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -151,4 +151,85 @@ object Joins {
       lookupKey: Column, dimKey: Column,
       joinType: String = "inner"): DataFrame =
     stream.join(broadcast(dim), lookupKey === dimKey, joinType)
+
+  /** Skew-resistant equi-join for when BOTH sides are too big to
+    * broadcast and the big side's key distribution is skewed: a hot key
+    * hashes its entire partition onto one reducer, and that one task
+    * dominates the stage. Salting splits each key into `nSalts` synthetic
+    * sub-keys — the big (probe) side gets a uniform salt per ROW, the
+    * small (build) side is replicated once per salt VALUE — so a hot
+    * key's rows spread over `nSalts` reducers. Results are identical to
+    * the plain join: every probe row meets exactly one copy of each
+    * matching build row (the one sharing its salt).
+    *
+    * Cost model: build side shuffles `nSalts`× its size; probe side
+    * shuffles once, as it must. Use when probe skew dominates build
+    * replication — the standard regime at 100 TB (multi-TB fact table,
+    * GB-scale but above-broadcast-threshold dimension). AQE's skew-join
+    * splitting handles the sort-merge case at runtime; explicit salting
+    * also covers hash aggregates downstream and engines/configs where AQE
+    * can't kick in (e.g. a skewed key feeding a stateful op).
+    *
+    * The probe salt only affects placement, never results, so any
+    * near-uniform assignment works; the per-partition row index cycles
+    * through all salts even when a hot key's rows are byte-identical
+    * (a content hash would re-collapse those onto one reducer).
+    * Supported join types: `inner` and `left` (probe side preserved);
+    * build-side-preserving types would need the unmatched build rows
+    * deduplicated across their `nSalts` copies. */
+  def salted(
+      big: DataFrame, small: DataFrame, keys: Seq[String],
+      nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"salted join preserves the probe side only: inner/left, got $joinType")
+    val saltedBig = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(nSalts.toLong)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until nSalts).map(lit): _*)))
+    saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Point-in-range join without a nested loop: `points.pointVal ∈
+    * [ranges.lo, ranges.hi]` (inclusive both ends), optionally with equal
+    * `keys` first. Spark plans a bare non-equi predicate as
+    * BroadcastNestedLoopJoin (or a cartesian when neither side fits in
+    * memory) — every point row is tested against every range. This
+    * builder turns it into an EQUI-join: bin the number line into
+    * `bucketWidth`-sized buckets, land each point in its one bucket,
+    * explode each range over the buckets it overlaps, equi-join on the
+    * bucket (+ keys), and keep the exact range predicate as a residual
+    * filter in the same stage. Each (point, range) match is produced
+    * exactly once — a point lives in exactly one bucket — so no dedup
+    * pass is needed.
+    *
+    * Scale shape: one hash shuffle on (keys, bucket); range replication =
+    * `(hi-lo)/bucketWidth + 1` copies, so pick `bucketWidth` near the
+    * typical range length (replication stays O(1)). `maxBucketsPerRange`
+    * fail-fasts on a degenerate range that would explode into an unbounded
+    * bucket list (the analogue of the LSH bucket cap — at 100 TB one
+    * open-ended range otherwise replicates across the whole number line).
+    * Long/integer domains only (timestamps as epoch ms/µs) — floats bin
+    * unreliably at bucket edges. */
+  def rangeJoin(
+      points: DataFrame, pointVal: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long, keys: Seq[String] = Nil,
+      maxBucketsPerRange: Long = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val pB = points.withColumn("__b", floor(col(pointVal) / bucketWidth))
+    val bLo = floor(col(loCol) / bucketWidth)
+    val bHi = floor(col(hiCol) / bucketWidth)
+    // the guard is the sequence's own end bound so column pruning can
+    // never optimize it away
+    val bHiChecked = when(bHi - bLo >= maxBucketsPerRange,
+      raise_error(concat(lit(s"rangeJoin: range wider than $maxBucketsPerRange" +
+        s" buckets of $bucketWidth at "), col(loCol).cast("string"),
+        lit(".."), col(hiCol).cast("string"))).cast("long"))
+      .otherwise(bHi)
+    val rB = ranges.withColumn("__b", explode(sequence(bLo, bHiChecked)))
+    pB.join(rB, keys :+ "__b")
+      .filter(col(pointVal) >= col(loCol) && col(pointVal) <= col(hiCol))
+      .drop("__b")
+  }
 }
