@@ -559,6 +559,50 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
   }
 
+  /** Grouped top-n via the bounded-heap aggregator ([[Rank.topNPerGroup]]):
+    * top-3 suppliers by shipped quantity per nation. Quantities are
+    * integral doubles, so the double-score ordering is exact on both
+    * engines; ties break by ascending supplier id. */
+  private def qTopNPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+    val sup = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = table(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val byNation = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+    graft.ops.Rank.topNPerGroup(byNation, Seq("n_name"), "s_suppkey", "sum_qty", 3)
+      .select(col("n_name"), col("id").as("s_suppkey"),
+        col("score").as("sum_qty"), col("rank"))
+  }
+
+  /** Multi-grain aggregate in one pass: ROLLUP over (returnflag,
+    * linestatus) — detail rows, per-flag subtotals, and the grand total
+    * from a single shuffle (each input row expands to its grouping
+    * sets map-side; partial aggregation still applies). */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** Deterministic train/val/test assignment ([[Sampling.hashSplit]]):
+    * a pure function of (seed, doc_id) — reproducible across runs,
+    * engines, and partitionings, mirrored exactly by the DuckDB oracle
+    * through the shared md5-based hash. */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hashSplit(
+      table(s, dir, "documents").select(col("doc_id")),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s1")
+
+  /** Sketch profile ([[Sketches.profile]]): per-language corpus summary
+    * with HLL distinct counts and approximate quartiles. Approximate and
+    * engine-specific by nature → no DuckDB hash oracle (rows-only check);
+    * the error bounds are unit-tested in AnalyticsOpsSpec. */
+  private def qSketchProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.profile(
+      table(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars")
+
   /** End-to-end training-data pipeline as ONE topology: JSON props
     * extraction (MapValue) → quality filter → first-occurrence dedupe
     * (the spliced [[Fragments.dedupe]] fragment) per (user, event_type). */
@@ -653,6 +697,10 @@ object SparkEntry {
     "q34_multimodal" -> (qMultimodal _),
     "q40_salted_join" -> (qSaltedJoin _),
     "q41_range_join" -> (qRangeJoin _),
+    "q42_topn_per_group" -> (qTopNPerGroup _),
+    "q43_rollup" -> (qRollup _),
+    "q44_hash_split" -> (qHashSplit _),
+    "q45_sketch_profile" -> (qSketchProfile _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1067,5 +1115,36 @@ object SparkEntry {
         | ${dsumSql("o_totalprice")} AS sum_price
         |FROM p JOIN bands ON cents >= lo AND cents <= hi
         |GROUP BY 1""".stripMargin,
+
+    "q42_topn_per_group" ->
+      s"""WITH rev AS (SELECT n_name, s_suppkey,
+        |  ${dsumSql("l_quantity")} AS sum_qty
+        | FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY 1, 2)
+        |SELECT n_name, s_suppkey, sum_qty,
+        | CAST(row_number() OVER (PARTITION BY n_name
+        |   ORDER BY sum_qty DESC, s_suppkey ASC) AS BIGINT) AS rank
+        |FROM rev QUALIFY rank <= 3""".stripMargin,
+
+    "q43_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | ${dsumSql("l_quantity")} AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q44_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN h < 8000 THEN 'train' WHEN h < 9000 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x'||substr(md5('s1'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    % 10000 AS h
+        | FROM documents)""".stripMargin,
+
+    // q45_sketch_profile: HLL/quantile sketches are engine-specific by
+    // nature — no SQL oracle (driver records the weaker rows-only check);
+    // error bounds vs exact answers are unit-tested in AnalyticsOpsSpec.
   )
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates for 100-TB-scale profiling, wrapping Spark's
+  * sketch implementations (HyperLogLog++, the Greenwald-Khanna/KLL-style
+  * quantile summary). An exact COUNT(DISTINCT) over a 100 TB column is a
+  * full shuffle of every distinct value; the sketches are fixed-size,
+  * mergeable state per group — partial aggregation sends kilobytes per
+  * task regardless of cardinality. Results are approximate and
+  * engine-specific, so these get unit-tested error bounds against exact
+  * answers instead of a DuckDB hash-match oracle (the driver's weaker
+  * rows-only check — documented, not an oversight). */
+object Sketches {
+
+  /** Approximate distinct count (HyperLogLog++) with the given relative
+    * standard deviation. State is O(1/rsd²) bytes per group, mergeable
+    * across partitions — the exact aggregate's state is the distinct set
+    * itself. */
+  def approxDistinct(c: Column, rsd: Double = 0.02): Column =
+    approx_count_distinct(c, rsd)
+
+  /** Approximate percentiles at the given accuracy (higher = tighter
+    * error bound eps = 1/accuracy, more state). */
+  def approxPercentiles(c: Column, pcts: Seq[Double], accuracy: Int = 10000): Column =
+    percentile_approx(c, array(pcts.map(lit): _*), lit(accuracy))
+
+  /** Per-group cardinality + distribution profile of a corpus — the
+    * summary table a pipeline computes before deciding dedup/filter
+    * thresholds. One hash aggregate; every aggregate in it carries
+    * fixed-size mergeable state. */
+  def profile(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      approxDistinct(col(idCol)).as("approx_ids"),
+      approxPercentiles(col(valCol), Seq(0.25, 0.5, 0.75)).as("val_quartiles"),
+      min(col(valCol)).as("val_min"),
+      max(col(valCol)).as("val_max"))
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Rank, Sampling, Sketches}
+
+/** Grouped top-n, deterministic hash splits, and sketch profiles:
+  * top-n must equal the window-rank form; splits must be stable pure
+  * functions of identity; sketches must land within their error bounds
+  * against exact answers. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  private def scored = (0 until 500).map { i =>
+    (s"g${i % 5}", i.toLong, (i % 83).toDouble)
+  }.toDF("g", "id", "score")
+
+  test("topNPerGroup equals the window-rank top-n") {
+    val viaHeap = Rank.topNPerGroup(scored, Seq("g"), "id", "score", n = 7)
+      .select("g", "id", "score", "rank")
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7).select("g", "id", "score", "rank")
+    val a = viaHeap.collect().map(_.toSeq).toSet
+    val b = viaWindow.collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.size == 35) // 5 groups × 7
+  }
+
+  test("topNPerGroup partial-aggregates before the shuffle") {
+    // ObjectHashAggregate/SortAggregate with a partial phase: the plan
+    // must contain two aggregate nodes (partial + final), i.e. the heap
+    // runs map-side
+    val plan = Rank.topNPerGroup(scored, Seq("g"), "id", "score", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Aggregate").length > 2, s"no partial aggregate in:\n$plan")
+  }
+
+  test("hashSplit is deterministic, stable under repartition, and ~weighted") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(docs, "doc_id", splits, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(docs.repartition(13), "doc_id", splits, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac("val") - 0.1) < 0.03)
+    assert(math.abs(frac("test") - 0.1) < 0.03)
+    // different seed → different assignment (with overwhelming probability)
+    val c = Sampling.hashSplit(docs, "doc_id", splits, "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c)
+  }
+
+  test("hashSplit covers every row with exactly one label") {
+    val docs = (0L until 100L).toDF("doc_id")
+    val out = Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5), "x")
+    assert(out.count() == 100)
+    assert(out.filter(col("split").isNull).count() == 0)
+  }
+
+  test("hashSample keeps a stable ~fraction subset") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.25, "z")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs.repartition(7), "doc_id", 0.25, "z")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size / 2000.0 - 0.25) < 0.05)
+    // a sample at a higher fraction is a superset (bucket threshold form)
+    val s3 = Sampling.hashSample(docs, "doc_id", 0.5, "z")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("sketch profile lands within error bounds of exact answers") {
+    val rows = (0 until 10000).map { i =>
+      (s"g${i % 3}", (i % 2357).toLong, (i % 101).toDouble)
+    }.toDF("g", "id", "v")
+    val prof = Sketches.profile(rows, Seq("g"), "id", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = rows.groupBy("g").agg(
+      countDistinct(col("id")).as("d"), expr("median(v)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (g, (d, m)) =>
+      val approxD = prof(g).getLong(2)
+      assert(math.abs(approxD - d).toDouble / d < 0.05,
+        s"group $g approx distinct $approxD vs exact $d")
+      val quartiles = prof(g).getSeq[Double](3)
+      assert(quartiles.length == 3 && quartiles(0) <= quartiles(1) &&
+        quartiles(1) <= quartiles(2))
+      assert(math.abs(quartiles(1) - m) <= 2.0,
+        s"group $g median ${quartiles(1)} vs exact $m")
+      assert(prof(g).getDouble(4) == 0.0 && prof(g).getDouble(5) == 100.0)
+    }
+  }
+}
