@@ -107,6 +107,34 @@ object Streamed {
       }
   }
 
+  /** First-occurrence dedup — the streaming half of the reference's
+    * dedupe fragment (willa `workflow.clj:6-24`: aggregate
+    * [emitted-value, known-ids set], emit a value only the first time its
+    * id-fn result is seen; batch form: [[graft.ops.Dedup.keepFirst]] /
+    * the spliced [[graft.dsl.Fragments.dedupe]]). Records are processed
+    * in ts order within each micro-batch; the seen-id set persists in the
+    * state store across batches, so a duplicate arriving hours later is
+    * still dropped. State grows with DISTINCT ids per key — exactly the
+    * reference's known-ids-set footprint; at 100 TB bound it by keying on
+    * a coarse entity and hashing the id, or use Spark's built-in
+    * `dropDuplicatesWithinWatermark` when a bounded dedup horizon is
+    * acceptable (state then expires with the watermark). */
+  def firstPerIdState[K: Encoder, V: Encoder, I](
+      ds: Dataset[Rec[K, V]], idFn: Rec[K, V] => I)(
+      implicit stEnc: Encoder[Set[I]], re: Encoder[Rec[K, V]]): Dataset[Rec[K, V]] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Set[I], Rec[K, V]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, V]], state: GroupState[Set[I]]) =>
+          var seen = state.getOption.getOrElse(Set.empty[I])
+          val out = records.toSeq.sortBy(_.tsMs).flatMap { r =>
+            val id = idFn(r)
+            if (seen(id)) None else { seen = seen + id; Some(r) }
+          }
+          state.update(seen)
+          out.iterator
+      }
+
   /** KGroupedTable-style aggregate with subtractor: the stream is a table
     * changelog keyed by the TABLE key; `groupKey` re-keys for aggregation.
     * On an update to a table key, the previous value is subtracted and the

@@ -573,4 +573,33 @@ class StreamCongruitySpec extends AnyFunSuite {
       ms.toDS(), _ => "g", 0, _ + _, _ - _))
     assert(out.sortBy(_.tsMs).map(_.value) == Seq(10, 3, 8))
   }
+
+  test("congruity: first-per-id dedup matches batch keepFirst, state persists across batches") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Rec[String, Int]]
+    val batch1 = Seq(Rec("u1", 7, 100L), Rec("u1", 7, 200L), Rec("u1", 9, 300L),
+      Rec("u2", 7, 150L))
+    val batch2 = Seq(Rec("u1", 7, 400L), Rec("u2", 7, 500L), Rec("u2", 8, 600L))
+    ms.addData(batch1)
+    qn += 1
+    val name = s"stateful_$qn"
+    val ds = Streamed.firstPerIdState[String, Int, Int](ms.toDS(), _.value)
+    val q = ds.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(batch2) // duplicates of ids emitted in batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as(ds.encoder).collect().toSeq
+
+    // batch twin over ALL records: first occurrence (min ts) per (key, id)
+    val all = (batch1 ++ batch2).map(r => (r.key, r.value, r.tsMs))
+      .toDF("key", "value", "tsMs")
+    val expected = graft.ops.Dedup.keepFirst(all, Seq("key", "value"), Seq("tsMs"))
+      .collect().map(r => Rec(r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.toSet == expected)
+    // the cross-batch duplicates (u1/7, u2/7 in batch 2) were dropped
+    assert(got.size == 4)
+  }
 }
