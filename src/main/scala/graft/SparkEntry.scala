@@ -603,6 +603,25 @@ object SparkEntry {
     graft.ops.Sketches.profile(
       table(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars")
 
+  /** Approximate kNN JOIN ([[Similarity.knnJoin]]): top-3 neighbors for
+    * EVERY corpus vector via multi-probe sign-LSH — the whole-corpus
+    * neighbor graph behind clustering/diversity sampling, vs q26/q27's
+    * small broadcast query set. */
+  private def qKnnJoin(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoin(cpuTable(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 3, signBits = 8, probeHamming = 1, maxBucket = LshMaxBucket)
+
+  /** Near-dup pairs → DEDUP GROUPS ([[Dedup.connectedComponents]]):
+    * min-label propagation over the n-gram Jaccard pair list collapses
+    * transitive matches (a≈b≈c) into one cluster per component; the
+    * converged label is the canonical (minimum) doc id. */
+  private def qNearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+      n = 3, threshold = 0.5, maxDf = 100)
+    Dedup.connectedComponents(pairs, docs.select(col("doc_id")), "doc_id")
+  }
+
   /** End-to-end training-data pipeline as ONE topology: JSON props
     * extraction (MapValue) → quality filter → first-occurrence dedupe
     * (the spliced [[Fragments.dedupe]] fragment) per (user, event_type). */
@@ -701,6 +720,8 @@ object SparkEntry {
     "q43_rollup" -> (qRollup _),
     "q44_hash_split" -> (qHashSplit _),
     "q45_sketch_profile" -> (qSketchProfile _),
+    "q46_knn_join" -> (qKnnJoin _),
+    "q47_neardup_clusters" -> (qNearDupClusters _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1146,5 +1167,35 @@ object SparkEntry {
     // q45_sketch_profile: HLL/quantile sketches are engine-specific by
     // nature — no SQL oracle (driver records the weaker rows-only check);
     // error bounds vs exact answers are unit-tested in AnalyticsOpsSpec.
+
+    "q46_knn_join" ->
+      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM embeddings),
+        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, unnest([bkt${(0 until 8).map(i =>
+             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM b0),
+        |sc AS (SELECT q.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
+        | FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.qid)
+        |SELECT qid, id, cos,
+        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 3""".stripMargin,
+
+    "q47_neardup_clusters" ->
+      s"""${OSql.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |shh AS (SELECT doc_id, nsh, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 100),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+        | FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2, x.nsh, y.nsh
+        | HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |reach(id, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY 1""".stripMargin,
   )
 }

@@ -164,7 +164,7 @@ object Dedup {
     * race to compute the same partitions). Cached blocks live until the
     * session ends or the caller clears the cache; size is one row per
     * (input row, bucket key). */
-  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame =
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame =
     if (maxBucket <= 0) df
     else {
       val b = df.persist()
@@ -290,6 +290,73 @@ object Dedup {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into DEDUP GROUPS (a≈b and b≈c must collapse to one
+    * cluster even when a≉c directly; pairs alone over-keep). Iterative
+    * min-label propagation: every vertex starts labeled with its own id,
+    * and each round adopts the minimum label among itself and its
+    * neighbors, until a fixpoint — the converged label is the minimum id
+    * reachable in the component, so the label IS the canonical
+    * representative.
+    *
+    * Scale shape: each round is one equi-join of the (symmetrized,
+    * persisted-once) edge list against the current labels plus a
+    * min-aggregate — all hash shuffles on vertex id, no collect.
+    * Convergence is detected by the label SUM staying unchanged: labels
+    * only ever decrease, so an unchanged sum means no vertex moved — one
+    * aggregate per round instead of a join of consecutive label sets
+    * (decimal(38,0) so billions of 64-bit ids cannot overflow the sum).
+    * Rounds needed = component diameter; near-dup components are small
+    * dense cliques (diameter 1-2), so this converges in 2-3 rounds. (For
+    * adversarial long-chain graphs the alternating large-star/small-star
+    * algorithm halves path lengths per round; not needed for dedup
+    * workloads.) Labels persist per round and the previous round is
+    * unpersisted; lineage is cut by each persist so plans stay flat.
+    * Throws if `maxIter` rounds don't converge — silently wrong clusters
+    * must never ship.
+    *
+    * @param pairs    edge list with columns `a`, `b` (undirected)
+    * @param vertices one column `idCol`; vertices absent from any pair
+    *                 form singleton clusters
+    * @return (idCol, cluster) — cluster = min id in the component */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame, idCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    sym.count() // materialize once: every round probes this edge list
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var labels = vertices.select(col(idCol), col(idCol).as("cluster")).persist()
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // one round = one equi-join + one min-aggregate: each vertex keeps
+      // its own label (the union's left leg) and adopts any smaller
+      // neighbor label; vertices without edges pass through untouched
+      val fromNbrs = sym
+        .join(labels.select(col(idCol).as("src"), col("cluster")), "src")
+        .select(col("dst").as(idCol), col("cluster"))
+      val next = labels.union(fromNbrs)
+        .groupBy(col(idCol)).agg(min(col("cluster")).as("cluster"))
+        .persist()
+      val curSum = labelSum(next) // also fully materializes next's cache
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter)")
+    labels
   }
 
   /** Embedding cosine near-dup pairs, LSH-bucketed: bucket key = sign bits

@@ -143,6 +143,41 @@ object Similarity {
     topKReduce(joined, itemId, k)
   }
 
+  /** Approximate k-nearest-neighbor JOIN: top-k neighbors for EVERY item
+    * (vs [[lshTopK]]'s broadcast-small query set) — the shape behind
+    * near-dup clustering, diversity sampling, and kNN-graph construction
+    * over a whole corpus. Both sides are the corpus: queries fan out to
+    * their multi-probe buckets (own + Hamming-1 when `probeHamming = 1`,
+    * i.e. `signBits + 1` rows per item), items sit in their own bucket,
+    * and the candidate join is a shuffle equi-join on the bucket key —
+    * never all-pairs. Per-query top-k runs through the bounded-heap
+    * aggregator, so the post-join shuffle carries k rows per task per
+    * query. Self-pairs are excluded.
+    *
+    * `maxBucket` caps the ITEM side's bucket population (the
+    * [[graft.ops.Dedup]] LSH skew guard): a degenerate bucket otherwise
+    * costs |bucket|² pairs. Queries keep all their probes — a dropped hot
+    * bucket only removes its candidates. Output: qid, id, cos, rank. */
+  def knnJoin(items: DataFrame, itemId: String, itemVec: String,
+      k: Int, signBits: Int, probeHamming: Int = 1,
+      maxBucket: Long = 0L): DataFrame = {
+    val bucketed = Dedup.capBuckets(
+      items.select(col(itemId), col(itemVec),
+        signBucket(col(itemVec), signBits).as("__bkt")),
+      Seq("__bkt"), maxBucket)
+    val own = signBucket(col(itemVec), signBits)
+    val probes =
+      if (probeHamming <= 0) array(own)
+      else array(own +: (0 until signBits).map(i =>
+        own.bitwiseXOR(lit(1L << i)): Column): _*)
+    val queries = items.select(col(itemId).as("qid"), col(itemVec).as("__qv"),
+      explode(probes).as("__bkt"))
+    val joined = bucketed.join(queries, Seq("__bkt"))
+      .filter(col("qid") =!= col(itemId))
+      .withColumn("cos", cosine(col(itemVec), col("__qv")))
+    topKReduce(joined, itemId, k)
+  }
+
   /** Sign-bit LSH bucket key: bit i set iff dimension i is non-negative.
     * Deterministic (no random planes) so oracles can mirror it. */
   def signBucket(vec: Column, signBits: Int): Column =

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Similarity}
+
+/** kNN join must equal the window-rank form over the same multi-probe
+  * candidate set; connected components must produce min-reachable-id
+  * labels (including through chains) and refuse to ship unconverged. */
+class KnnClusterSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  // deterministic pseudo-random unit-ish vectors, 8 dims
+  private def vecs = (0 until 120).map { i =>
+    (i.toLong, Array.tabulate(8)(d =>
+      (math.sin(i * 37 + d * 13) * 2).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("knnJoin equals window-rank over the same probed candidate set") {
+    val signBits = 4
+    val knn = Similarity.knnJoin(vecs, "vec_id", "embedding",
+      k = 3, signBits = signBits, probeHamming = 1)
+      .select("qid", "id", "cos", "rank")
+
+    // reference: same buckets/probes via explicit candidate construction
+    val b = vecs.withColumn("__bkt",
+      Similarity.signBucket(col("embedding"), signBits))
+    val own = Similarity.signBucket(col("embedding"), signBits)
+    val probes = array(own +: (0 until signBits).map(i =>
+      own.bitwiseXOR(lit(1L << i)): org.apache.spark.sql.Column): _*)
+    val q = vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      explode(probes).as("__bkt"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    val ref = b.join(q, Seq("__bkt")).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("id"),
+        Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+    assert(knn.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
+    assert(knn.count() > 0)
+  }
+
+  test("knnJoin maxBucket drops candidates from a degenerate bucket") {
+    // 100 identical vectors = one bucket of 100; 3 in another bucket
+    val dup = ((0 until 100).map(i => (i.toLong, Array(1f, 1f, 1f, 1f))) ++
+      (100 until 103).map(i => (i.toLong, Array(-1f, -1f, -1f, -1f))))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.knnJoin(dup, "vec_id", "embedding",
+      k = 2, signBits = 4, probeHamming = 0, maxBucket = 50)
+    // hot bucket's items dropped from the index: only the 3-bucket answers
+    assert(capped.agg(min(col("qid"))).head().getLong(0) >= 100L)
+  }
+
+  test("connected components: cliques, chains, singletons") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
+    val vertices = (Seq(1L, 2L, 3L, 5L, 6L, 7L) ++ (10L to 14L)).toDF("id")
+    val got = Dedup.connectedComponents(pairs, vertices, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+  }
+
+  test("connected components throws instead of shipping unconverged labels") {
+    // a diameter-4 chain cannot converge in one round
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
+    val vertices = (10L to 14L).toDF("id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, vertices, "id", maxIter = 1)
+    }
+  }
+}
