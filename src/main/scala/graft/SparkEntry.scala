@@ -611,6 +611,37 @@ object SparkEntry {
     Similarity.knnJoin(cpuTable(s, dir, "embeddings"), "vec_id", "embedding",
       k = 3, signBits = 8, probeHamming = 1, maxBucket = LshMaxBucket)
 
+  /** Ranking-window family (lag/lead — absent from the reference,
+    * SURVEY §2.7): per-user event sequencing with the previous event's
+    * type and the inter-event gap. Deterministic order: (µs timestamp,
+    * event_id) on both engines — the oracle must order by the SAME
+    * µs-truncated instant, not its nanosecond original, or ns-level ties
+    * reorder the lag. One shuffle on user_id; the window scan is linear
+    * per partition. */
+  private def qLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    eventsDf(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+  }
+
+  /** Set operations (absent from the reference, SURVEY §2.7): the user
+    * cohorts that both clicked and purchased (INTERSECT) vs clicked and
+    * never purchased (EXCEPT), tagged and unioned. Hash-shuffle
+    * distincts on user_id — set ops are aggregates, not sorts. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    users("click").intersect(users("purchase"))
+      .select(col("user_id"), lit("both").as("cohort"))
+      .unionAll(users("click").except(users("purchase"))
+        .select(col("user_id"), lit("click_only").as("cohort")))
+  }
+
   /** Near-dup pairs → DEDUP GROUPS ([[Dedup.connectedComponents]]):
     * min-label propagation over the n-gram Jaccard pair list collapses
     * transitive matches (a≈b≈c) into one cluster per component; the
@@ -722,6 +753,8 @@ object SparkEntry {
     "q45_sketch_profile" -> (qSketchProfile _),
     "q46_knn_join" -> (qKnnJoin _),
     "q47_neardup_clusters" -> (qNearDupClusters _),
+    "q48_lag_lead" -> (qLagLead _),
+    "q49_set_ops" -> (qSetOps _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1197,5 +1230,26 @@ object SparkEntry {
         | UNION
         | SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
         |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY 1""".stripMargin,
+
+    "q48_lag_lead" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        | FROM events)
+        |SELECT event_id, user_id, ts_us,
+        | lag(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id) AS prev_type,
+        | ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id) AS gap_us
+        |FROM e""".stripMargin,
+
+    "q49_set_ops" ->
+      """SELECT user_id, 'both' AS cohort FROM (
+        | SELECT user_id FROM events WHERE event_type = 'click'
+        | INTERSECT
+        | SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_only' AS cohort FROM (
+        | SELECT user_id FROM events WHERE event_type = 'click'
+        | EXCEPT
+        | SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
   )
 }

@@ -301,8 +301,8 @@ object Dedup {
     * reachable in the component, so the label IS the canonical
     * representative.
     *
-    * Scale shape: each round is one equi-join of the (symmetrized,
-    * persisted-once) edge list against the current labels plus a
+    * Scale shape: each round is one equi-join of the symmetrized view of
+    * the persisted-once pair list against the current labels plus a
     * min-aggregate — all hash shuffles on vertex id, no collect.
     * Convergence is detected by the label SUM staying unchanged: labels
     * only ever decrease, so an unchanged sum means no vertex moved — one
@@ -323,10 +323,14 @@ object Dedup {
     * @return (idCol, cluster) — cluster = min id in the component */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame, idCol: String,
       maxIter: Int = 25): DataFrame = {
-    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
-    sym.count() // materialize once: every round probes this edge list
+    // persist the PAIR LIST, not the symmetrized view: both union legs
+    // below (and every propagation round) would otherwise recompute the
+    // caller's full pair pipeline — for near-dup input that is the whole
+    // LSH/index join, the most expensive thing in sight
+    val p = pairs.select(col("a"), col("b")).persist()
+    p.count()
+    val sym = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
@@ -351,7 +355,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    sym.unpersist()
+    p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
