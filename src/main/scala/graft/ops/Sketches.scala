@@ -26,6 +26,23 @@ object Sketches {
   def approxPercentiles(c: Column, pcts: Seq[Double], accuracy: Int = 10000): Column =
     percentile_approx(c, array(pcts.map(lit): _*), lit(accuracy))
 
+  /** Mergeable distinct-count sketch (Apache DataSketches HLL): unlike
+    * [[approxDistinct]]'s one-shot estimate, the sketch itself is a
+    * BINARY column you can persist per partition/day/source and MERGE
+    * later — the incremental pattern when re-scanning history is
+    * impossible at 100 TB (yesterday's 100 TB is a few KB of sketch
+    * today). `lgK` trades size (2^lgK buckets) for accuracy. */
+  def distinctSketch(c: Column, lgK: Int = 12): Column =
+    hll_sketch_agg(c, lit(lgK))
+
+  /** Merge previously materialized [[distinctSketch]] columns into one
+    * combined sketch (set-union semantics: duplicates across inputs
+    * count once). */
+  def mergeDistinctSketches(c: Column): Column = hll_union_agg(c, lit(true))
+
+  /** The distinct-count estimate of a (possibly merged) sketch. */
+  def sketchEstimate(c: Column): Column = hll_sketch_estimate(c)
+
   /** Per-group cardinality + distribution profile of a corpus — the
     * summary table a pipeline computes before deciding dedup/filter
     * thresholds. One hash aggregate; every aggregate in it carries

@@ -78,6 +78,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(s1.subsetOf(s3))
   }
 
+  test("mergeable HLL sketches: union of per-slice sketches ≈ global distinct") {
+    // 5000 rows in 10 "days"; user ids overlap across days (mod 700)
+    val rows = (0 until 5000).map(i => (i % 10, (i % 700).toLong))
+      .toDF("day", "user_id")
+    val daily = rows.groupBy(col("day"))
+      .agg(Sketches.distinctSketch(col("user_id")).as("sk"))
+    assert(daily.count() == 10)
+    val merged = daily.agg(
+      Sketches.sketchEstimate(
+        Sketches.mergeDistinctSketches(col("sk"))).as("est"))
+      .head().getLong(0)
+    // union semantics: 700 distinct users overall, not sum of dailies
+    assert(math.abs(merged - 700).toDouble / 700 < 0.05,
+      s"merged estimate $merged vs exact 700")
+  }
+
   test("sketch profile lands within error bounds of exact answers") {
     val rows = (0 until 10000).map { i =>
       (s"g${i % 3}", (i % 2357).toLong, (i % 101).toDouble)
