@@ -642,6 +642,30 @@ object SparkEntry {
         .select(col("user_id"), lit("click_only").as("cohort")))
   }
 
+  /** Sequence packing ([[Packing.packSequences]]): documents concatenated
+    * per language in doc_id order and cut into 2000-token blocks — each
+    * doc labeled with the block its start offset falls in (pretraining
+    * concat-and-cut semantics). One window sum per language. */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"))
+    graft.ops.Packing.packSequences(docs, Seq("lang"), Seq("doc_id"),
+      col("ws_tokens"), budget = 2000)
+  }
+
+  /** Benchmark decontamination ([[Decontam.overlapProfile]]): per-doc
+    * trigram overlap of the corpus (doc_id >= 10) against the benchmark
+    * set (doc_id < 10) — the eval-leak test every training pipeline runs.
+    * Benchmark shingle set broadcasts; the corpus shuffles only into the
+    * per-doc count aggregate. */
+  private def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    graft.ops.Decontam.overlapProfile(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+      "doc_id", col("text"), n = 3)
+  }
+
   /** Near-dup pairs → DEDUP GROUPS ([[Dedup.connectedComponents]]):
     * min-label propagation over the n-gram Jaccard pair list collapses
     * transitive matches (a≈b≈c) into one cluster per component; the
@@ -755,6 +779,8 @@ object SparkEntry {
     "q47_neardup_clusters" -> (qNearDupClusters _),
     "q48_lag_lead" -> (qLagLead _),
     "q49_set_ops" -> (qSetOps _),
+    "q50_pack_sequences" -> (qPackSequences _),
+    "q51_decontam" -> (qDecontam _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1251,5 +1277,28 @@ object SparkEntry {
         | SELECT user_id FROM events WHERE event_type = 'click'
         | EXCEPT
         | SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+
+    "q50_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+        | FROM documents),
+        |s AS (SELECT doc_id, lang, ws_tokens,
+        |  SUM(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t)
+        |SELECT doc_id, lang, ws_tokens,
+        | CAST(floor((cum - ws_tokens) / 2000.0) AS BIGINT) AS seq_id
+        |FROM s""".stripMargin,
+
+    "q51_decontam" ->
+      s"""${OSql.shingleCte},
+        |shh AS (SELECT doc_id, nsh, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
+        |b AS (SELECT DISTINCT sh FROM shh WHERE doc_id < 10),
+        |c AS (SELECT doc_id, nsh, sh FROM shh WHERE doc_id >= 10)
+        |SELECT c.doc_id, CAST(c.nsh AS BIGINT) AS n_shingles,
+        | count(b.sh) AS n_contam,
+        | round(count(b.sh)::DOUBLE / c.nsh, 6) AS contam_frac
+        |FROM c LEFT JOIN b ON c.sh = b.sh
+        |GROUP BY c.doc_id, c.nsh""".stripMargin,
   )
 }
