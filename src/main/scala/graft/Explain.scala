@@ -30,7 +30,9 @@ object Explain {
     "q26_sim_topk", "q27_sim_lsh", "q28_cosine_neardup", "q37_sim_ivf",
     "q29_text_quality", "q30_text_langid", "q31_token_count",
     "q38_dedup_normalized", "q39_dedup_drop_normalized",
-    "q32_fingerprint", "q33_json_props", "q34_multimodal")
+    "q32_fingerprint", "q33_json_props", "q34_multimodal",
+    "q46_knn_join", "q47_neardup_clusters", "q50_pack_sequences",
+    "q51_decontam")
 
   /** Joins against a broadcast-worthy global/dimension table. */
   private val MustBroadcast = Seq("q02_join_global_inner", "q03_join_global_left")

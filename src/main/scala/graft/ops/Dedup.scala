@@ -328,7 +328,10 @@ object Dedup {
     // caller's full pair pipeline — for near-dup input that is the whole
     // LSH/index join, the most expensive thing in sight
     val p = pairs.select(col("a"), col("b")).persist()
-    p.count()
+    if (p.count() == 0) { // no edges: every vertex is its own cluster
+      p.unpersist()
+      return vertices.select(col(idCol), col(idCol).as("cluster"))
+    }
     val sym = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
