@@ -642,6 +642,23 @@ object SparkEntry {
         .select(col("user_id"), lit("click_only").as("cohort")))
   }
 
+  /** Skew diagnostic: the heaviest keys and their traffic share — what a
+    * pipeline inspects before choosing [[Joins.salted]] / AQE skew
+    * handling. Count-per-key partial-aggregates map-side; the global
+    * top-10 plans as TakeOrderedAndProject (per-partition heap + driver
+    * merge of 10 rows — no full sort); the grand total joins back as a
+    * broadcast of one row. */
+  private def qHeavyKeys(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val total = ev.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .select(col("user_id"), col("n"), col("share"))
+      .orderBy(col("n").desc, col("user_id").asc)
+      .limit(10)
+  }
+
   /** Sequence packing ([[Packing.packSequences]]): documents concatenated
     * per language in doc_id order and cut into 2000-token blocks — each
     * doc labeled with the block its start offset falls in (pretraining
@@ -781,6 +798,7 @@ object SparkEntry {
     "q49_set_ops" -> (qSetOps _),
     "q50_pack_sequences" -> (qPackSequences _),
     "q51_decontam" -> (qDecontam _),
+    "q52_heavy_keys" -> (qHeavyKeys _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1300,5 +1318,13 @@ object SparkEntry {
         | round(count(b.sh)::DOUBLE / c.nsh, 6) AS contam_frac
         |FROM c LEFT JOIN b ON c.sh = b.sh
         |GROUP BY c.doc_id, c.nsh""".stripMargin,
+
+    "q52_heavy_keys" ->
+      """WITH t AS (SELECT count(*) AS total FROM events),
+        |c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT user_id, n, round(n / total, 6) AS share
+        |FROM c, t
+        |ORDER BY n DESC, user_id ASC
+        |LIMIT 10""".stripMargin,
   )
 }
