@@ -312,10 +312,15 @@ object Dedup {
     * dense cliques (diameter 1-2), so this converges in 2-3 rounds. (For
     * adversarial long-chain graphs the alternating large-star/small-star
     * algorithm halves path lengths per round; not needed for dedup
-    * workloads.) Labels persist per round and the previous round is
-    * unpersisted; lineage is cut by each persist so plans stay flat.
-    * Throws if `maxIter` rounds don't converge — silently wrong clusters
-    * must never ship.
+    * workloads.) Each round's labels are `localCheckpoint`ed: `persist`
+    * caches DATA but keeps the logical plan, and the label plan
+    * references itself twice per round — the plan tree doubles every
+    * iteration and planning/explain work goes exponential (a diameter-15
+    * graph OOMs on plan strings alone). The eager checkpoint cuts
+    * lineage to the materialized blocks; on a cluster where executor
+    * loss must be survivable, `spark.checkpoint` to reliable storage is
+    * the durable variant. Throws if `maxIter` rounds don't converge —
+    * silently wrong clusters must never ship.
     *
     * @param pairs    edge list with columns `a`, `b` (undirected)
     * @param vertices one column `idCol`; vertices absent from any pair
@@ -337,7 +342,12 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = vertices.select(col(idCol), col(idCol).as("cluster")).persist()
+    // propagate over the EDGE-TOUCHED subgraph only: in a near-dup
+    // workload almost every document is in no pair at all, so the label
+    // table each round shrinks from |V| to |V_with_edges|; singletons
+    // rejoin as identity at the end
+    var labels = sym.select(col("src").as(idCol)).distinct()
+      .select(col(idCol), col(idCol).as("cluster")).localCheckpoint()
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -350,11 +360,10 @@ object Dedup {
         .select(col("dst").as(idCol), col("cluster"))
       val next = labels.union(fromNbrs)
         .groupBy(col(idCol)).agg(min(col("cluster")).as("cluster"))
-        .persist()
-      val curSum = labelSum(next) // also fully materializes next's cache
+        .localCheckpoint() // eager: materializes AND truncates lineage
+      val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
-      labels.unpersist()
       labels = next
       iter += 1
     }
@@ -363,7 +372,19 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter exceeds maxIter)")
-    labels
+    vertices.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+  }
+
+  /** The consumer half of near-dup clustering: keep exactly one document
+    * per [[connectedComponents]] cluster (its minimum id) and drop the
+    * rest — [[dropNormalizedDups]]' analogue for transitive near-dup
+    * groups. A doc in no pair keeps itself. One semi-join on the id. */
+  def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val keep = connectedComponents(pairs, df.select(col(idCol)), idCol)
+      .filter(col("cluster") === col(idCol)).select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Embedding cosine near-dup pairs, LSH-bucketed: bucket key = sign bits

@@ -64,6 +64,15 @@ class KnnClusterSpec extends AnyFunSuite {
       7L -> 7L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("dropNearDups keeps the minimum id per cluster and all singletons") {
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 10)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.dropNearDups(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 5L, 7L))
+  }
+
   test("connected components throws instead of shipping unconverged labels") {
     // a diameter-4 chain cannot converge in one round
     val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
