@@ -19,13 +19,16 @@ object Rank {
     * group per task.
     *
     * `idCol` must be integral (the aggregator's payload key; join back on
-    * it to recover wide rows) and `scoreCol` numeric. Output: groupCols,
-    * id, score, rank (1-based). */
+    * it to recover wide rows) and `scoreCol` numeric. Rows with a null
+    * id or score are excluded up front: the typed aggregator would
+    * otherwise read a null primitive as 0.0 and silently rank it as a
+    * real score. Output: groupCols, id, score, rank (1-based). */
   def topNPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
       scoreCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val topk = udaf(new graft.functions.TopKAggregator(n))
-    df.groupBy(groupCols.map(col): _*)
+    df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(topk(col(idCol).cast("long"), col(scoreCol).cast("double")).as("__tk"))
       .select(groupCols.map(col) :+ posexplode(col("__tk")).as(Seq("__pos", "__s")): _*)
       .select(groupCols.map(col) ++ Seq(

@@ -26,9 +26,12 @@ object Sampling {
     require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
     val h = Dedup.hash60(concat(lit(seed), id.cast("string"))) % 10000
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(w => math.round(w * 10000))
-    splits.init.zip(bounds).foldRight(lit(splits.last._1): Column) {
-      case (((name, _), bound), els) => when(h < bound, lit(name)).otherwise(els)
-    }
+    // null id → null split (not the last label, which is where a null
+    // hash would otherwise fall through the when-chain)
+    when(id.isNull, lit(null).cast("string")).otherwise(
+      splits.init.zip(bounds).foldRight(lit(splits.last._1): Column) {
+        case (((name, _), bound), els) => when(h < bound, lit(name)).otherwise(els)
+      })
   }
 
   /** [[splitColumn]] materialized as a `split` column on `df`. */

@@ -64,6 +64,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.filter(col("split").isNull).count() == 0)
   }
 
+  test("null ids get a null split, not the last label") {
+    val docs = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val out = Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5), "x")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        Option(r.getString(1))).toMap
+    assert(out(None).isEmpty)
+    assert(out(Some(1L)).nonEmpty && out(Some(3L)).nonEmpty)
+  }
+
+  test("topNPerGroup excludes null ids and scores instead of ranking them as 0") {
+    val rows = Seq(
+      ("g", Some(1L), Some(-5.0)), ("g", Some(2L), None),
+      ("g", None, Some(99.0)), ("g", Some(4L), Some(-7.0)))
+      .toDF("g", "id", "score")
+    val out = Rank.topNPerGroup(rows, Seq("g"), "id", "score", 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // only the two fully-defined rows rank; -5 and -7 keep their values
+    assert(out == Map(1L -> -5.0, 4L -> -7.0))
+  }
+
   test("hashSample keeps a stable ~fraction subset") {
     val docs = (0L until 2000L).toDF("doc_id")
     val s1 = Sampling.hashSample(docs, "doc_id", 0.25, "z")
