@@ -596,9 +596,11 @@ object SparkEntry {
       "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s1")
 
   /** Sketch profile ([[Sketches.profile]]): per-language corpus summary
-    * with HLL distinct counts and approximate quartiles. Approximate and
-    * engine-specific by nature → no DuckDB hash oracle (rows-only check);
-    * the error bounds are unit-tested in AnalyticsOpsSpec. */
+    * with HLL distinct counts and approximate quartiles (scalar
+    * val_p25/p50/p75 columns — the driver's comparator can't sort array
+    * columns). Approximate and engine-specific by nature → no DuckDB hash
+    * oracle (rows-only check); error bounds unit-tested in
+    * AnalyticsOpsSpec. */
   private def qSketchProfile(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.profile(
       table(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars")
@@ -660,16 +662,26 @@ object SparkEntry {
   }
 
   /** Sequence packing ([[Packing.packSequences]]): documents concatenated
-    * per language in doc_id order and cut into 2000-token blocks — each
-    * doc labeled with the block its start offset falls in (pretraining
-    * concat-and-cut semantics). One window sum per language. */
+    * per (language, shard) in doc_id order and cut into 2000-token blocks
+    * — each doc labeled with the block its start offset falls in
+    * (pretraining concat-and-cut semantics). The shard is a deterministic
+    * hash bucket of doc_id ([[Dedup.hash60]], DuckDB-mirrored), so with
+    * ~5 languages no single language serializes its whole doc stream
+    * through one window task at 100× — parallelism is langs × shards, and
+    * a real pipeline sizes the shard count to the cluster. One window sum
+    * per (lang, shard) group. */
   private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
     val docs = cpuTable(s, dir, "documents").select(
       col("doc_id"), col("lang"),
-      TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"))
-    graft.ops.Packing.packSequences(docs, Seq("lang"), Seq("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+      (Dedup.hash60(col("doc_id").cast("string")) % PackShards).as("shard"))
+    graft.ops.Packing.packSequences(docs, Seq("lang", "shard"), Seq("doc_id"),
       col("ws_tokens"), budget = 2000)
   }
+
+  /** Shard fan-out for [[qPackSequences]]'s packing window (langs ×
+    * shards concurrent window tasks). */
+  private val PackShards = 8
 
   /** Benchmark decontamination ([[Decontam.overlapProfile]]): per-doc
     * trigram overlap of the corpus (doc_id >= 10) against the benchmark
@@ -1297,14 +1309,16 @@ object SparkEntry {
         | SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
 
     "q50_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+      s"""WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    % $PackShards AS shard
         | FROM documents),
-        |s AS (SELECT doc_id, lang, ws_tokens,
-        |  SUM(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |s AS (SELECT doc_id, lang, ws_tokens, shard,
+        |  SUM(ws_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         | FROM t)
-        |SELECT doc_id, lang, ws_tokens,
+        |SELECT doc_id, lang, ws_tokens, shard,
         | CAST(floor((cum - ws_tokens) / 2000.0) AS BIGINT) AS seq_id
         |FROM s""".stripMargin,
 

@@ -46,13 +46,20 @@ object Sketches {
   /** Per-group cardinality + distribution profile of a corpus — the
     * summary table a pipeline computes before deciding dedup/filter
     * thresholds. One hash aggregate; every aggregate in it carries
-    * fixed-size mergeable state. */
+    * fixed-size mergeable state. Quartiles come from ONE shared quantile
+    * sketch (the array aggregate, split into scalar `val_p25/p50/p75`
+    * columns in a post-projection — three separate percentile_approx
+    * aggregates would build three sketches). */
   def profile(df: DataFrame, groupCols: Seq[String], idCol: String,
       valCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n_rows"),
       approxDistinct(col(idCol)).as("approx_ids"),
-      approxPercentiles(col(valCol), Seq(0.25, 0.5, 0.75)).as("val_quartiles"),
+      approxPercentiles(col(valCol), Seq(0.25, 0.5, 0.75)).as("__q"),
       min(col(valCol)).as("val_min"),
       max(col(valCol)).as("val_max"))
+    .withColumn("val_p25", col("__q").getItem(0))
+    .withColumn("val_p50", col("__q").getItem(1))
+    .withColumn("val_p75", col("__q").getItem(2))
+    .drop("__q")
 }

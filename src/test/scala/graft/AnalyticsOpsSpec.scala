@@ -119,20 +119,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (s"g${i % 3}", (i % 2357).toLong, (i % 101).toDouble)
     }.toDF("g", "id", "v")
     val prof = Sketches.profile(rows, Seq("g"), "id", "v").collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map(r => r.getString(r.fieldIndex("g")) -> r).toMap
     val exact = rows.groupBy("g").agg(
       countDistinct(col("id")).as("d"), expr("median(v)").as("m"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     exact.foreach { case (g, (d, m)) =>
-      val approxD = prof(g).getLong(2)
+      val r = prof(g)
+      val approxD = r.getLong(r.fieldIndex("approx_ids"))
       assert(math.abs(approxD - d).toDouble / d < 0.05,
         s"group $g approx distinct $approxD vs exact $d")
-      val quartiles = prof(g).getSeq[Double](3)
-      assert(quartiles.length == 3 && quartiles(0) <= quartiles(1) &&
-        quartiles(1) <= quartiles(2))
-      assert(math.abs(quartiles(1) - m) <= 2.0,
-        s"group $g median ${quartiles(1)} vs exact $m")
-      assert(prof(g).getDouble(4) == 0.0 && prof(g).getDouble(5) == 100.0)
+      val Seq(p25, p50, p75) = Seq("val_p25", "val_p50", "val_p75")
+        .map(c => r.getDouble(r.fieldIndex(c)))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(math.abs(p50 - m) <= 2.0, s"group $g median $p50 vs exact $m")
+      assert(r.getDouble(r.fieldIndex("val_min")) == 0.0 &&
+        r.getDouble(r.fieldIndex("val_max")) == 100.0)
     }
   }
 }
