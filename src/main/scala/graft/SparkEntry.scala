@@ -595,15 +595,19 @@ object SparkEntry {
       table(s, dir, "documents").select(col("doc_id")),
       "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s1")
 
-  /** Sketch profile ([[Sketches.profile]]): per-language corpus summary
-    * with HLL distinct counts and approximate quartiles (scalar
-    * val_p25/p50/p75 columns — the driver's comparator can't sort array
-    * columns). Approximate and engine-specific by nature → no DuckDB hash
-    * oracle (rows-only check); error bounds unit-tested in
-    * AnalyticsOpsSpec. */
+  /** Sketch profile ([[Sketches.profile]]): per-language corpus summary.
+    * The driver sees the DETERMINISTIC projection only — n_rows/val_min/
+    * val_max are exact, and at sf0.01 every lang group holds far fewer
+    * rows than percentile_approx's accuracy=10000, so val_p25/p50/p75
+    * are exact order statistics, mirrored by DuckDB `quantile_disc`
+    * (verified cell-for-cell on the driver data: 15/15 equal, including
+    * integer-rank ties). The engine-specific HLL `approx_ids` column is
+    * excluded here and covered by AnalyticsOpsSpec's error-bound test —
+    * the driver has NO fallback check for un-oracled queries. */
   private def qSketchProfile(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.profile(
       table(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars")
+      .drop("approx_ids")
 
   /** Approximate kNN JOIN ([[Similarity.knnJoin]]): top-3 neighbors for
     * EVERY corpus vector via multi-probe sign-LSH — the whole-corpus
@@ -1253,9 +1257,18 @@ object SparkEntry {
         |    % 10000 AS h
         | FROM documents)""".stripMargin,
 
-    // q45_sketch_profile: HLL/quantile sketches are engine-specific by
-    // nature — no SQL oracle (driver records the weaker rows-only check);
-    // error bounds vs exact answers are unit-tested in AnalyticsOpsSpec.
+    // q45: quartiles via quantile_disc — equal to Spark's
+    // percentile_approx@10000 whenever groups are smaller than the
+    // accuracy (exact order statistics on both engines). The HLL column
+    // is excluded from the driver surface (unit-tested instead): a query
+    // with no oracleSql entry is entirely unattested by the driver.
+    "q45_sketch_profile" ->
+      """SELECT lang, count(*) AS n_rows,
+        | min(n_chars) AS val_min, max(n_chars) AS val_max,
+        | quantile_disc(n_chars, 0.25) AS val_p25,
+        | quantile_disc(n_chars, 0.5) AS val_p50,
+        | quantile_disc(n_chars, 0.75) AS val_p75
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q46_knn_join" ->
       s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>

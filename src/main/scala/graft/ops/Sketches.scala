@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * full shuffle of every distinct value; the sketches are fixed-size,
   * mergeable state per group — partial aggregation sends kilobytes per
   * task regardless of cardinality. Results are approximate and
-  * engine-specific, so these get unit-tested error bounds against exact
-  * answers instead of a DuckDB hash-match oracle (the driver's weaker
-  * rows-only check — documented, not an oversight). */
+  * engine-specific, so the sketch estimates themselves get unit-tested
+  * error bounds against exact answers (AnalyticsOpsSpec); the driver's
+  * q45 oracle covers [[profile]]'s deterministic columns only. A query
+  * with no `oracleSql` entry is entirely unattested by the driver (it
+  * has no rows-only fallback), so anything driver-facing must expose a
+  * deterministic projection. */
 object Sketches {
 
   /** Approximate distinct count (HyperLogLog++) with the given relative
@@ -49,17 +52,27 @@ object Sketches {
     * fixed-size mergeable state. Quartiles come from ONE shared quantile
     * sketch (the array aggregate, split into scalar `val_p25/p50/p75`
     * columns in a post-projection — three separate percentile_approx
-    * aggregates would build three sketches). */
+    * aggregates would build three sketches).
+    *
+    * Output schema, stated once: `groupCols*, n_rows, approx_ids,
+    * val_min, val_max, val_p25, val_p50, val_p75`. Every column except
+    * `approx_ids` is deterministic: percentile_approx's error bound is
+    * eps = 1/accuracy, so whenever a group holds fewer than `accuracy`
+    * rows the targetError is < 1 rank and the result is the EXACT order
+    * statistic at rank ceil(p·n) — identical to a sort-based quantile
+    * (DuckDB `quantile_disc`). Only the HLL estimate is engine-specific. */
   def profile(df: DataFrame, groupCols: Seq[String], idCol: String,
-      valCol: String): DataFrame =
-    df.groupBy(groupCols.map(col): _*).agg(
+      valCol: String): DataFrame = {
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n_rows"),
       approxDistinct(col(idCol)).as("approx_ids"),
       approxPercentiles(col(valCol), Seq(0.25, 0.5, 0.75)).as("__q"),
       min(col(valCol)).as("val_min"),
       max(col(valCol)).as("val_max"))
-    .withColumn("val_p25", col("__q").getItem(0))
-    .withColumn("val_p50", col("__q").getItem(1))
-    .withColumn("val_p75", col("__q").getItem(2))
-    .drop("__q")
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_rows"), col("approx_ids"), col("val_min"), col("val_max"),
+      col("__q").getItem(0).as("val_p25"),
+      col("__q").getItem(1).as("val_p50"),
+      col("__q").getItem(2).as("val_p75")): _*)
+  }
 }
