@@ -195,7 +195,7 @@ object BatchCompiler {
     * `maxGroup` rows raises a clear error (with the group size) at
     * execution instead of silently OOM-ing the executor that drew the
     * hot key. No-op when unset. */
-  private def guardFoldGroup(pairs: Column, maxGroup: Option[Long]): Column =
+  private[graft] def guardFoldGroup(pairs: Column, maxGroup: Option[Long]): Column =
     maxGroup.fold(pairs)(m =>
       when(size(pairs) <= m, pairs).otherwise(raise_error(concat(
         lit(s"FoldAgg group exceeds maxGroup=$m rows (got "),

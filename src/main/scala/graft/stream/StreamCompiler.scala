@@ -23,11 +23,18 @@ import graft.ops.Keyed
   *  - stream–global joins → stream–static broadcast joins (the static side
   *    is re-read per micro-batch, matching GlobalKTable refresh semantics).
   *
+  *  - ktable joins   → live table-table join trees (chained or bushy)
+  *    compile to ONE co-grouped state operator over the union of all
+  *    leaf changelogs ([[tableChainState]]); unwindowed FoldAgg tables
+  *    compile to the same machinery as a 1-leaf running-fold chain and
+  *    join as fold leaves.
+  *
   * Divergences from batch, by Spark's design (documented, erroring
-  * loudly): stream–table as-of joins and FoldAgg need per-key ordered
-  * state — use [[Streamed.latestPerKeyState]]-style
-  * `flatMapGroupsWithState` operators with typed Datasets; the generic
-  * Row-typed path rejects them.
+  * loudly): stream–table as-of joins with both sides live, WINDOWED
+  * FoldAgg, and joins over ExprAgg-aggregated tables need per-key
+  * ordered state the generic Row-typed path cannot stage — use
+  * [[Streamed.latestPerKeyState]]-style `flatMapGroupsWithState`
+  * operators with typed Datasets.
   *
   * Output-mode guidance (`modeFor`): stateless/join-only topologies →
   * append; aggregating topologies → complete (tests/small state) or
@@ -41,16 +48,41 @@ object StreamCompiler {
   object Kind { case object Stream extends Kind; case object Table extends Kind
     case object Global extends Kind }
 
-  /** A left-deep chain of live-table joins awaiting compilation: the RAW
-    * leaf changelogs plus the join type between each successive pair.
-    * Spark rejects chained stateful operators in update mode, so a chain
-    * of KTable joins cannot compile as nested `flatMapGroupsWithState` —
-    * instead the whole chain compiles to ONE state operator over the
-    * union of all leaves ([[StreamCompiler.tableChainState]]), and each
-    * further join extends the chain rather than stacking state. */
-  final case class TableChain(leaves: Seq[DataFrame], joins: Seq[JoinType]) {
-    require(leaves.size == joins.size + 1, "chain arity mismatch")
+  /** Shape of a pending live-table join: leaves are indices into a
+    * [[TableChain]]'s leaf list, nodes carry the join type. Left-deep
+    * chains AND bushy trees — (A⋈B)⋈(C⋈D) — compile the same way: one
+    * flat state operator evaluating the tree per update. */
+  sealed trait JoinTree
+  object JoinTree {
+    final case class Leaf(i: Int) extends JoinTree
+    final case class Node(left: JoinTree, right: JoinTree, jt: JoinType) extends JoinTree
+    /** Re-index a subtree's leaves after its leaf list is appended to
+      * another chain's. */
+    def shift(t: JoinTree, by: Int): JoinTree = t match {
+      case Leaf(i)         => Leaf(i + by)
+      case Node(l, r, jt)  => Node(shift(l, by), shift(r, by), jt)
+    }
   }
+
+  /** Running-fold spec for an AGGREGATED leaf (a FoldAgg KTable joined
+    * live): the same Column-function adder the batch compiler folds with
+    * Catalyst's `aggregate` HOF, interpreted row-at-a-time inside the
+    * state operator (see [[ResolvedFold]]). */
+  final case class FoldSpec(init: Column, adder: (Column, Column) => Column)
+
+  /** One leaf of a pending table-join tree: the raw changelog, plus the
+    * running-fold spec when the leaf is an aggregated (FoldAgg) table —
+    * its per-key state is then the aggregate-so-far, not the latest value. */
+  final case class ChainLeaf(changelog: DataFrame, fold: Option[FoldSpec] = None)
+
+  /** A tree of live-table joins awaiting compilation: the RAW leaf
+    * changelogs plus the join tree over them. Spark rejects chained
+    * stateful operators in update mode, so a tree of KTable joins cannot
+    * compile as nested `flatMapGroupsWithState` — instead the whole tree
+    * compiles to ONE state operator over the union of all leaves
+    * ([[StreamCompiler.tableChainState]]), and each further join extends
+    * the tree rather than stacking state. */
+  final case class TableChain(leaves: Seq[ChainLeaf], tree: JoinTree)
 
   /** @param staticChangelog for tables built from a STATIC feed: the raw
     *   update history, enabling stream–static as-of joins (validity
@@ -94,20 +126,37 @@ object StreamCompiler {
     * complete/update). `staticTopics` are source topics fed from batch
     * DataFrames (the `statics` arg of [[run]]); a table whose every
     * ancestor source is static aggregates at plan time, not as streaming
-    * state, and doesn't force a stateful output mode. */
+    * state, and doesn't force a stateful output mode.
+    *
+    * Topologies that compile a `flatMapGroupsWithState` operator (a
+    * running FoldAgg table, or a live table-table join tree) can only run
+    * in UPDATE mode — Spark rejects flatMapGroupsWithState under complete
+    * — so those return "update" instead of "complete". */
   def modeFor(topology: Topology, staticTopics: Set[String] = Set.empty): String = {
     val preds = topology.predecessors
     def ancestors(id: String): Set[String] = {
       val ps = preds.getOrElse(id, Seq.empty).toSet
       ps ++ ps.flatMap(ancestors)
     }
+    def liveRoots(id: String): Boolean = {
+      val roots = (ancestors(id) + id).filter(n => preds.getOrElse(n, Seq.empty).isEmpty)
+      !roots.forall(staticTopics.contains)
+    }
+    def isTable(id: String): Boolean =
+      topology.entities.get(id).exists(_.isInstanceOf[Entity.KTable])
+    val stateOp = topology.entities.exists {
+      case (id, t: Entity.KTable) if t.window.isEmpty &&
+          t.aggregate.exists(_.isInstanceOf[AggSpec.FoldAgg]) => liveRoots(id)
+      case _ => false
+    } || topology.joins.exists { case (ins, cfg) =>
+      cfg.joinType != JoinType.Merge && ins.size >= 2 && ins.forall(isTable) &&
+        ins.exists(liveRoots)
+    }
     val aggregating = topology.entities.exists {
-      case (id, t: Entity.KTable) if !t.suppress =>
-        val roots = (ancestors(id) + id).filter(n => preds.getOrElse(n, Seq.empty).isEmpty)
-        !roots.forall(staticTopics.contains)
+      case (id, t: Entity.KTable) if !t.suppress => liveRoots(id)
       case _ => false
     }
-    if (aggregating) "complete" else "append"
+    if (stateOp) "update" else if (aggregating) "complete" else "append"
   }
 
   private def buildNode(
@@ -241,12 +290,13 @@ object StreamCompiler {
 
       case (jt @ (JoinType.Inner | JoinType.Left | JoinType.Outer), Kind.Table, Kind.Table)
           if chainOf(l).isDefined && chainOf(r).isDefined =>
+        // left-deep chains AND bushy trees compile identically: append the
+        // right side's leaves and graft its (re-indexed) tree under a new
+        // root node — still ONE flat state operator
         val lc = chainOf(l).get
         val rc = chainOf(r).get
-        if (rc.leaves.size > 1)
-          sys.error("bushy streaming table-join trees are not supported — " +
-            "chain left-deep: join each next table onto the previous join's KTable")
-        tableChainState(TableChain(lc.leaves :+ rc.leaves.head, lc.joins :+ jt))
+        tableChainState(TableChain(lc.leaves ++ rc.leaves,
+          JoinTree.Node(lc.tree, JoinTree.shift(rc.tree, lc.leaves.size), jt)))
 
       case (jt @ (JoinType.Inner | JoinType.Left | JoinType.Outer), Kind.Table, Kind.Table)
           if !l.df.isStreaming && !r.df.isStreaming =>
@@ -263,10 +313,11 @@ object StreamCompiler {
           greatest(col("__lt"), col("__rt")).as(TsCol)), Kind.Stream, nL + 1)
 
       case (jt, Kind.Table, Kind.Table) =>
-        sys.error(s"streaming table-table join ($jt) over AGGREGATED tables " +
-          "has no per-update changelog (Spark cannot join streaming " +
-          "aggregations) — join plain latest-per-key KTables, or use " +
-          "graft.stream.Streamed.aggregateWithSubtractor downstream of the join")
+        sys.error(s"streaming table-table join ($jt) over AGGREGATED tables: " +
+          "an ExprAgg (or windowed) table has no per-update changelog " +
+          "(Spark cannot join streaming aggregations) — use AggSpec.FoldAgg " +
+          "(compiled into the join's co-grouped state) or join plain " +
+          "latest-per-key KTables")
 
       case (jt, lk, rk) =>
         sys.error(s"streaming join ($jt, $lk, $rk) needs typed stateful " +
@@ -274,69 +325,136 @@ object StreamCompiler {
     }
   }
 
-  /** A Built's view as a join chain: an explicit chain if it carries one,
+  /** A Built's view as a join tree: an explicit chain if it carries one,
     * else its own changelog as a 1-leaf chain. */
   private def chainOf(b: Built): Option[TableChain] =
-    b.tableChain.orElse(b.streamChangelog.map(c => TableChain(Seq(c), Nil)))
+    b.tableChain.orElse(b.streamChangelog.map(c =>
+      TableChain(Seq(ChainLeaf(c)), JoinTree.Leaf(0))))
 
-  /** Streaming table–table join chain (the reference's live KTable–KTable
+  /** A [[FoldSpec]] resolved against its leaf's value type: the acc
+    * DataType, the evaluated init value, and the adder as a BOUND
+    * Catalyst expression over `InternalRow(acc, v)`. The SAME Column
+    * functions the batch compiler folds with Catalyst's `aggregate` HOF
+    * (`BatchCompiler.buildTable`) are analyzer-resolved once on the
+    * driver, shipped to executors (Catalyst expressions serialize with
+    * task closures), and interpreted row-at-a-time inside the state
+    * operator — one fold definition, two engines, no UDF registration. */
+  private[stream] final case class ResolvedFold(
+      accType: org.apache.spark.sql.types.DataType,
+      vType: org.apache.spark.sql.types.DataType,
+      initValue: Any,
+      bound: org.apache.spark.sql.catalyst.expressions.Expression) {
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    @transient private lazy val accToCat = CatalystTypeConverters.createToCatalystConverter(accType)
+    @transient private lazy val vToCat = CatalystTypeConverters.createToCatalystConverter(vType)
+    @transient private lazy val accToExt = CatalystTypeConverters.createToScalaConverter(accType)
+    @transient private lazy val expr: org.apache.spark.sql.catalyst.expressions.Expression = {
+      bound.foreach {
+        case nd: org.apache.spark.sql.catalyst.expressions.Nondeterministic => nd.initialize(0)
+        case _ => ()
+      }
+      bound
+    }
+    /** acc' = adder(acc, v), on EXTERNAL (Row-land) values. */
+    def step(accExt: Any, vExt: Any): Any =
+      accToExt(expr.eval(InternalRow(accToCat(accExt), vToCat(vExt))))
+  }
+
+  /** Analyzer-resolve a fold's Column functions into a [[ResolvedFold]].
+    * Runs one driver-local row to evaluate the init literal; schema-only
+    * analysis (no job) for the types and the adder expression. */
+  private def resolveFold(
+      spark: org.apache.spark.sql.SparkSession, f: FoldSpec,
+      vType: org.apache.spark.sql.types.DataType): ResolvedFold = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    def emptyDf(fields: (String, org.apache.spark.sql.types.DataType)*) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(fields.map { case (nm, t) => StructField(nm, t) }))
+    // acc type: the analyzed type of adder(init, v) (type coercion included)
+    val accType = emptyDf("__v" -> vType)
+      .select(f.adder(f.init, col("__v")).as("__r")).schema.head.dataType
+    val initValue = spark.range(1).select(f.init.cast(accType).as("__i")).head.get(0)
+    // bind adder(acc, v) over the 2-field input row (acc, v)
+    val analyzed = emptyDf("__acc" -> accType, "__v" -> vType)
+      .select(f.adder(col("__acc"), col("__v")).cast(accType).as("__r"))
+      .queryExecution.analyzed.asInstanceOf[Project]
+    val adderExpr = analyzed.projectList.head.asInstanceOf[Alias].child
+    val bound = BindReferences.bindReference(adderExpr,
+      org.apache.spark.sql.catalyst.expressions.AttributeSeq(analyzed.child.output))
+    ResolvedFold(accType, vType, initValue, bound)
+  }
+
+  /** Streaming table–table join tree (the reference's live KTable–KTable
     * joins, `streams.clj:84-97`, including CHAINED joins through declared
-    * intermediate KTables): ONE co-grouped per-key state operator over
-    * the union of ALL leaf changelogs. State = latest (value, ts) per
-    * leaf; every update folds the left-deep join and emits per Kafka
-    * Streams KTable semantics (inner: both present; left: left present;
-    * outer: either present; null value = tombstone = absent). The value
-    * nests left-deep — struct(v1 = previous join's value, v2 = new leaf)
-    * — exactly the shape the batch compiler produces for a KTable-of-a-
-    * join joined again, so the LAST emission per key equals batch's
-    * final-state join (congruity-tested per join type and for 3-table
-    * chains).
+    * intermediate KTables and BUSHY shapes like (A⋈B)⋈(C⋈D)): ONE
+    * co-grouped per-key state operator over the union of ALL leaf
+    * changelogs. State per leaf = latest (value, ts) — or the running
+    * fold acc for an aggregated (FoldAgg) leaf; every update evaluates
+    * the join tree and emits per Kafka Streams KTable semantics (inner:
+    * both present; left: left present; outer: either present; null value
+    * = tombstone = absent; fold leaves: present once any record folded,
+    * null-valued records ignored per KGroupedStream). A node's value
+    * nests as struct(v1 = left subtree, v2 = right subtree) — exactly
+    * the shape the batch compiler produces for KTables-of-joins joined
+    * again, so the LAST emission per key equals batch's final-state join
+    * (congruity-tested per join type, for 3-table chains, and for bushy
+    * trees).
     *
-    * Compiling the chain FLAT rather than nesting state operators is
+    * Compiling the tree FLAT rather than nesting state operators is
     * load-bearing: Spark rejects multiple flatMapGroupsWithState in
     * update mode, so nested compilation cannot run at all. Scale shape:
     * state is one (value, ts) pair per leaf per key in the state store —
     * memory grows with key cardinality, not stream length — and groups
     * process independently (cluster-parallel). Row-typed via
     * `Encoders.row`, so the generic compiler needs no case classes. */
-  private def tableChainState(chain: TableChain): Built = {
+  private[stream] def tableChainState(chain: TableChain): Built = {
     import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
     val leaves = chain.leaves
-    val joins = chain.joins
     val n = leaves.size
-    val keyType = leaves.head.schema(KeyCol).dataType
-    val vTypes: Seq[DataType] = leaves.map(_.schema(ValueCol).dataType)
+    val keyType = leaves.head.changelog.schema(KeyCol).dataType
+    val rawTypes: Seq[DataType] = leaves.map(_.changelog.schema(ValueCol).dataType)
+    val folds: Array[Option[ResolvedFold]] = leaves.zip(rawTypes).map {
+      case (lf, vt) => lf.fold.map(f => resolveFold(lf.changelog.sparkSession, f, vt))
+    }.toArray
+    // a leaf's contribution to the joined value: the running aggregate
+    // for fold leaves, the latest raw value otherwise
+    val contribTypes: Seq[DataType] = folds.toSeq.zip(rawTypes).map {
+      case (Some(rf), _) => rf.accType
+      case (None, vt)    => vt
+    }
 
     // tagged union of all changelogs: (k, side, v0..v{n-1}, tsus) — only
     // column `side` is non-null per record
-    val union = leaves.zipWithIndex.map { case (c, i) =>
-      c.select(Seq(col(KeyCol).as("k"), lit(i).as("side")) ++
-        vTypes.zipWithIndex.map { case (t, j) =>
+    val union = leaves.zipWithIndex.map { case (lf, i) =>
+      lf.changelog.select(Seq(col(KeyCol).as("k"), lit(i).as("side")) ++
+        rawTypes.zipWithIndex.map { case (t, j) =>
           (if (j == i) col(ValueCol) else lit(null).cast(t)).as(s"v$j")
         } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*)
     }.reduceLeft(_ unionByName _)
 
-    // left-deep nesting: acc type after stage i
-    val accTypes: Seq[DataType] = vTypes.tail.scanLeft(vTypes.head) { (acc, leaf) =>
-      StructType(Seq(StructField("v1", acc), StructField("v2", leaf)))
+    // joined-value type of each subtree
+    def typeOf(t: JoinTree): DataType = t match {
+      case JoinTree.Leaf(i) => contribTypes(i)
+      case JoinTree.Node(l, r, _) =>
+        StructType(Seq(StructField("v1", typeOf(l)), StructField("v2", typeOf(r))))
     }
     val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
     val stateEnc = Encoders.row(StructType(
-      vTypes.zipWithIndex.map { case (t, i) => StructField(s"v$i", t) } ++
+      contribTypes.zipWithIndex.map { case (t, i) => StructField(s"v$i", t) } ++
         (0 until n).map(i => StructField(s"t$i", LongType))))
     val outEnc = Encoders.row(StructType(Seq(
-      StructField("k", keyType), StructField("value", accTypes.last),
+      StructField("k", keyType), StructField("value", typeOf(chain.tree)),
       StructField("tsus", LongType))))
 
-    val joinTags: Array[Int] = joins.map {
-      case JoinType.Inner => 0
-      case JoinType.Left  => 1
-      case _              => 2
-    }.toArray
-    val nn = n // capture primitives in the closure, not the chain
+    val nn = n // capture primitives and small values, not the chain
+    val tree = chain.tree
+    val foldsArr = folds
     val joined = union
       .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
       .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -347,31 +465,44 @@ object StreamCompiler {
             var i = 0
             while (i < nn) { vs(i) = s.get(i); ts(i) = s.getLong(nn + i); i += 1 }
           }
+          // fold leaves: present once any record has folded (acc may be
+          // any value, incl. null); latest leaves: null = tombstone
+          def present(i: Int): Boolean =
+            if (foldsArr(i).isDefined) ts(i) != Long.MinValue else vs(i) != null
+          def evalTree(t: JoinTree): (Boolean, Any, Long) = t match {
+            case JoinTree.Leaf(i) =>
+              val p = present(i)
+              (p, if (p) vs(i) else null, if (p) ts(i) else Long.MinValue)
+            case JoinTree.Node(lt, rt, jt) =>
+              val (lp, lv, ltm) = evalTree(lt)
+              val (rp, rv, rtm) = evalTree(rt)
+              val p = jt match {
+                case JoinType.Inner => lp && rp
+                case JoinType.Left  => lp
+                case _              => lp || rp
+              }
+              (p, Row(if (lp) lv else null, if (rp) rv else null), math.max(ltm, rtm))
+          }
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           // ts order within the batch; later sides after earlier at equal ts
           records.toSeq.sortBy(rec => (rec.getLong(nn + 2), rec.getInt(1))).foreach { rec =>
             val side = rec.getInt(1)
             val t = rec.getLong(nn + 2)
-            if (t >= ts(side)) { vs(side) = rec.get(2 + side); ts(side) = t }
-            // fold the chain left-deep
-            var accPresent = vs(0) != null
-            var accVal: Any = vs(0)
-            var accTs = if (accPresent) ts(0) else Long.MinValue
-            var i = 1
-            while (i < nn) {
-              val leafPresent = vs(i) != null
-              val newPresent = joinTags(i - 1) match {
-                case 0 => accPresent && leafPresent
-                case 1 => accPresent
-                case _ => accPresent || leafPresent
-              }
-              accVal = Row(if (accPresent) accVal else null, vs(i))
-              accTs = math.max(if (accPresent) accTs else Long.MinValue,
-                if (leafPresent) ts(i) else Long.MinValue)
-              accPresent = newPresent
-              i += 1
+            val v = rec.get(2 + side)
+            foldsArr(side) match {
+              case Some(rf) =>
+                // KGroupedStream adder semantics: every record folds in;
+                // null values are tombstone no-ops (Kafka Streams skips them)
+                if (v != null) {
+                  val acc0 = if (ts(side) == Long.MinValue) rf.initValue else vs(side)
+                  vs(side) = rf.step(acc0, v)
+                  ts(side) = math.max(ts(side), t)
+                }
+              case None =>
+                if (t >= ts(side)) { vs(side) = v; ts(side) = t }
             }
-            if (accPresent) out += Row(key.get(0), accVal, accTs)
+            val (p, joinedVal, joinedTs) = evalTree(tree)
+            if (p) out += Row(key.get(0), joinedVal, joinedTs)
           }
           state.update(Row(vs.toIndexedSeq ++ ts.map(Long.box).toIndexedSeq: _*))
           out.iterator
@@ -387,6 +518,20 @@ object StreamCompiler {
     * source watermark + append mode at the sink). */
   private def buildTable(t: Entity.KTable, in: Built): Built = {
     val rekeyed = t.groupBy.fold(in.df)(e => in.df.withColumn(KeyCol, e))
+    t.aggregate match {
+      case Some(f: AggSpec.FoldAgg) if t.window.isEmpty && rekeyed.isStreaming =>
+        // running fold (KGroupedStream adder, streams.clj:41-55) via the
+        // SAME co-grouped state machinery as live table-table joins: a
+        // 1-leaf fold chain. Emits the aggregate-so-far on every update
+        // (the reference's eager changelog, experiment.clj:231-238), and
+        // — because the chain carries the fold spec — the table is
+        // JOINABLE: a downstream table-table join folds this leaf inside
+        // its own state operator instead of stacking stateful operators.
+        val chain = TableChain(
+          Seq(ChainLeaf(rekeyed, Some(FoldSpec(f.init, f.adder)))), JoinTree.Leaf(0))
+        return tableChainState(chain).copy(kind = Kind.Table)
+      case _ => ()
+    }
     val winCol: Option[Column] = t.window.map {
       case WindowSpec.TimeWindows(size, adv) =>
         window(col(TsCol), s"$size milliseconds", s"$adv milliseconds")
@@ -398,9 +543,18 @@ object StreamCompiler {
       case None =>
         // latest-per-key as a streaming-safe hash aggregate
         max_by(struct(col(ValueCol)), struct(col(TsCol))).getField(ValueCol)
+      case Some(f: AggSpec.FoldAgg) if !rekeyed.isStreaming =>
+        // static feed: plan-time ordered fold, exactly the batch
+        // compiler's form (sorted collect_list + Catalyst aggregate HOF)
+        aggregate(
+          graft.batch.BatchCompiler.guardFoldGroup(
+            sort_array(collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v")))),
+            f.maxGroup),
+          f.init, (acc, p) => f.adder(acc, p("v")))
       case Some(_: AggSpec.FoldAgg) =>
-        sys.error("FoldAgg needs ordered per-key state in streaming — " +
-          "use a typed flatMapGroupsWithState operator (graft.stream.Streamed)")
+        sys.error("windowed FoldAgg needs per-window ordered state in " +
+          "streaming — use ExprAgg for windowed streaming aggregates, or " +
+          "a typed flatMapGroupsWithState operator (graft.stream.Streamed)")
     }
     val grouped = winCol match {
       case Some(w) => rekeyed.groupBy(w.as("__w"), col(KeyCol))

@@ -363,6 +363,143 @@ class StreamCongruitySpec extends AnyFunSuite {
     }
   }
 
+  test("congruity: BUSHY table-join tree (A⋈B)⋈(C⋈D) matches batch") {
+    // both join inputs are themselves KTables-of-joins — the tree compiles
+    // to one flat state operator, value nests struct(v1=left tree, v2=right tree)
+    val aRows = Seq(("k", 1, 100L), ("k", 9, 300L), ("j", 4, 50L))
+    val bRows = Seq(("k", 7, 150L), ("j", 2, 75L))
+    val cRows = Seq(("k", 5, 120L), ("z", 3, 10L))
+    val dRows = Seq(("k", 8, 130L))
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "c" -> "tc", "d" -> "td",
+        "ta" -> "j1", "tb" -> "j1", "tc" -> "j2", "td" -> "j2",
+        "j1" -> "j3", "j2" -> "j3", "j3" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "c" -> Entity.Topic("c"), "d" -> Entity.Topic("d"),
+        "ta" -> Entity.KTable(), "tb" -> Entity.KTable(),
+        "tc" -> Entity.KTable(), "td" -> Entity.KTable(),
+        "j1" -> Entity.KTable(), "j2" -> Entity.KTable(),
+        "j3" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner),
+        Seq("tc", "td") -> JoinConfig(JoinType.Left),
+        Seq("j1", "j2") -> JoinConfig(JoinType.Outer)))
+    val batch = BatchCompiler.run(topo, Map(
+      "a" -> records(aRows: _*), "b" -> records(bRows: _*),
+      "c" -> records(cRows: _*), "d" -> records(dRows: _*)))("j3")
+    val stream = runStreaming(topo,
+      Map("a" -> aRows, "b" -> bRows, "c" -> cRows, "d" -> dRows),
+      sink = "j3", mode = "update")
+    val cols = Seq("key", "value.v1.v1", "value.v1.v2", "value.v2.v1", "value.v2.v2")
+    def canonBatch(df: DataFrame) = df.select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    def canonStream(df: DataFrame) = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canonStream(stream) == canonBatch(batch))
+    // k: all four joined; j: left tree only (outer pads right);
+    // z: right tree only, itself left-padded (tc left-joins td)
+    assert(canonBatch(batch) == Seq(
+      Seq("j", 4, 2, null, null),
+      Seq("k", 9, 7, 5, 8),
+      Seq("z", null, null, 3, null)).sortBy(_.toString))
+  }
+
+  test("congruity: aggregated (FoldAgg) KTable joins a plain KTable, matches batch") {
+    // the r-side of the verdictable gap: a LIVE aggregated table in a
+    // table-table join — the fold runs inside the join's state operator
+    val aRows = Seq(("k", 1, 100L), ("k", 2, 300L), ("j", 4, 50L))
+    val bRows = Seq(("k", 7, 150L), ("x", 9, 75L))
+    val fold = AggSpec.FoldAgg(lit(0), (acc, v) => acc + v)
+    for (jt <- Seq(JoinType.Inner, JoinType.Left, JoinType.Outer)) {
+      val topo = Topology(
+        Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+        Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+          "ta" -> Entity.KTable(aggregate = Some(fold)),
+          "tb" -> Entity.KTable(),
+          "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+        Map(Seq("ta", "tb") -> JoinConfig(jt)))
+      assert(StreamCompiler.modeFor(topo) == "update")
+      val batch = BatchCompiler.run(topo,
+        Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
+      val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
+        sink = "jn", mode = "update")
+      def canonBatch(df: DataFrame) = df.select("key", "value.v1", "value.v2")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      def canonStream(df: DataFrame) = df
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key")).orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1)
+        .select("key", "value.v1", "value.v2")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(canonStream(stream) == canonBatch(batch), s"join type $jt")
+      if (jt == JoinType.Inner)
+        assert(canonBatch(batch) == Seq(Seq("k", 3, 7)))
+    }
+  }
+
+  test("standalone FoldAgg table emits the running aggregate, state spans micro-batches") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "update")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("tbl").writeStream.format("memory").queryName("foldtbl")
+      .outputMode("update").start()
+    try {
+      ms.addData(("k", 1, 100L), ("k", 2, 200L)); q.processAllAvailable()
+      // the fold acc must round-trip through the state store
+      ms.addData(("k", 4, 300L), ("j", 5, 50L)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("foldtbl").select("key", "value", "ts")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime))
+    // eager changelog: 1, 3 (batch one), then 7 continuing from stored acc
+    assert(got.filter(_._1 == "k").sortBy(_._3).map(_._2).toSeq == Seq(1, 3, 7))
+    assert(got.filter(_._1 == "j").map(_._2).toSeq == Seq(5))
+    // batch twin computes the same FINAL state
+    val batch = BatchCompiler.run(topo, Map("in" -> records(
+      ("k", 1, 100L), ("k", 2, 200L), ("k", 4, 300L), ("j", 5, 50L))))("tbl")
+    assert(kvOf(batch) == Seq(("j", 5), ("k", 7)))
+  }
+
+  test("FoldAgg with a non-trivial Column adder resolves and folds (string concat)") {
+    implicit val sql = spark.sqlContext
+    // adder is an arbitrary Column function — analyzer-resolved, then
+    // interpreted row-at-a-time in the state op; acc type (string) differs
+    // from the value type (int)
+    val fold = AggSpec.FoldAgg(lit(""),
+      (acc, v) => concat(acc, lit("|"), v.cast("string")))
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate = Some(fold)),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("k", 1, 100L), ("k", 2, 200L), ("j", 9, 50L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "tbl", mode = "update")
+    def lastPerKey(df: DataFrame) = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1).select("key", "value")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val batchFinal = batch.select("key", "value")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(lastPerKey(stream) == batchFinal)
+    assert(batchFinal == Seq(("j", "|9"), ("k", "|1|2")))
+  }
+
   test("streaming table-table join over aggregated tables errors loudly") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
