@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lifetime control for the caches an operator creates for its own
+  * internal fan-out (the n-gram inverted index, LSH bucket lists): the
+  * operator `persist`s through its scope, and the CALLER closes the
+  * scope after the consuming action, releasing every block.
+  *
+  * Why the caller and not the operator: operators return LAZY DataFrames
+  * that still reference the cached plans. Unpersisting inside the
+  * operator — before the caller's action — would silently recompute the
+  * index once per internal consumer, the exact 3-4x blowup the cache
+  * exists to prevent; checkpointing the result instead would make every
+  * operator eager and hide its join structure from plan inspection
+  * (`graft.Explain`'s scale gate reads the full physical plan).
+  *
+  * The default [[CacheScope.session]] scope never releases: blocks live
+  * until `spark.catalog.clearCache()` or session end — the right default
+  * for short-lived driver runs (`graft.Bench` clears the cache between
+  * queries). A long-lived cluster app scopes operator + action together:
+  *
+  * {{{
+  * CacheScope.using { scope =>
+  *   Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8, 50, scope)
+  *     .write.parquet(out)   // the consuming action, inside the scope
+  * }                         // index blocks released here
+  * }}}
+  */
+final class CacheScope private[ops] (tracking: Boolean) extends AutoCloseable {
+  def this() = this(true)
+
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist an operator intermediate and materialize it in ONE eager
+    * pass — without the up-front count, the operator's concurrent
+    * internal consumers race to compute the same partitions (duplicate
+    * work + block-manager contention, an observed 3-4x wall-clock spike). */
+  private[graft] def cache(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    if (tracking) synchronized { tracked += p }
+    p
+  }
+
+  /** Release every block this scope persisted. Idempotent. Call only
+    * after the actions consuming the operator outputs have run. */
+  override def close(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false))
+    tracked.clear()
+  }
+}
+
+object CacheScope {
+  /** Session-lifetime scope: nothing is tracked or released (and nothing
+    * is retained — no unbounded registry); blocks are freed by
+    * `clearCache()` or session stop. */
+  val session: CacheScope = new CacheScope(false)
+
+  /** Loan pattern: run `f` with a fresh scope, release its caches after.
+    * The actions consuming the operator outputs must run inside `f`. */
+  def using[A](f: CacheScope => A): A = {
+    val s = new CacheScope(true)
+    try f(s) finally s.close()
+  }
+}

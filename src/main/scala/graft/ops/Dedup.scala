@@ -158,17 +158,17 @@ object Dedup {
     * aggregation keeps the count shuffle small, no sorts.
     *
     * The bucketed input feeds both the count aggregate and the join probe
-    * side, so it is persisted and eagerly materialized once (same
-    * rationale as [[ngramJaccardPairs]]' index cache: without it the
-    * upstream scan + bucket projection runs twice, and the two consumers
-    * race to compute the same partitions). Cached blocks live until the
-    * session ends or the caller clears the cache; size is one row per
-    * (input row, bucket key). */
-  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame =
+    * side, so it is persisted and eagerly materialized once through the
+    * caller's [[CacheScope]] (same rationale as [[ngramJaccardPairs]]'
+    * index cache: without it the upstream scan + bucket projection runs
+    * twice, and the two consumers race to compute the same partitions).
+    * Block lifetime is the scope's; size is one row per (input row,
+    * bucket key). */
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Long,
+      scope: CacheScope = CacheScope.session): DataFrame =
     if (maxBucket <= 0) df
     else {
-      val b = df.persist()
-      b.count()
+      val b = scope.cache(df)
       b.join(
         b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") <= maxBucket).drop("__bn"),
@@ -182,7 +182,7 @@ object Dedup {
     * Buckets larger than `maxBucket` are dropped entirely (skew guard;
     * `maxBucket <= 0` disables). Returns distinct (a, b) pairs, a < b. */
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
-      maxBucket: Long = 0L): DataFrame = {
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
     val nBands = k / rowsPerBand
     val banded0 = sigs.select(
       col(idCol),
@@ -192,7 +192,7 @@ object Dedup {
             col("sig").getItem(b * rowsPerBand + r).cast("string")): _*).as("bkey"))
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
-    val banded = capBuckets(banded0, Seq("band", "bkey"), maxBucket)
+    val banded = capBuckets(banded0, Seq("band", "bkey"), maxBucket, scope)
     val l = banded.select(col("band"), col("bkey"), col(idCol).as("a"))
     val r = banded.select(col("band"), col("bkey"), col(idCol).as("b"))
     l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
@@ -207,13 +207,14 @@ object Dedup {
     * estimate is logged by callers). Returns a, b, jaccard. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, text: Column, n: Int,
-      threshold: Double, maxDf: Long): DataFrame = {
+      threshold: Double, maxDf: Long,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     // The inverted index feeds three consumers (the df-cap aggregate and
-    // both sides of the pair self-join) — persist it so the explode runs
-    // once, not four times (measured 3× faster than recompute; at cluster
-    // scale the same role is played by checkpointing the index). The
-    // cached blocks live until the session ends or the caller unpersists;
-    // size is bounded by the exploded index (rows × distinct shingles).
+    // both sides of the pair self-join) — persist it through the caller's
+    // CacheScope so the explode runs once, not four times (measured 3×
+    // faster than recompute; at cluster scale the same role is played by
+    // checkpointing the index). Block lifetime is the scope's; size is
+    // bounded by the exploded index (rows × distinct shingles).
     // Index key = 60-bit hash of the shingle, not the string: the joins
     // shuffle 8-byte longs instead of ~20-byte strings, and the oracle
     // mirrors the same md5-based hash so collisions (≈n²/2^60) are
@@ -221,18 +222,16 @@ object Dedup {
     // explode_outer + isnotnull for the same InferFiltersFromGenerate
     // reason as in minHashSignatures (single evaluation of the shingle
     // expression, above the scatter exchange).
-    val sh = df.select(col(idCol).as("id"),
-        graft.functions.ShingleHashesFn(text, n).as("__shs"))
-      .withColumn("nsh", size(col("__shs")))
-      .select(col("id"), col("nsh"), explode_outer(col("__shs")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .persist()
-    // materialize the cache in ONE pass before fanning out: the df-cap
+    // scope.cache materializes in ONE pass before fanning out: the df-cap
     // aggregate and both pair-join sides otherwise race to compute the
     // same partitions concurrently (duplicate shingling + block-manager
     // contention; the executor logs "Block already exists" and wall-clock
     // spikes 3-4x). One cheap count is the deterministic fix.
-    sh.count()
+    val sh = scope.cache(df.select(col(idCol).as("id"),
+        graft.functions.ShingleHashesFn(text, n).as("__shs"))
+      .withColumn("nsh", size(col("__shs")))
+      .select(col("id"), col("nsh"), explode_outer(col("__shs")).as("sh"))
+      .filter(col("sh").isNotNull))
     // df-cap via hash aggregate + equi-join (partial aggregation shrinks
     // the shuffle; no per-shingle sort)
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
@@ -272,7 +271,7 @@ object Dedup {
     * maxHamming is small); verified with `bit_count(xor) <= maxHamming`.
     * Returns a, b, hamming. */
   def simHashPairs(sigs: DataFrame, idCol: String, bits: Int, maxHamming: Int,
-      maxBucket: Long = 0L): DataFrame = {
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
     val half = bits / 2
     val banded = capBuckets(sigs.select(
       col(idCol),
@@ -282,7 +281,7 @@ object Dedup {
           col("simhash").bitwiseAND(lit((1L << half) - 1)).as("bkey")))).as("bk"),
       col("simhash"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"), col("simhash")),
-      Seq("band", "bkey"), maxBucket)
+      Seq("band", "bkey"), maxBucket, scope)
     val l = banded.select(col("band"), col("bkey"), col(idCol).as("a"), col("simhash").as("ha"))
     val r = banded.select(col("band"), col("bkey"), col(idCol).as("b"), col("simhash").as("hb"))
     l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
@@ -394,10 +393,11 @@ object Dedup {
     * exact cosine ≥ threshold. Returns a, b, cos. */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vec: Column,
-      signBits: Int, threshold: Double, maxBucket: Long = 0L): DataFrame = {
+      signBits: Int, threshold: Double, maxBucket: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val b = capBuckets(df.select(col(idCol), vec.as("v"),
       Similarity.signBucket(vec, signBits).as("__bkt")),
-      Seq("__bkt"), maxBucket)
+      Seq("__bkt"), maxBucket, scope)
     val l = b.select(col("__bkt"), col(idCol).as("a"), col("v").as("va"))
     val r = b.select(col("__bkt"), col(idCol).as("b"), col("v").as("vb"))
     l.join(r, Seq("__bkt")).filter(col("a") < col("b"))

@@ -160,11 +160,11 @@ object Similarity {
     * bucket only removes its candidates. Output: qid, id, cos, rank. */
   def knnJoin(items: DataFrame, itemId: String, itemVec: String,
       k: Int, signBits: Int, probeHamming: Int = 1,
-      maxBucket: Long = 0L): DataFrame = {
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
     val bucketed = Dedup.capBuckets(
       items.select(col(itemId), col(itemVec),
         signBucket(col(itemVec), signBits).as("__bkt")),
-      Seq("__bkt"), maxBucket)
+      Seq("__bkt"), maxBucket, scope)
     val own = signBucket(col(itemVec), signBits)
     val probes =
       if (probeHamming <= 0) array(own)

@@ -25,6 +25,38 @@ class DedupCapSpec extends AnyFunSuite {
     assert(Dedup.lshCandidates(small, "doc_id", 8, 4).count() == 10)
   }
 
+  test("CacheScope releases operator caches after the consuming action") {
+    // forked tests run sequentially (no testForkedParallel), so global
+    // cache-manager state is race-free within this test
+    spark.sharedState.cacheManager.clearCache()
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"shared prefix words for doc number ${i % 7} tail $i"))
+      .toDF("doc_id", "text")
+    graft.ops.CacheScope.using { scope =>
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+        n = 3, threshold = 0.2, maxDf = 100, scope = scope)
+      pairs.count() // the consuming action, inside the scope
+      // the inverted index is cached while the scope is open
+      assert(!spark.sharedState.cacheManager.isEmpty)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operator caches must be released when the scope closes")
+    // capBuckets through a scope likewise releases
+    val vs = (0 until 10).map(i => (i.toLong, Array(1.0f, 1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    graft.ops.CacheScope.using { scope =>
+      Dedup.cosineNearDupPairs(vs, "vec_id", col("embedding"),
+        signBits = 3, threshold = 0.9, maxBucket = 100, scope = scope).count()
+      assert(!spark.sharedState.cacheManager.isEmpty)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // the default session scope keeps the cache (cleared here to leave
+    // global state clean for other suites)
+    Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.2, 100).count()
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("simhash banding: cap drops the degenerate bucket, disabled cap keeps it") {
     val docs = (0 until 1000).map(i => (i.toLong, "another identical corpus line for simhash"))
       .toDF("doc_id", "text")
