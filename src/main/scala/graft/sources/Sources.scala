@@ -121,35 +121,52 @@ object Sources {
       s.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load(),
       pmod(col("value"), lit(nKeys)).cast("string"), col("value"), col("timestamp"))
 
-  /** Kafka topic source (the reference's native transport,
-    * `streams.clj:12-14` serde decode ↔ `from_json` here). Requires the
-    * spark-sql-kafka connector on the classpath; value payloads are JSON
-    * decoded against `valueSchema`. */
-  def kafkaStreamTopic(s: SparkSession, bootstrap: String, topic: String,
-      valueSchema: org.apache.spark.sql.types.DataType): DataFrame = {
-    val raw = s.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .load()
+  /** The serde half of [[kafkaStreamTopic]] — decode a Kafka WIRE-schema
+    * DataFrame (`key`/`value` binary, `timestamp`) into records
+    * (`streams.clj:12-14` serde decode ↔ `from_json` here). Factored out
+    * of the transport so the wiring is testable without a broker: any
+    * stand-in with the wire columns (a MemoryStream in tests) exercises
+    * exactly the projection the Kafka connector output flows through. */
+  def decodeKafkaRecords(raw: DataFrame,
+      valueSchema: org.apache.spark.sql.types.DataType): DataFrame =
     Records.fromTable(raw,
       col("key").cast("string"),
       from_json(col("value").cast("string"), valueSchema),
       col("timestamp"))
-  }
 
-  /** Kafka topic sink — the write half of [[kafkaStreamTopic]]: record
-    * key as the message key, value JSON-encoded (`to_json` ↔ the serde
-    * encode in `streams.clj:12-14`). Honors the topology's declared
-    * partition count only insofar as the BROKER topic was provisioned
-    * with it ([[Admin.topicSpecs]]); Kafka's default partitioner routes
-    * by key hash, preserving per-key ordering. Requires the
-    * spark-sql-kafka connector on the classpath (not present in this
-    * sandbox — mirrors the source's untestable-here status). */
+  /** The serde half of [[kafkaSinkTopic]] — encode records into the Kafka
+    * writer's expected columns: message `key` string, `value` JSON of
+    * (value, ts) (`to_json` ↔ the serde encode in `streams.clj:12-14`).
+    * [[decodeKafkaRecords]] over a `valueSchema` of
+    * `struct<value: V, ts: timestamp>` round-trips this encoding. */
+  def encodeKafkaRecords(df: DataFrame): DataFrame =
+    df.select(
+      col(Records.KeyCol).cast("string").as("key"),
+      to_json(struct(col(Records.ValueCol), col(Records.TsCol))).as("value"))
+
+  /** Kafka topic source (the reference's native transport). Requires the
+    * spark-sql-kafka connector on the classpath; value payloads are JSON
+    * decoded against `valueSchema` ([[decodeKafkaRecords]]). */
+  def kafkaStreamTopic(s: SparkSession, bootstrap: String, topic: String,
+      valueSchema: org.apache.spark.sql.types.DataType): DataFrame =
+    decodeKafkaRecords(
+      s.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load(),
+      valueSchema)
+
+  /** Kafka topic sink — the write half of [[kafkaStreamTopic]]
+    * ([[encodeKafkaRecords]] for the serde). Honors the topology's
+    * declared partition count only insofar as the BROKER topic was
+    * provisioned with it ([[Admin.topicSpecs]]); Kafka's default
+    * partitioner routes by key hash, preserving per-key ordering.
+    * Requires the spark-sql-kafka connector on the classpath (not
+    * present in this sandbox — the serde halves are covered by the
+    * MemoryStream stand-in test; only the broker I/O itself is not). */
   def kafkaSinkTopic(df: DataFrame, bootstrap: String, topic: String,
       checkpoint: String): StreamingQuery =
-    df.select(
-        col(Records.KeyCol).cast("string").as("key"),
-        to_json(struct(col(Records.ValueCol), col(Records.TsCol))).as("value"))
+    encodeKafkaRecords(df)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)

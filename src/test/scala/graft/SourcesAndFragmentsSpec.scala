@@ -145,6 +145,87 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(kvInt(spark.table("filesrc")) == Seq(("k", 10), ("k", 20)))
   }
 
+  test("kafka serde wiring: wire-schema stand-in decodes to records and feeds the compiler") {
+    // the spark-sql-kafka connector isn't in this sandbox; a MemoryStream
+    // with Kafka's wire columns (key/value binary, timestamp) exercises
+    // the exact projection kafkaStreamTopic applies to connector output
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val valueSchema = StructType(Seq(
+      StructField("amount", IntegerType), StructField("tag", StringType)))
+    val ms = MemoryStream[(Array[Byte], Array[Byte], Long)]
+    ms.addData(Seq(
+      ("k1".getBytes("UTF-8"), """{"amount":7,"tag":"x"}""".getBytes("UTF-8"), 100L),
+      ("k2".getBytes("UTF-8"), """{"amount":9,"tag":"y"}""".getBytes("UTF-8"), 200L)))
+    val wire = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("timestamp", timestamp_millis(col("__ms"))).drop("__ms")
+    val src = Sources.decodeKafkaRecords(wire, valueSchema)
+    assert(src.isStreaming)
+    assert(src.columns.toSeq == Seq("key", "value", "ts"))
+    // decoded records flow through a topology like any other source
+    val topo = Topology(
+      Seq("in" -> "s", "s" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "s" -> Entity.KStream(Some(Xform.MapValue(col("value.amount") * 10))),
+        "out" -> Entity.Topic("out")))
+    val outDf = StreamCompiler.run(topo, Map("in" -> src))("out")
+    val q = outDf.writeStream.format("memory").queryName("kafkasrc")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(kvInt(spark.table("kafkasrc")) == Seq(("k1", 70), ("k2", 90)))
+  }
+
+  test("kafka serde round-trip: encodeKafkaRecords inverts through decodeKafkaRecords") {
+    import org.apache.spark.sql.types._
+    val recs = records(("a", 5, 100L), ("b", 6, 200L))
+    val encoded = Sources.encodeKafkaRecords(recs)
+    assert(encoded.columns.toSeq == Seq("key", "value"))
+    // a Kafka writer sends (key, value) and the broker stamps timestamp;
+    // simulate the stamp, then decode with the matching envelope schema
+    val wire = encoded
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+      .withColumn("timestamp", timestamp_millis(lit(999L)))
+    val envelope = StructType(Seq(
+      StructField("value", IntegerType), StructField("ts", TimestampType)))
+    val back = Sources.decodeKafkaRecords(wire, envelope)
+      .select(col("key"), col("value.value").as("value"))
+    assert(kvInt(back) == Seq(("a", 5), ("b", 6)))
+  }
+
+  test("multimodal decodeImages runs a REAL javax.imageio codec through the seam") {
+    // synthesize genuine PNG + BMP payloads with the JRE's own encoders,
+    // plus a corrupt payload that must degrade to ok=false, not an error
+    def png(w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+    val payloads = Seq(
+      (1L, png(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB), "image/png"),
+      (2L, png(3, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY), "image/png"),
+      (3L, bmp(2, 9), "image/bmp"),
+      (4L, Array[Byte](1, 2, 3, 4), "application/octet-stream"))
+      .toDF("doc_id", "bytes", "mime")
+    val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
+      col("bytes"), col("mime"), lit("test"))
+    val got = graft.ops.Multimodal.decodeImages(packed)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(got(1L) == ((Some(7), Some(5), Some(3), true)))
+    assert(got(2L) == ((Some(3), Some(4), Some(1), true)))
+    assert(got(3L) == ((Some(2), Some(9), Some(3), true)))
+    assert(got(4L) == ((None, None, None, false)))
+  }
+
   test("multimodal mapPartitions seam runs a per-partition kernel") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
