@@ -154,9 +154,12 @@ object AggSpec {
     *
     * `subtractor` is the KGroupedTable retraction fn (`streams.clj:44-50`,
     * API parity with willa's `::aggregate-subtractor-fn`). Batch recomputes
-    * groups from scratch, so it is accepted but never invoked here; the
-    * streaming path applies it via
-    * [[graft.stream.Streamed.aggregateWithSubtractor]].
+    * groups from scratch, so it is accepted but never invoked there. The
+    * streaming compiler applies it when the aggregated table's parent is a
+    * TABLE (member updates replace: subtract old, add new, inside the
+    * co-grouped state op); over a plain stream nothing is ever replaced
+    * and it is ignored, like Kafka Streams' KGroupedStream.aggregate. The
+    * typed equivalent is [[graft.stream.Streamed.aggregateWithSubtractor]].
     *
     * `maxGroup`: the fold buffers each key's whole history in one
     * `collect_list` — fine for table-state cardinality, fatal for a

@@ -67,8 +67,15 @@ object StreamCompiler {
   /** Running-fold spec for an AGGREGATED leaf (a FoldAgg KTable joined
     * live): the same Column-function adder the batch compiler folds with
     * Catalyst's `aggregate` HOF, interpreted row-at-a-time inside the
-    * state operator (see [[ResolvedFold]]). */
-  final case class FoldSpec(init: Column, adder: (Column, Column) => Column)
+    * state operator (see [[ResolvedFold]]).
+    *
+    * With `subtractor` set the leaf is KGroupedTable-style (willa
+    * `streams.clj:44-50`): its changelog values are `struct(__mk, __mv)`
+    * member updates, leaf state adds a latest-(value, ts)-per-member map,
+    * and replacing a member's value subtracts the old before adding the
+    * new (a null `__mv` is a member delete: subtract only). */
+  final case class FoldSpec(init: Column, adder: (Column, Column) => Column,
+      subtractor: Option[(Column, Column) => Column] = None)
 
   /** One leaf of a pending table-join tree: the raw changelog, plus the
     * running-fold spec when the leaf is an aggregated (FoldAgg) table —
@@ -343,26 +350,31 @@ object StreamCompiler {
       accType: org.apache.spark.sql.types.DataType,
       vType: org.apache.spark.sql.types.DataType,
       initValue: Any,
-      bound: org.apache.spark.sql.catalyst.expressions.Expression) {
+      bound: org.apache.spark.sql.catalyst.expressions.Expression,
+      boundSub: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None) {
     import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
     @transient private lazy val accToCat = CatalystTypeConverters.createToCatalystConverter(accType)
     @transient private lazy val vToCat = CatalystTypeConverters.createToCatalystConverter(vType)
     @transient private lazy val accToExt = CatalystTypeConverters.createToScalaConverter(accType)
-    @transient private lazy val expr: org.apache.spark.sql.catalyst.expressions.Expression = {
-      bound.foreach {
-        case nd: org.apache.spark.sql.catalyst.expressions.Nondeterministic => nd.initialize(0)
-        case _ => ()
-      }
-      bound
+    @transient private lazy val ready: Unit = (bound +: boundSub.toSeq).foreach(_.foreach {
+      case nd: org.apache.spark.sql.catalyst.expressions.Nondeterministic => nd.initialize(0)
+      case _ => ()
+    })
+    private def eval(
+        e: org.apache.spark.sql.catalyst.expressions.Expression,
+        accExt: Any, vExt: Any): Any = {
+      ready
+      accToExt(e.eval(InternalRow(accToCat(accExt), vToCat(vExt))))
     }
     /** acc' = adder(acc, v), on EXTERNAL (Row-land) values. */
-    def step(accExt: Any, vExt: Any): Any =
-      accToExt(expr.eval(InternalRow(accToCat(accExt), vToCat(vExt))))
+    def step(accExt: Any, vExt: Any): Any = eval(bound, accExt, vExt)
+    /** acc' = subtractor(acc, v) — KGroupedTable retraction. */
+    def subStep(accExt: Any, vExt: Any): Any = eval(boundSub.get, accExt, vExt)
   }
 
   /** Analyzer-resolve a fold's Column functions into a [[ResolvedFold]].
     * Runs one driver-local row to evaluate the init literal; schema-only
-    * analysis (no job) for the types and the adder expression. */
+    * analysis (no job) for the types and the adder/subtractor expressions. */
   private def resolveFold(
       spark: org.apache.spark.sql.SparkSession, f: FoldSpec,
       vType: org.apache.spark.sql.types.DataType): ResolvedFold = {
@@ -377,14 +389,16 @@ object StreamCompiler {
     val accType = emptyDf("__v" -> vType)
       .select(f.adder(f.init, col("__v")).as("__r")).schema.head.dataType
     val initValue = spark.range(1).select(f.init.cast(accType).as("__i")).head.get(0)
-    // bind adder(acc, v) over the 2-field input row (acc, v)
-    val analyzed = emptyDf("__acc" -> accType, "__v" -> vType)
-      .select(f.adder(col("__acc"), col("__v")).cast(accType).as("__r"))
-      .queryExecution.analyzed.asInstanceOf[Project]
-    val adderExpr = analyzed.projectList.head.asInstanceOf[Alias].child
-    val bound = BindReferences.bindReference(adderExpr,
-      org.apache.spark.sql.catalyst.expressions.AttributeSeq(analyzed.child.output))
-    ResolvedFold(accType, vType, initValue, bound)
+    // bind fn(acc, v) over the 2-field input row (acc, v)
+    def bind(fn: (Column, Column) => Column) = {
+      val analyzed = emptyDf("__acc" -> accType, "__v" -> vType)
+        .select(fn(col("__acc"), col("__v")).cast(accType).as("__r"))
+        .queryExecution.analyzed.asInstanceOf[Project]
+      BindReferences.bindReference(
+        analyzed.projectList.head.asInstanceOf[Alias].child,
+        org.apache.spark.sql.catalyst.expressions.AttributeSeq(analyzed.child.output))
+    }
+    ResolvedFold(accType, vType, initValue, bind(f.adder), f.subtractor.map(bind))
   }
 
   /** Streaming table–table join tree (the reference's live KTable–KTable
@@ -419,14 +433,34 @@ object StreamCompiler {
     val n = leaves.size
     val keyType = leaves.head.changelog.schema(KeyCol).dataType
     val rawTypes: Seq[DataType] = leaves.map(_.changelog.schema(ValueCol).dataType)
-    val folds: Array[Option[ResolvedFold]] = leaves.zip(rawTypes).map {
-      case (lf, vt) => lf.fold.map(f => resolveFold(lf.changelog.sparkSession, f, vt))
+    // member-keyed (subtractor) fold leaves carry struct(__mk, __mv)
+    // member updates; their fold runs over the __mv type
+    val subKeyed: Array[Boolean] =
+      leaves.map(_.fold.exists(_.subtractor.isDefined)).toArray
+    val folds: Array[Option[ResolvedFold]] = leaves.zip(rawTypes).zipWithIndex.map {
+      case ((lf, vt), i) =>
+        val foldVt =
+          if (subKeyed(i)) vt.asInstanceOf[StructType]("__mv").dataType else vt
+        lf.fold.map(f => resolveFold(lf.changelog.sparkSession, f, foldVt))
     }.toArray
     // a leaf's contribution to the joined value: the running aggregate
     // for fold leaves, the latest raw value otherwise
     val contribTypes: Seq[DataType] = folds.toSeq.zip(rawTypes).map {
       case (Some(rf), _) => rf.accType
       case (None, vt)    => vt
+    }
+    // leaf STATE layout: latest → raw value; adder fold → the acc;
+    // member-keyed fold → struct(acc, latest-(value, ts)-per-member map)
+    val stateTypes: Seq[DataType] = rawTypes.indices.map { i =>
+      if (subKeyed(i)) {
+        val st = rawTypes(i).asInstanceOf[StructType]
+        StructType(Seq(
+          StructField("acc", folds(i).get.accType),
+          StructField("mem", org.apache.spark.sql.types.MapType(
+            st("__mk").dataType,
+            StructType(Seq(StructField("v", st("__mv").dataType),
+              StructField("t", LongType)))))))
+      } else contribTypes(i)
     }
 
     // tagged union of all changelogs: (k, side, v0..v{n-1}, tsus) — only
@@ -446,7 +480,7 @@ object StreamCompiler {
     }
     val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
     val stateEnc = Encoders.row(StructType(
-      contribTypes.zipWithIndex.map { case (t, i) => StructField(s"v$i", t) } ++
+      stateTypes.zipWithIndex.map { case (t, i) => StructField(s"v$i", t) } ++
         (0 until n).map(i => StructField(s"t$i", LongType))))
     val outEnc = Encoders.row(StructType(Seq(
       StructField("k", keyType), StructField("value", typeOf(chain.tree)),
@@ -455,6 +489,7 @@ object StreamCompiler {
     val nn = n // capture primitives and small values, not the chain
     val tree = chain.tree
     val foldsArr = folds
+    val subArr = subKeyed
     val joined = union
       .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
       .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -469,10 +504,15 @@ object StreamCompiler {
           // any value, incl. null); latest leaves: null = tombstone
           def present(i: Int): Boolean =
             if (foldsArr(i).isDefined) ts(i) != Long.MinValue else vs(i) != null
+          // a leaf's joined-value contribution: member-keyed fold state is
+          // struct(acc, mem) — contribute the acc alone
+          def contrib(i: Int): Any =
+            if (subArr(i)) Option(vs(i).asInstanceOf[Row]).map(_.get(0)).orNull
+            else vs(i)
           def evalTree(t: JoinTree): (Boolean, Any, Long) = t match {
             case JoinTree.Leaf(i) =>
               val p = present(i)
-              (p, if (p) vs(i) else null, if (p) ts(i) else Long.MinValue)
+              (p, if (p) contrib(i) else null, if (p) ts(i) else Long.MinValue)
             case JoinTree.Node(lt, rt, jt) =>
               val (lp, lv, ltm) = evalTree(lt)
               val (rp, rv, rtm) = evalTree(rt)
@@ -490,6 +530,28 @@ object StreamCompiler {
             val t = rec.getLong(nn + 2)
             val v = rec.get(2 + side)
             foldsArr(side) match {
+              case Some(rf) if subArr(side) =>
+                // KGroupedTable member update (streams.clj:44-50): replace
+                // the member's latest value, subtracting the old from the
+                // group acc before adding the new; null __mv = member
+                // delete (subtract only). Out-of-order older member
+                // updates are ignored, exactly like a latest leaf.
+                val upd = v.asInstanceOf[Row]
+                val mk = upd.get(0)
+                val mv = upd.get(1)
+                val cur = vs(side).asInstanceOf[Row]
+                var acc = if (cur == null) rf.initValue else cur.get(0)
+                var mem: Map[Any, Row] =
+                  if (cur == null) Map.empty
+                  else cur.getMap[Any, Row](1).toMap
+                val old = mem.get(mk)
+                if (!old.exists(_.getLong(1) > t)) {
+                  old.foreach(o => acc = rf.subStep(acc, o.get(0)))
+                  if (mv != null) { acc = rf.step(acc, mv); mem += (mk -> Row(mv, t)) }
+                  else mem -= mk
+                  vs(side) = Row(acc, mem)
+                  ts(side) = math.max(ts(side), t)
+                }
               case Some(rf) =>
                 // KGroupedStream adder semantics: every record folds in;
                 // null values are tombstone no-ops (Kafka Streams skips them)
@@ -520,15 +582,35 @@ object StreamCompiler {
     val rekeyed = t.groupBy.fold(in.df)(e => in.df.withColumn(KeyCol, e))
     t.aggregate match {
       case Some(f: AggSpec.FoldAgg) if t.window.isEmpty && rekeyed.isStreaming =>
-        // running fold (KGroupedStream adder, streams.clj:41-55) via the
-        // SAME co-grouped state machinery as live table-table joins: a
-        // 1-leaf fold chain. Emits the aggregate-so-far on every update
-        // (the reference's eager changelog, experiment.clj:231-238), and
-        // — because the chain carries the fold spec — the table is
-        // JOINABLE: a downstream table-table join folds this leaf inside
-        // its own state operator instead of stacking stateful operators.
-        val chain = TableChain(
-          Seq(ChainLeaf(rekeyed, Some(FoldSpec(f.init, f.adder)))), JoinTree.Leaf(0))
+        // running fold (streams.clj:41-55) via the SAME co-grouped state
+        // machinery as live table-table joins: a 1-leaf fold chain. Emits
+        // the aggregate-so-far on every update (the reference's eager
+        // changelog, experiment.clj:231-238), and — because the chain
+        // carries the fold spec — the table is JOINABLE: a downstream
+        // table-table join folds this leaf inside its own state operator
+        // instead of stacking stateful operators.
+        val leaf = (f.subtractor, in.kind) match {
+          case (Some(_), Kind.Table) =>
+            // KGroupedTable (streams.clj:44-50): grouping a TABLE — member
+            // updates REPLACE, so the leaf re-keys the parent's changelog
+            // to the group key and packs (member key, member value); the
+            // state op subtracts the replaced value before adding the new
+            val src = in.streamChangelog.getOrElse(sys.error(
+              "KGroupedTable aggregate needs the parent table's changelog — " +
+                "an ExprAgg/windowed parent table has none in streaming"))
+            val e = t.groupBy.getOrElse(col(KeyCol))
+            ChainLeaf(
+              src.select(e.as(KeyCol),
+                struct(col(KeyCol).as("__mk"), col(ValueCol).as("__mv")).as(ValueCol),
+                col(TsCol)),
+              Some(FoldSpec(f.init, f.adder, f.subtractor)))
+          case _ =>
+            // KGroupedStream: adder-only; a subtractor is meaningless over
+            // an append stream (nothing is ever replaced) and is ignored,
+            // exactly like Kafka Streams' KGroupedStream.aggregate
+            ChainLeaf(rekeyed, Some(FoldSpec(f.init, f.adder)))
+        }
+        val chain = TableChain(Seq(leaf), JoinTree.Leaf(0))
         return tableChainState(chain).copy(kind = Kind.Table)
       case _ => ()
     }

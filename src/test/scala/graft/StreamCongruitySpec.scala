@@ -473,6 +473,42 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(kvOf(batch) == Seq(("j", 5), ("k", 7)))
   }
 
+  test("congruity: KGroupedTable aggregate (adder+subtractor) over a live table") {
+    implicit val sql = spark.sqlContext
+    // table key "k1" updates 10 → 3 inside group "g0": the group sum must
+    // retract 10 before adding 3 (willa streams.clj:44-50)
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "grp", "grp" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(),
+        "grp" -> Entity.KTable(
+          groupBy = Some(concat(lit("g"), (length(col("key")) % 2).cast("string"))),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v,
+            subtractor = Some((acc, v) => acc - v)))),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "update")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("grp").writeStream.format("memory").queryName("kgroupedtable")
+      .outputMode("update").start()
+    val rows = Seq(("k1", 10, 100L), ("k1", 3, 200L), ("mm", 5, 300L))
+    try {
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      // the member map + acc must round-trip through the state store
+      ms.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("kgroupedtable").select("key", "value", "ts")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime))
+    // k1 (len 2) and mm (len 2) both land in g0: sum goes 10 → 3 → 8,
+    // exactly the Streamed.aggregateWithSubtractor parity sequence
+    assert(got.sortBy(_._3).map(_._2).toSeq == Seq(10, 3, 8))
+    // batch twin (recompute from latest member values) agrees on final state
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("grp")
+    assert(kvOf(batch) == Seq(("g0", 8)))
+  }
+
   test("FoldAgg with a non-trivial Column adder resolves and folds (string concat)") {
     implicit val sql = spark.sqlContext
     // adder is an arbitrary Column function — analyzer-resolved, then
