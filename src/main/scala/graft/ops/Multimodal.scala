@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * payloads with a typed metadata struct, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * The container has no image/audio codecs, so the *decode kernels* are
-  * STUBS — deterministic fakes computed from the raw bytes (clearly marked
-  * below). Everything around them — the schema, the batch shape, the
-  * partitioning, the `mapPartitions` seam where a real codec (JNI/FFI or
-  * a vectorized Python worker) would plug in — is real Spark plumbing and
-  * is what matters at 100 TB:
+  * Decode kernels come in two tiers. Formats the bare JRE can read get
+  * REAL codecs bound through the `mapPartitions` seam: [[decodeImages]]
+  * (`javax.imageio`: PNG/BMP/GIF/JPEG) and [[decodeAudio]]
+  * (`javax.sound.sampled`: WAV/AIFF/AU). Formats it cannot (video, webp,
+  * mp3, …) keep STUB kernels — deterministic fakes computed from the raw
+  * bytes (clearly marked below) — until a JNI/FFI codec or a vectorized
+  * Python worker binds at the same seam. Everything around the kernels —
+  * the schema, the batch shape, the partitioning — is real Spark plumbing
+  * and is what matters at 100 TB:
   *
   *  - payloads stay in one `BINARY` column (never exploded into rows), so
   *    a scan prunes them away unless the operator actually needs bytes;
@@ -121,6 +124,50 @@ object Multimodal {
             Row(r.get(0), img.getWidth, img.getHeight,
               img.getColorModel.getNumComponents, true)
           case None => Row(r.get(0), null, null, null, false)
+        }
+      })
+  }
+
+  /** REAL audio decode through the [[mapBinaryPartitions]] seam — the
+    * audio analogue of [[decodeImages]]. `javax.sound.sampled` is pure
+    * JVM (the JRE registers WAV/AIFF/AU readers; no native libs). Reads
+    * only the stream HEADER (`getAudioFileFormat`), never the PCM body,
+    * so cost per payload is O(bytes-of-header) regardless of clip length
+    * — the right shape for a 100 TB metadata sweep. Output per payload:
+    * `sample_rate` (Hz), `channels`, `bits` (per sample), `n_frames`,
+    * `duration_ms` (null when the container doesn't declare a frame
+    * count), `ok=false` + null fields for corrupt/unsupported bytes. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", df.schema("id").dataType),
+      StructField("sample_rate", DoubleType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", DoubleType),
+      StructField("ok", BooleanType)))
+    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val header =
+          if (bytes == null) None
+          else try Option(javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        header match {
+          case Some(aff) =>
+            val fmt = aff.getFormat
+            val frames = aff.getFrameLength.toLong
+            val known = frames >= 0 && fmt.getFrameRate > 0
+            Row(r.get(0), fmt.getSampleRate.toDouble, fmt.getChannels,
+              fmt.getSampleSizeInBits,
+              if (frames >= 0) frames else null,
+              if (known) frames * 1000.0 / fmt.getFrameRate else null,
+              true)
+          case None => Row(r.get(0), null, null, null, null, null, false)
         }
       })
   }

@@ -226,6 +226,35 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(got(4L) == ((None, None, None, false)))
   }
 
+  test("multimodal decodeAudio runs a REAL javax.sound.sampled codec through the seam") {
+    // synthesize genuine WAV payloads with the JRE's own encoder, plus a
+    // corrupt payload that must degrade to ok=false, not an error
+    def wav(sampleRate: Float, channels: Int, bits: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, bits, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val payloads = Seq(
+      (1L, wav(16000f, 1, 16, 1600), "audio/wav"),  // 100 ms mono 16 kHz
+      (2L, wav(44100f, 2, 8, 441), "audio/wav"),    // 10 ms stereo 8-bit
+      (3L, Array[Byte](82, 73, 70, 70, 0, 0), "application/octet-stream"))
+      .toDF("doc_id", "bytes", "mime")
+    val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
+      col("bytes"), col("mime"), lit("test"))
+    val got = graft.ops.Multimodal.decodeAudio(packed)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)), r.getBoolean(6))).toMap
+    assert(got(1L) == ((Some(16000.0), Some(1), Some(16), Some(1600L), Some(100.0), true)))
+    assert(got(2L) == ((Some(44100.0), Some(2), Some(8), Some(441L), Some(10.0), true)))
+    assert(got(3L) == ((None, None, None, None, None, false)))
+  }
+
   test("multimodal mapPartitions seam runs a per-partition kernel") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
