@@ -29,12 +29,24 @@ import graft.ops.Keyed
   *    compile to the same machinery as a 1-leaf running-fold chain and
   *    join as fold leaves.
   *
+  *  - windowed FoldAgg (time windows) → the same fold chain over a
+  *    richer key: events explode to their covering window starts and the
+  *    state operator folds per (key, window_start) — Kafka Streams'
+  *    windowed aggregate exactly (arrival-order fold, eager emission);
+  *  - live stream–table joins → one co-grouped state operator holding
+  *    the table's latest value per key ([[streamTableState]]) — Kafka
+  *    Streams' KStream⋈KTable lookup-at-arrival.
+  *
   * Divergences from batch, by Spark's design (documented, erroring
-  * loudly): stream–table as-of joins with both sides live, WINDOWED
-  * FoldAgg, and joins over ExprAgg-aggregated tables need per-key
-  * ordered state the generic Row-typed path cannot stage — use
+  * loudly): SESSION-windowed FoldAgg (session bounds merge as events
+  * arrive) and joins over ExprAgg-aggregated tables need merging state
+  * the generic Row-typed path cannot stage — use
   * [[Streamed.latestPerKeyState]]-style `flatMapGroupsWithState`
-  * operators with typed Datasets.
+  * operators with typed Datasets. A streaming FoldAgg folds — and a
+  * live stream–table join looks up — in ARRIVAL order (per Kafka
+  * Streams); batch recomputes in event-time order. They agree on
+  * in-order feeds (congruity-tested), and always on final state for
+  * commutative adders.
   *
   * Output-mode guidance (`modeFor`): stateless/join-only topologies →
   * append; aggregating topologies → complete (tests/small state) or
@@ -152,12 +164,19 @@ object StreamCompiler {
     def isTable(id: String): Boolean =
       topology.entities.get(id).exists(_.isInstanceOf[Entity.KTable])
     val stateOp = topology.entities.exists {
-      case (id, t: Entity.KTable) if t.window.isEmpty &&
-          t.aggregate.exists(_.isInstanceOf[AggSpec.FoldAgg]) => liveRoots(id)
+      // FoldAgg tables — unwindowed or time-windowed — lower to a
+      // flatMapGroupsWithState operator, which only runs in update mode
+      case (id, t: Entity.KTable)
+          if !t.window.exists(_.isInstanceOf[WindowSpec.SessionWindows]) &&
+            t.aggregate.exists(_.isInstanceOf[AggSpec.FoldAgg]) => liveRoots(id)
       case _ => false
     } || topology.joins.exists { case (ins, cfg) =>
-      cfg.joinType != JoinType.Merge && ins.size >= 2 && ins.forall(isTable) &&
-        ins.exists(liveRoots)
+      cfg.joinType != JoinType.Merge && ins.size >= 2 &&
+        (// live table-table join trees → tableChainState
+         (ins.forall(isTable) && ins.exists(liveRoots)) ||
+          // live stream-table joins → streamTableState; a STATIC table
+          // side compiles stateless (validity intervals) instead
+          (!ins.forall(isTable) && ins.exists(i => isTable(i) && liveRoots(i))))
     }
     val aggregating = topology.entities.exists {
       case (id, t: Entity.KTable) if !t.suppress => liveRoots(id)
@@ -294,6 +313,14 @@ object StreamCompiler {
           col("__lk").as(KeyCol),
           struct(leftFields(col("__lv")) :+ col("__rv").as(s"v${nL + 1}"): _*).as(ValueCol),
           col("__lt").as(TsCol)), Kind.Stream, nL + 1)
+
+      case (jt @ (JoinType.Inner | JoinType.Left), Kind.Stream, Kind.Table)
+          if r.streamChangelog.isDefined =>
+        // LIVE stream–table join (#29 with both sides streaming — Kafka
+        // Streams' KStream⋈KTable): co-grouped state holds the table's
+        // latest value per key; each stream record joins against current
+        // state at arrival. See [[streamTableState]].
+        streamTableState(l, r.streamChangelog.get, inner = jt == JoinType.Inner)
 
       case (jt @ (JoinType.Inner | JoinType.Left | JoinType.Outer), Kind.Table, Kind.Table)
           if chainOf(l).isDefined && chainOf(r).isDefined =>
@@ -576,6 +603,86 @@ object StreamCompiler {
       tableChain = Some(chain))
   }
 
+  /** Live stream–table join (#29 with BOTH sides live — Kafka Streams'
+    * KStream⋈KTable): one co-grouped state operator over the tagged
+    * union of the table's raw changelog and the stream's records. State
+    * per key = the table's latest (value, ts) — cardinality-bounded, no
+    * event buffer. A stream record emits the join against current state
+    * at arrival (inner: only when a table value is present; left: null
+    * pad) and is itself stateless — it is never re-emitted when the
+    * table later gains the key, exactly Kafka Streams' KStream–KTable
+    * contract. Within a micro-batch records process in (ts, side) order
+    * with table updates FIRST at equal ts — the batch as-of tie rule
+    * (`Joins.asOf` orders by (__t, __side)) — and null table values are
+    * skipped, not tombstoned, matching batch's ignoreNulls
+    * carry-forward. Across micro-batches the lookup is arrival-order
+    * (processing-time), Kafka Streams' documented semantics; congruity
+    * with batch's event-time as-of holds for in-order feeds
+    * (congruity-tested). */
+  private def streamTableState(l: Built, tableLog: DataFrame, inner: Boolean): Built = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val nL = math.max(l.nFields, 1)
+    val nFlat = l.nFields
+    val keyType = l.df.schema(KeyCol).dataType
+    val lvType = l.df.schema(ValueCol).dataType
+    val rvType = tableLog.schema(ValueCol).dataType
+
+    // tagged union: side 0 = table changelog, side 1 = stream records
+    val union = tableLog.select(col(KeyCol).as("k"), lit(0).as("side"),
+        lit(null).cast(lvType).as("lv"), col(ValueCol).as("rv"),
+        unix_micros(col(TsCol)).as("tsus"))
+      .unionByName(l.df.select(col(KeyCol).as("k"), lit(1).as("side"),
+        col(ValueCol).as("lv"), lit(null).cast(rvType).as("rv"),
+        unix_micros(col(TsCol)).as("tsus")))
+
+    val outValueType = StructType(
+      (if (nFlat == 0) Seq(StructField("v1", lvType))
+       else lvType.asInstanceOf[StructType].fields.toSeq) :+
+        StructField(s"v${nL + 1}", rvType))
+    val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
+    val stateEnc = Encoders.row(StructType(Seq(
+      StructField("rv", rvType), StructField("rt", LongType))))
+    val outEnc = Encoders.row(StructType(Seq(
+      StructField("k", keyType), StructField("value", outValueType),
+      StructField("tsus", LongType))))
+
+    val innerJ = inner
+    val joined = union
+      .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
+          var rv: Any = null
+          var rts = Long.MinValue
+          state.getOption.foreach { s => rv = s.get(0); rts = s.getLong(1) }
+          def lvVals(v: Any): Seq[Any] =
+            if (nFlat == 0) Seq(v)
+            else { val r = v.asInstanceOf[Row]; (0 until nFlat).map(r.get) }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          records.toSeq.sortBy(rec => (rec.getLong(4), rec.getInt(1))).foreach { rec =>
+            val t = rec.getLong(4)
+            if (rec.getInt(1) == 0) {
+              // table update: latest-per-key, nulls skipped (not tombstones)
+              val v = rec.get(3)
+              if (v != null && t >= rts) { rv = v; rts = t }
+            } else {
+              val present = rts != Long.MinValue
+              if (present || !innerJ)
+                out += Row(key.get(0),
+                  Row(lvVals(rec.get(2)) :+ (if (present) rv else null): _*), t)
+            }
+          }
+          state.update(Row(rv, Long.box(rts)))
+          out.iterator
+      }(stateEnc, outEnc)
+
+    Built(joined.toDF().select(
+      col("k").as(KeyCol), col("value").as(ValueCol),
+      timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, nL + 1)
+  }
+
   /** KTable chain: group-by → window → aggregate (→ suppress via the
     * source watermark + append mode at the sink). */
   private def buildTable(t: Entity.KTable, in: Built): Built = {
@@ -612,6 +719,54 @@ object StreamCompiler {
         }
         val chain = TableChain(Seq(leaf), JoinTree.Leaf(0))
         return tableChainState(chain).copy(kind = Kind.Table)
+      case Some(f: AggSpec.FoldAgg) if rekeyed.isStreaming =>
+        t.window.get match {
+          case WindowSpec.TimeWindows(size, adv) =>
+            // WINDOWED running fold: Kafka Streams folds a windowed
+            // aggregate in ARRIVAL order into a per-(key, window) acc and
+            // emits eagerly — so the lowering is the unwindowed fold
+            // chain over a richer key. Each event is assigned its
+            // covering window starts deterministically from ts (tumbling:
+            // one; hopping: ceil(size/adv), via explode — no window-merge
+            // state needed), the changelog is re-keyed to
+            // struct(key, window_start), and the SAME 1-leaf fold-chain
+            // state operator runs per (key, window). State per window is
+            // one acc (fixed-size), windows expire with their keys — no
+            // event buffer, so a hot window costs memory O(1), not
+            // O(events). A subtractor is ignored, exactly like the
+            // unwindowed KGroupedStream case (nothing is ever replaced
+            // in an append stream).
+            val nW = ((size + adv - 1) / adv).toInt
+            val tsMs = unix_millis(col(TsCol))
+            val base = tsMs - pmod(tsMs, lit(adv))
+            // covering starts: s ∈ {base - i·adv} with ts ∈ [s, s+size);
+            // s ≤ ts holds by construction, keep s > ts - size (starts
+            // may be negative for early events, matching Spark's window())
+            val starts = filter(
+              transform(sequence(lit(0), lit(nW - 1)),
+                i => base - i.cast("long") * lit(adv)),
+              s => s > tsMs - size)
+            val wKeyed = rekeyed
+              .select(col(KeyCol), col(ValueCol), col(TsCol),
+                explode(starts).as("__ws"))
+              .select(
+                struct(col(KeyCol).as("k"), col("__ws").as("ws")).as(KeyCol),
+                col(ValueCol), col(TsCol))
+            val st = tableChainState(TableChain(
+              Seq(ChainLeaf(wKeyed, Some(FoldSpec(f.init, f.adder)))),
+              JoinTree.Leaf(0)))
+            val unwrapped = st.df.select(
+              col(KeyCol).getField("k").as(KeyCol),
+              col(ValueCol), col(TsCol),
+              timestamp_millis(col(KeyCol).getField("ws")).as("window_start"),
+              timestamp_millis(col(KeyCol).getField("ws") + size).as("window_end"))
+            return Built(unwrapped, Kind.Table)
+          case _: WindowSpec.SessionWindows =>
+            sys.error("session-windowed FoldAgg needs MERGING window state " +
+              "in streaming (session bounds grow as events arrive) — use " +
+              "ExprAgg for session-windowed streaming aggregates, or a " +
+              "typed flatMapGroupsWithState operator (graft.stream.Streamed)")
+        }
       case _ => ()
     }
     val winCol: Option[Column] = t.window.map {
@@ -634,9 +789,8 @@ object StreamCompiler {
             f.maxGroup),
           f.init, (acc, p) => f.adder(acc, p("v")))
       case Some(_: AggSpec.FoldAgg) =>
-        sys.error("windowed FoldAgg needs per-window ordered state in " +
-          "streaming — use ExprAgg for windowed streaming aggregates, or " +
-          "a typed flatMapGroupsWithState operator (graft.stream.Streamed)")
+        sys.error("unreachable: streaming FoldAgg (windowed or not) is " +
+          "lowered to the fold-chain state operator above")
     }
     val grouped = winCol match {
       case Some(w) => rekeyed.groupBy(w.as("__w"), col(KeyCol))

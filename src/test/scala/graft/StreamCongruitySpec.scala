@@ -236,6 +236,76 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch) == Map(10 -> 1, 20 -> 2, 30 -> null))
   }
 
+  test("congruity: LIVE stream-table LEFT join, state spans micro-batches") {
+    implicit val sql = spark.sqlContext
+    // both sides streaming: table updates apply FIRST at equal ts (the
+    // batch as-of tie rule), a stream record before any table value
+    // null-pads, and the table's latest value must round-trip through
+    // the state store across micro-batches
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(), "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+    assert(StreamCompiler.modeFor(topo) == "update")
+    val sMs = MemoryStream[(String, Int, Long)]
+    val uMs = MemoryStream[(String, Int, Long)]
+    def src(ms: MemoryStream[(String, Int, Long)]) =
+      ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("s" -> src(sMs), "u" -> src(uMs)))
+    val q = dfs("out").writeStream.format("memory").queryName("stlive")
+      .outputMode("update").start()
+    val sRows = Seq(("k", 10, 50L), ("k", 20, 150L), ("k", 30, 250L))
+    val uRows = Seq(("k", 1, 100L), ("k", 2, 200L))
+    try {
+      // the query is live, so a trigger can fire between addData calls —
+      // serialize each step to make the delivery order deterministic
+      // (same-ts cross-source ordering is covered by the INNER test,
+      // whose data is all available before the first trigger)
+      sMs.addData(sRows.take(1)); q.processAllAvailable() // @50: no table → null
+      uMs.addData(uRows.take(1)); q.processAllAvailable() // table := 1
+      sMs.addData(sRows.slice(1, 2)); q.processAllAvailable() // @150 → 1
+      uMs.addData(uRows.drop(1)); q.processAllAvailable() // table := 2
+      // the table value must round-trip through the state store
+      sMs.addData(sRows.drop(2)); q.processAllAvailable() // @250 → 2
+    } finally q.stop()
+    def canon(df: DataFrame) = df.select("value.v1", "value.v2")
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.get(1))).toMap
+    val got = canon(spark.table("stlive"))
+    assert(got == Map[Int, Any](10 -> null, 20 -> 1, 30 -> 2))
+    // batch twin (event-time as-of) agrees on the in-order feed
+    val batch = BatchCompiler.run(topo,
+      Map("s" -> records(sRows: _*), "u" -> records(uRows: _*)))("out")
+    assert(canon(batch) == got)
+  }
+
+  test("congruity: LIVE stream-table INNER join drops pre-table records") {
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(), "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Inner)))
+    // all data is available before the first trigger, so both sources
+    // land in ONE micro-batch: @100 exercises the same-ts tie rule
+    // (table update applies FIRST, so the stream record joins 1)
+    val sRows = Seq(("k", 10, 50L), ("k", 5, 100L), ("k", 20, 150L), ("x", 9, 150L))
+    val uRows = Seq(("k", 1, 100L))
+    val stream = runStreaming(topo,
+      Map("s" -> sRows, "u" -> uRows), sink = "out", mode = "update")
+    def canon(df: DataFrame) = df.select("value.v1", "value.v2")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val got = canon(stream)
+    // k@50 precedes the table (dropped), x has no table key (dropped)
+    assert(got == Map(5 -> 1, 20 -> 1))
+    val batch = BatchCompiler.run(topo,
+      Map("s" -> records(sRows: _*), "u" -> records(uRows: _*)))("out")
+    assert(canon(batch) == got)
+  }
+
   test("congruity: streaming table-table joins match batch final state") {
     val aRows = Seq(("k", 1, 100L), ("k", 9, 300L), ("j", 4, 50L))
     val bRows = Seq(("k", 7, 150L), ("x", 2, 75L))
@@ -471,6 +541,91 @@ class StreamCongruitySpec extends AnyFunSuite {
     val batch = BatchCompiler.run(topo, Map("in" -> records(
       ("k", 1, 100L), ("k", 2, 200L), ("k", 4, 300L), ("j", 5, 50L))))("tbl")
     assert(kvOf(batch) == Seq(("j", 5), ("k", 7)))
+  }
+
+  test("congruity: TUMBLING-window FoldAgg, state spans micro-batches") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    // the fold chain is a flatMapGroupsWithState op → update mode
+    assert(StreamCompiler.modeFor(topo) == "update")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("tbl").writeStream.format("memory").queryName("wfold")
+      .outputMode("update").start()
+    val rows = Seq(("k", 1, 0L), ("k", 2, 50L), ("k", 5, 500L), ("j", 7, 20L))
+    try {
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      // window [0,100)'s acc for k must round-trip through the state
+      // store even though a later batch only touches other windows
+      ms.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("wfold")
+      .select(col("key"), col("value"), col("window_start"), col("window_end"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime, r.getTimestamp(4).getTime))
+    // eager changelog for (k, [0,100)): 1 then 3
+    assert(emitted.filter(e => e._1 == "k" && e._3 == 0L).sortBy(_._5).map(_._2).toSeq
+      == Seq(1, 3))
+    // last emission per (key, window) = batch's final windowed fold
+    val finals = emitted.groupBy(e => (e._1, e._3, e._4))
+      .map { case (k, es) => (k._1, es.maxBy(_._5)._2.toLong, k._2) }.toSeq.sorted
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+      .select(col("key"), col("value").cast("long"), col("window_start"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .toSeq.sorted
+    assert(finals == batch)
+    assert(batch.size == 3)
+  }
+
+  test("congruity: HOPPING-window FoldAgg (event explodes to covering windows)") {
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows(200L, 100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val rows = Seq(("k", 1, 50L), ("k", 2, 150L), ("k", 4, 250L))
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "tbl", mode = "update")
+    val finals = stream
+      .select(col("key"), col("value"), col("window_start"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+      .groupBy(e => (e._1, e._3))
+      .map { case (k, es) => (k._1, es.maxBy(_._4)._2.toLong, k._2) }.toSeq.sorted
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+      .select(col("key"), col("value").cast("long"), col("window_start"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .toSeq.sorted
+    assert(finals == batch)
+    // each record lands in 2 overlapping windows: starts -100,0,100,200
+    assert(batch.map(_._3).toSet == Set(-100L, 0L, 100L, 200L))
+  }
+
+  test("session-windowed streaming FoldAgg errors loudly") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val e = intercept[RuntimeException] {
+      StreamCompiler.run(topo, Map("in" -> src))
+    }
+    assert(e.getMessage.contains("session-windowed FoldAgg"))
   }
 
   test("congruity: KGroupedTable aggregate (adder+subtractor) over a live table") {

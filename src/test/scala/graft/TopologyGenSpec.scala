@@ -29,7 +29,15 @@ class TopologyGenSpec extends AnyFunSuite {
     2 -> Gen.const(Entity.KTable(aggregate = Some(AggSpec.ExprAgg(sum(col("value")))))),
     1 -> Gen.const(Entity.KTable(
       window = Some(WindowSpec.TimeWindows.tumbling(1000L)),
-      aggregate = Some(AggSpec.ExprAgg(count(lit(1)))))))
+      aggregate = Some(AggSpec.ExprAgg(count(lit(1)))))),
+    // long init: a chain may feed BIGINT values (an upstream sum table)
+    // into the fold, and Catalyst's aggregate HOF requires the acc type
+    // to equal the lambda's return type (int acc + bigint v would not)
+    2 -> Gen.const(Entity.KTable(
+      aggregate = Some(AggSpec.FoldAgg(lit(0L), (a, v) => a + v)))),
+    1 -> Gen.const(Entity.KTable(
+      window = Some(WindowSpec.TimeWindows.tumbling(1000L)),
+      aggregate = Some(AggSpec.FoldAgg(lit(0L), (a, v) => a + v)))))
 
   /** Linear chain topic → middle* → topic, the generative shape of
     * specs.clj (boundary topics, interior derived entities). */
@@ -94,11 +102,21 @@ class TopologyGenSpec extends AnyFunSuite {
       val dfs = graft.stream.StreamCompiler.run(topo, Map("in" -> src))
       qn += 1
       val name = s"gen_congruity_$qn"
+      val mode = graft.stream.StreamCompiler.modeFor(topo)
       val q = dfs("out").writeStream.format("memory").queryName(name)
-        .outputMode(graft.stream.StreamCompiler.modeFor(topo)).start()
+        .outputMode(mode).start()
       try { q.processAllAvailable() } finally q.stop()
       val got = kvInt(spark.table(name))
-      assert(got == kvInt(batch), s"seed $i: streaming $got != batch ${kvInt(batch)}")
+      if (mode == "update")
+        // FoldAgg tables emit an eager per-update changelog: every
+        // batch-final row must appear among the emissions. Equality
+        // can't be asserted — a downstream filter may pass a TRANSIENT
+        // acc whose final value it rejects, an artifact shared with
+        // Kafka Streams' eager emission.
+        assert(kvInt(batch).toSet.subsetOf(got.toSet),
+          s"seed $i: batch finals ${kvInt(batch)} not all emitted in $got")
+      else
+        assert(got == kvInt(batch), s"seed $i: streaming $got != batch ${kvInt(batch)}")
       }
     }
   }
