@@ -165,9 +165,12 @@ object StreamCompiler {
       topology.entities.get(id).exists(_.isInstanceOf[Entity.KTable])
     val stateOp = topology.entities.exists {
       // FoldAgg tables — unwindowed or time-windowed — lower to a
-      // flatMapGroupsWithState operator, which only runs in update mode
+      // flatMapGroupsWithState operator, which only runs in update mode;
+      // EXCEPT the suppressed windowed form, whose emit-on-close state
+      // operator is declared in append mode
       case (id, t: Entity.KTable)
           if !t.window.exists(_.isInstanceOf[WindowSpec.SessionWindows]) &&
+            !(t.suppress && t.window.nonEmpty) &&
             t.aggregate.exists(_.isInstanceOf[AggSpec.FoldAgg]) => liveRoots(id)
       case _ => false
     } || topology.joins.exists { case (ins, cfg) =>
@@ -215,7 +218,7 @@ object StreamCompiler {
 
     case t: Entity.KTable =>
       val in = combineParents(topology, parentIds, parents)
-      buildTable(t, in)
+      buildTable(t, in, watermarkMs)
 
     case Entity.GlobalKTable() =>
       require(parents.size == 1, s"global-ktable '$id' needs exactly one parent")
@@ -683,9 +686,94 @@ object StreamCompiler {
       timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, nL + 1)
   }
 
+  /** Suppressed windowed fold: per-(key, window_start) acc state that
+    * emits ONCE, when the event-time watermark passes the window end —
+    * Kafka Streams' `Suppressed.untilWindowCloses` over an `aggregate`.
+    * The running acc folds in arrival order exactly like the eager
+    * variant; `setTimeoutTimestamp(window end)` arms an event-time
+    * timeout, and the timed-out callback emits the final acc and drops
+    * the state. Records for an already-closed window (its end ≤ the
+    * current watermark) are discarded, matching suppression's late-data
+    * contract — the engine itself already drops input rows whose event
+    * time is at-or-below the watermark before they reach the function
+    * (EventTimeTimeout's late filter), so the explicit guard is a second
+    * line of defense for windows that outlive their last event. State per open window is one acc — memory is bounded by
+    * keys × windows-inside-the-watermark-horizon, not stream length.
+    * Append-mode operator: requires a watermark upstream.
+    *
+    * @param wKeyed records keyed by struct(k, ws) — original key +
+    *               window-start epoch-ms ([[buildTable]]'s explode) */
+  private def suppressedWindowedFold(
+      wKeyed: DataFrame, fold: FoldSpec, sizeMs: Long): Built = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val keyType = wKeyed.schema(KeyCol).dataType
+    val vType = wKeyed.schema(ValueCol).dataType
+    val rf = resolveFold(wKeyed.sparkSession, fold, vType)
+    // keep the watermarked TIMESTAMP column itself in the operator input
+    // (last position; the state function ignores it) — event-time timeout
+    // requires a watermark-tagged attribute in the operator's child plan,
+    // and projecting ts to a long would strip the tag
+    val u = wKeyed.select(col(KeyCol).as("k"), col(ValueCol).as("v"),
+      unix_micros(col(TsCol)).as("tsus"), col(TsCol).as("__et"))
+    val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
+    val stateEnc = Encoders.row(StructType(Seq(
+      StructField("acc", rf.accType), StructField("mts", LongType))))
+    val outEnc = Encoders.row(StructType(Seq(
+      StructField("k", keyType), StructField("value", rf.accType),
+      StructField("tsus", LongType))))
+
+    val size = sizeMs
+    val out = u
+      .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
+          if (state.hasTimedOut) {
+            // watermark passed this window's end: emit final acc, once
+            val s = state.get
+            state.remove()
+            Iterator(Row(key.get(0), s.get(0), s.getLong(1)))
+          } else {
+            val wEnd = key.get(0).asInstanceOf[Row].getLong(1) + size
+            if (wEnd <= state.getCurrentWatermarkMs()) {
+              // window already closed (and emitted, if it had state):
+              // suppression discards late arrivals
+              Iterator.empty
+            } else {
+              var acc: Any = null
+              var mts = Long.MinValue
+              var has = false
+              state.getOption.foreach { s =>
+                acc = s.get(0); mts = s.getLong(1); has = true
+              }
+              records.toSeq.sortBy(_.getLong(2)).foreach { r =>
+                val v = r.get(1)
+                if (v != null) { // null = tombstone no-op, as in the chain op
+                  acc = rf.step(if (has) acc else rf.initValue, v)
+                  has = true
+                  mts = math.max(mts, r.getLong(2))
+                }
+              }
+              if (has) {
+                state.update(Row(acc, Long.box(mts)))
+                state.setTimeoutTimestamp(wEnd)
+              }
+              Iterator.empty
+            }
+          }
+      }(stateEnc, outEnc)
+
+    Built(out.toDF().select(
+      col("k").as(KeyCol), col("value").as(ValueCol),
+      timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, 2)
+  }
+
   /** KTable chain: group-by → window → aggregate (→ suppress via the
     * source watermark + append mode at the sink). */
-  private def buildTable(t: Entity.KTable, in: Built): Built = {
+  private def buildTable(t: Entity.KTable, in: Built,
+      watermarkMs: Option[Long] = None): Built = {
     val rekeyed = t.groupBy.fold(in.df)(e => in.df.withColumn(KeyCol, e))
     t.aggregate match {
       case Some(f: AggSpec.FoldAgg) if t.window.isEmpty && rekeyed.isStreaming =>
@@ -752,9 +840,19 @@ object StreamCompiler {
               .select(
                 struct(col(KeyCol).as("k"), col("__ws").as("ws")).as(KeyCol),
                 col(ValueCol), col(TsCol))
-            val st = tableChainState(TableChain(
-              Seq(ChainLeaf(wKeyed, Some(FoldSpec(f.init, f.adder)))),
-              JoinTree.Leaf(0)))
+            val st =
+              if (t.suppress) {
+                // suppressed: emit each window's FINAL acc exactly once,
+                // when the watermark passes its end (Kafka's
+                // Suppressed/untilWindowCloses) — event-time timeout
+                // state, append mode
+                if (watermarkMs.isEmpty) sys.error(
+                  "suppressed windowed FoldAgg needs a watermark to know " +
+                    "when windows close — pass watermarkMs to StreamCompiler.run")
+                suppressedWindowedFold(wKeyed, FoldSpec(f.init, f.adder), size)
+              } else tableChainState(TableChain(
+                Seq(ChainLeaf(wKeyed, Some(FoldSpec(f.init, f.adder)))),
+                JoinTree.Leaf(0)))
             val unwrapped = st.df.select(
               col(KeyCol).getField("k").as(KeyCol),
               col(ValueCol), col(TsCol),

@@ -610,6 +610,71 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(batch.map(_._3).toSet == Set(-100L, 0L, 100L, 200L))
   }
 
+  test("suppressed windowed FoldAgg emits each window once, on close (append mode)") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (a, v) => a + v)),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    // emit-on-close state op is append-mode, not update
+    assert(StreamCompiler.modeFor(topo) == "append")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(0L))
+    val q = dfs("tbl").writeStream.format("memory").queryName("supfold")
+      .outputMode("append").start()
+    try {
+      // two records accumulate in [1000,1100) across separate
+      // micro-batches — the acc must round-trip through the timeout
+      // state store. (ts start at 1000, not 0: the engine's event-time
+      // late filter drops rows at-or-below the watermark, and the
+      // INITIAL watermark is 0, so an epoch-0 event is born late.)
+      ms.addData(("k", 1, 1000L)); q.processAllAvailable()
+      ms.addData(("k", 2, 1050L), ("k", 5, 1500L)); q.processAllAvailable()
+      ms.addData(("z", 9, 100000L)) // pushes watermark past [1500,1600)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("supfold")
+      .select(col("key"), col("value"), col("window_start"), col("window_end"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSeq.sorted
+    // closed windows emit their FINAL acc exactly once; the sentinel's
+    // own window is still open and therefore absent
+    assert(got == Seq(("k", 3, 1000L, 1100L), ("k", 5, 1500L, 1600L)))
+    // the closed-window rows equal the batch twin's (suppression in batch
+    // is a no-op — results are already final)
+    val batch = BatchCompiler.run(topo, Map("in" -> records(
+      ("k", 1, 1000L), ("k", 2, 1050L), ("k", 5, 1500L))))("tbl")
+      .select(col("key"), col("value").cast("int"), col("window_start"), col("window_end"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSeq.sorted
+    assert(got == batch)
+  }
+
+  test("suppressed windowed FoldAgg without a watermark errors loudly") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (a, v) => a + v)),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val e = intercept[RuntimeException] {
+      StreamCompiler.run(topo, Map("in" -> src))
+    }
+    assert(e.getMessage.contains("watermark"))
+  }
+
   test("session-windowed streaming FoldAgg errors loudly") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
