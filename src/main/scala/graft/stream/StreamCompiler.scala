@@ -325,6 +325,18 @@ object StreamCompiler {
         // state at arrival. See [[streamTableState]].
         streamTableState(l, r.streamChangelog.get, inner = jt == JoinType.Inner)
 
+      case (jt @ (JoinType.Inner | JoinType.Left), Kind.Stream, Kind.Table)
+          if chainOf(r).exists(c => c.leaves.size == 1 &&
+            c.leaves.head.fold.exists(_.subtractor.isEmpty)) =>
+        // LIVE stream–AGGREGATED-table join: the table is a running
+        // FoldAgg — its per-key state in the join is the acc, folded from
+        // the same changelog the fold chain would consume; stream records
+        // look up the aggregate-so-far at arrival (KStream⋈KTable where
+        // the KTable is an `aggregate`)
+        val leaf = chainOf(r).get.leaves.head
+        streamTableState(l, leaf.changelog, inner = jt == JoinType.Inner,
+          fold = leaf.fold)
+
       case (jt @ (JoinType.Inner | JoinType.Left | JoinType.Outer), Kind.Table, Kind.Table)
           if chainOf(l).isDefined && chainOf(r).isDefined =>
         // left-deep chains AND bushy trees compile identically: append the
@@ -357,8 +369,12 @@ object StreamCompiler {
           "latest-per-key KTables")
 
       case (jt, lk, rk) =>
-        sys.error(s"streaming join ($jt, $lk, $rk) needs typed stateful " +
-          "operators (flatMapGroupsWithState) — see graft.stream.Streamed")
+        sys.error(s"streaming join ($jt, $lk, $rk) is not lowerable: a " +
+          "stream–table join needs the table's per-update changelog or " +
+          "running-fold state (plain or adder-FoldAgg KTables) — ExprAgg/" +
+          "windowed/subtractor-grouped tables and join-tree tables have " +
+          "none; use a typed flatMapGroupsWithState operator " +
+          "(graft.stream.Streamed) for those")
     }
   }
 
@@ -607,8 +623,9 @@ object StreamCompiler {
   }
 
   /** Live stream–table join (#29 with BOTH sides live — Kafka Streams'
-    * KStream⋈KTable): one co-grouped state operator over the tagged
-    * union of the table's raw changelog and the stream's records. State
+    * KStream⋈KTable, willa `streams.clj:99-102`): one co-grouped state
+    * operator over the tagged union of the table's raw changelog and the
+    * stream's records. State
     * per key = the table's latest (value, ts) — cardinality-bounded, no
     * event buffer. A stream record emits the join against current state
     * at arrival (inner: only when a table value is present; left: null
@@ -621,8 +638,14 @@ object StreamCompiler {
     * carry-forward. Across micro-batches the lookup is arrival-order
     * (processing-time), Kafka Streams' documented semantics; congruity
     * with batch's event-time as-of holds for in-order feeds
-    * (congruity-tested). */
-  private def streamTableState(l: Built, tableLog: DataFrame, inner: Boolean): Built = {
+    * (congruity-tested).
+    *
+    * With `fold` set the table side is a running FoldAgg: state holds
+    * the aggregate-so-far (table records fold in adder-only
+    * KGroupedStream semantics — nulls skipped, every record folds) and
+    * stream records look up the acc. */
+  private def streamTableState(l: Built, tableLog: DataFrame, inner: Boolean,
+      fold: Option[FoldSpec] = None): Built = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -631,14 +654,18 @@ object StreamCompiler {
     val nFlat = l.nFields
     val keyType = l.df.schema(KeyCol).dataType
     val lvType = l.df.schema(ValueCol).dataType
-    val rvType = tableLog.schema(ValueCol).dataType
+    val rawRvType = tableLog.schema(ValueCol).dataType
+    val rf = fold.map(f => resolveFold(tableLog.sparkSession, f, rawRvType))
+    // what a stream record reads: the fold acc, or the latest raw value
+    val rvType = rf.map(_.accType).getOrElse(rawRvType)
 
-    // tagged union: side 0 = table changelog, side 1 = stream records
+    // tagged union: side 0 = table changelog (RAW values), side 1 =
+    // stream records
     val union = tableLog.select(col(KeyCol).as("k"), lit(0).as("side"),
         lit(null).cast(lvType).as("lv"), col(ValueCol).as("rv"),
         unix_micros(col(TsCol)).as("tsus"))
       .unionByName(l.df.select(col(KeyCol).as("k"), lit(1).as("side"),
-        col(ValueCol).as("lv"), lit(null).cast(rvType).as("rv"),
+        col(ValueCol).as("lv"), lit(null).cast(rawRvType).as("rv"),
         unix_micros(col(TsCol)).as("tsus")))
 
     val outValueType = StructType(
@@ -667,9 +694,19 @@ object StreamCompiler {
           records.toSeq.sortBy(rec => (rec.getLong(4), rec.getInt(1))).foreach { rec =>
             val t = rec.getLong(4)
             if (rec.getInt(1) == 0) {
-              // table update: latest-per-key, nulls skipped (not tombstones)
               val v = rec.get(3)
-              if (v != null && t >= rts) { rv = v; rts = t }
+              rf match {
+                case Some(f) =>
+                  // fold table: every non-null record folds into the acc
+                  // (presence = anything folded, tracked by the ts sentinel)
+                  if (v != null) {
+                    rv = f.step(if (rts == Long.MinValue) f.initValue else rv, v)
+                    rts = math.max(rts, t)
+                  }
+                case None =>
+                  // plain table: latest-per-key, nulls skipped (not tombstones)
+                  if (v != null && t >= rts) { rv = v; rts = t }
+              }
             } else {
               val present = rts != Long.MinValue
               if (present || !innerJ)

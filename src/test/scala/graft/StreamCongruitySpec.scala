@@ -282,6 +282,48 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch) == got)
   }
 
+  test("congruity: LIVE stream joins an AGGREGATED (FoldAgg) table at arrival") {
+    implicit val sql = spark.sqlContext
+    // the table is a running sum: stream records must look up the
+    // aggregate-so-far, and the acc must survive micro-batch boundaries
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+    assert(StreamCompiler.modeFor(topo) == "update")
+    val sMs = MemoryStream[(String, Int, Long)]
+    val uMs = MemoryStream[(String, Int, Long)]
+    def src(ms: MemoryStream[(String, Int, Long)]) =
+      ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("s" -> src(sMs), "u" -> src(uMs)))
+    val q = dfs("out").writeStream.format("memory").queryName("stfold")
+      .outputMode("update").start()
+    val sRows = Seq(("k", 10, 50L), ("k", 20, 150L), ("k", 30, 250L))
+    val uRows = Seq(("k", 1, 100L), ("k", 2, 200L))
+    try {
+      // serialized steps: delivery order == ts order (see the LEFT test)
+      sMs.addData(sRows.take(1)); q.processAllAvailable() // @50: no acc → null
+      uMs.addData(uRows.take(1)); q.processAllAvailable() // acc := 1
+      sMs.addData(sRows.slice(1, 2)); q.processAllAvailable() // @150 → 1
+      uMs.addData(uRows.drop(1)); q.processAllAvailable() // acc := 1+2 = 3
+      sMs.addData(sRows.drop(2)); q.processAllAvailable() // @250 → 3
+    } finally q.stop()
+    def canon(df: DataFrame) = df.select("value.v1", "value.v2")
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.get(1))).toMap
+    val got = canon(spark.table("stfold"))
+    assert(got == Map[Int, Any](10 -> null, 20 -> 1, 30 -> 3))
+    // batch twin: as-of against the running-aggregate changelog
+    val batch = BatchCompiler.run(topo,
+      Map("s" -> records(sRows: _*), "u" -> records(uRows: _*)))("out")
+    assert(canon(batch) == got)
+  }
+
   test("congruity: LIVE stream-table INNER join drops pre-table records") {
     val topo = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),

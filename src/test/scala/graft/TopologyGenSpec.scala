@@ -143,9 +143,16 @@ class TopologyGenSpec extends AnyFunSuite {
           (2 until nTables).map(i => tableIds(i) -> joinIds(i - 1)) ++
           (1 until nTables - 1).map(i => joinIds(i - 1) -> joinIds(i)) ++
           Seq(joinIds.last -> "out")
+      // leaves are randomly plain (latest-per-key) or running-fold
+      // aggregated tables — fold leaves join live through the same
+      // co-grouped state, and batch recomputes them with the ordered fold
+      def leafEntity(): Entity =
+        if (rnd.nextBoolean()) Entity.KTable()
+        else Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0L), (a, v) => a + v)))
       val entities: Map[String, Entity] =
         topicIds.map(id => id -> (Entity.Topic(id): Entity)).toMap ++
-          tableIds.map(id => id -> (Entity.KTable(): Entity)).toMap ++
+          tableIds.map(id => id -> leafEntity()).toMap ++
           joinIds.init.map(id => id -> (Entity.KTable(): Entity)).toMap +
           (joinIds.last -> (Entity.KStream(): Entity)) +
           ("out" -> (Entity.Topic("out"): Entity))
