@@ -203,6 +203,20 @@ object BatchCompiler {
         lit(") — a hot key at this cardinality needs an associative ExprAgg " +
           "or a pre-aggregation, not a buffered fold")))))
 
+  /** THE ts-ordered fold expression — the single definition of FoldAgg's
+    * batch semantics: collect (ts, value) pairs (optionally as a running
+    * window), sort by ts, guard the group size, fold with Catalyst's
+    * `aggregate` HOF. Shared by the batch aggregate, the batch running
+    * changelog, and the streaming static-feed path, so ordering/guard
+    * fixes land in one place. */
+  private[graft] def foldColumn(f: AggSpec.FoldAgg,
+      over: Option[org.apache.spark.sql.expressions.WindowSpec] = None): Column = {
+    val collected = collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v")))
+    val pairs = guardFoldGroup(
+      sort_array(over.fold(collected)(collected.over)), f.maxGroup)
+    aggregate(pairs, f.init, (acc, p) => f.adder(acc, p("v")))
+  }
+
   /** Does this xform leave the `value` column untouched? (Filter and
     * MapKey never rewrite `value`, so a join-struct survives them.) */
   private def preservesValue(x: Xform): Boolean = x match {
@@ -365,12 +379,8 @@ object BatchCompiler {
           .agg(e.as(ValueCol), max(col(TsCol)).as(TsCol)))
       case Some(f: AggSpec.FoldAgg) =>
         val gcols = Seq(KeyCol) ++ (if (winCols.nonEmpty) Seq("__w") else Nil)
-        val pairs = guardFoldGroup(
-          sort_array(collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v")))),
-          f.maxGroup)
         finishWindowed(grouped.groupBy(gcols.map(col): _*)
-          .agg(aggregate(pairs, f.init, (acc, p) => f.adder(acc, p("v"))).as(ValueCol),
-            max(col(TsCol)).as(TsCol)))
+          .agg(foldColumn(f).as(ValueCol), max(col(TsCol)).as(TsCol)))
     }
     // suppression (#20) is a no-op in batch: results are already final.
     //
@@ -397,11 +407,7 @@ object BatchCompiler {
               .partitionBy(col(KeyCol)).orderBy(col(TsCol))
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                 org.apache.spark.sql.expressions.Window.currentRow)
-            val pairs = guardFoldGroup(sort_array(
-              collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v"))).over(w)),
-              f.maxGroup)
-            rekeyed.withColumn(ValueCol,
-              aggregate(pairs, f.init, (acc, p) => f.adder(acc, p("v"))))
+            rekeyed.withColumn(ValueCol, foldColumn(f, Some(w)))
           })
       }
     Built(result, Kind.Table, 0, changelog = changelog)

@@ -118,7 +118,11 @@ object Multimodal {
           if (bytes == null) None
           else try Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes)))
-          catch { case _: java.io.IOException => None }
+          // NonFatal, not just IOException: the JDK readers throw
+          // RuntimeExceptions (AIOOBE, IllegalArgument, NegativeArraySize)
+          // on fuzzed bodies behind valid magic bytes, and one bad payload
+          // must not kill a 100 TB scan
+          catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some(img) =>
             Row(r.get(0), img.getWidth, img.getHeight,
@@ -153,10 +157,10 @@ object Multimodal {
           if (bytes == null) None
           else try Option(javax.sound.sampled.AudioSystem.getAudioFileFormat(
             new java.io.ByteArrayInputStream(bytes)))
-          catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => None
-            case _: java.io.IOException => None
-          }
+          // NonFatal (covers UnsupportedAudioFileException + IOException):
+          // malformed headers behind valid WAV/AIFF magic can throw
+          // RuntimeExceptions from the JDK parsers — degrade, don't die
+          catch { case scala.util.control.NonFatal(_) => None }
         header match {
           case Some(aff) =>
             val fmt = aff.getFormat

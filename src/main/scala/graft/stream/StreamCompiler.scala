@@ -567,7 +567,13 @@ object StreamCompiler {
                 case JoinType.Left  => lp
                 case _              => lp || rp
               }
-              (p, Row(if (lp) lv else null, if (rp) rv else null), math.max(ltm, rtm))
+              // an absent subtree contributes NO timestamp (batch's
+              // greatest(__lt, __rt) skips the null side the same way) —
+              // else a stale non-present leaf's ts would outrank the live
+              // side's and scramble last-emission-per-key ordering
+              (p, Row(if (lp) lv else null, if (rp) rv else null),
+                math.max(if (lp) ltm else Long.MinValue,
+                  if (rp) rtm else Long.MinValue))
           }
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           // ts order within the batch; later sides after earlier at equal ts
@@ -618,7 +624,10 @@ object StreamCompiler {
 
     Built(joined.toDF().select(
       col("k").as(KeyCol), col("value").as(ValueCol),
-      timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, 2,
+      timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream,
+      // a 1-leaf chain (standalone fold table) carries a SCALAR value,
+      // not a struct(v1, v2) — downstream leftFields must not getField
+      nFields = if (chain.tree.isInstanceOf[JoinTree.Node]) 2 else 0,
       tableChain = Some(chain))
   }
 
@@ -714,7 +723,10 @@ object StreamCompiler {
                   Row(lvVals(rec.get(2)) :+ (if (present) rv else null): _*), t)
             }
           }
-          state.update(Row(rv, Long.box(rts)))
+          // store ONLY keys the table side has touched: a stream-only key
+          // must leave no state behind (with NoTimeout it would live
+          // forever, growing the store with stream key cardinality)
+          if (rts != Long.MinValue) state.update(Row(rv, Long.box(rts)))
           out.iterator
       }(stateEnc, outEnc)
 
@@ -831,11 +843,41 @@ object StreamCompiler {
               "KGroupedTable aggregate needs the parent table's changelog — " +
                 "an ExprAgg/windowed parent table has none in streaming"))
             val e = t.groupBy.getOrElse(col(KeyCol))
+            // the group key must be a function of the MEMBER KEY alone: a
+            // value-dependent group means an update can MIGRATE a member
+            // between groups, and Kafka Streams handles that by emitting
+            // a retract to the old group and an add to the new — two
+            // differently-keyed records through chained state, which
+            // Spark's single-stateful-operator constraint cannot stage.
+            // Keying the changelog by the new group alone would leave the
+            // old group's acc silently stale, so error loudly instead.
+            val refsValue = src.select(e.as("__g"))
+              .queryExecution.analyzed
+              .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+              .projectList.head.references.exists(_.name == ValueCol)
+            if (refsValue) sys.error(
+              "KGroupedTable aggregate with a VALUE-dependent groupBy is " +
+                "not lowerable in streaming: a member update could move the " +
+                "member between groups, which needs a retract to the old " +
+                "group (chained differently-keyed state Spark cannot run) " +
+                "— group by a function of the member key, or use a typed " +
+                "flatMapGroupsWithState operator (graft.stream.Streamed)")
             ChainLeaf(
               src.select(e.as(KeyCol),
                 struct(col(KeyCol).as("__mk"), col(ValueCol).as("__mv")).as(ValueCol),
                 col(TsCol)),
               Some(FoldSpec(f.init, f.adder, f.subtractor)))
+          case (None, Kind.Table) =>
+            // Kafka Streams has no adder-only KGroupedTable.aggregate —
+            // each member REPLACE needs a subtractor to retract the old
+            // value. Folding the parent's aggregated output instead would
+            // both double-count replaced members and stack a state op on
+            // a streaming aggregation (which Spark rejects at start with
+            // an opaque message), so error at compile time.
+            sys.error("FoldAgg over a live TABLE needs a subtractor " +
+              "(KGroupedTable semantics: member updates REPLACE, so the " +
+              "old value must be retracted) — add a subtractor, or " +
+              "aggregate the table's source stream instead")
           case _ =>
             // KGroupedStream: adder-only; a subtractor is meaningless over
             // an append stream (nothing is ever replaced) and is ignored,
@@ -845,6 +887,13 @@ object StreamCompiler {
         val chain = TableChain(Seq(leaf), JoinTree.Leaf(0))
         return tableChainState(chain).copy(kind = Kind.Table)
       case Some(f: AggSpec.FoldAgg) if rekeyed.isStreaming =>
+        // Kafka Streams has no windowedBy on KGroupedTable — windowed
+        // folds aggregate STREAMS; over a table parent the fold would sit
+        // on an aggregated changelog (see the adder-only guard above)
+        if (in.kind == Kind.Table) sys.error(
+          "windowed FoldAgg over a live TABLE is not a Kafka Streams " +
+            "shape (windowedBy exists only on grouped STREAMS) — window " +
+            "the table's source stream instead")
         t.window.get match {
           case WindowSpec.TimeWindows(size, adv) =>
             // WINDOWED running fold: Kafka Streams folds a windowed
@@ -916,13 +965,9 @@ object StreamCompiler {
         // latest-per-key as a streaming-safe hash aggregate
         max_by(struct(col(ValueCol)), struct(col(TsCol))).getField(ValueCol)
       case Some(f: AggSpec.FoldAgg) if !rekeyed.isStreaming =>
-        // static feed: plan-time ordered fold, exactly the batch
-        // compiler's form (sorted collect_list + Catalyst aggregate HOF)
-        aggregate(
-          graft.batch.BatchCompiler.guardFoldGroup(
-            sort_array(collect_list(struct(col(TsCol).as("o"), col(ValueCol).as("v")))),
-            f.maxGroup),
-          f.init, (acc, p) => f.adder(acc, p("v")))
+        // static feed: plan-time ordered fold — the batch compiler's ONE
+        // fold definition, not a re-implementation of it
+        graft.batch.BatchCompiler.foldColumn(f)
       case Some(_: AggSpec.FoldAgg) =>
         sys.error("unreachable: streaming FoldAgg (windowed or not) is " +
           "lowered to the fold-chain state operator above")

@@ -209,11 +209,17 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
       javax.imageio.ImageIO.write(img, "bmp", out)
       out.toByteArray
     }
+    // id 5: a valid PNG signature over a garbage body — the JDK reader
+    // may return null OR throw a RuntimeException; either way the row
+    // must degrade to ok=false, never kill the task
+    val pngMagicGarbage = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a) ++ Array.tabulate[Byte](24)(i => (i * 37).toByte)
     val payloads = Seq(
       (1L, png(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB), "image/png"),
       (2L, png(3, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY), "image/png"),
       (3L, bmp(2, 9), "image/bmp"),
-      (4L, Array[Byte](1, 2, 3, 4), "application/octet-stream"))
+      (4L, Array[Byte](1, 2, 3, 4), "application/octet-stream"),
+      (5L, pngMagicGarbage, "image/png"))
       .toDF("doc_id", "bytes", "mime")
     val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
       col("bytes"), col("mime"), lit("test"))
@@ -224,6 +230,7 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(got(2L) == ((Some(3), Some(4), Some(1), true)))
     assert(got(3L) == ((Some(2), Some(9), Some(3), true)))
     assert(got(4L) == ((None, None, None, false)))
+    assert(got(5L) == ((None, None, None, false)))
   }
 
   test("multimodal decodeAudio runs a REAL javax.sound.sampled codec through the seam") {
@@ -239,10 +246,15 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
         ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
+    // id 4: valid RIFF/WAVE magic over a garbage header — the JDK parser
+    // may reject OR throw a RuntimeException; must degrade to ok=false
+    val wavMagicGarbage = "RIFF".getBytes ++ Array[Byte](0x7f, 0, 0, 0) ++
+      "WAVE".getBytes ++ Array.tabulate[Byte](20)(i => (i * 61).toByte)
     val payloads = Seq(
       (1L, wav(16000f, 1, 16, 1600), "audio/wav"),  // 100 ms mono 16 kHz
       (2L, wav(44100f, 2, 8, 441), "audio/wav"),    // 10 ms stereo 8-bit
-      (3L, Array[Byte](82, 73, 70, 70, 0, 0), "application/octet-stream"))
+      (3L, Array[Byte](82, 73, 70, 70, 0, 0), "application/octet-stream"),
+      (4L, wavMagicGarbage, "audio/wav"))
       .toDF("doc_id", "bytes", "mime")
     val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
       col("bytes"), col("mime"), lit("test"))
@@ -253,6 +265,7 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(got(1L) == ((Some(16000.0), Some(1), Some(16), Some(1600L), Some(100.0), true)))
     assert(got(2L) == ((Some(44100.0), Some(2), Some(8), Some(441L), Some(10.0), true)))
     assert(got(3L) == ((None, None, None, None, None, false)))
+    assert(got(4L) == ((None, None, None, None, None, false)))
   }
 
   test("multimodal mapPartitions seam runs a per-partition kernel") {

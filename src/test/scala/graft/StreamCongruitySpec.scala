@@ -735,6 +735,153 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("session-windowed FoldAgg"))
   }
 
+  test("congruity: a standalone fold table's SCALAR value joins a global downstream") {
+    // regression: a 1-leaf fold chain must report nFields=0 (scalar acc),
+    // not the join-tree's 2 — downstream leftFields would getField v1/v2
+    // on an int and fail analysis
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "s", "s" -> "j", "dim" -> "g", "g" -> "j",
+        "j" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "s" -> Entity.KStream(),
+        "dim" -> Entity.Topic("dim"), "g" -> Entity.GlobalKTable(),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("s", "g") -> JoinConfig(JoinType.Left)))
+    val inRows = Seq(("k", 1, 100L), ("k", 2, 200L), ("x", 5, 300L))
+    val dim = records(("k", 7, 50L))
+    val batch = BatchCompiler.run(topo,
+      Map("in" -> records(inRows: _*), "dim" -> dim))("out")
+    val stream = runStreaming(topo, Map("in" -> inRows),
+      statics = Map("dim" -> dim), sink = "out", mode = "update")
+    def canonStream(df: DataFrame) = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1)
+      .select("key", "value.v1", "value.v2")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    def canonBatch(df: DataFrame) = df.select("key", "value.v1", "value.v2")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canonStream(stream) == canonBatch(batch))
+    assert(canonBatch(batch) == Seq(Seq("k", 3, 7), Seq("x", 5, null)))
+  }
+
+  test("bushy join emission ts excludes absent subtrees (regression)") {
+    implicit val sql = spark.sqlContext
+    // (A⋈B inner) outer C: A@100 arrives but the inner subtree is NOT
+    // present — its ts must not leak into C-only emissions, or the
+    // last-emission-per-key ordering ties and diverges from batch
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "c" -> "tc",
+        "ta" -> "j1", "tb" -> "j1", "j1" -> "j2", "tc" -> "j2", "j2" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"), "c" -> Entity.Topic("c"),
+        "ta" -> Entity.KTable(), "tb" -> Entity.KTable(), "tc" -> Entity.KTable(),
+        "j1" -> Entity.KTable(), "j2" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner),
+        Seq("j1", "tc") -> JoinConfig(JoinType.Outer)))
+    val stream = runStreaming(topo,
+      Map("a" -> Seq(("k", 1, 100L)), "b" -> Seq.empty,
+        "c" -> Seq(("k", 50, 50L), ("k", 60, 60L))),
+      sink = "j2", mode = "update")
+    val emitted = stream.select(col("value.v2").as("c"), col("ts"))
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime)).toSeq.sorted
+    // emissions: each C update with its own ts, plus A's update
+    // re-evaluating the tree (still ts=60 — the present side's ts, NOT
+    // A's stale 100, which would scramble last-per-key ordering)
+    assert(emitted == Seq((50, 50L), (60, 60L), (60, 60L)))
+    // so last-per-key by ts deterministically picks c=60, matching batch
+    val batch = BatchCompiler.run(topo, Map(
+      "a" -> records(("k", 1, 100L)), "b" -> records(),
+      "c" -> records(("k", 50, 50L), ("k", 60, 60L))))("j2")
+    assert(batch.select("value.v2").collect().map(_.getInt(0)).toSeq == Seq(60))
+  }
+
+  test("live stream-table join stores NO state for stream-only keys") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(), "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+    val sMs = MemoryStream[(String, Int, Long)]
+    val uMs = MemoryStream[(String, Int, Long)]
+    def src(ms: MemoryStream[(String, Int, Long)]) =
+      ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("s" -> src(sMs), "u" -> src(uMs)))
+    val q = dfs("out").writeStream.format("memory").queryName("stnostate")
+      .outputMode("update").start()
+    try {
+      uMs.addData(("k", 1, 100L)); q.processAllAvailable()
+      // high-cardinality stream side: none of these keys may leave state
+      sMs.addData(("a", 1, 200L), ("b", 2, 210L), ("c", 3, 220L), ("k", 4, 230L))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L, s"expected only the table key in state, got $stateRows")
+    } finally q.stop()
+  }
+
+  test("KGroupedTable with a VALUE-dependent groupBy errors loudly") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "grp", "grp" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(),
+        "grp" -> Entity.KTable(
+          groupBy = Some((col("value") % 2).cast("string")),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (a, v) => a + v,
+            subtractor = Some((a, v) => a - v)))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val e = intercept[RuntimeException] {
+      StreamCompiler.run(topo, Map("in" -> src))
+    }
+    assert(e.getMessage.contains("VALUE-dependent groupBy"))
+  }
+
+  test("adder-only FoldAgg over a live TABLE errors loudly") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "grp", "grp" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(),
+        "grp" -> Entity.KTable(
+          groupBy = Some(concat(lit("g"), (length(col("key")) % 2).cast("string"))),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (a, v) => a + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val e = intercept[RuntimeException] {
+      StreamCompiler.run(topo, Map("in" -> src))
+    }
+    assert(e.getMessage.contains("needs a subtractor"))
+  }
+
+  test("windowed FoldAgg over a live TABLE errors loudly") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "w", "w" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(),
+        "w" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (a, v) => a + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val e = intercept[RuntimeException] {
+      StreamCompiler.run(topo, Map("in" -> src))
+    }
+    assert(e.getMessage.contains("windowed FoldAgg over a live TABLE"))
+  }
+
   test("congruity: KGroupedTable aggregate (adder+subtractor) over a live table") {
     implicit val sql = spark.sqlContext
     // table key "k1" updates 10 → 3 inside group "g0": the group sum must
