@@ -121,6 +121,46 @@ class TopologyGenSpec extends AnyFunSuite {
     }
   }
 
+  test("random LIVE stream-table joins are batch/streaming congruent") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // single-batch feeds with globally unique, cross-topic-disjoint ts:
+    // the state op processes in (ts, side) order with table-first ties,
+    // exactly batch's as-of ordering — so the emissions are 1:1 with
+    // batch's joined rows, an EXACT multiset equality (no changelog)
+    var qn = 0
+    (1L to 10L).foreach { seed =>
+      val jt = if (seed % 2 == 0) JoinType.Left else JoinType.Inner
+      val sRows = sample(genRecords, seed * 13).map { case (k, v, t) => (k, v, t * 2) }
+      val uRows = sample(genRecords, seed * 29).map { case (k, v, t) => (k, v, t * 2 + 1) }
+      val topo = Topology(
+        Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+        Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+          "tbl" -> Entity.KTable(), "j" -> Entity.KStream(),
+          "out" -> Entity.Topic("out")),
+        Map(Seq("s", "tbl") -> JoinConfig(jt)))
+      val batch = BatchCompiler.run(topo, Map(
+        "s" -> records(sRows: _*), "u" -> records(uRows: _*)))("out")
+      val streams = Map("s" -> sRows, "u" -> uRows).map { case (id, rows) =>
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int, Long)]
+        ms.addData(rows)
+        id -> ms.toDF().toDF("key", "value", "__ms")
+          .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+      }
+      val dfs = graft.stream.StreamCompiler.run(topo, streams)
+      qn += 1
+      val name = s"gen_st_congruity_$qn"
+      val q = dfs("out").writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try { q.processAllAvailable() } finally q.stop()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("key"), col("value.v1"), col("value.v2"), col("ts"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(canon(spark.table(name)) == canon(batch),
+        s"seed $seed ($jt): stream != batch")
+    }
+  }
+
   test("random table-join chains are batch/streaming congruent") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
