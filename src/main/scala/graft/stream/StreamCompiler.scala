@@ -33,9 +33,10 @@ import graft.ops.Keyed
   *    richer key: events explode to their covering window starts and the
   *    state operator folds per (key, window_start) — Kafka Streams'
   *    windowed aggregate exactly (arrival-order fold, eager emission);
-  *  - live stream–table joins → one co-grouped state operator holding
-  *    the table's latest value per key ([[streamTableState]]) — Kafka
-  *    Streams' KStream⋈KTable lookup-at-arrival.
+  *  - live stream–table joins → one co-grouped state operator over the
+  *    table side's chain state ([[streamTableState]]) — Kafka Streams'
+  *    KStream⋈KTable lookup-at-arrival, against ANY chainable table:
+  *    plain, running fold, subtractor-grouped, or a join tree of tables.
   *
   * Divergences from batch, by Spark's design (documented, erroring
   * loudly): SESSION-windowed FoldAgg (session bounds merge as events
@@ -318,24 +319,14 @@ object StreamCompiler {
           col("__lt").as(TsCol)), Kind.Stream, nL + 1)
 
       case (jt @ (JoinType.Inner | JoinType.Left), Kind.Stream, Kind.Table)
-          if r.streamChangelog.isDefined =>
+          if chainOf(r).isDefined =>
         // LIVE stream–table join (#29 with both sides streaming — Kafka
-        // Streams' KStream⋈KTable): co-grouped state holds the table's
-        // latest value per key; each stream record joins against current
-        // state at arrival. See [[streamTableState]].
-        streamTableState(l, r.streamChangelog.get, inner = jt == JoinType.Inner)
-
-      case (jt @ (JoinType.Inner | JoinType.Left), Kind.Stream, Kind.Table)
-          if chainOf(r).exists(c => c.leaves.size == 1 &&
-            c.leaves.head.fold.exists(_.subtractor.isEmpty)) =>
-        // LIVE stream–AGGREGATED-table join: the table is a running
-        // FoldAgg — its per-key state in the join is the acc, folded from
-        // the same changelog the fold chain would consume; stream records
-        // look up the aggregate-so-far at arrival (KStream⋈KTable where
-        // the KTable is an `aggregate`)
-        val leaf = chainOf(r).get.leaves.head
-        streamTableState(l, leaf.changelog, inner = jt == JoinType.Inner,
-          fold = leaf.fold)
+        // Streams' KStream⋈KTable) against ANY chainable table shape:
+        // plain latest-per-key, running FoldAgg, subtractor-grouped
+        // (KGroupedTable), or a whole join TREE of tables. The stream is
+        // an emit-only extra side over the chain's leaf state. See
+        // [[streamTableState]].
+        streamTableState(l, chainOf(r).get, inner = jt == JoinType.Inner)
 
       case (jt @ (JoinType.Inner | JoinType.Left | JoinType.Outer), Kind.Table, Kind.Table)
           if chainOf(l).isDefined && chainOf(r).isDefined =>
@@ -371,10 +362,11 @@ object StreamCompiler {
       case (jt, lk, rk) =>
         sys.error(s"streaming join ($jt, $lk, $rk) is not lowerable: a " +
           "stream–table join needs the table's per-update changelog or " +
-          "running-fold state (plain or adder-FoldAgg KTables) — ExprAgg/" +
-          "windowed/subtractor-grouped tables and join-tree tables have " +
-          "none; use a typed flatMapGroupsWithState operator " +
-          "(graft.stream.Streamed) for those")
+          "fold state — ExprAgg and windowed tables have none (Spark " +
+          "aggregations emit no changelog); use a typed " +
+          "flatMapGroupsWithState operator (graft.stream.Streamed) for " +
+          "those, or declare the stream as the LEFT side (KStream⋈KTable, " +
+          "like Kafka Streams)")
     }
   }
 
@@ -472,150 +464,42 @@ object StreamCompiler {
     * `Encoders.row`, so the generic compiler needs no case classes. */
   private[stream] def tableChainState(chain: TableChain): Built = {
     import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-    val leaves = chain.leaves
-    val n = leaves.size
-    val keyType = leaves.head.changelog.schema(KeyCol).dataType
-    val rawTypes: Seq[DataType] = leaves.map(_.changelog.schema(ValueCol).dataType)
-    // member-keyed (subtractor) fold leaves carry struct(__mk, __mv)
-    // member updates; their fold runs over the __mv type
-    val subKeyed: Array[Boolean] =
-      leaves.map(_.fold.exists(_.subtractor.isDefined)).toArray
-    val folds: Array[Option[ResolvedFold]] = leaves.zip(rawTypes).zipWithIndex.map {
-      case ((lf, vt), i) =>
-        val foldVt =
-          if (subKeyed(i)) vt.asInstanceOf[StructType]("__mv").dataType else vt
-        lf.fold.map(f => resolveFold(lf.changelog.sparkSession, f, foldVt))
-    }.toArray
-    // a leaf's contribution to the joined value: the running aggregate
-    // for fold leaves, the latest raw value otherwise
-    val contribTypes: Seq[DataType] = folds.toSeq.zip(rawTypes).map {
-      case (Some(rf), _) => rf.accType
-      case (None, vt)    => vt
-    }
-    // leaf STATE layout: latest → raw value; adder fold → the acc;
-    // member-keyed fold → struct(acc, latest-(value, ts)-per-member map)
-    val stateTypes: Seq[DataType] = rawTypes.indices.map { i =>
-      if (subKeyed(i)) {
-        val st = rawTypes(i).asInstanceOf[StructType]
-        StructType(Seq(
-          StructField("acc", folds(i).get.accType),
-          StructField("mem", org.apache.spark.sql.types.MapType(
-            st("__mk").dataType,
-            StructType(Seq(StructField("v", st("__mv").dataType),
-              StructField("t", LongType)))))))
-      } else contribTypes(i)
-    }
-
+    val cs = new ChainState(chain.leaves)
+    val n = cs.n
     // tagged union of all changelogs: (k, side, v0..v{n-1}, tsus) — only
     // column `side` is non-null per record
-    val union = leaves.zipWithIndex.map { case (lf, i) =>
+    val union = chain.leaves.zipWithIndex.map { case (lf, i) =>
       lf.changelog.select(Seq(col(KeyCol).as("k"), lit(i).as("side")) ++
-        rawTypes.zipWithIndex.map { case (t, j) =>
+        cs.rawTypes.zipWithIndex.map { case (t, j) =>
           (if (j == i) col(ValueCol) else lit(null).cast(t)).as(s"v$j")
         } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*)
     }.reduceLeft(_ unionByName _)
 
-    // joined-value type of each subtree
-    def typeOf(t: JoinTree): DataType = t match {
-      case JoinTree.Leaf(i) => contribTypes(i)
-      case JoinTree.Node(l, r, _) =>
-        StructType(Seq(StructField("v1", typeOf(l)), StructField("v2", typeOf(r))))
-    }
-    val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
-    val stateEnc = Encoders.row(StructType(
-      stateTypes.zipWithIndex.map { case (t, i) => StructField(s"v$i", t) } ++
-        (0 until n).map(i => StructField(s"t$i", LongType))))
+    val keyEnc = Encoders.row(StructType(Seq(StructField("k", cs.keyType))))
+    val stateEnc = Encoders.row(cs.stateSchema)
     val outEnc = Encoders.row(StructType(Seq(
-      StructField("k", keyType), StructField("value", typeOf(chain.tree)),
+      StructField("k", cs.keyType), StructField("value", cs.typeOf(chain.tree)),
       StructField("tsus", LongType))))
 
-    val nn = n // capture primitives and small values, not the chain
+    val nn = n // capture primitives and the resolved machinery, not the chain
     val tree = chain.tree
-    val foldsArr = folds
-    val subArr = subKeyed
     val joined = union
       .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
       .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
           val vs = new Array[Any](nn)
           val ts = Array.fill(nn)(Long.MinValue)
-          state.getOption.foreach { s =>
-            var i = 0
-            while (i < nn) { vs(i) = s.get(i); ts(i) = s.getLong(nn + i); i += 1 }
-          }
-          // fold leaves: present once any record has folded (acc may be
-          // any value, incl. null); latest leaves: null = tombstone
-          def present(i: Int): Boolean =
-            if (foldsArr(i).isDefined) ts(i) != Long.MinValue else vs(i) != null
-          // a leaf's joined-value contribution: member-keyed fold state is
-          // struct(acc, mem) — contribute the acc alone
-          def contrib(i: Int): Any =
-            if (subArr(i)) Option(vs(i).asInstanceOf[Row]).map(_.get(0)).orNull
-            else vs(i)
-          def evalTree(t: JoinTree): (Boolean, Any, Long) = t match {
-            case JoinTree.Leaf(i) =>
-              val p = present(i)
-              (p, if (p) contrib(i) else null, if (p) ts(i) else Long.MinValue)
-            case JoinTree.Node(lt, rt, jt) =>
-              val (lp, lv, ltm) = evalTree(lt)
-              val (rp, rv, rtm) = evalTree(rt)
-              val p = jt match {
-                case JoinType.Inner => lp && rp
-                case JoinType.Left  => lp
-                case _              => lp || rp
-              }
-              // an absent subtree contributes NO timestamp (batch's
-              // greatest(__lt, __rt) skips the null side the same way) —
-              // else a stale non-present leaf's ts would outrank the live
-              // side's and scramble last-emission-per-key ordering
-              (p, Row(if (lp) lv else null, if (rp) rv else null),
-                math.max(if (lp) ltm else Long.MinValue,
-                  if (rp) rtm else Long.MinValue))
-          }
+          cs.loadState(state.getOption, vs, ts)
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           // ts order within the batch; later sides after earlier at equal ts
           records.toSeq.sortBy(rec => (rec.getLong(nn + 2), rec.getInt(1))).foreach { rec =>
             val side = rec.getInt(1)
             val t = rec.getLong(nn + 2)
-            val v = rec.get(2 + side)
-            foldsArr(side) match {
-              case Some(rf) if subArr(side) =>
-                // KGroupedTable member update (streams.clj:44-50): replace
-                // the member's latest value, subtracting the old from the
-                // group acc before adding the new; null __mv = member
-                // delete (subtract only). Out-of-order older member
-                // updates are ignored, exactly like a latest leaf.
-                val upd = v.asInstanceOf[Row]
-                val mk = upd.get(0)
-                val mv = upd.get(1)
-                val cur = vs(side).asInstanceOf[Row]
-                var acc = if (cur == null) rf.initValue else cur.get(0)
-                var mem: Map[Any, Row] =
-                  if (cur == null) Map.empty
-                  else cur.getMap[Any, Row](1).toMap
-                val old = mem.get(mk)
-                if (!old.exists(_.getLong(1) > t)) {
-                  old.foreach(o => acc = rf.subStep(acc, o.get(0)))
-                  if (mv != null) { acc = rf.step(acc, mv); mem += (mk -> Row(mv, t)) }
-                  else mem -= mk
-                  vs(side) = Row(acc, mem)
-                  ts(side) = math.max(ts(side), t)
-                }
-              case Some(rf) =>
-                // KGroupedStream adder semantics: every record folds in;
-                // null values are tombstone no-ops (Kafka Streams skips them)
-                if (v != null) {
-                  val acc0 = if (ts(side) == Long.MinValue) rf.initValue else vs(side)
-                  vs(side) = rf.step(acc0, v)
-                  ts(side) = math.max(ts(side), t)
-                }
-              case None =>
-                if (t >= ts(side)) { vs(side) = v; ts(side) = t }
-            }
-            val (p, joinedVal, joinedTs) = evalTree(tree)
+            cs.applyUpdate(vs, ts, side, rec.get(2 + side), t)
+            val (p, joinedVal, joinedTs) = cs.evalTree(tree, vs, ts)
             if (p) out += Row(key.get(0), joinedVal, joinedTs)
           }
           state.update(Row(vs.toIndexedSeq ++ ts.map(Long.box).toIndexedSeq: _*))
@@ -629,6 +513,252 @@ object StreamCompiler {
       // not a struct(v1, v2) — downstream leftFields must not getField
       nFields = if (chain.tree.isInstanceOf[JoinTree.Node]) 2 else 0,
       tableChain = Some(chain))
+  }
+
+  /** Driver-resolved per-leaf state machinery shared by
+    * [[tableChainState]] and [[streamTableState]]: the leaf state layout
+    * (latest value / fold acc / member-keyed acc+map), the per-record
+    * state transition, and join-tree evaluation over the state slots.
+    * Resolved once on the driver and shipped into the state functions
+    * (bound Catalyst expressions serialize); the source DataFrames are
+    * used only during construction and never captured. */
+  private final class ChainState(leaves: Seq[ChainLeaf]) extends Serializable {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DataType, LongType, MapType, StructField, StructType}
+
+    val n: Int = leaves.size
+    val keyType: DataType = leaves.head.changelog.schema(KeyCol).dataType
+    val rawTypes: Seq[DataType] = leaves.map(_.changelog.schema(ValueCol).dataType)
+    // member-keyed (subtractor) fold leaves carry struct(__mk, __mv)
+    // member updates; their fold runs over the __mv type
+    private val subKeyed: Array[Boolean] =
+      leaves.map(_.fold.exists(_.subtractor.isDefined)).toArray
+    private val folds: Array[Option[ResolvedFold]] =
+      leaves.zip(rawTypes).zipWithIndex.map { case ((lf, vt), i) =>
+        val foldVt =
+          if (subKeyed(i)) vt.asInstanceOf[StructType]("__mv").dataType else vt
+        lf.fold.map(f => resolveFold(lf.changelog.sparkSession, f, foldVt))
+      }.toArray
+    // a leaf's contribution to the joined value: the running aggregate
+    // for fold leaves, the latest raw value otherwise
+    private val contribTypes: Seq[DataType] = folds.toSeq.zip(rawTypes).map {
+      case (Some(rf), _) => rf.accType
+      case (None, vt)    => vt
+    }
+    // leaf STATE layout: latest → raw value; adder fold → the acc;
+    // member-keyed fold → struct(acc, latest-(value, ts)-per-member map)
+    private val stateTypes: Seq[DataType] = rawTypes.indices.map { i =>
+      if (subKeyed(i)) {
+        val st = rawTypes(i).asInstanceOf[StructType]
+        StructType(Seq(
+          StructField("acc", folds(i).get.accType),
+          StructField("mem", MapType(
+            st("__mk").dataType,
+            StructType(Seq(StructField("v", st("__mv").dataType),
+              StructField("t", LongType)))))))
+      } else contribTypes(i)
+    }
+    /** State row schema: one slot per leaf plus one last-ts per leaf. */
+    val stateSchema: StructType = StructType(
+      stateTypes.zipWithIndex.map { case (t, i) => StructField(s"v$i", t) } ++
+        (0 until n).map(i => StructField(s"t$i", LongType)))
+
+    /** Joined-value type of a subtree over these leaves. */
+    def typeOf(t: JoinTree): DataType = t match {
+      case JoinTree.Leaf(i) => contribTypes(i)
+      case JoinTree.Node(l, r, _) =>
+        StructType(Seq(StructField("v1", typeOf(l)), StructField("v2", typeOf(r))))
+    }
+
+    def loadState(s: Option[Row], vs: Array[Any], ts: Array[Long]): Unit =
+      s.foreach { row =>
+        var i = 0
+        while (i < n) { vs(i) = row.get(i); ts(i) = row.getLong(n + i); i += 1 }
+      }
+
+    /** Any leaf touched? (A key no changelog ever updated needs no state.) */
+    def anyPresent(vs: Array[Any], ts: Array[Long]): Boolean = {
+      var i = 0
+      while (i < n) {
+        if (ts(i) != Long.MinValue || vs(i) != null) return true
+        i += 1
+      }
+      false
+    }
+
+    /** Apply one changelog record to leaf `side`'s state slots. */
+    def applyUpdate(vs: Array[Any], ts: Array[Long], side: Int, v: Any, t: Long): Unit =
+      folds(side) match {
+        case Some(rf) if subKeyed(side) =>
+          // KGroupedTable member update (streams.clj:44-50): replace the
+          // member's latest value, subtracting the old from the group acc
+          // before adding the new; null __mv = member delete (subtract
+          // only). Out-of-order older member updates are ignored, exactly
+          // like a latest leaf.
+          val upd = v.asInstanceOf[Row]
+          val mk = upd.get(0)
+          val mv = upd.get(1)
+          val cur = vs(side).asInstanceOf[Row]
+          var acc = if (cur == null) rf.initValue else cur.get(0)
+          var mem: Map[Any, Row] =
+            if (cur == null) Map.empty
+            else cur.getMap[Any, Row](1).toMap
+          val old = mem.get(mk)
+          if (!old.exists(_.getLong(1) > t)) {
+            old.foreach(o => acc = rf.subStep(acc, o.get(0)))
+            if (mv != null) { acc = rf.step(acc, mv); mem += (mk -> Row(mv, t)) }
+            else mem -= mk
+            vs(side) = Row(acc, mem)
+            ts(side) = math.max(ts(side), t)
+          }
+        case Some(rf) =>
+          // KGroupedStream adder semantics: every record folds in; null
+          // values are tombstone no-ops (Kafka Streams skips them)
+          if (v != null) {
+            val acc0 = if (ts(side) == Long.MinValue) rf.initValue else vs(side)
+            vs(side) = rf.step(acc0, v)
+            ts(side) = math.max(ts(side), t)
+          }
+        case None =>
+          if (t >= ts(side)) { vs(side) = v; ts(side) = t }
+      }
+
+    // fold leaves: present once any record has folded (acc may be any
+    // value, incl. null); latest leaves: null = tombstone
+    private def present(vs: Array[Any], ts: Array[Long], i: Int): Boolean =
+      if (folds(i).isDefined) ts(i) != Long.MinValue else vs(i) != null
+    // a leaf's joined-value contribution: member-keyed fold state is
+    // struct(acc, mem) — contribute the acc alone
+    private def contrib(vs: Array[Any], i: Int): Any =
+      if (subKeyed(i)) Option(vs(i).asInstanceOf[Row]).map(_.get(0)).orNull
+      else vs(i)
+
+    /** Evaluate a join tree over the state slots: (present, value, ts). */
+    def evalTree(t: JoinTree, vs: Array[Any], ts: Array[Long]): (Boolean, Any, Long) =
+      t match {
+        case JoinTree.Leaf(i) =>
+          val p = present(vs, ts, i)
+          (p, if (p) contrib(vs, i) else null, if (p) ts(i) else Long.MinValue)
+        case JoinTree.Node(lt, rt, jt) =>
+          val (lp, lv, ltm) = evalTree(lt, vs, ts)
+          val (rp, rv, rtm) = evalTree(rt, vs, ts)
+          val p = jt match {
+            case JoinType.Inner => lp && rp
+            case JoinType.Left  => lp
+            case _              => lp || rp
+          }
+          // an absent subtree contributes NO timestamp (batch's
+          // greatest(__lt, __rt) skips the null side the same way) —
+          // else a stale non-present leaf's ts would outrank the live
+          // side's and scramble last-emission-per-key ordering
+          (p, Row(if (lp) lv else null, if (rp) rv else null),
+            math.max(if (lp) ltm else Long.MinValue,
+              if (rp) rtm else Long.MinValue))
+      }
+  }
+
+  /** Live stream–table join (#29 with BOTH sides live — Kafka Streams'
+    * KStream⋈KTable, willa `streams.clj:99-102`) against ANY live table
+    * shape: a plain latest-per-key KTable, a running FoldAgg aggregate,
+    * a subtractor-grouped (KGroupedTable) aggregate, or a whole join
+    * TREE of tables. One co-grouped state operator over the tagged union
+    * of every leaf changelog plus the stream's records: leaf state is
+    * exactly [[tableChainState]]'s (shared [[ChainState]] machinery) and
+    * the stream is an EMIT-ONLY extra side — a stream record evaluates
+    * the table tree against current state and emits at arrival (inner:
+    * only when the tree is present; left: null pad), and is never
+    * re-emitted when the table later updates. This sidesteps Spark's
+    * one-stateful-operator-per-query limit: joining a stream to a
+    * join-tree table needs no chained state ops because the whole tree
+    * lives in THIS operator's state.
+    *
+    * Within a micro-batch records process in (ts, side) order with ALL
+    * table updates before the stream at equal ts — the batch as-of tie
+    * rule (`Joins.asOf` orders by (__t, __side)); null PLAIN-table values
+    * are skipped, not tombstoned, matching batch's ignoreNulls
+    * carry-forward. Across micro-batches the lookup is arrival-order
+    * (processing-time), Kafka Streams' documented semantics; congruity
+    * with batch's event-time as-of holds for in-order feeds (congruity-
+    * and property-tested). State per key is the leaves' state only —
+    * stream-only keys leave NO state behind (with NoTimeout it would
+    * otherwise grow with stream key cardinality). */
+  private def streamTableState(l: Built, chain: TableChain, inner: Boolean): Built = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val cs = new ChainState(chain.leaves)
+    val n = cs.n
+    val nL = math.max(l.nFields, 1)
+    val nFlat = l.nFields
+    val keyType = l.df.schema(KeyCol).dataType
+    val lvType = l.df.schema(ValueCol).dataType
+
+    // tagged union: sides 0..n-1 = leaf changelogs, side n = the stream.
+    // Layout: k=0, side=1, lv=2, v0..v{n-1}=3.., tsus=3+n
+    val union = (chain.leaves.zipWithIndex.map { case (lf, i) =>
+        lf.changelog.select(Seq(col(KeyCol).as("k"), lit(i).as("side"),
+          lit(null).cast(lvType).as("lv")) ++
+          cs.rawTypes.zipWithIndex.map { case (t, j) =>
+            (if (j == i) col(ValueCol) else lit(null).cast(t)).as(s"v$j")
+          } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*)
+      } :+ l.df.select(Seq(col(KeyCol).as("k"), lit(n).as("side"),
+          col(ValueCol).as("lv")) ++
+          cs.rawTypes.zipWithIndex.map { case (t, j) =>
+            lit(null).cast(t).as(s"v$j")
+          } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*))
+      .reduceLeft(_ unionByName _)
+
+    val tree = chain.tree
+    val treeType = cs.typeOf(tree)
+    val outValueType = StructType(
+      (if (nFlat == 0) Seq(StructField("v1", lvType))
+       else lvType.asInstanceOf[StructType].fields.toSeq) :+
+        StructField(s"v${nL + 1}", treeType))
+    val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
+    val stateEnc = Encoders.row(cs.stateSchema)
+    val outEnc = Encoders.row(StructType(Seq(
+      StructField("k", keyType), StructField("value", outValueType),
+      StructField("tsus", LongType))))
+
+    val nn = n
+    val innerJ = inner
+    val joined = union
+      .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
+          val vs = new Array[Any](nn)
+          val ts = Array.fill(nn)(Long.MinValue)
+          cs.loadState(state.getOption, vs, ts)
+          def lvVals(v: Any): Seq[Any] =
+            if (nFlat == 0) Seq(v)
+            else { val r = v.asInstanceOf[Row]; (0 until nFlat).map(r.get) }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          // (ts, side) order: every leaf side precedes the stream (side
+          // nn) at equal ts — the batch as-of tie rule
+          records.toSeq.sortBy(rec => (rec.getLong(nn + 3), rec.getInt(1))).foreach { rec =>
+            val side = rec.getInt(1)
+            val t = rec.getLong(nn + 3)
+            if (side < nn) {
+              cs.applyUpdate(vs, ts, side, rec.get(3 + side), t)
+            } else {
+              val (p, tv, _) = cs.evalTree(tree, vs, ts)
+              if (p || !innerJ)
+                out += Row(key.get(0),
+                  Row(lvVals(rec.get(2)) :+ (if (p) tv else null): _*), t)
+            }
+          }
+          // store ONLY keys some leaf changelog touched: a stream-only
+          // key must leave no state behind (with NoTimeout it would live
+          // forever, growing the store with stream key cardinality)
+          if (cs.anyPresent(vs, ts))
+            state.update(Row(vs.toIndexedSeq ++ ts.map(Long.box).toIndexedSeq: _*))
+          out.iterator
+      }(stateEnc, outEnc)
+
+    Built(joined.toDF().select(
+      col("k").as(KeyCol), col("value").as(ValueCol),
+      timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, nL + 1)
   }
 
   /** Live stream–table join (#29 with BOTH sides live — Kafka Streams'

@@ -324,6 +324,67 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch) == got)
   }
 
+  test("congruity: LIVE stream joins a whole TABLE-JOIN-TREE at arrival") {
+    // the right side is itself a live KTable⋈KTable join — the stream is
+    // an emit-only extra side over the SAME state operator, so no
+    // chained-stateful-operator limit applies
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "ta" -> "j1", "tb" -> "j1",
+        "s" -> "j2", "j1" -> "j2", "j2" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "ta" -> Entity.KTable(), "tb" -> Entity.KTable(),
+        "j1" -> Entity.KTable(),
+        "s" -> Entity.Topic("s"), "j2" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner),
+        Seq("s", "j1") -> JoinConfig(JoinType.Left)))
+    val aRows = Seq(("k", 1, 100L), ("k", 9, 300L))
+    val bRows = Seq(("k", 7, 150L))
+    // stream lookups AFTER every table update (arrival-order == as-of)
+    val sRows = Seq(("k", 10, 400L), ("x", 5, 450L))
+    val batch = BatchCompiler.run(topo, Map(
+      "a" -> records(aRows: _*), "b" -> records(bRows: _*),
+      "s" -> records(sRows: _*)))("out")
+    val stream = runStreaming(topo,
+      Map("a" -> aRows, "b" -> bRows, "s" -> sRows),
+      sink = "out", mode = "update")
+    // value = struct(v1 = stream value, v2 = struct(v1 = ta, v2 = tb))
+    val cols = Seq("key", "value.v1", "value.v2.v1", "value.v2.v2")
+    def canon(df: DataFrame) = df.select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(stream) == canon(batch))
+    assert(canon(batch) == Seq(Seq("k", 10, 9, 7), Seq("x", 5, null, null)))
+  }
+
+  test("congruity: LIVE stream joins a KGroupedTable (subtractor) aggregate") {
+    // the table side is a subtractor-grouped aggregate: its leaf state is
+    // the group acc + member map, and the member replacement (10 -> 3)
+    // must be retracted before the stream looks up
+    val topo = Topology(
+      Seq("u" -> "tbl", "tbl" -> "grp", "s" -> "j", "grp" -> "j", "j" -> "out"),
+      Map("u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(),
+        "grp" -> Entity.KTable(
+          groupBy = Some(concat(lit("g"), (length(col("key")) % 2).cast("string"))),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (a, v) => a + v,
+            subtractor = Some((a, v) => a - v)))),
+        "s" -> Entity.Topic("s"), "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("s", "grp") -> JoinConfig(JoinType.Inner)))
+    val uRows = Seq(("k1", 10, 100L), ("k1", 3, 200L), ("mm", 5, 300L))
+    // stream keyed by the GROUP key, after all member updates
+    val sRows = Seq(("g0", 77, 400L))
+    val batch = BatchCompiler.run(topo, Map(
+      "u" -> records(uRows: _*), "s" -> records(sRows: _*)))("out")
+    val stream = runStreaming(topo, Map("u" -> uRows, "s" -> sRows),
+      sink = "out", mode = "update")
+    def canon(df: DataFrame) = df.select("key", "value.v1", "value.v2")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(stream) == canon(batch))
+    // group g0 = k1 (replaced to 3) + mm (5) = 8, looked up at arrival
+    assert(canon(batch) == Seq(Seq("g0", 77, 8)))
+  }
+
   test("congruity: LIVE stream-table INNER join drops pre-table records") {
     val topo = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
