@@ -471,12 +471,8 @@ object StreamCompiler {
     val n = cs.n
     // tagged union of all changelogs: (k, side, v0..v{n-1}, tsus) — only
     // column `side` is non-null per record
-    val union = chain.leaves.zipWithIndex.map { case (lf, i) =>
-      lf.changelog.select(Seq(col(KeyCol).as("k"), lit(i).as("side")) ++
-        cs.rawTypes.zipWithIndex.map { case (t, j) =>
-          (if (j == i) col(ValueCol) else lit(null).cast(t)).as(s"v$j")
-        } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*)
-    }.reduceLeft(_ unionByName _)
+    val union = chainUnion(chain.leaves, cs.rawTypes, prefix = Nil)
+      .reduceLeft(_ unionByName _)
 
     val keyEnc = Encoders.row(StructType(Seq(StructField("k", cs.keyType))))
     val stateEnc = Encoders.row(cs.stateSchema)
@@ -521,8 +517,33 @@ object StreamCompiler {
     * state transition, and join-tree evaluation over the state slots.
     * Resolved once on the driver and shipped into the state functions
     * (bound Catalyst expressions serialize); the source DataFrames are
-    * used only during construction and never captured. */
-  private final class ChainState(leaves: Seq[ChainLeaf]) extends Serializable {
+    * used only during construction and never captured.
+    *
+    * `plainNullTombstones` sets the PLAIN-leaf null policy, the one
+    * place the two consumers legitimately differ: in a table-table join
+    * a null value IS a tombstone (Kafka KTable semantics — the key
+    * leaves the join), but a stream-table lookup must SKIP nulls to
+    * match batch's as-of carry-forward (`Joins.asOf` reads the last
+    * value with `ignoreNulls = true`). */
+  /** The tagged-union legs for a chain's leaf changelogs — ONE place
+    * owns the (k, side, [prefix...], v0..v{n-1}, tsus) column layout the
+    * state functions then index positionally. `prefix` inserts extra
+    * columns between `side` and the leaf values (the stream side's `lv`
+    * slot); its length shifts every positional index by the same amount
+    * in the consuming operator. */
+  private def chainUnion(leaves: Seq[ChainLeaf],
+      rawTypes: Seq[org.apache.spark.sql.types.DataType],
+      prefix: Seq[Column]): Seq[DataFrame] =
+    leaves.zipWithIndex.map { case (lf, i) =>
+      lf.changelog.select(Seq(col(KeyCol).as("k"), lit(i).as("side")) ++
+        prefix ++
+        rawTypes.zipWithIndex.map { case (t, j) =>
+          (if (j == i) col(ValueCol) else lit(null).cast(t)).as(s"v$j")
+        } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*)
+    }
+
+  private final class ChainState(leaves: Seq[ChainLeaf],
+      plainNullTombstones: Boolean = true) extends Serializable {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DataType, LongType, MapType, StructField, StructType}
 
@@ -620,7 +641,12 @@ object StreamCompiler {
             ts(side) = math.max(ts(side), t)
           }
         case None =>
-          if (t >= ts(side)) { vs(side) = v; ts(side) = t }
+          // plain leaf: latest-per-key; a null value tombstones the key
+          // (table-table) or is skipped (stream-table as-of congruity) —
+          // see the class doc
+          if ((v != null || plainNullTombstones) && t >= ts(side)) {
+            vs(side) = v; ts(side) = t
+          }
       }
 
     // fold leaves: present once any record has folded (acc may be any
@@ -687,7 +713,9 @@ object StreamCompiler {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-    val cs = new ChainState(chain.leaves)
+    // plain-leaf nulls are SKIPPED here (not tombstoned): the lookup
+    // must match batch's as-of ignoreNulls carry-forward
+    val cs = new ChainState(chain.leaves, plainNullTombstones = false)
     val n = cs.n
     val nL = math.max(l.nFields, 1)
     val nFlat = l.nFields
@@ -696,13 +724,9 @@ object StreamCompiler {
 
     // tagged union: sides 0..n-1 = leaf changelogs, side n = the stream.
     // Layout: k=0, side=1, lv=2, v0..v{n-1}=3.., tsus=3+n
-    val union = (chain.leaves.zipWithIndex.map { case (lf, i) =>
-        lf.changelog.select(Seq(col(KeyCol).as("k"), lit(i).as("side"),
-          lit(null).cast(lvType).as("lv")) ++
-          cs.rawTypes.zipWithIndex.map { case (t, j) =>
-            (if (j == i) col(ValueCol) else lit(null).cast(t)).as(s"v$j")
-          } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*)
-      } :+ l.df.select(Seq(col(KeyCol).as("k"), lit(n).as("side"),
+    val union = (chainUnion(chain.leaves, cs.rawTypes,
+        prefix = Seq(lit(null).cast(lvType).as("lv")))
+      :+ l.df.select(Seq(col(KeyCol).as("k"), lit(n).as("side"),
           col(ValueCol).as("lv")) ++
           cs.rawTypes.zipWithIndex.map { case (t, j) =>
             lit(null).cast(t).as(s"v$j")
@@ -761,109 +785,6 @@ object StreamCompiler {
       timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, nL + 1)
   }
 
-  /** Live stream–table join (#29 with BOTH sides live — Kafka Streams'
-    * KStream⋈KTable, willa `streams.clj:99-102`): one co-grouped state
-    * operator over the tagged union of the table's raw changelog and the
-    * stream's records. State
-    * per key = the table's latest (value, ts) — cardinality-bounded, no
-    * event buffer. A stream record emits the join against current state
-    * at arrival (inner: only when a table value is present; left: null
-    * pad) and is itself stateless — it is never re-emitted when the
-    * table later gains the key, exactly Kafka Streams' KStream–KTable
-    * contract. Within a micro-batch records process in (ts, side) order
-    * with table updates FIRST at equal ts — the batch as-of tie rule
-    * (`Joins.asOf` orders by (__t, __side)) — and null table values are
-    * skipped, not tombstoned, matching batch's ignoreNulls
-    * carry-forward. Across micro-batches the lookup is arrival-order
-    * (processing-time), Kafka Streams' documented semantics; congruity
-    * with batch's event-time as-of holds for in-order feeds
-    * (congruity-tested).
-    *
-    * With `fold` set the table side is a running FoldAgg: state holds
-    * the aggregate-so-far (table records fold in adder-only
-    * KGroupedStream semantics — nulls skipped, every record folds) and
-    * stream records look up the acc. */
-  private def streamTableState(l: Built, tableLog: DataFrame, inner: Boolean,
-      fold: Option[FoldSpec] = None): Built = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-
-    val nL = math.max(l.nFields, 1)
-    val nFlat = l.nFields
-    val keyType = l.df.schema(KeyCol).dataType
-    val lvType = l.df.schema(ValueCol).dataType
-    val rawRvType = tableLog.schema(ValueCol).dataType
-    val rf = fold.map(f => resolveFold(tableLog.sparkSession, f, rawRvType))
-    // what a stream record reads: the fold acc, or the latest raw value
-    val rvType = rf.map(_.accType).getOrElse(rawRvType)
-
-    // tagged union: side 0 = table changelog (RAW values), side 1 =
-    // stream records
-    val union = tableLog.select(col(KeyCol).as("k"), lit(0).as("side"),
-        lit(null).cast(lvType).as("lv"), col(ValueCol).as("rv"),
-        unix_micros(col(TsCol)).as("tsus"))
-      .unionByName(l.df.select(col(KeyCol).as("k"), lit(1).as("side"),
-        col(ValueCol).as("lv"), lit(null).cast(rawRvType).as("rv"),
-        unix_micros(col(TsCol)).as("tsus")))
-
-    val outValueType = StructType(
-      (if (nFlat == 0) Seq(StructField("v1", lvType))
-       else lvType.asInstanceOf[StructType].fields.toSeq) :+
-        StructField(s"v${nL + 1}", rvType))
-    val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
-    val stateEnc = Encoders.row(StructType(Seq(
-      StructField("rv", rvType), StructField("rt", LongType))))
-    val outEnc = Encoders.row(StructType(Seq(
-      StructField("k", keyType), StructField("value", outValueType),
-      StructField("tsus", LongType))))
-
-    val innerJ = inner
-    val joined = union
-      .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
-      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
-          var rv: Any = null
-          var rts = Long.MinValue
-          state.getOption.foreach { s => rv = s.get(0); rts = s.getLong(1) }
-          def lvVals(v: Any): Seq[Any] =
-            if (nFlat == 0) Seq(v)
-            else { val r = v.asInstanceOf[Row]; (0 until nFlat).map(r.get) }
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          records.toSeq.sortBy(rec => (rec.getLong(4), rec.getInt(1))).foreach { rec =>
-            val t = rec.getLong(4)
-            if (rec.getInt(1) == 0) {
-              val v = rec.get(3)
-              rf match {
-                case Some(f) =>
-                  // fold table: every non-null record folds into the acc
-                  // (presence = anything folded, tracked by the ts sentinel)
-                  if (v != null) {
-                    rv = f.step(if (rts == Long.MinValue) f.initValue else rv, v)
-                    rts = math.max(rts, t)
-                  }
-                case None =>
-                  // plain table: latest-per-key, nulls skipped (not tombstones)
-                  if (v != null && t >= rts) { rv = v; rts = t }
-              }
-            } else {
-              val present = rts != Long.MinValue
-              if (present || !innerJ)
-                out += Row(key.get(0),
-                  Row(lvVals(rec.get(2)) :+ (if (present) rv else null): _*), t)
-            }
-          }
-          // store ONLY keys the table side has touched: a stream-only key
-          // must leave no state behind (with NoTimeout it would live
-          // forever, growing the store with stream key cardinality)
-          if (rts != Long.MinValue) state.update(Row(rv, Long.box(rts)))
-          out.iterator
-      }(stateEnc, outEnc)
-
-    Built(joined.toDF().select(
-      col("k").as(KeyCol), col("value").as(ValueCol),
-      timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, nL + 1)
-  }
 
   /** Suppressed windowed fold: per-(key, window_start) acc state that
     * emits ONCE, when the event-time watermark passes the window end —

@@ -385,6 +385,33 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch) == Seq(Seq("g0", 77, 8)))
   }
 
+  test("congruity: LIVE stream-table join SKIPS null table values (as-of ignoreNulls)") {
+    // batch's as-of carries the last NON-NULL value forward (Joins.asOf
+    // ignoreNulls); the streaming lookup must skip nulls the same way,
+    // not treat them as tombstones (that is the TABLE-TABLE policy)
+    val topo = Topology(
+      Seq("u" -> "nulled", "nulled" -> "tbl", "s" -> "j", "tbl" -> "j", "j" -> "out"),
+      Map("u" -> Entity.Topic("u"),
+        // value 0 becomes NULL before reaching the table
+        "nulled" -> Entity.KStream(Some(Xform.MapValue(
+          when(col("value") === 0, lit(null)).otherwise(col("value"))))),
+        "tbl" -> Entity.KTable(),
+        "s" -> Entity.Topic("s"), "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Inner)))
+    val uRows = Seq(("k", 1, 100L), ("k", 0, 200L)) // 0 → null at ts 200
+    val sRows = Seq(("k", 9, 300L))
+    val batch = BatchCompiler.run(topo, Map(
+      "u" -> records(uRows: _*), "s" -> records(sRows: _*)))("out")
+    val stream = runStreaming(topo, Map("u" -> uRows, "s" -> sRows),
+      sink = "out", mode = "update")
+    def canon(df: DataFrame) = df.select("key", "value.v1", "value.v2")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(stream) == canon(batch))
+    // the null at ts 200 is skipped: the lookup still sees 1
+    assert(canon(batch) == Seq(Seq("k", 9, 1)))
+  }
+
   test("congruity: LIVE stream-table INNER join drops pre-table records") {
     val topo = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
