@@ -511,20 +511,6 @@ object StreamCompiler {
       tableChain = Some(chain))
   }
 
-  /** Driver-resolved per-leaf state machinery shared by
-    * [[tableChainState]] and [[streamTableState]]: the leaf state layout
-    * (latest value / fold acc / member-keyed acc+map), the per-record
-    * state transition, and join-tree evaluation over the state slots.
-    * Resolved once on the driver and shipped into the state functions
-    * (bound Catalyst expressions serialize); the source DataFrames are
-    * used only during construction and never captured.
-    *
-    * `plainNullTombstones` sets the PLAIN-leaf null policy, the one
-    * place the two consumers legitimately differ: in a table-table join
-    * a null value IS a tombstone (Kafka KTable semantics — the key
-    * leaves the join), but a stream-table lookup must SKIP nulls to
-    * match batch's as-of carry-forward (`Joins.asOf` reads the last
-    * value with `ignoreNulls = true`). */
   /** The tagged-union legs for a chain's leaf changelogs — ONE place
     * owns the (k, side, [prefix...], v0..v{n-1}, tsus) column layout the
     * state functions then index positionally. `prefix` inserts extra
@@ -542,6 +528,20 @@ object StreamCompiler {
         } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*)
     }
 
+  /** Driver-resolved per-leaf state machinery shared by
+    * [[tableChainState]] and [[streamTableState]]: the leaf state layout
+    * (latest value / fold acc / member-keyed acc+map), the per-record
+    * state transition, and join-tree evaluation over the state slots.
+    * Resolved once on the driver and shipped into the state functions
+    * (bound Catalyst expressions serialize); the source DataFrames are
+    * used only during construction and never captured.
+    *
+    * `plainNullTombstones` sets the PLAIN-leaf null policy, the one
+    * place the two consumers legitimately differ: in a table-table join
+    * a null value IS a tombstone (Kafka KTable semantics — the key
+    * leaves the join), but a stream-table lookup must SKIP nulls to
+    * match batch's as-of carry-forward (`Joins.asOf` reads the last
+    * value with `ignoreNulls = true`). */
   private final class ChainState(leaves: Seq[ChainLeaf],
       plainNullTombstones: Boolean = true) extends Serializable {
     import org.apache.spark.sql.Row
@@ -713,9 +713,14 @@ object StreamCompiler {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-    // plain-leaf nulls are SKIPPED here (not tombstoned): the lookup
-    // must match batch's as-of ignoreNulls carry-forward
-    val cs = new ChainState(chain.leaves, plainNullTombstones = false)
+    // Null policy: a DIRECTLY-joined plain table (1-leaf chain) is an
+    // as-of lookup, so nulls are SKIPPED to match batch's ignoreNulls
+    // carry-forward (congruity-tested). Leaves inside a JOIN TREE keep
+    // KTable tombstone semantics instead — the tree must behave exactly
+    // as it does compiled standalone (tableChainState), where a null
+    // deletes the key from the join.
+    val cs = new ChainState(chain.leaves,
+      plainNullTombstones = chain.leaves.size > 1)
     val n = cs.n
     val nL = math.max(l.nFields, 1)
     val nFlat = l.nFields

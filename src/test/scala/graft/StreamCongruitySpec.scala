@@ -412,6 +412,46 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(canon(batch) == Seq(Seq("k", 9, 1)))
   }
 
+  test("stream joined to a TABLE TREE sees KTable tombstones (leaf null deletes the key)") {
+    implicit val sql = spark.sqlContext
+    // inside a join TREE a null leaf value is a KTable tombstone — the
+    // key leaves the join, exactly as the tree behaves compiled
+    // standalone — unlike the 1-leaf as-of lookup, which skips nulls
+    val topo = Topology(
+      Seq("a" -> "an", "an" -> "ta", "b" -> "tb", "ta" -> "j1", "tb" -> "j1",
+        "s" -> "j2", "j1" -> "j2", "j2" -> "out"),
+      Map("a" -> Entity.Topic("a"),
+        "an" -> Entity.KStream(Some(Xform.MapValue(
+          when(col("value") === 0, lit(null)).otherwise(col("value"))))),
+        "b" -> Entity.Topic("b"),
+        "ta" -> Entity.KTable(), "tb" -> Entity.KTable(),
+        "j1" -> Entity.KTable(),
+        "s" -> Entity.Topic("s"), "j2" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner),
+        Seq("s", "j1") -> JoinConfig(JoinType.Inner)))
+    val sMs = MemoryStream[(String, Int, Long)]
+    val aMs = MemoryStream[(String, Int, Long)]
+    val bMs = MemoryStream[(String, Int, Long)]
+    def src(ms: MemoryStream[(String, Int, Long)]) =
+      ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo,
+      Map("s" -> src(sMs), "a" -> src(aMs), "b" -> src(bMs)))
+    val q = dfs("out").writeStream.format("memory").queryName("treetomb")
+      .outputMode("update").start()
+    try {
+      aMs.addData(("k", 1, 100L)); q.processAllAvailable()
+      bMs.addData(("k", 7, 150L)); q.processAllAvailable()
+      sMs.addData(("k", 10, 200L)); q.processAllAvailable() // joins (1, 7)
+      aMs.addData(("k", 0, 300L)); q.processAllAvailable()  // 0 → null: tombstone
+      sMs.addData(("k", 20, 400L)); q.processAllAvailable() // key gone: dropped
+    } finally q.stop()
+    val got = spark.table("treetomb").select("value.v1")
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(got == Seq(10), s"only the pre-tombstone lookup may join, got $got")
+  }
+
   test("congruity: LIVE stream-table INNER join drops pre-table records") {
     val topo = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
