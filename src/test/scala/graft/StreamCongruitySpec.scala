@@ -826,6 +826,48 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("suppressed HOPPING FoldAgg closes each overlapping window independently") {
+    implicit val sql = spark.sqlContext
+    // one event lands in two overlapping windows; each window's timeout
+    // fires on ITS OWN end, so the earlier window emits while the later
+    // one is still open
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows(200L, 100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (a, v) => a + v)),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "append")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(0L))
+    val q = dfs("tbl").writeStream.format("memory").queryName("suphop")
+      .outputMode("append").start()
+    try {
+      // 1050 covers windows [900,1100) and [1000,1200); 1150 covers
+      // [1000,1200) and [1100,1300)
+      ms.addData(("k", 1, 1050L), ("k", 2, 1150L)); q.processAllAvailable()
+      ms.addData(("z", 9, 100000L)) // close everything
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("suphop")
+      .select(col("key"), col("value"), col("window_start"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime))
+      .toSeq.sorted
+    // [900,1100)=1, [1000,1200)=1+2=3, [1100,1300)=2 — each exactly once
+    assert(got == Seq(("k", 1, 900L), ("k", 2, 1100L), ("k", 3, 1000L)))
+    // matches the batch twin's final windowed folds
+    val batch = BatchCompiler.run(topo, Map("in" -> records(
+      ("k", 1, 1050L), ("k", 2, 1150L))))("tbl")
+      .select(col("key"), col("value").cast("int"), col("window_start"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime))
+      .toSeq.sorted
+    assert(got == batch)
+  }
+
   test("suppressed windowed FoldAgg without a watermark errors loudly") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
