@@ -35,14 +35,30 @@ sealed trait WindowSpec
 object WindowSpec {
   /** `advanceMs == sizeMs` = tumbling; `<` = hopping. Windows aligned to
     * multiples of advanceMs (`experiment.clj:155-165`) — exactly Spark's
-    * `window(ts, size, slide)` alignment. */
-  final case class TimeWindows(sizeMs: Long, advanceMs: Long) extends WindowSpec
+    * `window(ts, size, slide)` alignment.
+    *
+    * `advanceMs > sizeMs` is rejected at CONSTRUCTION (Kafka Streams
+    * itself disallows it): batch's `window()` would throw at analysis
+    * while the streaming explode-to-covering-windows would silently DROP
+    * events falling in inter-window gaps — both engines must reject the
+    * spec identically, before either runs. */
+  final case class TimeWindows(sizeMs: Long, advanceMs: Long) extends WindowSpec {
+    require(sizeMs > 0 && advanceMs > 0,
+      s"window size/advance must be positive (got size=$sizeMs, advance=$advanceMs)")
+    require(advanceMs <= sizeMs,
+      s"window advance ($advanceMs ms) must be <= size ($sizeMs ms): " +
+        "advance > size leaves gaps no window covers (Kafka Streams' " +
+        "TimeWindows.advanceBy enforces the same bound)")
+  }
   object TimeWindows {
     def tumbling(sizeMs: Long): TimeWindows = TimeWindows(sizeMs, sizeMs)
   }
   /** Records ≤ gap apart merge into one session (`experiment.clj:168-185`)
-    * — Spark's `session_window(ts, gap)`. */
-  final case class SessionWindows(inactivityGapMs: Long) extends WindowSpec
+    * — Spark's `session_window(ts, gap)`, INCLUSIVE at the gap boundary. */
+  final case class SessionWindows(inactivityGapMs: Long) extends WindowSpec {
+    require(inactivityGapMs > 0,
+      s"session inactivity gap must be positive (got $inactivityGapMs)")
+  }
 }
 
 /** Stream–stream join window (`JoinWindows`, semantics

@@ -8,13 +8,25 @@ import org.apache.spark.sql.types._
   * payloads with a typed metadata struct, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * Decode kernels come in two tiers. Formats the bare JRE can read get
-  * REAL codecs bound through the `mapPartitions` seam: [[decodeImages]]
-  * (`javax.imageio`: PNG/BMP/GIF/JPEG) and [[decodeAudio]]
-  * (`javax.sound.sampled`: WAV/AIFF/AU). Formats it cannot (video, webp,
-  * mp3, …) keep STUB kernels — deterministic fakes computed from the raw
-  * bytes (clearly marked below) — until a JNI/FFI codec or a vectorized
-  * Python worker binds at the same seam. Everything around the kernels —
+  * Decode kernels come in three tiers.
+  *
+  *  1. JRE codecs, REAL full decode: [[decodeImages]] (`javax.imageio`:
+  *     PNG/BMP/GIF/JPEG) and [[decodeAudio]] (`javax.sound.sampled`:
+  *     WAV/AIFF/AU headers).
+  *  2. Hand-written container/frame parsers, REAL metadata extraction
+  *     from the public format specs — no codec library needed:
+  *     [[probeVideo]] (MP4/ISO-BMFF box tree → brand, duration, dims,
+  *     track count), [[probeMp3]] (MPEG frame header → bitrate, sample
+  *     rate, channels, CBR duration), [[probeWebp]] (RIFF VP8/VP8L/VP8X
+  *     → format, dims). This is the ffprobe-style tier a training-data
+  *     sweep actually runs at 100 TB.
+  *  3. PIXEL/PCM decode for non-JRE codecs (VP8 bitstream, MP3 synthesis,
+  *     H.264 frames) — requires a native codec (JNI/FFI) bound at the
+  *     same [[mapBinaryPartitions]] seam; the clearly-marked STUBS below
+  *     (decode*Stub/extractFeaturesStub) stand in for exactly this tier
+  *     and nothing else.
+  *
+  * Everything around the kernels —
   * the schema, the batch shape, the partitioning — is real Spark plumbing
   * and is what matters at 100 TB:
   *
@@ -128,6 +140,215 @@ object Multimodal {
             Row(r.get(0), img.getWidth, img.getHeight,
               img.getColorModel.getNumComponents, true)
           case None => Row(r.get(0), null, null, null, false)
+        }
+      })
+  }
+
+  // ---- byte-level helpers for the container parsers below ----
+  private def beU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def beU64(b: Array[Byte], off: Int): Long =
+    (beU32(b, off) << 32) | beU32(b, off + 4)
+  private def leU16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def leU24(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL MP4/ISO-BMFF container parse (the video analogue of
+    * [[decodeAudio]]'s header-only shape): walks the box tree per the
+    * PUBLIC ISO 14496-12 layout — `ftyp` for the brand, `moov/mvhd` for
+    * timescale+duration, `moov/trak/tkhd` for presentation width/height
+    * (16.16 fixed point), counting tracks. Reads only box headers and two
+    * fixed-size leaf boxes: cost is O(box count), never O(media bytes) —
+    * the right shape for a 100 TB metadata sweep. BITSTREAM decode
+    * (frames→pixels) still needs a native codec at this same seam; what
+    * stays fake in this file is only that pixel tier. */
+  private[graft] def parseMp4(b: Array[Byte]): Option[(String, Option[Double], Option[Long], Option[Long], Int)] = {
+    if (b == null || b.length < 16) return None
+    // (type, payloadFrom, payloadTo) for each well-formed box in
+    // [from, to); a malformed size stops the walk cleanly (no partial box)
+    def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val acc = Seq.newBuilder[(String, Int, Int)]
+      var off = from
+      var live = true
+      while (live && off + 8 <= to) {
+        val size0 = beU32(b, off)
+        val typ = fourcc(b, off + 4)
+        val (hdr, size) =
+          if (size0 == 1 && off + 16 <= to) (16L, beU64(b, off + 8))
+          else if (size0 == 0) (8L, (to - off).toLong) // box extends to EOF
+          else (8L, size0)
+        if (size < hdr || off + size > to) live = false
+        else { acc += ((typ, off + hdr.toInt, (off + size).toInt)); off += size.toInt }
+      }
+      acc.result()
+    }
+    val top = boxes(0, b.length)
+    val brand = top.collectFirst { case ("ftyp", f, t) if t - f >= 4 => fourcc(b, f) }
+    if (brand.isEmpty) return None // not ISO-BMFF
+    val moov = top.collectFirst { case ("moov", f, t) => (f, t) }
+    val inMoov = moov.map { case (f, t) => boxes(f, t) }.getOrElse(Nil)
+    val durationMs = inMoov.collectFirst { case ("mvhd", f, t) => (f, t) }.flatMap {
+      case (f, t) =>
+        val v = b(f) & 0xff
+        if (v == 1 && t - f >= 32) {
+          val scale = beU32(b, f + 20); val dur = beU64(b, f + 24)
+          if (scale > 0) Some(dur * 1000.0 / scale) else None
+        } else if (v == 0 && t - f >= 20) {
+          val scale = beU32(b, f + 12); val dur = beU32(b, f + 16)
+          if (scale > 0) Some(dur * 1000.0 / scale) else None
+        } else None
+    }
+    val traks = inMoov.collect { case ("trak", f, t) => (f, t) }
+    val dims = traks.iterator.flatMap { case (f, t) =>
+      boxes(f, t).collectFirst { case ("tkhd", tf, tt) => (tf, tt) }.flatMap {
+        case (tf, tt) =>
+          val v = b(tf) & 0xff
+          val base = if (v == 1) 88 else 76 // 16.16 width/height at the box tail
+          if (tt - tf >= base + 8) {
+            val w = beU32(b, tf + base) >> 16; val h = beU32(b, tf + base + 4) >> 16
+            if (w > 0 && h > 0) Some((w, h)) else None
+          } else None
+      }
+    }.nextOption()
+    Some((brand.get, durationMs, dims.map(_._1), dims.map(_._2), traks.size))
+  }
+
+  /** MP4 probe over packed payloads: one row per payload with the
+    * container `brand`, `duration_ms`, first visual track's
+    * `width`/`height`, `n_tracks`, and `ok=false` for bytes that are not
+    * ISO-BMFF (corrupt payloads degrade, never kill the scan). */
+  def probeVideo(df: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", df.schema("id").dataType),
+      StructField("brand", StringType),
+      StructField("duration_ms", DoubleType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_tracks", IntegerType),
+      StructField("ok", BooleanType)))
+    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
+      rows.map { r =>
+        val parsed =
+          try parseMp4(r.getAs[Array[Byte]](1))
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some((brand, dur, w, h, n)) =>
+            Row(r.get(0), brand, dur.orNull, w.orNull, h.orNull, n, true)
+          case None => Row(r.get(0), null, null, null, null, null, false)
+        }
+      })
+  }
+
+  /** REAL MPEG audio (MP3) frame-header parse per the PUBLIC MPEG-1/2
+    * audio spec: skips an ID3v2 tag (synchsafe size), scans to the first
+    * frame sync (11 set bits), decodes version/layer/bitrate/sample-rate/
+    * channel-mode from the 4-byte header, and estimates duration from the
+    * audio byte count at the frame's bitrate (exact for CBR). Layer III
+    * only — that IS mp3; Layer I/II sync patterns return None. */
+  private[graft] def parseMp3(b: Array[Byte]): Option[(String, Int, Int, Int, Double)] = {
+    if (b == null || b.length < 4) return None
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + sz
+    }
+    val audioStart = off
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) == 0xff && (b(off + 1) & 0xe0) == 0xe0) {
+        val verBits = (b(off + 1) >> 3) & 0x3 // 0=2.5, 2=MPEG2, 3=MPEG1
+        val layerBits = (b(off + 1) >> 1) & 0x3 // 1=Layer III
+        val brIdx = (b(off + 2) >> 4) & 0xf
+        val srIdx = (b(off + 2) >> 2) & 0x3
+        val mode = (b(off + 3) >> 6) & 0x3 // 3=mono
+        if (verBits != 1 && layerBits == 1 && brIdx >= 1 && brIdx <= 14 && srIdx != 3) {
+          val v1 = verBits == 3
+          val kbps = (if (v1) Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+                      else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))(brIdx)
+          val sr = (verBits match {
+            case 3 => Array(44100, 48000, 32000)
+            case 2 => Array(22050, 24000, 16000)
+            case _ => Array(11025, 12000, 8000)
+          })(srIdx)
+          val version = verBits match {
+            case 3 => "MPEG1"; case 2 => "MPEG2"; case _ => "MPEG2.5"
+          }
+          val durationMs = (b.length - audioStart) * 8.0 / (kbps * 1000.0) * 1000.0
+          return Some((version, kbps, sr, if (mode == 3) 1 else 2, durationMs))
+        }
+        off += 1 // false sync (or non-Layer-III): keep scanning
+      } else off += 1
+    }
+    None
+  }
+
+  /** MP3 probe over packed payloads: `version`, `bitrate_kbps`,
+    * `sample_rate`, `channels`, CBR-estimated `duration_ms`, `ok`. */
+  def probeMp3(df: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", df.schema("id").dataType),
+      StructField("version", StringType),
+      StructField("bitrate_kbps", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("duration_ms", DoubleType),
+      StructField("ok", BooleanType)))
+    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
+      rows.map { r =>
+        val parsed =
+          try parseMp3(r.getAs[Array[Byte]](1))
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some((ver, kbps, sr, ch, dur)) =>
+            Row(r.get(0), ver, kbps, sr, ch, dur, true)
+          case None => Row(r.get(0), null, null, null, null, null, false)
+        }
+      })
+  }
+
+  /** REAL WebP header parse per the PUBLIC RIFF/WebP container spec:
+    * `VP8X` (extended: 24-bit canvas minus-one), `VP8L` (lossless: 14-bit
+    * packed minus-one behind the 0x2F signature), `VP8 ` (lossy: 14-bit
+    * dims behind the 9D 01 2A keyframe start code). Returns
+    * (format, width, height). */
+  private[graft] def parseWebp(b: Array[Byte]): Option[(String, Long, Long)] = {
+    if (b == null || b.length < 20) return None
+    if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP") return None
+    fourcc(b, 12) match {
+      case "VP8X" if b.length >= 30 =>
+        Some(("extended", leU24(b, 24) + 1, leU24(b, 27) + 1))
+      case "VP8L" if b.length >= 25 && (b(20) & 0xff) == 0x2f =>
+        val bits = (b(21) & 0xffL) | ((b(22) & 0xffL) << 8) |
+          ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 24)
+        Some(("lossless", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
+      case "VP8 " if b.length >= 30 &&
+          (b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 && (b(25) & 0xff) == 0x2a =>
+        Some(("lossy", leU16(b, 26) & 0x3fff, leU16(b, 28) & 0x3fff))
+      case _ => None
+    }
+  }
+
+  /** WebP probe over packed payloads: `format` (lossy/lossless/extended),
+    * `width`, `height`, `ok`. */
+  def probeWebp(df: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", df.schema("id").dataType),
+      StructField("format", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("ok", BooleanType)))
+    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
+      rows.map { r =>
+        val parsed =
+          try parseWebp(r.getAs[Array[Byte]](1))
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some((fmt, w, h)) => Row(r.get(0), fmt, w, h, true)
+          case None              => Row(r.get(0), null, null, null, false)
         }
       })
   }

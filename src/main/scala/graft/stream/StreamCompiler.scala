@@ -38,16 +38,17 @@ import graft.ops.Keyed
   *    KStream⋈KTable lookup-at-arrival, against ANY chainable table:
   *    plain, running fold, subtractor-grouped, or a join tree of tables.
   *
-  * Divergences from batch, by Spark's design (documented, erroring
-  * loudly): SESSION-windowed FoldAgg (session bounds merge as events
-  * arrive) and joins over ExprAgg-aggregated tables need merging state
-  * the generic Row-typed path cannot stage — use
-  * [[Streamed.latestPerKeyState]]-style `flatMapGroupsWithState`
-  * operators with typed Datasets. A streaming FoldAgg folds — and a
-  * live stream–table join looks up — in ARRIVAL order (per Kafka
-  * Streams); batch recomputes in event-time order. They agree on
-  * in-order feeds (congruity-tested), and always on final state for
-  * commutative adders.
+  *  - session-windowed FoldAgg → a dedicated MERGING-window state
+  *    operator ([[sessionWindowedFold]]): per-key open-session buffers
+  *    that merge on arrival and re-fold in event-time order.
+  *
+  * Divergences from batch, by Spark's design (documented): a streaming
+  * FoldAgg folds — and a live stream–table join looks up — in ARRIVAL
+  * order (per Kafka Streams); batch recomputes in event-time order.
+  * They agree on in-order feeds (congruity- and property-tested), and
+  * always on final state for commutative adders. The session-window
+  * fold is exempt: it re-folds its buffered events in event-time order,
+  * so it matches batch under any arrival order inside the watermark.
   *
   * Output-mode guidance (`modeFor`): stateless/join-only topologies →
   * append; aggregating topologies → complete (tests/small state) or
@@ -88,7 +89,9 @@ object StreamCompiler {
     * and replacing a member's value subtracts the old before adding the
     * new (a null `__mv` is a member delete: subtract only). */
   final case class FoldSpec(init: Column, adder: (Column, Column) => Column,
-      subtractor: Option[(Column, Column) => Column] = None)
+      subtractor: Option[(Column, Column) => Column] = None,
+      maxGroup: Option[Long] = None,
+      finish: Option[Column => Column] = None)
 
   /** One leaf of a pending table-join tree: the raw changelog, plus the
     * running-fold spec when the leaf is an aggregated (FoldAgg) table —
@@ -165,13 +168,12 @@ object StreamCompiler {
     def isTable(id: String): Boolean =
       topology.entities.get(id).exists(_.isInstanceOf[Entity.KTable])
     val stateOp = topology.entities.exists {
-      // FoldAgg tables — unwindowed or time-windowed — lower to a
-      // flatMapGroupsWithState operator, which only runs in update mode;
-      // EXCEPT the suppressed windowed form, whose emit-on-close state
-      // operator is declared in append mode
+      // FoldAgg tables — unwindowed, time-windowed, or session-windowed —
+      // lower to a flatMapGroupsWithState operator, which only runs in
+      // update mode; EXCEPT the suppressed windowed forms, whose
+      // emit-on-close state operators are declared in append mode
       case (id, t: Entity.KTable)
-          if !t.window.exists(_.isInstanceOf[WindowSpec.SessionWindows]) &&
-            !(t.suppress && t.window.nonEmpty) &&
+          if !(t.suppress && t.window.nonEmpty) &&
             t.aggregate.exists(_.isInstanceOf[AggSpec.FoldAgg]) => liveRoots(id)
       case _ => false
     } || topology.joins.exists { case (ins, cfg) =>
@@ -354,10 +356,13 @@ object StreamCompiler {
 
       case (jt, Kind.Table, Kind.Table) =>
         sys.error(s"streaming table-table join ($jt) over AGGREGATED tables: " +
-          "an ExprAgg (or windowed) table has no per-update changelog " +
-          "(Spark cannot join streaming aggregations) — use AggSpec.FoldAgg " +
-          "(compiled into the join's co-grouped state) or join plain " +
-          "latest-per-key KTables")
+          "a windowed or NON-RETRACTABLE ExprAgg table has no per-update " +
+          "changelog (Spark cannot join streaming aggregations). " +
+          "Retractable ExprAggs — sum/count/avg of the value, plus " +
+          "min/max over an append stream — auto-rewrite to fold chains " +
+          "and join fine; for anything else use AggSpec.FoldAgg (compiled " +
+          "into the join's co-grouped state) or join plain latest-per-key " +
+          "KTables")
 
       case (jt, lk, rk) =>
         sys.error(s"streaming join ($jt, $lk, $rk) is not lowerable: a " +
@@ -389,15 +394,22 @@ object StreamCompiler {
       vType: org.apache.spark.sql.types.DataType,
       initValue: Any,
       bound: org.apache.spark.sql.catalyst.expressions.Expression,
-      boundSub: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None) {
+      boundSub: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+      boundFin: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+      outType: org.apache.spark.sql.types.DataType = null) {
     import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
     @transient private lazy val accToCat = CatalystTypeConverters.createToCatalystConverter(accType)
     @transient private lazy val vToCat = CatalystTypeConverters.createToCatalystConverter(vType)
     @transient private lazy val accToExt = CatalystTypeConverters.createToScalaConverter(accType)
-    @transient private lazy val ready: Unit = (bound +: boundSub.toSeq).foreach(_.foreach {
-      case nd: org.apache.spark.sql.catalyst.expressions.Nondeterministic => nd.initialize(0)
-      case _ => ()
-    })
+    @transient private lazy val outToExt = CatalystTypeConverters.createToScalaConverter(contribType)
+    @transient private lazy val ready: Unit =
+      (bound +: (boundSub.toSeq ++ boundFin.toSeq)).foreach(_.foreach {
+        case nd: org.apache.spark.sql.catalyst.expressions.Nondeterministic => nd.initialize(0)
+        case _ => ()
+      })
+    /** The leaf's joined-value type: finish's output when set, else the acc. */
+    def contribType: org.apache.spark.sql.types.DataType =
+      if (boundFin.isDefined) outType else accType
     private def eval(
         e: org.apache.spark.sql.catalyst.expressions.Expression,
         accExt: Any, vExt: Any): Any = {
@@ -408,6 +420,11 @@ object StreamCompiler {
     def step(accExt: Any, vExt: Any): Any = eval(bound, accExt, vExt)
     /** acc' = subtractor(acc, v) — KGroupedTable retraction. */
     def subStep(accExt: Any, vExt: Any): Any = eval(boundSub.get, accExt, vExt)
+    /** Joined-value contribution of an acc: finish(acc), or the acc itself. */
+    def finishStep(accExt: Any): Any = boundFin match {
+      case Some(fin) => ready; outToExt(fin.eval(InternalRow(accToCat(accExt))))
+      case None      => accExt
+    }
   }
 
   /** Analyzer-resolve a fold's Column functions into a [[ResolvedFold]].
@@ -436,7 +453,19 @@ object StreamCompiler {
         analyzed.projectList.head.asInstanceOf[Alias].child,
         org.apache.spark.sql.catalyst.expressions.AttributeSeq(analyzed.child.output))
     }
-    ResolvedFold(accType, vType, initValue, bind(f.adder), f.subtractor.map(bind))
+    // bind finish(acc) over the 1-field input row (acc); NO cast — the
+    // finish projection defines the leaf's contribution type
+    val fin = f.finish.map { fn =>
+      val analyzed = emptyDf("__acc" -> accType)
+        .select(fn(col("__acc")).as("__r"))
+        .queryExecution.analyzed.asInstanceOf[Project]
+      val e = BindReferences.bindReference(
+        analyzed.projectList.head.asInstanceOf[Alias].child,
+        org.apache.spark.sql.catalyst.expressions.AttributeSeq(analyzed.child.output))
+      (e, e.dataType)
+    }
+    ResolvedFold(accType, vType, initValue, bind(f.adder), f.subtractor.map(bind),
+      fin.map(_._1), fin.map(_._2).orNull)
   }
 
   /** Streaming table–table join tree (the reference's live KTable–KTable
@@ -461,8 +490,28 @@ object StreamCompiler {
     * state is one (value, ts) pair per leaf per key in the state store —
     * memory grows with key cardinality, not stream length — and groups
     * process independently (cluster-parallel). Row-typed via
-    * `Encoders.row`, so the generic compiler needs no case classes. */
-  private[stream] def tableChainState(chain: TableChain): Built = {
+    * `Encoders.row`, so the generic compiler needs no case classes.
+    *
+    * Per-key micro-batch buffer: establishing (ts, side) order requires
+    * materializing ONE key's records-per-micro-batch (a single array,
+    * sorted in place) — bounded by micro-batch size per key, inherent to
+    * ordered folding, and the one memory term here that scales with feed
+    * rate rather than key cardinality. A pathologically hot key in a huge
+    * micro-batch pays it (100k-records-one-key is exercised in
+    * `StreamCongruitySpec`); trigger sizing, not state, is the control.
+    *
+    * `expiry` (with `hasEventTime`) arms an EVENT-TIME TIMEOUT per key at
+    * the returned close-ms: once the watermark strictly passes it the
+    * key's state is dropped. This is how WINDOWED eager folds expire —
+    * their composite (key, window_start) keys keep arriving forever, so
+    * without it state grows with windows-ever-opened, not live keys
+    * (Kafka Streams' windowed-store retention analogue). The engine's
+    * late filter guarantees a dropped window cannot resurrect: any event
+    * for it would be below the watermark. Unwindowed chains (expiry =
+    * None) keep NoTimeout — table state legitimately lives forever. */
+  private[stream] def tableChainState(chain: TableChain,
+      expiry: Option[org.apache.spark.sql.Row => Long] = None,
+      hasEventTime: Boolean = false): Built = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -471,7 +520,8 @@ object StreamCompiler {
     val n = cs.n
     // tagged union of all changelogs: (k, side, v0..v{n-1}, tsus) — only
     // column `side` is non-null per record
-    val union = chainUnion(chain.leaves, cs.rawTypes, prefix = Nil)
+    val union = chainUnion(chain.leaves, cs.rawTypes, prefix = Nil,
+        withEventTime = expiry.isDefined && hasEventTime)
       .reduceLeft(_ unionByName _)
 
     val keyEnc = Encoders.row(StructType(Seq(StructField("k", cs.keyType))))
@@ -482,24 +532,47 @@ object StreamCompiler {
 
     val nn = n // capture primitives and the resolved machinery, not the chain
     val tree = chain.tree
+    val exp = if (hasEventTime) expiry else None
+    val timeout =
+      if (exp.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val joined = union
       .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
-      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), timeout) {
         (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
-          val vs = new Array[Any](nn)
-          val ts = Array.fill(nn)(Long.MinValue)
-          cs.loadState(state.getOption, vs, ts)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          // ts order within the batch; later sides after earlier at equal ts
-          records.toSeq.sortBy(rec => (rec.getLong(nn + 2), rec.getInt(1))).foreach { rec =>
-            val side = rec.getInt(1)
-            val t = rec.getLong(nn + 2)
-            cs.applyUpdate(vs, ts, side, rec.get(2 + side), t)
-            val (p, joinedVal, joinedTs) = cs.evalTree(tree, vs, ts)
-            if (p) out += Row(key.get(0), joinedVal, joinedTs)
+          if (state.hasTimedOut) {
+            // watermark strictly passed this key's close: eager emissions
+            // already happened — just drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            val vs = new Array[Any](nn)
+            val ts = Array.fill(nn)(Long.MinValue)
+            cs.loadState(state.getOption, vs, ts)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            // ts order within the batch; later sides after earlier at
+            // equal ts (single in-place array sort — see class doc)
+            val arr = records.toArray
+            arr.sortInPlaceBy(rec => (rec.getLong(nn + 2), rec.getInt(1)))
+            arr.foreach { rec =>
+              val side = rec.getInt(1)
+              val t = rec.getLong(nn + 2)
+              cs.applyUpdate(vs, ts, side, rec.get(2 + side), t)
+              val (p, joinedVal, joinedTs) = cs.evalTree(tree, vs, ts)
+              if (p) out += Row(key.get(0), joinedVal, joinedTs)
+            }
+            exp match {
+              case Some(closeOf) if closeOf(key) < state.getCurrentWatermarkMs() =>
+                // already closed (e.g. the whole window arrived in one
+                // late-but-admitted batch): no state to keep
+                state.remove()
+              case other =>
+                state.update(Row(vs.toIndexedSeq ++ ts.map(Long.box).toIndexedSeq: _*))
+                other.foreach(closeOf => state.setTimeoutTimestamp(
+                  math.max(closeOf(key), state.getCurrentWatermarkMs() + 1)))
+            }
+            out.iterator
           }
-          state.update(Row(vs.toIndexedSeq ++ ts.map(Long.box).toIndexedSeq: _*))
-          out.iterator
       }(stateEnc, outEnc)
 
     Built(joined.toDF().select(
@@ -516,16 +589,20 @@ object StreamCompiler {
     * state functions then index positionally. `prefix` inserts extra
     * columns between `side` and the leaf values (the stream side's `lv`
     * slot); its length shifts every positional index by the same amount
-    * in the consuming operator. */
+    * in the consuming operator. `withEventTime` appends the watermarked
+    * TIMESTAMP column itself as a trailing `__et` (event-time timeout
+    * needs a watermark-tagged attribute in the operator's child plan;
+    * trailing position keeps every other positional index stable). */
   private def chainUnion(leaves: Seq[ChainLeaf],
       rawTypes: Seq[org.apache.spark.sql.types.DataType],
-      prefix: Seq[Column]): Seq[DataFrame] =
+      prefix: Seq[Column], withEventTime: Boolean = false): Seq[DataFrame] =
     leaves.zipWithIndex.map { case (lf, i) =>
       lf.changelog.select(Seq(col(KeyCol).as("k"), lit(i).as("side")) ++
         prefix ++
         rawTypes.zipWithIndex.map { case (t, j) =>
           (if (j == i) col(ValueCol) else lit(null).cast(t)).as(s"v$j")
-        } ++ Seq(unix_micros(col(TsCol)).as("tsus")): _*)
+        } ++ Seq(unix_micros(col(TsCol)).as("tsus")) ++
+        (if (withEventTime) Seq(col(TsCol).as("__et")) else Nil): _*)
     }
 
   /** Driver-resolved per-leaf state machinery shared by
@@ -561,15 +638,19 @@ object StreamCompiler {
         lf.fold.map(f => resolveFold(lf.changelog.sparkSession, f, foldVt))
       }.toArray
     // a leaf's contribution to the joined value: the running aggregate
-    // for fold leaves, the latest raw value otherwise
+    // (finished, for folds with a finish projection — e.g. a rewritten
+    // avg contributes sum/count, not the (sum, count) acc) for fold
+    // leaves, the latest raw value otherwise
     private val contribTypes: Seq[DataType] = folds.toSeq.zip(rawTypes).map {
-      case (Some(rf), _) => rf.accType
+      case (Some(rf), _) => rf.contribType
       case (None, vt)    => vt
     }
-    // leaf STATE layout: latest → raw value; adder fold → the acc;
+    // leaf STATE layout: latest → raw value; adder fold → the acc (NOT
+    // the contribution — a finish projection maps acc→contrib at eval);
     // member-keyed fold → struct(acc, latest-(value, ts)-per-member map)
     private val stateTypes: Seq[DataType] = rawTypes.indices.map { i =>
-      if (subKeyed(i)) {
+      if (!subKeyed(i) && folds(i).isDefined) folds(i).get.accType
+      else if (subKeyed(i)) {
         val st = rawTypes(i).asInstanceOf[StructType]
         StructType(Seq(
           StructField("acc", folds(i).get.accType),
@@ -654,10 +735,14 @@ object StreamCompiler {
     private def present(vs: Array[Any], ts: Array[Long], i: Int): Boolean =
       if (folds(i).isDefined) ts(i) != Long.MinValue else vs(i) != null
     // a leaf's joined-value contribution: member-keyed fold state is
-    // struct(acc, mem) — contribute the acc alone
-    private def contrib(vs: Array[Any], i: Int): Any =
-      if (subKeyed(i)) Option(vs(i).asInstanceOf[Row]).map(_.get(0)).orNull
-      else vs(i)
+    // struct(acc, mem) — contribute the acc alone; a fold's finish
+    // projection (if any) maps the acc to the contribution
+    private def contrib(vs: Array[Any], i: Int): Any = {
+      val acc =
+        if (subKeyed(i)) Option(vs(i).asInstanceOf[Row]).map(_.get(0)).orNull
+        else vs(i)
+      folds(i).fold(acc)(_.finishStep(acc))
+    }
 
     /** Evaluate a join tree over the state slots: (present, value, ts). */
     def evalTree(t: JoinTree, vs: Array[Any], ts: Array[Long]): (Boolean, Any, Long) =
@@ -764,8 +849,12 @@ object StreamCompiler {
             else { val r = v.asInstanceOf[Row]; (0 until nFlat).map(r.get) }
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           // (ts, side) order: every leaf side precedes the stream (side
-          // nn) at equal ts — the batch as-of tie rule
-          records.toSeq.sortBy(rec => (rec.getLong(nn + 3), rec.getInt(1))).foreach { rec =>
+          // nn) at equal ts — the batch as-of tie rule. One key's records
+          // per micro-batch materialize as a single in-place-sorted array
+          // (bounded by micro-batch size; see tableChainState's doc)
+          val arr = records.toArray
+          arr.sortInPlaceBy(rec => (rec.getLong(nn + 3), rec.getInt(1)))
+          arr.foreach { rec =>
             val side = rec.getInt(1)
             val t = rec.getLong(nn + 3)
             if (side < nn) {
@@ -853,7 +942,9 @@ object StreamCompiler {
               state.getOption.foreach { s =>
                 acc = s.get(0); mts = s.getLong(1); has = true
               }
-              records.toSeq.sortBy(_.getLong(2)).foreach { r =>
+              val arr = records.toArray
+              arr.sortInPlaceBy(_.getLong(2))
+              arr.foreach { r =>
                 val v = r.get(1)
                 if (v != null) { // null = tombstone no-op, as in the chain op
                   acc = rf.step(if (has) acc else rf.initValue, v)
@@ -875,6 +966,295 @@ object StreamCompiler {
       timestamp_micros(col("tsus")).as(TsCol)), Kind.Stream, 2)
   }
 
+  /** KGroupedTable leaf (streams.clj:44-50): grouping a TABLE — member
+    * updates REPLACE, so the leaf re-keys the parent's changelog to the
+    * group key and packs (member key, member value); the state op
+    * subtracts the replaced value before adding the new. Shared by
+    * subtractor FoldAggs and rewritten retractable ExprAggs. */
+  private def memberLeaf(t: Entity.KTable, in: Built, fold: FoldSpec): ChainLeaf = {
+    val src = in.streamChangelog.getOrElse(sys.error(
+      "KGroupedTable aggregate needs the parent table's changelog — " +
+        "an ExprAgg/windowed parent table has none in streaming"))
+    val e = t.groupBy.getOrElse(col(KeyCol))
+    // the group key must be a function of the MEMBER KEY alone: a
+    // value-dependent group means an update can MIGRATE a member
+    // between groups, and Kafka Streams handles that by emitting
+    // a retract to the old group and an add to the new — two
+    // differently-keyed records through chained state, which
+    // Spark's single-stateful-operator constraint cannot stage.
+    // Keying the changelog by the new group alone would leave the
+    // old group's acc silently stale, so error loudly instead.
+    // (References collected from the analyzed plan generically — a
+    // groupBy expression may analyze to more than a bare Project.)
+    val refsValue = src.select(e.as("__g"))
+      .queryExecution.analyzed.expressions
+      .flatMap(_.references).exists(_.name == ValueCol)
+    if (refsValue) sys.error(
+      "KGroupedTable aggregate with a VALUE-dependent groupBy is " +
+        "not lowerable in streaming: a member update could move the " +
+        "member between groups, which needs a retract to the old " +
+        "group (chained differently-keyed state Spark cannot run) " +
+        "— group by a function of the member key, or use a typed " +
+        "flatMapGroupsWithState operator (graft.stream.Streamed)")
+    ChainLeaf(
+      src.select(e.as(KeyCol),
+        struct(col(KeyCol).as("__mk"), col(ValueCol).as("__mv")).as(ValueCol),
+        col(TsCol)),
+      Some(fold))
+  }
+
+  /** Rewrite a retractable [[AggSpec.ExprAgg]] into an equivalent
+    * [[FoldSpec]] so an ExprAgg-aggregated KTable can join LIVE on the
+    * fold-chain state machinery (Spark aggregations emit no changelog, so
+    * the native streaming agg cannot be joined; the reference joins any
+    * KTables — willa `streams.clj:84-97`). Recognized shapes — a single
+    * aggregate call whose argument reads only the `value` column (`ts` is
+    * unavailable to a running fold):
+    *
+    *  - `sum(f(value))`   → adder + subtractor (null inputs skipped)
+    *  - `count(anything)` → adder + subtractor (counts non-null args)
+    *  - `avg(f(value))`   → (sum, count) acc with a `finish` quotient,
+    *    adder + subtractor
+    *  - `min/max(f(value))` → adder ONLY — min/max cannot retract, so
+    *    they rewrite only when no subtractor is needed (parent is an
+    *    append STREAM, where nothing is ever replaced)
+    *
+    * Sum/avg rewrite only when the aggregate's result type is LONG or
+    * DOUBLE (the fold acc must hold the widened type exactly — decimal
+    * widening differs between the agg and the fold's `+`). Returns None
+    * when the expression isn't one of these — the caller keeps the
+    * loud non-retractable error. */
+  private[stream] def exprAggAsFold(
+      df: DataFrame, e: Column, needSubtractor: Boolean): Option[FoldSpec] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    GraftBridge.catalystTree(e) match {
+      case f: UnresolvedFunction
+          if f.nameParts.size == 1 && f.arguments.size == 1 &&
+            !f.isDistinct && f.filter.isEmpty =>
+        val arg = f.arguments.head
+        val refs = arg.collect { case a: UnresolvedAttribute => a.nameParts.mkString(".") }
+        if (!refs.forall(_ == ValueCol)) return None
+        // the agg argument as a function of the fold's v column
+        def fv(v: Column): Column = GraftBridge.column(arg.transform {
+          case a: UnresolvedAttribute if a.nameParts.mkString(".") == ValueCol =>
+            GraftBridge.catalystTree(v)
+        })
+        // the aggregate's RESULT type on this input (sum widens int→long
+        // etc.) — the fold acc must live at exactly that type. Analyzed
+        // on a local empty twin (df itself may be streaming).
+        def resultType = scala.util.Try {
+          import org.apache.spark.sql.types.{StructField, StructType}
+          val spark = df.sparkSession
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField(ValueCol, df.schema(ValueCol).dataType))))
+            .agg(e.as("__r")).schema.head.dataType
+        }.toOption
+        // a subtractor marks the leaf MEMBER-KEYED in ChainState (its
+        // changelog values become struct(__mk, __mv) member updates), so
+        // attach one ONLY when the parent is a table and retraction is
+        // actually needed — over an append stream the adder alone is the
+        // whole fold
+        def sub(f: (Column, Column) => Column) =
+          if (needSubtractor) Some(f) else None
+        f.nameParts.head.toLowerCase match {
+          case "sum" =>
+            resultType.collect { case t @ (LongType | DoubleType) =>
+              FoldSpec(
+                init = lit(null).cast(t),
+                adder = (acc, v) => coalesce(acc + fv(v), fv(v).cast(t), acc),
+                subtractor = sub((acc, v) =>
+                  when(fv(v).isNull, acc).otherwise(acc - fv(v))))
+            }
+          case "count" =>
+            Some(FoldSpec(
+              init = lit(0L),
+              adder = (acc, v) => acc + when(fv(v).isNotNull, 1L).otherwise(0L),
+              subtractor = sub((acc, v) =>
+                acc - when(fv(v).isNotNull, 1L).otherwise(0L))))
+          case "avg" | "mean" =>
+            resultType.collect { case DoubleType =>
+              val s = (a: Column) => a.getField("s")
+              val c = (a: Column) => a.getField("c")
+              FoldSpec(
+                // cast → NULLABLE fields: the acc type must accept both
+                // the CASE's nullable branches or the bind-time cast fails
+                init = struct(lit(null).cast("double").as("s"), lit(0L).as("c"))
+                  .cast("struct<s:double,c:bigint>"),
+                adder = (acc, v) => when(fv(v).isNull, acc).otherwise(struct(
+                  coalesce(s(acc) + fv(v).cast("double"), fv(v).cast("double")).as("s"),
+                  (c(acc) + 1L).as("c"))),
+                subtractor = sub((acc, v) => when(fv(v).isNull, acc).otherwise(struct(
+                  (s(acc) - fv(v).cast("double")).as("s"), (c(acc) - 1L).as("c")))),
+                finish = Some(a => when(c(a) > 0L, s(a) / c(a))))
+            }
+          case "min" | "max" if !needSubtractor =>
+            // least/greatest skip nulls, exactly the aggregate's null rule
+            val pick: (Column, Column) => Column =
+              if (f.nameParts.head.equalsIgnoreCase("min")) least(_, _) else greatest(_, _)
+            resultType.map(t => FoldSpec(
+              init = lit(null).cast(t),
+              adder = (acc, v) => pick(acc, fv(v).cast(t))))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Session-windowed fold: per-key MERGING window state — the reference
+    * applies session windows to any aggregate on the live path (willa
+    * `streams.clj:162-165`, semantics `experiment.clj:168-185`); Spark's
+    * native `session_window` only covers built-in aggregates (ExprAgg),
+    * so the FoldAgg form gets its own state operator.
+    *
+    * State per key: the OPEN sessions, each `(ws, last, evs)` — window
+    * start, last event ts, and the buffered `(value, ts)` events. An
+    * arriving event merges every session its gap-interval overlaps
+    * (INCLUSIVELY, matching Spark's `session_window`: `[t, t+gap]` vs
+    * `[ws, last+gap]` — an event exactly `gap` after the last still
+    * merges; verified against the batch engine in the congruity test's
+    * boundary pair), then the merged session's acc is recomputed by folding
+    * its events in EVENT-TIME order — so the result matches the batch
+    * fold exactly, even when arrival order differs (stronger than the
+    * arrival-order congruity of the unwindowed fold chain; ts ties fold
+    * in arrival order, where batch's `sort_array` ties on the value).
+    * Buffering events (not just the acc) is what makes merging possible
+    * for a NON-combinable fold: two accs cannot be combined in general,
+    * but two event buffers concatenate. The cost is state per open
+    * session of O(events); `FoldSpec.maxGroup` applies the batch fold's
+    * own hot-key guard (`BatchCompiler.guardFoldGroup`) to the buffer.
+    *
+    * Emission — eager (`suppress=false`, update mode): on each event,
+    * emit the merged session's running acc, plus a TOMBSTONE (null
+    * value) for every session the merge consumed, exactly Kafka Streams'
+    * session-aggregate changelog (merged-away windows are retracted).
+    * Suppressed (`suppress=true`, append mode): emit each session's final
+    * acc exactly once, when the watermark passes `last + gap` (the
+    * session can no longer extend — any event that could merge with it
+    * would be late). Sessions are REMOVED from state at close in both
+    * modes via an event-time timeout armed at the earliest open session's
+    * close; without a watermark (eager mode only) state cannot expire and
+    * grows with session count — pass `watermarkMs` to [[run]] to bound it.
+    *
+    * @param keyed records already re-keyed by the table's groupBy */
+  private def sessionWindowedFold(
+      keyed: DataFrame, fold: FoldSpec, gapMs: Long,
+      suppress: Boolean, hasWatermark: Boolean): Built = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    if (suppress && !hasWatermark) sys.error(
+      "suppressed session-windowed FoldAgg needs a watermark to know " +
+        "when sessions close — pass watermarkMs to StreamCompiler.run")
+    val keyType = keyed.schema(KeyCol).dataType
+    val vType = keyed.schema(ValueCol).dataType
+    val rf = resolveFold(keyed.sparkSession, fold, vType)
+    // keep the watermarked TIMESTAMP column (last position, ignored by
+    // the function) — event-time timeout needs a watermark-tagged
+    // attribute in the operator's child plan (see suppressedWindowedFold)
+    val u = keyed.select(col(KeyCol).as("k"), col(ValueCol).as("v"),
+      unix_millis(col(TsCol)).as("tsms"), col(TsCol).as("__et"))
+    val sessType = StructType(Seq(
+      StructField("ws", LongType), StructField("last", LongType),
+      StructField("evs", ArrayType(StructType(Seq(
+        StructField("v", vType), StructField("t", LongType)))))))
+    val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
+    val stateEnc = Encoders.row(StructType(Seq(
+      StructField("sessions", ArrayType(sessType)))))
+    val outEnc = Encoders.row(StructType(Seq(
+      StructField("k", keyType), StructField("value", rf.accType),
+      StructField("tsms", LongType), StructField("ws", LongType),
+      StructField("we", LongType))))
+
+    val gap = gapMs
+    val sup = suppress
+    val wm = hasWatermark
+    val guard = fold.maxGroup
+    val timeout =
+      if (wm) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val opMode = if (sup) OutputMode.Append() else OutputMode.Update()
+
+    val out = u
+      .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
+      .flatMapGroupsWithState[Row, Row](opMode, timeout) {
+        (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
+          // fold a session's buffer in EVENT-TIME order (stable on ties:
+          // arrival order) — the batch fold's ordering
+          def acc(evs: Seq[Row]): Any =
+            evs.sortBy(_.getLong(1)).foldLeft(rf.initValue)((a, e) => rf.step(a, e.get(0)))
+          var sessions: Vector[Row] =
+            state.getOption.map(_.getSeq[Row](0).toVector).getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          if (!state.hasTimedOut) {
+            val arr = records.toArray
+            arr.sortInPlaceBy(_.getLong(2)) // ts order within the batch
+            arr.foreach { r =>
+              val v = r.get(1)
+              if (v != null) { // null = tombstone no-op (Kafka Streams skips)
+                val t = r.getLong(2)
+                // INCLUSIVE overlap of [t, t+gap] with [ws, last+gap]:
+                // an event exactly gap after the last still merges
+                // (verified against Spark's session_window in the
+                // congruity test's boundary pair)
+                val (merged, kept) = sessions.partition(s =>
+                  t + gap >= s.getLong(0) && t <= s.getLong(1) + gap)
+                val ws = (t +: merged.map(_.getLong(0))).min
+                val last = (t +: merged.map(_.getLong(1))).max
+                val evs = merged.flatMap(_.getSeq[Row](2)) :+ Row(v, Long.box(t))
+                guard.foreach(m => if (evs.size > m) sys.error(
+                  s"session FoldAgg buffer exceeds maxGroup=$m events for " +
+                    s"key ${key.get(0)} — a hot session at this cardinality " +
+                    "needs an associative ExprAgg or a pre-aggregation"))
+                sessions = (kept :+ Row(Long.box(ws), Long.box(last), evs))
+                  .sortBy(_.getLong(0))
+                if (!sup) {
+                  // retract windows the merge consumed, emit the survivor
+                  merged.filter(_.getLong(0) != ws).foreach(s =>
+                    out += Row(key.get(0), null, Long.box(t),
+                      s.get(0), Long.box(s.getLong(1) + gap)))
+                  out += Row(key.get(0), acc(evs), Long.box(last),
+                    Long.box(ws), Long.box(last + gap))
+                }
+              }
+            }
+          }
+          if (wm) {
+            // close sessions the watermark STRICTLY passed (an event at
+            // exactly last+gap still merges, so last+gap == wm must stay
+            // open): emit (suppressed) or just drop (eager — already
+            // emitted); then re-arm at the earliest remaining close so
+            // state always expires
+            val horizon = state.getCurrentWatermarkMs()
+            val (closed, open) = sessions.partition(_.getLong(1) + gap < horizon)
+            if (sup) closed.foreach { s =>
+              out += Row(key.get(0), acc(s.getSeq[Row](2)), s.get(1),
+                s.get(0), Long.box(s.getLong(1) + gap))
+            }
+            sessions = open
+          }
+          if (sessions.isEmpty) state.remove()
+          else {
+            state.update(Row(sessions))
+            // arm at the earliest close, floored ABOVE the watermark
+            // (setTimeoutTimestamp rejects ts ≤ wm; a session with
+            // last+gap == wm is still open under the strict close above)
+            if (wm) state.setTimeoutTimestamp(math.max(
+              sessions.map(_.getLong(1)).min + gap,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }(stateEnc, outEnc)
+
+    Built(out.toDF().select(
+      col("k").as(KeyCol), col("value").as(ValueCol),
+      timestamp_millis(col("tsms")).as(TsCol),
+      timestamp_millis(col("ws")).as("window_start"),
+      timestamp_millis(col("we")).as("window_end")), Kind.Table)
+  }
+
   /** KTable chain: group-by → window → aggregate (→ suppress via the
     * source watermark + append mode at the sink). */
   private def buildTable(t: Entity.KTable, in: Built,
@@ -891,38 +1271,7 @@ object StreamCompiler {
         // instead of stacking stateful operators.
         val leaf = (f.subtractor, in.kind) match {
           case (Some(_), Kind.Table) =>
-            // KGroupedTable (streams.clj:44-50): grouping a TABLE — member
-            // updates REPLACE, so the leaf re-keys the parent's changelog
-            // to the group key and packs (member key, member value); the
-            // state op subtracts the replaced value before adding the new
-            val src = in.streamChangelog.getOrElse(sys.error(
-              "KGroupedTable aggregate needs the parent table's changelog — " +
-                "an ExprAgg/windowed parent table has none in streaming"))
-            val e = t.groupBy.getOrElse(col(KeyCol))
-            // the group key must be a function of the MEMBER KEY alone: a
-            // value-dependent group means an update can MIGRATE a member
-            // between groups, and Kafka Streams handles that by emitting
-            // a retract to the old group and an add to the new — two
-            // differently-keyed records through chained state, which
-            // Spark's single-stateful-operator constraint cannot stage.
-            // Keying the changelog by the new group alone would leave the
-            // old group's acc silently stale, so error loudly instead.
-            val refsValue = src.select(e.as("__g"))
-              .queryExecution.analyzed
-              .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
-              .projectList.head.references.exists(_.name == ValueCol)
-            if (refsValue) sys.error(
-              "KGroupedTable aggregate with a VALUE-dependent groupBy is " +
-                "not lowerable in streaming: a member update could move the " +
-                "member between groups, which needs a retract to the old " +
-                "group (chained differently-keyed state Spark cannot run) " +
-                "— group by a function of the member key, or use a typed " +
-                "flatMapGroupsWithState operator (graft.stream.Streamed)")
-            ChainLeaf(
-              src.select(e.as(KeyCol),
-                struct(col(KeyCol).as("__mk"), col(ValueCol).as("__mv")).as(ValueCol),
-                col(TsCol)),
-              Some(FoldSpec(f.init, f.adder, f.subtractor)))
+            memberLeaf(t, in, FoldSpec(f.init, f.adder, f.subtractor))
           case (None, Kind.Table) =>
             // Kafka Streams has no adder-only KGroupedTable.aggregate —
             // each member REPLACE needs a subtractor to retract the old
@@ -961,9 +1310,14 @@ object StreamCompiler {
             // state needed), the changelog is re-keyed to
             // struct(key, window_start), and the SAME 1-leaf fold-chain
             // state operator runs per (key, window). State per window is
-            // one acc (fixed-size), windows expire with their keys — no
-            // event buffer, so a hot window costs memory O(1), not
-            // O(events). A subtractor is ignored, exactly like the
+            // one acc (fixed-size) — no event buffer, so a hot window
+            // costs memory O(1), not O(events). With a watermark, closed
+            // windows EXPIRE from state via an event-time timeout
+            // (tableChainState's expiry — composite (key, window) keys
+            // arrive forever, so without it state grows with
+            // windows-ever-opened); without one, eager windowed state is
+            // unbounded, exactly like Kafka Streams with infinite
+            // retention. A subtractor is ignored, exactly like the
             // unwindowed KGroupedStream case (nothing is ever replaced
             // in an append stream).
             val nW = ((size + adv - 1) / adv).toInt
@@ -994,18 +1348,24 @@ object StreamCompiler {
                 suppressedWindowedFold(wKeyed, FoldSpec(f.init, f.adder), size)
               } else tableChainState(TableChain(
                 Seq(ChainLeaf(wKeyed, Some(FoldSpec(f.init, f.adder)))),
-                JoinTree.Leaf(0)))
+                JoinTree.Leaf(0)),
+                // close = window end; key is Row(struct(k, ws))
+                expiry = Some((key: org.apache.spark.sql.Row) =>
+                  key.getAs[org.apache.spark.sql.Row](0).getLong(1) + size),
+                hasEventTime = watermarkMs.isDefined)
             val unwrapped = st.df.select(
               col(KeyCol).getField("k").as(KeyCol),
               col(ValueCol), col(TsCol),
               timestamp_millis(col(KeyCol).getField("ws")).as("window_start"),
               timestamp_millis(col(KeyCol).getField("ws") + size).as("window_end"))
             return Built(unwrapped, Kind.Table)
-          case _: WindowSpec.SessionWindows =>
-            sys.error("session-windowed FoldAgg needs MERGING window state " +
-              "in streaming (session bounds grow as events arrive) — use " +
-              "ExprAgg for session-windowed streaming aggregates, or a " +
-              "typed flatMapGroupsWithState operator (graft.stream.Streamed)")
+          case WindowSpec.SessionWindows(gap) =>
+            // MERGING window state ([[sessionWindowedFold]]): session
+            // bounds grow as events arrive; a subtractor is ignored like
+            // every windowed fold (append stream — nothing is replaced)
+            return sessionWindowedFold(rekeyed,
+              FoldSpec(f.init, f.adder, maxGroup = f.maxGroup), gap,
+              t.suppress, watermarkMs.isDefined)
         }
       case _ => ()
     }
@@ -1053,8 +1413,26 @@ object StreamCompiler {
     val plain = t.window.isEmpty && t.aggregate.isEmpty
     val staticLog = if (!rekeyed.isStreaming && plain) Some(rekeyed) else None
     val streamLog = if (rekeyed.isStreaming && plain) Some(rekeyed) else None
+    // A live ExprAgg table keeps the NATIVE streaming aggregation as its
+    // own output (cheapest when sinked directly), but — when the agg is
+    // retractable — ALSO carries an equivalent fold chain so downstream
+    // table joins can lower onto the co-grouped state machinery instead
+    // of erroring (Spark cannot join streaming aggregations). Lazy: the
+    // chain costs nothing unless a join compiles it.
+    val exprChain: Option[TableChain] = t.aggregate match {
+      case Some(AggSpec.ExprAgg(e)) if t.window.isEmpty && rekeyed.isStreaming =>
+        val needSub = in.kind == Kind.Table // member updates must retract
+        val base = if (needSub) in.streamChangelog else Some(rekeyed)
+        base.flatMap(b => exprAggAsFold(b, e, needSub)).map { fs =>
+          val leaf =
+            if (needSub) memberLeaf(t, in, fs) else ChainLeaf(rekeyed, Some(fs))
+          TableChain(Seq(leaf), JoinTree.Leaf(0))
+        }
+      case _ => None
+    }
     Built(finished, Kind.Table, staticChangelog = staticLog,
       streamChangelog = streamLog,
-      tableChain = if (plain && t.groupBy.isEmpty) in.tableChain else None)
+      tableChain =
+        if (plain && t.groupBy.isEmpty) in.tableChain else exprChain)
   }
 }

@@ -8,4 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** EAGERLY converted Catalyst tree (`expression` returns a lazy
+    * `ColumnNodeExpression` wrapper, opaque to pattern matching) — for
+    * code that inspects a Column's structure, e.g. the streaming
+    * compiler's ExprAgg→fold rewrite. */
+  def catalystTree(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -193,6 +193,63 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(kvInt(back) == Seq(("a", 5), ("b", 6)))
   }
 
+  test("streaming sink E2E: topology → encodeKafkaRecords → writeStream in all three modes") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    // one full topology per output mode modeFor can produce: the wire
+    // encoding must survive append (stateless), update (fold state op),
+    // and complete (native streaming agg) end-to-end
+    val wireSchema = StructType(Seq(StructField("value", IntegerType),
+      StructField("ts", TimestampType)))
+    def runE2E(topo: Topology, rows: Seq[(String, Int, Long)],
+        expectMode: String): Seq[(String, Int)] = {
+      assert(graft.stream.StreamCompiler.modeFor(topo) == expectMode)
+      val ms = MemoryStream[(String, Int, Long)]
+      ms.addData(rows)
+      val src = ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+      val dfs = graft.stream.StreamCompiler.run(topo, Map("in" -> src))
+      val wire = graft.sources.Sources.encodeKafkaRecords(dfs("out"))
+      val name = s"sink_e2e_$expectMode"
+      val q = wire.writeStream.format("memory").queryName(name)
+        .outputMode(expectMode).start()
+      try { q.processAllAvailable() } finally q.stop()
+      // decode the wire rows back: key string + JSON (value, ts)
+      spark.table(name)
+        .select(col("key"),
+          from_json(col("value"), wireSchema).getField("value").as("v"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    }
+    val rows = Seq(("a", 1, 1000L), ("a", 2, 2000L), ("b", 5, 1500L))
+    // append: stateless map
+    val tAppend = Topology(
+      Seq("in" -> "up", "up" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "up" -> Entity.KStream(Some(Xform.MapValue(col("value") * 10))),
+        "out" -> Entity.Topic("out")))
+    assert(runE2E(tAppend, rows, "append") ==
+      Seq(("a", 10), ("a", 20), ("b", 50)))
+    // update: FoldAgg state op emits the running changelog
+    val tUpdate = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    assert(runE2E(tUpdate, rows, "update") ==
+      Seq(("a", 1), ("a", 3), ("b", 5)))
+    // complete: native streaming aggregation snapshot
+    val tComplete = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.ExprAgg(sum(col("value")).cast("int")))),
+        "out" -> Entity.Topic("out")))
+    assert(runE2E(tComplete, rows, "complete") ==
+      Seq(("a", 3), ("b", 5)))
+  }
+
   test("multimodal decodeImages runs a REAL javax.imageio codec through the seam") {
     // synthesize genuine PNG + BMP payloads with the JRE's own encoders,
     // plus a corrupt payload that must degrade to ok=false, not an error
@@ -266,6 +323,138 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(got(2L) == ((Some(44100.0), Some(2), Some(8), Some(441L), Some(10.0), true)))
     assert(got(3L) == ((None, None, None, None, None, false)))
     assert(got(4L) == ((None, None, None, None, None, false)))
+  }
+
+  test("multimodal probeVideo parses REAL hand-built MP4 box trees (and degrades on garbage)") {
+    import java.nio.ByteBuffer
+    // build a genuine ISO-BMFF tree per the public 14496-12 layout:
+    // ftyp(isom) + moov[ mvhd(v0, timescale 1000, duration 5000) +
+    // trak[tkhd(v0, 640x360 as 16.16)] + trak[tkhd(v0, 0x0 audio)] ]
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val p = ByteBuffer.allocate(100)
+      p.putInt(0)             // version 0 + flags
+      p.putInt(1); p.putInt(2) // ctime, mtime
+      p.putInt(1000)          // timescale
+      p.putInt(5000)          // duration → 5000 ms
+      box("mvhd", p.array())
+    }
+    def tkhd(w: Int, h: Int) = {
+      val p = ByteBuffer.allocate(84)
+      p.putInt(0)                        // version 0 + flags
+      p.putInt(1); p.putInt(2); p.putInt(1); p.putInt(0); p.putInt(5000)
+      p.position(76)
+      p.putInt(w << 16); p.putInt(h << 16) // 16.16 fixed-point dims
+      box("tkhd", p.array())
+    }
+    val moov = box("moov", mvhd ++ box("trak", tkhd(640, 360)) ++ box("trak", tkhd(0, 0)))
+    val ftyp = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 1))
+    val mp4 = ftyp ++ moov
+    // truncated moov: valid ftyp, malformed box sizes — must not throw
+    val truncated = ftyp ++ box("moov", Array[Byte](0, 0, 0, 99, 'm', 'v', 'h', 'd'))
+    val payloads = Seq(
+      (1L, mp4, "video/mp4"),
+      (2L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16), "application/octet-stream"),
+      (3L, truncated, "video/mp4"))
+      .toDF("doc_id", "bytes", "mime")
+    val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
+      col("bytes"), col("mime"), lit("test"))
+    val got = graft.ops.Multimodal.probeVideo(packed)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)), r.getBoolean(6))).toMap
+    assert(got(1L) == ((Some("isom"), Some(5000.0), Some(640L), Some(360L), Some(2), true)))
+    assert(got(2L) == ((None, None, None, None, None, false)))
+    // malformed interior boxes: parse stops cleanly, brand still read
+    assert(got(3L)._1 == Some("isom") && got(3L)._6 == true)
+  }
+
+  test("multimodal probeMp3 parses REAL MPEG frame headers behind an ID3 tag") {
+    // MPEG1 Layer III, 128 kbps, 44100 Hz, joint stereo:
+    // 0xFF 0xFB (sync + v1 + LIII + noCRC) 0x90 (brIdx 9, srIdx 0) 0x40
+    val frameHdr = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x40.toByte)
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 0) // 10-byte tag, size 0
+    // 1600 audio bytes at 128 kbps → exactly 100 ms CBR estimate
+    val mp3 = id3 ++ frameHdr ++ new Array[Byte](1600 - 4)
+    // mono MPEG2 variant: 0xFF 0xF3 (v2, LIII), brIdx 1 (8 kbps), srIdx 0
+    // (22050), mode 11 (mono)
+    val mp3v2 = Array[Byte](0xff.toByte, 0xf3.toByte, 0x10.toByte, 0xc0.toByte) ++
+      new Array[Byte](96)
+    val payloads = Seq(
+      (1L, mp3, "audio/mpeg"),
+      (2L, mp3v2, "audio/mpeg"),
+      (3L, Array[Byte](0x12, 0x34, 0x56, 0x78), "application/octet-stream"))
+      .toDF("doc_id", "bytes", "mime")
+    val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
+      col("bytes"), col("mime"), lit("test"))
+    val got = graft.ops.Multimodal.probeMp3(packed)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)), r.getBoolean(6))).toMap
+    assert(got(1L) == ((Some("MPEG1"), Some(128), Some(44100), Some(2), Some(100.0), true)))
+    assert(got(2L)._1 == Some("MPEG2"))
+    assert(got(2L)._2 == Some(8) && got(2L)._3 == Some(22050) && got(2L)._4 == Some(1))
+    assert(got(3L) == ((None, None, None, None, None, false)))
+  }
+
+  test("multimodal probeWebp parses REAL VP8/VP8L/VP8X headers") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def riff(chunk: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(20 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(12 + payload.length).put("WEBP".getBytes)
+        .put(chunk.getBytes).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    // VP8X: 4 flag bytes + le24(w-1) + le24(h-1): 800x600
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0) ++
+      Array[Byte]((799 & 0xff).toByte, ((799 >> 8) & 0xff).toByte, 0, // le24 799
+        (599 & 0xff).toByte, ((599 >> 8) & 0xff).toByte, 0))          // le24 599
+    // VP8L: 0x2F then le32 bits: (w-1) in 14 bits, (h-1) next 14: 5x7
+    val vp8lBits = (5 - 1) | ((7 - 1) << 14)
+    val vp8l = riff("VP8L", Array[Byte](0x2f,
+      (vp8lBits & 0xff).toByte, ((vp8lBits >> 8) & 0xff).toByte,
+      ((vp8lBits >> 16) & 0xff).toByte, ((vp8lBits >> 24) & 0xff).toByte))
+    // VP8 lossy: 3-byte frame tag, 9D 01 2A start code, le16 w, le16 h: 4x3
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      4, 0, 3, 0))
+    val payloads = Seq(
+      (1L, vp8x, "image/webp"), (2L, vp8l, "image/webp"), (3L, vp8, "image/webp"),
+      (4L, "RIFF????WAVE".getBytes ++ new Array[Byte](20), "audio/wav"))
+      .toDF("doc_id", "bytes", "mime")
+    val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
+      col("bytes"), col("mime"), lit("test"))
+    val got = graft.ops.Multimodal.probeWebp(packed)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(got(1L) == ((Some("extended"), Some(800L), Some(600L), true)))
+    assert(got(2L) == ((Some("lossless"), Some(5L), Some(7L), true)))
+    assert(got(3L) == ((Some("lossy"), Some(4L), Some(3L), true)))
+    assert(got(4L) == ((None, None, None, false)))
+  }
+
+  test("multimodal container parsers survive byte-level fuzzing") {
+    // every truncation/corruption of valid payloads must return cleanly
+    // (Some or None), never throw — one bad payload can't kill a scan
+    val rnd = new scala.util.Random(42)
+    def fuzz(base: Array[Byte]): Seq[Array[Byte]] =
+      (0 to 40).map { i =>
+        val b = base.take(rnd.nextInt(base.length + 1))
+        if (b.nonEmpty && i % 2 == 0) b.updated(rnd.nextInt(b.length), rnd.nextInt(256).toByte)
+        else b
+      }
+    val mp4ish = "....ftypisom....".getBytes ++ Array.fill(64)(rnd.nextInt(256).toByte)
+    val mp3ish = "ID3".getBytes ++ Array.fill(64)(rnd.nextInt(256).toByte)
+    val webpish = "RIFF....WEBPVP8X".getBytes ++ Array.fill(32)(rnd.nextInt(256).toByte)
+    (fuzz(mp4ish) ++ fuzz(mp3ish) ++ fuzz(webpish)).foreach { b =>
+      graft.ops.Multimodal.parseMp4(b)
+      graft.ops.Multimodal.parseMp3(b)
+      graft.ops.Multimodal.parseWebp(b)
+    }
+    succeed
   }
 
   test("multimodal mapPartitions seam runs a per-partition kernel") {

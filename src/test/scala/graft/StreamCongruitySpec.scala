@@ -452,6 +452,98 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(got == Seq(10), s"only the pre-tombstone lookup may join, got $got")
   }
 
+  test("property: live stream-table join == arrival-order model on SHUFFLED feeds; model == batch in-order") {
+    implicit val sql = spark.sqlContext
+    // Quantifies the documented arrival-order divergence (VERDICT r8 #4):
+    // under ANY arrival order (shuffled across micro-batches), the live
+    // join equals a tiny arrival-order reference model — lookup-at-
+    // arrival against the latest-event-time table value seen so far,
+    // (ts, table-first) order within each micro-batch. On an IN-ORDER
+    // feed the same model reduces to batch's event-time as-of join
+    // (asserted against BatchCompiler directly), so the divergence is
+    // EXACTLY "unseen table updates cannot be looked up" — nothing else.
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(), "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+    var pq = 0
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Seq("a", "b")
+      val nU = 4 + rnd.nextInt(4)
+      val nS = 4 + rnd.nextInt(4)
+      val tsPool = rnd.shuffle((1 to (nU + nS)).toVector).map(i => 1000L + i * 7)
+      val uRows = (0 until nU).map(i =>
+        (keys(rnd.nextInt(keys.size)), rnd.nextInt(100), tsPool(i)))
+      val sRows = (0 until nS).map(j =>
+        (keys(rnd.nextInt(keys.size)), 100 + rnd.nextInt(100), tsPool(nU + j)))
+      val arrival = rnd.shuffle(
+        uRows.map(Left(_): Either[(String, Int, Long), (String, Int, Long)]) ++
+          sRows.map(Right(_): Either[(String, Int, Long), (String, Int, Long)]))
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = arrival.grouped(
+        math.max(1, (arrival.size + nBatches - 1) / nBatches)).toSeq
+
+      // arrival-order reference model (the operator's documented contract)
+      def runModel(bs: Seq[Seq[Either[(String, Int, Long), (String, Int, Long)]]]) = {
+        val tbl = scala.collection.mutable.Map.empty[String, (Int, Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Any, Long)]
+        bs.foreach { b =>
+          b.sortBy { case Left((_, _, t)) => (t, 0); case Right((_, _, t)) => (t, 1) }
+            .foreach {
+              case Left((k, v, t)) =>
+                if (tbl.get(k).forall(_._2 <= t)) tbl(k) = (v, t)
+              case Right((k, v, t)) =>
+                out += ((k, v, tbl.get(k).map(_._1).orNull, t))
+            }
+        }
+        out.toSeq.sortBy(_.toString)
+      }
+
+      // 1) the MODEL on an in-order single batch == batch's as-of join
+      val inOrder = Seq(arrival.sortBy(_.fold(_._3, _._3)))
+      val batch = BatchCompiler.run(topo, Map(
+        "s" -> records(sRows: _*), "u" -> records(uRows: _*)))("out")
+        .select(col("key"), col("value.v1"), col("value.v2"), unix_millis(col("ts")))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          if (r.isNullAt(2)) null else r.getInt(2), r.getLong(3)))
+        .toSeq.sortBy(_.toString)
+      assert(runModel(inOrder) == batch, s"seed $seed: model(in-order) != batch")
+
+      // 2) the LIVE operator on the SHUFFLED multi-batch feed == the model.
+      // ONE MemoryStream carries both topics (side 0 = table, 1 = stream),
+      // split by filter — two separate sources could race a trigger
+      // between their addData calls and split a batch nondeterministically
+      val ms = MemoryStream[(Int, String, Int, Long)]
+      val raw = ms.toDF().toDF("side", "key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+      def sideOf(s: Int) = raw.filter(col("side") === s).drop("side")
+      val dfs = StreamCompiler.run(topo, Map("s" -> sideOf(1), "u" -> sideOf(0)))
+      pq += 1
+      val name = s"ooo_prop_$pq"
+      val q = dfs("out").writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b =>
+          ms.addData(b.map {
+            case Left((k, v, t))  => (0, k, v, t)
+            case Right((k, v, t)) => (1, k, v, t)
+          })
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val live = spark.table(name)
+        .select(col("key"), col("value.v1"), col("value.v2"), unix_millis(col("ts")))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          if (r.isNullAt(2)) null else r.getInt(2), r.getLong(3)))
+        .toSeq.sortBy(_.toString)
+      assert(live == runModel(batches),
+        s"seed $seed ($nBatches batches): live $live != model ${runModel(batches)}")
+    }
+  }
+
   test("congruity: LIVE stream-table INNER join drops pre-table records") {
     val topo = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
@@ -682,6 +774,153 @@ class StreamCongruitySpec extends AnyFunSuite {
     }
   }
 
+  test("congruity: ExprAgg(sum) table auto-rewrites to a fold chain for live joins") {
+    // VERDICT gap #2: willa joins ANY KTables — a retractable ExprAgg
+    // side now lowers onto the chain machinery instead of erroring
+    val aRows = Seq(("k", 1, 100L), ("k", 2, 300L), ("j", 4, 50L))
+    val bRows = Seq(("k", 7, 150L), ("x", 9, 75L))
+    for (jt <- Seq(JoinType.Inner, JoinType.Left, JoinType.Outer)) {
+      val topo = Topology(
+        Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+        Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+          "ta" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+          "tb" -> Entity.KTable(),
+          "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+        Map(Seq("ta", "tb") -> JoinConfig(jt)))
+      val batch = BatchCompiler.run(topo,
+        Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
+      val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
+        sink = "jn", mode = "update")
+      def canonBatch(df: DataFrame) =
+        df.select(col("key"), col("value.v1").cast("long"), col("value.v2"))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      def canonStream(df: DataFrame) = df
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key")).orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("key"), col("value.v1").cast("long"), col("value.v2"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(canonStream(stream) == canonBatch(batch), s"join type $jt")
+      if (jt == JoinType.Inner)
+        assert(canonBatch(batch) == Seq(Seq("k", 3L, 7)))
+    }
+  }
+
+  test("congruity: ExprAgg(avg) rewrite folds (sum, count) and finishes the quotient") {
+    // exercises the FoldSpec.finish projection: the acc is struct(s, c),
+    // the joined contribution is the double quotient, exactly batch's avg
+    val aRows = Seq(("k", 1, 100L), ("k", 2, 300L), ("j", 5, 50L))
+    val bRows = Seq(("k", 7, 150L), ("j", 9, 75L))
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "ta" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(avg(col("value"))))),
+        "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner)))
+    val batch = BatchCompiler.run(topo,
+      Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
+    val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
+      sink = "jn", mode = "update")
+    def canonBatch(df: DataFrame) =
+      df.select(col("key"), col("value.v1").cast("double"), col("value.v2"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    def canonStream(df: DataFrame) = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("value.v1").cast("double"), col("value.v2"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canonStream(stream) == canonBatch(batch))
+    assert(canonBatch(batch) == Seq(Seq("j", 5.0, 9), Seq("k", 1.5, 7)))
+  }
+
+  test("congruity: ExprAgg(sum) over a live TABLE parent retracts replaced members in joins") {
+    implicit val sql = spark.sqlContext
+    // KGroupedTable semantics through the REWRITE path: member k1's value
+    // 10→3 must be retracted from the group sum inside the join state
+    val topo = Topology(
+      Seq("in" -> "mt", "mt" -> "grp", "b" -> "tb",
+        "grp" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("in" -> Entity.Topic("in"), "b" -> Entity.Topic("b"),
+        "mt" -> Entity.KTable(),
+        "grp" -> Entity.KTable(
+          groupBy = Some(concat(lit("g"), (length(col("key")) % 2).cast("string"))),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("grp", "tb") -> JoinConfig(JoinType.Inner)))
+    val inRows = Seq(("k1", 10, 100L), ("k1", 3, 200L), ("mm", 5, 300L))
+    val bRows = Seq(("g0", 77, 150L))
+    val batch = BatchCompiler.run(topo,
+      Map("in" -> records(inRows: _*), "b" -> records(bRows: _*)))("jn")
+    val stream = runStreaming(topo, Map("in" -> inRows, "b" -> bRows),
+      sink = "jn", mode = "update")
+    def canonBatch(df: DataFrame) =
+      df.select(col("key"), col("value.v1").cast("long"), col("value.v2"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    def canonStream(df: DataFrame) = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("value.v1").cast("long"), col("value.v2"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canonStream(stream) == canonBatch(batch))
+    // k1 retracted 10, added 3; mm added 5 → g0 sum 8, joined with 77
+    assert(canonBatch(batch) == Seq(Seq("g0", 8L, 77)))
+  }
+
+  test("ExprAgg(min) rewrites over an append stream but NOT over a table parent") {
+    implicit val sql = spark.sqlContext
+    // min/max cannot retract: fine over a stream (nothing is replaced),
+    // loud error when the parent is a table (member updates replace)
+    val aRows = Seq(("k", 5, 100L), ("k", 2, 300L), ("k", 9, 400L))
+    val bRows = Seq(("k", 7, 150L))
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "ta" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(min(col("value"))))),
+        "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner)))
+    val batch = BatchCompiler.run(topo,
+      Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
+    val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
+      sink = "jn", mode = "update")
+    def canonStream(df: DataFrame) = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("value.v1").cast("int"), col("value.v2"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canonStream(stream) ==
+      batch.select(col("key"), col("value.v1").cast("int"), col("value.v2"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString))
+    assert(canonStream(stream) == Seq(Seq("k", 2, 7)))
+    // table parent: min is NOT retractable → the loud error survives
+    val topoT = Topology(
+      Seq("in" -> "mt", "mt" -> "grp", "b" -> "tb",
+        "grp" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("in" -> Entity.Topic("in"), "b" -> Entity.Topic("b"),
+        "mt" -> Entity.KTable(),
+        "grp" -> Entity.KTable(groupBy = Some(lit("g")),
+          aggregate = Some(AggSpec.ExprAgg(min(col("value"))))),
+        "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("grp", "tb") -> JoinConfig(JoinType.Inner)))
+    val ms = MemoryStream[(String, Int, Long)]
+    def rec = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val err = intercept[RuntimeException] {
+      StreamCompiler.run(topoT, Map("in" -> rec, "b" -> rec))
+    }
+    assert(err.getMessage.contains("NON-RETRACTABLE"))
+  }
+
   test("standalone FoldAgg table emits the running aggregate, state spans micro-batches") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
@@ -711,6 +950,76 @@ class StreamCongruitySpec extends AnyFunSuite {
     val batch = BatchCompiler.run(topo, Map("in" -> records(
       ("k", 1, 100L), ("k", 2, 200L), ("k", 4, 300L), ("j", 5, 50L))))("tbl")
     assert(kvOf(batch) == Seq(("j", 5), ("k", 7)))
+  }
+
+  test("hot key: 100k records for ONE key in a single micro-batch fold correctly") {
+    implicit val sql = spark.sqlContext
+    // the per-key micro-batch buffer (one in-place-sorted array) is the
+    // only state-op memory term that scales with feed rate — exercise it
+    // at 100k records without incident and verify the fold is exact
+    val n = 100000
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0L), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    // shuffled ts order: the operator must sort the whole batch itself
+    val rows = scala.util.Random.shuffle(
+      (1 to n).map(i => ("hot", 1, i.toLong)).toVector)
+    ms.addData(rows) // ONE micro-batch
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("tbl").writeStream.format("memory").queryName("hotkey")
+      .outputMode("update").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val last = spark.table("hotkey")
+      .orderBy(col("ts").desc).select("value").limit(1)
+      .collect().head.getLong(0)
+    assert(last == n.toLong, s"final acc $last != $n")
+  }
+
+  test("eager TUMBLING fold expires closed windows from state (watermark-driven)") {
+    implicit val sql = spark.sqlContext
+    // ADVICE r8 (medium): without expiry, per-(key, window) accumulators
+    // lived forever — closed windows must leave the state store
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(0L))
+    val q = dfs("tbl").writeStream.format("memory").queryName("eagerwexp")
+      .outputMode("update").start()
+    try {
+      ms.addData(("k", 1, 1000L), ("k", 2, 1050L)); q.processAllAvailable()
+      ms.addData(("z", 9, 100000L)); q.processAllAvailable() // wm past [1000,1100)
+      ms.addData(("x", 1, 100001L)); q.processAllAvailable() // extra batch: timeout fires
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      // k's closed window was removed; only the sentinels' open windows
+      // remain — state tracks LIVE windows, not windows-ever-opened
+      assert(stateRows == 2, s"expected 2 open windows in state, got $stateRows")
+    } finally q.stop()
+    // the eager emissions themselves are unaffected by expiry
+    val vals = spark.table("eagerwexp").filter(col("key") === "k")
+      .orderBy(col("ts")).select("value").collect().map(_.getInt(0)).toSeq
+    assert(vals == Seq(1, 3))
+  }
+
+  test("hopping advance > size is rejected at construction (both engines)") {
+    val e = intercept[IllegalArgumentException] {
+      WindowSpec.TimeWindows(100L, 200L)
+    }
+    assert(e.getMessage.contains("advance"))
+    intercept[IllegalArgumentException] { WindowSpec.TimeWindows(0L, 0L) }
+    intercept[IllegalArgumentException] { WindowSpec.SessionWindows(0L) }
   }
 
   test("congruity: TUMBLING-window FoldAgg, state spans micro-batches") {
@@ -887,7 +1196,118 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("watermark"))
   }
 
-  test("session-windowed streaming FoldAgg errors loudly") {
+  /** Reconstruct a session fold's FINAL windows from its eager changelog:
+    * per (key, window_start), updates carry strictly growing window_end
+    * and a tombstone (null value) shares the we of the last update it
+    * retracts — so the max-(we, null-last) row is the session's fate:
+    * null = merged away, else the final acc. */
+  private def sessionFinals(df: DataFrame): Seq[(String, Int, Long, Long)] =
+    df.select("key", "value", "window_start", "window_end").collect()
+      .groupBy(r => (r.getString(0), r.getTimestamp(2).getTime)).toSeq
+      .flatMap { case ((k, ws), es) =>
+        val last = es.maxBy(r =>
+          (r.getTimestamp(3).getTime, if (r.isNullAt(1)) 1 else 0))
+        if (last.isNullAt(1)) None
+        else Some((k, last.getInt(1), ws, last.getTimestamp(3).getTime))
+      }.sorted
+
+  private def sessionBatch(df: DataFrame): Seq[(String, Int, Long, Long)] =
+    df.select(col("key"), col("value").cast("int"), col("window_start"),
+      col("window_end")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime)).toSeq.sorted
+
+  test("congruity: session-windowed FoldAgg (eager merging-window state)") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "update")
+    // 1150 is EXACTLY gap after 1050: Spark's session_window merges the
+    // boundary INCLUSIVELY (verified: batch puts 1,2,4,8 in ONE session)
+    // — locks the boundary semantics both engines must share
+    val rows = Seq(("k", 1, 1000L), ("k", 2, 1050L), ("k", 4, 1150L),
+      ("k", 8, 1200L), ("k", 16, 1500L), ("j", 7, 1020L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+    val stream = runStreaming(topo, Map("in" -> rows), sink = "tbl", mode = "update")
+    assert(sessionFinals(stream) == sessionBatch(batch))
+    assert(sessionBatch(batch) == Seq(
+      ("j", 7, 1020L, 1120L), ("k", 15, 1000L, 1300L),
+      ("k", 16, 1500L, 1600L)))
+  }
+
+  test("session fold merges sessions across micro-batches, retracting consumed windows") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(200L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("tbl").writeStream.format("memory").queryName("sessmerge")
+      .outputMode("update").start()
+    try {
+      // two disjoint sessions [1000,1200) and [1300,1500) ...
+      ms.addData(("k", 1, 1000L), ("k", 2, 1300L)); q.processAllAvailable()
+      // ... bridged (out of order!) by 1150 — the state round-trips the
+      // buffers, merges, and the re-fold in EVENT-TIME order matches batch
+      ms.addData(("k", 4, 1150L)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessmerge")
+    // the consumed window [1300,1500) was retracted by a tombstone
+    val tombs = got.filter(col("value").isNull)
+      .select("key", "window_start").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime)).toSeq
+    assert(tombs == Seq(("k", 1300L)))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(
+      ("k", 1, 1000L), ("k", 2, 1300L), ("k", 4, 1150L))))("tbl")
+    assert(sessionFinals(got) == sessionBatch(batch))
+    assert(sessionBatch(batch) == Seq(("k", 7, 1000L, 1500L)))
+  }
+
+  test("suppressed session FoldAgg emits each session once, on close (append mode)") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v)),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "append")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(0L))
+    val q = dfs("tbl").writeStream.format("memory").queryName("sessup")
+      .outputMode("append").start()
+    try {
+      ms.addData(("k", 1, 1000L)); q.processAllAvailable()
+      // extends the open session across batches, then a separate session
+      ms.addData(("k", 2, 1050L), ("k", 5, 1500L)); q.processAllAvailable()
+      ms.addData(("z", 9, 100000L)) // watermark past both session closes
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessup")
+    // exactly-once final emissions; the sentinel's session is still open
+    assert(sessionBatch(got) == Seq(("k", 3, 1000L, 1150L), ("k", 5, 1500L, 1600L)))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(
+      ("k", 1, 1000L), ("k", 2, 1050L), ("k", 5, 1500L))))("tbl")
+      .filter(col("key") =!= "z")
+    assert(sessionBatch(got) == sessionBatch(batch))
+  }
+
+  test("eager session fold expires closed sessions from state (watermark-driven)") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
       Seq("in" -> "tbl", "tbl" -> "out"),
@@ -899,10 +1319,18 @@ class StreamCongruitySpec extends AnyFunSuite {
     val ms = MemoryStream[(String, Int, Long)]
     val src = ms.toDF().toDF("key", "value", "__ms")
       .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
-    val e = intercept[RuntimeException] {
-      StreamCompiler.run(topo, Map("in" -> src))
-    }
-    assert(e.getMessage.contains("session-windowed FoldAgg"))
+    val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(0L))
+    val q = dfs("tbl").writeStream.format("memory").queryName("sessexp")
+      .outputMode("update").start()
+    try {
+      ms.addData(("k", 1, 1000L)); q.processAllAvailable()
+      ms.addData(("z", 9, 100000L)); q.processAllAvailable() // closes k's session
+      ms.addData(("x", 1, 100001L)); q.processAllAvailable() // extra batch: timeout fires
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      // k's closed session was REMOVED by the event-time timeout — only
+      // the sentinels' own open sessions remain (no unbounded growth)
+      assert(stateRows == 2, s"expected 2 open sessions in state, got $stateRows")
+    } finally q.stop()
   }
 
   test("congruity: a standalone fold table's SCALAR value joins a global downstream") {
@@ -1115,12 +1543,15 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(batchFinal == Seq(("j", "|9"), ("k", "|1|2")))
   }
 
-  test("streaming table-table join over aggregated tables errors loudly") {
+  test("streaming table-table join over NON-RETRACTABLE aggregated tables errors loudly") {
     implicit val sql = spark.sqlContext
+    // collect_list has no fold rewrite (order-dependent, unbounded acc);
+    // retractable aggs (sum/count/avg) rewrite instead — tested above
     val topo = Topology(
       Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
       Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
-        "ta" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "ta" -> Entity.KTable(aggregate =
+          Some(AggSpec.ExprAgg(collect_list(col("value"))))),
         "tb" -> Entity.KTable(),
         "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
       Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner)))
@@ -1130,7 +1561,7 @@ class StreamCongruitySpec extends AnyFunSuite {
     val err = intercept[RuntimeException] {
       StreamCompiler.run(topo, Map("a" -> rec, "b" -> rec))
     }
-    assert(err.getMessage.contains("AGGREGATED"))
+    assert(err.getMessage.contains("NON-RETRACTABLE"))
   }
 
   // ---- typed stateful operators (flatMapGroupsWithState) ----

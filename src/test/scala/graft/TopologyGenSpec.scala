@@ -107,15 +107,54 @@ class TopologyGenSpec extends AnyFunSuite {
         .outputMode(mode).start()
       try { q.processAllAvailable() } finally q.stop()
       val got = kvInt(spark.table(name))
-      if (mode == "update")
+      if (mode == "update") {
         // FoldAgg tables emit an eager per-update changelog: every
         // batch-final row must appear among the emissions. Equality
-        // can't be asserted — a downstream filter may pass a TRANSIENT
-        // acc whose final value it rejects, an artifact shared with
-        // Kafka Streams' eager emission.
+        // can't be asserted in general — a downstream filter may pass a
+        // TRANSIENT acc whose final value it rejects, an artifact shared
+        // with Kafka Streams' eager emission.
         assert(kvInt(batch).toSet.subsetOf(got.toSet),
           s"seed $i: batch finals ${kvInt(batch)} not all emitted in $got")
-      else
+        // …but when nothing downstream of the (single, unwindowed) table
+        // is lossy AND no xform anywhere duplicates timestamps, the LAST
+        // emission per key must EQUAL the batch final — transient accs
+        // can hide nothing (ADVICE r8). FlatMapValue is excluded even
+        // UPSTREAM: it fans one record into several with the SAME ts, so
+        // "last emission per key by ts" ties and the reconstruction
+        // (not the operator) becomes ambiguous.
+        def lossless(x: Xform): Boolean = x match {
+          case _: Xform.MapValue | _: Xform.MapKey => true
+          case Xform.Chain(xs)                     => xs.forall(lossless)
+          case _                                   => false
+        }
+        def tsUnique(x: Xform): Boolean = x match {
+          case _: Xform.FlatMapValue | _: Xform.Custom => false
+          case Xform.Chain(xs)                         => xs.forall(tsUnique)
+          case _                                       => true
+        }
+        val order = topo.workflow.map(_._1) :+ topo.workflow.last._2
+        val tblIdx = order.lastIndexWhere(id =>
+          topo.entities(id).isInstanceOf[Entity.KTable])
+        val tbl = topo.entities(order(tblIdx)).asInstanceOf[Entity.KTable]
+        val tailLossless = order.drop(tblIdx + 1).forall(id =>
+          topo.entities(id) match {
+            case Entity.KStream(x, _) => x.forall(lossless)
+            case _                    => true // topics pass through
+          })
+        val noTsDupes = order.forall(id => topo.entities(id) match {
+          case Entity.KStream(x, _) => x.forall(tsUnique)
+          case _                    => true
+        })
+        if (tbl.window.isEmpty && !tbl.suppress && tailLossless && noTsDupes) {
+          val lastPerKey = spark.table(name)
+            .withColumn("__rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("key")).orderBy(col("ts").desc)))
+            .filter(col("__rn") === 1)
+          assert(kvInt(lastPerKey) == kvInt(batch),
+            s"seed $i: last emissions ${kvInt(lastPerKey)} != batch ${kvInt(batch)}")
+        }
+      } else
         assert(got == kvInt(batch), s"seed $i: streaming $got != batch ${kvInt(batch)}")
       }
     }
