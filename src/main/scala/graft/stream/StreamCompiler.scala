@@ -984,12 +984,7 @@ object StreamCompiler {
     // Spark's single-stateful-operator constraint cannot stage.
     // Keying the changelog by the new group alone would leave the
     // old group's acc silently stale, so error loudly instead.
-    // (References collected from the analyzed plan generically — a
-    // groupBy expression may analyze to more than a bare Project.)
-    val refsValue = src.select(e.as("__g"))
-      .queryExecution.analyzed.expressions
-      .flatMap(_.references).exists(_.name == ValueCol)
-    if (refsValue) sys.error(
+    if (valueDependentGroup(t, src)) sys.error(
       "KGroupedTable aggregate with a VALUE-dependent groupBy is " +
         "not lowerable in streaming: a member update could move the " +
         "member between groups, which needs a retract to the old " +
@@ -1002,6 +997,16 @@ object StreamCompiler {
         col(TsCol)),
       Some(fold))
   }
+
+  /** Does this table's groupBy read the parent's `value` column? (A
+    * value-dependent group key cannot lower onto member-keyed state —
+    * see [[memberLeaf]]'s error. References are collected from the
+    * analyzed plan generically: a groupBy expression may analyze to
+    * more than a bare Project.) */
+  private def valueDependentGroup(t: Entity.KTable, src: DataFrame): Boolean =
+    src.select(t.groupBy.getOrElse(col(KeyCol)).as("__g"))
+      .queryExecution.analyzed.expressions
+      .flatMap(_.references).exists(_.name == ValueCol)
 
   /** Rewrite a retractable [[AggSpec.ExprAgg]] into an equivalent
     * [[FoldSpec]] so an ExprAgg-aggregated KTable can join LIVE on the
@@ -1034,11 +1039,20 @@ object StreamCompiler {
           if f.nameParts.size == 1 && f.arguments.size == 1 &&
             !f.isDistinct && f.filter.isEmpty =>
         val arg = f.arguments.head
-        val refs = arg.collect { case a: UnresolvedAttribute => a.nameParts.mkString(".") }
+        // the argument may read the record's `value` only — unresolved
+        // (col("value")) or RESOLVED (df("value")); any other reference
+        // (ts, other attrs) has no meaning inside a running fold
+        val refs = arg.collect {
+          case a: UnresolvedAttribute => a.nameParts.mkString(".")
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+        }
         if (!refs.forall(_ == ValueCol)) return None
         // the agg argument as a function of the fold's v column
         def fv(v: Column): Column = GraftBridge.column(arg.transform {
           case a: UnresolvedAttribute if a.nameParts.mkString(".") == ValueCol =>
+            GraftBridge.catalystTree(v)
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if a.name == ValueCol =>
             GraftBridge.catalystTree(v)
         })
         // the aggregate's RESULT type on this input (sum widens int→long
@@ -1109,17 +1123,21 @@ object StreamCompiler {
     * native `session_window` only covers built-in aggregates (ExprAgg),
     * so the FoldAgg form gets its own state operator.
     *
-    * State per key: the OPEN sessions, each `(ws, last, evs)` — window
-    * start, last event ts, and the buffered `(value, ts)` events. An
-    * arriving event merges every session its gap-interval overlaps
-    * (INCLUSIVELY, matching Spark's `session_window`: `[t, t+gap]` vs
-    * `[ws, last+gap]` — an event exactly `gap` after the last still
-    * merges; verified against the batch engine in the congruity test's
-    * boundary pair), then the merged session's acc is recomputed by folding
-    * its events in EVENT-TIME order — so the result matches the batch
-    * fold exactly, even when arrival order differs (stronger than the
-    * arrival-order congruity of the unwindowed fold chain; ts ties fold
-    * in arrival order, where batch's `sort_array` ties on the value).
+    * State per key: the OPEN sessions, each `(ws, last, evs, acc)` —
+    * window start, last event ts (both epoch-µs, full timestamp
+    * precision: merge decisions must agree with batch's `session_window`,
+    * which compares at µs), the buffered `(value, ts)` events, and the
+    * CACHED running acc. An arriving event merges every session its
+    * gap-interval overlaps (INCLUSIVELY, matching Spark's
+    * `session_window`: `[t, t+gap]` vs `[ws, last+gap]` — an event
+    * exactly `gap` after the last still merges; verified against the
+    * batch engine in the congruity test's boundary pair). The common
+    * in-order extension (one overlapping session, `t ≥ last`) folds
+    * INCREMENTALLY into the cached acc — O(1) per event; only a true
+    * merge or an interior out-of-order arrival re-folds the buffer in
+    * EVENT-TIME order, so the final per-window state matches the batch
+    * fold under any arrival order inside the watermark (ts ties fold in
+    * arrival order, where batch's `sort_array` ties on the value).
     * Buffering events (not just the acc) is what makes merging possible
     * for a NON-combinable fold: two accs cannot be combined in general,
     * but two event buffers concatenate. The cost is state per open
@@ -1130,6 +1148,12 @@ object StreamCompiler {
     * emit the merged session's running acc, plus a TOMBSTONE (null
     * value) for every session the merge consumed, exactly Kafka Streams'
     * session-aggregate changelog (merged-away windows are retracted).
+    * A tombstone's ts is `max(triggering event, retracted window's
+    * last)` so it never event-time-precedes the adds it retracts; the
+    * changelog is still fundamentally ARRIVAL-ordered (same-ts
+    * re-emissions are possible after out-of-order arrivals) — final
+    * STATE matches batch, the per-(key, ws) emission sequence is
+    * reconstructible by (window_end, tombstone-last) on in-order feeds.
     * Suppressed (`suppress=true`, append mode): emit each session's final
     * acc exactly once, when the watermark passes `last + gap` (the
     * session can no longer extend — any event that could merge with it
@@ -1156,20 +1180,21 @@ object StreamCompiler {
     // the function) — event-time timeout needs a watermark-tagged
     // attribute in the operator's child plan (see suppressedWindowedFold)
     val u = keyed.select(col(KeyCol).as("k"), col(ValueCol).as("v"),
-      unix_millis(col(TsCol)).as("tsms"), col(TsCol).as("__et"))
+      unix_micros(col(TsCol)).as("tsus"), col(TsCol).as("__et"))
     val sessType = StructType(Seq(
       StructField("ws", LongType), StructField("last", LongType),
       StructField("evs", ArrayType(StructType(Seq(
-        StructField("v", vType), StructField("t", LongType)))))))
+        StructField("v", vType), StructField("t", LongType))))),
+      StructField("acc", rf.accType)))
     val keyEnc = Encoders.row(StructType(Seq(StructField("k", keyType))))
     val stateEnc = Encoders.row(StructType(Seq(
       StructField("sessions", ArrayType(sessType)))))
     val outEnc = Encoders.row(StructType(Seq(
       StructField("k", keyType), StructField("value", rf.accType),
-      StructField("tsms", LongType), StructField("ws", LongType),
+      StructField("tsus", LongType), StructField("ws", LongType),
       StructField("we", LongType))))
 
-    val gap = gapMs
+    val gapUs = gapMs * 1000L
     val sup = suppress
     val wm = hasWatermark
     val guard = fold.maxGroup
@@ -1181,9 +1206,10 @@ object StreamCompiler {
       .groupByKey((row: Row) => Row(row.get(0)): Row)(keyEnc)
       .flatMapGroupsWithState[Row, Row](opMode, timeout) {
         (key: Row, records: Iterator[Row], state: GroupState[Row]) =>
-          // fold a session's buffer in EVENT-TIME order (stable on ties:
-          // arrival order) — the batch fold's ordering
-          def acc(evs: Seq[Row]): Any =
+          // full re-fold of a buffer in EVENT-TIME order (stable on ties:
+          // arrival order) — the batch fold's ordering; only needed on
+          // merges and interior out-of-order arrivals
+          def refold(evs: Seq[Row]): Any =
             evs.sortBy(_.getLong(1)).foldLeft(rf.initValue)((a, e) => rf.step(a, e.get(0)))
           var sessions: Vector[Row] =
             state.getOption.map(_.getSeq[Row](0).toVector).getOrElse(Vector.empty)
@@ -1200,7 +1226,7 @@ object StreamCompiler {
                 // (verified against Spark's session_window in the
                 // congruity test's boundary pair)
                 val (merged, kept) = sessions.partition(s =>
-                  t + gap >= s.getLong(0) && t <= s.getLong(1) + gap)
+                  t + gapUs >= s.getLong(0) && t <= s.getLong(1) + gapUs)
                 val ws = (t +: merged.map(_.getLong(0))).min
                 val last = (t +: merged.map(_.getLong(1))).max
                 val evs = merged.flatMap(_.getSeq[Row](2)) :+ Row(v, Long.box(t))
@@ -1208,15 +1234,25 @@ object StreamCompiler {
                   s"session FoldAgg buffer exceeds maxGroup=$m events for " +
                     s"key ${key.get(0)} — a hot session at this cardinality " +
                     "needs an associative ExprAgg or a pre-aggregation"))
-                sessions = (kept :+ Row(Long.box(ws), Long.box(last), evs))
+                // in-order extension of one session: O(1) incremental step
+                // on the cached acc; anything else re-folds the buffer
+                val acc = merged match {
+                  case Vector(s) if t >= s.getLong(1) => rf.step(s.get(3), v)
+                  case Vector()                       => rf.step(rf.initValue, v)
+                  case _                              => refold(evs)
+                }
+                sessions = (kept :+ Row(Long.box(ws), Long.box(last), evs, acc))
                   .sortBy(_.getLong(0))
                 if (!sup) {
-                  // retract windows the merge consumed, emit the survivor
+                  // retract windows the merge consumed (tombstone ts never
+                  // event-time-precedes the adds it retracts), emit the
+                  // survivor
                   merged.filter(_.getLong(0) != ws).foreach(s =>
-                    out += Row(key.get(0), null, Long.box(t),
-                      s.get(0), Long.box(s.getLong(1) + gap)))
-                  out += Row(key.get(0), acc(evs), Long.box(last),
-                    Long.box(ws), Long.box(last + gap))
+                    out += Row(key.get(0), null,
+                      Long.box(math.max(t, s.getLong(1))),
+                      s.get(0), Long.box(s.getLong(1) + gapUs)))
+                  out += Row(key.get(0), acc, Long.box(last),
+                    Long.box(ws), Long.box(last + gapUs))
                 }
               }
             }
@@ -1226,23 +1262,26 @@ object StreamCompiler {
             // exactly last+gap still merges, so last+gap == wm must stay
             // open): emit (suppressed) or just drop (eager — already
             // emitted); then re-arm at the earliest remaining close so
-            // state always expires
-            val horizon = state.getCurrentWatermarkMs()
-            val (closed, open) = sessions.partition(_.getLong(1) + gap < horizon)
+            // state always expires. Watermark is epoch-MS; session
+            // arithmetic is µs.
+            val horizonUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, open) = sessions.partition(_.getLong(1) + gapUs < horizonUs)
             if (sup) closed.foreach { s =>
-              out += Row(key.get(0), acc(s.getSeq[Row](2)), s.get(1),
-                s.get(0), Long.box(s.getLong(1) + gap))
+              out += Row(key.get(0), s.get(3), s.get(1),
+                s.get(0), Long.box(s.getLong(1) + gapUs))
             }
             sessions = open
           }
           if (sessions.isEmpty) state.remove()
           else {
             state.update(Row(sessions))
-            // arm at the earliest close, floored ABOVE the watermark
-            // (setTimeoutTimestamp rejects ts ≤ wm; a session with
-            // last+gap == wm is still open under the strict close above)
+            // arm at the earliest close (µs → ms, rounded UP so the
+            // timeout never fires before the µs close), floored ABOVE
+            // the watermark (setTimeoutTimestamp rejects ts ≤ wm; a
+            // session with last+gap == wm is still open under the strict
+            // close above)
             if (wm) state.setTimeoutTimestamp(math.max(
-              sessions.map(_.getLong(1)).min + gap,
+              (sessions.map(_.getLong(1)).min + gapUs + 999L) / 1000L,
               state.getCurrentWatermarkMs() + 1))
           }
           out.iterator
@@ -1250,9 +1289,9 @@ object StreamCompiler {
 
     Built(out.toDF().select(
       col("k").as(KeyCol), col("value").as(ValueCol),
-      timestamp_millis(col("tsms")).as(TsCol),
-      timestamp_millis(col("ws")).as("window_start"),
-      timestamp_millis(col("we")).as("window_end")), Kind.Table)
+      timestamp_micros(col("tsus")).as(TsCol),
+      timestamp_micros(col("ws")).as("window_start"),
+      timestamp_micros(col("we")).as("window_end")), Kind.Table)
   }
 
   /** KTable chain: group-by → window → aggregate (→ suppress via the
@@ -1423,11 +1462,17 @@ object StreamCompiler {
       case Some(AggSpec.ExprAgg(e)) if t.window.isEmpty && rekeyed.isStreaming =>
         val needSub = in.kind == Kind.Table // member updates must retract
         val base = if (needSub) in.streamChangelog else Some(rekeyed)
-        base.flatMap(b => exprAggAsFold(b, e, needSub)).map { fs =>
-          val leaf =
-            if (needSub) memberLeaf(t, in, fs) else ChainLeaf(rekeyed, Some(fs))
-          TableChain(Seq(leaf), JoinTree.Leaf(0))
-        }
+        base.filter(b =>
+          // a value-dependent groupBy can't lower onto member-keyed state
+          // — since the table may never be joined, just skip the chain
+          // here (the JOIN's error explains; memberLeaf's loud error is
+          // for the explicit-FoldAgg path, where the user asked for state)
+          !needSub || !valueDependentGroup(t, b))
+          .flatMap(b => exprAggAsFold(b, e, needSub)).map { fs =>
+            val leaf =
+              if (needSub) memberLeaf(t, in, fs) else ChainLeaf(rekeyed, Some(fs))
+            TableChain(Seq(leaf), JoinTree.Leaf(0))
+          }
       case _ => None
     }
     Built(finished, Kind.Table, staticChangelog = staticLog,

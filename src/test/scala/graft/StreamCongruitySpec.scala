@@ -48,6 +48,21 @@ class StreamCongruitySpec extends AnyFunSuite {
 
   private def kvOf(df: DataFrame): Seq[(String, Int)] = kvInt(df)
 
+  /** Canonical (key, v1 cast, v2) rows of a joined table's FINAL state:
+    * for a live run, the last emission per key (row_number over ts desc);
+    * for a batch run the rows already are final. */
+  private def joinFinals(df: DataFrame, v1Cast: String,
+      lastPerKey: Boolean = false): Seq[Seq[Any]] = {
+    val base =
+      if (!lastPerKey) df
+      else df.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key")).orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1)
+    base.select(col("key"), col("value.v1").cast(v1Cast), col("value.v2"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+  }
+
   test("congruity: stateless map/filter/merge pipeline") {
     val topo = Topology(
       Seq("in" -> "up", "in" -> "down", "up" -> "m", "down" -> "m", "m" -> "out"),
@@ -791,19 +806,10 @@ class StreamCongruitySpec extends AnyFunSuite {
         Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
       val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
         sink = "jn", mode = "update")
-      def canonBatch(df: DataFrame) =
-        df.select(col("key"), col("value.v1").cast("long"), col("value.v2"))
-          .collect().map(_.toSeq).toSeq.sortBy(_.toString)
-      def canonStream(df: DataFrame) = df
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("key")).orderBy(col("ts").desc)))
-        .filter(col("__rn") === 1)
-        .select(col("key"), col("value.v1").cast("long"), col("value.v2"))
-        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
-      assert(canonStream(stream) == canonBatch(batch), s"join type $jt")
+      assert(joinFinals(stream, "long", lastPerKey = true) ==
+        joinFinals(batch, "long"), s"join type $jt")
       if (jt == JoinType.Inner)
-        assert(canonBatch(batch) == Seq(Seq("k", 3L, 7)))
+        assert(joinFinals(batch, "long") == Seq(Seq("k", 3L, 7)))
     }
   }
 
@@ -823,18 +829,9 @@ class StreamCongruitySpec extends AnyFunSuite {
       Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
     val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
       sink = "jn", mode = "update")
-    def canonBatch(df: DataFrame) =
-      df.select(col("key"), col("value.v1").cast("double"), col("value.v2"))
-        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
-    def canonStream(df: DataFrame) = df
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("ts").desc)))
-      .filter(col("__rn") === 1)
-      .select(col("key"), col("value.v1").cast("double"), col("value.v2"))
-      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
-    assert(canonStream(stream) == canonBatch(batch))
-    assert(canonBatch(batch) == Seq(Seq("j", 5.0, 9), Seq("k", 1.5, 7)))
+    assert(joinFinals(stream, "double", lastPerKey = true) ==
+      joinFinals(batch, "double"))
+    assert(joinFinals(batch, "double") == Seq(Seq("j", 5.0, 9), Seq("k", 1.5, 7)))
   }
 
   test("congruity: ExprAgg(sum) over a live TABLE parent retracts replaced members in joins") {
@@ -858,19 +855,10 @@ class StreamCongruitySpec extends AnyFunSuite {
       Map("in" -> records(inRows: _*), "b" -> records(bRows: _*)))("jn")
     val stream = runStreaming(topo, Map("in" -> inRows, "b" -> bRows),
       sink = "jn", mode = "update")
-    def canonBatch(df: DataFrame) =
-      df.select(col("key"), col("value.v1").cast("long"), col("value.v2"))
-        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
-    def canonStream(df: DataFrame) = df
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("ts").desc)))
-      .filter(col("__rn") === 1)
-      .select(col("key"), col("value.v1").cast("long"), col("value.v2"))
-      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
-    assert(canonStream(stream) == canonBatch(batch))
+    assert(joinFinals(stream, "long", lastPerKey = true) ==
+      joinFinals(batch, "long"))
     // k1 retracted 10, added 3; mm added 5 → g0 sum 8, joined with 77
-    assert(canonBatch(batch) == Seq(Seq("g0", 8L, 77)))
+    assert(joinFinals(batch, "long") == Seq(Seq("g0", 8L, 77)))
   }
 
   test("ExprAgg(min) rewrites over an append stream but NOT over a table parent") {
@@ -890,17 +878,8 @@ class StreamCongruitySpec extends AnyFunSuite {
       Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
     val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
       sink = "jn", mode = "update")
-    def canonStream(df: DataFrame) = df
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("ts").desc)))
-      .filter(col("__rn") === 1)
-      .select(col("key"), col("value.v1").cast("int"), col("value.v2"))
-      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
-    assert(canonStream(stream) ==
-      batch.select(col("key"), col("value.v1").cast("int"), col("value.v2"))
-        .collect().map(_.toSeq).toSeq.sortBy(_.toString))
-    assert(canonStream(stream) == Seq(Seq("k", 2, 7)))
+    assert(joinFinals(stream, "int", lastPerKey = true) == joinFinals(batch, "int"))
+    assert(joinFinals(batch, "int") == Seq(Seq("k", 2, 7)))
     // table parent: min is NOT retractable → the loud error survives
     val topoT = Topology(
       Seq("in" -> "mt", "mt" -> "grp", "b" -> "tb",
@@ -919,6 +898,63 @@ class StreamCongruitySpec extends AnyFunSuite {
       StreamCompiler.run(topoT, Map("in" -> rec, "b" -> rec))
     }
     assert(err.getMessage.contains("NON-RETRACTABLE"))
+  }
+
+  test("UNJOINED ExprAgg table with value-dependent groupBy still compiles (chain skipped lazily)") {
+    implicit val sql = spark.sqlContext
+    // regression: the rewrite must not fire memberLeaf's value-dependent
+    // groupBy error for a table no join ever consumes — the chain is
+    // simply skipped and the native aggregation remains the output
+    val topo = Topology(
+      Seq("in" -> "mt", "mt" -> "grp", "grp" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "mt" -> Entity.KTable(),
+        "grp" -> Entity.KTable(
+          groupBy = Some(concat(lit("g"), (col("value") % 2).cast("string"))),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    // before the fix this threw 'VALUE-dependent groupBy is not lowerable'
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    assert(dfs.contains("grp"))
+  }
+
+  test("session fold merges at MICROSECOND precision, matching batch session_window") {
+    // regression: ms truncation made sub-ms-apart events merge in
+    // streaming where batch (µs-precision session_window) kept them apart
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    // 1.000000s and 1.100900s with gap 100ms: 900µs past the inclusive
+    // bound — two sessions; a ms-truncating merge would see 1100 == 1100
+    val rowsUs = Seq(("k", 1, 1000000L), ("k", 2, 1100900L))
+    def recsUs(rows: Seq[(String, Int, Long)]) = {
+      import spark.implicits._
+      rows.toDF("key", "value", "__us")
+        .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    }
+    val batch = BatchCompiler.run(topo, Map("in" -> recsUs(rowsUs)))("tbl")
+    val ms = MemoryStream[(String, Int, Long)]
+    ms.addData(rowsUs)
+    val src = ms.toDF().toDF("key", "value", "__us")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("tbl").writeStream.format("memory").queryName("sessus")
+      .outputMode("update").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def canon(df: DataFrame) = df
+      .select(col("key"), col("value").cast("int"), unix_micros(col("window_start")),
+        unix_micros(col("window_end")))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(canon(spark.table("sessus")) == canon(batch))
+    assert(canon(batch).size == 2) // NOT merged
   }
 
   test("standalone FoldAgg table emits the running aggregate, state spans micro-batches") {
