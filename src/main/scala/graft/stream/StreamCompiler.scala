@@ -175,6 +175,14 @@ object StreamCompiler {
       case (id, t: Entity.KTable)
           if !(t.suppress && t.window.nonEmpty) &&
             t.aggregate.exists(_.isInstanceOf[AggSpec.FoldAgg]) => liveRoots(id)
+      // an unwindowed ExprAgg over a LIVE TABLE parent compiles the
+      // rewrite chain directly (two stacked native aggregations cannot
+      // run) — also a state operator. Non-retractable aggs in this shape
+      // cannot run in ANY mode, so "update" is right whenever it runs.
+      case (id, t: Entity.KTable)
+          if t.window.isEmpty &&
+            t.aggregate.exists(_.isInstanceOf[AggSpec.ExprAgg]) &&
+            preds.getOrElse(id, Seq.empty).exists(isTable) => liveRoots(id)
       case _ => false
     } || topology.joins.exists { case (ins, cfg) =>
       cfg.joinType != JoinType.Merge && ins.size >= 2 &&
@@ -1475,6 +1483,16 @@ object StreamCompiler {
           }
       case _ => None
     }
+    // Over a LIVE TABLE parent the native path cannot run at all — a
+    // group-by on an aggregated table stacks two streaming aggregations,
+    // which Spark rejects at query start — so a rewritable ExprAgg
+    // compiles the chain DIRECTLY (eager per-member-update changelog in
+    // update mode, exactly KGroupedTable.aggregate's emission; the
+    // contribution projection makes e.g. avg emit the quotient). A
+    // non-rewritable one keeps the native plan: it errors only if that
+    // sink is actually started, so unrelated branches stay healthy.
+    if (in.kind == Kind.Table && exprChain.isDefined)
+      return tableChainState(exprChain.get).copy(kind = Kind.Table)
     Built(finished, Kind.Table, staticChangelog = staticLog,
       streamChangelog = streamLog,
       tableChain =

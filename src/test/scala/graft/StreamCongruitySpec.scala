@@ -900,6 +900,42 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(err.getMessage.contains("NON-RETRACTABLE"))
   }
 
+  test("congruity: STANDALONE ExprAgg(sum) over a live TABLE parent runs via the rewrite chain") {
+    implicit val sql = spark.sqlContext
+    // without the rewrite this shape cannot run at all (a group-by on an
+    // aggregated table stacks two streaming aggregations, rejected at
+    // query start) — the chain compiles it as one state op: member k1's
+    // 10→3 update retracts inside the group sum, eager changelog emission
+    val topo = Topology(
+      Seq("in" -> "mt", "mt" -> "grp", "grp" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "mt" -> Entity.KTable(),
+        "grp" -> Entity.KTable(
+          groupBy = Some(concat(lit("g"), (length(col("key")) % 2).cast("string"))),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "update")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("grp").writeStream.format("memory").queryName("exprovertable")
+      .outputMode("update").start()
+    val rows = Seq(("k1", 10, 100L), ("k1", 3, 200L), ("mm", 5, 300L))
+    try {
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      ms.addData(rows.drop(2)); q.processAllAvailable() // state round-trips
+    } finally q.stop()
+    val got = spark.table("exprovertable").select("key", "value", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime))
+    // eager per-member-update changelog: 10 → 3 (retract+add) → 8
+    assert(got.sortBy(_._3).map(_._2).toSeq == Seq(10L, 3L, 8L))
+    // batch twin (aggregate over latest member values) agrees on finals
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("grp")
+    assert(batch.select(col("key"), col("value").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted == Seq(("g0", 8L)))
+  }
+
   test("UNJOINED ExprAgg table with value-dependent groupBy still compiles (chain skipped lazily)") {
     implicit val sql = spark.sqlContext
     // regression: the rewrite must not fire memberLeaf's value-dependent
