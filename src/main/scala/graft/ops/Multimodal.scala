@@ -20,11 +20,18 @@ import org.apache.spark.sql.types._
   *     rate, channels, CBR duration), [[probeWebp]] (RIFF VP8/VP8L/VP8X
   *     → format, dims). This is the ffprobe-style tier a training-data
   *     sweep actually runs at 100 TB.
-  *  3. PIXEL/PCM decode for non-JRE codecs (VP8 bitstream, MP3 synthesis,
-  *     H.264 frames) — requires a native codec (JNI/FFI) bound at the
-  *     same [[mapBinaryPartitions]] seam; the clearly-marked STUBS below
-  *     (decode*Stub/extractFeaturesStub) stand in for exactly this tier
-  *     and nothing else.
+  *  3. Pixel/PCM kernels, REAL for JRE-decodable formats:
+  *     [[resizeImages]] (ImageIO decode → bilinear `Graphics2D` scale →
+  *     PNG re-encode), [[extractImageFeatures]] (channel means, mean
+  *     luminance, luminance-histogram entropy — blank/low-contrast
+  *     screens), [[extractAudioFeatures]] (PCM RMS / peak /
+  *     zero-crossing rate over a bounded frame budget — silence and
+  *     clipping screens). What remains STUBBED is ONLY this tier for
+  *     non-JRE codecs (VP8 bitstream, MP3 synthesis, H.264 frames) plus
+  *     model-based embeddings — a native codec (JNI/FFI) or model
+  *     runtime binding at the same [[mapBinaryPartitions]] seam; the
+  *     clearly-marked decode*Stub/extractFeaturesStub fakes stand in
+  *     for exactly that and nothing else.
   *
   * Everything around the kernels —
   * the schema, the batch shape, the partitioning — is real Spark plumbing
@@ -140,6 +147,179 @@ object Multimodal {
             Row(r.get(0), img.getWidth, img.getHeight,
               img.getColorModel.getNumComponents, true)
           case None => Row(r.get(0), null, null, null, false)
+        }
+      })
+  }
+
+  /** REAL image resize at the seam: ImageIO decode → `Graphics2D`
+    * bilinear scale to fit `maxSide` (aspect preserved, never upscales)
+    * → PNG re-encode. Pure JRE. Output per payload: the resized PNG
+    * `payload` + `width`/`height`, original passthrough (already small
+    * enough) included, `ok=false` + null payload for undecodable bytes.
+    * This retires [[resizeStub]] for every JRE-decodable format; the
+    * stub remains only as the deterministic twin for formats still
+    * lacking a codec. */
+  def resizeImages(df: DataFrame, maxSide: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", df.schema("id").dataType),
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ok", BooleanType)))
+    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val res =
+          if (bytes == null) None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))).map { img =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val side = math.max(w, h)
+              if (side <= maxSide) (bytes, w, h) // never upscale
+              else {
+                val (nw, nh) = (math.max(1, w * maxSide / side),
+                  math.max(1, h * maxSide / side))
+                val scaled = new java.awt.image.BufferedImage(
+                  nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = scaled.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, nw, nh, null)
+                } finally g.dispose()
+                val buf = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(scaled, "png", buf)
+                (buf.toByteArray, nw, nh)
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        res match {
+          case Some((p, w, h)) => Row(r.get(0), p, w, h, true)
+          case None            => Row(r.get(0), null, null, null, false)
+        }
+      })
+  }
+
+  /** REAL image feature extraction at the seam (the non-stub half of
+    * what [[extractFeaturesStub]] fakes): ImageIO decode → per-channel
+    * means + mean luminance + a 16-bin luminance-histogram entropy —
+    * the cheap real signals a training-data sweep filters on (blank /
+    * low-contrast / over-dark detection). Pure JRE; `ok=false` for
+    * undecodable payloads. */
+  def extractImageFeatures(df: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", df.schema("id").dataType),
+      StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType), StructField("mean_luma", DoubleType),
+      StructField("luma_entropy", DoubleType),
+      StructField("ok", BooleanType)))
+    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val res =
+          if (bytes == null) None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))).map { img =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb, sl) = (0.0, 0.0, 0.0, 0.0)
+              val hist = new Array[Long](16)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val (cr, cg, cb) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+                  val luma = 0.299 * cr + 0.587 * cg + 0.114 * cb
+                  sr += cr; sg += cg; sb += cb; sl += luma
+                  hist((luma / 16).toInt.min(15)) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (w.toLong * h).toDouble
+              val entropy = hist.foldLeft(0.0) { (e, c) =>
+                if (c == 0) e else { val p = c / n; e - p * math.log(p) / math.log(2) }
+              }
+              (sr / n, sg / n, sb / n, sl / n, entropy)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        res match {
+          case Some((mr, mg, mb, ml, ent)) => Row(r.get(0), mr, mg, mb, ml, ent, true)
+          case None => Row(r.get(0), null, null, null, null, null, false)
+        }
+      })
+  }
+
+  /** REAL audio feature extraction at the seam: decode the PCM body via
+    * `javax.sound.sampled` (WAV/AIFF/AU) and compute RMS, peak, and
+    * zero-crossing rate over the first `maxFrames` frames (bounded cost
+    * per payload — a 10-hour clip costs the same as a 10-second one).
+    * These are the silence / clipping / noise screens an audio pipeline
+    * actually filters on. 16-bit and 8-bit PCM; `ok=false` otherwise. */
+  def extractAudioFeatures(df: DataFrame, maxFrames: Int = 1 << 20): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", df.schema("id").dataType),
+      StructField("rms", DoubleType), StructField("peak", DoubleType),
+      StructField("zero_cross_rate", DoubleType),
+      StructField("n_frames_read", LongType),
+      StructField("ok", BooleanType)))
+    val cap = maxFrames
+    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val res =
+          if (bytes == null) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              val bits = fmt.getSampleSizeInBits
+              val frameSize = fmt.getFrameSize
+              if ((bits != 16 && bits != 8) || frameSize <= 0) None
+              else {
+                val buf = new Array[Byte](frameSize * 4096)
+                var (sumSq, peak) = (0.0, 0.0)
+                var (zc, frames) = (0L, 0L)
+                var prevSign = 0
+                var done = false
+                while (!done && frames < cap) {
+                  val n = ais.read(buf)
+                  if (n <= 0) done = true
+                  else {
+                    var f = 0
+                    val nf = n / frameSize
+                    while (f < nf && frames < cap) {
+                      // first channel of the frame, normalized to [-1, 1]
+                      val off = f * frameSize
+                      val s =
+                        if (bits == 16) {
+                          val lo = buf(off) & 0xff; val hi = buf(off + 1)
+                          (if (fmt.isBigEndian) ((buf(off) << 8) | (buf(off + 1) & 0xff))
+                           else ((hi << 8) | lo)).toDouble / 32768.0
+                        } else (((buf(off) & 0xff) - 128).toDouble / 128.0)
+                      sumSq += s * s
+                      if (math.abs(s) > peak) peak = math.abs(s)
+                      val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+                      if (prevSign != 0 && sign != prevSign) zc += 1
+                      prevSign = sign
+                      frames += 1
+                      f += 1
+                    }
+                  }
+                }
+                if (frames == 0) None
+                else Some((math.sqrt(sumSq / frames), peak,
+                  zc.toDouble / frames, frames))
+              }
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        res match {
+          case Some((rms, pk, zcr, nf)) => Row(r.get(0), rms, pk, zcr, nf, true)
+          case None => Row(r.get(0), null, null, null, null, false)
         }
       })
   }

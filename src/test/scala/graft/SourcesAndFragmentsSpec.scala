@@ -325,6 +325,91 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(got(4L) == ((None, None, None, None, None, false)))
   }
 
+  test("multimodal resizeImages scales real pixels, preserves aspect, never upscales") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val payloads = Seq(
+      (1L, png(100, 40), "image/png"), // downscale to 50x20
+      (2L, png(8, 6), "image/png"),    // small enough: passthrough
+      (3L, Array[Byte](9, 9, 9), "application/octet-stream"))
+      .toDF("doc_id", "bytes", "mime")
+    val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
+      col("bytes"), col("mime"), lit("test"))
+    val got = graft.ops.Multimodal.resizeImages(packed, 50)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.get(3)), r.getBoolean(4),
+          Option(r.getAs[Array[Byte]](1)))).toMap
+    assert(got(1L)._1 == Some(50) && got(1L)._2 == Some(20) && got(1L)._3)
+    // the resized payload is a REAL decodable PNG with the new dims
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L)._4.get))
+    assert(back.getWidth == 50 && back.getHeight == 20)
+    assert(got(2L)._1 == Some(8) && got(2L)._2 == Some(6))
+    assert(got(3L) == ((None, None, false, None)))
+  }
+
+  test("multimodal extractImageFeatures computes real channel means and entropy") {
+    // half pure red, half pure blue, 4x2: mean_r = mean_b = 127.5,
+    // mean_g = 0; two equally-likely luma bins → entropy exactly 1 bit
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val payloads = Seq((1L, out.toByteArray, "image/png"),
+      (2L, Array[Byte](1, 2), "application/octet-stream"))
+      .toDF("doc_id", "bytes", "mime")
+    val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
+      col("bytes"), col("mime"), lit("test"))
+    val got = graft.ops.Multimodal.extractImageFeatures(packed)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val f = got(1L)
+    assert(math.abs(f.getDouble(1) - 127.5) < 1e-9) // mean_r
+    assert(f.getDouble(2) == 0.0)                   // mean_g
+    assert(math.abs(f.getDouble(3) - 127.5) < 1e-9) // mean_b
+    assert(math.abs(f.getDouble(5) - 1.0) < 1e-9)   // 2-bin entropy = 1 bit
+    assert(f.getBoolean(6))
+    assert(!got(2L).getBoolean(6))
+  }
+
+  test("multimodal extractAudioFeatures decodes real PCM and computes rms/peak/zcr") {
+    // a 16-bit mono square wave alternating ±16384: rms = peak = 0.5,
+    // a zero crossing at every sample boundary → zcr → 1
+    val n = 1000
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = if (i % 2 == 0) 16384 else -16384
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val payloads = Seq((1L, out.toByteArray, "audio/wav"),
+      (2L, Array[Byte](0, 1, 2), "application/octet-stream"))
+      .toDF("doc_id", "bytes", "mime")
+    val packed = graft.ops.Multimodal.pack(payloads, col("doc_id"),
+      col("bytes"), col("mime"), lit("test"))
+    val got = graft.ops.Multimodal.extractAudioFeatures(packed)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val f = got(1L)
+    assert(math.abs(f.getDouble(1) - 0.5) < 1e-6)  // rms
+    assert(math.abs(f.getDouble(2) - 0.5) < 1e-6)  // peak
+    assert(f.getDouble(3) > 0.99)                  // zcr ~ 1
+    assert(f.getLong(4) == n.toLong)
+    assert(f.getBoolean(5))
+    assert(!got(2L).getBoolean(5))
+  }
+
   test("multimodal probeVideo parses REAL hand-built MP4 box trees (and degrades on garbage)") {
     import java.nio.ByteBuffer
     // build a genuine ISO-BMFF tree per the public 14496-12 layout:
