@@ -114,14 +114,49 @@ object Multimodal {
     df.mapPartitions(kernel)(enc)
   }
 
+  /** The shared per-payload kernel scaffold all codec operators build
+    * on: `parse` maps raw bytes to the row's non-id field values; a null
+    * payload, a `None`, or ANY NonFatal throw degrades to an all-null
+    * row with `ok=false`. NonFatal, not just IOException: the JDK
+    * readers throw RuntimeExceptions (AIOOBE, IllegalArgument,
+    * NegativeArraySize) on fuzzed bodies behind valid magic bytes, and
+    * one bad payload must not kill a 100 TB scan. The degradation
+    * contract lives HERE, once. `out`'s layout is (id, fields..., ok). */
+  private def payloadKernel(df: DataFrame, out: StructType)(
+      parse: Array[Byte] => Option[Seq[Any]]): DataFrame =
+    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val parsed =
+          if (bytes == null) None
+          else try parse(bytes)
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some(vals) => Row.fromSeq(r.get(0) +: (vals :+ true))
+          case None =>
+            Row.fromSeq(r.get(0) +: (Seq.fill(out.size - 2)(null) :+ false))
+        }
+      })
+
+  /** ImageIO read WITHOUT the JRE's default disk cache: payloads are
+    * already in-memory byte arrays — the default FileCacheImageInput
+    * Stream would spool every payload through an executor temp file. */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself on success;
+    // close again only for the throw path, swallowing the double-close
+    try Option(javax.imageio.ImageIO.read(iis))
+    finally try iis.close() catch { case _: java.io.IOException => () }
+  }
+
   /** REAL image decode through the [[mapBinaryPartitions]] seam — proof
     * the seam takes an actual codec, not only the deterministic stubs.
     * `javax.imageio` is pure JVM (the JRE registers PNG/BMP/GIF/JPEG
     * readers; no native libs), so this runs on any executor. Input: a
     * [[pack]]ed frame (`id`, `payload`, `meta`); output one row per
     * payload with the decoded `width`/`height`/`channels` and `ok=false`
-    * + null dims for bytes no registered reader accepts (corrupt or
-    * unsupported payloads must not kill a 100 TB scan). Narrow map, no
+    * + null dims for bytes no registered reader accepts. Narrow map, no
     * shuffle; only `id`+`payload` are read, so the scan prunes `meta`. */
   def decodeImages(df: DataFrame): DataFrame = {
     val out = StructType(Seq(
@@ -130,25 +165,8 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("channels", IntegerType),
       StructField("ok", BooleanType)))
-    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val decoded =
-          if (bytes == null) None
-          else try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes)))
-          // NonFatal, not just IOException: the JDK readers throw
-          // RuntimeExceptions (AIOOBE, IllegalArgument, NegativeArraySize)
-          // on fuzzed bodies behind valid magic bytes, and one bad payload
-          // must not kill a 100 TB scan
-          catch { case scala.util.control.NonFatal(_) => None }
-        decoded match {
-          case Some(img) =>
-            Row(r.get(0), img.getWidth, img.getHeight,
-              img.getColorModel.getNumComponents, true)
-          case None => Row(r.get(0), null, null, null, false)
-        }
-      })
+    payloadKernel(df, out)(bytes => readImage(bytes).map(img =>
+      Seq(img.getWidth, img.getHeight, img.getColorModel.getNumComponents)))
   }
 
   /** REAL image resize at the seam: ImageIO decode → `Graphics2D`
@@ -166,40 +184,34 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("ok", BooleanType)))
-    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val res =
-          if (bytes == null) None
-          else try {
-            Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))).map { img =>
-              val (w, h) = (img.getWidth, img.getHeight)
-              val side = math.max(w, h)
-              if (side <= maxSide) (bytes, w, h) // never upscale
-              else {
-                val (nw, nh) = (math.max(1, w * maxSide / side),
-                  math.max(1, h * maxSide / side))
-                val scaled = new java.awt.image.BufferedImage(
-                  nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-                val g = scaled.createGraphics()
-                try {
-                  g.setRenderingHint(
-                    java.awt.RenderingHints.KEY_INTERPOLATION,
-                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                  g.drawImage(img, 0, 0, nw, nh, null)
-                } finally g.dispose()
-                val buf = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(scaled, "png", buf)
-                (buf.toByteArray, nw, nh)
-              }
-            }
-          } catch { case scala.util.control.NonFatal(_) => None }
-        res match {
-          case Some((p, w, h)) => Row(r.get(0), p, w, h, true)
-          case None            => Row(r.get(0), null, null, null, false)
-        }
-      })
+    payloadKernel(df, out)(bytes => readImage(bytes).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val side = math.max(w, h)
+      if (side <= maxSide) Seq(bytes, w, h) // never upscale
+      else {
+        // Long math: w * maxSide overflows Int for real JPEG strip sizes
+        val nw = math.max(1L, w.toLong * maxSide / side).toInt
+        val nh = math.max(1L, h.toLong * maxSide / side).toInt
+        // keep alpha when the source has it — flattening onto an RGB
+        // canvas would composite transparency to opaque black
+        val imgType =
+          if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else java.awt.image.BufferedImage.TYPE_INT_RGB
+        val scaled = new java.awt.image.BufferedImage(nw, nh, imgType)
+        val g = scaled.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        // in-memory image output stream (no executor temp-file spool)
+        val buf = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+        try javax.imageio.ImageIO.write(scaled, "png", ios) finally ios.close()
+        Seq(buf.toByteArray, nw, nh)
+      }
+    })
   }
 
   /** REAL image feature extraction at the seam (the non-stub half of
@@ -215,42 +227,33 @@ object Multimodal {
       StructField("mean_b", DoubleType), StructField("mean_luma", DoubleType),
       StructField("luma_entropy", DoubleType),
       StructField("ok", BooleanType)))
-    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val res =
-          if (bytes == null) None
-          else try {
-            Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))).map { img =>
-              val (w, h) = (img.getWidth, img.getHeight)
-              var (sr, sg, sb, sl) = (0.0, 0.0, 0.0, 0.0)
-              val hist = new Array[Long](16)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  val (cr, cg, cb) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
-                  val luma = 0.299 * cr + 0.587 * cg + 0.114 * cb
-                  sr += cr; sg += cg; sb += cb; sl += luma
-                  hist((luma / 16).toInt.min(15)) += 1
-                  x += 1
-                }
-                y += 1
-              }
-              val n = (w.toLong * h).toDouble
-              val entropy = hist.foldLeft(0.0) { (e, c) =>
-                if (c == 0) e else { val p = c / n; e - p * math.log(p) / math.log(2) }
-              }
-              (sr / n, sg / n, sb / n, sl / n, entropy)
-            }
-          } catch { case scala.util.control.NonFatal(_) => None }
-        res match {
-          case Some((mr, mg, mb, ml, ent)) => Row(r.get(0), mr, mg, mb, ml, ent, true)
-          case None => Row(r.get(0), null, null, null, null, null, false)
+    payloadKernel(df, out)(bytes => readImage(bytes).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb, sl) = (0.0, 0.0, 0.0, 0.0)
+      val hist = new Array[Long](16)
+      // bulk row fetches: per-pixel getRGB pays a ColorModel conversion
+      // and bounds check per call — an order of magnitude on megapixels
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = rowBuf(x)
+          val (cr, cg, cb) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          val luma = 0.299 * cr + 0.587 * cg + 0.114 * cb
+          sr += cr; sg += cg; sb += cb; sl += luma
+          hist((luma / 16).toInt.min(15)) += 1
+          x += 1
         }
-      })
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      val entropy = hist.foldLeft(0.0) { (e, c) =>
+        if (c == 0) e else { val p = c / n; e - p * math.log(p) / math.log(2) }
+      }
+      Seq(sr / n, sg / n, sb / n, sl / n, entropy)
+    })
   }
 
   /** REAL audio feature extraction at the seam: decode the PCM body via
@@ -260,6 +263,7 @@ object Multimodal {
     * These are the silence / clipping / noise screens an audio pipeline
     * actually filters on. 16-bit and 8-bit PCM; `ok=false` otherwise. */
   def extractAudioFeatures(df: DataFrame, maxFrames: Int = 1 << 20): DataFrame = {
+    import javax.sound.sampled.AudioFormat.Encoding
     val out = StructType(Seq(
       StructField("id", df.schema("id").dataType),
       StructField("rms", DoubleType), StructField("peak", DoubleType),
@@ -267,61 +271,61 @@ object Multimodal {
       StructField("n_frames_read", LongType),
       StructField("ok", BooleanType)))
     val cap = maxFrames
-    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val res =
-          if (bytes == null) None
-          else try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              val fmt = ais.getFormat
-              val bits = fmt.getSampleSizeInBits
-              val frameSize = fmt.getFrameSize
-              if ((bits != 16 && bits != 8) || frameSize <= 0) None
-              else {
-                val buf = new Array[Byte](frameSize * 4096)
-                var (sumSq, peak) = (0.0, 0.0)
-                var (zc, frames) = (0L, 0L)
-                var prevSign = 0
-                var done = false
-                while (!done && frames < cap) {
-                  val n = ais.read(buf)
-                  if (n <= 0) done = true
-                  else {
-                    var f = 0
-                    val nf = n / frameSize
-                    while (f < nf && frames < cap) {
-                      // first channel of the frame, normalized to [-1, 1]
-                      val off = f * frameSize
-                      val s =
-                        if (bits == 16) {
-                          val lo = buf(off) & 0xff; val hi = buf(off + 1)
-                          (if (fmt.isBigEndian) ((buf(off) << 8) | (buf(off + 1) & 0xff))
-                           else ((hi << 8) | lo)).toDouble / 32768.0
-                        } else (((buf(off) & 0xff) - 128).toDouble / 128.0)
-                      sumSq += s * s
-                      if (math.abs(s) > peak) peak = math.abs(s)
-                      val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
-                      if (prevSign != 0 && sign != prevSign) zc += 1
-                      prevSign = sign
-                      frames += 1
-                      f += 1
-                    }
+    payloadKernel(df, out) { bytes =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val frameSize = fmt.getFrameSize
+        // interpret samples by their DECLARED encoding: 8-bit AIFF is
+        // PCM_SIGNED, 8-bit WAV is PCM_UNSIGNED — assuming either way
+        // misreads silence as full-scale; non-PCM (ULAW/ALAW) would
+        // produce meaningless stats, so it degrades to ok=false
+        val signed = fmt.getEncoding == Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding == Encoding.PCM_UNSIGNED
+        if ((bits != 16 && bits != 8) || frameSize <= 0 || !(signed || unsigned)) None
+        else {
+          val buf = new Array[Byte](frameSize * 4096)
+          var (sumSq, peak) = (0.0, 0.0)
+          var (zc, frames) = (0L, 0L)
+          var prevSign = 0
+          var done = false
+          while (!done && frames < cap) {
+            val n = ais.read(buf)
+            if (n <= 0) done = true
+            else {
+              var f = 0
+              val nf = n / frameSize
+              while (f < nf && frames < cap) {
+                // first channel of the frame, normalized to [-1, 1]
+                val off = f * frameSize
+                val s =
+                  if (bits == 16) {
+                    val raw =
+                      if (fmt.isBigEndian) (buf(off) << 8) | (buf(off + 1) & 0xff)
+                      else (buf(off + 1) << 8) | (buf(off) & 0xff)
+                    (if (signed) raw else (raw & 0xffff) - 32768).toDouble / 32768.0
+                  } else {
+                    (if (signed) buf(off).toInt
+                     else (buf(off) & 0xff) - 128).toDouble / 128.0
                   }
-                }
-                if (frames == 0) None
-                else Some((math.sqrt(sumSq / frames), peak,
-                  zc.toDouble / frames, frames))
+                sumSq += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+                if (prevSign != 0 && sign != prevSign) zc += 1
+                prevSign = sign
+                frames += 1
+                f += 1
               }
-            } finally ais.close()
-          } catch { case scala.util.control.NonFatal(_) => None }
-        res match {
-          case Some((rms, pk, zcr, nf)) => Row(r.get(0), rms, pk, zcr, nf, true)
-          case None => Row(r.get(0), null, null, null, null, false)
+            }
+          }
+          if (frames == 0) None
+          else Some(Seq[Any](math.sqrt(sumSq / frames), peak,
+            zc.toDouble / frames, frames))
         }
-      })
+      } finally ais.close()
+    }
   }
 
   // ---- byte-level helpers for the container parsers below ----
@@ -410,17 +414,9 @@ object Multimodal {
       StructField("height", LongType),
       StructField("n_tracks", IntegerType),
       StructField("ok", BooleanType)))
-    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
-      rows.map { r =>
-        val parsed =
-          try parseMp4(r.getAs[Array[Byte]](1))
-          catch { case scala.util.control.NonFatal(_) => None }
-        parsed match {
-          case Some((brand, dur, w, h, n)) =>
-            Row(r.get(0), brand, dur.orNull, w.orNull, h.orNull, n, true)
-          case None => Row(r.get(0), null, null, null, null, null, false)
-        }
-      })
+    payloadKernel(df, out)(bytes => parseMp4(bytes).map {
+      case (brand, dur, w, h, n) => Seq(brand, dur.orNull, w.orNull, h.orNull, n)
+    })
   }
 
   /** REAL MPEG audio (MP3) frame-header parse per the PUBLIC MPEG-1/2
@@ -477,17 +473,9 @@ object Multimodal {
       StructField("channels", IntegerType),
       StructField("duration_ms", DoubleType),
       StructField("ok", BooleanType)))
-    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
-      rows.map { r =>
-        val parsed =
-          try parseMp3(r.getAs[Array[Byte]](1))
-          catch { case scala.util.control.NonFatal(_) => None }
-        parsed match {
-          case Some((ver, kbps, sr, ch, dur)) =>
-            Row(r.get(0), ver, kbps, sr, ch, dur, true)
-          case None => Row(r.get(0), null, null, null, null, null, false)
-        }
-      })
+    payloadKernel(df, out)(bytes => parseMp3(bytes).map {
+      case (ver, kbps, sr, ch, dur) => Seq(ver, kbps, sr, ch, dur)
+    })
   }
 
   /** REAL WebP header parse per the PUBLIC RIFF/WebP container spec:
@@ -521,16 +509,9 @@ object Multimodal {
       StructField("width", LongType),
       StructField("height", LongType),
       StructField("ok", BooleanType)))
-    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
-      rows.map { r =>
-        val parsed =
-          try parseWebp(r.getAs[Array[Byte]](1))
-          catch { case scala.util.control.NonFatal(_) => None }
-        parsed match {
-          case Some((fmt, w, h)) => Row(r.get(0), fmt, w, h, true)
-          case None              => Row(r.get(0), null, null, null, false)
-        }
-      })
+    payloadKernel(df, out)(bytes => parseWebp(bytes).map {
+      case (fmt, w, h) => Seq(fmt, w, h)
+    })
   }
 
   /** REAL audio decode through the [[mapBinaryPartitions]] seam — the
@@ -551,29 +532,17 @@ object Multimodal {
       StructField("n_frames", LongType),
       StructField("duration_ms", DoubleType),
       StructField("ok", BooleanType)))
-    mapBinaryPartitions(df.select(col("id"), col("payload")), out, rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val header =
-          if (bytes == null) None
-          else try Option(javax.sound.sampled.AudioSystem.getAudioFileFormat(
-            new java.io.ByteArrayInputStream(bytes)))
-          // NonFatal (covers UnsupportedAudioFileException + IOException):
-          // malformed headers behind valid WAV/AIFF magic can throw
-          // RuntimeExceptions from the JDK parsers — degrade, don't die
-          catch { case scala.util.control.NonFatal(_) => None }
-        header match {
-          case Some(aff) =>
-            val fmt = aff.getFormat
-            val frames = aff.getFrameLength.toLong
-            val known = frames >= 0 && fmt.getFrameRate > 0
-            Row(r.get(0), fmt.getSampleRate.toDouble, fmt.getChannels,
-              fmt.getSampleSizeInBits,
-              if (frames >= 0) frames else null,
-              if (known) frames * 1000.0 / fmt.getFrameRate else null,
-              true)
-          case None => Row(r.get(0), null, null, null, null, null, false)
-        }
-      })
+    payloadKernel(df, out) { bytes =>
+      Option(javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))).map { aff =>
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        val known = frames >= 0 && fmt.getFrameRate > 0
+        Seq(fmt.getSampleRate.toDouble, fmt.getChannels,
+          fmt.getSampleSizeInBits,
+          if (frames >= 0) frames else null,
+          if (known) frames * 1000.0 / fmt.getFrameRate else null)
+      }
+    }
   }
 }
