@@ -559,6 +559,91 @@ class StreamCongruitySpec extends AnyFunSuite {
     }
   }
 
+  test("property: live TABLE-TABLE join == arrival-order model on SHUFFLED multi-batch feeds") {
+    implicit val sql = spark.sqlContext
+    // the table-join twin of the stream-table property above: per key the
+    // chain holds latest-(value, ts) per leaf (older event-time updates
+    // arriving late are IGNORED: t >= current), every applied update
+    // re-evaluates the join and emits — the model replays exactly that,
+    // (ts, side)-ordered within each micro-batch
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "ta" -> Entity.KTable(), "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Outer)))
+    var pq = 0
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed * 7)
+      val keys = Seq("a", "b")
+      val nA = 3 + rnd.nextInt(4)
+      val nB = 3 + rnd.nextInt(4)
+      val tsPool = rnd.shuffle((1 to (nA + nB)).toVector).map(i => 1000L + i * 7)
+      val aRows = (0 until nA).map(i =>
+        (keys(rnd.nextInt(keys.size)), rnd.nextInt(100), tsPool(i)))
+      val bRows = (0 until nB).map(j =>
+        (keys(rnd.nextInt(keys.size)), 100 + rnd.nextInt(100), tsPool(nA + j)))
+      val arrival = rnd.shuffle(
+        aRows.map(Left(_): Either[(String, Int, Long), (String, Int, Long)]) ++
+          bRows.map(Right(_): Either[(String, Int, Long), (String, Int, Long)]))
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = arrival.grouped(
+        math.max(1, (arrival.size + nBatches - 1) / nBatches)).toSeq
+
+      // arrival-order model of the 2-leaf chain state op
+      def runModel(bs: Seq[Seq[Either[(String, Int, Long), (String, Int, Long)]]]) = {
+        val slots = scala.collection.mutable.Map.empty[String, Array[(Integer, Long)]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Any, Any, Long)]
+        bs.foreach { b =>
+          b.sortBy { case Left((_, _, t)) => (t, 0); case Right((_, _, t)) => (t, 1) }
+            .foreach { rec =>
+              val (k, v, t, side) = rec match {
+                case Left((k, v, t))  => (k, v, t, 0)
+                case Right((k, v, t)) => (k, v, t, 1)
+              }
+              val s = slots.getOrElseUpdate(k, Array((null, Long.MinValue), (null, Long.MinValue)))
+              if (t >= s(side)._2) s(side) = (v, t)
+              // outer join: present once either side is; emission ts =
+              // max over PRESENT sides (absent side contributes none)
+              val lp = s(0)._1 != null; val rp = s(1)._1 != null
+              if (lp || rp)
+                out += ((k, s(0)._1, s(1)._1,
+                  math.max(if (lp) s(0)._2 else Long.MinValue,
+                    if (rp) s(1)._2 else Long.MinValue)))
+            }
+        }
+        out.toSeq.sortBy(_.toString)
+      }
+
+      val ms = MemoryStream[(Int, String, Int, Long)]
+      val raw = ms.toDF().toDF("side", "key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+      def sideOf(s: Int) = raw.filter(col("side") === s).drop("side")
+      val dfs = StreamCompiler.run(topo, Map("a" -> sideOf(0), "b" -> sideOf(1)))
+      pq += 1
+      val name = s"tt_ooo_prop_$pq"
+      val q = dfs("out").writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b =>
+          ms.addData(b.map {
+            case Left((k, v, t))  => (0, k, v, t)
+            case Right((k, v, t)) => (1, k, v, t)
+          })
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val live = spark.table(name)
+        .select(col("key"), col("value.v1"), col("value.v2"), unix_millis(col("ts")))
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getInt(1),
+          if (r.isNullAt(2)) null else r.getInt(2), r.getLong(3)))
+        .toSeq.sortBy(_.toString)
+      assert(live == runModel(batches),
+        s"seed $seed ($nBatches batches): live $live != model ${runModel(batches)}")
+    }
+  }
+
   test("congruity: LIVE stream-table INNER join drops pre-table records") {
     val topo = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
@@ -795,10 +880,13 @@ class StreamCongruitySpec extends AnyFunSuite {
     val aRows = Seq(("k", 1, 100L), ("k", 2, 300L), ("j", 4, 50L))
     val bRows = Seq(("k", 7, 150L), ("x", 9, 75L))
     for (jt <- Seq(JoinType.Inner, JoinType.Left, JoinType.Outer)) {
+      // one arm uses the SQL-parsed form: the rewrite must recognize
+      // expr("sum(value)") exactly like functions.sum(col("value"))
+      val agg = if (jt == JoinType.Left) expr("sum(value)") else sum(col("value"))
       val topo = Topology(
         Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
         Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
-          "ta" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+          "ta" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(agg))),
           "tb" -> Entity.KTable(),
           "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
         Map(Seq("ta", "tb") -> JoinConfig(jt)))
@@ -1377,6 +1465,38 @@ class StreamCongruitySpec extends AnyFunSuite {
       ("k", 1, 1000L), ("k", 2, 1050L), ("k", 5, 1500L))))("tbl")
       .filter(col("key") =!= "z")
     assert(sessionBatch(got) == sessionBatch(batch))
+  }
+
+  test("suppressed session ExprAgg emits closed sessions once (native session_window, append)") {
+    implicit val sql = spark.sqlContext
+    // the ExprAgg twin of the suppressed session FOLD test: Spark's
+    // native session_window aggregation under watermark + append mode is
+    // exactly Kafka's SessionWindows + Suppressed.untilWindowCloses
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(100L)),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value")))),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "append")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(0L))
+    val q = dfs("tbl").writeStream.format("memory").queryName("sessupexpr")
+      .outputMode("append").start()
+    try {
+      ms.addData(("k", 1, 1000L)); q.processAllAvailable()
+      ms.addData(("k", 2, 1050L), ("k", 5, 1500L)); q.processAllAvailable()
+      ms.addData(("z", 9, 100000L)); q.processAllAvailable() // close all
+    } finally q.stop()
+    val got = spark.table("sessupexpr")
+      .select(col("key"), col("value").cast("int"), col("window_start"), col("window_end"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSeq.sorted
+    assert(got == Seq(("k", 3, 1000L, 1150L), ("k", 5, 1500L, 1600L)))
   }
 
   test("eager session fold expires closed sessions from state (watermark-driven)") {
