@@ -1046,7 +1046,12 @@ object StreamCompiler {
       case f: UnresolvedFunction
           if f.nameParts.size == 1 && f.arguments.size == 1 &&
             !f.isDistinct && f.filter.isEmpty =>
-        val arg = f.arguments.head
+        val isStar = f.arguments.head
+          .isInstanceOf[org.apache.spark.sql.catalyst.analysis.Star]
+        // count(*) counts every record — same fold as count(lit(1))
+        val arg =
+          if (isStar) GraftBridge.catalystTree(lit(1)) else f.arguments.head
+        if (isStar && f.nameParts.head.toLowerCase != "count") return None
         // the argument may read the record's `value` only — unresolved
         // (col("value")) or RESOLVED (df("value")); any other reference
         // (ts, other attrs) has no meaning inside a running fold

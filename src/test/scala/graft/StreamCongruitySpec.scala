@@ -901,6 +901,54 @@ class StreamCongruitySpec extends AnyFunSuite {
     }
   }
 
+  test("congruity: ExprAgg(count(*)) rewrites — star counts every record") {
+    val aRows = Seq(("k", 1, 100L), ("k", 2, 300L), ("j", 4, 50L))
+    val bRows = Seq(("k", 7, 150L), ("j", 9, 75L))
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "ta" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(expr("count(*)")))),
+        "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner)))
+    val batch = BatchCompiler.run(topo,
+      Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
+    val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
+      sink = "jn", mode = "update")
+    assert(joinFinals(stream, "long", lastPerKey = true) ==
+      joinFinals(batch, "long"))
+    assert(joinFinals(batch, "long") == Seq(Seq("j", 1L, 9), Seq("k", 2L, 7)))
+  }
+
+  test("plan shape: a 3-table live join chain compiles to exactly ONE stateful operator") {
+    implicit val sql = spark.sqlContext
+    // the scale-load-bearing invariant behind the whole chain design:
+    // Spark rejects nested flatMapGroupsWithState in update mode, so any
+    // regression to stacked state ops would fail at runtime — catch the
+    // plan SHAPE here instead
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "c" -> "tc",
+        "ta" -> "j1", "tb" -> "j1", "j1" -> "j2", "tc" -> "j2", "j2" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"), "c" -> Entity.Topic("c"),
+        "ta" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0L), (acc, v) => acc + v))),
+        "tb" -> Entity.KTable(),
+        "tc" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "j1" -> Entity.KTable(), "j2" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner),
+        Seq("j1", "tc") -> JoinConfig(JoinType.Left)))
+    val ms = MemoryStream[(String, Int, Long)]
+    def rec = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("a" -> rec, "b" -> rec, "c" -> rec))
+    val stateOps = dfs("out").queryExecution.logical.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState => f
+    }
+    assert(stateOps.size == 1,
+      s"expected ONE co-grouped state operator for the whole join tree, got ${stateOps.size}")
+  }
+
   test("congruity: ExprAgg(avg) rewrite folds (sum, count) and finishes the quotient") {
     // exercises the FoldSpec.finish projection: the acc is struct(s, c),
     // the joined contribution is the double quotient, exactly batch's avg
