@@ -37,6 +37,11 @@ class TopologyGenSpec extends AnyFunSuite {
       aggregate = Some(AggSpec.FoldAgg(lit(0L), (a, v) => a + v)))),
     1 -> Gen.const(Entity.KTable(
       window = Some(WindowSpec.TimeWindows.tumbling(1000L)),
+      aggregate = Some(AggSpec.FoldAgg(lit(0L), (a, v) => a + v)))),
+    // session-windowed folds lower live since round 9 (merging-window
+    // state op) — generate them so congruity covers random shapes
+    1 -> Gen.const(Entity.KTable(
+      window = Some(WindowSpec.SessionWindows(500L)),
       aggregate = Some(AggSpec.FoldAgg(lit(0L), (a, v) => a + v)))))
 
   /** Linear chain topic → middle* → topic, the generative shape of
