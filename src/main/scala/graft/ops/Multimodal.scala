@@ -376,6 +376,7 @@ object Multimodal {
     val moov = top.collectFirst { case ("moov", f, t) => (f, t) }
     val inMoov = moov.map { case (f, t) => boxes(f, t) }.getOrElse(Nil)
     val durationMs = inMoov.collectFirst { case ("mvhd", f, t) => (f, t) }.flatMap {
+      case (f, t) if t - f < 4 => None // empty/truncated box: no version byte
       case (f, t) =>
         val v = b(f) & 0xff
         if (v == 1 && t - f >= 32) {
@@ -389,6 +390,7 @@ object Multimodal {
     val traks = inMoov.collect { case ("trak", f, t) => (f, t) }
     val dims = traks.iterator.flatMap { case (f, t) =>
       boxes(f, t).collectFirst { case ("tkhd", tf, tt) => (tf, tt) }.flatMap {
+        case (tf, tt) if tt - tf < 4 => None // no version byte to read
         case (tf, tt) =>
           val v = b(tf) & 0xff
           val base = if (v == 1) 88 else 76 // 16.16 width/height at the box tail

@@ -1008,13 +1008,23 @@ object StreamCompiler {
 
   /** Does this table's groupBy read the parent's `value` column? (A
     * value-dependent group key cannot lower onto member-keyed state —
-    * see [[memberLeaf]]'s error. References are collected from the
-    * analyzed plan generically: a groupBy expression may analyze to
-    * more than a bare Project.) */
-  private def valueDependentGroup(t: Entity.KTable, src: DataFrame): Boolean =
-    src.select(t.groupBy.getOrElse(col(KeyCol)).as("__g"))
-      .queryExecution.analyzed.expressions
-      .flatMap(_.references).exists(_.name == ValueCol)
+    * see [[memberLeaf]]'s error.) Analyzed against an EMPTY schema twin,
+    * not `src` itself: the real DataFrame drags its whole lineage into
+    * the analyzed plan, where upstream nodes legitimately reference
+    * `value`. References are collected from every NON-LEAF node — a
+    * groupBy may analyze to more than a bare Project (e.g. a generator
+    * becomes Project-over-Generate, with the value reference on the
+    * Generate node); the leaf twin's own output attributes are skipped
+    * (every leaf "references" all its columns). */
+  private def valueDependentGroup(t: Entity.KTable, src: DataFrame): Boolean = {
+    val spark = src.sparkSession
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
+    probe.select(t.groupBy.getOrElse(col(KeyCol)).as("__g"))
+      .queryExecution.analyzed
+      .collect { case n if n.children.nonEmpty => n.expressions }
+      .flatten.flatMap(_.references).exists(_.name == ValueCol)
+  }
 
   /** Rewrite a retractable [[AggSpec.ExprAgg]] into an equivalent
     * [[FoldSpec]] so an ExprAgg-aggregated KTable can join LIVE on the
@@ -1036,7 +1046,13 @@ object StreamCompiler {
     * DOUBLE (the fold acc must hold the widened type exactly — decimal
     * widening differs between the agg and the fold's `+`). Returns None
     * when the expression isn't one of these — the caller keeps the
-    * loud non-retractable error. */
+    * loud non-retractable error.
+    *
+    * Documented divergence (Kafka-tombstone vs SQL-null): on the live
+    * path a null member value DELETES the member (KTable tombstone), so
+    * a rewritten `count(*)` no longer counts it — while the batch twin's
+    * latest-per-key RETAINS the null-valued row and `count(*)` counts
+    * it. sum/avg/count(value) agree either way (SQL skips nulls). */
   private[stream] def exprAggAsFold(
       df: DataFrame, e: Column, needSubtractor: Boolean): Option[FoldSpec] = {
     import org.apache.spark.sql.GraftBridge
@@ -1087,13 +1103,32 @@ object StreamCompiler {
         def sub(f: (Column, Column) => Column) =
           if (needSubtractor) Some(f) else None
         f.nameParts.head.toLowerCase match {
-          case "sum" =>
+          case "sum" if !needSubtractor =>
             resultType.collect { case t @ (LongType | DoubleType) =>
               FoldSpec(
                 init = lit(null).cast(t),
                 adder = (acc, v) => coalesce(acc + fv(v), fv(v).cast(t), acc),
-                subtractor = sub((acc, v) =>
-                  when(fv(v).isNull, acc).otherwise(acc - fv(v))))
+                subtractor = None)
+            }
+          case "sum" =>
+            // retractable sum needs a non-null-contribution COUNT in the
+            // acc: a bare running total cannot return to NULL once every
+            // non-null member is retracted (SQL sum over all-null = NULL,
+            // and the batch twin keeps null-valued member rows) — same
+            // (value, count) + finish shape as avg
+            resultType.collect { case t @ (LongType | DoubleType) =>
+              val tn = t.sql.toLowerCase
+              val s = (a: Column) => a.getField("s")
+              val c = (a: Column) => a.getField("c")
+              FoldSpec(
+                init = struct(lit(null).cast(t).as("s"), lit(0L).as("c"))
+                  .cast(s"struct<s:$tn,c:bigint>"),
+                adder = (acc, v) => when(fv(v).isNull, acc).otherwise(struct(
+                  coalesce(s(acc) + fv(v).cast(t), fv(v).cast(t)).as("s"),
+                  (c(acc) + 1L).as("c"))),
+                subtractor = sub((acc, v) => when(fv(v).isNull, acc).otherwise(struct(
+                  (s(acc) - fv(v).cast(t)).as("s"), (c(acc) - 1L).as("c")))),
+                finish = Some(a => when(c(a) > 0L, s(a))))
             }
           case "count" =>
             Some(FoldSpec(

@@ -531,6 +531,13 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
         if (b.nonEmpty && i % 2 == 0) b.updated(rnd.nextInt(b.length), rnd.nextInt(256).toByte)
         else b
       }
+    // ftyp + moov containing an EMPTY mvhd leaf ending exactly at EOF:
+    // the parser must length-check before reading the version byte
+    val emptyLeaf = java.nio.ByteBuffer.allocate(28)
+      .putInt(12).put("ftypisom".getBytes)
+      .putInt(16).put("moov".getBytes)
+      .putInt(8).put("mvhd".getBytes).array()
+    assert(graft.ops.Multimodal.parseMp4(emptyLeaf).exists(_._1 == "isom"))
     val mp4ish = "....ftypisom....".getBytes ++ Array.fill(64)(rnd.nextInt(256).toByte)
     val mp3ish = "ID3".getBytes ++ Array.fill(64)(rnd.nextInt(256).toByte)
     val webpish = "RIFF....WEBPVP8X".getBytes ++ Array.fill(32)(rnd.nextInt(256).toByte)

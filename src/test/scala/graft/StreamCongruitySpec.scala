@@ -997,6 +997,35 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(joinFinals(batch, "long") == Seq(Seq("g0", 8L, 77)))
   }
 
+  test("rewritten sum returns NULL (not 0) when every non-null member is retracted") {
+    implicit val sql = spark.sqlContext
+    // member k1: 5 → null (sentinel 99 mapped upstream). Batch keeps the
+    // null-valued member row, so the group EXISTS with sum NULL; the
+    // live (s, c) acc must finish to NULL too — a bare running total
+    // would emit 0
+    val topo = Topology(
+      Seq("in" -> "mx", "mx" -> "mt", "mt" -> "grp", "b" -> "tb",
+        "grp" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "mx" -> Entity.KStream(Some(Xform.MapValue(
+          when(col("value") === 99, lit(null)).otherwise(col("value"))))),
+        "mt" -> Entity.KTable(),
+        "grp" -> Entity.KTable(groupBy = Some(lit("g")),
+          aggregate = Some(AggSpec.ExprAgg(sum(col("value"))))),
+        "b" -> Entity.Topic("b"), "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("grp", "tb") -> JoinConfig(JoinType.Inner)))
+    val inRows = Seq(("k1", 5, 100L), ("k1", 99, 200L))
+    val bRows = Seq(("g", 77, 150L))
+    val batch = BatchCompiler.run(topo,
+      Map("in" -> records(inRows: _*), "b" -> records(bRows: _*)))("jn")
+    val stream = runStreaming(topo, Map("in" -> inRows, "b" -> bRows),
+      sink = "jn", mode = "update")
+    def canon(df: DataFrame, last: Boolean) = joinFinals(df, "long", lastPerKey = last)
+    assert(canon(stream, true) == canon(batch, false))
+    assert(canon(batch, false) == Seq(Seq("g", null, 77)))
+  }
+
   test("ExprAgg(min) rewrites over an append stream but NOT over a table parent") {
     implicit val sql = spark.sqlContext
     // min/max cannot retract: fine over a stream (nothing is replaced),
@@ -1660,6 +1689,29 @@ class StreamCongruitySpec extends AnyFunSuite {
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(stateRows == 1L, s"expected only the table key in state, got $stateRows")
     } finally q.stop()
+  }
+
+  test("VALUE-dependent groupBy is caught even when it analyzes to a multi-node plan") {
+    implicit val sql = spark.sqlContext
+    // a generator groupBy (stack) analyzes to Project-over-Generate: the
+    // value reference sits on the GENERATE node, not the root — the
+    // guard must scan the whole tree, not just the root's expressions
+    val topo = Topology(
+      Seq("in" -> "mt", "mt" -> "grp", "grp" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "mt" -> Entity.KTable(),
+        "grp" -> Entity.KTable(
+          groupBy = Some(stack(lit(2), col("value"), col("value"))),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v,
+            subtractor = Some((acc, v) => acc - v)))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val e = intercept[RuntimeException] {
+      StreamCompiler.run(topo, Map("in" -> src))
+    }
+    assert(e.getMessage.contains("VALUE-dependent"))
   }
 
   test("KGroupedTable with a VALUE-dependent groupBy errors loudly") {
