@@ -1434,16 +1434,20 @@ class StreamCongruitySpec extends AnyFunSuite {
   }
 
   /** Reconstruct a session fold's FINAL windows from its eager changelog:
-    * per (key, window_start), updates carry strictly growing window_end
+    * per (key, window_start), updates carry non-decreasing window_end
     * and a tombstone (null value) shares the we of the last update it
-    * retracts — so the max-(we, null-last) row is the session's fate:
-    * null = merged away, else the final acc. */
+    * retracts — so the max-(we, null-last, emission-order) row is the
+    * session's fate: null = merged away, else the final acc. The
+    * emission-order tiebreak (memory-sink insertion order) resolves
+    * same-(ws, we) re-emissions after interior out-of-order arrivals. */
   private def sessionFinals(df: DataFrame): Seq[(String, Int, Long, Long)] =
     df.select("key", "value", "window_start", "window_end").collect()
-      .groupBy(r => (r.getString(0), r.getTimestamp(2).getTime)).toSeq
+      .zipWithIndex
+      .groupBy { case (r, _) => (r.getString(0), r.getTimestamp(2).getTime) }.toSeq
       .flatMap { case ((k, ws), es) =>
-        val last = es.maxBy(r =>
-          (r.getTimestamp(3).getTime, if (r.isNullAt(1)) 1 else 0))
+        val (last, _) = es.maxBy { case (r, i) =>
+          (r.getTimestamp(3).getTime, if (r.isNullAt(1)) 1 else 0, i)
+        }
         if (last.isNullAt(1)) None
         else Some((k, last.getInt(1), ws, last.getTimestamp(3).getTime))
       }.sorted
@@ -1542,6 +1546,69 @@ class StreamCongruitySpec extends AnyFunSuite {
       ("k", 1, 1000L), ("k", 2, 1050L), ("k", 5, 1500L))))("tbl")
       .filter(col("key") =!= "z")
     assert(sessionBatch(got) == sessionBatch(batch))
+  }
+
+  test("property: session fold matches batch finals under ANY arrival order and batching") {
+    implicit val sql = spark.sqlContext
+    // the operator's strongest claim: because open sessions buffer their
+    // events and re-fold in event-time order on merge/out-of-order
+    // arrival, the FINAL window state equals batch for EVERY shuffle of
+    // the feed and EVERY micro-batch split (no watermark → nothing is
+    // late). The fold is string concat — deliberately NON-commutative,
+    // so any ordering mistake in the re-fold shows up in the value.
+    val gap = 100L
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(gap)),
+          aggregate = Some(AggSpec.FoldAgg(lit(""),
+            (acc, v) => concat(acc, lit("|"), v.cast("string"))))),
+        "out" -> Entity.Topic("out")))
+    var pq = 0
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed * 31)
+      val keys = Seq("a", "b")
+      val n = 6 + rnd.nextInt(6)
+      // clustered ts so sessions actually merge: offsets within 0..3*gap
+      val rows = (0 until n).map { i =>
+        (keys(rnd.nextInt(keys.size)), rnd.nextInt(90),
+          1000L + rnd.nextInt((3 * gap).toInt) * 4 + i) // unique ts
+      }
+      val arrival = rnd.shuffle(rows)
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = arrival.grouped(
+        math.max(1, (arrival.size + nBatches - 1) / nBatches)).toSeq
+      val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("tbl")
+      val ms = MemoryStream[(String, Int, Long)]
+      val src = ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+      val dfs = StreamCompiler.run(topo, Map("in" -> src))
+      pq += 1
+      val name = s"sess_prop_$pq"
+      val q = dfs("tbl").writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      def canon(df: DataFrame) = df
+        .select("key", "value", "window_start", "window_end").collect()
+        .zipWithIndex
+        .groupBy { case (r, _) => (r.getString(0), r.getTimestamp(2).getTime) }.toSeq
+        .flatMap { case ((k, ws), es) =>
+          val (last, _) = es.maxBy { case (r, i) =>
+            (r.getTimestamp(3).getTime, if (r.isNullAt(1)) 1 else 0, i)
+          }
+          if (last.isNullAt(1)) None
+          else Some((k, last.getString(1), ws, last.getTimestamp(3).getTime))
+        }.sorted
+      val batchFinals = batch
+        .select("key", "value", "window_start", "window_end").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSeq.sorted
+      assert(canon(spark.table(name)) == batchFinals,
+        s"seed $seed ($nBatches batches, ${rows.size} events)")
+    }
   }
 
   test("suppressed session ExprAgg emits closed sessions once (native session_window, append)") {
