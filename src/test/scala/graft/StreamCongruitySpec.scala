@@ -1643,6 +1643,45 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(got == Seq(("k", 3, 1000L, 1150L), ("k", 5, 1500L, 1600L)))
   }
 
+  test("suppressed session fold merges across batches, then emits the MERGED session once") {
+    implicit val sql = spark.sqlContext
+    // merging + event-time timeout interplay: two open sessions bridge
+    // in a later batch (re-arming the timeout for the merged bounds),
+    // and only the MERGED session ever emits — the consumed windows
+    // never appear in append output. The watermark DELAY must admit the
+    // out-of-order bridge (with delay 0 the engine's late filter drops
+    // it before the operator — watermark semantics, not a merge bug)
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(200L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v)),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "append")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(500L))
+    val q = dfs("tbl").writeStream.format("memory").queryName("sessupmerge")
+      .outputMode("append").start()
+    try {
+      ms.addData(("k", 1, 1000L), ("k", 2, 1300L)); q.processAllAvailable()
+      ms.addData(("k", 4, 1150L)); q.processAllAvailable() // bridges both
+      ms.addData(("z", 9, 100000L)); q.processAllAvailable() // closes all
+    } finally q.stop()
+    val got = spark.table("sessupmerge").filter(col("key") === "k")
+      .select(col("key"), col("value"), col("window_start"), col("window_end"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSeq
+    // exactly ONE row: the merged [1000, 1500) session, sum 7
+    assert(got == Seq(("k", 7, 1000L, 1500L)))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(
+      ("k", 1, 1000L), ("k", 2, 1300L), ("k", 4, 1150L))))("tbl")
+    assert(sessionBatch(batch) == Seq(("k", 7, 1000L, 1500L)))
+  }
+
   test("eager session fold expires closed sessions from state (watermark-driven)") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
