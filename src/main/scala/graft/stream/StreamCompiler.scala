@@ -1062,12 +1062,21 @@ object StreamCompiler {
       case f: UnresolvedFunction
           if f.nameParts.size == 1 && f.arguments.size == 1 &&
             !f.isDistinct && f.filter.isEmpty =>
-        val isStar = f.arguments.head
-          .isInstanceOf[org.apache.spark.sql.catalyst.analysis.Star]
-        // count(*) counts every record — same fold as count(lit(1))
+        // UNTARGETED count(*) counts every record — same fold as
+        // count(lit(1)). A TARGETED star (count(value.*)) expands to the
+        // struct's fields and counts all-non-null rows — NOT
+        // every-record — so only the bare star rewrites; targeted stars
+        // (under any aggregate) decline into the loud join-site error
+        val isBareStar = f.arguments.head match {
+          case s: org.apache.spark.sql.catalyst.analysis.UnresolvedStar =>
+            s.target.isEmpty
+          case _ => false
+        }
+        if (!isBareStar && f.arguments.head
+            .isInstanceOf[org.apache.spark.sql.catalyst.analysis.Star]) return None
         val arg =
-          if (isStar) GraftBridge.catalystTree(lit(1)) else f.arguments.head
-        if (isStar && f.nameParts.head.toLowerCase != "count") return None
+          if (isBareStar) GraftBridge.catalystTree(lit(1)) else f.arguments.head
+        if (isBareStar && f.nameParts.head.toLowerCase != "count") return None
         // the argument may read the record's `value` only — unresolved
         // (col("value")) or RESOLVED (df("value")); any other reference
         // (ts, other attrs) has no meaning inside a running fold
@@ -1084,6 +1093,20 @@ object StreamCompiler {
               if a.name == ValueCol =>
             GraftBridge.catalystTree(v)
         })
+        // the SUBSTITUTED argument must analyze against a (__v)-only row:
+        // reference forms the allowlist above can't see (UnresolvedRegex,
+        // qualified names) survive substitution still pointing at the
+        // input and would otherwise fail much later with an opaque
+        // chain-bind error — decline the rewrite here instead
+        val substitutable = scala.util.Try {
+          import org.apache.spark.sql.types.{StructField, StructType}
+          val spark = df.sparkSession
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("__v", df.schema(ValueCol).dataType))))
+            .select(fv(col("__v")).as("__r")).schema
+        }.isSuccess
+        if (!substitutable) return None
         // the aggregate's RESULT type on this input (sum widens int→long
         // etc.) — the fold acc must live at exactly that type. Analyzed
         // on a local empty twin (df itself may be streaming).

@@ -997,6 +997,38 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(joinFinals(batch, "long") == Seq(Seq("g0", 8L, 77)))
   }
 
+  test("congruity: count(*) over a live TABLE parent — member replace does not double-count") {
+    implicit val sql = spark.sqlContext
+    // the member-keyed (retractable) count path: k1's 10→3 replace must
+    // subtract before adding (count stays 1), mm adds a second member
+    val topo = Topology(
+      Seq("in" -> "mt", "mt" -> "grp", "grp" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "mt" -> Entity.KTable(),
+        "grp" -> Entity.KTable(groupBy = Some(lit("g")),
+          aggregate = Some(AggSpec.ExprAgg(expr("count(*)")))),
+        "out" -> Entity.Topic("out")))
+    assert(StreamCompiler.modeFor(topo) == "update")
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("grp").writeStream.format("memory").queryName("countstar_tbl")
+      .outputMode("update").start()
+    val rows = Seq(("k1", 10, 100L), ("k1", 3, 200L), ("mm", 5, 300L))
+    try {
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      ms.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("countstar_tbl").select("key", "value", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime))
+    // eager changelog: 1 (add k1), 1 (replace k1: retract+add), 2 (add mm)
+    assert(got.sortBy(_._3).map(_._2).toSeq == Seq(1L, 1L, 2L))
+    val batch = BatchCompiler.run(topo, Map("in" -> records(rows: _*)))("grp")
+    assert(batch.select(col("key"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("g", 2L)))
+  }
+
   test("rewritten sum returns NULL (not 0) when every non-null member is retracted") {
     implicit val sql = spark.sqlContext
     // member k1: 5 → null (sentinel 99 mapped upstream). Batch keeps the
