@@ -1643,6 +1643,33 @@ class StreamCongruitySpec extends AnyFunSuite {
     }
   }
 
+  test("hot session: 20k in-order events fold incrementally (cached acc, not O(n^2) re-folds)") {
+    implicit val sql = spark.sqlContext
+    // within a micro-batch the operator sorts by ts first, so every
+    // extension takes the O(1) cached-acc path; a regression to
+    // re-folding the buffer per event would be ~2e8 Catalyst evals and
+    // time out the suite rather than pass in seconds
+    val n = 20000
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(10000L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0L), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    ms.addData((1 to n).map(i => ("hot", 1, 1000L + i)))
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    val dfs = StreamCompiler.run(topo, Map("in" -> src))
+    val q = dfs("tbl").writeStream.format("memory").queryName("hotsess")
+      .outputMode("update").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val finals = sessionFinals(spark.table("hotsess").withColumn("value",
+      col("value").cast("int")))
+    assert(finals == Seq(("hot", n, 1001L, 1000L + n + 10000L)))
+  }
+
   test("suppressed session ExprAgg emits closed sessions once (native session_window, append)") {
     implicit val sql = spark.sqlContext
     // the ExprAgg twin of the suppressed session FOLD test: Spark's
