@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dsl._
 import graft.batch.BatchCompiler
-import graft.ops.{Dedup, Keyed, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{CacheScope, Dedup, Keyed, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — named batch queries + DuckDB oracle twins.
   *
@@ -421,9 +421,11 @@ object SparkEntry {
       n = 3, threshold = 0.5, maxDf = 100)
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // one row per doc, consumed by banding + both sides of the est join
-    val sigs = Dedup.minHashSignatures(cpuTable(s, dir, "documents"), "doc_id",
-      col("text"), n = 3, k = 8).persist()
+    // one row per doc, consumed by banding + both sides of the est join;
+    // session-scoped like every operator cache (freed by clearCache)
+    val sigs = CacheScope.session.cache(
+      Dedup.minHashSignatures(cpuTable(s, dir, "documents"), "doc_id",
+        col("text"), n = 3, k = 8))
     val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 4,
       maxBucket = LshMaxBucket)
     val sa = sigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
@@ -436,8 +438,10 @@ object SparkEntry {
   }
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.simHashSignatures(cpuTable(s, dir, "documents"), "doc_id", col("text"))
-      .persist() // one row per doc, read by both banded join sides
+    // one row per doc, read by both banded join sides; session-scoped
+    // like every operator cache (freed by clearCache)
+    val sigs = CacheScope.session.cache(
+      Dedup.simHashSignatures(cpuTable(s, dir, "documents"), "doc_id", col("text")))
     Dedup.simHashPairs(sigs, "doc_id", bits = 32, maxHamming = 3,
       maxBucket = LshMaxBucket)
       .withColumn("hamming", col("hamming").cast("long"))

@@ -353,8 +353,12 @@ object Multimodal {
   private[graft] def parseMp4(b: Array[Byte]): Option[(String, Option[Double], Option[Long], Option[Long], Int)] = {
     if (b == null || b.length < 16) return None
     // (type, payloadFrom, payloadTo) for each well-formed box in
-    // [from, to); a malformed size stops the walk cleanly (no partial box)
-    def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+    // [from, to); a malformed size stops the walk cleanly (no partial box).
+    // size==0 ("extends to end of file") is legal ONLY for the last
+    // TOP-LEVEL box (ISO 14496-12 §4.2); a nested size-0 box would
+    // silently swallow its following siblings (mvhd/trak after it inside
+    // moov), so below top level it is treated as malformed instead.
+    def boxes(from: Int, to: Int, topLevel: Boolean): Seq[(String, Int, Int)] = {
       val acc = Seq.newBuilder[(String, Int, Int)]
       var off = from
       var live = true
@@ -363,18 +367,18 @@ object Multimodal {
         val typ = fourcc(b, off + 4)
         val (hdr, size) =
           if (size0 == 1 && off + 16 <= to) (16L, beU64(b, off + 8))
-          else if (size0 == 0) (8L, (to - off).toLong) // box extends to EOF
-          else (8L, size0)
+          else if (size0 == 0 && topLevel) (8L, (to - off).toLong)
+          else (8L, size0) // nested size-0 falls through: size < hdr stops
         if (size < hdr || off + size > to) live = false
         else { acc += ((typ, off + hdr.toInt, (off + size).toInt)); off += size.toInt }
       }
       acc.result()
     }
-    val top = boxes(0, b.length)
+    val top = boxes(0, b.length, topLevel = true)
     val brand = top.collectFirst { case ("ftyp", f, t) if t - f >= 4 => fourcc(b, f) }
     if (brand.isEmpty) return None // not ISO-BMFF
     val moov = top.collectFirst { case ("moov", f, t) => (f, t) }
-    val inMoov = moov.map { case (f, t) => boxes(f, t) }.getOrElse(Nil)
+    val inMoov = moov.map { case (f, t) => boxes(f, t, topLevel = false) }.getOrElse(Nil)
     val durationMs = inMoov.collectFirst { case ("mvhd", f, t) => (f, t) }.flatMap {
       case (f, t) if t - f < 4 => None // empty/truncated box: no version byte
       case (f, t) =>
@@ -389,7 +393,8 @@ object Multimodal {
     }
     val traks = inMoov.collect { case ("trak", f, t) => (f, t) }
     val dims = traks.iterator.flatMap { case (f, t) =>
-      boxes(f, t).collectFirst { case ("tkhd", tf, tt) => (tf, tt) }.flatMap {
+      boxes(f, t, topLevel = false)
+        .collectFirst { case ("tkhd", tf, tt) => (tf, tt) }.flatMap {
         case (tf, tt) if tt - tf < 4 => None // no version byte to read
         case (tf, tt) =>
           val v = b(tf) & 0xff
@@ -424,9 +429,13 @@ object Multimodal {
   /** REAL MPEG audio (MP3) frame-header parse per the PUBLIC MPEG-1/2
     * audio spec: skips an ID3v2 tag (synchsafe size), scans to the first
     * frame sync (11 set bits), decodes version/layer/bitrate/sample-rate/
-    * channel-mode from the 4-byte header, and estimates duration from the
-    * audio byte count at the frame's bitrate (exact for CBR). Layer III
-    * only — that IS mp3; Layer I/II sync patterns return None. */
+    * channel-mode from the 4-byte header, and computes duration EXACTLY
+    * from a Xing/Info header's frame count when the first frame carries
+    * one (the VBR case — a byte-count estimate at the first frame's
+    * bitrate would be wildly wrong there); otherwise estimates from the
+    * audio byte count at the frame's bitrate (exact for CBR), excluding
+    * a trailing ID3v1 tag from the byte count. Layer III only — that IS
+    * mp3; Layer I/II sync patterns return None. */
   private[graft] def parseMp3(b: Array[Byte]): Option[(String, Int, Int, Int, Double)] = {
     if (b == null || b.length < 4) return None
     var off = 0
@@ -436,6 +445,12 @@ object Multimodal {
       off = 10 + sz
     }
     val audioStart = off
+    // a 128-byte ID3v1 footer is metadata, not audio — exclude it from
+    // the CBR byte-count estimate
+    val audioEnd =
+      if (b.length - audioStart >= 128 + 4 && b(b.length - 128) == 'T' &&
+          b(b.length - 127) == 'A' && b(b.length - 126) == 'G') b.length - 128
+      else b.length
     while (off + 4 <= b.length) {
       if ((b(off) & 0xff) == 0xff && (b(off + 1) & 0xe0) == 0xe0) {
         val verBits = (b(off + 1) >> 3) & 0x3 // 0=2.5, 2=MPEG2, 3=MPEG1
@@ -455,7 +470,27 @@ object Multimodal {
           val version = verBits match {
             case 3 => "MPEG1"; case 2 => "MPEG2"; case _ => "MPEG2.5"
           }
-          val durationMs = (b.length - audioStart) * 8.0 / (kbps * 1000.0) * 1000.0
+          // Xing/Info header (LAME/Fraunhofer VBR tag, public format):
+          // sits after the Layer III side info — MPEG1: 17 (mono) / 32
+          // bytes, MPEG2/2.5: 9 / 17 — and carries a 32-bit flags word;
+          // flags bit 0 = a 32-bit total FRAME count follows. frames ×
+          // samples-per-frame (1152 MPEG1 LIII, 576 MPEG2/2.5) / rate is
+          // the exact duration, independent of bitrate variation.
+          val sideInfo = (v1, mode == 3) match {
+            case (true, true) => 17; case (true, false) => 32
+            case (false, true) => 9; case (false, false) => 17
+          }
+          val xingOff = off + 4 + sideInfo
+          val xingDur =
+            if (xingOff + 8 <= b.length &&
+                (fourcc(b, xingOff) == "Xing" || fourcc(b, xingOff) == "Info") &&
+                (beU32(b, xingOff + 4) & 1L) != 0 && xingOff + 12 <= b.length) {
+              val frames = beU32(b, xingOff + 8)
+              val spf = if (v1) 1152 else 576
+              Some(frames * spf * 1000.0 / sr)
+            } else None
+          val durationMs = xingDur.getOrElse(
+            (audioEnd - audioStart) * 8.0 / (kbps * 1000.0) * 1000.0)
           return Some((version, kbps, sr, if (mode == 3) 1 else 2, durationMs))
         }
         off += 1 // false sync (or non-Layer-III): keep scanning

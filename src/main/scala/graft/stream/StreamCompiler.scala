@@ -87,11 +87,20 @@ object StreamCompiler {
     * `streams.clj:44-50`): its changelog values are `struct(__mk, __mv)`
     * member updates, leaf state adds a latest-(value, ts)-per-member map,
     * and replacing a member's value subtracts the old before adding the
-    * new (a null `__mv` is a member delete: subtract only). */
+    * new (a null `__mv` is a member delete: subtract only).
+    *
+    * `foldNulls` selects the null-record policy for a plain (adder-only)
+    * fold leaf: false = Kafka KGroupedStream semantics, a null value is
+    * a tombstone no-op (the default, for user FoldAggs); true = SQL
+    * aggregate semantics, EVERY record reaches the adder with its (maybe
+    * null) value — set by [[exprAggAsFold]] so a rewritten `count(*)`
+    * counts null-valued stream records exactly like the native agg it
+    * replaces (the rewritten adders are all null-argument-safe). */
   final case class FoldSpec(init: Column, adder: (Column, Column) => Column,
       subtractor: Option[(Column, Column) => Column] = None,
       maxGroup: Option[Long] = None,
-      finish: Option[Column => Column] = None)
+      finish: Option[Column => Column] = None,
+      foldNulls: Boolean = false)
 
   /** One leaf of a pending table-join tree: the raw changelog, plus the
     * running-fold spec when the leaf is an aggregated (FoldAgg) table —
@@ -639,6 +648,9 @@ object StreamCompiler {
     // member updates; their fold runs over the __mv type
     private val subKeyed: Array[Boolean] =
       leaves.map(_.fold.exists(_.subtractor.isDefined)).toArray
+    // null-record policy per plain fold leaf (see FoldSpec.foldNulls)
+    private val foldNulls: Array[Boolean] =
+      leaves.map(_.fold.exists(_.foldNulls)).toArray
     private val folds: Array[Option[ResolvedFold]] =
       leaves.zip(rawTypes).zipWithIndex.map { case ((lf, vt), i) =>
         val foldVt =
@@ -723,8 +735,12 @@ object StreamCompiler {
           }
         case Some(rf) =>
           // KGroupedStream adder semantics: every record folds in; null
-          // values are tombstone no-ops (Kafka Streams skips them)
-          if (v != null) {
+          // values are tombstone no-ops (Kafka Streams skips them) —
+          // EXCEPT under foldNulls (rewritten ExprAggs), where a null
+          // value reaches the adder like any other so the fold matches
+          // the native SQL aggregate it replaced (count(*) counts the
+          // record; sum/avg/min/max adders skip a null argument anyway)
+          if (v != null || foldNulls(side)) {
             val acc0 = if (ts(side) == Long.MinValue) rf.initValue else vs(side)
             vs(side) = rf.step(acc0, v)
             ts(side) = math.max(ts(side), t)
@@ -1049,10 +1065,17 @@ object StreamCompiler {
     * loud non-retractable error.
     *
     * Documented divergence (Kafka-tombstone vs SQL-null): on the live
-    * path a null member value DELETES the member (KTable tombstone), so
-    * a rewritten `count(*)` no longer counts it — while the batch twin's
-    * latest-per-key RETAINS the null-valued row and `count(*)` counts
-    * it. sum/avg/count(value) agree either way (SQL skips nulls). */
+    * path a null MEMBER value DELETES the member (KTable tombstone), so
+    * a rewritten `count(*)` over a TABLE parent no longer counts it —
+    * while the batch twin's latest-per-key RETAINS the null-valued row
+    * and `count(*)` counts it. sum/avg/count(value) agree either way
+    * (SQL skips nulls). Over an append-STREAM parent there is NO such
+    * divergence: the rewritten specs set [[FoldSpec.foldNulls]], so a
+    * null-valued stream record reaches the (null-safe) adder exactly as
+    * it reaches the native aggregate — `count(*)` counts it, the others
+    * skip the null argument — instead of being dropped as a Kafka
+    * tombstone before the fold (congruity-tested with null-carrying
+    * streams). */
   private[stream] def exprAggAsFold(
       df: DataFrame, e: Column, needSubtractor: Boolean): Option[FoldSpec] = {
     import org.apache.spark.sql.GraftBridge
@@ -1131,7 +1154,7 @@ object StreamCompiler {
               FoldSpec(
                 init = lit(null).cast(t),
                 adder = (acc, v) => coalesce(acc + fv(v), fv(v).cast(t), acc),
-                subtractor = None)
+                subtractor = None, foldNulls = true)
             }
           case "sum" =>
             // retractable sum needs a non-null-contribution COUNT in the
@@ -1158,7 +1181,8 @@ object StreamCompiler {
               init = lit(0L),
               adder = (acc, v) => acc + when(fv(v).isNotNull, 1L).otherwise(0L),
               subtractor = sub((acc, v) =>
-                acc - when(fv(v).isNotNull, 1L).otherwise(0L))))
+                acc - when(fv(v).isNotNull, 1L).otherwise(0L)),
+              foldNulls = true))
           case "avg" | "mean" =>
             resultType.collect { case DoubleType =>
               val s = (a: Column) => a.getField("s")
@@ -1173,7 +1197,7 @@ object StreamCompiler {
                   (c(acc) + 1L).as("c"))),
                 subtractor = sub((acc, v) => when(fv(v).isNull, acc).otherwise(struct(
                   (s(acc) - fv(v).cast("double")).as("s"), (c(acc) - 1L).as("c")))),
-                finish = Some(a => when(c(a) > 0L, s(a) / c(a))))
+                finish = Some(a => when(c(a) > 0L, s(a) / c(a))), foldNulls = true)
             }
           case "min" | "max" if !needSubtractor =>
             // least/greatest skip nulls, exactly the aggregate's null rule
@@ -1181,7 +1205,7 @@ object StreamCompiler {
               if (f.nameParts.head.equalsIgnoreCase("min")) least(_, _) else greatest(_, _)
             resultType.map(t => FoldSpec(
               init = lit(null).cast(t),
-              adder = (acc, v) => pick(acc, fv(v).cast(t))))
+              adder = (acc, v) => pick(acc, fv(v).cast(t)), foldNulls = true))
           case _ => None
         }
       case _ => None

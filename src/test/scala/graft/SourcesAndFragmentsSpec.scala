@@ -456,6 +456,47 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(got(2L) == ((None, None, None, None, None, false)))
     // malformed interior boxes: parse stops cleanly, brand still read
     assert(got(3L)._1 == Some("isom") && got(3L)._6 == true)
+
+    // nested size-0 box: ISO 14496-12 permits "extends to EOF" only for
+    // the LAST TOP-LEVEL box — a size-0 box INSIDE moov is malformed and
+    // must stop the walk, NOT swallow its following siblings as payload
+    // (ADVICE r9). A size-0 trak would otherwise cover the raw tkhd
+    // bytes after it and hallucinate a track + dims from them.
+    val sizeZeroNested = box("moov",
+      ByteBuffer.allocate(8).putInt(0).put("trak".getBytes("US-ASCII")).array() ++
+        tkhd(640, 360))
+    val withNested = graft.ops.Multimodal.parseMp4(ftyp ++ sizeZeroNested)
+    assert(withNested.exists(r => r._1 == "isom" && r._3.isEmpty && r._5 == 0))
+    val lastTopLevelZero = ftyp ++
+      ByteBuffer.allocate(8).putInt(0).put("moov".getBytes("US-ASCII")).array() ++
+      mvhd ++ box("trak", tkhd(320, 240))
+    val topZero = graft.ops.Multimodal.parseMp4(lastTopLevelZero)
+    assert(topZero.exists(r => r._1 == "isom" && r._2 == Some(5000.0) &&
+      r._3 == Some(320L) && r._4 == Some(240L)))
+  }
+
+  test("multimodal parseMp3 uses the Xing/Info frame count for VBR and skips ID3v1 footers") {
+    // MPEG1 LIII 128 kbps 44100 Hz joint stereo header (as above)
+    val frameHdr = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x40.toByte)
+    // Xing header: after 32 bytes of MPEG1-stereo side info; flags bit 0
+    // set, frame count 441 → 441 * 1152 / 44100 = 11520 ms exactly —
+    // byte-count estimation at 128 kbps would give a wildly smaller value
+    val xing = new Array[Byte](32) ++ "Xing".getBytes ++
+      Array[Byte](0, 0, 0, 1) ++ // flags: frames present
+      java.nio.ByteBuffer.allocate(4).putInt(441).array()
+    val vbr = frameHdr ++ xing ++ new Array[Byte](2000)
+    val gotVbr = graft.ops.Multimodal.parseMp3(vbr)
+    assert(gotVbr.exists(r => math.abs(r._5 - 11520.0) < 1e-6))
+    // "Info" (LAME CBR tag) resolves the same exact way
+    val info = vbr.clone()
+    "Info".getBytes.copyToArray(info, 4 + 32)
+    assert(graft.ops.Multimodal.parseMp3(info).exists(r => math.abs(r._5 - 11520.0) < 1e-6))
+    // no Xing: a trailing 128-byte ID3v1 "TAG" footer is metadata, not
+    // audio — 1600 audio bytes at 128 kbps stays exactly 100 ms with the
+    // footer appended
+    val cbr = frameHdr ++ new Array[Byte](1600 - 4) ++
+      ("TAG".getBytes ++ new Array[Byte](125))
+    assert(graft.ops.Multimodal.parseMp3(cbr).exists(r => math.abs(r._5 - 100.0) < 1e-6))
   }
 
   test("multimodal probeMp3 parses REAL MPEG frame headers behind an ID3 tag") {

@@ -920,6 +920,34 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(joinFinals(batch, "long") == Seq(Seq("j", 1L, 9), Seq("k", 2L, 7)))
   }
 
+  test("congruity: rewritten count(*) counts NULL-valued STREAM records like the native agg") {
+    // a null record value on the append-stream path is NOT a Kafka
+    // tombstone for a rewritten ExprAgg: FoldSpec.foldNulls lets it reach
+    // the adder, so the chain-leaf count matches the native streaming
+    // count(*) — which counts every row (ADVICE r9). Without the flag,
+    // j's only (null) record would never fold and the inner join would
+    // drop j entirely.
+    val aRows = Seq(("k", 1, 100L), ("k", 99, 300L), ("j", 99, 50L)) // 99 → null
+    val bRows = Seq(("k", 7, 150L), ("j", 9, 75L))
+    val topo = Topology(
+      Seq("a" -> "nulled", "nulled" -> "ta", "b" -> "tb",
+        "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "nulled" -> Entity.KStream(Some(Xform.MapValue(
+          when(col("value") === 99, lit(null)).otherwise(col("value"))))),
+        "ta" -> Entity.KTable(aggregate = Some(AggSpec.ExprAgg(expr("count(*)")))),
+        "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner)))
+    val batch = BatchCompiler.run(topo,
+      Map("a" -> records(aRows: _*), "b" -> records(bRows: _*)))("jn")
+    val stream = runStreaming(topo, Map("a" -> aRows, "b" -> bRows),
+      sink = "jn", mode = "update")
+    assert(joinFinals(stream, "long", lastPerKey = true) ==
+      joinFinals(batch, "long"))
+    assert(joinFinals(batch, "long") == Seq(Seq("j", 1L, 9), Seq("k", 2L, 7)))
+  }
+
   test("plan shape: a 3-table live join chain compiles to exactly ONE stateful operator") {
     implicit val sql = spark.sqlContext
     // the scale-load-bearing invariant behind the whole chain design:
