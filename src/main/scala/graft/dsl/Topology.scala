@@ -181,12 +181,28 @@ object AggSpec {
     * `collect_list` — fine for table-state cardinality, fatal for a
     * runaway hot key at scale. When set, a group over the bound fails
     * fast with the offending key in the message instead of taking the
-    * executor down with it. */
+    * executor down with it.
+    *
+    * `combiner` (acc-merge, Kafka Streams' session `Merger`): declares
+    * the fold COMBINABLE — `combiner(fold(init, xs), fold(init, ys)) ==
+    * fold(init, xs ++ ys)`. Only session-windowed streaming folds use
+    * it: with a combiner, merging sessions combine their accs directly
+    * and the operator keeps NO per-event buffer — state per open session
+    * drops from O(events) to O(1), the exact trade Kafka Streams'
+    * SessionWindows aggregate makes (`streams.clj:162-165` delegates to
+    * it). The cost: an out-of-order event landing INSIDE a session's
+    * span folds in arrival order (batch re-folds in event-time order),
+    * so final state is guaranteed to match batch only for commutative
+    * adders or in-order feeds; session MERGES still combine in
+    * event-time order (sessions are disjoint), and `maxGroup` becomes
+    * moot (there is no buffer to bound). Batch ignores it (full
+    * recompute needs no merge). */
   final case class FoldAgg(
       init: Column,
       adder: (Column, Column) => Column,
       subtractor: Option[(Column, Column) => Column] = None,
-      maxGroup: Option[Long] = None) extends AggSpec
+      maxGroup: Option[Long] = None,
+      combiner: Option[(Column, Column) => Column] = None) extends AggSpec
 }
 
 /** Entity types (willa `core.clj:11-12` dispatch). */

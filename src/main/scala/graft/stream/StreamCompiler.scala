@@ -62,6 +62,47 @@ object StreamCompiler {
   object Kind { case object Stream extends Kind; case object Table extends Kind
     case object Global extends Kind }
 
+  /** State-store backend for the compiled topology's stateful operators
+    * (the five custom `flatMapGroupsWithState` ops — table chains,
+    * stream–table lookups, windowed/session folds — plus Spark's own
+    * streaming aggregations).
+    *
+    * The scale stakes: Spark's DEFAULT provider (HDFSBacked) keeps every
+    * key's state as JVM objects on the executor HEAP — at 100× key
+    * cardinality that heap is the first thing to fall over. RocksDB
+    * keeps working state off-heap/on-disk with a bounded block cache,
+    * which is exactly why Kafka Streams (the reference's engine) ships
+    * RocksDB as ITS default store — `willa` inherits that for free, so
+    * [[RocksDB]] here is semantic parity, not an optimization.
+    *
+    * The provider is a per-SESSION conf read when each streaming query
+    * STARTS: [[run]] sets it on the sources' session, so it applies to
+    * queries started after this compile (and to other queries on the
+    * same session — Spark has no per-query knob). [[Inherit]] leaves
+    * whatever the session already has (the default). State encoding is
+    * provider-agnostic (UnsafeRow both ways), so a checkpoint written
+    * under one provider must be REPLAYED, not reused, under the other —
+    * congruity under both providers is pinned in `StreamCongruitySpec`. */
+  sealed trait StateStore
+  object StateStore {
+    /** Keep the session's current provider (Spark default: HDFSBacked). */
+    case object Inherit extends StateStore
+    /** `RocksDBStateStoreProvider` — bounded-heap native state; the
+      * 100 TB choice and Kafka Streams' own default. */
+    case object RocksDB extends StateStore
+    /** `HDFSBackedStateStoreProvider` — executor-heap state; fine for
+      * tests and small key cardinality. */
+    case object HDFSBacked extends StateStore
+
+    private[stream] def providerClass(s: StateStore): Option[String] = s match {
+      case Inherit    => None
+      case RocksDB    => Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case HDFSBacked => Some(
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    }
+  }
+
   /** Shape of a pending live-table join: leaves are indices into a
     * [[TableChain]]'s leaf list, nodes carry the join type. Left-deep
     * chains AND bushy trees — (A⋈B)⋈(C⋈D) — compile the same way: one
@@ -100,7 +141,8 @@ object StreamCompiler {
       subtractor: Option[(Column, Column) => Column] = None,
       maxGroup: Option[Long] = None,
       finish: Option[Column => Column] = None,
-      foldNulls: Boolean = false)
+      foldNulls: Boolean = false,
+      combiner: Option[(Column, Column) => Column] = None)
 
   /** One leaf of a pending table-join tree: the raw changelog, plus the
     * running-fold spec when the leaf is an aggregated (FoldAgg) table —
@@ -137,13 +179,22 @@ object StreamCompiler {
     * @param statics      batch DataFrames for GlobalKTable-feeding topics
     * @param watermarkMs  watermark applied to every streaming source's ts
     *                     (required for suppression and stream–stream joins)
+    * @param stateStore   state-store backend for the stateful operators
+    *                     ([[StateStore.RocksDB]] for production key
+    *                     cardinality; set on the sources' session, applies
+    *                     to queries started after this call)
     */
   def run(
       topology: Topology,
       streams: Map[String, DataFrame],
       statics: Map[String, DataFrame] = Map.empty,
-      watermarkMs: Option[Long] = None): Map[String, DataFrame] = {
+      watermarkMs: Option[Long] = None,
+      stateStore: StateStore = StateStore.Inherit): Map[String, DataFrame] = {
     topology.validated()
+    StateStore.providerClass(stateStore).foreach { cls =>
+      (streams.values ++ statics.values).headOption.foreach(
+        _.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass", cls))
+    }
     val order = Dag.topsort(topology.workflow).get
     val preds = topology.predecessors
     val built = order.foldLeft(Map.empty[String, Built]) { (acc, id) =>
@@ -413,14 +464,15 @@ object StreamCompiler {
       bound: org.apache.spark.sql.catalyst.expressions.Expression,
       boundSub: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
       boundFin: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
-      outType: org.apache.spark.sql.types.DataType = null) {
+      outType: org.apache.spark.sql.types.DataType = null,
+      boundComb: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None) {
     import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
     @transient private lazy val accToCat = CatalystTypeConverters.createToCatalystConverter(accType)
     @transient private lazy val vToCat = CatalystTypeConverters.createToCatalystConverter(vType)
     @transient private lazy val accToExt = CatalystTypeConverters.createToScalaConverter(accType)
     @transient private lazy val outToExt = CatalystTypeConverters.createToScalaConverter(contribType)
     @transient private lazy val ready: Unit =
-      (bound +: (boundSub.toSeq ++ boundFin.toSeq)).foreach(_.foreach {
+      (bound +: (boundSub.toSeq ++ boundFin.toSeq ++ boundComb.toSeq)).foreach(_.foreach {
         case nd: org.apache.spark.sql.catalyst.expressions.Nondeterministic => nd.initialize(0)
         case _ => ()
       })
@@ -441,6 +493,12 @@ object StreamCompiler {
     def finishStep(accExt: Any): Any = boundFin match {
       case Some(fin) => ready; outToExt(fin.eval(InternalRow(accToCat(accExt))))
       case None      => accExt
+    }
+    /** acc' = combiner(a, b) — acc-merge for combinable session folds
+      * (both arguments are accs, unlike `step`'s (acc, v)). */
+    def combStep(aExt: Any, bExt: Any): Any = {
+      ready
+      accToExt(boundComb.get.eval(InternalRow(accToCat(aExt), accToCat(bExt))))
     }
   }
 
@@ -481,8 +539,18 @@ object StreamCompiler {
         org.apache.spark.sql.catalyst.expressions.AttributeSeq(analyzed.child.output))
       (e, e.dataType)
     }
+    // bind combiner(a, b) over a 2-field (acc, acc) row — both slots
+    // are accs, unlike the adder's (acc, v)
+    val comb = f.combiner.map { fn =>
+      val analyzed = emptyDf("__a" -> accType, "__b" -> accType)
+        .select(fn(col("__a"), col("__b")).cast(accType).as("__r"))
+        .queryExecution.analyzed.asInstanceOf[Project]
+      BindReferences.bindReference(
+        analyzed.projectList.head.asInstanceOf[Alias].child,
+        org.apache.spark.sql.catalyst.expressions.AttributeSeq(analyzed.child.output))
+    }
     ResolvedFold(accType, vType, initValue, bind(f.adder), f.subtractor.map(bind),
-      fin.map(_._1), fin.map(_._2).orNull)
+      fin.map(_._1), fin.map(_._2).orNull, comb)
   }
 
   /** Streaming table–table join tree (the reference's live KTable–KTable
@@ -1239,6 +1307,20 @@ object StreamCompiler {
     * session of O(events); `FoldSpec.maxGroup` applies the batch fold's
     * own hot-key guard (`BatchCompiler.guardFoldGroup`) to the buffer.
     *
+    * A COMBINABLE fold (`FoldSpec.combiner` — Kafka Streams' session
+    * `Merger`) drops the buffer entirely: state per open session is ONE
+    * acc (`evs` stored null), merges combine accs directly, and state
+    * is O(1) per session regardless of event rate — the trade Kafka
+    * Streams' SessionWindows aggregate makes. Merges still respect
+    * event-time order at SESSION granularity (merged sessions are
+    * disjoint intervals, so their accs combine sorted by window start,
+    * with the arriving event's singleton acc positioned by its ts); only
+    * an out-of-order event INTERIOR to one session's span folds in
+    * arrival order, where batch re-folds in event time — so finals
+    * match batch for commutative adders or in-order feeds, and exactly
+    * (any fold) when out-of-order arrivals only bridge sessions.
+    * `maxGroup` is moot (no buffer to bound).
+    *
     * Emission — eager (`suppress=false`, update mode): on each event,
     * emit the merged session's running acc, plus a TOMBSTONE (null
     * value) for every session the merge consumed, exactly Kafka Streams'
@@ -1293,6 +1375,7 @@ object StreamCompiler {
     val sup = suppress
     val wm = hasWatermark
     val guard = fold.maxGroup
+    val combinable = fold.combiner.isDefined
     val timeout =
       if (wm) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     val opMode = if (sup) OutputMode.Append() else OutputMode.Update()
@@ -1324,16 +1407,30 @@ object StreamCompiler {
                   t + gapUs >= s.getLong(0) && t <= s.getLong(1) + gapUs)
                 val ws = (t +: merged.map(_.getLong(0))).min
                 val last = (t +: merged.map(_.getLong(1))).max
-                val evs = merged.flatMap(_.getSeq[Row](2)) :+ Row(v, Long.box(t))
-                guard.foreach(m => if (evs.size > m) sys.error(
+                // combinable folds keep NO buffer (evs = null): state per
+                // open session is one acc, O(1) in the event rate — and
+                // maxGroup is moot, there is nothing to bound
+                val evs: Vector[Row] =
+                  if (combinable) null
+                  else merged.flatMap(_.getSeq[Row](2)) :+ Row(v, Long.box(t))
+                if (!combinable) guard.foreach(m => if (evs.size > m) sys.error(
                   s"session FoldAgg buffer exceeds maxGroup=$m events for " +
                     s"key ${key.get(0)} — a hot session at this cardinality " +
-                    "needs an associative ExprAgg or a pre-aggregation"))
+                    "needs an associative ExprAgg, a combiner (acc-merge), " +
+                    "or a pre-aggregation"))
                 // in-order extension of one session: O(1) incremental step
-                // on the cached acc; anything else re-folds the buffer
+                // on the cached acc; a merge either combines accs (with a
+                // combiner: event-time order at session granularity, the
+                // event's singleton acc positioned by its ts) or re-folds
+                // the buffer in event-time order
                 val acc = merged match {
                   case Vector(s) if t >= s.getLong(1) => rf.step(s.get(3), v)
                   case Vector()                       => rf.step(rf.initValue, v)
+                  case _ if combinable                =>
+                    val (before, after) = merged.partition(_.getLong(0) <= t)
+                    (before.map(_.get(3)) ++
+                      Vector(rf.step(rf.initValue, v)) ++ after.map(_.get(3)))
+                      .reduceLeft(rf.combStep)
                   case _                              => refold(evs)
                 }
                 sessions = (kept :+ Row(Long.box(ws), Long.box(last), evs, acc))
@@ -1498,7 +1595,8 @@ object StreamCompiler {
             // bounds grow as events arrive; a subtractor is ignored like
             // every windowed fold (append stream — nothing is replaced)
             return sessionWindowedFold(rekeyed,
-              FoldSpec(f.init, f.adder, maxGroup = f.maxGroup), gap,
+              FoldSpec(f.init, f.adder, maxGroup = f.maxGroup,
+                combiner = f.combiner), gap,
               t.suppress, watermarkMs.isDefined)
         }
       case _ => ()
