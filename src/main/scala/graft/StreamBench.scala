@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.dsl._
+import graft.stream.StreamCompiler
+
+/** Streaming-throughput micro-bench for the custom state operators
+  * (round-9 verdict task 3): the batch suite (`graft.Bench`) never
+  * exercises `tableChainState` / `streamTableState` /
+  * `sessionWindowedFold`, so their events/sec had no recorded number.
+  *
+  * Method: N events across K keys feed a MemoryStream in B chunks, each
+  * chunk drained with `processAllAvailable` (= B micro-batches, so state
+  * genuinely round-trips the store between chunks); elapsed covers first
+  * `addData` to last drain; noop sink (full execution, no result
+  * materialization). One JSON line:
+  * `{"metric":"streaming_throughput","unit":"events_per_sec","ops":{...}}`.
+  * Recorded per round in `BASELINE_LOCAL.json` under `streaming`.
+  *
+  * Scenarios: `chain_fold` = running FoldAgg table (1-leaf chain state);
+  * `chain_fold_rocksdb` = the same under RocksDBStateStoreProvider (the
+  * provider-swap cost made visible); `stream_table` = live stream ⋈
+  * running-fold table (emit-per-stream-record, table side folds);
+  * `session_fold` = merging session windows with the per-event buffer;
+  * `session_fold_combinable` = the same sessions on the O(1) acc-merge
+  * path (buffer vs no-buffer, same workload). */
+object StreamBench {
+
+  private def mkSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Drive one topology: feed `rows` to `topic` in `batches` chunks and
+    * return events/sec (total events / wall elapsed). */
+  private def drive(
+      spark: SparkSession,
+      topo: Topology,
+      feeds: Map[String, Seq[(String, Long, Long)]],
+      sink: String,
+      mode: String,
+      batches: Int,
+      watermarkMs: Option[Long] = None,
+      stateStore: StreamCompiler.StateStore = StreamCompiler.StateStore.Inherit): Double = {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val streams = feeds.map { case (id, _) =>
+      val ms = MemoryStream[(String, Long, Long)]
+      id -> (ms, ms.toDF().toDF("key", "value", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms"))
+    }
+    val dfs = StreamCompiler.run(topo, streams.map { case (k, v) => k -> v._2 },
+      watermarkMs = watermarkMs, stateStore = stateStore)
+    val q = dfs(sink).writeStream.format("noop").outputMode(mode).start()
+    val chunks: Map[String, Seq[Seq[(String, Long, Long)]]] = feeds.map {
+      case (id, rows) =>
+        id -> rows.grouped(math.max(1, (rows.size + batches - 1) / batches)).toSeq
+    }
+    val n = feeds.values.map(_.size).sum
+    val t0 = System.nanoTime()
+    try {
+      (0 until batches).foreach { b =>
+        chunks.foreach { case (id, cs) =>
+          if (b < cs.size) streams(id)._1.addData(cs(b))
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = mkSession()
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").toInt
+    val k = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "1000").toInt
+    val b = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+
+    // round-robin keys, monotone ts: the common in-order hot path
+    def inOrder(n: Int): Seq[(String, Long, Long)] =
+      (0 until n).map(i => (s"k${i % k}", 1L, 1000L + i))
+
+    val foldTopo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0L), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+
+    def sessTopo(comb: Boolean) = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(50L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0L), (acc, v) => acc + v,
+            combiner = if (comb) Some((a: org.apache.spark.sql.Column,
+              c: org.apache.spark.sql.Column) => a + c) else None))),
+        "out" -> Entity.Topic("out")))
+    // per-key sessions of ~100 events: consecutive events 1 ms apart,
+    // then a > gap jump closes the session (the watermark expires it)
+    def sessRows(n: Int): Seq[(String, Long, Long)] =
+      (0 until n).map { i =>
+        val per = i / k  // per-key sequence number
+        val jump = (per / 100) * 1000L
+        (s"k${i % k}", 1L, 1000L + jump + (per % 100))
+      }
+
+    val joinTopo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0L), (acc, v) => acc + v))),
+        "j" -> Entity.KStream(),
+        "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+
+    // warmup: one small run absorbs codegen/session init
+    drive(spark, foldTopo, Map("in" -> inOrder(2000)), "tbl", "update", 2)
+
+    val ops = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    ops("chain_fold") =
+      drive(spark, foldTopo, Map("in" -> inOrder(n)), "tbl", "update", b)
+    ops("chain_fold_rocksdb") =
+      try drive(spark, foldTopo, Map("in" -> inOrder(n)), "tbl", "update", b,
+        stateStore = StreamCompiler.StateStore.RocksDB)
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    ops("stream_table") =
+      drive(spark, joinTopo,
+        Map("s" -> inOrder(n / 2), "u" -> inOrder(n / 2)), "j", "update", b)
+    ops("session_fold") =
+      drive(spark, sessTopo(comb = false), Map("in" -> sessRows(n)), "tbl",
+        "update", b, watermarkMs = Some(500L))
+    ops("session_fold_combinable") =
+      drive(spark, sessTopo(comb = true), Map("in" -> sessRows(n)), "tbl",
+        "update", b, watermarkMs = Some(500L))
+
+    val opsJson = ops.map { case (name, eps) => s"\"$name\":${math.round(eps)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"streaming_throughput","unit":"events_per_sec",""" +
+      s""""ops":$opsJson,"n":$n,"keys":$k,"batches":$b}""")
+    spark.stop()
+  }
+}

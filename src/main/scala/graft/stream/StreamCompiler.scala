@@ -585,6 +585,21 @@ object StreamCompiler {
     * micro-batch pays it (100k-records-one-key is exercised in
     * `StreamCongruitySpec`); trigger sizing, not state, is the control.
     *
+    * Why the sort cannot move into the PLAN (pre-sorted feed): Spark's
+    * UnsupportedOperationChecker rejects ANY sort on a streaming Dataset
+    * outright — `sortWithinPartitions(k, ts, side)` ahead of the
+    * groupByKey fails analysis with "Sorting is not supported on
+    * streaming DataFrames/Datasets" (verified on this engine). Even if
+    * it were admitted, it could not survive: the stateful operator
+    * demands StatefulOpClusteredDistribution, so the planner always
+    * inserts its own hash exchange (state-row placement is tied to that
+    * exact partitioning), which destroys pre-shuffle order, and the only
+    * post-exchange ordering EnsureRequirements establishes is the
+    * grouping key alone — via a non-stable UnsafeSort that cannot carry
+    * a secondary (ts, side) order. The in-group array sort is therefore
+    * the one place arrival order can be normalized; its bound is the
+    * per-key-per-trigger record count by construction.
+    *
     * `expiry` (with `hasEventTime`) arms an EVENT-TIME TIMEOUT per key at
     * the returned close-ms: once the watermark strictly passes it the
     * key's state is dropped. This is how WINDOWED eager folds expire —
