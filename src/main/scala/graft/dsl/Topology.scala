@@ -194,9 +194,16 @@ object AggSpec {
     * span folds in arrival order (batch re-folds in event-time order),
     * so final state is guaranteed to match batch only for commutative
     * adders or in-order feeds; session MERGES still combine in
-    * event-time order (sessions are disjoint), and `maxGroup` becomes
-    * moot (there is no buffer to bound). Batch ignores it (full
-    * recompute needs no merge). */
+    * event-time order (sessions are disjoint). Batch ignores the
+    * combiner (full recompute needs no merge).
+    *
+    * `maxGroup` + `combiner` together: the guard bounds a fold BUFFER,
+    * and the two engines buffer differently — streaming keeps no
+    * buffer under a combiner (the guard never trips there), while
+    * batch still `collect_list`s each group and DOES enforce it. A
+    * guarded combinable topology can therefore fail in batch while
+    * running live; if the batch twin must process hot groups, leave
+    * `maxGroup` unset there. */
   final case class FoldAgg(
       init: Column,
       adder: (Column, Column) => Column,

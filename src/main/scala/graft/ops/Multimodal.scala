@@ -481,12 +481,16 @@ object Multimodal {
           // bytes, MPEG2/2.5: 9 / 17 — and carries a 32-bit flags word;
           // flags bit 0 = a 32-bit total FRAME count follows. frames ×
           // samples-per-frame (1152 MPEG1 LIII, 576 MPEG2/2.5) / rate is
-          // the exact duration, independent of bitrate variation.
+          // the exact duration, independent of bitrate variation. A
+          // CLEAR protection bit (header bit 0 == 0) means a 16-bit CRC
+          // sits between the header and the side info — skip it or the
+          // tag lookup lands 2 bytes short on CRC-protected frames.
           val sideInfo = (v1, mode == 3) match {
             case (true, true) => 17; case (true, false) => 32
             case (false, true) => 9; case (false, false) => 17
           }
-          val xingOff = off + 4 + sideInfo
+          val crc = if ((b(off + 1) & 0x1) == 0) 2 else 0
+          val xingOff = off + 4 + crc + sideInfo
           val xingDur =
             if (xingOff + 8 <= b.length &&
                 (fourcc(b, xingOff) == "Xing" || fourcc(b, xingOff) == "Info") &&

@@ -76,13 +76,19 @@ object StreamCompiler {
     * [[RocksDB]] here is semantic parity, not an optimization.
     *
     * The provider is a per-SESSION conf read when each streaming query
-    * STARTS: [[run]] sets it on the sources' session, so it applies to
-    * queries started after this compile (and to other queries on the
-    * same session — Spark has no per-query knob). [[Inherit]] leaves
-    * whatever the session already has (the default). State encoding is
-    * provider-agnostic (UnsafeRow both ways), so a checkpoint written
-    * under one provider must be REPLAYED, not reused, under the other —
-    * congruity under both providers is pinned in `StreamCongruitySpec`. */
+    * STARTS — Spark has no per-query knob — so [[run]] sets it on the
+    * sources' session and the setting PERSISTS there: every query
+    * started afterwards (including later topologies compiled with
+    * [[Inherit]]) uses it, deliberately, the way Kafka Streams' store
+    * config is an app-level choice. [[Inherit]] never touches the
+    * session. A session that must MIX providers across runs (tests,
+    * benches) snapshots and restores
+    * `spark.sql.streaming.stateStore.providerClass` around each run —
+    * see `StreamCongruitySpec`'s RocksDB case for the pattern. State
+    * encoding is provider-agnostic (UnsafeRow both ways), but a
+    * checkpoint written under one provider must be REPLAYED, not
+    * reused, under the other — congruity under both providers is
+    * pinned in `StreamCongruitySpec`. */
   sealed trait StateStore
   object StateStore {
     /** Keep the session's current provider (Spark default: HDFSBacked). */

@@ -491,6 +491,12 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     val info = vbr.clone()
     "Info".getBytes.copyToArray(info, 4 + 32)
     assert(graft.ops.Multimodal.parseMp3(info).exists(r => math.abs(r._5 - 11520.0) < 1e-6))
+    // CRC-protected frame (protection bit CLEAR, 0xFA): a 16-bit CRC
+    // sits between header and side info, shifting the Xing tag 2 bytes
+    // — the lookup must skip it or fall back to the wrong CBR estimate
+    val crcHdr = Array[Byte](0xff.toByte, 0xfa.toByte, 0x90.toByte, 0x40.toByte)
+    val crcVbr = crcHdr ++ Array[Byte](0, 0) ++ xing ++ new Array[Byte](2000)
+    assert(graft.ops.Multimodal.parseMp3(crcVbr).exists(r => math.abs(r._5 - 11520.0) < 1e-6))
     // no Xing: a trailing 128-byte ID3v1 "TAG" footer is metadata, not
     // audio — 1600 audio bytes at 128 kbps stays exactly 100 ms with the
     // footer appended
