@@ -108,14 +108,19 @@ object StreamBench {
             combiner = if (comb) Some((a: org.apache.spark.sql.Column,
               c: org.apache.spark.sql.Column) => a + c) else None))),
         "out" -> Entity.Topic("out")))
-    // per-key sessions of ~100 events: consecutive events 1 ms apart,
-    // then a > gap jump closes the session (the watermark expires it)
-    def sessRows(n: Int): Seq[(String, Long, Long)] =
+    // ~10 sessions per key, session length derived from n/k (not a fixed
+    // 100, which with the defaults would never be reached and leave one
+    // eternally-open session per key): consecutive events 1 ms apart, then
+    // a >gap jump closes the session and the watermark expires its state
+    def sessRows(n: Int): Seq[(String, Long, Long)] = {
+      val perKey = math.max(1, n / k)
+      val sessLen = math.max(1, perKey / 10)
       (0 until n).map { i =>
         val per = i / k  // per-key sequence number
-        val jump = (per / 100) * 1000L
-        (s"k${i % k}", 1L, 1000L + jump + (per % 100))
+        val jump = (per / sessLen) * 1000L
+        (s"k${i % k}", 1L, 1000L + jump + (per % sessLen))
       }
+    }
 
     val joinTopo = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
@@ -133,9 +138,9 @@ object StreamBench {
     ops("chain_fold") =
       drive(spark, foldTopo, Map("in" -> inOrder(n)), "tbl", "update", b)
     ops("chain_fold_rocksdb") =
-      try drive(spark, foldTopo, Map("in" -> inOrder(n)), "tbl", "update", b,
-        stateStore = StreamCompiler.StateStore.RocksDB)
-      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
+        drive(spark, foldTopo, Map("in" -> inOrder(n)), "tbl", "update", b)
+      }
     ops("stream_table") =
       drive(spark, joinTopo,
         Map("s" -> inOrder(n / 2), "u" -> inOrder(n / 2)), "j", "update", b)

@@ -360,10 +360,18 @@ object Multimodal {
     if (b == null || b.length < 16) return None
     // (type, payloadFrom, payloadTo) for each well-formed box in
     // [from, to); a malformed size stops the walk cleanly (no partial box).
-    // size==0 ("extends to end of file") is legal ONLY for the last
-    // TOP-LEVEL box (ISO 14496-12 §4.2); a nested size-0 box would
-    // silently swallow its following siblings (mvhd/trak after it inside
-    // moov), so below top level it is treated as malformed instead.
+    // size==0 ("extends to end of file") is legal ONLY for the LAST
+    // top-level box (ISO 14496-12 §4.2). We accept a top-level size-0 box
+    // as extends-to-EOF and then TERMINATE the walk explicitly: the box is
+    // thereby the last one by construction, so the spec condition holds for
+    // everything we emit. For a malformed file with a non-last size-0 box
+    // (e.g. a zero-size `free` before `moov`) this means later siblings are
+    // deliberately not emitted — their bytes are inside the size-0 box's
+    // payload per the file's own claim — and metadata degrades to None,
+    // matching the malformed-input policy of the rest of this parser.
+    // A NESTED size-0 box would silently swallow its following siblings
+    // (mvhd/trak after it inside moov), so below top level it is treated
+    // as malformed instead.
     def boxes(from: Int, to: Int, topLevel: Boolean): Seq[(String, Int, Int)] = {
       val acc = Seq.newBuilder[(String, Int, Int)]
       var off = from
@@ -373,9 +381,9 @@ object Multimodal {
         val typ = fourcc(b, off + 4)
         val (hdr, size) =
           if (size0 == 1 && off + 16 <= to) (16L, beU64(b, off + 8))
-          else if (size0 == 0 && topLevel) (8L, (to - off).toLong)
+          else if (size0 == 0 && topLevel) { live = false; (8L, (to - off).toLong) }
           else (8L, size0) // nested size-0 falls through: size < hdr stops
-        if (size < hdr || off + size > to) live = false
+        if (size < hdr || off + size > to) { live = false }
         else { acc += ((typ, off + hdr.toInt, (off + size).toInt)); off += size.toInt }
       }
       acc.result()

@@ -54,7 +54,7 @@ import graft.ops.Keyed
   * append; aggregating topologies → complete (tests/small state) or
   * update; suppressed+watermarked → append.
   */
-object StreamCompiler {
+object StreamCompiler extends org.apache.spark.internal.Logging {
 
   import Records._
 
@@ -82,9 +82,10 @@ object StreamCompiler {
     * [[Inherit]]) uses it, deliberately, the way Kafka Streams' store
     * config is an app-level choice. [[Inherit]] never touches the
     * session. A session that must MIX providers across runs (tests,
-    * benches) snapshots and restores
-    * `spark.sql.streaming.stateStore.providerClass` around each run —
-    * see `StreamCongruitySpec`'s RocksDB case for the pattern. State
+    * benches) wraps each non-default run in [[withStateStore]], which
+    * snapshots and restores
+    * `spark.sql.streaming.stateStore.providerClass` around it; [[run]]
+    * logs a warning whenever it displaces a different provider. State
     * encoding is provider-agnostic (UnsafeRow both ways), but a
     * checkpoint written under one provider must be REPLAYED, not
     * reused, under the other — congruity under both providers is
@@ -108,6 +109,34 @@ object StreamCompiler {
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     }
   }
+
+  private val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run `body` with the session's state-store provider set to `store`,
+    * then RESTORE the previous `spark.sql.streaming.stateStore
+    * .providerClass` (or unset it if it was never set). This is the
+    * mixed-provider companion to [[run]]'s session-sticky behavior: a
+    * session that runs some topologies under RocksDB and others under the
+    * default wraps each non-default run in this instead of hand-rolling
+    * the snapshot/restore (as the congruity test and `StreamBench` once
+    * did). Queries STARTED inside `body` keep their provider for their
+    * whole lifetime — the conf is read at query start — so restoring
+    * after `body` never flips a live query's store.
+    *
+    * With [[StateStore.Inherit]] this is a pass-through. */
+  def withStateStore[A](spark: org.apache.spark.sql.SparkSession,
+      store: StateStore)(body: => A): A =
+    StateStore.providerClass(store) match {
+      case None => body
+      case Some(cls) =>
+        val prior = spark.conf.getOption(ProviderConfKey)
+        spark.conf.set(ProviderConfKey, cls)
+        try body
+        finally prior match {
+          case Some(p) => spark.conf.set(ProviderConfKey, p)
+          case None    => spark.conf.unset(ProviderConfKey)
+        }
+    }
 
   /** Shape of a pending live-table join: leaves are indices into a
     * [[TableChain]]'s leaf list, nodes carry the join type. Left-deep
@@ -198,8 +227,18 @@ object StreamCompiler {
       stateStore: StateStore = StateStore.Inherit): Map[String, DataFrame] = {
     topology.validated()
     StateStore.providerClass(stateStore).foreach { cls =>
-      (streams.values ++ statics.values).headOption.foreach(
-        _.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass", cls))
+      (streams.values ++ statics.values).headOption.foreach { df =>
+        val conf = df.sparkSession.conf
+        val prior = conf.getOption(ProviderConfKey)
+        // the sticky overwrite is deliberate (app-level store choice), but
+        // surface the displaced value so mixed-provider callers notice —
+        // they should wrap in [[withStateStore]] instead (ADVICE r10)
+        if (!prior.contains(cls)) logWarning(
+          s"run(stateStore=$stateStore) sets $ProviderConfKey=$cls for this " +
+            s"SESSION (was ${prior.getOrElse("<unset, Spark default>")}); " +
+            "later queries inherit it - use withStateStore() to scope it.")
+        conf.set(ProviderConfKey, cls)
+      }
     }
     val order = Dag.topsort(topology.workflow).get
     val preds = topology.predecessors

@@ -473,6 +473,19 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     val topZero = graft.ops.Multimodal.parseMp4(lastTopLevelZero)
     assert(topZero.exists(r => r._1 == "isom" && r._2 == Some(5000.0) &&
       r._3 == Some(320L) && r._4 == Some(240L)))
+
+    // NON-last top-level size-0 box (a zero-size `free` before moov) is
+    // malformed per §4.2 (size-0 is legal only for the last box). The walk
+    // terminates DELIBERATELY at the size-0 box — the moov bytes are inside
+    // its claimed payload, so they are not emitted as a sibling — and
+    // metadata degrades to None while the brand read before it survives
+    // (ADVICE r10).
+    val freeZeroBeforeMoov = ftyp ++
+      ByteBuffer.allocate(8).putInt(0).put("free".getBytes("US-ASCII")).array() ++
+      moov
+    val zeroMid = graft.ops.Multimodal.parseMp4(freeZeroBeforeMoov)
+    assert(zeroMid.exists(r => r._1 == "isom" && r._2.isEmpty &&
+      r._3.isEmpty && r._4.isEmpty && r._5 == 0))
   }
 
   test("multimodal parseMp3 uses the Xing/Info frame count for VBR and skips ID3v1 footers") {

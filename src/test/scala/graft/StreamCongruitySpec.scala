@@ -1583,9 +1583,12 @@ class StreamCongruitySpec extends AnyFunSuite {
     // state is the first casualty of a 100x key-cardinality jump;
     // RocksDB is Kafka Streams' own default store, so this is parity
     // with the reference's engine, not just an optimization.
+    // withStateStore scopes the session-sticky provider conf: snapshot
+    // before, assert restored after (the ADVICE-r10 helper, replacing the
+    // hand-rolled try/finally this test used to carry)
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(confKey)
-    try {
+    StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
       // tableChainState: a running-fold table joined by a live stream,
       // acc must survive micro-batch boundaries through RocksDB
       val joinTopo = Topology(
@@ -1638,12 +1641,9 @@ class StreamCongruitySpec extends AnyFunSuite {
         ("k", 1, 1000L), ("k", 2, 1300L), ("k", 4, 1150L))))("tbl")
       assert(sessionFinals(spark.table("rockssess")) == sessionBatch(batch))
       assert(sessionBatch(batch) == Seq(("k", 7, 1000L, 1500L)))
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set(confKey, p)
-        case None    => spark.conf.unset(confKey)
-      }
     }
+    // the helper restored the session conf on exit
+    assert(spark.conf.getOption(confKey) == prev)
   }
 
   test("suppressed session FoldAgg emits each session once, on close (append mode)") {
