@@ -1,0 +1,375 @@
+package graft
+
+import java.nio.file.Files
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dsl._
+import graft.stream.{Rec, StreamCompiler, Streamed}
+
+/** Kill-and-restart recovery for the custom state operators (round-10
+  * verdict, gap #1): every long job at scale restarts, and a
+  * `flatMapGroupsWithState` operator that only works on an unbroken run
+  * is not production streaming. Each test here checkpoints a query,
+  * STOPS it mid-feed, starts a NEW query from the same checkpoint, and
+  * asserts the post-restart emissions can only be produced if the
+  * operator's state — fold accs, join-leaf latests, subtractor member
+  * maps, session buffers, armed event-time timeouts, dedup seen-sets —
+  * was restored rather than recomputed or reset.
+  *
+  * The no-replay half of the claim is load-bearing: MemoryStream retains
+  * all its data, so a query that restarted from offset ZERO would
+  * re-derive the same finals. The restarted buffers are therefore
+  * asserted to contain ONLY post-restart deltas (continuation), never
+  * re-emissions of pre-kill batches.
+  *
+  * Sink: `foreachBatch` into a driver-side buffer — Spark's memory sink
+  * refuses checkpoint recovery outside complete mode, and the state ops
+  * run in update/append; foreachBatch is the restartable sink.
+  * (Reference analogue: Kafka Streams restores state from the changelog
+  * topic on restart — `willa` inherits that untested; this pins ours.) */
+class CheckpointRecoverySpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-ckpt-").toString
+
+  /** Start `df` against checkpoint `dir`, appending every emitted row to
+    * `buf`. A fresh buffer per query incarnation separates pre-kill from
+    * post-restart emissions. */
+  private def start(df: DataFrame, dir: String, mode: String,
+      buf: ArrayBuffer[Row]): StreamingQuery =
+    df.writeStream.outputMode(mode).option("checkpointLocation", dir)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        val rows = b.collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+
+  private def src(ms: MemoryStream[(String, Int, Long)]): DataFrame =
+    ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+
+  private def kv(buf: ArrayBuffer[Row]): Seq[(String, Int)] =
+    buf.synchronized {
+      buf.map(r => (r.getAs[String]("key"), r.getAs[Int]("value"))).toSeq
+    }
+
+  test("running FoldAgg table: acc resumes from checkpoint, offsets too (no reset, no replay)") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("tbl"), dir, "update", buf1)
+    try {
+      ms.addData(("k", 1, 1000L)); q1.processAllAvailable()
+      ms.addData(("k", 2, 1100L), ("j", 5, 1050L)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(kv(buf1).sorted == Seq(("j", 5), ("k", 1), ("k", 3)))
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(dfs("tbl"), dir, "update", buf2)
+    try {
+      ms.addData(("k", 4, 1200L)); q2.processAllAvailable()
+    } finally q2.stop()
+    // acc restored (3 + 4 = 7, not 4), offsets restored (exactly ONE row:
+    // no 1/3 re-emissions from a zero-offset replay, no recomputed "j")
+    assert(kv(buf2) == Seq(("k", 7)))
+  }
+
+  test("live table-table join tree: the OTHER side's leaf state survives restart") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("a" -> "ta", "b" -> "tb", "ta" -> "jn", "tb" -> "jn", "jn" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "ta" -> Entity.KTable(), "tb" -> Entity.KTable(),
+        "jn" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("ta", "tb") -> JoinConfig(JoinType.Inner)))
+    val aMs = MemoryStream[(String, Int, Long)]
+    val bMs = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("a" -> src(aMs), "b" -> src(bMs)))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("jn"), dir, "update", buf1)
+    try {
+      aMs.addData(("k", 1, 100L)); q1.processAllAvailable()
+      bMs.addData(("k", 7, 150L)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(dfs("jn"), dir, "update", buf2)
+    try {
+      aMs.addData(("k", 9, 300L)); q2.processAllAvailable()
+    } finally q2.stop()
+    // the update to ta joins tb's RESTORED latest (7): an inner join that
+    // lost tb's leaf would emit nothing; a replay would also re-emit (1,7)
+    val got2 = buf2.synchronized {
+      buf2.map(r => (r.getAs[String]("key"),
+        r.getAs[Row]("value").getInt(0), r.getAs[Row]("value").getInt(1))).toSeq
+    }
+    assert(got2 == Seq(("k", 9, 7)))
+  }
+
+  test("subtractor (KGroupedTable) aggregate: member map survives restart, replace retracts pre-kill value") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("u" -> "tbl", "tbl" -> "grp", "grp" -> "out"),
+      Map("u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(),
+        "grp" -> Entity.KTable(
+          groupBy = Some(lit("g0")),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (a, v) => a + v,
+            subtractor = Some((a, v) => a - v)))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("u" -> src(ms)))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("grp"), dir, "update", buf1)
+    try {
+      ms.addData(("k1", 10, 100L)); q1.processAllAvailable() // g0 = 10
+      ms.addData(("mm", 5, 200L)); q1.processAllAvailable()  // g0 = 15
+    } finally q1.stop()
+    assert(kv(buf1) == Seq(("g0", 10), ("g0", 15)))
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(dfs("grp"), dir, "update", buf2)
+    try {
+      ms.addData(("k1", 3, 300L)); q2.processAllAvailable()
+    } finally q2.stop()
+    // retracting k1's OLD value needs the restored member map (k1 -> 10):
+    // 15 - 10 + 3 = 8. A reset member map could not subtract (would give
+    // 18); a zero-offset replay would re-emit 10 and 15 first.
+    assert(kv(buf2) == Seq(("g0", 8)))
+  }
+
+  test("live stream-table join: table-side fold state survives restart for lookups") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
+      Map("s" -> Entity.Topic("s"), "u" -> Entity.Topic("u"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
+    val sMs = MemoryStream[(String, Int, Long)]
+    val uMs = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("s" -> src(sMs), "u" -> src(uMs)))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("j"), dir, "update", buf1)
+    try {
+      uMs.addData(("k", 1, 100L)); q1.processAllAvailable() // acc := 1
+      uMs.addData(("k", 2, 200L)); q1.processAllAvailable() // acc := 3
+      sMs.addData(("k", 10, 250L)); q1.processAllAvailable() // lookup -> 3
+    } finally q1.stop()
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(dfs("j"), dir, "update", buf2)
+    try {
+      sMs.addData(("k", 20, 300L)); q2.processAllAvailable() // restored acc
+      uMs.addData(("k", 4, 350L)); q2.processAllAvailable()  // acc := 7, no emit
+      sMs.addData(("k", 30, 400L)); q2.processAllAvailable() // continued acc
+    } finally q2.stop()
+    val looked = buf2.synchronized {
+      buf2.map(r => (r.getAs[Row]("value").getInt(0),
+        r.getAs[Row]("value").get(1))).toSeq
+    }
+    // first post-restart lookup sees the PRE-KILL acc (3); the table then
+    // keeps folding from it (3 + 4 = 7). Table updates alone emit nothing
+    // (KStream⋈KTable lookup-at-arrival), and batch-1/2 lookups are not
+    // re-emitted.
+    assert(looked == Seq((20, 3), (30, 7)))
+  }
+
+  test("session fold (buffered): restored event buffer re-folds an out-of-order bridge merge") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(200L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("tbl"), dir, "update", buf1)
+    try {
+      // two open sessions: [1000,1200) sum 1 and [1300,1500) sum 2
+      ms.addData(("k", 1, 1000L), ("k", 2, 1300L)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(dfs("tbl"), dir, "update", buf2)
+    try {
+      // the bridge event lands INSIDE the gap of both restored sessions
+      ms.addData(("k", 4, 1150L)); q2.processAllAvailable()
+    } finally q2.stop()
+    // the merged emission needs the RESTORED per-session buffers (events
+    // 1@1000 and 2@1300) to re-fold in event-time order: [1000,1500) = 7
+    val merged = buf2.synchronized {
+      buf2.filter(r => !r.isNullAt(r.fieldIndex("value")))
+        .map(r => (r.getAs[String]("key"), r.getAs[Int]("value"),
+          r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[java.sql.Timestamp]("window_end").getTime)).toSeq
+    }
+    assert(merged == Seq(("k", 7, 1000L, 1500L)))
+    // the consumed session [1300,1500) is retracted via tombstone
+    val tombs = buf2.synchronized {
+      buf2.filter(r => r.isNullAt(r.fieldIndex("value")))
+        .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime).toSeq
+    }
+    assert(tombs == Seq(1300L))
+  }
+
+  test("suppressed COMBINABLE session fold: acc and armed event-time timeout survive restart") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v,
+            combiner = Some((a: org.apache.spark.sql.Column,
+              c: org.apache.spark.sql.Column) => a + c))),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)), watermarkMs = Some(0L))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("tbl"), dir, "append", buf1)
+    try {
+      ms.addData(("k", 1, 1000L)); q1.processAllAvailable()
+      // extends the open session across a batch boundary: acc = 3,
+      // close = 1150, timeout armed; watermark (1050) has not reached it
+      ms.addData(("k", 2, 1050L)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf1.synchronized(buf1.isEmpty)) // suppressed: nothing closed yet
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(dfs("tbl"), dir, "append", buf2)
+    try {
+      // advance the watermark far past k's close; the extra batch lets
+      // the re-armed timeout fire (timeouts fire on the NEXT batch after
+      // the watermark passes them)
+      ms.addData(("z", 9, 100000L)); q2.processAllAvailable()
+      ms.addData(("x", 1, 100001L)); q2.processAllAvailable()
+    } finally q2.stop()
+    // exactly-once emit-on-close AFTER restart, with the restored acc —
+    // a lost acc emits 0/partial; a lost timeout never emits; a replay
+    // would also emit only once here, but with offsets restored the
+    // emission can only combine accs that crossed the kill
+    val got = buf2.synchronized {
+      buf2.map(r => (r.getAs[String]("key"), r.getAs[Int]("value"),
+        r.getAs[java.sql.Timestamp]("window_start").getTime,
+        r.getAs[java.sql.Timestamp]("window_end").getTime)).toSeq
+    }
+    assert(got == Seq(("k", 3, 1000L, 1150L)))
+  }
+
+  test("tumbling windowed fold: per-(key,window) acc survives restart; expiry still fires") {
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)), watermarkMs = Some(0L))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("tbl"), dir, "update", buf1)
+    try {
+      ms.addData(("k", 1, 1000L)); q1.processAllAvailable() // [1000,1100) = 1
+    } finally q1.stop()
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(dfs("tbl"), dir, "update", buf2)
+    try {
+      ms.addData(("k", 2, 1050L)); q2.processAllAvailable() // same window
+      // close the window and let the expiry timeout fire post-restart
+      ms.addData(("z", 9, 100000L)); q2.processAllAvailable()
+      ms.addData(("x", 1, 100001L)); q2.processAllAvailable()
+      val stateRows = q2.lastProgress.stateOperators(0).numRowsTotal
+      // k's closed window expired from the RESTARTED query's state; only
+      // the two sentinels' open windows remain
+      assert(stateRows == 2, s"expected 2 live windows in state, got $stateRows")
+    } finally q2.stop()
+    val kVals = kv(buf2).filter(_._1 == "k").map(_._2)
+    // 1 (pre-kill) + 2 = 3: the window acc was restored, not reset
+    assert(kVals == Seq(3))
+  }
+
+  test("first-per-id dedup: the seen-set survives restart (cross-restart duplicates dropped)") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Rec[String, Int]]
+    val ds = Streamed.firstPerIdState[String, Int, Int](ms.toDS(), _.value)
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(ds.toDF(), dir, "update", buf1)
+    try {
+      ms.addData(Rec("u1", 7, 100L), Rec("u1", 9, 200L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf1.synchronized(buf1.size) == 2)
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(ds.toDF(), dir, "update", buf2)
+    try {
+      // 7 was seen BEFORE the kill; 8 is new
+      ms.addData(Rec("u1", 7, 300L), Rec("u1", 8, 400L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = buf2.synchronized {
+      buf2.map(r => (r.getAs[String]("key"), r.getAs[Int]("value"))).toSeq
+    }
+    assert(got == Seq(("u1", 8)))
+  }
+
+  test("RocksDB provider: fold state restores across restart under the production store") {
+    implicit val sql = spark.sqlContext
+    StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
+      val topo = Topology(
+        Seq("in" -> "tbl", "tbl" -> "out"),
+        Map("in" -> Entity.Topic("in"),
+          "tbl" -> Entity.KTable(aggregate =
+            Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+          "out" -> Entity.Topic("out")))
+      val ms = MemoryStream[(String, Int, Long)]
+      val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)),
+        stateStore = StreamCompiler.StateStore.RocksDB)
+      val dir = ckpt()
+      val buf1 = ArrayBuffer.empty[Row]
+      val q1 = start(dfs("tbl"), dir, "update", buf1)
+      try {
+        ms.addData(("k", 1, 1000L)); q1.processAllAvailable()
+        ms.addData(("k", 2, 1100L)); q1.processAllAvailable()
+      } finally q1.stop()
+
+      val buf2 = ArrayBuffer.empty[Row]
+      val q2 = start(dfs("tbl"), dir, "update", buf2)
+      try {
+        ms.addData(("k", 4, 1200L)); q2.processAllAvailable()
+      } finally q2.stop()
+      // RocksDB checkpoints (zip + changelog) restored the acc
+      assert(kv(buf2) == Seq(("k", 7)))
+    }
+  }
+}
