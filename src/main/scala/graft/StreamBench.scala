@@ -49,8 +49,7 @@ object StreamBench {
       sink: String,
       mode: String,
       batches: Int,
-      watermarkMs: Option[Long] = None,
-      stateStore: StreamCompiler.StateStore = StreamCompiler.StateStore.Inherit): Double = {
+      watermarkMs: Option[Long] = None): Double = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     val streams = feeds.map { case (id, _) =>
@@ -59,7 +58,7 @@ object StreamBench {
         .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms"))
     }
     val dfs = StreamCompiler.run(topo, streams.map { case (k, v) => k -> v._2 },
-      watermarkMs = watermarkMs, stateStore = stateStore)
+      watermarkMs = watermarkMs)
     val q = dfs(sink).writeStream.format("noop").outputMode(mode).start()
     val chunks: Map[String, Seq[Seq[(String, Long, Long)]]] = feeds.map {
       case (id, rows) =>
@@ -111,13 +110,17 @@ object StreamBench {
     // ~10 sessions per key, session length derived from n/k (not a fixed
     // 100, which with the defaults would never be reached and leave one
     // eternally-open session per key): consecutive events 1 ms apart, then
-    // a >gap jump closes the session and the watermark expires its state
+    // a >gap jump closes the session and the watermark expires its state.
+    // The jump scales WITH the session length (sessLen + 1000) so the
+    // inter-session gap stays 1000 ms > the 50 ms session gap at any n/k —
+    // a fixed 1000 ms stride would shrink the gap to (1001 - sessLen) ms
+    // and chain sessions back together once n/k grows past ~10k
     def sessRows(n: Int): Seq[(String, Long, Long)] = {
       val perKey = math.max(1, n / k)
       val sessLen = math.max(1, perKey / 10)
       (0 until n).map { i =>
         val per = i / k  // per-key sequence number
-        val jump = (per / sessLen) * 1000L
+        val jump = (per / sessLen) * (sessLen + 1000L)
         (s"k${i % k}", 1L, 1000L + jump + (per % sessLen))
       }
     }

@@ -31,13 +31,29 @@ import graft.stream.{Rec, StreamCompiler, Streamed}
   * run in update/append; foreachBatch is the restartable sink.
   * (Reference analogue: Kafka Streams restores state from the changelog
   * topic on restart — `willa` inherits that untested; this pins ours.) */
-class CheckpointRecoverySpec extends AnyFunSuite {
+class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   import TestKit._
   import spark.implicits._
 
-  private def ckpt(): String =
-    Files.createTempDirectory("graft-ckpt-").toString
+  private val ckptDirs = ArrayBuffer.empty[java.nio.file.Path]
+
+  private def ckpt(): String = {
+    val dir = Files.createTempDirectory("graft-ckpt-")
+    ckptDirs += dir
+    dir.toString
+  }
+
+  override def afterAll(): Unit = {
+    // checkpoints carry state snapshots (and RocksDB zips) — don't leak
+    // them into tmpdir across runs
+    ckptDirs.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    super.afterAll()
+  }
 
   /** Start `df` against checkpoint `dir`, appending every emitted row to
     * `buf`. A fresh buffer per query incarnation separates pre-kill from
