@@ -392,6 +392,156 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     assert(vals == Seq(7) || vals == Seq(3, 7), s"got $vals")
   }
 
+  test("property: session fold finals match batch under RANDOM feeds, batching, and kill points") {
+    implicit val sql = spark.sqlContext
+    // the r9 out-of-order property, extended across a restart: wherever
+    // the kill lands between micro-batches, the restored session buffers
+    // must re-fold to exactly the batch twin's finals. The adder is
+    // NON-commutative (2*acc + v), so any deviation in restored event
+    // order or a lost/duplicated buffered event changes the result.
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(200L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc * 2 + v))),
+        "out" -> Entity.Topic("out")))
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // unique ts per key (ties would make the event-time fold order
+      // ambiguous between engines), shuffled arrival order
+      val rows = Seq("a", "b", "c").flatMap { k =>
+        rnd.shuffle((0 until 2000).toList).take(6 + rnd.nextInt(6))
+          .map(t => (k, 1 + rnd.nextInt(9), 1000L + t * 3L))
+      }
+      val arrival = rnd.shuffle(rows)
+      val nChunks = 3 + rnd.nextInt(3)
+      val chunks = arrival.grouped(
+        math.max(1, (arrival.size + nChunks - 1) / nChunks)).toSeq
+      val killAt = 1 + rnd.nextInt(chunks.size - 1)
+
+      val ms = MemoryStream[(String, Int, Long)]
+      val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)))
+      val dir = ckpt()
+      val buf1 = ArrayBuffer.empty[Row]
+      val q1 = start(dfs("tbl"), dir, "update", buf1)
+      try {
+        chunks.take(killAt).foreach { c =>
+          ms.addData(c); q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      val buf2 = ArrayBuffer.empty[Row]
+      val q2 = start(dfs("tbl"), dir, "update", buf2)
+      try {
+        chunks.drop(killAt).foreach { c =>
+          ms.addData(c); q2.processAllAvailable()
+        }
+      } finally q2.stop()
+
+      // final state per (key, window_start): last emission wins, where
+      // "last" prefers larger window_end then later arrival, and a null
+      // value is a retraction (the session was consumed by a merge) —
+      // the same canonicalization as StreamCongruitySpec.sessionFinals
+      val all = buf1.synchronized(buf1.toVector) ++ buf2.synchronized(buf2.toVector)
+      val finals = all.zipWithIndex
+        .groupBy { case (r, _) =>
+          (r.getAs[String]("key"),
+            r.getAs[java.sql.Timestamp]("window_start").getTime)
+        }.toSeq
+        .flatMap { case ((k, ws), es) =>
+          val (last, _) = es.maxBy { case (r, i) =>
+            (r.getAs[java.sql.Timestamp]("window_end").getTime,
+              if (r.isNullAt(r.fieldIndex("value"))) 1 else 0, i)
+          }
+          if (last.isNullAt(last.fieldIndex("value"))) None
+          else Some((k, last.getAs[Int]("value"), ws,
+            last.getAs[java.sql.Timestamp]("window_end").getTime))
+        }.sorted
+      val batch = graft.batch.BatchCompiler.run(topo,
+        Map("in" -> records(rows: _*)))("tbl")
+        .select(col("key"), col("value").cast("int"),
+          col("window_start"), col("window_end"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime)).toSeq.sorted
+      assert(finals == batch,
+        s"seed=$seed killAt=$killAt/${chunks.size}: $finals != $batch")
+    }
+  }
+
+  test("property: suppressed session emissions are EXACTLY-ONCE across a random kill point") {
+    implicit val sql = spark.sqlContext
+    // sessions may close before the kill (timeout fired, state cleaned),
+    // at the kill (timeout armed but not yet fired), or after — for any
+    // kill position each session must emit exactly once, with the batch
+    // twin's value: a lost armed timeout emits never, a replayed or
+    // un-cleaned one emits twice
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc * 2 + v)),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed + 100)
+      // in-order global feed (watermark 0: out-of-order would be late-
+      // dropped and diverge from batch by design, not by recovery bugs)
+      val rows = Seq("a", "b", "c").flatMap { k =>
+        var t = 1000L + rnd.nextInt(200)
+        (0 until 5 + rnd.nextInt(5)).map { _ =>
+          t += 20L + rnd.nextInt(300) // sometimes bridges, sometimes closes
+          (k, 1 + rnd.nextInt(9), t)
+        }
+      }.sortBy(_._3)
+      val nChunks = 3 + rnd.nextInt(3)
+      val chunks = rows.grouped(
+        math.max(1, (rows.size + nChunks - 1) / nChunks)).toSeq
+      val killAt = 1 + rnd.nextInt(chunks.size - 1)
+
+      val ms = MemoryStream[(String, Int, Long)]
+      val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)),
+        watermarkMs = Some(0L))
+      val dir = ckpt()
+      val buf1 = ArrayBuffer.empty[Row]
+      val q1 = start(dfs("tbl"), dir, "append", buf1)
+      try {
+        chunks.take(killAt).foreach { c =>
+          ms.addData(c); q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      val buf2 = ArrayBuffer.empty[Row]
+      val q2 = start(dfs("tbl"), dir, "append", buf2)
+      try {
+        chunks.drop(killAt).foreach { c =>
+          ms.addData(c); q2.processAllAvailable()
+        }
+        // push the watermark past every close, plus the extra batch that
+        // lets re-armed timeouts fire
+        ms.addData(Seq(("z", 9, 1000000L))); q2.processAllAvailable()
+        ms.addData(Seq(("x", 1, 1000001L))); q2.processAllAvailable()
+      } finally q2.stop()
+
+      val emitted = (buf1.synchronized(buf1.toVector) ++
+        buf2.synchronized(buf2.toVector))
+        .filter(r => r.getAs[String]("key") != "z" && r.getAs[String]("key") != "x")
+        .map(r => (r.getAs[String]("key"), r.getAs[Int]("value"),
+          r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[java.sql.Timestamp]("window_end").getTime)).sorted
+      val batch = graft.batch.BatchCompiler.run(topo,
+        Map("in" -> records(rows: _*)))("tbl")
+        .select(col("key"), col("value").cast("int"),
+          col("window_start"), col("window_end"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime)).toSeq.sorted
+      // exact multiset equality: every batch session emitted exactly once
+      assert(emitted == batch,
+        s"seed=$seed killAt=$killAt/${chunks.size}: $emitted != $batch")
+    }
+  }
+
   test("RocksDB provider: fold state restores across restart under the production store") {
     implicit val sql = spark.sqlContext
     StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
