@@ -419,53 +419,48 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
       val chunks = arrival.grouped(
         math.max(1, (arrival.size + nChunks - 1) / nChunks)).toSeq
       val killAt = 1 + rnd.nextInt(chunks.size - 1)
+      // even seeds run under RocksDB: session buffers must round-trip the
+      // production store's checkpoint (zip + changelog) across the kill
+      val store = if (seed % 2 == 0) StreamCompiler.StateStore.RocksDB
+        else StreamCompiler.StateStore.Inherit
 
-      val ms = MemoryStream[(String, Int, Long)]
-      val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)))
-      val dir = ckpt()
-      val buf1 = ArrayBuffer.empty[Row]
-      val q1 = start(dfs("tbl"), dir, "update", buf1)
-      try {
-        chunks.take(killAt).foreach { c =>
-          ms.addData(c); q1.processAllAvailable()
-        }
-      } finally q1.stop()
-      val buf2 = ArrayBuffer.empty[Row]
-      val q2 = start(dfs("tbl"), dir, "update", buf2)
-      try {
-        chunks.drop(killAt).foreach { c =>
-          ms.addData(c); q2.processAllAvailable()
-        }
-      } finally q2.stop()
-
-      // final state per (key, window_start): last emission wins, where
-      // "last" prefers larger window_end then later arrival, and a null
-      // value is a retraction (the session was consumed by a merge) —
-      // the same canonicalization as StreamCongruitySpec.sessionFinals
-      val all = buf1.synchronized(buf1.toVector) ++ buf2.synchronized(buf2.toVector)
-      val finals = all.zipWithIndex
-        .groupBy { case (r, _) =>
-          (r.getAs[String]("key"),
-            r.getAs[java.sql.Timestamp]("window_start").getTime)
-        }.toSeq
-        .flatMap { case ((k, ws), es) =>
-          val (last, _) = es.maxBy { case (r, i) =>
-            (r.getAs[java.sql.Timestamp]("window_end").getTime,
-              if (r.isNullAt(r.fieldIndex("value"))) 1 else 0, i)
+      StreamCompiler.withStateStore(spark, store) {
+        val ms = MemoryStream[(String, Int, Long)]
+        val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)))
+        val dir = ckpt()
+        val buf1 = ArrayBuffer.empty[Row]
+        val q1 = start(dfs("tbl"), dir, "update", buf1)
+        var lastB1 = -1L
+        try {
+          chunks.take(killAt).foreach { c =>
+            ms.addData(c); q1.processAllAvailable()
           }
-          if (last.isNullAt(last.fieldIndex("value"))) None
-          else Some((k, last.getAs[Int]("value"), ws,
-            last.getAs[java.sql.Timestamp]("window_end").getTime))
-        }.sorted
-      val batch = graft.batch.BatchCompiler.run(topo,
-        Map("in" -> records(rows: _*)))("tbl")
-        .select(col("key"), col("value").cast("int"),
-          col("window_start"), col("window_end"))
-        .collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
-          r.getTimestamp(3).getTime)).toSeq.sorted
-      assert(finals == batch,
-        s"seed=$seed killAt=$killAt/${chunks.size}: $finals != $batch")
+          lastB1 = q1.lastProgress.batchId
+        } finally q1.stop()
+        val buf2 = ArrayBuffer.empty[Row]
+        val q2 = start(dfs("tbl"), dir, "update", buf2)
+        try {
+          chunks.drop(killAt).foreach { c =>
+            ms.addData(c); q2.processAllAvailable()
+          }
+          // continuation, not replay: the finals comparison below is
+          // replay-invariant by construction (MemoryStream retains all
+          // data), so pin the batchId sequence — a restart that ignored
+          // the checkpoint would begin again at batch 0
+          val firstB2 = q2.recentProgress.map(_.batchId).min
+          assert(firstB2 > lastB1,
+            s"seed=$seed: restart began at batch $firstB2, not after $lastB1")
+        } finally q2.stop()
+
+        // final state per (key, window_start): last emission wins —
+        // TestKit.sessionFinalsOf, shared with the congruity suite
+        val finals = sessionFinalsOf(
+          buf1.synchronized(buf1.toVector) ++ buf2.synchronized(buf2.toVector))
+        val batch = sessionBatchOf(graft.batch.BatchCompiler.run(topo,
+          Map("in" -> records(rows: _*)))("tbl"))
+        assert(finals == batch,
+          s"seed=$seed killAt=$killAt/${chunks.size}: $finals != $batch")
+      }
     }
   }
 
@@ -499,46 +494,47 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
       val chunks = rows.grouped(
         math.max(1, (rows.size + nChunks - 1) / nChunks)).toSeq
       val killAt = 1 + rnd.nextInt(chunks.size - 1)
+      // even seeds run under RocksDB: armed timeouts and session accs
+      // must survive the production store's checkpoint across the kill
+      val store = if (seed % 2 == 0) StreamCompiler.StateStore.RocksDB
+        else StreamCompiler.StateStore.Inherit
 
-      val ms = MemoryStream[(String, Int, Long)]
-      val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)),
-        watermarkMs = Some(0L))
-      val dir = ckpt()
-      val buf1 = ArrayBuffer.empty[Row]
-      val q1 = start(dfs("tbl"), dir, "append", buf1)
-      try {
-        chunks.take(killAt).foreach { c =>
-          ms.addData(c); q1.processAllAvailable()
-        }
-      } finally q1.stop()
-      val buf2 = ArrayBuffer.empty[Row]
-      val q2 = start(dfs("tbl"), dir, "append", buf2)
-      try {
-        chunks.drop(killAt).foreach { c =>
-          ms.addData(c); q2.processAllAvailable()
-        }
-        // push the watermark past every close, plus the extra batch that
-        // lets re-armed timeouts fire
-        ms.addData(Seq(("z", 9, 1000000L))); q2.processAllAvailable()
-        ms.addData(Seq(("x", 1, 1000001L))); q2.processAllAvailable()
-      } finally q2.stop()
+      StreamCompiler.withStateStore(spark, store) {
+        val ms = MemoryStream[(String, Int, Long)]
+        val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)),
+          watermarkMs = Some(0L))
+        val dir = ckpt()
+        val buf1 = ArrayBuffer.empty[Row]
+        val q1 = start(dfs("tbl"), dir, "append", buf1)
+        try {
+          chunks.take(killAt).foreach { c =>
+            ms.addData(c); q1.processAllAvailable()
+          }
+        } finally q1.stop()
+        val buf2 = ArrayBuffer.empty[Row]
+        val q2 = start(dfs("tbl"), dir, "append", buf2)
+        try {
+          chunks.drop(killAt).foreach { c =>
+            ms.addData(c); q2.processAllAvailable()
+          }
+          // push the watermark past every close, plus the extra batch that
+          // lets re-armed timeouts fire
+          ms.addData(Seq(("z", 9, 1000000L))); q2.processAllAvailable()
+          ms.addData(Seq(("x", 1, 1000001L))); q2.processAllAvailable()
+        } finally q2.stop()
 
-      val emitted = (buf1.synchronized(buf1.toVector) ++
-        buf2.synchronized(buf2.toVector))
-        .filter(r => r.getAs[String]("key") != "z" && r.getAs[String]("key") != "x")
-        .map(r => (r.getAs[String]("key"), r.getAs[Int]("value"),
-          r.getAs[java.sql.Timestamp]("window_start").getTime,
-          r.getAs[java.sql.Timestamp]("window_end").getTime)).sorted
-      val batch = graft.batch.BatchCompiler.run(topo,
-        Map("in" -> records(rows: _*)))("tbl")
-        .select(col("key"), col("value").cast("int"),
-          col("window_start"), col("window_end"))
-        .collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
-          r.getTimestamp(3).getTime)).toSeq.sorted
-      // exact multiset equality: every batch session emitted exactly once
-      assert(emitted == batch,
-        s"seed=$seed killAt=$killAt/${chunks.size}: $emitted != $batch")
+        val emitted = (buf1.synchronized(buf1.toVector) ++
+          buf2.synchronized(buf2.toVector))
+          .filter(r => r.getAs[String]("key") != "z" && r.getAs[String]("key") != "x")
+          .map(r => (r.getAs[String]("key"), r.getAs[Int]("value"),
+            r.getAs[java.sql.Timestamp]("window_start").getTime,
+            r.getAs[java.sql.Timestamp]("window_end").getTime)).sorted
+        val batch = sessionBatchOf(graft.batch.BatchCompiler.run(topo,
+          Map("in" -> records(rows: _*)))("tbl"))
+        // exact multiset equality: every batch session emitted exactly once
+        assert(emitted == batch,
+          s"seed=$seed killAt=$killAt/${chunks.size}: $emitted != $batch")
+      }
     }
   }
 

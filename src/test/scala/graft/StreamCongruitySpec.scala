@@ -1493,30 +1493,14 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("watermark"))
   }
 
-  /** Reconstruct a session fold's FINAL windows from its eager changelog:
-    * per (key, window_start), updates carry non-decreasing window_end
-    * and a tombstone (null value) shares the we of the last update it
-    * retracts — so the max-(we, null-last, emission-order) row is the
-    * session's fate: null = merged away, else the final acc. The
-    * emission-order tiebreak (memory-sink insertion order) resolves
-    * same-(ws, we) re-emissions after interior out-of-order arrivals. */
+  // canonicalization shared with CheckpointRecoverySpec — the tombstone
+  // tiebreak lives in TestKit.sessionFinalsOf, ONE home for the logic
   private def sessionFinals(df: DataFrame): Seq[(String, Int, Long, Long)] =
-    df.select("key", "value", "window_start", "window_end").collect()
-      .zipWithIndex
-      .groupBy { case (r, _) => (r.getString(0), r.getTimestamp(2).getTime) }.toSeq
-      .flatMap { case ((k, ws), es) =>
-        val (last, _) = es.maxBy { case (r, i) =>
-          (r.getTimestamp(3).getTime, if (r.isNullAt(1)) 1 else 0, i)
-        }
-        if (last.isNullAt(1)) None
-        else Some((k, last.getInt(1), ws, last.getTimestamp(3).getTime))
-      }.sorted
+    sessionFinalsOf(df.select("key", "value", "window_start", "window_end")
+      .collect().toIndexedSeq)
 
   private def sessionBatch(df: DataFrame): Seq[(String, Int, Long, Long)] =
-    df.select(col("key"), col("value").cast("int"), col("window_start"),
-      col("window_end")).collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
-        r.getTimestamp(3).getTime)).toSeq.sorted
+    sessionBatchOf(df)
 
   test("congruity: session-windowed FoldAgg (eager merging-window state)") {
     implicit val sql = spark.sqlContext

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shared session + record builders for specs. Mirrors the reference's
@@ -37,4 +37,38 @@ object TestKit {
 
   def kvRows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().map(_.toSeq).toSeq
+
+  /** Reconstruct a session fold's FINAL windows from its eager changelog
+    * rows (in emission order): per (key, window_start), updates carry
+    * non-decreasing window_end and a tombstone (null value) shares the
+    * window_end of the last update it retracts — so the
+    * max-(we, null-last, emission-order) row is the session's fate:
+    * null = merged away, else the final acc. The emission-order tiebreak
+    * resolves same-(ws, we) re-emissions after interior out-of-order
+    * arrivals. ONE home for this tombstone tiebreak — the congruity and
+    * recovery suites must canonicalize identically or a semantics change
+    * shows up as a phantom engine bug in whichever suite lags. */
+  def sessionFinalsOf(rows: Seq[Row]): Seq[(String, Int, Long, Long)] =
+    rows.zipWithIndex
+      .groupBy { case (r, _) =>
+        (r.getAs[String]("key"),
+          r.getAs[java.sql.Timestamp]("window_start").getTime)
+      }.toSeq
+      .flatMap { case ((k, ws), es) =>
+        val (last, _) = es.maxBy { case (r, i) =>
+          (r.getAs[java.sql.Timestamp]("window_end").getTime,
+            if (r.isNullAt(r.fieldIndex("value"))) 1 else 0, i)
+        }
+        if (last.isNullAt(last.fieldIndex("value"))) None
+        else Some((k, last.getAs[Number]("value").intValue(), ws,
+          last.getAs[java.sql.Timestamp]("window_end").getTime))
+      }.sorted
+
+  /** Batch twin of [[sessionFinalsOf]]: a batch session fold's rows are
+    * already final. */
+  def sessionBatchOf(df: DataFrame): Seq[(String, Int, Long, Long)] =
+    df.select(col("key"), col("value").cast("int"), col("window_start"),
+      col("window_end")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime)).toSeq.sorted
 }
