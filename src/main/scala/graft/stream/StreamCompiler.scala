@@ -86,10 +86,18 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
     * snapshots and restores
     * `spark.sql.streaming.stateStore.providerClass` around it; [[run]]
     * logs a warning whenever it displaces a different provider. State
-    * encoding is provider-agnostic (UnsafeRow both ways), but a
-    * checkpoint written under one provider must be REPLAYED, not
-    * reused, under the other — congruity under both providers is
-    * pinned in `StreamCongruitySpec`. */
+    * encoding is provider-agnostic (UnsafeRow both ways).
+    *
+    * On RESTART from a checkpoint the session conf does not decide:
+    * Spark pins the provider class in the checkpoint's offset metadata
+    * and keeps the ORIGINAL provider (overriding the conf in the
+    * query's cloned execution session, with an `OffsetSeqMetadata`
+    * warning; the user-visible session conf is untouched) — so a
+    * restart under a different [[StateStore]] silently continues on the
+    * store the checkpoint was born with; switching a live job's
+    * provider requires a NEW checkpoint (replay). Pinned in
+    * `CheckpointRecoverySpec`; congruity under both providers in
+    * `StreamCongruitySpec`. */
   sealed trait StateStore
   object StateStore {
     /** Keep the session's current provider (Spark default: HDFSBacked). */

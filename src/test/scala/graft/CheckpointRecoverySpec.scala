@@ -538,6 +538,89 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     }
   }
 
+  test("a REBUILT topology (fresh compile) resumes another build's checkpoint") {
+    implicit val sql = spark.sqlContext
+    // realistic restarts don't reuse the old DataFrame: the driver died,
+    // the topology is re-COMPILED from the declarative spec and started
+    // against the surviving checkpoint. This only works if compilation
+    // is deterministic where it matters — same operator layout, same
+    // state row encoding — for a structurally equal (but newly
+    // constructed) Topology value. Session fold: the state-richest op.
+    def mkTopo() = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(200L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc * 2 + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val dfs1 = StreamCompiler.run(mkTopo(), Map("in" -> src(ms)))
+    val q1 = start(dfs1("tbl"), dir, "update", buf1)
+    try {
+      ms.addData(("k", 1, 1000L), ("k", 2, 1300L)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // fresh compile: new Topology instance, new Column trees, new plan
+    val buf2 = ArrayBuffer.empty[Row]
+    val dfs2 = StreamCompiler.run(mkTopo(), Map("in" -> src(ms)))
+    val q2 = start(dfs2("tbl"), dir, "update", buf2)
+    try {
+      ms.addData(("k", 4, 1150L)); q2.processAllAvailable() // bridges both
+    } finally q2.stop()
+    // the rebuilt operator read the first build's buffers and re-folded
+    // in event-time order with the non-commutative adder:
+    // ((0*2+1)*2+4)*2+2 = 14 over [1000,1500)
+    val finals = sessionFinalsOf(
+      buf1.synchronized(buf1.toVector) ++ buf2.synchronized(buf2.toVector))
+    assert(finals == Seq(("k", 14, 1000L, 1500L)))
+  }
+
+  test("restart under a DIFFERENT session provider keeps the checkpoint's pinned provider") {
+    implicit val sql = spark.sqlContext
+    // Spark records the provider class in the checkpoint's offset
+    // metadata: a restart under another session provider does NOT
+    // corrupt or refuse the checkpoint — it keeps the original store
+    // (and resets the session conf to it). Pin that: the scary failure
+    // mode (RocksDB reading HDFS snapshots as sst files) cannot happen,
+    // and the StateStore scaladoc documents the pinning.
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("tbl"), dir, "update", buf1) // default: HDFSBacked
+    try {
+      ms.addData(("k", 1, 1000L)); q1.processAllAvailable()
+      ms.addData(("k", 2, 1100L)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
+      assert(spark.conf.get(confKey).contains("RocksDB"))
+      val buf2 = ArrayBuffer.empty[Row]
+      val q2 = start(dfs("tbl"), dir, "update", buf2)
+      try {
+        ms.addData(("k", 4, 1200L)); q2.processAllAvailable()
+      } finally q2.stop()
+      // state continued (not lost to a provider mismatch): the restarted
+      // query overrode the RocksDB setting with the checkpoint's pinned
+      // HDFSBacked provider — in its CLONED execution session (the
+      // OffsetSeqMetadata warning); the user-visible session conf is
+      // untouched and still says RocksDB
+      assert(kv(buf2) == Seq(("k", 7)))
+      assert(spark.conf.get(confKey).contains("RocksDB"))
+    }
+    // withStateStore still restores the pre-block conf afterwards
+    assert(!spark.conf.getOption(confKey).exists(_.contains("RocksDB")))
+  }
+
   test("RocksDB provider: fold state restores across restart under the production store") {
     implicit val sql = spark.sqlContext
     StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
