@@ -95,7 +95,10 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
     * warning; the user-visible session conf is untouched) — so a
     * restart under a different [[StateStore]] silently continues on the
     * store the checkpoint was born with; switching a live job's
-    * provider requires a NEW checkpoint (replay). Pinned in
+    * provider requires a NEW checkpoint (replay). The same pinning
+    * applies to `spark.sql.shuffle.partitions` — state partitioning is
+    * fixed at the first run, so scaling a stateful job's parallelism is
+    * also a new-checkpoint operation. Both pinned in
     * `CheckpointRecoverySpec`; congruity under both providers in
     * `StreamCongruitySpec`. */
   sealed trait StateStore

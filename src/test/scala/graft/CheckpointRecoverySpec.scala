@@ -621,6 +621,53 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     assert(!spark.conf.getOption(confKey).exists(_.contains("RocksDB")))
   }
 
+  test("restart under a DIFFERENT shuffle-partition count keeps the checkpoint's state layout") {
+    implicit val sql = spark.sqlContext
+    // the other operational pin: state-store partitioning is fixed at
+    // the FIRST run (spark.sql.shuffle.partitions is checkpointed in
+    // offset metadata, like the provider) — scaling a stateful job's
+    // parallelism needs a new checkpoint + replay, not a conf bump.
+    // The test proves a restart under a bumped conf still reads every
+    // key's state from the original 4-partition layout.
+    val confKey = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(confKey)
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("tbl"), dir, "update", buf1) // 4 partitions (TestKit)
+    try {
+      // keys spread over several state partitions
+      ms.addData(("a", 1, 1000L), ("b", 2, 1000L), ("c", 3, 1000L),
+        ("d", 4, 1000L), ("e", 5, 1000L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    try {
+      spark.conf.set(confKey, "16")
+      val buf2 = ArrayBuffer.empty[Row]
+      val q2 = start(dfs("tbl"), dir, "update", buf2)
+      try {
+        ms.addData(("a", 10, 2000L), ("b", 10, 2000L), ("c", 10, 2000L),
+          ("d", 10, 2000L), ("e", 10, 2000L))
+        q2.processAllAvailable()
+        // every key continued from its restored acc — possible only if
+        // the restarted query kept the original 4-partition state layout
+        // (a 16-partition re-hash would look up most keys in the wrong
+        // store and reset them)
+        assert(kv(buf2).sorted ==
+          Seq(("a", 11), ("b", 12), ("c", 13), ("d", 14), ("e", 15)))
+        assert(q2.lastProgress.stateOperators(0).numRowsTotal == 5)
+      } finally q2.stop()
+    } finally spark.conf.set(confKey, prior)
+  }
+
   test("RocksDB provider: fold state restores across restart under the production store") {
     implicit val sql = spark.sqlContext
     StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
