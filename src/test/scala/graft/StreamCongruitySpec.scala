@@ -501,21 +501,11 @@ class StreamCongruitySpec extends AnyFunSuite {
       val batches = arrival.grouped(
         math.max(1, (arrival.size + nBatches - 1) / nBatches)).toSeq
 
-      // arrival-order reference model (the operator's documented contract)
-      def runModel(bs: Seq[Seq[Either[(String, Int, Long), (String, Int, Long)]]]) = {
-        val tbl = scala.collection.mutable.Map.empty[String, (Int, Long)]
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Any, Long)]
-        bs.foreach { b =>
-          b.sortBy { case Left((_, _, t)) => (t, 0); case Right((_, _, t)) => (t, 1) }
-            .foreach {
-              case Left((k, v, t)) =>
-                if (tbl.get(k).forall(_._2 <= t)) tbl(k) = (v, t)
-              case Right((k, v, t)) =>
-                out += ((k, v, tbl.get(k).map(_._1).orNull, t))
-            }
-        }
-        out.toSeq.sortBy(_.toString)
-      }
+      // arrival-order reference model (the operator's documented
+      // contract) — TestKit.streamTableArrivalModel, shared with the
+      // recovery suite's kill-point property
+      def runModel(bs: Seq[Seq[Either[(String, Int, Long), (String, Int, Long)]]]) =
+        streamTableArrivalModel(bs)
 
       // 1) the MODEL on an in-order single batch == batch's as-of join
       val inOrder = Seq(arrival.sortBy(_.fold(_._3, _._3)))

@@ -71,4 +71,27 @@ object TestKit {
       col("window_end")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
         r.getTimestamp(3).getTime)).toSeq.sorted
+
+  /** Arrival-order reference model of the LIVE stream–table join's
+    * documented contract: lookup-at-arrival against the latest-event-time
+    * table value seen so far, (ts, table-first) order within each
+    * micro-batch. `Left` = table update, `Right` = stream record; one
+    * inner Seq per micro-batch. ONE home for the model — congruity and
+    * recovery property suites must agree on the contract they test. */
+  def streamTableArrivalModel(
+      bs: Seq[Seq[Either[(String, Int, Long), (String, Int, Long)]]])
+      : Seq[(String, Int, Any, Long)] = {
+    val tbl = scala.collection.mutable.Map.empty[String, (Int, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Any, Long)]
+    bs.foreach { b =>
+      b.sortBy { case Left((_, _, t)) => (t, 0); case Right((_, _, t)) => (t, 1) }
+        .foreach {
+          case Left((k, v, t)) =>
+            if (tbl.get(k).forall(_._2 <= t)) tbl(k) = (v, t)
+          case Right((k, v, t)) =>
+            out += ((k, v, tbl.get(k).map(_._1).orNull, t))
+        }
+    }
+    out.toSeq.sortBy(_.toString)
+  }
 }
