@@ -95,12 +95,15 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
     * warning; the user-visible session conf is untouched) — so a
     * restart under a different [[StateStore]] silently continues on the
     * store the checkpoint was born with; switching a live job's
-    * provider requires a NEW checkpoint (replay). The same pinning
-    * applies to `spark.sql.shuffle.partitions` — state partitioning is
-    * fixed at the first run, so scaling a stateful job's parallelism is
-    * also a new-checkpoint operation. Both pinned in
-    * `CheckpointRecoverySpec`; congruity under both providers in
-    * `StreamCongruitySpec`. */
+    * provider requires a NEW checkpoint (replay). State PARTITIONING is
+    * pinned the same way, via the derived
+    * `spark.sql.streaming.internal.stateStore.partitions` conf (seeded
+    * from `shuffle.partitions` at the first run): the state layout is
+    * fixed forever, so scaling a stateful job's STATE parallelism is
+    * also a new-checkpoint operation — note `shuffle.partitions` itself
+    * is not pinned, so stateless exchanges in the restarted query may
+    * run at the new count. Both pinned in `CheckpointRecoverySpec`;
+    * congruity under both providers in `StreamCongruitySpec`. */
   sealed trait StateStore
   object StateStore {
     /** Keep the session's current provider (Spark default: HDFSBacked). */

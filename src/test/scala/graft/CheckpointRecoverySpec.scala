@@ -553,17 +553,9 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
       Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed + 200)
-      val keys = Seq("a", "b")
-      val nU = 4 + rnd.nextInt(4)
-      val nS = 4 + rnd.nextInt(4)
-      val tsPool = rnd.shuffle((1 to (nU + nS)).toVector).map(i => 1000L + i * 7)
-      val uRows = (0 until nU).map(i =>
-        (keys(rnd.nextInt(keys.size)), rnd.nextInt(100), tsPool(i)))
-      val sRows = (0 until nS).map(j =>
-        (keys(rnd.nextInt(keys.size)), 100 + rnd.nextInt(100), tsPool(nU + j)))
-      val arrival = rnd.shuffle(
-        uRows.map(Left(_): Either[(String, Int, Long), (String, Int, Long)]) ++
-          sRows.map(Right(_): Either[(String, Int, Long), (String, Int, Long)]))
+      // generator, wiring, extraction, and model shared via TestKit with
+      // the congruity property — this test IS that property plus a kill
+      val (_, _, arrival) = streamTableRandomFeed(rnd)
       val nBatches = 2 + rnd.nextInt(3)
       val batches = arrival.grouped(
         math.max(1, (arrival.size + nBatches - 1) / nBatches)).toSeq
@@ -572,47 +564,27 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
         else StreamCompiler.StateStore.Inherit
 
       StreamCompiler.withStateStore(spark, store) {
-        // ONE MemoryStream carries both topics (side 0 = table, 1 =
-        // stream) so batch boundaries equal addData groups exactly
-        val ms = MemoryStream[(Int, String, Int, Long)]
-        val raw = ms.toDF().toDF("side", "key", "value", "__ms")
-          .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
-        def sideOf(s: Int) = raw.filter(col("side") === s).drop("side")
+        val (ms, sideOf) = dualTopicStream()
         val dfs = StreamCompiler.run(topo, Map("s" -> sideOf(1), "u" -> sideOf(0)))
         val dir = ckpt()
-        def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
-            bs: Seq[Seq[Either[(String, Int, Long), (String, Int, Long)]]]): Unit =
-          bs.foreach { b =>
-            ms.addData(b.map {
-              case Left((k, v, t))  => (0, k, v, t)
-              case Right((k, v, t)) => (1, k, v, t)
-            })
-            q.processAllAvailable()
-          }
         val buf1 = ArrayBuffer.empty[Row]
         val q1 = start(dfs("j"), dir, "update", buf1)
         var lastB1 = -1L
         try {
-          feed(q1, batches.take(killAt))
+          feedSides(ms, q1, batches.take(killAt))
           lastB1 = q1.lastProgress.batchId
         } finally q1.stop()
         val buf2 = ArrayBuffer.empty[Row]
         val q2 = start(dfs("j"), dir, "update", buf2)
         try {
-          feed(q2, batches.drop(killAt))
+          feedSides(ms, q2, batches.drop(killAt))
           val firstB2 = q2.recentProgress.map(_.batchId).min
           assert(firstB2 > lastB1,
             s"seed=$seed: restart began at batch $firstB2, not after $lastB1")
         } finally q2.stop()
 
-        val live = (buf1.synchronized(buf1.toVector) ++
-          buf2.synchronized(buf2.toVector))
-          .map { r =>
-            val v = r.getAs[Row]("value")
-            (r.getAs[String]("key"), v.getInt(0),
-              if (v.isNullAt(1)) null else v.getInt(1),
-              r.getAs[java.sql.Timestamp]("ts").getTime)
-          }.sortBy(_.toString)
+        val live = streamTableRowsOf(
+          buf1.synchronized(buf1.toVector) ++ buf2.synchronized(buf2.toVector))
         assert(live == streamTableArrivalModel(batches),
           s"seed=$seed killAt=$killAt/${batches.size}: " +
             s"$live != ${streamTableArrivalModel(batches)}")
@@ -706,11 +678,15 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
   test("restart under a DIFFERENT shuffle-partition count keeps the checkpoint's state layout") {
     implicit val sql = spark.sqlContext
     // the other operational pin: state-store partitioning is fixed at
-    // the FIRST run (spark.sql.shuffle.partitions is checkpointed in
-    // offset metadata, like the provider) — scaling a stateful job's
-    // parallelism needs a new checkpoint + replay, not a conf bump.
-    // The test proves a restart under a bumped conf still reads every
-    // key's state from the original 4-partition layout.
+    // the FIRST run — Spark checkpoints the DERIVED
+    // spark.sql.streaming.internal.stateStore.partitions conf (seeded
+    // from shuffle.partitions), visible in the restart's
+    // OffsetSeqMetadata warning "from '16' to '4'". Scaling a stateful
+    // job's state parallelism needs a new checkpoint + replay, not a
+    // conf bump (shuffle.partitions itself is NOT pinned: stateless
+    // exchanges may run at the new count). The test proves a restart
+    // under a bumped conf still reads every key's state from the
+    // original 4-partition layout.
     val confKey = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(confKey)
     val topo = Topology(

@@ -486,66 +486,34 @@ class StreamCongruitySpec extends AnyFunSuite {
     var pq = 0
     for (seed <- 1 to 12) {
       val rnd = new scala.util.Random(seed)
-      val keys = Seq("a", "b")
-      val nU = 4 + rnd.nextInt(4)
-      val nS = 4 + rnd.nextInt(4)
-      val tsPool = rnd.shuffle((1 to (nU + nS)).toVector).map(i => 1000L + i * 7)
-      val uRows = (0 until nU).map(i =>
-        (keys(rnd.nextInt(keys.size)), rnd.nextInt(100), tsPool(i)))
-      val sRows = (0 until nS).map(j =>
-        (keys(rnd.nextInt(keys.size)), 100 + rnd.nextInt(100), tsPool(nU + j)))
-      val arrival = rnd.shuffle(
-        uRows.map(Left(_): Either[(String, Int, Long), (String, Int, Long)]) ++
-          sRows.map(Right(_): Either[(String, Int, Long), (String, Int, Long)]))
+      // feed generator, dual-topic wiring, row extraction, and the
+      // reference model all live in TestKit, shared with the recovery
+      // suite's kill-point property (same contract, one definition)
+      val (uRows, sRows, arrival) = streamTableRandomFeed(rnd)
       val nBatches = 1 + rnd.nextInt(3)
       val batches = arrival.grouped(
         math.max(1, (arrival.size + nBatches - 1) / nBatches)).toSeq
 
-      // arrival-order reference model (the operator's documented
-      // contract) — TestKit.streamTableArrivalModel, shared with the
-      // recovery suite's kill-point property
-      def runModel(bs: Seq[Seq[Either[(String, Int, Long), (String, Int, Long)]]]) =
-        streamTableArrivalModel(bs)
-
       // 1) the MODEL on an in-order single batch == batch's as-of join
       val inOrder = Seq(arrival.sortBy(_.fold(_._3, _._3)))
-      val batch = BatchCompiler.run(topo, Map(
+      val batch = streamTableRowsOf(BatchCompiler.run(topo, Map(
         "s" -> records(sRows: _*), "u" -> records(uRows: _*)))("out")
-        .select(col("key"), col("value.v1"), col("value.v2"), unix_millis(col("ts")))
-        .collect().map(r => (r.getString(0), r.getInt(1),
-          if (r.isNullAt(2)) null else r.getInt(2), r.getLong(3)))
-        .toSeq.sortBy(_.toString)
-      assert(runModel(inOrder) == batch, s"seed $seed: model(in-order) != batch")
+        .collect().toIndexedSeq)
+      assert(streamTableArrivalModel(inOrder) == batch,
+        s"seed $seed: model(in-order) != batch")
 
-      // 2) the LIVE operator on the SHUFFLED multi-batch feed == the model.
-      // ONE MemoryStream carries both topics (side 0 = table, 1 = stream),
-      // split by filter — two separate sources could race a trigger
-      // between their addData calls and split a batch nondeterministically
-      val ms = MemoryStream[(Int, String, Int, Long)]
-      val raw = ms.toDF().toDF("side", "key", "value", "__ms")
-        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
-      def sideOf(s: Int) = raw.filter(col("side") === s).drop("side")
+      // 2) the LIVE operator on the SHUFFLED multi-batch feed == the model
+      val (ms, sideOf) = dualTopicStream()
       val dfs = StreamCompiler.run(topo, Map("s" -> sideOf(1), "u" -> sideOf(0)))
       pq += 1
       val name = s"ooo_prop_$pq"
       val q = dfs("out").writeStream.format("memory").queryName(name)
         .outputMode("update").start()
-      try {
-        batches.foreach { b =>
-          ms.addData(b.map {
-            case Left((k, v, t))  => (0, k, v, t)
-            case Right((k, v, t)) => (1, k, v, t)
-          })
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      val live = spark.table(name)
-        .select(col("key"), col("value.v1"), col("value.v2"), unix_millis(col("ts")))
-        .collect().map(r => (r.getString(0), r.getInt(1),
-          if (r.isNullAt(2)) null else r.getInt(2), r.getLong(3)))
-        .toSeq.sortBy(_.toString)
-      assert(live == runModel(batches),
-        s"seed $seed ($nBatches batches): live $live != model ${runModel(batches)}")
+      try { feedSides(ms, q, batches) } finally q.stop()
+      val live = streamTableRowsOf(spark.table(name).collect().toIndexedSeq)
+      assert(live == streamTableArrivalModel(batches),
+        s"seed $seed ($nBatches batches): live $live != model " +
+          s"${streamTableArrivalModel(batches)}")
     }
   }
 

@@ -72,6 +72,70 @@ object TestKit {
       .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
         r.getTimestamp(3).getTime)).toSeq.sorted
 
+  /** Random feed for the stream–table arrival-order properties: `Left` =
+    * table update, `Right` = stream record, unique event times from a
+    * shuffled pool, shuffled arrival order. Returns (table rows, stream
+    * rows, arrival sequence). Shared by the congruity and recovery
+    * suites so the kill-point property stays "the congruity property
+    * plus a kill", not a drifting copy. */
+  def streamTableRandomFeed(rnd: scala.util.Random)
+      : (Seq[(String, Int, Long)], Seq[(String, Int, Long)],
+        Vector[Either[(String, Int, Long), (String, Int, Long)]]) = {
+    val keys = Seq("a", "b")
+    val nU = 4 + rnd.nextInt(4)
+    val nS = 4 + rnd.nextInt(4)
+    val tsPool = rnd.shuffle((1 to (nU + nS)).toVector).map(i => 1000L + i * 7)
+    val uRows = (0 until nU).map(i =>
+      (keys(rnd.nextInt(keys.size)), rnd.nextInt(100), tsPool(i)))
+    val sRows = (0 until nS).map(j =>
+      (keys(rnd.nextInt(keys.size)), 100 + rnd.nextInt(100), tsPool(nU + j)))
+    val arrival = rnd.shuffle(
+      uRows.map(Left(_): Either[(String, Int, Long), (String, Int, Long)]) ++
+        sRows.map(Right(_): Either[(String, Int, Long), (String, Int, Long)]))
+      .toVector
+    (uRows, sRows, arrival)
+  }
+
+  /** Canonical (key, v1, v2-or-null, tsMillis) of joined record rows
+    * (columns key, value{v1,v2}, ts) — one extraction for live buffers,
+    * memory-sink tables, and batch twins alike. */
+  def streamTableRowsOf(rows: Seq[Row]): Seq[(String, Int, Any, Long)] =
+    rows.map { r =>
+      val v = r.getAs[Row]("value")
+      (r.getAs[String]("key"), v.getInt(0),
+        if (v.isNullAt(1)) null else v.getInt(1),
+        r.getAs[java.sql.Timestamp]("ts").getTime)
+    }.sortBy(_.toString)
+
+  /** ONE MemoryStream carrying two record topics (side 0 and side 1),
+    * split by filter: batch boundaries then equal addData groups exactly,
+    * where two separate sources could race a trigger between their
+    * addData calls. Returns the stream plus a per-side record-DF maker. */
+  def dualTopicStream()(implicit sql: org.apache.spark.sql.SQLContext)
+      : (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String, Int, Long)],
+        Int => DataFrame) = {
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String, Int, Long)]
+    val raw = ms.toDF().toDF("side", "key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    (ms, (s: Int) => raw.filter(col("side") === s).drop("side"))
+  }
+
+  /** Feed Either-batches into a [[dualTopicStream]] (Left → side 0,
+    * Right → side 1), draining each group as one micro-batch. */
+  def feedSides(
+      ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String, Int, Long)],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      bs: Seq[Seq[Either[(String, Int, Long), (String, Int, Long)]]]): Unit =
+    bs.foreach { b =>
+      ms.addData(b.map {
+        case Left((k, v, t))  => (0, k, v, t)
+        case Right((k, v, t)) => (1, k, v, t)
+      })
+      q.processAllAvailable()
+    }
+
   /** Arrival-order reference model of the LIVE stream–table join's
     * documented contract: lookup-at-arrival against the latest-event-time
     * table value seen so far, (ts, table-first) order within each
