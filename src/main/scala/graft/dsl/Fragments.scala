@@ -40,4 +40,40 @@ object Fragments {
     }))
     (Seq(inId -> nodeId, nodeId -> outId), Map(nodeId -> entity))
   }
+
+  /** Bounded-horizon dedupe fragment — the 100 TB variant of [[dedupe]]:
+    * dedup state EXPIRES with the watermark instead of growing with
+    * distinct-ids-ever-seen. The streaming lowering is Spark's built-in
+    * `dropDuplicatesWithinWatermark` (no custom state op needed):
+    * duplicates arriving within the watermark delay of the first
+    * occurrence are dropped, and each id's state is cleaned once the
+    * watermark passes its event time — a duplicate arriving FARTHER
+    * apart than the horizon may flow again. That is the trade that
+    * bounds state, and it is exactly Kafka Streams' windowed-store
+    * dedup trade. Requires the topology to run with a watermark
+    * (`StreamCompiler.run(watermarkMs = ...)`) — Spark fails the query
+    * at start otherwise (deliberate: an unbounded horizon is what
+    * [[dedupe]] is for). The watermark DELAY is the horizon: an id's
+    * state lives until the watermark passes its event time + delay, so
+    * `watermarkMs = 0` expires every id at the next batch and dedups
+    * nothing across batches — size the delay to the duplicate spread.
+    *
+    * Batch lowering is identical to [[dedupe]] (a batch replay holds the
+    * whole horizon at once), so batch == streaming exactly when all
+    * duplicates fall within the horizon. */
+  def dedupeWithin(inId: String, outId: String, idExpr: Column): (Seq[(String, String)], Map[String, Entity]) = {
+    val nodeId = s"__dedupew_${inId}_$outId"
+    val entity = Entity.KStream(Some(Xform.Custom { df =>
+      if (df.isStreaming)
+        df.withColumn("__did", idExpr)
+          .dropDuplicatesWithinWatermark("__did")
+          .select(col(KeyCol), col(ValueCol), col(TsCol))
+      else
+        Dedup.keepFirst(
+          df.withColumn("__did", idExpr),
+          Seq("__did"), Seq(TsCol, KeyCol, ValueCol))
+          .select(col(KeyCol), col(ValueCol), col(TsCol))
+    }))
+    (Seq(inId -> nodeId, nodeId -> outId), Map(nodeId -> entity))
+  }
 }

@@ -109,7 +109,12 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
     /** Keep the session's current provider (Spark default: HDFSBacked). */
     case object Inherit extends StateStore
     /** `RocksDBStateStoreProvider` — bounded-heap native state; the
-      * 100 TB choice and Kafka Streams' own default. */
+      * 100 TB choice and Kafka Streams' own default. For LARGE state,
+      * also enable `spark.sql.streaming.stateStore.rocksdb
+      * .changelogCheckpointing.enabled`: per-batch changelog uploads
+      * replace full snapshot zips, and restarts replay the changelog
+      * onto the last snapshot (recovery through that path is pinned in
+      * `CheckpointRecoverySpec`). */
     case object RocksDB extends StateStore
     /** `HDFSBackedStateStoreProvider` — executor-heap state; fine for
       * tests and small key cardinality. */

@@ -726,6 +726,52 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     } finally spark.conf.set(confKey, prior)
   }
 
+  test("RocksDB + changelog checkpointing: session state restores via changelog replay") {
+    implicit val sql = spark.sqlContext
+    // changelog checkpointing is RocksDB's at-scale mode (per-batch
+    // changelog uploads instead of full snapshot zips) with its own,
+    // different restore path: the restart replays the changelog onto the
+    // last snapshot. Recovery through THAT path is distinct code from
+    // the snapshot-only restore the other RocksDB test exercises — pin
+    // it with the state-richest operator (session buffers + merge).
+    val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prior = spark.conf.getOption(ck)
+    try {
+      spark.conf.set(ck, "true")
+      StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
+        val topo = Topology(
+          Seq("in" -> "tbl", "tbl" -> "out"),
+          Map("in" -> Entity.Topic("in"),
+            "tbl" -> Entity.KTable(
+              window = Some(WindowSpec.SessionWindows(200L)),
+              aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc * 2 + v))),
+            "out" -> Entity.Topic("out")))
+        val ms = MemoryStream[(String, Int, Long)]
+        val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)))
+        val dir = ckpt()
+        val buf1 = ArrayBuffer.empty[Row]
+        val q1 = start(dfs("tbl"), dir, "update", buf1)
+        try {
+          ms.addData(("k", 1, 1000L), ("k", 2, 1300L)); q1.processAllAvailable()
+        } finally q1.stop()
+
+        val buf2 = ArrayBuffer.empty[Row]
+        val q2 = start(dfs("tbl"), dir, "update", buf2)
+        try {
+          ms.addData(("k", 4, 1150L)); q2.processAllAvailable()
+        } finally q2.stop()
+        // the bridge merge needs BOTH replayed session buffers:
+        // ((0*2+1)*2+4)*2+2 = 14 over [1000,1500)
+        val finals = sessionFinalsOf(
+          buf1.synchronized(buf1.toVector) ++ buf2.synchronized(buf2.toVector))
+        assert(finals == Seq(("k", 14, 1000L, 1500L)))
+      }
+    } finally prior match {
+      case Some(p) => spark.conf.set(ck, p)
+      case None    => spark.conf.unset(ck)
+    }
+  }
+
   test("RocksDB provider: fold state restores across restart under the production store") {
     implicit val sql = spark.sqlContext
     StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {

@@ -2417,4 +2417,48 @@ class StreamCongruitySpec extends AnyFunSuite {
     // the cross-batch duplicates (u1/7, u2/7 in batch 2) were dropped
     assert(got.size == 4)
   }
+
+  test("dedupeWithin: bounded-horizon dedup matches batch within the horizon, then EXPIRES state") {
+    implicit val sql = spark.sqlContext
+    // the 100 TB dedupe variant: dropDuplicatesWithinWatermark instead of
+    // a forever seen-set. Within the horizon it behaves like dedupe (and
+    // the batch keepFirst twin); past it, the id's state is GONE — the
+    // duplicate flows again and the state store shrank. Both halves of
+    // the trade pinned here.
+    val (edges, ents) = Fragments.dedupeWithin("in", "out", col("value"))
+    val topo = Topology(
+      edges, Map("in" -> Entity.Topic("in"), "out" -> Entity.Topic("out")) ++ ents)
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    // the watermark DELAY is the dedup horizon (state for an id lives
+    // until the watermark passes its event time + delay) — a 0 ms delay
+    // would expire every id's state at the next batch and dedup nothing
+    val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(500L))
+    qn += 1
+    val name = s"dedupw_$qn"
+    val q = dfs("out").writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      ms.addData(("a", 7, 1000L), ("a", 8, 1100L)); q.processAllAvailable()
+      ms.addData(("b", 7, 1200L)); q.processAllAvailable() // dup within horizon
+      ms.addData(("c", 9, 100000L)); q.processAllAvailable() // wm jumps far
+      // id 7's state expired with the watermark: the late re-occurrence
+      // flows again — the documented bounded-horizon trade
+      ms.addData(("d", 7, 100100L)); q.processAllAvailable()
+      ms.addData(("e", 1, 200000L)); q.processAllAvailable() // final cleanup batch
+      // expiry is real: ids 7@1000/8@1100 (and more) left the store — far
+      // fewer state rows than the 5 distinct (id, occurrence) entries
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 3)
+    } finally q.stop()
+    val got = spark.table(name)
+      .select("key", "value").collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    assert(got == Seq(("a", 7), ("a", 8), ("c", 9), ("d", 7), ("e", 1)))
+
+    // batch twin agrees on the WITHIN-horizon prefix (global keepFirst):
+    // same first-occurrence survivors for the first three records
+    val batch = BatchCompiler.run(topo, Map("in" -> records(
+      ("a", 7, 1000L), ("a", 8, 1100L), ("b", 7, 1200L))))("out")
+    assert(kvOf(batch) == Seq(("a", 7), ("a", 8)))
+  }
 }
