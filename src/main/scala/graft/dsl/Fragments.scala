@@ -22,24 +22,12 @@ object Fragments {
     * Topology(baseEdges ++ edges, baseEntities ++ ents)
     * }}}
     */
-  def dedupe(inId: String, outId: String, idExpr: Column): (Seq[(String, String)], Map[String, Entity]) = {
-    val nodeId = s"__dedupe_${inId}_$outId"
-    val entity = Entity.KStream(Some(Xform.Custom { df =>
-      if (df.isStreaming)
-        // streaming: keyed first-arrival state (exactly the reference's
-        // live semantics — Kafka Streams also dedupes in ARRIVAL order,
-        // willa workflow.clj:6-24; batch replays get the ts total order)
-        df.withColumn("__did", idExpr)
-          .dropDuplicates("__did")
-          .select(col(KeyCol), col(ValueCol), col(TsCol))
-      else
-        Dedup.keepFirst(
-          df.withColumn("__did", idExpr),
-          Seq("__did"), Seq(TsCol, KeyCol, ValueCol))
-          .select(col(KeyCol), col(ValueCol), col(TsCol))
-    }))
-    (Seq(inId -> nodeId, nodeId -> outId), Map(nodeId -> entity))
-  }
+  def dedupe(inId: String, outId: String, idExpr: Column): (Seq[(String, String)], Map[String, Entity]) =
+    // streaming: keyed first-arrival state (exactly the reference's
+    // live semantics — Kafka Streams also dedupes in ARRIVAL order,
+    // willa workflow.clj:6-24; batch replays get the ts total order)
+    dedupeNode(s"__dedupe_${inId}_$outId", inId, outId, idExpr,
+      _.dropDuplicates("__did"))
 
   /** Bounded-horizon dedupe fragment — the 100 TB variant of [[dedupe]]:
     * dedup state EXPIRES with the watermark instead of growing with
@@ -61,12 +49,23 @@ object Fragments {
     * Batch lowering is identical to [[dedupe]] (a batch replay holds the
     * whole horizon at once), so batch == streaming exactly when all
     * duplicates fall within the horizon. */
-  def dedupeWithin(inId: String, outId: String, idExpr: Column): (Seq[(String, String)], Map[String, Entity]) = {
-    val nodeId = s"__dedupew_${inId}_$outId"
+  def dedupeWithin(inId: String, outId: String, idExpr: Column): (Seq[(String, String)], Map[String, Entity]) =
+    dedupeNode(s"__dedupew_${inId}_$outId", inId, outId, idExpr,
+      _.dropDuplicatesWithinWatermark("__did"))
+
+  /** Shared shape of the two dedupe fragments: only the streaming dedup
+    * operator differs; the batch arm (keepFirst with the
+    * (ts, key, value) determinism ordering), the record-shape select,
+    * and the splice wiring stay identical — ONE definition so the two
+    * fragments' batch twins cannot drift. The `streamOp` receives the
+    * record DF with the id materialized as `__did`. */
+  private def dedupeNode(nodeId: String, inId: String, outId: String,
+      idExpr: Column,
+      streamOp: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Seq[(String, String)], Map[String, Entity]) = {
     val entity = Entity.KStream(Some(Xform.Custom { df =>
       if (df.isStreaming)
-        df.withColumn("__did", idExpr)
-          .dropDuplicatesWithinWatermark("__did")
+        streamOp(df.withColumn("__did", idExpr))
           .select(col(KeyCol), col(ValueCol), col(TsCol))
       else
         Dedup.keepFirst(

@@ -592,6 +592,40 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     }
   }
 
+  /** The canonical session-bridge kill scenario, shared by the
+    * rebuilt-topology and changelog-checkpointing tests: feed
+    * (k,1,1000),(k,2,1300) (two open sessions, gap 200), kill, restart
+    * from `mkDfs` (same or freshly compiled plan), bridge with
+    * (k,4,1150). The NON-commutative adder (2*acc + v) means the merged
+    * final — ((0*2+1)*2+4)*2+2 = 14 over [1000,1500) — is only reachable
+    * by re-folding BOTH restored session buffers in event-time order.
+    * Returns (checkpoint dir, finals) so callers can add their own pins. */
+  private def runSessionBridge(
+      mkDfs: () => Map[String, org.apache.spark.sql.DataFrame],
+      ms: MemoryStream[(String, Int, Long)]): (String, Seq[(String, Int, Long, Long)]) = {
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(mkDfs()("tbl"), dir, "update", buf1)
+    try {
+      ms.addData(("k", 1, 1000L), ("k", 2, 1300L)); q1.processAllAvailable()
+    } finally q1.stop()
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(mkDfs()("tbl"), dir, "update", buf2)
+    try {
+      ms.addData(("k", 4, 1150L)); q2.processAllAvailable() // bridges both
+    } finally q2.stop()
+    (dir, sessionFinalsOf(
+      buf1.synchronized(buf1.toVector) ++ buf2.synchronized(buf2.toVector)))
+  }
+
+  private def sessionBridgeTopo() = Topology(
+    Seq("in" -> "tbl", "tbl" -> "out"),
+    Map("in" -> Entity.Topic("in"),
+      "tbl" -> Entity.KTable(
+        window = Some(WindowSpec.SessionWindows(200L)),
+        aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc * 2 + v))),
+      "out" -> Entity.Topic("out")))
+
   test("a REBUILT topology (fresh compile) resumes another build's checkpoint") {
     implicit val sql = spark.sqlContext
     // realistic restarts don't reuse the old DataFrame: the driver died,
@@ -600,34 +634,11 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     // is deterministic where it matters — same operator layout, same
     // state row encoding — for a structurally equal (but newly
     // constructed) Topology value. Session fold: the state-richest op.
-    def mkTopo() = Topology(
-      Seq("in" -> "tbl", "tbl" -> "out"),
-      Map("in" -> Entity.Topic("in"),
-        "tbl" -> Entity.KTable(
-          window = Some(WindowSpec.SessionWindows(200L)),
-          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc * 2 + v))),
-        "out" -> Entity.Topic("out")))
     val ms = MemoryStream[(String, Int, Long)]
-    val dir = ckpt()
-    val buf1 = ArrayBuffer.empty[Row]
-    val dfs1 = StreamCompiler.run(mkTopo(), Map("in" -> src(ms)))
-    val q1 = start(dfs1("tbl"), dir, "update", buf1)
-    try {
-      ms.addData(("k", 1, 1000L), ("k", 2, 1300L)); q1.processAllAvailable()
-    } finally q1.stop()
-
-    // fresh compile: new Topology instance, new Column trees, new plan
-    val buf2 = ArrayBuffer.empty[Row]
-    val dfs2 = StreamCompiler.run(mkTopo(), Map("in" -> src(ms)))
-    val q2 = start(dfs2("tbl"), dir, "update", buf2)
-    try {
-      ms.addData(("k", 4, 1150L)); q2.processAllAvailable() // bridges both
-    } finally q2.stop()
-    // the rebuilt operator read the first build's buffers and re-folded
-    // in event-time order with the non-commutative adder:
-    // ((0*2+1)*2+4)*2+2 = 14 over [1000,1500)
-    val finals = sessionFinalsOf(
-      buf1.synchronized(buf1.toVector) ++ buf2.synchronized(buf2.toVector))
+    // each call compiles FRESH: new Topology instance, new Column trees,
+    // new plan — q2 runs a different compile than q1
+    val (_, finals) = runSessionBridge(
+      () => StreamCompiler.run(sessionBridgeTopo(), Map("in" -> src(ms))), ms)
     assert(finals == Seq(("k", 14, 1000L, 1500L)))
   }
 
@@ -739,32 +750,20 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     try {
       spark.conf.set(ck, "true")
       StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
-        val topo = Topology(
-          Seq("in" -> "tbl", "tbl" -> "out"),
-          Map("in" -> Entity.Topic("in"),
-            "tbl" -> Entity.KTable(
-              window = Some(WindowSpec.SessionWindows(200L)),
-              aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc * 2 + v))),
-            "out" -> Entity.Topic("out")))
         val ms = MemoryStream[(String, Int, Long)]
-        val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)))
-        val dir = ckpt()
-        val buf1 = ArrayBuffer.empty[Row]
-        val q1 = start(dfs("tbl"), dir, "update", buf1)
-        try {
-          ms.addData(("k", 1, 1000L), ("k", 2, 1300L)); q1.processAllAvailable()
-        } finally q1.stop()
-
-        val buf2 = ArrayBuffer.empty[Row]
-        val q2 = start(dfs("tbl"), dir, "update", buf2)
-        try {
-          ms.addData(("k", 4, 1150L)); q2.processAllAvailable()
-        } finally q2.stop()
-        // the bridge merge needs BOTH replayed session buffers:
-        // ((0*2+1)*2+4)*2+2 = 14 over [1000,1500)
-        val finals = sessionFinalsOf(
-          buf1.synchronized(buf1.toVector) ++ buf2.synchronized(buf2.toVector))
+        val dfs = StreamCompiler.run(sessionBridgeTopo(), Map("in" -> src(ms)))
+        val (dir, finals) = runSessionBridge(() => dfs, ms)
         assert(finals == Seq(("k", 14, 1000L, 1500L)))
+        // prove the changelog path actually ENGAGED (a typo'd or ignored
+        // conf would silently fall back to snapshot-zip restore and this
+        // test would pass without pinning anything): changelog files must
+        // exist in the checkpoint's state directory
+        import scala.jdk.CollectionConverters._
+        val changelogs = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(dir)).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".changelog"))
+        assert(changelogs > 0,
+          s"no *.changelog files under $dir - changelog checkpointing never ran")
       }
     } finally prior match {
       case Some(p) => spark.conf.set(ck, p)
