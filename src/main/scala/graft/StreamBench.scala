@@ -134,6 +134,21 @@ object StreamBench {
         "out" -> Entity.Topic("out")),
       Map(Seq("s", "tbl") -> JoinConfig(JoinType.Left)))
 
+    // the two dedupe fragments over the same 50%-duplicate workload:
+    // `dedupe` keeps every id forever (unbounded state), `dedupe_within`
+    // expires ids with the watermark (bounded) — the throughput delta is
+    // the price/win of the horizon. Ids collide across the stream's halves
+    // so half the records are cross-batch duplicates.
+    def dedupeTopo(within: Boolean) = {
+      val (edges, ents) =
+        if (within) Fragments.dedupeWithin("in", "out", col("value"))
+        else Fragments.dedupe("in", "out", col("value"))
+      Topology(edges,
+        Map("in" -> Entity.Topic("in"), "out" -> Entity.Topic("out")) ++ ents)
+    }
+    def dupRows(n: Int): Seq[(String, Long, Long)] =
+      (0 until n).map(i => (s"k${i % k}", (i % (n / 2)).toLong, 1000L + i))
+
     // warmup: one small run absorbs codegen/session init
     drive(spark, foldTopo, Map("in" -> inOrder(2000)), "tbl", "update", 2)
 
@@ -153,6 +168,14 @@ object StreamBench {
     ops("session_fold_combinable") =
       drive(spark, sessTopo(comb = true), Map("in" -> sessRows(n)), "tbl",
         "update", b, watermarkMs = Some(500L))
+    // same mode for both; the horizon (watermark delay) spans the whole
+    // feed so both dedup every duplicate — the delta is pure overhead
+    ops("dedupe") =
+      drive(spark, dedupeTopo(within = false), Map("in" -> dupRows(n)), "out",
+        "append", b)
+    ops("dedupe_within") =
+      drive(spark, dedupeTopo(within = true), Map("in" -> dupRows(n)), "out",
+        "append", b, watermarkMs = Some(100000L))
 
     val opsJson = ops.map { case (name, eps) => s"\"$name\":${math.round(eps)}" }
       .mkString("{", ",", "}")
