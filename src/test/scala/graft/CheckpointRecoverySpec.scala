@@ -642,6 +642,91 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     assert(finals == Seq(("k", 14, 1000L, 1500L)))
   }
 
+  test("topology evolution: adding a stateless transform downstream keeps the checkpoint valid") {
+    implicit val sql = spark.sqlContext
+    // the common live-job upgrade: new stateless logic after the stateful
+    // core. The state operator's position/shape is unchanged, so the
+    // checkpoint resumes — pin it, because users need to know WHICH
+    // edits are checkpoint-compatible
+    val ms = MemoryStream[(String, Int, Long)]
+    val v1 = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    // v2 adds a stateless doubling map AFTER the fold table
+    val v2 = Topology(
+      Seq("in" -> "tbl", "tbl" -> "post", "post" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "post" -> Entity.KStream(Some(Xform.MapValue(col("value") * 10))),
+        "out" -> Entity.Topic("out")))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(StreamCompiler.run(v1, Map("in" -> src(ms)))("tbl"),
+      dir, "update", buf1)
+    try {
+      ms.addData(("k", 1, 1000L)); q1.processAllAvailable()
+      ms.addData(("k", 2, 1100L)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(StreamCompiler.run(v2, Map("in" -> src(ms)))("post"),
+      dir, "update", buf2)
+    try {
+      ms.addData(("k", 4, 1200L)); q2.processAllAvailable()
+    } finally q2.stop()
+    // the restored acc flows through the NEW stateless node: (3+4)*10
+    assert(kv(buf2) == Seq(("k", 70)))
+  }
+
+  test("topology evolution: changing the state SHAPE is rejected by Spark's schema check") {
+    implicit val sql = spark.sqlContext
+    // the guardrail for the incompatible upgrade: swapping the stateful
+    // core (unwindowed fold -> session-windowed fold = different state
+    // row schema) against the old checkpoint must ERROR, not silently
+    // decode old state as the new shape
+    val ms = MemoryStream[(String, Int, Long)]
+    val foldTopo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(aggregate =
+          Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(StreamCompiler.run(foldTopo, Map("in" -> src(ms)))("tbl"),
+      dir, "update", buf1)
+    try {
+      ms.addData(("k", 1, 1000L)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    val sessTopo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(200L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
+        "out" -> Entity.Topic("out")))
+    val buf2 = ArrayBuffer.empty[Row]
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = start(StreamCompiler.run(sessTopo, Map("in" -> src(ms)))("tbl"),
+        dir, "update", buf2)
+      try {
+        ms.addData(("k", 2, 1100L)); q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    // Spark's state schema validation caught the shape change
+    val msg = String.valueOf(e.getMessage) +
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+        .map(c => String.valueOf(c.getMessage)).mkString(" ")
+    assert(msg.toLowerCase.contains("schema") || msg.toLowerCase.contains("state"),
+      s"unexpected failure mode: $msg")
+    assert(buf2.synchronized(buf2.isEmpty)) // nothing emitted from bad resume
+  }
+
   test("restart under a DIFFERENT session provider keeps the checkpoint's pinned provider") {
     implicit val sql = spark.sqlContext
     // Spark records the provider class in the checkpoint's offset
