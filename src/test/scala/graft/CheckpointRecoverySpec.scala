@@ -642,6 +642,81 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     assert(finals == Seq(("k", 14, 1000L, 1500L)))
   }
 
+  test("stream-stream interval join: the buffered side survives restart to match later arrivals") {
+    implicit val sql = spark.sqlContext
+    // the join buffers are Spark-native symmetric-hash state, but OUR
+    // compilation (watermark + interval condition) must rebuild the same
+    // operator on restart for the checkpoint to resume — pin the
+    // match-across-the-kill case: the left event is buffered pre-kill,
+    // its right partner arrives post-restart within the window
+    val topo = Topology(
+      Seq("a" -> "j", "b" -> "j", "j" -> "out"),
+      Map("a" -> Entity.Topic("a"), "b" -> Entity.Topic("b"),
+        "j" -> Entity.KStream(), "out" -> Entity.Topic("out")),
+      Map(Seq("a", "b") -> JoinConfig(JoinType.Inner, Some(JoinWindow.of(100L)))))
+    val aMs = MemoryStream[(String, Int, Long)]
+    val bMs = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo,
+      Map("a" -> src(aMs), "b" -> src(bMs)), watermarkMs = Some(10000L))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("j"), dir, "append", buf1)
+    try {
+      aMs.addData(("k", 1, 1000L)); q1.processAllAvailable() // buffered, unmatched
+    } finally q1.stop()
+    assert(buf1.synchronized(buf1.isEmpty))
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(dfs("j"), dir, "append", buf2)
+    try {
+      bMs.addData(("k", 2, 1050L)); q2.processAllAvailable() // within ±100ms
+    } finally q2.stop()
+    val got = buf2.synchronized {
+      buf2.map(r => (r.getAs[String]("key"),
+        r.getAs[Row]("value").getInt(0), r.getAs[Row]("value").getInt(1))).toSeq
+    }
+    // the restored left buffer matched the post-restart right arrival
+    assert(got == Seq(("k", 1, 2)))
+  }
+
+  test("suppressed TUMBLING fold: armed window-close timeout survives restart (append op)") {
+    implicit val sql = spark.sqlContext
+    // the windowed (non-session) suppression op is its own append-mode
+    // state operator — its armed close timeouts must re-arm across a
+    // restart just like the session variant's
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v)),
+          suppress = true),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("in" -> src(ms)), watermarkMs = Some(0L))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(dfs("tbl"), dir, "append", buf1)
+    try {
+      ms.addData(("k", 1, 1000L)); q1.processAllAvailable()
+      ms.addData(("k", 2, 1050L)); q1.processAllAvailable() // same window, open
+    } finally q1.stop()
+    assert(buf1.synchronized(buf1.isEmpty)) // suppressed: not closed yet
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(dfs("tbl"), dir, "append", buf2)
+    try {
+      ms.addData(("z", 9, 100000L)); q2.processAllAvailable()
+      ms.addData(("x", 1, 100001L)); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = buf2.synchronized {
+      buf2.map(r => (r.getAs[String]("key"), r.getAs[Int]("value"),
+        r.getAs[java.sql.Timestamp]("window_start").getTime)).toSeq
+    }
+    // exactly one post-restart close with the restored acc (1 + 2)
+    assert(got == Seq(("k", 3, 1000L)))
+  }
+
   test("topology evolution: adding a stateless transform downstream keeps the checkpoint valid") {
     implicit val sql = spark.sqlContext
     // the common live-job upgrade: new stateless logic after the stateful
