@@ -146,8 +146,10 @@ object StreamBench {
       Topology(edges,
         Map("in" -> Entity.Topic("in"), "out" -> Entity.Topic("out")) ++ ents)
     }
-    def dupRows(n: Int): Seq[(String, Long, Long)] =
-      (0 until n).map(i => (s"k${i % k}", (i % (n / 2)).toLong, 1000L + i))
+    def dupRows(n: Int): Seq[(String, Long, Long)] = {
+      val ids = math.max(1, n / 2) // n=1 still yields a valid (dup-free) feed
+      (0 until n).map(i => (s"k${i % k}", (i % ids).toLong, 1000L + i))
+    }
 
     // warmup: one small run absorbs codegen/session init
     drive(spark, foldTopo, Map("in" -> inOrder(2000)), "tbl", "update", 2)
@@ -168,14 +170,18 @@ object StreamBench {
     ops("session_fold_combinable") =
       drive(spark, sessTopo(comb = true), Map("in" -> sessRows(n)), "tbl",
         "update", b, watermarkMs = Some(500L))
-    // same mode for both; the horizon (watermark delay) spans the whole
-    // feed so both dedup every duplicate — the delta is pure overhead
+    // same mode for both; the horizon (watermark delay) is DERIVED from n
+    // so it always spans the whole feed (duplicate pairs sit n/2 ms apart
+    // on the 1ms-spaced timeline) and both variants dedup every duplicate
+    // — the delta is pure overhead. A fixed horizon would silently stop
+    // covering the duplicate gap at larger n (the sessRows stride-bug
+    // class).
     ops("dedupe") =
       drive(spark, dedupeTopo(within = false), Map("in" -> dupRows(n)), "out",
         "append", b)
     ops("dedupe_within") =
       drive(spark, dedupeTopo(within = true), Map("in" -> dupRows(n)), "out",
-        "append", b, watermarkMs = Some(100000L))
+        "append", b, watermarkMs = Some(n.toLong))
 
     val opsJson = ops.map { case (name, eps) => s"\"$name\":${math.round(eps)}" }
       .mkString("{", ",", "}")

@@ -730,7 +730,7 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
         "tbl" -> Entity.KTable(aggregate =
           Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v))),
         "out" -> Entity.Topic("out")))
-    // v2 adds a stateless doubling map AFTER the fold table
+    // v2 adds a stateless ×10 map AFTER the fold table
     val v2 = Topology(
       Seq("in" -> "tbl", "tbl" -> "post", "post" -> "out"),
       Map("in" -> Entity.Topic("in"),
