@@ -183,4 +183,46 @@ object Sources {
       .outputMode("append")
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
+
+  /** Idempotence guard for `foreachBatch` sinks, Spark's own documented
+    * exactly-once recipe: after a CRASH (not a graceful stop) the engine
+    * re-delivers the last batch whose offsets were logged but whose
+    * commit wasn't — at-least-once delivery — and a non-transactional
+    * sink double-writes it on restart. This wraps the user's writer so a
+    * (re)delivered `batchId` at or below the durably recorded high-water
+    * mark is skipped; the mark is persisted AFTER the write succeeds, in
+    * the same directory family as the checkpoint, so the guard itself
+    * restarts correctly (a crash between write and record re-runs the
+    * write — the sink function must therefore still be idempotent PER
+    * BATCH, e.g. overwrite-by-batch-path, which is the standard contract).
+    * Returns a function suitable for `.foreachBatch(...)`.
+    *
+    * {{{
+    * df.writeStream.option("checkpointLocation", ckpt)
+    *   .foreachBatch(Sources.idempotentBatchWriter(trackDir) {
+    *     (batch, id) => batch.write.mode("overwrite").parquet(s"$out/b=$id")
+    *   }).start()
+    * }}} */
+  def idempotentBatchWriter(trackDir: String)(
+      write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val mark = new java.io.File(trackDir, "committed_batch_id")
+    def committed(): Long =
+      if (mark.exists)
+        try java.nio.file.Files.readString(mark.toPath).trim.toLong
+        catch { case _: NumberFormatException => -1L } // torn write: re-run batch
+      else -1L
+    (batch: DataFrame, batchId: Long) => {
+      if (batchId > committed()) {
+        write(batch, batchId)
+        java.nio.file.Files.createDirectories(mark.toPath.getParent)
+        // write-then-atomic-move so a crash never leaves a torn mark
+        val tmp = java.nio.file.Files.createTempFile(
+          mark.toPath.getParent, "committed_batch_id", ".tmp")
+        java.nio.file.Files.writeString(tmp, batchId.toString)
+        java.nio.file.Files.move(tmp, mark.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
 }

@@ -651,4 +651,49 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     // is still open and therefore suppressed
     assert(kvInt(spark.table("suppressed")) == Seq(("k", 3), ("k", 5)))
   }
+
+  test("idempotentBatchWriter skips re-delivered batches, across writer restarts too") {
+    import spark.implicits._
+    // foreachBatch is AT-LEAST-once after a crash (offsets logged, commit
+    // not): the guard must drop a batchId at or below the durable mark,
+    // including when the guard itself is re-created on restart, and the
+    // mark must only advance AFTER a successful write
+    val dir = Files.createTempDirectory("graft-idem-").toString
+    val writes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def mkWriter() = Sources.idempotentBatchWriter(dir) { (b, id) =>
+      if (id == 99L) sys.error("sink outage") // simulated write failure
+      writes += ((id, b.count()))
+    }
+    val w1 = mkWriter()
+    w1(Seq(1, 2).toDF("v"), 0L)
+    w1(Seq(3).toDF("v"), 1L)
+    w1(Seq(3).toDF("v"), 1L) // same-incarnation re-delivery: skipped
+    val w2 = mkWriter()      // "driver restart": fresh guard, same trackDir
+    w2(Seq(3).toDF("v"), 1L) // post-restart re-delivery: still skipped
+    w2(Seq(4, 5).toDF("v"), 2L)
+    assert(writes.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 2L)))
+    // a FAILED write must not advance the mark: the retried batch runs
+    intercept[RuntimeException] { w2(Seq(9).toDF("v"), 99L) }
+    val w3 = mkWriter()
+    w3(Seq(6).toDF("v"), 3L) // 3 > committed mark (2): the retry writes
+    assert(writes.toSeq.last == ((3L, 1L)))
+
+    // end-to-end: the signature plugs into foreachBatch and survives a
+    // graceful checkpoint restart without re-writing committed batches
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Int]
+    val ckpt = Files.createTempDirectory("graft-idem-ck-").toString
+    val outDir = Files.createTempDirectory("graft-idem-out-").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def startQ() = ms.toDF().writeStream
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch(Sources.idempotentBatchWriter(outDir) { (b, _) =>
+        seen.synchronized { seen ++= b.collect().map(_.getInt(0)) }; ()
+      }).start()
+    val q1 = startQ()
+    try { ms.addData(10); q1.processAllAvailable() } finally q1.stop()
+    val q2 = startQ()
+    try { ms.addData(20); q2.processAllAvailable() } finally q2.stop()
+    assert(seen.synchronized(seen.sorted.toSeq) == Seq(10, 20))
+  }
 }
