@@ -189,40 +189,74 @@ object Sources {
     * re-delivers the last batch whose offsets were logged but whose
     * commit wasn't — at-least-once delivery — and a non-transactional
     * sink double-writes it on restart. This wraps the user's writer so a
-    * (re)delivered `batchId` at or below the durably recorded high-water
-    * mark is skipped; the mark is persisted AFTER the write succeeds, in
-    * the same directory family as the checkpoint, so the guard itself
-    * restarts correctly (a crash between write and record re-runs the
-    * write — the sink function must therefore still be idempotent PER
-    * BATCH, e.g. overwrite-by-batch-path, which is the standard contract).
-    * Returns a function suitable for `.foreachBatch(...)`.
+    * (re)delivered `batchId` at the durably recorded high-water mark is
+    * skipped; the mark is persisted AFTER the write succeeds, so a crash
+    * between write and record re-runs the write — the sink function must
+    * therefore still be idempotent PER BATCH (e.g. overwrite-by-batch-
+    * path, the standard contract). Returns a function suitable for
+    * `.foreachBatch(...)`.
+    *
+    * `trackDir` goes through the Hadoop FileSystem API resolved from the
+    * batch's session — like Spark's own checkpoint files it may live on
+    * HDFS/S3 (`hdfs://…`, `s3a://…`), which it MUST in any deployment
+    * where the driver can fail over to another node: a driver-local path
+    * survives only same-machine restarts. Co-locate it with the
+    * checkpoint and wipe the two together: batchIds are only monotone
+    * within one checkpoint lineage, so the guard throws (loudly, rather
+    * than silently skipping data) if a delivered batchId is BELOW the
+    * mark — under one lineage the engine only ever re-delivers the LAST
+    * batch, so a lower id means the trackDir belongs to a different or
+    * wiped checkpoint, or is shared by two queries. Durability note: the
+    * mark swap is delete+rename (atomic per step on HDFS/local; weaker
+    * on object stores) and a crash inside the swap loses only the mark —
+    * the next incarnation re-runs one batch, it never skips one.
     *
     * {{{
     * df.writeStream.option("checkpointLocation", ckpt)
-    *   .foreachBatch(Sources.idempotentBatchWriter(trackDir) {
+    *   .foreachBatch(Sources.idempotentBatchWriter(s"$ckpt/__sink_mark") {
     *     (batch, id) => batch.write.mode("overwrite").parquet(s"$out/b=$id")
     *   }).start()
     * }}} */
   def idempotentBatchWriter(trackDir: String)(
       write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
-    val mark = new java.io.File(trackDir, "committed_batch_id")
-    def committed(): Long =
-      if (mark.exists)
-        try java.nio.file.Files.readString(mark.toPath).trim.toLong
-        catch { case _: NumberFormatException => -1L } // torn write: re-run batch
-      else -1L
+    var cached = Long.MinValue // sentinel: not yet loaded from durable storage
     (batch: DataFrame, batchId: Long) => {
-      if (batchId > committed()) {
-        write(batch, batchId)
-        java.nio.file.Files.createDirectories(mark.toPath.getParent)
-        // write-then-atomic-move so a crash never leaves a torn mark
-        val tmp = java.nio.file.Files.createTempFile(
-          mark.toPath.getParent, "committed_batch_id", ".tmp")
-        java.nio.file.Files.writeString(tmp, batchId.toString)
-        java.nio.file.Files.move(tmp, mark.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val dir = new org.apache.hadoop.fs.Path(trackDir)
+      val fs = dir.getFileSystem(
+        batch.sparkSession.sessionState.newHadoopConf())
+      val mark = new org.apache.hadoop.fs.Path(dir, "committed_batch_id")
+      if (cached == Long.MinValue) { // restart: one durable read, then memory
+        cached =
+          if (!fs.exists(mark)) -1L
+          else {
+            val in = fs.open(mark)
+            val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+            try s.toLong
+            catch { case _: NumberFormatException => -1L } // torn mark: re-run
+          }
       }
+      if (batchId < cached)
+        throw new IllegalStateException(
+          s"foreachBatch delivered batchId $batchId below the committed mark " +
+            s"$cached in $trackDir - under one checkpoint lineage only the " +
+            "last batch is ever re-delivered, so this trackDir belongs to a " +
+            "different or wiped checkpoint (or is shared by two queries); " +
+            "wipe it together with its checkpoint")
+      if (batchId > cached) {
+        write(batch, batchId)
+        fs.mkdirs(dir)
+        // fixed tmp name: a crash in the swap window leaves at most ONE
+        // stray file, overwritten by the next successful swap
+        val tmp = new org.apache.hadoop.fs.Path(dir, "committed_batch_id.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        fs.delete(mark, false)
+        if (!fs.rename(tmp, mark))
+          throw new java.io.IOException(s"rename $tmp -> $mark failed")
+        cached = batchId
+      }
+      // batchId == cached: the crash-window re-delivery — skip
     }
   }
 }

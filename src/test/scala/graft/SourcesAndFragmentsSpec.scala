@@ -672,6 +672,9 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     w2(Seq(3).toDF("v"), 1L) // post-restart re-delivery: still skipped
     w2(Seq(4, 5).toDF("v"), 2L)
     assert(writes.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 2L)))
+    // a batchId BELOW the mark is impossible under one checkpoint lineage
+    // (only the last batch re-delivers): loud error, not a silent skip
+    intercept[IllegalStateException] { mkWriter()(Seq(9).toDF("v"), 0L) }
     // a FAILED write must not advance the mark: the retried batch runs
     intercept[RuntimeException] { w2(Seq(9).toDF("v"), 99L) }
     val w3 = mkWriter()
