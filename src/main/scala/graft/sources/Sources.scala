@@ -207,9 +207,10 @@ object Sources {
     * mark — under one lineage the engine only ever re-delivers the LAST
     * batch, so a lower id means the trackDir belongs to a different or
     * wiped checkpoint, or is shared by two queries. Durability note: the
-    * mark swap is delete+rename (atomic per step on HDFS/local; weaker
-    * on object stores) and a crash inside the swap loses only the mark —
-    * the next incarnation re-runs one batch, it never skips one.
+    * mark swap is `FileContext.rename(OVERWRITE)` — atomic on
+    * HDFS/local, best-effort on object stores, where a crash inside the
+    * swap can lose the mark; the next incarnation then re-runs one
+    * batch, it never skips one.
     *
     * {{{
     * df.writeStream.option("checkpointLocation", ckpt)
@@ -220,11 +221,23 @@ object Sources {
   def idempotentBatchWriter(trackDir: String)(
       write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     var cached = Long.MinValue // sentinel: not yet loaded from durable storage
+    // fs/paths resolved ONCE from the first batch's session (trackDir
+    // never changes; newHadoopConf clones the full conf per call and
+    // doesn't belong on a per-trigger hot path)
+    var fsCtx: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.FileContext,
+      org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = null
     (batch: DataFrame, batchId: Long) => {
-      val dir = new org.apache.hadoop.fs.Path(trackDir)
-      val fs = dir.getFileSystem(
-        batch.sparkSession.sessionState.newHadoopConf())
-      val mark = new org.apache.hadoop.fs.Path(dir, "committed_batch_id")
+      if (fsCtx == null) {
+        val dir = new org.apache.hadoop.fs.Path(trackDir)
+        val hconf = batch.sparkSession.sessionState.newHadoopConf()
+        val fs = dir.getFileSystem(hconf)
+        fs.mkdirs(dir)
+        val qualified = fs.makeQualified(dir)
+        fsCtx = (fs,
+          org.apache.hadoop.fs.FileContext.getFileContext(qualified.toUri, hconf),
+          qualified, new org.apache.hadoop.fs.Path(qualified, "committed_batch_id"))
+      }
+      val (fs, fc, dir, mark) = fsCtx
       if (cached == Long.MinValue) { // restart: one durable read, then memory
         cached =
           if (!fs.exists(mark)) -1L
@@ -245,15 +258,14 @@ object Sources {
             "wipe it together with its checkpoint")
       if (batchId > cached) {
         write(batch, batchId)
-        fs.mkdirs(dir)
         // fixed tmp name: a crash in the swap window leaves at most ONE
-        // stray file, overwritten by the next successful swap
+        // stray file, overwritten by the next successful swap; the swap
+        // itself is an ATOMIC overwrite rename (no delete-then-rename
+        // window where the mark doesn't exist)
         val tmp = new org.apache.hadoop.fs.Path(dir, "committed_batch_id.tmp")
         val out = fs.create(tmp, true)
         try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-        fs.delete(mark, false)
-        if (!fs.rename(tmp, mark))
-          throw new java.io.IOException(s"rename $tmp -> $mark failed")
+        fc.rename(tmp, mark, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         cached = batchId
       }
       // batchId == cached: the crash-window re-delivery — skip
