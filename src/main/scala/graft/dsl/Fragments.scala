@@ -34,9 +34,12 @@ object Fragments {
     * distinct-ids-ever-seen. The streaming lowering is Spark's built-in
     * `dropDuplicatesWithinWatermark` (no custom state op needed):
     * duplicates arriving within the watermark delay of the first
-    * occurrence are dropped, and each id's state is cleaned once the
-    * watermark passes its event time — a duplicate arriving FARTHER
-    * apart than the horizon may flow again. That is the trade that
+    * occurrence are guaranteed dropped, and each id's state is cleaned
+    * once the watermark passes its event time PLUS the delay — a
+    * duplicate arriving farther apart than the horizon may flow again
+    * (between one and two delay-widths out, whether it dedups depends
+    * on how far the watermark has advanced; past state expiry it always
+    * flows). That is the trade that
     * bounds state, and it is exactly Kafka Streams' windowed-store
     * dedup trade. Requires the topology to run with a watermark
     * (`StreamCompiler.run(watermarkMs = ...)`) — Spark fails the query

@@ -46,11 +46,13 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
 
   override def afterAll(): Unit = {
     // checkpoints carry state snapshots (and RocksDB zips) — don't leak
-    // them into tmpdir across runs
+    // them into tmpdir across runs. Files.walk holds open directory
+    // handles until closed; leaking one per dir would accumulate fds.
     ckptDirs.foreach { d =>
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(d)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     super.afterAll()
   }
@@ -68,8 +70,7 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
       }.start()
 
   private def src(ms: MemoryStream[(String, Int, Long)]): DataFrame =
-    ms.toDF().toDF("key", "value", "__ms")
-      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+    recordStream(ms) // shared record shape — TestKit is the one home
 
   private def kv(buf: ArrayBuffer[Row]): Seq[(String, Int)] =
     buf.synchronized {
@@ -755,6 +756,39 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     } finally q2.stop()
     // the restored acc flows through the NEW stateless node: (3+4)*10
     assert(kv(buf2) == Seq(("k", 70)))
+  }
+
+  test("topology evolution: changing FUNCTION logic (the adder) resumes and applies new code to old accs") {
+    implicit val sql = spark.sqlContext
+    // the third evolution rule: state is data, code is code — a new
+    // adder with the SAME state shape resumes the checkpoint and folds
+    // new events with the new logic onto the old accs (normal upgrade
+    // semantics; Kafka Streams behaves identically)
+    def topoWith(adder: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      Topology(
+        Seq("in" -> "tbl", "tbl" -> "out"),
+        Map("in" -> Entity.Topic("in"),
+          "tbl" -> Entity.KTable(aggregate = Some(AggSpec.FoldAgg(lit(0), adder))),
+          "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(StreamCompiler.run(topoWith((acc, v) => acc + v),
+      Map("in" -> src(ms)))("tbl"), dir, "update", buf1)
+    try {
+      ms.addData(("k", 1, 1000L)); q1.processAllAvailable()
+      ms.addData(("k", 2, 1100L)); q1.processAllAvailable() // acc = 3
+    } finally q1.stop()
+
+    // v2 deploys a NEW adder (same Int state shape)
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(StreamCompiler.run(topoWith((acc, v) => acc + v * 100),
+      Map("in" -> src(ms)))("tbl"), dir, "update", buf2)
+    try {
+      ms.addData(("k", 4, 1200L)); q2.processAllAvailable()
+    } finally q2.stop()
+    // old acc (3, folded by v1) + new-code contribution (4*100)
+    assert(kv(buf2) == Seq(("k", 403)))
   }
 
   test("topology evolution: changing the state SHAPE is rejected by Spark's schema check") {

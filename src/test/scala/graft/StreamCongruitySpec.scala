@@ -33,8 +33,7 @@ class StreamCongruitySpec extends AnyFunSuite {
     val streams = inputs.map { case (id, rows) =>
       val ms = MemoryStream[(String, Int, Long)]
       ms.addData(rows)
-      id -> (ms, ms.toDF().toDF("key", "value", "__ms")
-        .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms"))
+      id -> (ms, recordStream(ms))
     }
     val dfs = StreamCompiler.run(topo, streams.map { case (k, v) => k -> v._2 },
       statics, watermarkMs)

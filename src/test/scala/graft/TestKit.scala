@@ -107,6 +107,15 @@ object TestKit {
         r.getAs[java.sql.Timestamp]("ts").getTime)
     }.sortBy(_.toString)
 
+  /** Record-shaped streaming DF over a (key, value, tsMillis)
+    * MemoryStream — the single definition of the record-stream shape
+    * (column names + millis→timestamp conversion) for every suite and
+    * bench that feeds topologies from memory. */
+  def recordStream[V](
+      ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, V, Long)]): DataFrame =
+    ms.toDF().toDF("key", "value", "__ms")
+      .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
+
   /** ONE MemoryStream carrying two record topics (side 0 and side 1),
     * split by filter: batch boundaries then equal addData groups exactly,
     * where two separate sources could race a trigger between their
