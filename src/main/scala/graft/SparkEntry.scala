@@ -764,29 +764,6 @@ object SparkEntry {
       col(KeyCol).as("user_id"), col(ValueCol).as("fold_hash"))
   }
 
-  /** #34 (bounded-horizon variant): `Fragments.dedupeWithin` spliced over
-    * events, dedup id = user_id — batch form is the same keepFirst as
-    * [[qPipeline]]'s fragment (a batch replay holds the whole horizon),
-    * which is exactly what the oracle can attest; the horizon semantics
-    * are streaming-only and congruity-tested. */
-  private def qDedupeWithin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Records.fromTable(eventsDf(s, dir),
-      col("event_id"),
-      struct(col("user_id"), col("value").as("amount")),
-      col("ts"))
-    val (edges, ents) = Fragments.dedupeWithin("events", "out",
-      col(s"$ValueCol.user_id"))
-    val topo = Topology(
-      workflow = edges,
-      entities = Map(
-        "events" -> Entity.Topic("events"),
-        "out" -> Entity.Topic("out")) ++ ents)
-    run1(topo, Map("events" -> ev), "out").select(
-      col(KeyCol).as("event_id"),
-      col(s"$ValueCol.user_id").as("user_id"),
-      col(s"$ValueCol.amount").as("amount"))
-  }
-
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -842,7 +819,6 @@ object SparkEntry {
     "q50_pack_sequences" -> (qPackSequences _),
     "q51_decontam" -> (qDecontam _),
     "q52_heavy_keys" -> (qHeavyKeys _),
-    "q53_dedupe_within" -> (qDedupeWithin _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1381,14 +1357,5 @@ object SparkEntry {
         |FROM c, t
         |ORDER BY n DESC, user_id ASC
         |LIMIT 10""".stripMargin,
-
-    // keepFirst determinism ordering is (ts, key=event_id, ...): event_id
-    // is unique, so ordering by (ts, event_id) pins the same survivor —
-    // but Spark sees the NANOS ts micro-floored, so DuckDB must order at
-    // the same precision (CAST TIMESTAMP_NS -> TIMESTAMP truncates to µs)
-    "q53_dedupe_within" ->
-      """SELECT event_id, user_id, value AS amount FROM events
-        |QUALIFY row_number() OVER (
-        |  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1""".stripMargin,
   )
 }
