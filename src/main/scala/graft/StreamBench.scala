@@ -170,6 +170,31 @@ object StreamBench {
     ops("session_fold_combinable") =
       drive(spark, sessTopo(comb = true), Map("in" -> sessRows(n)), "tbl",
         "update", b, watermarkMs = Some(500L))
+    // r10 verdict task 4: the provider cost per-op, not just for the
+    // chain fold — same workloads as session_fold / stream_table above
+    ops("session_fold_rocksdb") =
+      StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
+        drive(spark, sessTopo(comb = false), Map("in" -> sessRows(n)), "tbl",
+          "update", b, watermarkMs = Some(500L))
+      }
+    ops("stream_table_rocksdb") =
+      StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
+        drive(spark, joinTopo,
+          Map("s" -> inOrder(n / 2), "u" -> inOrder(n / 2)), "j", "update", b)
+      }
+    // r10 verdict task 5: the expensive paths had no recorded number —
+    // a SHUFFLED session feed (every batch re-merges/re-folds sessions;
+    // no watermark: shuffled arrival would otherwise just measure
+    // late-drop) and a single-hot-key chain (one state row takes the
+    // whole feed; per-key batch buffer at its worst)
+    ops("session_fold_ooo") =
+      drive(spark, sessTopo(comb = false),
+        Map("in" -> new scala.util.Random(42L).shuffle(sessRows(n))), "tbl",
+        "update", b)
+    ops("chain_fold_hotkey") =
+      drive(spark, foldTopo,
+        Map("in" -> (0 until n).map(i => ("hot", 1L, 1000L + i))), "tbl",
+        "update", b)
     // same mode for both; the horizon (watermark delay) is DERIVED from n
     // so it always spans the whole feed (duplicate pairs sit n/2 ms apart
     // on the 1ms-spaced timeline) and both variants dedup every duplicate

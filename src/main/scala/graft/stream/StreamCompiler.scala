@@ -259,6 +259,14 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
         conf.set(ProviderConfKey, cls)
       }
     }
+    // always name the EFFECTIVE provider (r10 verdict task 6): the sticky
+    // session conf decides for every query started after this call, so
+    // make it visible even when Inherit left it untouched
+    (streams.values ++ statics.values).headOption.foreach { df =>
+      logInfo("state-store provider for queries of this topology: " +
+        df.sparkSession.conf.getOption(ProviderConfKey)
+          .getOrElse("<Spark default: HDFSBackedStateStoreProvider>"))
+    }
     val order = Dag.topsort(topology.workflow).get
     val preds = topology.predecessors
     val built = order.foldLeft(Map.empty[String, Built]) { (acc, id) =>
@@ -1301,7 +1309,11 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
               FoldSpec(
                 init = lit(null).cast(t),
                 adder = (acc, v) => coalesce(acc + fv(v), fv(v).cast(t), acc),
-                subtractor = None, foldNulls = true)
+                subtractor = None, foldNulls = true,
+                // every rewritten agg is associative → combinable: a
+                // session-windowed lowering keeps O(1) acc-merge state
+                // instead of buffering events (r10 verdict task 3)
+                combiner = Some((a, b) => coalesce(a + b, a, b)))
             }
           case "sum" =>
             // retractable sum needs a non-null-contribution COUNT in the
@@ -1321,7 +1333,10 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
                   (c(acc) + 1L).as("c"))),
                 subtractor = sub((acc, v) => when(fv(v).isNull, acc).otherwise(struct(
                   (s(acc) - fv(v).cast(t)).as("s"), (c(acc) - 1L).as("c")))),
-                finish = Some(a => when(c(a) > 0L, s(a))))
+                finish = Some(a => when(c(a) > 0L, s(a))),
+                combiner = Some((a, b) => struct(
+                  coalesce(s(a) + s(b), s(a), s(b)).as("s"),
+                  (c(a) + c(b)).as("c")).cast(s"struct<s:$tn,c:bigint>")))
             }
           case "count" =>
             Some(FoldSpec(
@@ -1329,7 +1344,8 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
               adder = (acc, v) => acc + when(fv(v).isNotNull, 1L).otherwise(0L),
               subtractor = sub((acc, v) =>
                 acc - when(fv(v).isNotNull, 1L).otherwise(0L)),
-              foldNulls = true))
+              foldNulls = true,
+              combiner = Some((a, b) => a + b)))
           case "avg" | "mean" =>
             resultType.collect { case DoubleType =>
               val s = (a: Column) => a.getField("s")
@@ -1344,7 +1360,10 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
                   (c(acc) + 1L).as("c"))),
                 subtractor = sub((acc, v) => when(fv(v).isNull, acc).otherwise(struct(
                   (s(acc) - fv(v).cast("double")).as("s"), (c(acc) - 1L).as("c")))),
-                finish = Some(a => when(c(a) > 0L, s(a) / c(a))), foldNulls = true)
+                finish = Some(a => when(c(a) > 0L, s(a) / c(a))), foldNulls = true,
+                combiner = Some((a, b) => struct(
+                  coalesce(s(a) + s(b), s(a), s(b)).as("s"),
+                  (c(a) + c(b)).as("c")).cast("struct<s:double,c:bigint>")))
             }
           case "min" | "max" if !needSubtractor =>
             // least/greatest skip nulls, exactly the aggregate's null rule
@@ -1352,7 +1371,8 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
               if (f.nameParts.head.equalsIgnoreCase("min")) least(_, _) else greatest(_, _)
             resultType.map(t => FoldSpec(
               init = lit(null).cast(t),
-              adder = (acc, v) => pick(acc, fv(v).cast(t)), foldNulls = true))
+              adder = (acc, v) => pick(acc, fv(v).cast(t)), foldNulls = true,
+              combiner = Some((a, b) => pick(a, b))))
           case _ => None
         }
       case _ => None
@@ -1419,7 +1439,7 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
     * grows with session count — pass `watermarkMs` to [[run]] to bound it.
     *
     * @param keyed records already re-keyed by the table's groupBy */
-  private def sessionWindowedFold(
+  private[stream] def sessionWindowedFold(
       keyed: DataFrame, fold: FoldSpec, gapMs: Long,
       suppress: Boolean, hasWatermark: Boolean): Built = {
     import org.apache.spark.sql.{Encoders, Row}

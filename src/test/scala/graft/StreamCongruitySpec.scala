@@ -1587,6 +1587,72 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(spark.conf.getOption(confKey) == prev)
   }
 
+  test("RocksDB breadth: suppression timeouts, dedup seen-sets, and member maps (r10 task 4)") {
+    implicit val sql = spark.sqlContext
+    // the state shapes MOST likely to trip provider-specific encoding,
+    // each run end-to-end under RocksDBStateStoreProvider: an armed
+    // event-time timeout firing through the provider (suppressed
+    // windowed fold), a Set-valued seen-set (firstPerIdState), and a
+    // (acc, member-map) subtractor leaf
+    StreamCompiler.withStateStore(spark, StreamCompiler.StateStore.RocksDB) {
+      // (a) suppressed TUMBLING fold: timeout-driven emission
+      val supTopo = Topology(
+        Seq("in" -> "tbl", "tbl" -> "out"),
+        Map("in" -> Entity.Topic("in"),
+          "tbl" -> Entity.KTable(
+            window = Some(WindowSpec.TimeWindows.tumbling(100L)),
+            aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v)),
+            suppress = true),
+          "out" -> Entity.Topic("out")))
+      val ms = MemoryStream[(String, Int, Long)]
+      val src = recordStream(ms)
+      val dfs = StreamCompiler.run(supTopo, Map("in" -> src), watermarkMs = Some(0L))
+      val q = dfs("tbl").writeStream.format("memory").queryName("rockssup")
+        .outputMode("append").start()
+      try {
+        ms.addData(("k", 1, 1000L), ("k", 2, 1050L)); q.processAllAvailable()
+        ms.addData(("z", 9, 100000L)); q.processAllAvailable()
+        ms.addData(("x", 1, 100001L)); q.processAllAvailable()
+      } finally q.stop()
+      assert(kvOf(spark.table("rockssup").filter(col("key") === "k")) ==
+        Seq(("k", 3)))
+
+      // (b) first-per-id dedup: the Set[I] seen-set round-trips RocksDB
+      val dms = MemoryStream[Rec[String, Int]]
+      val ds = Streamed.firstPerIdState[String, Int, Int](dms.toDS(), _.value)
+      val dq = ds.writeStream.format("memory").queryName("rocksdedup")
+        .outputMode("update").start()
+      try {
+        dms.addData(Rec("u", 7, 100L), Rec("u", 9, 200L)); dq.processAllAvailable()
+        dms.addData(Rec("u", 7, 300L), Rec("u", 8, 400L)); dq.processAllAvailable()
+      } finally dq.stop()
+      assert(spark.table("rocksdedup").select("value")
+        .collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8, 9))
+
+      // (c) subtractor member map: replace retracts through the provider
+      val gTopo = Topology(
+        Seq("u" -> "tbl", "tbl" -> "grp", "grp" -> "out"),
+        Map("u" -> Entity.Topic("u"), "tbl" -> Entity.KTable(),
+          "grp" -> Entity.KTable(
+            groupBy = Some(lit("g0")),
+            aggregate = Some(AggSpec.FoldAgg(lit(0), (a, v) => a + v,
+              subtractor = Some((a, v) => a - v)))),
+          "out" -> Entity.Topic("out")))
+      val gms = MemoryStream[(String, Int, Long)]
+      val gdfs = StreamCompiler.run(gTopo, Map("u" -> recordStream(gms)))
+      val gq = gdfs("grp").writeStream.format("memory").queryName("rocksgrp")
+        .outputMode("update").start()
+      try {
+        gms.addData(("k1", 10, 100L)); gq.processAllAvailable()
+        gms.addData(("mm", 5, 200L)); gq.processAllAvailable()
+        gms.addData(("k1", 3, 300L)); gq.processAllAvailable() // 15-10+3
+      } finally gq.stop()
+      val gGot = spark.table("rocksgrp").orderBy("ts").select("value")
+        .collect().map(_.getInt(0)).toSeq
+      assert(gGot == Seq(10, 15, 8))
+    }
+  }
+
   test("suppressed session FoldAgg emits each session once, on close (append mode)") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
