@@ -860,12 +860,17 @@ object SparkEntry {
         |     list(CAST(round(value * 100) AS BIGINT) ORDER BY ts)),
         |   (acc, v) -> (acc * 31 + v) % 1000000007) AS fold_hash
         |FROM events GROUP BY user_id""".stripMargin,
+    // keepFirst orders by (ts, key=event_id, ...) at Spark's µs-floored
+    // view of the NANOS ts — order at the same precision with the unique
+    // event_id tiebreak so a future DuckDB that reads TIMESTAMP_NS
+    // natively can't pick a different survivor on sub-µs ties
     "q35_pipeline" ->
       """SELECT event_id, user_id, event_type,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         | value AS amount
         |FROM events WHERE value >= 1.0
-        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) = 1""".stripMargin,
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1""".stripMargin,
     "q01_agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
         | ${dsumSql("l_quantity")} AS sum_qty,
