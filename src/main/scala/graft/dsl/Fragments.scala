@@ -50,8 +50,14 @@ object Fragments {
     * nothing across batches — size the delay to the duplicate spread.
     *
     * Batch lowering is identical to [[dedupe]] (a batch replay holds the
-    * whole horizon at once), so batch == streaming exactly when all
-    * duplicates fall within the horizon. */
+    * whole horizon at once), so batch == streaming on WHICH ids survive
+    * exactly when all duplicates fall within the horizon — but, as with
+    * [[dedupe]], the surviving PAYLOAD can differ: streaming keeps the
+    * first ARRIVAL per id while the batch twin keeps the
+    * (ts, key, value)-minimal record, so an out-of-order duplicate
+    * arriving first inside the horizon survives in streaming where batch
+    * keeps the earlier-ts one. The two agree row-for-row only when
+    * duplicates arrive in ts order or carry identical payloads. */
   def dedupeWithin(inId: String, outId: String, idExpr: Column): (Seq[(String, String)], Map[String, Entity]) =
     dedupeNode(s"__dedupew_${inId}_$outId", inId, outId, idExpr,
       _.dropDuplicatesWithinWatermark("__did"))

@@ -210,7 +210,13 @@ object Sources {
     * mark swap is `FileContext.rename(OVERWRITE)` — atomic on
     * HDFS/local, best-effort on object stores, where a crash inside the
     * swap can lose the mark; the next incarnation then re-runs one
-    * batch, it never skips one.
+    * batch, it never skips one. The guard also assumes a SINGLE live
+    * query incarnation per `trackDir` at a time: the mark is cached in
+    * memory after the first durable read, so a zombie old driver whose
+    * query is still running after a failover keeps writing from its
+    * stale cached mark — there is no fencing token here, the same
+    * assumption Spark's own checkpoint commit log makes. Kill the old
+    * incarnation before (or as part of) starting the new one.
     *
     * {{{
     * df.writeStream.option("checkpointLocation", ckpt)

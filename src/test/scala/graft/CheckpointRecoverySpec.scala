@@ -324,7 +324,7 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
       // close the window and let the expiry timeout fire post-restart
       ms.addData(("z", 9, 100000L)); q2.processAllAvailable()
       ms.addData(("x", 1, 100001L)); q2.processAllAvailable()
-      val stateRows = q2.lastProgress.stateOperators(0).numRowsTotal
+      val stateRows = stateRowsAfterData(q2)
       // k's closed window expired from the RESTARTED query's state; only
       // the two sentinels' open windows remain
       assert(stateRows == 2, s"expected 2 live windows in state, got $stateRows")
@@ -926,7 +926,7 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
         // store and reset them)
         assert(kv(buf2).sorted ==
           Seq(("a", 11), ("b", 12), ("c", 13), ("d", 14), ("e", 15)))
-        assert(q2.lastProgress.stateOperators(0).numRowsTotal == 5)
+        assert(stateRowsAfterData(q2) == 5)
       } finally q2.stop()
     } finally spark.conf.set(confKey, prior)
   }

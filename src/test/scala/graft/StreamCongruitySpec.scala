@@ -1256,7 +1256,7 @@ class StreamCongruitySpec extends AnyFunSuite {
       ms.addData(("k", 1, 1000L), ("k", 2, 1050L)); q.processAllAvailable()
       ms.addData(("z", 9, 100000L)); q.processAllAvailable() // wm past [1000,1100)
       ms.addData(("x", 1, 100001L)); q.processAllAvailable() // extra batch: timeout fires
-      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      val stateRows = stateRowsAfterData(q)
       // k's closed window was removed; only the sentinels' open windows
       // remain — state tracks LIVE windows, not windows-ever-opened
       assert(stateRows == 2, s"expected 2 open windows in state, got $stateRows")
@@ -2000,7 +2000,7 @@ class StreamCongruitySpec extends AnyFunSuite {
       ms.addData(("k", 1, 1000L)); q.processAllAvailable()
       ms.addData(("z", 9, 100000L)); q.processAllAvailable() // closes k's session
       ms.addData(("x", 1, 100001L)); q.processAllAvailable() // extra batch: timeout fires
-      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      val stateRows = stateRowsAfterData(q)
       // k's closed session was REMOVED by the event-time timeout — only
       // the sentinels' own open sessions remain (no unbounded growth)
       assert(stateRows == 2, s"expected 2 open sessions in state, got $stateRows")
@@ -2091,7 +2091,7 @@ class StreamCongruitySpec extends AnyFunSuite {
       // high-cardinality stream side: none of these keys may leave state
       sMs.addData(("a", 1, 200L), ("b", 2, 210L), ("c", 3, 220L), ("k", 4, 230L))
       q.processAllAvailable()
-      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val stateRows = stateRowsAfterData(q)
       assert(stateRows == 1L, s"expected only the table key in state, got $stateRows")
     } finally q.stop()
   }
@@ -2514,7 +2514,7 @@ class StreamCongruitySpec extends AnyFunSuite {
       ms.addData(("e", 1, 200000L)); q.processAllAvailable() // final cleanup batch
       // expiry is real: ids 7@1000/8@1100 (and more) left the store — far
       // fewer state rows than the 5 distinct (id, occurrence) entries
-      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 3)
+      assert(stateRowsAfterData(q) <= 3)
     } finally q.stop()
     val got = spark.table(name)
       .select("key", "value").collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
