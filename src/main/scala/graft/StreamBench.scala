@@ -105,7 +105,8 @@ object StreamBench {
           window = Some(WindowSpec.SessionWindows(50L)),
           aggregate = Some(AggSpec.FoldAgg(lit(0L), (acc, v) => acc + v,
             combiner = if (comb) Some((a: org.apache.spark.sql.Column,
-              c: org.apache.spark.sql.Column) => a + c) else None))),
+              c: org.apache.spark.sql.Column) => a + c) else None,
+            commutative = comb))),
         "out" -> Entity.Topic("out")))
     // ~10 sessions per key, session length derived from n/k (not a fixed
     // 100, which with the defaults would never be reached and leave one

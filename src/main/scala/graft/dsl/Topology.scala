@@ -203,13 +203,26 @@ object AggSpec {
     * batch still `collect_list`s each group and DOES enforce it. A
     * guarded combinable topology can therefore fail in batch while
     * running live; if the batch twin must process hot groups, leave
-    * `maxGroup` unset there. */
+    * `maxGroup` unset there.
+    *
+    * `commutative`: REQUIRED attestation when `combiner` is set —
+    * declares `adder(adder(a, x), y) == adder(adder(a, y), x)`, i.e.
+    * fold order does not matter. The combinable session lowering folds
+    * interior out-of-order events in ARRIVAL order (see above), so a
+    * non-commutative adder would silently diverge from the batch twin;
+    * rather than allow that silently, the streaming session lowering
+    * REJECTS a combiner without this flag at compile time (r11 verdict
+    * task 3). Batch ignores it (full recompute is always event-time
+    * exact), and it is meaningless without a combiner. Attesting
+    * falsely trades batch parity for O(1) state — the divergence is
+    * then on the attester. */
   final case class FoldAgg(
       init: Column,
       adder: (Column, Column) => Column,
       subtractor: Option[(Column, Column) => Column] = None,
       maxGroup: Option[Long] = None,
-      combiner: Option[(Column, Column) => Column] = None) extends AggSpec
+      combiner: Option[(Column, Column) => Column] = None,
+      commutative: Boolean = false) extends AggSpec
 }
 
 /** Entity types (willa `core.clj:11-12` dispatch). */

@@ -196,7 +196,8 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
       maxGroup: Option[Long] = None,
       finish: Option[Column => Column] = None,
       foldNulls: Boolean = false,
-      combiner: Option[(Column, Column) => Column] = None)
+      combiner: Option[(Column, Column) => Column] = None,
+      commutative: Boolean = false)
 
   /** One leaf of a pending table-join tree: the raw changelog, plus the
     * running-fold spec when the leaf is an aggregated (FoldAgg) table —
@@ -1313,7 +1314,8 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
                 // every rewritten agg is associative → combinable: a
                 // session-windowed lowering keeps O(1) acc-merge state
                 // instead of buffering events (r10 verdict task 3)
-                combiner = Some((a, b) => coalesce(a + b, a, b)))
+                combiner = Some((a, b) => coalesce(a + b, a, b)),
+                commutative = true)
             }
           case "sum" =>
             // retractable sum needs a non-null-contribution COUNT in the
@@ -1336,7 +1338,8 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
                 finish = Some(a => when(c(a) > 0L, s(a))),
                 combiner = Some((a, b) => struct(
                   coalesce(s(a) + s(b), s(a), s(b)).as("s"),
-                  (c(a) + c(b)).as("c")).cast(s"struct<s:$tn,c:bigint>")))
+                  (c(a) + c(b)).as("c")).cast(s"struct<s:$tn,c:bigint>")),
+                commutative = true)
             }
           case "count" =>
             Some(FoldSpec(
@@ -1345,7 +1348,7 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
               subtractor = sub((acc, v) =>
                 acc - when(fv(v).isNotNull, 1L).otherwise(0L)),
               foldNulls = true,
-              combiner = Some((a, b) => a + b)))
+              combiner = Some((a, b) => a + b), commutative = true))
           case "avg" | "mean" =>
             resultType.collect { case DoubleType =>
               val s = (a: Column) => a.getField("s")
@@ -1363,7 +1366,8 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
                 finish = Some(a => when(c(a) > 0L, s(a) / c(a))), foldNulls = true,
                 combiner = Some((a, b) => struct(
                   coalesce(s(a) + s(b), s(a), s(b)).as("s"),
-                  (c(a) + c(b)).as("c")).cast("struct<s:double,c:bigint>")))
+                  (c(a) + c(b)).as("c")).cast("struct<s:double,c:bigint>")),
+                commutative = true)
             }
           case "min" | "max" if !needSubtractor =>
             // least/greatest skip nulls, exactly the aggregate's null rule
@@ -1372,7 +1376,7 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
             resultType.map(t => FoldSpec(
               init = lit(null).cast(t),
               adder = (acc, v) => pick(acc, fv(v).cast(t)), foldNulls = true,
-              combiner = Some((a, b) => pick(a, b))))
+              combiner = Some((a, b) => pick(a, b)), commutative = true))
           case _ => None
         }
       case _ => None
@@ -1449,6 +1453,18 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
     if (suppress && !hasWatermark) sys.error(
       "suppressed session-windowed FoldAgg needs a watermark to know " +
         "when sessions close — pass watermarkMs to StreamCompiler.run")
+    // the commutativity CONTRACT (r11 verdict task 3): the combinable
+    // path folds interior out-of-order events in arrival order, so
+    // without a commutative adder the finals can silently diverge from
+    // the batch twin — refuse the silent version at lowering time
+    if (fold.combiner.isDefined && !fold.commutative) sys.error(
+      "combinable session FoldAgg requires the commutative = true " +
+        "attestation: the O(1) acc-merge path folds interior " +
+        "out-of-order events in ARRIVAL order, so a non-commutative " +
+        "adder silently diverges from the batch twin's event-time fold. " +
+        "Set FoldAgg(commutative = true) if fold order cannot change " +
+        "this adder's result, or drop the combiner to keep the " +
+        "event-time-exact buffered path")
     val keyType = keyed.schema(KeyCol).dataType
     val vType = keyed.schema(ValueCol).dataType
     val rf = resolveFold(keyed.sparkSession, fold, vType)
@@ -1695,7 +1711,7 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
             // every windowed fold (append stream — nothing is replaced)
             return sessionWindowedFold(rekeyed,
               FoldSpec(f.init, f.adder, maxGroup = f.maxGroup,
-                combiner = f.combiner), gap,
+                combiner = f.combiner, commutative = f.commutative), gap,
               t.suppress, watermarkMs.isDefined)
         }
       case _ => ()

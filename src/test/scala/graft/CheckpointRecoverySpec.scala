@@ -262,7 +262,8 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
           window = Some(WindowSpec.SessionWindows(100L)),
           aggregate = Some(AggSpec.FoldAgg(lit(0), (acc, v) => acc + v,
             combiner = Some((a: org.apache.spark.sql.Column,
-              c: org.apache.spark.sql.Column) => a + c))),
+              c: org.apache.spark.sql.Column) => a + c),
+            commutative = true)),
           suppress = true),
         "out" -> Entity.Topic("out")))
     val ms = MemoryStream[(String, Int, Long)]
