@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{CacheScope, Dedup, Similarity}
+
+/** Batch SCALE PROBE (round-12 verdict task 2): the driver fixtures stop
+  * at sf0.1, so the per-round bench can never see how the five most
+  * expensive operators GROW — a quadratic constant can hide under a cap
+  * at 5k documents. This main synthesizes a deterministic, seed-fixed
+  * corpus shaped like `documents`/`embeddings` (same schema, word-count
+  * distribution, language/source mix, a 5% near-duplicate rate so the
+  * LSH families have real candidate work) at 1× and 10× the sf0.1 row
+  * counts, runs each op at both, and prints per-op wall seconds plus the
+  * 1×→10× ratio and the implied scaling exponent `log10(t10/t1)`.
+  *
+  * Density discipline: the probe holds CANDIDATE DENSITY constant across
+  * scales — vocabulary grows ∝ cbrt(scale) so the 3-shingle document
+  * frequency (and with it inverted-index bucket occupancy and the
+  * `maxDf` cap's bite) stays comparable; otherwise a 10× corpus over a
+  * FIXED tiny vocab drives every shingle past `maxDf` and the op
+  * "speeds up" by silently discarding all its work — the exact
+  * cap-masking failure the probe exists to catch. For the kNN join the
+  * corpus-sensitive knob is `signBits` (bucket occupancy ∝ n/2^bits),
+  * so the probe runs it BOTH ways: fixed bits (the query as registered —
+  * exposes the within-bucket O(occupancy²) term) and bits grown by
+  * log2(scale) (occupancy held constant — the documented 100 TB
+  * operating discipline). Results are recorded per round in
+  * `SCALING.md`.
+  *
+  * The synthetic corpus is used at BOTH scales (not the driver fixture
+  * at 1×) so the ratio compares identical distributions; generation is a
+  * pure function of (seed, row id) — independent of partitioning and
+  * rerun — and writes ONLY under /tmp (never /root/testdata).
+  *
+  * One JSON line:
+  * `{"metric":"scale_probe","ops":{name:{"t1":…,"t10":…,"ratio":…,
+  * "exponent":…}},"scale":10,…}`. */
+object ScaleProbe {
+
+  final case class Doc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+  final case class Vec(vec_id: Long, embedding: Array[Float], label: Int)
+
+  private val Langs = Seq("en", "de", "es", "fr", "zh")
+  private val Dim = 64
+
+  /** Word list for a given scale: vocabulary ∝ cbrt(scale) holds the
+    * 3-shingle df distribution (shingle space ∝ vocab³) constant. */
+  private def vocab(scale: Int): Int =
+    math.max(24, math.round(48.0 * math.cbrt(scale.toDouble)).toInt)
+
+  /** Deterministic per-id RNG: a fixed-seed function of the row id only,
+    * so the corpus is identical under any partitioning or rerun. */
+  private def rng(id: Long, salt: Long): java.util.Random =
+    new java.util.Random((id * 0x9E3779B97F4A7C15L) ^ salt)
+
+  /** Pure text of doc `id` (duplicate structure applied by [[docOf]]). */
+  private def baseText(id: Long, v: Int): String = {
+    val r = rng(id, 0x7e87L)
+    val nWords = 10 + r.nextInt(90) // fixture: 10..99, mean ~55
+    val sb = new StringBuilder
+    var i = 0
+    while (i < nWords) {
+      if (i > 0) sb.append(' ')
+      // squared uniform ≈ zipf-ish skew, like the fixture's word mix
+      sb.append("w").append((r.nextDouble() * r.nextDouble() * v).toInt)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def docOf(id: Long, v: Int): Doc = {
+    val r = rng(id, 0xd0cL)
+    // every 20th doc is a light mutation of its predecessor: ~10% of
+    // words replaced — a real near-duplicate for the Jaccard/MinHash/
+    // SimHash families to find (the fixture corpus has the same rate)
+    val text =
+      if (id % 20 == 19 && id > 0) {
+        val words = baseText(id - 1, v).split(" ")
+        words.indices.foreach { i =>
+          if (r.nextDouble() < 0.10) words(i) = "w" + r.nextInt(v)
+        }
+        words.mkString(" ")
+      } else baseText(id, v)
+    Doc(id, text, Langs(r.nextInt(Langs.size)), "src" + r.nextInt(20),
+      text.length.toLong)
+  }
+
+  private def vecOf(id: Long): Vec = {
+    val label = (id % 10).toInt
+    val cr = rng(label.toLong, 0xce0721dL) // the label's centroid
+    val centroid = Array.fill(Dim)(cr.nextGaussian().toFloat)
+    val r = rng(id, 0x7ecL)
+    val raw = centroid.map(c => c + 0.5f * r.nextGaussian().toFloat)
+    val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+    Vec(id, raw.map(_ / norm), label)
+  }
+
+  /** Generate + write the corpus for `scale`; returns (docs, embeddings)
+    * read BACK from parquet so every op sees the same scan it sees in
+    * production (columnar read, not an in-memory local relation). */
+  private def corpus(spark: SparkSession, dir: String, scale: Int)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val v = vocab(scale)
+    val nDocs = 5000L * scale
+    val nVecs = 2000L * scale
+    val docPath = s"$dir/s$scale/documents.parquet"
+    val vecPath = s"$dir/s$scale/embeddings.parquet"
+    spark.range(nDocs).map(id => docOf(id, v))
+      .write.mode("overwrite").parquet(docPath)
+    spark.range(nVecs).map(id => vecOf(id))
+      .write.mode("overwrite").parquet(vecPath)
+    (spark.read.parquet(docPath), spark.read.parquet(vecPath))
+  }
+
+  /** Wall-seconds of `body` (forced via count), min of `reps`, plus the
+    * result row count — recorded so a flat time ratio can be told apart
+    * from the cap-masking failure mode: if rows collapse at 10× the cap
+    * is discarding the added work; if rows grow ∝ scale while time stays
+    * flat the op is genuinely overhead-dominated at this size. */
+  private def time(spark: SparkSession, reps: Int)(body: => Long): (Double, Long) = {
+    var rows = 0L
+    val t = (0 until reps).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      rows = body
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    (t, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bigScale = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft_scale_probe")
+    val MaxBucket = 1000L // LshMaxBucket, the registered queries' cap
+
+    // the five ops, each mirroring its registered query's exact
+    // parameters (SparkEntry q23/q24/q25/q46/q47)
+    def ops(docs: DataFrame, embs: DataFrame, scale: Int): Seq[(String, () => Long)] = Seq(
+      "ngram_jaccard" -> (() => CacheScope.using { sc =>
+        Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+          n = 3, threshold = 0.5, maxDf = 100, scope = sc).count()
+      }),
+      "minhash_lsh" -> (() => CacheScope.using { sc =>
+        val sigs = sc.cache(Dedup.minHashSignatures(docs, "doc_id",
+          col("text"), n = 3, k = 8))
+        val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 4,
+          maxBucket = MaxBucket)
+        val sa = sigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
+        val sb = sigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
+        cands.join(sa, "a").join(sb, "b")
+          .withColumn("est",
+            (0 until 8).map(i => when(col("__sa").getItem(i) === col("__sb").getItem(i), 1)
+              .otherwise(0): Column).reduce(_ + _).cast("double") / 8.0)
+          .count()
+      }),
+      "simhash" -> (() => CacheScope.using { sc =>
+        val sigs = sc.cache(Dedup.simHashSignatures(docs, "doc_id", col("text")))
+        Dedup.simHashPairs(sigs, "doc_id", bits = 32, maxHamming = 3,
+          maxBucket = MaxBucket, scope = sc).count()
+      }),
+      // fixed bits: the query as registered — within-bucket pair work
+      // grows O(occupancy²) as the corpus outruns 2^bits buckets
+      "knn_join_fixed_bits" -> (() => CacheScope.using { sc =>
+        Similarity.knnJoin(embs, "vec_id", "embedding",
+          k = 3, signBits = 8, probeHamming = 1, maxBucket = MaxBucket,
+          scope = sc).count()
+      }),
+      // scaled bits: occupancy held constant (bits + log2(scale)) — the
+      // knob a 100 TB deployment MUST turn; the probe proves it restores
+      // the exponent
+      "knn_join_scaled_bits" -> (() => CacheScope.using { sc =>
+        val bits = 8 + math.round(math.log(scale.toDouble) / math.log(2.0)).toInt
+        Similarity.knnJoin(embs, "vec_id", "embedding",
+          k = 3, signBits = bits, probeHamming = 1, maxBucket = MaxBucket,
+          scope = sc).count()
+      }),
+      "connected_components" -> (() => CacheScope.using { sc =>
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+          n = 3, threshold = 0.5, maxDf = 100, scope = sc)
+        Dedup.connectedComponents(pairs, docs.select(col("doc_id")), "doc_id")
+          .count()
+      }))
+
+    final case class Cell(t: Double, rows: Long)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Cell, Cell)]
+    for (scale <- Seq(1, bigScale)) {
+      val (docs, embs) = corpus(spark, dir, scale)
+      ops(docs, embs, scale).foreach { case (name, body) =>
+        val (t, rows) = time(spark, reps)(body())
+        results(name) =
+          if (scale == 1) (Cell(t, rows), Cell(0.0, 0L))
+          else (results(name)._1, Cell(t, rows))
+      }
+    }
+
+    val opsJson = results.map { case (name, (c1, cN)) =>
+      val ratio = cN.t / c1.t
+      val exp = math.log(ratio) / math.log(bigScale.toDouble)
+      f""""$name":{"t1":${c1.t}%.2f,"t$bigScale":${cN.t}%.2f,"ratio":$ratio%.2f,""" +
+        f""""exponent":$exp%.2f,"rows1":${c1.rows},"rows$bigScale":${cN.rows}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","unit":"sec","ops":$opsJson,""" +
+      s""""scale":$bigScale,"reps":$reps,"docs_1x":5000,"vecs_1x":2000}""")
+    spark.stop()
+  }
+}
