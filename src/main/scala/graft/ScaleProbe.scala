@@ -142,6 +142,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val bigScale = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "10").toInt
+    // scale 1 would re-enter the 1× branch (clobbering cells) and make
+    // the exponent log(ratio)/log(1) = NaN — reject it up front
+    require(bigScale > 1,
+      s"SPARK_GRAFT_PROBE_SCALE must be > 1 (got $bigScale)")
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
     val dir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft_scale_probe")
     val MaxBucket = 1000L // LshMaxBucket, the registered queries' cap
@@ -206,11 +210,16 @@ object ScaleProbe {
       }
     }
 
+    // Locale.ROOT: the f-interpolator formats via the JVM default
+    // locale, so a comma-decimal locale (de_DE, fr_FR) would emit
+    // {"t1":2,93} — invalid JSON
+    def d2(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
     val opsJson = results.map { case (name, (c1, cN)) =>
       val ratio = cN.t / c1.t
       val exp = math.log(ratio) / math.log(bigScale.toDouble)
-      f""""$name":{"t1":${c1.t}%.2f,"t$bigScale":${cN.t}%.2f,"ratio":$ratio%.2f,""" +
-        f""""exponent":$exp%.2f,"rows1":${c1.rows},"rows$bigScale":${cN.rows}}"""
+      s""""$name":{"t1":${d2(c1.t)},"t$bigScale":${d2(cN.t)},"ratio":${d2(ratio)},""" +
+        s""""exponent":${d2(exp)},"rows1":${c1.rows},"rows$bigScale":${cN.rows}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","unit":"sec","ops":$opsJson,""" +
       s""""scale":$bigScale,"reps":$reps,"docs_1x":5000,"vecs_1x":2000}""")

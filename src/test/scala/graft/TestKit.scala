@@ -117,15 +117,10 @@ object TestKit {
       .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
 
   /** State-store row count from the LAST progress entry that actually
-    * processed data. `lastProgress` can be a trailing no-data
-    * micro-batch whose state metrics lag (or post-date) the batch the
-    * test means to observe, making direct `lastProgress` assertions
-    * timing-sensitive (ADVICE r11). Sums across state operators. */
-  def stateRowsAfterData(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
-    val withData = q.recentProgress.filter(_.numInputRows > 0)
-    val p = if (withData.nonEmpty) withData.last else q.lastProgress
-    p.stateOperators.map(_.numRowsTotal).sum
-  }
+    * processed data (ADVICE r11) — delegates to the single main-scope
+    * definition in [[graft.stream.Progress]], shared with the benches. */
+  def stateRowsAfterData(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    graft.stream.Progress.stateRowsAfterData(q)
 
   /** ONE MemoryStream carrying two record topics (side 0 and side 1),
     * split by filter: batch boundaries then equal addData groups exactly,
