@@ -210,13 +210,26 @@ object Sources {
     * mark swap is `FileContext.rename(OVERWRITE)` — atomic on
     * HDFS/local, best-effort on object stores, where a crash inside the
     * swap can lose the mark; the next incarnation then re-runs one
-    * batch, it never skips one. The guard also assumes a SINGLE live
-    * query incarnation per `trackDir` at a time: the mark is cached in
-    * memory after the first durable read, so a zombie old driver whose
-    * query is still running after a failover keeps writing from its
-    * stale cached mark — there is no fencing token here, the same
-    * assumption Spark's own checkpoint commit log makes. Kill the old
-    * incarnation before (or as part of) starting the new one.
+    * batch, it never skips one.
+    *
+    * Zombie fencing: each writer incarnation CLAIMS an epoch in
+    * `trackDir` before its first durable mark read — an atomic
+    * create-if-absent of `epoch.<n+1>` above the highest existing claim
+    * (the rename/create-based equivalent of Kafka's producer-epoch
+    * fencing, the reference ecosystem's own answer to split-brain).
+    * Before every batch write, and again between the write and the mark
+    * swap, the incarnation re-lists the claims and FAILS FAST with
+    * [[FencedWriterException]] if a higher epoch exists: a zombie old
+    * driver surviving a failover stops at its next delivery instead of
+    * writing forever from its stale cached mark. The fence closes the
+    * steady-state split-brain; the one batch a zombie may have IN FLIGHT
+    * at the instant the new incarnation claims (checked fence, then lost
+    * the race) can still land — the new incarnation claims BEFORE
+    * reading the mark, so that batch is either reflected in the mark it
+    * reads or re-run by it under the per-batch-idempotent contract:
+    * a takeover can re-run one batch, it never skips or interleaves one.
+    * Claim files below the winning epoch are garbage-collected at claim
+    * time, so the directory stays O(live incarnations).
     *
     * {{{
     * df.writeStream.option("checkpointLocation", ckpt)
@@ -227,11 +240,32 @@ object Sources {
   def idempotentBatchWriter(trackDir: String)(
       write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     var cached = Long.MinValue // sentinel: not yet loaded from durable storage
+    var epoch = -1L            // this incarnation's fencing claim
     // fs/paths resolved ONCE from the first batch's session (trackDir
     // never changes; newHadoopConf clones the full conf per call and
     // doesn't belong on a per-trigger hot path)
     var fsCtx: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.FileContext,
       org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = null
+
+    def epochsIn(fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("epoch."))
+        .flatMap(p => scala.util.Try(p.getName.stripPrefix("epoch.").toLong)
+          .toOption.map(_ -> p))
+
+    // fail fast when a newer incarnation has claimed this trackDir — one
+    // tiny-dir listStatus, cheap on a per-trigger path
+    def fence(fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path, at: String): Unit = {
+      val newest = epochsIn(fs, dir).map(_._1).foldLeft(epoch)(math.max)
+      if (newest > epoch)
+        throw new FencedWriterException(
+          s"writer epoch $epoch fenced $at by newer incarnation epoch " +
+            s"$newest in $trackDir - a newer driver owns this sink; this " +
+            "(zombie) incarnation must stop")
+    }
+
     (batch: DataFrame, batchId: Long) => {
       if (fsCtx == null) {
         val dir = new org.apache.hadoop.fs.Path(trackDir)
@@ -242,8 +276,33 @@ object Sources {
         fsCtx = (fs,
           org.apache.hadoop.fs.FileContext.getFileContext(qualified.toUri, hconf),
           qualified, new org.apache.hadoop.fs.Path(qualified, "committed_batch_id"))
+        // claim the next epoch ABOVE every existing claim via atomic
+        // create-if-absent (overwrite=false); losing a creation race to a
+        // concurrent claimer just means re-listing and going higher. The
+        // claim happens BEFORE the mark read below, so any batch a soon-
+        // to-be-fenced zombie lands after this point is re-run, not lost.
+        var claimed = false
+        while (!claimed) {
+          val existing = epochsIn(fs, qualified)
+          val next = existing.map(_._1).foldLeft(0L)(math.max) + 1L
+          try {
+            fs.create(new org.apache.hadoop.fs.Path(qualified, s"epoch.$next"),
+              false).close()
+            epoch = next
+            claimed = true
+            // GC superseded claims: evidence of THIS epoch is all a
+            // stale incarnation needs to fence itself
+            existing.foreach { case (_, p) => fs.delete(p, false) }
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // re-list
+            case e: java.io.IOException
+                if fs.exists(new org.apache.hadoop.fs.Path(qualified,
+                  s"epoch.$next")) => () // raw local FS signals the race as IOE
+          }
+        }
       }
       val (fs, fc, dir, mark) = fsCtx
+      fence(fs, dir, "before write")
       if (cached == Long.MinValue) { // restart: one durable read, then memory
         cached =
           if (!fs.exists(mark)) -1L
@@ -264,6 +323,11 @@ object Sources {
             "wipe it together with its checkpoint")
       if (batchId > cached) {
         write(batch, batchId)
+        // re-check between the sink effect and the mark swap: a zombie
+        // that lost the race mid-batch must not advance the mark (its
+        // write just landed, but the new incarnation claimed before
+        // reading the mark, so it re-runs this batch idempotently)
+        fence(fs, dir, "before mark swap")
         // fixed tmp name: a crash in the swap window leaves at most ONE
         // stray file, overwritten by the next successful swap; the swap
         // itself is an ATOMIC overwrite rename (no delete-then-rename
@@ -277,4 +341,11 @@ object Sources {
       // batchId == cached: the crash-window re-delivery — skip
     }
   }
+
+  /** Thrown by [[idempotentBatchWriter]] when a newer incarnation has
+    * claimed the writer's `trackDir`: the receiving (zombie) incarnation
+    * must stop — its durable mark and sink ownership now belong to the
+    * fencer. The split-brain analogue of Kafka's `ProducerFencedException`. */
+  final class FencedWriterException(msg: String)
+    extends IllegalStateException(msg)
 }

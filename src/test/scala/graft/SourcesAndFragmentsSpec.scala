@@ -672,14 +672,22 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     w2(Seq(3).toDF("v"), 1L) // post-restart re-delivery: still skipped
     w2(Seq(4, 5).toDF("v"), 2L)
     assert(writes.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 2L)))
+    // a FAILED write must not advance the mark: the retried batch runs
+    // (checked while w2 is still the newest epoch — a later incarnation
+    // would fence it before the sink even ran)
+    intercept[RuntimeException] { w2(Seq(9).toDF("v"), 99L) }
     // a batchId BELOW the mark is impossible under one checkpoint lineage
     // (only the last batch re-delivers): loud error, not a silent skip
     intercept[IllegalStateException] { mkWriter()(Seq(9).toDF("v"), 0L) }
-    // a FAILED write must not advance the mark: the retried batch runs
-    intercept[RuntimeException] { w2(Seq(9).toDF("v"), 99L) }
     val w3 = mkWriter()
     w3(Seq(6).toDF("v"), 3L) // 3 > committed mark (2): the retry writes
     assert(writes.toSeq.last == ((3L, 1L)))
+    // zombie fencing: w2 lost ownership when the later incarnations
+    // claimed higher epochs — its next delivery fails fast BEFORE the
+    // sink effect, it does not keep writing from its stale cached mark
+    val writesBefore = writes.size
+    intercept[Sources.FencedWriterException] { w2(Seq(7).toDF("v"), 4L) }
+    assert(writes.size == writesBefore, "fenced zombie ran its sink effect")
 
     // end-to-end: the signature plugs into foreachBatch and survives a
     // graceful checkpoint restart without re-writing committed batches
@@ -768,5 +776,104 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
       // and the below-mark fail-fast survives the whole crash history
       intercept[IllegalStateException] { mkWriter()(rowsOf(0L).toDF("v"), 0L) }
     }
+  }
+
+  test("property: split-brain — fenced zombie fails fast, output stays exactly-once (r12 verdict task 1)") {
+    import spark.implicits._
+    // the failover the r12 kill-point property does NOT cover: the old
+    // driver survives its own replacement. Two live writer incarnations
+    // share one trackDir; after the new one claims its epoch, every
+    // delivery attempted by the old (zombie) incarnation must fail fast
+    // with FencedWriterException BEFORE its sink effect runs — never
+    // keep writing from its stale cached mark — and the surviving
+    // incarnation's output must be exactly-once as if it ran alone.
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val dir = Files.createTempDirectory("graft-fence-prop-").toString
+      val n = 5 + rnd.nextInt(4)
+      def rowsOf(id: Long): Seq[Int] = Seq(id.toInt * 10, id.toInt * 10 + 1)
+      val output = scala.collection.mutable.Map.empty[Long, Seq[Int]]
+      val effects = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      def mkWriter(tag: String) = Sources.idempotentBatchWriter(dir) { (b, id) =>
+        val rows = b.collect().map(_.getInt(0)).toSeq
+        effects += ((tag, id))
+        output(id) = rows // overwrite-by-batch: the documented sink contract
+      }
+      // old incarnation runs normally up to a random takeover point
+      val old = mkWriter("old")
+      val takeover = 1 + rnd.nextInt(n - 1)
+      for (id <- 0L until takeover) old(rowsOf(id).toDF("v"), id)
+      // failover: the new incarnation starts WHILE the old is still live.
+      // Its first delivery is the engine's at-least-once re-delivery of
+      // the last batch (skipped against the durable mark), then it
+      // continues the lineage.
+      val nw = mkWriter("new")
+      nw(rowsOf(takeover - 1).toDF("v"), takeover - 1)
+      for (id <- takeover until n) {
+        // at random interleave points the zombie attempts a delivery —
+        // a re-delivery of an old id or the id it believes is next; every
+        // attempt must fence BEFORE the sink effect
+        if (rnd.nextBoolean()) {
+          val zid = if (rnd.nextBoolean()) rnd.nextLong(takeover) else id
+          val before = effects.size
+          intercept[Sources.FencedWriterException] { old(rowsOf(zid).toDF("v"), zid) }
+          assert(effects.size == before,
+            s"seed $seed: fenced zombie ran its sink effect for batch $zid")
+        }
+        nw(rowsOf(id).toDF("v"), id)
+      }
+      // exactly-once OUTPUT: every batch present with exactly its rows,
+      // and nothing ran twice on the surviving incarnation
+      assert(output.keySet == (0L until n).toSet, s"seed $seed: lost batches")
+      (0L until n).foreach { id =>
+        assert(output(id) == rowsOf(id), s"seed $seed: batch $id corrupted")
+      }
+      assert(effects.count(_._1 == "new") == (n - takeover).toInt,
+        s"seed $seed: surviving incarnation re-ran or skipped batches")
+    }
+  }
+
+  test("split-brain: takeover claimed MID-batch — zombie's mark swap is fenced, batch re-runs idempotently") {
+    import spark.implicits._
+    // the documented in-flight race: the zombie passes the pre-write
+    // fence, the new incarnation claims its epoch while the zombie's
+    // sink effect is running. The pre-swap fence must then reject the
+    // mark advance (the effect landed but the mark did not), and the new
+    // incarnation — which claimed BEFORE reading the mark — re-runs the
+    // batch under the per-batch-idempotent contract: re-run, never skip.
+    val dir = Files.createTempDirectory("graft-fence-race-").toString
+    val output = scala.collection.mutable.Map.empty[Long, Seq[Int]]
+    var newRuns = 0
+    val newWriter = Sources.idempotentBatchWriter(dir) { (b2, id2) =>
+      newRuns += 1
+      output(id2) = b2.collect().map(_.getInt(0)).map(_ + 100).toSeq
+    }
+    var takeoverDone = false
+    val zombie = Sources.idempotentBatchWriter(dir) { (b, id) =>
+      output(id) = b.collect().map(_.getInt(0)).toSeq
+      if (id == 1L && !takeoverDone) {
+        takeoverDone = true
+        // the takeover lands INSIDE the zombie's write: the new
+        // incarnation claims its epoch (lazily, at first delivery),
+        // reads mark=0, and re-runs the in-flight batch 1 itself
+        newWriter(b, id)
+      }
+    }
+    zombie(Seq(1, 2).toDF("v"), 0L) // pre-takeover batch commits normally
+    // batch 1: zombie's effect lands, the takeover claims + re-runs it,
+    // then the zombie's PRE-SWAP fence fires — the zombie cannot commit
+    intercept[Sources.FencedWriterException] { zombie(Seq(3, 4).toDF("v"), 1L) }
+    // the survivor's re-run overwrote the zombie's half-committed output
+    // (per-batch-idempotent contract): re-run, never skip, never interleave
+    assert(newRuns == 1 && output(1L) == Seq(103, 104),
+      "takeover must re-run the in-flight batch and own its output")
+    // the survivor advanced the mark as the owner: its next delivery of
+    // batch 1 (engine at-least-once re-delivery) is skipped
+    newWriter(Seq(3, 4).toDF("v"), 1L)
+    assert(newRuns == 1, "committed batch re-ran on the survivor")
+    newWriter(Seq(5).toDF("v"), 2L)
+    assert(output(2L) == Seq(105))
+    // and the zombie stays fenced
+    intercept[Sources.FencedWriterException] { zombie(Seq(9).toDF("v"), 3L) }
   }
 }
