@@ -213,9 +213,15 @@ object AggSpec {
     * rather than allow that silently, the streaming session lowering
     * REJECTS a combiner without this flag at compile time (r11 verdict
     * task 3). Batch ignores it (full recompute is always event-time
-    * exact), and it is meaningless without a combiner. Attesting
-    * falsely trades batch parity for O(1) state — the divergence is
-    * then on the attester. */
+    * exact), and it is meaningless without a combiner. The streaming
+    * lowering additionally SPOT-CHECKS the attestation on seeded
+    * synthetic values (adder permutations + the combiner merge law,
+    * driver-side, one tiny collect): a detectable violation — e.g. a
+    * falsely-attested string concat — errors at lowering with the
+    * counterexample. The check is probabilistic and detection-only
+    * (passing proves nothing; unsynthesizable value types skip it), so
+    * an UNdetected false attestation still trades batch parity for
+    * O(1) state — the divergence is then on the attester. */
   final case class FoldAgg(
       init: Column,
       adder: (Column, Column) => Column,

@@ -1866,9 +1866,7 @@ class StreamCongruitySpec extends AnyFunSuite {
         "tbl" -> Entity.KTable(
           window = Some(WindowSpec.SessionWindows(50L)),
           // string concat: genuinely order-sensitive — exactly the
-          // adder the attestation exists to stop (here attested
-          // falsely in the `attested` arm, which must still LOWER:
-          // the divergence is then on the attester, by contract)
+          // adder the attestation exists to stop
           aggregate = Some(AggSpec.FoldAgg(lit(""),
             (acc, v) => concat(acc, v.cast("string")),
             combiner = Some((a, b) => concat(a, b)),
@@ -1882,11 +1880,45 @@ class StreamCongruitySpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("commutative = true"),
       s"wrong rejection message: ${ex.getMessage}")
-    // the attested form lowers fine (same topology, flag set) — and the
+    // a FALSE attestation on the same order-sensitive adder is caught by
+    // the lowering-time spot-check (r12 verdict task 3): concat on two
+    // distinct synthetic strings is a concrete counterexample, so the
+    // attested form now errors too instead of silently diverging live
+    val ex2 = intercept[RuntimeException] {
+      StreamCompiler.run(topo(attested = true), Map("in" -> src),
+        watermarkMs = Some(500L))
+    }
+    assert(ex2.getMessage.contains("attestation is FALSE"),
+      s"wrong spot-check message: ${ex2.getMessage}")
+    // a genuinely commutative attested fold lowers fine — and the
     // BUFFERED path (no combiner) never needs the attestation: it
     // re-folds in event time and stays batch-exact for any adder
-    StreamCompiler.run(topo(attested = true), Map("in" -> src),
+    StreamCompiler.run(Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(50L)),
+          aggregate = Some(AggSpec.FoldAgg(lit(0L), (acc, v) => acc + v,
+            combiner = Some((a, b) => a + b), commutative = true))),
+        "out" -> Entity.Topic("out"))), Map("in" -> src),
       watermarkMs = Some(500L))
+    // the spot-check also covers the combiner MERGE LAW: a commutative
+    // adder with a non-identity init breaks combiner(fold(init, [x]),
+    // fold(init, [y])) == fold(init, [x, y]) — merged sessions would
+    // double-count the init — and is rejected with that counterexample
+    val ex3 = intercept[RuntimeException] {
+      StreamCompiler.run(Topology(
+        Seq("in" -> "tbl", "tbl" -> "out"),
+        Map("in" -> Entity.Topic("in"),
+          "tbl" -> Entity.KTable(
+            window = Some(WindowSpec.SessionWindows(50L)),
+            aggregate = Some(AggSpec.FoldAgg(lit(100L), (acc, v) => acc + v,
+              combiner = Some((a, b) => a + b), commutative = true))),
+          "out" -> Entity.Topic("out"))), Map("in" -> src),
+        watermarkMs = Some(500L))
+    }
+    assert(ex3.getMessage.contains("merge law"),
+      s"wrong merge-law message: ${ex3.getMessage}")
     // batch is untouched by the contract: full recompute is event-time
     // exact, the unattested topology still runs there
     val batch = BatchCompiler.run(topo(attested = false), Map("in" ->
