@@ -68,14 +68,20 @@ object StateScaleBench {
   /** Drive one topology and sample the state operator's telemetry from
     * the last progress entry that actually processed data (the final
     * `processAllAvailable` can leave a trailing no-data batch as
-    * `lastProgress`, whose metrics lag the drain — ADVICE r11). */
+    * `lastProgress`, whose metrics lag the drain — ADVICE r11).
+    *
+    * The feed arrives as a chunk GENERATOR, not a materialized Seq: the
+    * boundary runs (`SPARK_GRAFT_SCALE_SCENARIO` under a constrained
+    * heap) push 8M+ events, and a driver-resident 8M-tuple vector would
+    * charge ~1 GB of feed memory against the very heap limit the run is
+    * probing — the generator keeps driver feed memory O(one chunk). */
   private def drive(
       spark: SparkSession,
       topo: Topology,
-      rows: Seq[(String, Long, Long)],
+      chunks: () => Iterator[Seq[(String, Long, Long)]],
+      total: Long,
       sink: String,
       mode: String,
-      batches: Int,
       watermarkMs: Option[Long]): Result = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
@@ -84,11 +90,10 @@ object StateScaleBench {
       .withColumn("ts", timestamp_millis(col("__ms"))).drop("__ms")
     val dfs = StreamCompiler.run(topo, Map("in" -> src), watermarkMs = watermarkMs)
     val q = dfs(sink).writeStream.format("noop").outputMode(mode).start()
-    val chunks = rows.grouped(math.max(1, (rows.size + batches - 1) / batches)).toSeq
     val t0 = System.nanoTime()
     var t1 = t0
     try {
-      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      chunks().foreach { c => ms.addData(c); q.processAllAvailable() }
       t1 = System.nanoTime()
       val so = graft.stream.Progress.lastDataProgress(q).stateOperators
       val custom = so.flatMap { op =>
@@ -99,7 +104,7 @@ object StateScaleBench {
         }
       }.groupMapReduce(_._1)(_._2)(_ + _)
       Result(
-        rows.size / ((t1 - t0) / 1e9),
+        total / ((t1 - t0) / 1e9),
         so.map(_.numRowsTotal).sum,
         so.map(_.memoryUsedBytes).sum,
         custom)
@@ -128,6 +133,12 @@ object StateScaleBench {
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_KEYS", "500000").toInt
     val b = sys.env.getOrElse("SPARK_GRAFT_SCALE_BATCHES", "10").toInt
     val horizon = sys.env.getOrElse("SPARK_GRAFT_SCALE_HORIZON_MS", "20000").toLong
+    // boundary mode (r12 verdict task 2): run a SUBSET of scenarios in a
+    // heap-constrained child JVM (SPARK_DRIVER_MEM=2g) at 4–8M ids to
+    // find where the heap-resident HDFSBacked provider degrades while
+    // RocksDB (native, off-heap) holds. Comma-separated scenario names.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_SCENARIO")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
     val foldTopo = Topology(
       Seq("in" -> "tbl", "tbl" -> "out"),
@@ -135,10 +146,6 @@ object StateScaleBench {
         "tbl" -> Entity.KTable(aggregate =
           Some(AggSpec.FoldAgg(lit(0L), (acc, v) => acc + v))),
         "out" -> Entity.Topic("out")))
-    // round-robin over k keys: every micro-batch touches n/b distinct
-    // state rows; final state cardinality = k
-    def foldRows(n: Int): Seq[(String, Long, Long)] =
-      (0 until n).map(i => (s"k${i % k}", 1L, 1000L + i))
 
     def dedupeTopo(within: Boolean) = {
       val (edges, ents) =
@@ -147,74 +154,97 @@ object StateScaleBench {
       Topology(edges,
         Map("in" -> Entity.Topic("in"), "out" -> Entity.Topic("out")) ++ ents)
     }
+
+    // Chunk GENERATORS, not materialized vectors: each scenario re-derives
+    // its feed lazily, keeping driver feed memory O(one chunk) — essential
+    // for the heap-constrained boundary runs where an 8M-tuple resident
+    // vector would consume the probed heap itself.
+    def chunked(rows: Int, batches: Int)(row: Int => (String, Long, Long))
+        : () => Iterator[Seq[(String, Long, Long)]] = {
+      val c = math.max(1, (rows + batches - 1) / batches)
+      () => (0 until rows).grouped(c).map(_.map(row))
+    }
+    // round-robin over k keys: every micro-batch touches ~n/b distinct
+    // state rows; final state cardinality = k
+    def foldRow(i: Int) = (s"k${i % k}", 1L, 1000L + i)
     // each id appears on two ADJACENT events (1 ms apart on the 1 ms
     // timeline): n/2 distinct ids, every duplicate within any horizon
     // ≥ a few ms — so bounded and unbounded variants do the same dedup
     // WORK and differ only in what they retain
-    def dupRows(n: Int): Seq[(String, Long, Long)] =
-      (0 until n).map(i => (s"k${i % 1000}", (i / 2).toLong, 1000L + i))
+    def dupRow(i: Int) = (s"k${i % 1000}", (i / 2).toLong, 1000L + i)
+    val foldFeed = chunked(n, b)(foldRow)
+    val dupFeed = chunked(n, b)(dupRow)
+    val warmFold = chunked(2000, 2)(foldRow)
+    val warmDup = chunked(2000, 2)(dupRow)
 
     import StreamCompiler.{withStateStore, StateStore}
 
-    // The feeds are built once: rebuilding 2M-element vectors (with
-    // per-element string interpolation) per scenario would burn seconds
-    // of driver CPU and GBs of garbage six times over for identical data.
-    val foldFeed = foldRows(n)
-    val dupFeed = dupRows(n)
+    def rocks[A](body: => A): A =
+      withChangelog(spark) { withStateStore(spark, StateStore.RocksDB) { body } }
 
-    // Warm up EVERY (topology shape × provider) one-time cost outside
-    // the timed windows: each distinct plan pays codegen/analysis on its
-    // first-ever run, and the first RocksDB run additionally pays native
-    // library + provider init. Warming only the fold topology (as this
-    // main originally did) hands each *_hdfs scenario a cold plan its
-    // rocksdb twin then skips, and hands fold_rocksdb the native init —
-    // systematically skewing single-run provider comparisons.
-    val warmFold = foldFeed.take(2000)
-    val warmDup = dupFeed.take(2000)
-    drive(spark, foldTopo, warmFold, "tbl", "update", 2, None)
-    drive(spark, dedupeTopo(within = false), warmDup, "out", "append", 2, None)
-    drive(spark, dedupeTopo(within = true), warmDup, "out", "append", 2,
-      watermarkMs = Some(horizon))
-    withChangelog(spark) {
-      withStateStore(spark, StateStore.RocksDB) {
-        drive(spark, foldTopo, warmFold, "tbl", "update", 2, None)
-      }
-    }
+    val scenarios: Seq[(String, () => Result)] = Seq(
+      "fold_hdfs" -> (() =>
+        drive(spark, foldTopo, foldFeed, n, "tbl", "update", None)),
+      "fold_rocksdb" -> (() => rocks {
+        drive(spark, foldTopo, foldFeed, n, "tbl", "update", None) }),
+      "dedupe_hdfs" -> (() =>
+        drive(spark, dedupeTopo(within = false), dupFeed, n, "out", "append", None)),
+      "dedupe_rocksdb" -> (() => rocks {
+        drive(spark, dedupeTopo(within = false), dupFeed, n, "out", "append", None) }),
+      "dedupe_within_hdfs" -> (() =>
+        drive(spark, dedupeTopo(within = true), dupFeed, n, "out", "append",
+          watermarkMs = Some(horizon))),
+      "dedupe_within_rocksdb" -> (() => rocks {
+        drive(spark, dedupeTopo(within = true), dupFeed, n, "out", "append",
+          watermarkMs = Some(horizon)) }),
+    )
+    val selected = scenarios.filter { case (name, _) => only.forall(_.contains(name)) }
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_SCALE_SCENARIO matched nothing; known: ${scenarios.map(_._1)}")
+    val names = selected.map(_._1).toSet
 
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, Result]
-    out("fold_hdfs") =
-      drive(spark, foldTopo, foldFeed, "tbl", "update", b, None)
-    out("fold_rocksdb") = withChangelog(spark) {
-      withStateStore(spark, StateStore.RocksDB) {
-        drive(spark, foldTopo, foldFeed, "tbl", "update", b, None)
-      }
-    }
-    out("dedupe_hdfs") =
-      drive(spark, dedupeTopo(within = false), dupFeed, "out", "append", b, None)
-    out("dedupe_rocksdb") = withChangelog(spark) {
-      withStateStore(spark, StateStore.RocksDB) {
-        drive(spark, dedupeTopo(within = false), dupFeed, "out", "append", b, None)
-      }
-    }
-    out("dedupe_within_hdfs") =
-      drive(spark, dedupeTopo(within = true), dupFeed, "out", "append", b,
+    // Warm up EVERY selected (topology shape × provider) one-time cost
+    // outside the timed windows: each distinct plan pays codegen/analysis
+    // on its first-ever run, and the first RocksDB run additionally pays
+    // native library + provider init. Warming only the fold topology (as
+    // this main originally did) hands each *_hdfs scenario a cold plan
+    // its rocksdb twin then skips, and hands fold_rocksdb the native
+    // init — systematically skewing single-run provider comparisons.
+    if (names("fold_hdfs") || names("fold_rocksdb"))
+      drive(spark, foldTopo, warmFold, 2000, "tbl", "update", None)
+    if (names("dedupe_hdfs") || names("dedupe_rocksdb"))
+      drive(spark, dedupeTopo(within = false), warmDup, 2000, "out", "append", None)
+    if (names("dedupe_within_hdfs") || names("dedupe_within_rocksdb"))
+      drive(spark, dedupeTopo(within = true), warmDup, 2000, "out", "append",
         watermarkMs = Some(horizon))
-    out("dedupe_within_rocksdb") = withChangelog(spark) {
-      withStateStore(spark, StateStore.RocksDB) {
-        drive(spark, dedupeTopo(within = true), dupFeed, "out", "append", b,
-          watermarkMs = Some(horizon))
-      }
+    if (names.exists(_.endsWith("rocksdb")))
+      rocks { drive(spark, foldTopo, warmFold, 2000, "tbl", "update", None) }
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Result]]
+    selected.foreach { case (name, run) =>
+      out(name) =
+        try Right(run())
+        catch {
+          // an OOM/degradation-killed scenario IS the boundary datum the
+          // constrained-heap runs exist to find — record it, don't die
+          case e: Throwable => Left(
+            s"${e.getClass.getName}: " +
+              Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\s]+", " ").take(300))
+        }
     }
 
-    val scen = out.map { case (name, r) =>
-      val custom = r.custom.toSeq.sortBy(_._1)
-        .map { case (ck, cv) => s"\"$ck\":$cv" }.mkString("{", ",", "}")
-      s""""$name":{"eps":${math.round(r.eps)},"state_rows":${r.stateRows},""" +
-        s""""state_mem_bytes":${r.stateMemBytes},"custom":$custom}"""
+    val scen = out.map {
+      case (name, Right(r)) =>
+        val custom = r.custom.toSeq.sortBy(_._1)
+          .map { case (ck, cv) => s"\"$ck\":$cv" }.mkString("{", ",", "}")
+        s""""$name":{"eps":${math.round(r.eps)},"state_rows":${r.stateRows},""" +
+          s""""state_mem_bytes":${r.stateMemBytes},"custom":$custom}"""
+      case (name, Left(err)) =>
+        s""""$name":{"error":"$err"}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"state_scale","unit":"events_per_sec",""" +
       s""""scenarios":$scen,"n":$n,"keys":$k,"batches":$b,""" +
-      s""""horizon_ms":$horizon}""")
+      s""""horizon_ms":$horizon,"max_heap_mb":${Runtime.getRuntime.maxMemory >> 20}}""")
     spark.stop()
   }
 }
