@@ -57,7 +57,9 @@ object Fragments {
     * (ts, key, value)-minimal record, so an out-of-order duplicate
     * arriving first inside the horizon survives in streaming where batch
     * keeps the earlier-ts one. The two agree row-for-row only when
-    * duplicates arrive in ts order or carry identical payloads. */
+    * duplicates arrive in ts order or carry identical payloads — the
+    * in-order direction is property-tested for both fragments
+    * (`StreamCongruitySpec` "IN-ORDER feeds ... PAYLOAD-for-payload"). */
   def dedupeWithin(inId: String, outId: String, idExpr: Column): (Seq[(String, String)], Map[String, Entity]) =
     dedupeNode(s"__dedupew_${inId}_$outId", inId, outId, idExpr,
       _.dropDuplicatesWithinWatermark("__did"))

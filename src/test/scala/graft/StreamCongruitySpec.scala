@@ -2682,4 +2682,73 @@ class StreamCongruitySpec extends AnyFunSuite {
       assert(got.size == nFill + gray.size, s"seed $seed: extra rows in ${got.sorted}")
     }
   }
+
+  test("property: on IN-ORDER feeds both dedupe fragments match batch PAYLOAD-for-payload (r12 verdict task 4)") {
+    implicit val sql = spark.sqlContext
+    // Both dedupe scaladocs document that surviving PAYLOADS can differ
+    // under out-of-order arrival (streaming keeps first arrival, batch
+    // the ts-minimal record) and claim the complement: on ts-ordered
+    // feeds the two agree row-for-row. This pins that claim for BOTH
+    // fragments: random feeds whose duplicate records carry DIFFERENT
+    // payloads (distinct keys, distinct ts — so a wrong survivor is
+    // visible and there are no ordering ties), arrival order = ts order,
+    // random micro-batch cuts, full-row (key, value, ts) set equality
+    // against the batch twin. One addData per ts-contiguous chunk keeps
+    // arrival order through the shuffle (single source partition).
+    for (seed <- 1 to 10; within <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed * 613 + (if (within) 1 else 0))
+      val horizon = 5000L
+      val nIds = 3 + rnd.nextInt(4)
+      // all-distinct ts across the whole feed: total arrival order
+      val tsPool = rnd.shuffle((0 until 400).toVector).map(1000L + _ * 7L)
+      var tsIdx = -1
+      def nextTs() = { tsIdx += 1; tsPool(tsIdx) }
+      val feed = (0 until nIds).flatMap { id =>
+        val first = nextTs()
+        val nDups = rnd.nextInt(3) // 0..2 duplicates, each a NEW payload
+        (s"k${id}_0", id, first) +: (1 to nDups).map { d =>
+          // dedupeWithin's id-level guarantee only covers duplicates
+          // within the horizon: keep every dup inside it (the gray zone
+          // has its own property above); ts stays globally distinct
+          // because dups reuse the pool offset grid shifted by +3
+          (s"k${id}_$d", id, first + 3L + rnd.nextInt((horizon - 10).toInt))
+        }
+      }.distinctBy(_._3).sortBy(_._3) // drop rare ts collisions, ts order
+      val batches = {
+        val nCuts = 1 + rnd.nextInt(feed.size)
+        val cutAt = rnd.shuffle((1 until feed.size).toVector).take(nCuts - 1).toSet
+        feed.zipWithIndex.foldLeft(Vector(Vector.empty[(String, Int, Long)])) {
+          case (acc, (r, i)) =>
+            if (cutAt.contains(i)) acc :+ Vector(r) else acc.init :+ (acc.last :+ r)
+        }
+      }
+      val (edges, ents) =
+        if (within) Fragments.dedupeWithin("in", "out", col("value"))
+        else Fragments.dedupe("in", "out", col("value"))
+      val topo = Topology(edges,
+        Map("in" -> Entity.Topic("in"), "out" -> Entity.Topic("out")) ++ ents)
+      val ms = MemoryStream[(String, Int, Long)]
+      val dfs = StreamCompiler.run(topo, Map("in" -> recordStream(ms)),
+        watermarkMs = if (within) Some(horizon) else None)
+      qn += 1
+      val name = s"dedupinorder_$qn"
+      val q = dfs("out").writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      def fullRows(df: DataFrame): Set[(String, Int, Long)] =
+        df.select(col("key"), col("value").cast("int"), unix_millis(col("ts")))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val live = fullRows(spark.table(name))
+      val batch = fullRows(
+        BatchCompiler.run(topo, Map("in" -> records(feed: _*)))("out"))
+      assert(live == batch,
+        s"seed $seed within=$within: in-order payload parity broken - " +
+          s"live ${live.toSeq.sorted} vs batch ${batch.toSeq.sorted}")
+      // the survivor per id is the ts-FIRST record, payload included
+      val expect = feed.groupBy(_._2).values.map(_.minBy(_._3)).toSet
+      assert(batch == expect, s"seed $seed within=$within: batch twin " +
+        s"kept a non-first payload - ${batch.toSeq.sorted} vs ${expect.toSeq.sorted}")
+    }
+  }
 }
