@@ -148,6 +148,11 @@ object ScaleProbe {
       s"SPARK_GRAFT_PROBE_SCALE must be > 1 (got $bigScale)")
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
     val dir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft_scale_probe")
+    // optional op-name filter (comma-separated): the deeper decades
+    // (30×+) target the highest-exponent families only — regenerating
+    // and re-running the whole suite there buys nothing
+    val onlyOps = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val MaxBucket = 1000L // LshMaxBucket, the registered queries' cap
 
     // the five ops, each mirroring its registered query's exact
@@ -202,7 +207,9 @@ object ScaleProbe {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Cell, Cell)]
     for (scale <- Seq(1, bigScale)) {
       val (docs, embs) = corpus(spark, dir, scale)
-      ops(docs, embs, scale).foreach { case (name, body) =>
+      ops(docs, embs, scale)
+        .filter { case (name, _) => onlyOps.forall(_.contains(name)) }
+        .foreach { case (name, body) =>
         val (t, rows) = time(spark, reps)(body())
         results(name) =
           if (scale == 1) (Cell(t, rows), Cell(0.0, 0L))
