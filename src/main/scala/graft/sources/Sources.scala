@@ -210,7 +210,11 @@ object Sources {
     * mark swap is `FileContext.rename(OVERWRITE)` — atomic on
     * HDFS/local, best-effort on object stores, where a crash inside the
     * swap can lose the mark; the next incarnation then re-runs one
-    * batch, it never skips one.
+    * batch, it never skips one. The swap runs under a bounded jittered
+    * retry (concurrent incarnations in the takeover window race the
+    * non-atomic local-FS rename internals), and a failed attempt that
+    * finds the mark already advanced to this batch by a racer treats
+    * the swap as moot — the mark is a monotone batchId of one lineage.
     *
     * Zombie fencing: each writer incarnation CLAIMS an epoch in
     * `trackDir` before its first durable mark read — an atomic
@@ -254,11 +258,33 @@ object Sources {
         .flatMap(p => scala.util.Try(p.getName.stripPrefix("epoch.").toLong)
           .toOption.map(_ -> p))
 
+    // Bounded retry for the mark-path FS operations: in the takeover
+    // window, concurrent incarnations race each other's creates, GC
+    // sweeps, and renames, and a checksummed local FS surfaces those
+    // races as assorted IOExceptions from NON-atomic internals (create
+    // then chmod, rename data then crc, list then stat). Every operation
+    // here is idempotent (write a fixed string / list a tiny dir), so
+    // retry-with-backoff resolves transient races; after `max` attempts
+    // the fault is real and propagates.
+    def retrying[A](max: Int)(body: => A): A = {
+      var attempts = 0
+      while (true) {
+        try return body
+        catch {
+          case e: java.io.IOException =>
+            attempts += 1
+            if (attempts >= max) throw e
+            Thread.sleep(5L * attempts)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     // fail fast when a newer incarnation has claimed this trackDir — one
     // tiny-dir listStatus, cheap on a per-trigger path
     def fence(fs: org.apache.hadoop.fs.FileSystem,
         dir: org.apache.hadoop.fs.Path, at: String): Unit = {
-      val newest = epochsIn(fs, dir).map(_._1).foldLeft(epoch)(math.max)
+      val newest = retrying(5)(epochsIn(fs, dir)).map(_._1).foldLeft(epoch)(math.max)
       if (newest > epoch)
         throw new FencedWriterException(
           s"writer epoch $epoch fenced $at by newer incarnation epoch " +
@@ -282,38 +308,54 @@ object Sources {
         // claim happens BEFORE the mark read below, so any batch a soon-
         // to-be-fenced zombie lands after this point is re-run, not lost.
         var claimed = false
+        var attempts = 0
         while (!claimed) {
-          val existing = epochsIn(fs, qualified)
+          val existing = retrying(5)(epochsIn(fs, qualified))
           val next = existing.map(_._1).foldLeft(0L)(math.max) + 1L
           try {
             fs.create(new org.apache.hadoop.fs.Path(qualified, s"epoch.$next"),
               false).close()
             epoch = next
             claimed = true
-            // GC superseded claims: evidence of THIS epoch is all a
-            // stale incarnation needs to fence itself
-            existing.foreach { case (_, p) => fs.delete(p, false) }
+            // GC superseded claims (evidence of THIS epoch is all a
+            // stale incarnation needs to fence itself) and stale swap
+            // tmps (a zombie mid-swap loses its tmp and lands in the
+            // fenced/retry path — see the rename catch below). Deletes
+            // are best-effort: a concurrent claimer may sweep the same
+            // files first.
+            retrying(5)(fs.listStatus(qualified)).foreach { st =>
+              val nm = st.getPath.getName
+              if ((nm.startsWith("epoch.") && nm != s"epoch.$next") ||
+                  nm.startsWith("committed_batch_id.tmp"))
+                try fs.delete(st.getPath, false)
+                catch { case _: java.io.IOException => () }
+            }
           } catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // re-list
-            case e: java.io.IOException
-                if fs.exists(new org.apache.hadoop.fs.Path(qualified,
-                  s"epoch.$next")) => () // raw local FS signals the race as IOE
+            // lost the creation race (atomic create-if-absent), or a
+            // concurrent claimer's GC swept our file mid-create (local
+            // FS create+chmod is not atomic and surfaces that race as
+            // assorted IOEs): re-list and claim higher, bounded
+            case e: java.io.IOException =>
+              attempts += 1
+              if (attempts >= 50) throw e
+              if (!e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException])
+                Thread.sleep(5L * math.min(attempts, 10))
           }
         }
       }
       val (fs, fc, dir, mark) = fsCtx
+      def readMark(): Long =
+        if (!fs.exists(mark)) -1L
+        else {
+          val in = fs.open(mark)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          try s.toLong
+          catch { case _: NumberFormatException => -1L } // torn mark: re-run
+        }
       fence(fs, dir, "before write")
-      if (cached == Long.MinValue) { // restart: one durable read, then memory
-        cached =
-          if (!fs.exists(mark)) -1L
-          else {
-            val in = fs.open(mark)
-            val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-            try s.toLong
-            catch { case _: NumberFormatException => -1L } // torn mark: re-run
-          }
-      }
+      if (cached == Long.MinValue) // restart: one durable read, then memory
+        cached = readMark()
       if (batchId < cached)
         throw new IllegalStateException(
           s"foreachBatch delivered batchId $batchId below the committed mark " +
@@ -323,19 +365,49 @@ object Sources {
             "wipe it together with its checkpoint")
       if (batchId > cached) {
         write(batch, batchId)
-        // re-check between the sink effect and the mark swap: a zombie
-        // that lost the race mid-batch must not advance the mark (its
-        // write just landed, but the new incarnation claimed before
-        // reading the mark, so it re-runs this batch idempotently)
-        fence(fs, dir, "before mark swap")
-        // fixed tmp name: a crash in the swap window leaves at most ONE
-        // stray file, overwritten by the next successful swap; the swap
-        // itself is an ATOMIC overwrite rename (no delete-then-rename
-        // window where the mark doesn't exist)
-        val tmp = new org.apache.hadoop.fs.Path(dir, "committed_batch_id.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-        fc.rename(tmp, mark, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // Persist the mark: PER-EPOCH tmp name (concurrent incarnations
+        // in the takeover window must not steal each other's tmp file),
+        // then an ATOMIC overwrite rename — no delete-then-rename window
+        // where the mark doesn't exist; a crash leaves at most one stray
+        // tmp per incarnation, swept by the next claimer's GC. Each
+        // attempt re-checks the fence first: a zombie that lost the race
+        // mid-batch must NOT advance the mark (its sink effect just
+        // landed, but the new incarnation claimed before reading the
+        // mark, so it re-runs this batch idempotently) — it exits here
+        // with the clean FENCED outcome. Transient races with concurrent
+        // incarnations (their GC sweeping this tmp mid-swap, local-FS
+        // crc-rename interleavings) retry; real faults propagate.
+        var persisted = false
+        var attempts = 0
+        while (!persisted) {
+          fence(fs, dir, "at mark swap")
+          try {
+            val tmp = new org.apache.hadoop.fs.Path(dir,
+              s"committed_batch_id.tmp.$epoch")
+            val out = fs.create(tmp, true)
+            try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+            fc.rename(tmp, mark, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            persisted = true
+          } catch {
+            case e: java.io.IOException =>
+              // the local-FS overwrite rename is delete-then-rename
+              // internally, so a concurrent incarnation can recreate the
+              // mark inside the window and this attempt reports dst-
+              // exists / src-missing. The mark is a monotone batchId of
+              // ONE lineage: if a durable read shows a racer already
+              // advanced it to >= this batch, this swap is moot — done.
+              // Otherwise retry with jitter (lockstep racers starve a
+              // fixed schedule); a fault that persists is real.
+              if ((try readMark() catch { case _: java.io.IOException => -1L })
+                  >= batchId) persisted = true
+              else {
+                attempts += 1
+                if (attempts >= 10) throw e
+                Thread.sleep(2L + java.util.concurrent.ThreadLocalRandom
+                  .current().nextLong(8L * attempts))
+              }
+          }
+        }
         cached = batchId
       }
       // batchId == cached: the crash-window re-delivery — skip

@@ -833,6 +833,48 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     }
   }
 
+  test("fence epochs: concurrent claimers get distinct epochs, output stays exactly-once") {
+    import spark.implicits._
+    // the claim loop's create-if-absent race, exercised for real: 8
+    // threads race mkWriter + first delivery of batch 0 on ONE trackDir.
+    // Any interleaving is legal as long as (a) every claimed epoch is
+    // unique, (b) batch 0's effect runs at least once and the final
+    // output is exactly its rows (idempotent overwrite), and (c) a
+    // writer only ever completes, skips, or fails FENCED — nothing else.
+    val dir = Files.createTempDirectory("graft-fence-conc-").toString
+    val output = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Int]]()
+    val effectRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val df = Seq(1, 2).toDF("v")
+    df.persist(); df.count() // materialize once: no concurrent job planning noise
+    val outcomes = (1 to 8).map { _ =>
+      new Thread { var outcome = "unset"
+        override def run(): Unit = outcome =
+          try {
+            val w = Sources.idempotentBatchWriter(dir) { (b, id) =>
+              effectRuns.incrementAndGet()
+              output.put(id, Seq(1, 2))
+            }
+            w(df, 0L); "delivered"
+          } catch {
+            case _: Sources.FencedWriterException => "fenced"
+            case e: Throwable => s"UNEXPECTED: $e"
+          }
+      }
+    }
+    outcomes.foreach(_.start()); outcomes.foreach(_.join(60000))
+    df.unpersist()
+    assert(outcomes.forall(t => t.outcome == "delivered" || t.outcome == "fenced"),
+      s"bad outcomes: ${outcomes.map(_.outcome)}")
+    // at least one incarnation completed batch 0; skips don't run effects
+    assert(outcomes.exists(_.outcome == "delivered"))
+    assert(effectRuns.get >= 1 && output.get(0L) == Seq(1, 2))
+    // every claim file that survives GC is unique by construction; the
+    // durable mark covers batch 0 exactly once for the next incarnation
+    val before = effectRuns.get
+    Sources.idempotentBatchWriter(dir)((_, _) => sys.error("must skip"))(df, 0L)
+    assert(effectRuns.get == before)
+  }
+
   test("split-brain: takeover claimed MID-batch — zombie's mark swap is fenced, batch re-runs idempotently") {
     import spark.implicits._
     // the documented in-flight race: the zombie passes the pre-write

@@ -1926,6 +1926,29 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(batch.select("value").collect().map(_.getString(0)).toSeq == Seq("12"))
   }
 
+  test("commutativity spot-check SKIPS unsynthesizable value types (attestation stands on the attester)") {
+    implicit val sql = spark.sqlContext
+    // map-typed values: the spot-check's sample generator cannot
+    // synthesize them, so the check is documented to skip — a (possibly
+    // false) attestation over such a type must still LOWER, exactly the
+    // pre-spot-check contract. The adder here is last-write-wins, which
+    // is NOT commutative — undetectable by construction, on the attester.
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"),
+        "tbl" -> Entity.KTable(
+          window = Some(WindowSpec.SessionWindows(50L)),
+          aggregate = Some(AggSpec.FoldAgg(
+            map(lit("init"), lit(0)), (acc, v) => v,
+            combiner = Some((a, b) => b), commutative = true))),
+        "out" -> Entity.Topic("out")))
+    val ms = MemoryStream[(String, Int, Long)]
+    val src = recordStream(ms)
+      .withColumn("value", map(lit("k"), col("value")))
+    StreamCompiler.run(topo, Map("in" -> src), watermarkMs = Some(500L))
+    succeed
+  }
+
   test("suppressed COMBINABLE session fold merges across batches and emits once on close") {
     implicit val sql = spark.sqlContext
     // the suppressed/emit-on-close path over acc-only state: the merged
