@@ -355,7 +355,10 @@ object Sources {
         }
       fence(fs, dir, "before write")
       if (cached == Long.MinValue) // restart: one durable read, then memory
-        cached = readMark()
+        // retried: a concurrent incarnation's overwrite rename is delete-
+        // then-rename on the local FS, so a read landing inside that
+        // window sees exists-then-FileNotFound — transient, not a fault
+        cached = retrying(5)(readMark())
       if (batchId < cached)
         throw new IllegalStateException(
           s"foreachBatch delivered batchId $batchId below the committed mark " +
