@@ -221,16 +221,33 @@ object StateScaleBench {
       rocks { drive(spark, foldTopo, warmFold, 2000, "tbl", "update", None) }
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Result]]
+    var poisoned: Option[String] = None
     selected.foreach { case (name, run) =>
-      out(name) =
-        try Right(run())
-        catch {
-          // an OOM/degradation-killed scenario IS the boundary datum the
-          // constrained-heap runs exist to find — record it, don't die
-          case e: Throwable => Left(
-            s"${e.getClass.getName}: " +
-              Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\s]+", " ").take(300))
-        }
+      out(name) = poisoned match {
+        // a VM-level death (OOM) leaves this JVM in an arbitrary state —
+        // executor threads and the provider cache may be half-alive, so a
+        // number measured after it would be indistinguishable garbage in
+        // the output JSON. Record the remaining scenarios as unmeasured
+        // instead of measuring them in the wreckage (the boundary
+        // protocol is one scenario per child JVM; this enforces it when
+        // someone runs the full suite under a constrained heap anyway).
+        case Some(killer) => Left(s"NOT RUN: JVM poisoned by " +
+          s"VirtualMachineError in earlier scenario '$killer' - rerun " +
+          "in a fresh JVM (SPARK_GRAFT_SCALE_SCENARIO)")
+        case None =>
+          try Right(run())
+          catch {
+            // an OOM/degradation-killed scenario IS the boundary datum
+            // the constrained-heap runs exist to find — record it
+            case e: Throwable =>
+              def vm(t: Throwable): Boolean = t != null &&
+                (t.isInstanceOf[VirtualMachineError] || vm(t.getCause))
+              if (vm(e)) poisoned = Some(name)
+              Left(s"${e.getClass.getName}: " +
+                Option(e.getMessage).getOrElse("")
+                  .replaceAll("[\"\\\\\\s]+", " ").take(300))
+          }
+      }
     }
 
     val scen = out.map {

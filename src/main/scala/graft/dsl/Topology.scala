@@ -221,7 +221,14 @@ object AggSpec {
     * counterexample. The check is probabilistic and detection-only
     * (passing proves nothing; unsynthesizable value types skip it), so
     * an UNdetected false attestation still trades batch parity for
-    * O(1) state — the divergence is then on the attester. */
+    * O(1) state — the divergence is then on the attester. The flip
+    * side: an adder commutative only over its PRODUCTION domain (e.g.
+    * last-write-wins justified by all-identical payloads per key) is
+    * indistinguishable from a false attestation on synthetic values
+    * and is rejected — express such a fold associatively instead
+    * (last-write-wins is a ts-argmax: fold a (ts, v) struct with
+    * greatest(ts), genuinely commutative) or drop the combiner for
+    * the buffered event-time-exact path. */
   final case class FoldAgg(
       init: Column,
       adder: (Column, Column) => Column,

@@ -217,13 +217,19 @@ object Sources {
     * the swap as moot — the mark is a monotone batchId of one lineage.
     *
     * Zombie fencing: each writer incarnation CLAIMS an epoch in
-    * `trackDir` before its first durable mark read — an atomic
-    * create-if-absent of `epoch.<n+1>` above the highest existing claim
-    * (the rename/create-based equivalent of Kafka's producer-epoch
-    * fencing, the reference ecosystem's own answer to split-brain).
+    * `trackDir` before its first durable mark read — a UNIQUE file
+    * `epoch.<n>.<uid>` with `n` above the highest existing claim and
+    * `uid` random per incarnation; ownership is the lexicographically
+    * greatest `(n, uid)` (the file-based equivalent of Kafka's
+    * producer-epoch fencing, the reference ecosystem's own answer to
+    * split-brain). The unique name means claiming does NOT rely on an
+    * atomic create-if-absent — `create(overwrite = false)` is
+    * check-then-act on the local FS and object stores, so two racers
+    * CAN both claim the same `n`; the `uid` tie-break resolves that
+    * deterministically, the loser fencing at its next delivery.
     * Before every batch write, and again between the write and the mark
     * swap, the incarnation re-lists the claims and FAILS FAST with
-    * [[FencedWriterException]] if a higher epoch exists: a zombie old
+    * [[FencedWriterException]] if a greater claim exists: a zombie old
     * driver surviving a failover stops at its next delivery instead of
     * writing forever from its stale cached mark. The fence closes the
     * steady-state split-brain; the one batch a zombie may have IN FLIGHT
@@ -232,8 +238,12 @@ object Sources {
     * reading the mark, so that batch is either reflected in the mark it
     * reads or re-run by it under the per-batch-idempotent contract:
     * a takeover can re-run one batch, it never skips or interleaves one.
-    * Claim files below the winning epoch are garbage-collected at claim
-    * time, so the directory stays O(live incarnations).
+    * Claim files STRICTLY BELOW the claimer's own `(n, uid)` are
+    * garbage-collected at claim time — never above, so a concurrent
+    * racer's greater claim cannot be swept and the globally greatest
+    * claim always survives (every deletion is by a strictly greater
+    * claim, and nothing outranks the maximum); the directory stays
+    * O(live incarnations).
     *
     * {{{
     * df.writeStream.option("checkpointLocation", ckpt)
@@ -244,19 +254,34 @@ object Sources {
   def idempotentBatchWriter(trackDir: String)(
       write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     var cached = Long.MinValue // sentinel: not yet loaded from durable storage
-    var epoch = -1L            // this incarnation's fencing claim
+    var epoch = -1L            // this incarnation's fencing claim number
+    // per-incarnation claim tie-break: unique claim file names need no
+    // atomic create-if-absent (local FS / object-store create is
+    // check-then-act), and same-`n` collisions resolve by (n, uid) order
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
     // fs/paths resolved ONCE from the first batch's session (trackDir
     // never changes; newHadoopConf clones the full conf per call and
     // doesn't belong on a per-trigger hot path)
     var fsCtx: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.FileContext,
       org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = null
 
+    // claim total order: (n, uid) lexicographic — the greatest claim owns
+    // the sink. A bare legacy `epoch.<n>` (no uid) orders lowest for its n.
+    def claimGt(a: (Long, String), b: (Long, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
+
     def epochsIn(fs: org.apache.hadoop.fs.FileSystem,
-        dir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+        dir: org.apache.hadoop.fs.Path): Seq[(Long, String, org.apache.hadoop.fs.Path)] =
       fs.listStatus(dir).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("epoch."))
-        .flatMap(p => scala.util.Try(p.getName.stripPrefix("epoch.").toLong)
-          .toOption.map(_ -> p))
+        .flatMap { p =>
+          val rest = p.getName.stripPrefix("epoch.")
+          val (numS, u) = rest.indexOf('.') match {
+            case -1 => (rest, "")
+            case i  => (rest.take(i), rest.drop(i + 1))
+          }
+          numS.toLongOption.map(n => (n, u, p))
+        }
 
     // Bounded retry for the mark-path FS operations: in the takeover
     // window, concurrent incarnations race each other's creates, GC
@@ -280,16 +305,20 @@ object Sources {
       throw new IllegalStateException("unreachable")
     }
 
-    // fail fast when a newer incarnation has claimed this trackDir — one
-    // tiny-dir listStatus, cheap on a per-trigger path
+    // fail fast when a greater claim exists on this trackDir — one
+    // tiny-dir listStatus, cheap on a per-trigger path. Own-claim absence
+    // is itself proof of fencing: only a strictly greater claim's GC
+    // deletes it, and that greater claim (or a yet greater one) survives
+    // to show up in this listing.
     def fence(fs: org.apache.hadoop.fs.FileSystem,
         dir: org.apache.hadoop.fs.Path, at: String): Unit = {
-      val newest = retrying(5)(epochsIn(fs, dir)).map(_._1).foldLeft(epoch)(math.max)
-      if (newest > epoch)
+      val newest = retrying(5)(epochsIn(fs, dir)).map(e => (e._1, e._2))
+        .foldLeft((epoch, uid))((a, b) => if (claimGt(b, a)) b else a)
+      if (claimGt(newest, (epoch, uid)))
         throw new FencedWriterException(
           s"writer epoch $epoch fenced $at by newer incarnation epoch " +
-            s"$newest in $trackDir - a newer driver owns this sink; this " +
-            "(zombie) incarnation must stop")
+            s"${newest._1} in $trackDir - a newer driver owns this sink; " +
+            "this (zombie) incarnation must stop")
     }
 
     (batch: DataFrame, batchId: Long) => {
@@ -302,44 +331,51 @@ object Sources {
         fsCtx = (fs,
           org.apache.hadoop.fs.FileContext.getFileContext(qualified.toUri, hconf),
           qualified, new org.apache.hadoop.fs.Path(qualified, "committed_batch_id"))
-        // claim the next epoch ABOVE every existing claim via atomic
-        // create-if-absent (overwrite=false); losing a creation race to a
-        // concurrent claimer just means re-listing and going higher. The
-        // claim happens BEFORE the mark read below, so any batch a soon-
-        // to-be-fenced zombie lands after this point is re-run, not lost.
+        // claim the next epoch ABOVE every existing claim as the UNIQUE
+        // file epoch.<next>.<uid> — no name collision is possible, so no
+        // atomicity is asked of the FS; a concurrent claimer landing on
+        // the same `next` is resolved by the (n, uid) order, the lesser
+        // claim fencing at its next delivery. The claim happens BEFORE
+        // the mark read below, so any batch a soon-to-be-fenced zombie
+        // lands after this point is re-run, not lost.
         var claimed = false
         var attempts = 0
         while (!claimed) {
           val existing = retrying(5)(epochsIn(fs, qualified))
           val next = existing.map(_._1).foldLeft(0L)(math.max) + 1L
           try {
-            fs.create(new org.apache.hadoop.fs.Path(qualified, s"epoch.$next"),
-              false).close()
+            fs.create(new org.apache.hadoop.fs.Path(qualified,
+              s"epoch.$next.$uid"), false).close()
             epoch = next
             claimed = true
-            // GC superseded claims (evidence of THIS epoch is all a
-            // stale incarnation needs to fence itself) and stale swap
-            // tmps (a zombie mid-swap loses its tmp and lands in the
-            // fenced/retry path — see the rename catch below). Deletes
-            // are best-effort: a concurrent claimer may sweep the same
-            // files first.
+            // GC claims STRICTLY BELOW our own (n, uid) — never an equal
+            // or greater claim, so a racer's greater claim can't be swept
+            // and the globally greatest claim always survives (a stale
+            // incarnation fences on the evidence of ANY greater claim).
+            // Also sweep stale swap tmps (a zombie mid-swap loses its tmp
+            // and lands in the fenced/retry path — see the rename catch
+            // below). Deletes are best-effort: a concurrent claimer may
+            // sweep the same files first.
+            retrying(5)(epochsIn(fs, qualified)).foreach { case (n, u, p) =>
+              if (claimGt((next, uid), (n, u)))
+                try fs.delete(p, false)
+                catch { case _: java.io.IOException => () }
+            }
             retrying(5)(fs.listStatus(qualified)).foreach { st =>
               val nm = st.getPath.getName
-              if ((nm.startsWith("epoch.") && nm != s"epoch.$next") ||
-                  nm.startsWith("committed_batch_id.tmp"))
+              if (nm.startsWith("committed_batch_id.tmp") &&
+                  nm != s"committed_batch_id.tmp.$epoch.$uid")
                 try fs.delete(st.getPath, false)
                 catch { case _: java.io.IOException => () }
             }
           } catch {
-            // lost the creation race (atomic create-if-absent), or a
-            // concurrent claimer's GC swept our file mid-create (local
+            // a concurrent claimer's GC swept our file mid-create (local
             // FS create+chmod is not atomic and surfaces that race as
             // assorted IOEs): re-list and claim higher, bounded
             case e: java.io.IOException =>
               attempts += 1
               if (attempts >= 50) throw e
-              if (!e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException])
-                Thread.sleep(5L * math.min(attempts, 10))
+              Thread.sleep(5L * math.min(attempts, 10))
           }
         }
       }
@@ -368,8 +404,9 @@ object Sources {
             "wipe it together with its checkpoint")
       if (batchId > cached) {
         write(batch, batchId)
-        // Persist the mark: PER-EPOCH tmp name (concurrent incarnations
-        // in the takeover window must not steal each other's tmp file),
+        // Persist the mark: PER-INCARNATION tmp name (concurrent
+        // incarnations — even two that raced onto the same epoch number —
+        // must not steal each other's tmp file),
         // then an ATOMIC overwrite rename — no delete-then-rename window
         // where the mark doesn't exist; a crash leaves at most one stray
         // tmp per incarnation, swept by the next claimer's GC. Each
@@ -386,7 +423,7 @@ object Sources {
           fence(fs, dir, "at mark swap")
           try {
             val tmp = new org.apache.hadoop.fs.Path(dir,
-              s"committed_batch_id.tmp.$epoch")
+              s"committed_batch_id.tmp.$epoch.$uid")
             val out = fs.create(tmp, true)
             try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
             fc.rename(tmp, mark, org.apache.hadoop.fs.Options.Rename.OVERWRITE)

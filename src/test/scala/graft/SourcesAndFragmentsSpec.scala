@@ -833,14 +833,16 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     }
   }
 
-  test("fence epochs: concurrent claimers get distinct epochs, output stays exactly-once") {
+  test("fence epochs: concurrent claimers resolve by claim order, output stays exactly-once") {
     import spark.implicits._
-    // the claim loop's create-if-absent race, exercised for real: 8
-    // threads race mkWriter + first delivery of batch 0 on ONE trackDir.
-    // Any interleaving is legal as long as (a) every claimed epoch is
-    // unique, (b) batch 0's effect runs at least once and the final
-    // output is exactly its rows (idempotent overwrite), and (c) a
-    // writer only ever completes, skips, or fails FENCED — nothing else.
+    // the claim loop's races, exercised for real: 8 threads race
+    // mkWriter + first delivery of batch 0 on ONE trackDir. Claim files
+    // are unique per incarnation (epoch.<n>.<uid>), so two racers may
+    // claim the same NUMBER; the (n, uid) order resolves ownership.
+    // Any interleaving is legal as long as (a) batch 0's effect runs at
+    // least once and the final output is exactly its rows (idempotent
+    // overwrite), and (b) a writer only ever completes, skips, or fails
+    // FENCED — nothing else.
     val dir = Files.createTempDirectory("graft-fence-conc-").toString
     val output = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Int]]()
     val effectRuns = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -868,8 +870,7 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     // at least one incarnation completed batch 0; skips don't run effects
     assert(outcomes.exists(_.outcome == "delivered"))
     assert(effectRuns.get >= 1 && output.get(0L) == Seq(1, 2))
-    // every claim file that survives GC is unique by construction; the
-    // durable mark covers batch 0 exactly once for the next incarnation
+    // the durable mark covers batch 0 exactly once for the next incarnation
     val before = effectRuns.get
     Sources.idempotentBatchWriter(dir)((_, _) => sys.error("must skip"))(df, 0L)
     assert(effectRuns.get == before)

@@ -2732,11 +2732,15 @@ class StreamCongruitySpec extends AnyFunSuite {
         (s"k${id}_0", id, first) +: (1 to nDups).map { d =>
           // dedupeWithin's id-level guarantee only covers duplicates
           // within the horizon: keep every dup inside it (the gray zone
-          // has its own property above); ts stays globally distinct
-          // because dups reuse the pool offset grid shifted by +3
-          (s"k${id}_$d", id, first + 3L + rnd.nextInt((horizon - 10).toInt))
+          // has its own property above). Dup ts live on a 7-grid OFFSET
+          // from the pool grid (pool ≡ 6 mod 7, dups ≡ 2 mod 7), so a
+          // dup can never collide with ANY id's first record — the
+          // distinctBy below only ever drops a dup-vs-dup collision,
+          // never a first record, keeping the first-payload-survives
+          // assertion exercised for every id
+          (s"k${id}_$d", id, first + 3L + 7L * rnd.nextInt((horizon.toInt - 10) / 7))
         }
-      }.distinctBy(_._3).sortBy(_._3) // drop rare ts collisions, ts order
+      }.distinctBy(_._3).sortBy(_._3) // drop rare dup-dup ts collisions, ts order
       val batches = {
         val nCuts = 1 + rnd.nextInt(feed.size)
         val cutAt = rnd.shuffle((1 until feed.size).toVector).take(nCuts - 1).toSet
