@@ -307,11 +307,17 @@ object Dedup {
     * only ever decrease, so an unchanged sum means no vertex moved — one
     * aggregate per round instead of a join of consecutive label sets
     * (decimal(38,0) so billions of 64-bit ids cannot overflow the sum).
-    * Rounds needed = component diameter; near-dup components are small
-    * dense cliques (diameter 1-2), so this converges in 2-3 rounds. (For
-    * adversarial long-chain graphs the alternating large-star/small-star
-    * algorithm halves path lengths per round; not needed for dedup
-    * workloads.) Each round's labels are `localCheckpoint`ed: `persist`
+    * Near-dup components are small dense cliques (diameter 1-2), so
+    * this converges in 2-3 rounds of plain propagation. For adversarial
+    * CHAIN graphs (boilerplate edited a little at a time — a≈b≈c≈…
+    * across thousands of docs), plain propagation is rounds =
+    * diameter; from round 3 on, each round also follows the label
+    * pointer one step (l(v) := l(l(v)), one extra self-join of the
+    * label table), halving the label-tree height per round — rounds
+    * become O(log diameter) and a diameter-300 chain converges in ~12
+    * rounds instead of tripping `maxIter`. Shallow corpora never reach
+    * round 3, so their per-round plan stays one join + one aggregate.
+    * Each round's labels are `localCheckpoint`ed: `persist`
     * caches DATA but keeps the logical plan, and the label plan
     * references itself twice per round — the plan tree doubles every
     * iteration and planning/explain work goes exponential (a diameter-15
@@ -319,7 +325,9 @@ object Dedup {
     * lineage to the materialized blocks; on a cluster where executor
     * loss must be survivable, `spark.checkpoint` to reliable storage is
     * the durable variant. Throws if `maxIter` rounds don't converge —
-    * silently wrong clusters must never ship.
+    * silently wrong clusters must never ship. Set `SPARK_GRAFT_CC_DEBUG`
+    * to log per-round label sums to stderr (convergence visibility on a
+    * long-running corpus job).
     *
     * @param pairs    edge list with columns `a`, `b` (undirected)
     * @param vertices one column `idCol`; vertices absent from any pair
@@ -357,20 +365,42 @@ object Dedup {
       val fromNbrs = sym
         .join(labels.select(col(idCol).as("src"), col("cluster")), "src")
         .select(col("dst").as(idCol), col("cluster"))
-      val next = labels.union(fromNbrs)
+      val propagated = labels.union(fromNbrs)
         .groupBy(col(idCol)).agg(min(col("cluster")).as("cluster"))
+      // pointer shortcut (l(v) := l(l(v))) from round 3 on: plain
+      // propagation moves a label ONE hop per round, so a duplicate
+      // CHAIN of diameter d costs d rounds of full-edge joins (and
+      // trips maxIter past 25); following the label pointer one step
+      // each round instead halves the label-tree height, making rounds
+      // O(log d). Shallow corpora (stars/pairs — the near-dup common
+      // case, and everything the 1x/10x/30x probes measured) converge
+      // in 2 rounds and never reach this branch, keeping their plan
+      // exactly the one-join-one-agg shape. Every `cluster` value is an
+      // edge-touched vertex id, so the self-join key always resolves
+      // (left + coalesce only guards the invariant).
+      val shortcut =
+        if (iter < 2) propagated
+        else propagated.join(
+            propagated.select(col(idCol).as("__lc"), col("cluster").as("__lcc")),
+            col("cluster") === col("__lc"), "left")
+          .select(col(idCol), coalesce(col("__lcc"), col("cluster")).as("cluster"))
+      val next = shortcut
         .localCheckpoint() // eager: materializes AND truncates lineage
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       labels = next
       iter += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter sum=$curSum converged=$converged")
     }
     p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          "(component diameter exceeds maxIter)")
+          "(with pointer shortcutting from round 3, the reachable " +
+          "diameter is ~2^(maxIter-2) — non-convergence at the default " +
+          "bound means something is wrong with the input, not just deep)")
     vertices.select(col(idCol))
       .join(labels, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))

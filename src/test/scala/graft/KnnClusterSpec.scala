@@ -81,4 +81,27 @@ class KnnClusterSpec extends AnyFunSuite {
       Dedup.connectedComponents(pairs, vertices, "id", maxIter = 1)
     }
   }
+
+  test("connected components: deep chains converge in O(log diameter) rounds") {
+    // the adversarial shape plain min-label propagation cannot handle:
+    // boilerplate edited a little at a time, a≈b≈c≈… — three chains of
+    // 300 vertices each (diameter 299, far past the default maxIter of
+    // 25 one-hop rounds) with ids INTERLEAVED across chains so a chain's
+    // min sits at its head for one and mid-chain for the others. Pointer
+    // shortcutting from round 3 must collapse them within the default
+    // bound, to exactly the per-chain minimum id.
+    val n = 300
+    val chains = Seq(0, 1, 2)
+    val ids = (c: Int, i: Int) => (i.toLong * 3) + c // interleaved ids
+    val pairs = chains.flatMap(c =>
+      (0 until n - 1).map(i => (ids(c, i), ids(c, i + 1)))).toDF("a", "b")
+    val vertices = chains.flatMap(c => (0 until n).map(ids(c, _))).toDF("id")
+    val got = Dedup.connectedComponents(pairs, vertices, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chains.foreach { c =>
+      val min = ids(c, 0)
+      (0 until n).foreach(i => assert(got(ids(c, i)) == min,
+        s"vertex ${ids(c, i)} of chain $c labeled ${got(ids(c, i))}, want $min"))
+    }
+  }
 }
