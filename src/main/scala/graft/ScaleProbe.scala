@@ -153,16 +153,6 @@ object ScaleProbe {
     // and re-running the whole suite there buys nothing
     val onlyOps = sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val knownOps = Set("ngram_jaccard", "minhash_lsh", "simhash",
-      "knn_join_fixed_bits", "knn_join_scaled_bits", "connected_components")
-    // fail fast on a typo'd filter — otherwise the probe spends minutes
-    // generating both corpora and then reports an empty ops map as if
-    // the run succeeded
-    onlyOps.foreach { sel =>
-      val unknown = sel -- knownOps
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_PROBE_OPS names unknown ops $unknown; known: $knownOps")
-    }
     val MaxBucket = 1000L // LshMaxBucket, the registered queries' cap
 
     // the five ops, each mirroring its registered query's exact
@@ -212,6 +202,18 @@ object ScaleProbe {
         Dedup.connectedComponents(pairs, docs.select(col("doc_id")), "doc_id")
           .count()
       }))
+
+    // fail fast on a typo'd filter — otherwise the probe spends minutes
+    // generating both corpora and then reports an empty ops map as if
+    // the run succeeded. Names come from the ops list itself (building
+    // it never invokes the thunks, so null frames are safe) — one
+    // source of truth, no hand-kept set to drift.
+    val knownOps = ops(null, null, 1).map(_._1).toSet
+    onlyOps.foreach { sel =>
+      val unknown = sel -- knownOps
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_PROBE_OPS names unknown ops $unknown; known: $knownOps")
+    }
 
     final case class Cell(t: Double, rows: Long)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Cell, Cell)]

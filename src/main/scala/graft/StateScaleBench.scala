@@ -240,8 +240,11 @@ object StateScaleBench {
             // an OOM/degradation-killed scenario IS the boundary datum
             // the constrained-heap runs exist to find — record it
             case e: Throwable =>
-              def vm(t: Throwable): Boolean = t != null &&
-                (t.isInstanceOf[VirtualMachineError] || vm(t.getCause))
+              // depth-bounded cause walk: Throwable only guards SELF-
+              // cause, so a deserialized chain can cycle at length >= 2
+              def vm(t: Throwable): Boolean =
+                Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+                  .take(20).exists(_.isInstanceOf[VirtualMachineError])
               if (vm(e)) poisoned = Some(name)
               Left(s"${e.getClass.getName}: " +
                 Option(e.getMessage).getOrElse("")

@@ -311,12 +311,20 @@ object Dedup {
     * this converges in 2-3 rounds of plain propagation. For adversarial
     * CHAIN graphs (boilerplate edited a little at a time — a≈b≈c≈…
     * across thousands of docs), plain propagation is rounds =
-    * diameter; from round 3 on, each round also follows the label
-    * pointer one step (l(v) := l(l(v)), one extra self-join of the
-    * label table), halving the label-tree height per round — rounds
-    * become O(log diameter) and a diameter-300 chain converges in ~12
-    * rounds instead of tripping `maxIter`. Shallow corpora never reach
-    * round 3, so their per-round plan stays one join + one aggregate.
+    * diameter; from round 3 on, each round also propagates over the
+    * label edges of the last two label generations (each (v, l(v))
+    * pointer as an undirected extra edge — subsumes the pointer jump
+    * l(v) := l(l(v)), adds the backward push a jump alone lacks on
+    * chains whose ids descend toward the minimum, and the previous
+    * generation keeps the hub hand-off edge alive for the round where
+    * a vertex's label just improved), collapsing rounds to
+    * ~O(log diameter): a diameter-999 chain converges in 13 rounds in
+    * EVERY id orientation (head-min, tail-min, mid-min — each pinned
+    * by test) instead of tripping `maxIter`. Label edges never bridge
+    * components (a label is always a same-component vertex id), so the
+    * fixpoint is unchanged.
+    * Shallow corpora never reach round 3, so their per-round plan
+    * stays one join + one aggregate.
     * Each round's labels are `localCheckpoint`ed: `persist`
     * caches DATA but keeps the logical plan, and the label plan
     * references itself twice per round — the plan tree doubles every
@@ -355,6 +363,7 @@ object Dedup {
     // rejoin as identity at the end
     var labels = sym.select(col("src").as(idCol)).distinct()
       .select(col(idCol), col(idCol).as("cluster")).localCheckpoint()
+    var prevLabels = labels // previous generation, for label-edge hand-off
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -362,33 +371,50 @@ object Dedup {
       // one round = one equi-join + one min-aggregate: each vertex keeps
       // its own label (the union's left leg) and adopts any smaller
       // neighbor label; vertices without edges pass through untouched
-      val fromNbrs = sym
+      // label-edge augmentation from round 3 on: plain propagation moves
+      // a label ONE hop per round, so a duplicate CHAIN of diameter d
+      // costs d rounds of full-edge joins (and trips maxIter past 25).
+      // Treating each (v, l(v)) pointer as an UNDIRECTED extra edge
+      // gives both accelerating moves at once: the (l(v) → v) direction
+      // is the pointer jump l(v) := l(l(v)) (label-tree height halves
+      // per round), and the (v → l(v)) direction is the backward push
+      // a one-directional jump lacks — without it, a chain whose ids
+      // DESCEND toward the minimum builds all its pointers away from it
+      // and the jump accelerates nothing (rounds stay linear; the
+      // deep-chain test's tail-min and mid-min orientations pin this).
+      // Labels always name a vertex of the same component, so the extra
+      // edges never bridge components — the fixpoint is untouched, only
+      // reached in rounds empirically ~O(log d) on every orientation.
+      // Shallow corpora (stars/pairs — the near-dup common case, and
+      // everything the 1x/10x/30x probes measured) converge in 2 rounds
+      // and never reach round 3, keeping their per-round plan exactly
+      // the one-join-one-agg shape.
+      // ... from the last TWO label generations: a vertex that just
+      // learned a smaller label LOSES its pointer edge to its old hub in
+      // the same round — with only current-generation edges the hub
+      // never hears the news and the frontier crawls one chain hop per
+      // round again. The previous generation's edge survives exactly
+      // long enough to hand the new minimum to the hub, which then
+      // broadcasts it to everything still pointing at it.
+      val edges =
+        if (iter < 2) sym
+        else {
+          def lsym(df: DataFrame) = df.filter(col(idCol) =!= col("cluster"))
+            .select(col(idCol).as("src"), col("cluster").as("dst"))
+          val le = lsym(labels).union(lsym(prevLabels))
+          sym.union(le)
+            .union(le.select(col("dst").as("src"), col("src").as("dst")))
+        }
+      val fromNbrs = edges
         .join(labels.select(col(idCol).as("src"), col("cluster")), "src")
         .select(col("dst").as(idCol), col("cluster"))
-      val propagated = labels.union(fromNbrs)
+      val next = labels.union(fromNbrs)
         .groupBy(col(idCol)).agg(min(col("cluster")).as("cluster"))
-      // pointer shortcut (l(v) := l(l(v))) from round 3 on: plain
-      // propagation moves a label ONE hop per round, so a duplicate
-      // CHAIN of diameter d costs d rounds of full-edge joins (and
-      // trips maxIter past 25); following the label pointer one step
-      // each round instead halves the label-tree height, making rounds
-      // O(log d). Shallow corpora (stars/pairs — the near-dup common
-      // case, and everything the 1x/10x/30x probes measured) converge
-      // in 2 rounds and never reach this branch, keeping their plan
-      // exactly the one-join-one-agg shape. Every `cluster` value is an
-      // edge-touched vertex id, so the self-join key always resolves
-      // (left + coalesce only guards the invariant).
-      val shortcut =
-        if (iter < 2) propagated
-        else propagated.join(
-            propagated.select(col(idCol).as("__lc"), col("cluster").as("__lcc")),
-            col("cluster") === col("__lc"), "left")
-          .select(col(idCol), coalesce(col("__lcc"), col("cluster")).as("cluster"))
-      val next = shortcut
         .localCheckpoint() // eager: materializes AND truncates lineage
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
+      prevLabels = labels
       labels = next
       iter += 1
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
@@ -398,7 +424,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          "(with pointer shortcutting from round 3, the reachable " +
+          "(with label-edge propagation from round 3, the reachable " +
           "diameter is ~2^(maxIter-2) — non-convergence at the default " +
           "bound means something is wrong with the input, not just deep)")
     vertices.select(col(idCol))

@@ -243,7 +243,11 @@ object Sources {
     * racer's greater claim cannot be swept and the globally greatest
     * claim always survives (every deletion is by a strictly greater
     * claim, and nothing outranks the maximum); the directory stays
-    * O(live incarnations).
+    * O(live incarnations). The claim-file format is versioned with this
+    * library: a zombie running an OLDER build does not parse newer
+    * claim names and cannot be fenced by them (nor can its own GC bugs
+    * be fixed from here) — upgrading the writer means draining the old
+    * incarnation, not failing over onto a live one.
     *
     * {{{
     * df.writeStream.option("checkpointLocation", ckpt)
@@ -316,9 +320,10 @@ object Sources {
         .foldLeft((epoch, uid))((a, b) => if (claimGt(b, a)) b else a)
       if (claimGt(newest, (epoch, uid)))
         throw new FencedWriterException(
-          s"writer epoch $epoch fenced $at by newer incarnation epoch " +
-            s"${newest._1} in $trackDir - a newer driver owns this sink; " +
-            "this (zombie) incarnation must stop")
+          s"writer claim ($epoch, $uid) fenced $at by greater claim " +
+            s"(${newest._1}, ${newest._2}) in $trackDir - that " +
+            "incarnation owns this sink; this (zombie) incarnation " +
+            "must stop")
     }
 
     (batch: DataFrame, batchId: Long) => {

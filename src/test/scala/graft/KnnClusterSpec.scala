@@ -85,23 +85,30 @@ class KnnClusterSpec extends AnyFunSuite {
   test("connected components: deep chains converge in O(log diameter) rounds") {
     // the adversarial shape plain min-label propagation cannot handle:
     // boilerplate edited a little at a time, a≈b≈c≈… — three chains of
-    // 300 vertices each (diameter 299, far past the default maxIter of
-    // 25 one-hop rounds) with ids INTERLEAVED across chains so a chain's
-    // min sits at its head for one and mid-chain for the others. Pointer
-    // shortcutting from round 3 must collapse them within the default
-    // bound, to exactly the per-chain minimum id.
-    val n = 300
+    // 1000 vertices each (diameter 999, 40x past the default maxIter of
+    // 25 one-hop rounds), ids interleaved across chains (mod 3) and
+    // PLACED so the minimum sits at the head of chain 0, the TAIL of
+    // chain 1, and the MIDDLE of chain 2 — the min label must propagate
+    // forward, backward, and in both directions at once. Label-edge
+    // propagation from round 3 must collapse all three within the
+    // default bound, to exactly the per-chain minimum id.
+    val n = 1000
     val chains = Seq(0, 1, 2)
-    val ids = (c: Int, i: Int) => (i.toLong * 3) + c // interleaved ids
+    // perm(c, i): position-in-chain i → rank of that vertex's id
+    val perm = (c: Int, i: Int) => c match {
+      case 0 => i             // min at head
+      case 1 => n - 1 - i     // min at tail
+      case _ => (i + n / 2) % n // min mid-chain
+    }
+    val ids = (c: Int, i: Int) => (perm(c, i).toLong * 3) + c
     val pairs = chains.flatMap(c =>
       (0 until n - 1).map(i => (ids(c, i), ids(c, i + 1)))).toDF("a", "b")
     val vertices = chains.flatMap(c => (0 until n).map(ids(c, _))).toDF("id")
     val got = Dedup.connectedComponents(pairs, vertices, "id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     chains.foreach { c =>
-      val min = ids(c, 0)
-      (0 until n).foreach(i => assert(got(ids(c, i)) == min,
-        s"vertex ${ids(c, i)} of chain $c labeled ${got(ids(c, i))}, want $min"))
+      (0 until n).foreach(i => assert(got(ids(c, i)) == c.toLong,
+        s"vertex ${ids(c, i)} of chain $c labeled ${got(ids(c, i))}, want $c"))
     }
   }
 }

@@ -79,10 +79,10 @@ class ScaleOpsPropSpec extends AnyFunSuite {
   }
 
   test("prop: connected components equal a union-find reference") {
-    // 8 seeds (widened when the pointer-shortcut rounds landed): 25
-    // random edges over 40 vertices yield sparse forests, small cycles,
-    // and short chains — the diameter mix where some seeds finish in 2
-    // plain rounds and others cross into the shortcut branch at round 3
+    // 8 seeds (widened when label-edge propagation landed): 25 random
+    // edges over 40 vertices yield sparse forests, small cycles, and
+    // short chains — the diameter mix where some seeds finish in 2
+    // plain rounds and others cross into the label-edge branch at round 3
     (1 to 8).foreach { i =>
       val vs = (0L until 40L).toSeq
       val edges = sample(Gen.listOfN(25,
