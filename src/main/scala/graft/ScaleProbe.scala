@@ -155,8 +155,8 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val MaxBucket = 1000L // LshMaxBucket, the registered queries' cap
 
-    // the five ops, each mirroring its registered query's exact
-    // parameters (SparkEntry q23/q24/q25/q46/q47)
+    // the expensive-op families, each mirroring its registered query's
+    // exact parameters (SparkEntry q23/q24/q25/q46/q47/q53)
     def ops(docs: DataFrame, embs: DataFrame, scale: Int): Seq[(String, () => Long)] = Seq(
       "ngram_jaccard" -> (() => CacheScope.using { sc =>
         Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
@@ -180,6 +180,12 @@ object ScaleProbe {
         Dedup.simHashPairs(sigs, "doc_id", bits = 32, maxHamming = 3,
           maxBucket = MaxBucket, scope = sc).count()
       }),
+      // explode-once word bigrams + two doc-keyed hash aggregates
+      // (q53's exact shape) — per-doc work is O(tokens), so the red
+      // line is any super-linear bend from the argmax aggregation
+      "repetition_bigram" -> (() =>
+        graft.ops.Repetition.bigramProfile(docs, "doc_id", "text", "n_chars")
+          .count()),
       // fixed bits: the query as registered — within-bucket pair work
       // grows O(occupancy²) as the corpus outruns 2^bits buckets
       "knn_join_fixed_bits" -> (() => CacheScope.using { sc =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dsl._
 import graft.batch.BatchCompiler
-import graft.ops.{CacheScope, Dedup, Keyed, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{CacheScope, Dedup, Keyed, Multimodal, PiiScrub, Similarity, TextAnalysis}
 
 /** Driver contract — named batch queries + DuckDB oracle twins.
   *
@@ -764,6 +764,47 @@ object SparkEntry {
       col(KeyCol).as("user_id"), col(ValueCol).as("fold_hash"))
   }
 
+  /** Repetition quality signals ([[Repetition.bigramProfile]]): the
+    * Gopher-style duplicate-token fraction and most-frequent-bigram
+    * character fraction per document — the filter signals that catch
+    * boilerplate/keyword-stuffed documents that length/stopword stats
+    * miss. Explode-once + two doc-keyed hash aggregates; the argmax is
+    * a packed-string ObjectHashAggregate (no window sort, no
+    * SortAggregate fallback), ties to the byte-wise largest bigram
+    * (oracle mirrors the packing). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Repetition.bigramProfile(
+      cpuTable(s, dir, "documents"), "doc_id", "text", "n_chars")
+
+  /** PII scrub ([[PiiScrub.report]]): email/IPv4 redaction counts plus
+    * the redacted text's md5/length. The synthetic corpus contains no
+    * PII by construction (verified: zero '@' or digit characters), so
+    * the registered query grafts a DETERMINISTIC per-row contact tail
+    * onto each document — a pure function of doc_id, replayed
+    * identically by the oracle — to exercise match/redact/count
+    * end-to-end on every row; the operator itself takes any text
+    * column. One codegen regexp projection, no shuffle. */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 10).cast("string"),
+      lit(".org or 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"))
+    cpuTable(s, dir, "documents").select(
+      col("doc_id") +:
+        PiiScrub.report(aug).map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Temperature resampling ([[Sampling.temperatureResample]]): flatten
+    * the skewed language mix (en dominates ~3:1) toward uniform at
+    * α = 0.5 — kept counts ∝ n_lang^0.5, smallest language kept whole,
+    * membership a pure function of (seed, doc_id). Tiny count agg +
+    * broadcast rate join + stateless hash filter. */
+  private def qTemperatureResample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureResample(
+      table(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id", alpha = 0.5, seed = "t1")
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -819,6 +860,9 @@ object SparkEntry {
     "q50_pack_sequences" -> (qPackSequences _),
     "q51_decontam" -> (qDecontam _),
     "q52_heavy_keys" -> (qHeavyKeys _),
+    "q53_repetition_quality" -> (qRepetition _),
+    "q54_pii_scrub" -> (qPiiScrub _),
+    "q55_temperature_resample" -> (qTemperatureResample _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1362,5 +1406,79 @@ object SparkEntry {
         |FROM c, t
         |ORDER BY n DESC, user_id ASC
         |LIMIT 10""".stripMargin,
+
+    // q53: 1-indexed DuckDB lists; the argmax replays Spark's
+    // fixed-width sortable packing (lpad(cnt,10,'0') || bigram — see
+    // Repetition.bigramProfile) so the tie-break (largest count, then
+    // byte-wise largest bigram) is bit-identical.
+    "q53_repetition_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, n_chars,
+        |    round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+        |      AS dup_token_frac,
+        |    ws FROM w),
+        |bg AS (
+        |  SELECT doc_id, n_chars, dup_token_frac,
+        |    ws[i] || ' ' || ws[i + 1] AS bigram
+        |  FROM base, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+        |cnt AS (
+        |  SELECT doc_id, n_chars, dup_token_frac, bigram, count(*) AS cnt
+        |  FROM bg GROUP BY ALL),
+        |top AS (
+        |  SELECT doc_id, n_chars, dup_token_frac,
+        |    max(lpad(CAST(cnt AS VARCHAR), 10, '0') || bigram) AS m
+        |  FROM cnt GROUP BY ALL)
+        |SELECT doc_id, dup_token_frac,
+        |  substr(m, 11) AS top_bigram,
+        |  CAST(substr(m, 1, 10) AS BIGINT) AS top_bigram_cnt,
+        |  round(CAST(substr(m, 1, 10) AS BIGINT) * length(substr(m, 11))
+        |      / CAST(n_chars AS DOUBLE), 6)
+        |    AS top_bigram_char_frac
+        |FROM top""".stripMargin,
+
+    // q54: patterns are the common Java-regex/RE2 subset; DuckDB needs
+    // the 'g' flag to match Spark's always-global regexp_replace.
+    "q54_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@ex' || (doc_id % 10)
+        |      || '.org or 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+        |      AS t
+        |  FROM documents),
+        |es AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t_email
+        |  FROM aug)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t_email,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  md5(regexp_replace(t_email,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |    '<IP>', 'g')) AS scrubbed_md5,
+        |  length(regexp_replace(t_email,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |    '<IP>', 'g')) AS scrubbed_len
+        |FROM es""".stripMargin,
+
+    // q55: sqrt (IEEE-correctly-rounded on both engines) keeps the
+    // floor'd basis-point threshold bit-identical; the md5 hash is the
+    // q44 cross-engine construction.
+    "q55_temperature_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS n_min FROM c),
+        |r AS (SELECT lang,
+        |        floor(10000 * sqrt(n_min / CAST(n AS DOUBLE))) AS bp
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x'||substr(md5('t1'||CAST(doc_id AS VARCHAR)),1,15))
+        |        AS BIGINT) % 10000 < bp""".stripMargin,
   )
 }

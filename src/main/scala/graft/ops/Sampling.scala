@@ -50,4 +50,47 @@ object Sampling {
       Dedup.hash60(concat(lit(seed), col(idCol).cast("string"))) % 10000 <
         math.round(fraction * 10000))
   }
+
+  /** Temperature resampling — flatten a skewed group mix (languages,
+    * domains, sources) toward uniform, the standard multilingual
+    * pretraining recipe (mBERT/XLM: sample group g with probability
+    * ∝ p_g^α, α<1). Materialized deterministically: each group keeps a
+    * hash-stable subsample at rate `(n_min / n_g)^(1-α)`, so kept
+    * counts are ∝ n_g^α — the smallest group survives whole and the
+    * ratio between any two groups' counts is raised to the α. All the
+    * [[hashSplit]] stability properties carry (re-run/repartition/
+    * incremental-append stable).
+    *
+    * Scale shape: one partial-aggregated count per group (result rows =
+    * group cardinality, i.e. tiny), a 1-row global min joined in by
+    * broadcast, the rates broadcast-joined back to the corpus, then a
+    * stateless hash filter — no corpus-sized shuffle anywhere.
+    *
+    * Cross-engine exactness: the basis-point threshold is
+    * `floor(10000 · r^(1-α))`. For the α = 0.5 default the exponent is
+    * computed with `sqrt`, which IEEE 754 REQUIRES to be correctly
+    * rounded — bit-identical on every engine; general `pow` is only
+    * faithfully rounded (≤1 ulp), so other α carry a documented
+    * hair's-breadth risk of a floor boundary disagreeing with an
+    * external reimplementation.
+    *
+    * Rows with a NULL group are dropped (equi-join semantics — null
+    * never matches a rate row), matching the SQL twin exactly; assign
+    * an explicit "unknown" group upstream to keep them. */
+  def temperatureResample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double = 0.5, seed: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    val ratio = col("__n_min").cast("double") / col("__n")
+    val scaled =
+      (if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)) * 10000
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol), floor(scaled).as("__keep_bp"))
+    df.join(broadcast(rates), groupCol)
+      .filter(
+        Dedup.hash60(concat(lit(seed), col(idCol).cast("string"))) % 10000 <
+          col("__keep_bp"))
+      .drop("__keep_bp")
+  }
 }

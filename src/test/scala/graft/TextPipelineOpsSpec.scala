@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{PiiScrub, Repetition, Sampling}
+
+/** Round-13 pipeline operators: repetition quality signals (Gopher-style
+  * duplicate-token / top-bigram fractions), PII scrub, and temperature
+  * resampling — hand-computed expectations plus the determinism and
+  * bound properties each operator's scaladoc promises. */
+class TextPipelineOpsSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- //
+  //  Repetition                                                       //
+  // ---------------------------------------------------------------- //
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("dupTokenFrac is 1 - distinct/total at 6 dp") {
+    val got = docs(1L -> "a a b").select(
+      Repetition.dupTokenFrac(col("text"))).head.getDouble(0)
+    assert(got == 0.333333) // 1 - 2/3, HALF_UP at 6 dp
+    val uniq = docs(2L -> "p q r").select(
+      Repetition.dupTokenFrac(col("text"))).head.getDouble(0)
+    assert(uniq == 0.0)
+  }
+
+  test("bigramProfile: hand-computed top bigram, count, and char fraction") {
+    // "a a b a b c" (11 chars): bigrams a-a, a-b, b-a, a-b, b-c → top
+    // ("a b", 2); char frac = 2·3/11; dup frac = 1 − 3/6 = 0.5
+    val out = Repetition.bigramProfile(
+      docs(1L -> "a a b a b c"), "doc_id", "text", "n_chars").head
+    assert(out.getAs[Double]("dup_token_frac") == 0.5)
+    assert(out.getAs[String]("top_bigram") == "a b")
+    assert(out.getAs[Long]("top_bigram_cnt") == 2L)
+    assert(out.getAs[Double]("top_bigram_char_frac") == 0.545455)
+  }
+
+  test("bigramProfile ties break to the lexicographically largest bigram") {
+    // all bigrams unique → count tie → struct max picks "c d"
+    val out = Repetition.bigramProfile(
+      docs(1L -> "a b c d"), "doc_id", "text", "n_chars").head
+    assert(out.getAs[String]("top_bigram") == "c d")
+    assert(out.getAs[Long]("top_bigram_cnt") == 1L)
+  }
+
+  test("bigramProfile plans hash-based aggregation only (no SortAggregate)") {
+    // the argmax must run as ObjectHashAggregate (MaxUtf8Aggregator);
+    // native max over the packed string would silently fall back to a
+    // partition-wide SortAggregate
+    val plan = Repetition.bigramProfile(
+      docs(1L -> "a a b a b c", 2L -> "x y x y"), "doc_id", "text", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"sort-based aggregate in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no object hash agg in:\n$plan")
+  }
+
+  test("bigramProfile drops documents with fewer than two tokens") {
+    val out = Repetition.bigramProfile(
+      docs(1L -> "solo", 2L -> "two tokens"), "doc_id", "text", "n_chars")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  PiiScrub                                                         //
+  // ---------------------------------------------------------------- //
+
+  test("scrub redacts emails and IPs; email wins a dotted-quad domain") {
+    val t = Seq(
+      "mail a.b@x.co and 10.1.2.3 done",
+      // dotted quad INSIDE a matching email domain: the email pass must
+      // consume it whole — ip-first would tear it into u@<IP>.com
+      "u@10.1.2.3.com stays one tag",
+      "no pii here").toDF("text")
+    val got = t.select(PiiScrub.scrub(col("text"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail <EMAIL> and <IP> done",
+      "<EMAIL> stays one tag",
+      "no pii here"))
+  }
+
+  test("report counts match the scrub semantics (no double counting)") {
+    val t = Seq("a.b@x.co then 10.1.2.3 and u@10.1.2.3.com end").toDF("text")
+    val row = t.select(
+      PiiScrub.report(col("text")).map { case (n, c) => c.as(n) }: _*).head
+    assert(row.getAs[Long]("n_emails") == 2L)
+    assert(row.getAs[Long]("n_ips") == 1L) // the quad in the domain doesn't count
+    assert(row.getAs[Long]("scrubbed_len") ==
+      "<EMAIL> then <IP> and <EMAIL> end".length.toLong)
+  }
+
+  test("an @ without an alpha TLD is not an email; its quad is an IP") {
+    val row = Seq("ping u@1.2.3.4 raw").toDF("text").select(
+      PiiScrub.report(col("text")).map { case (n, c) => c.as(n) }: _*).head
+    assert(row.getAs[Long]("n_emails") == 0L)
+    assert(row.getAs[Long]("n_ips") == 1L)
+  }
+
+  // ---------------------------------------------------------------- //
+  //  temperatureResample                                              //
+  // ---------------------------------------------------------------- //
+
+  private def skewed = (0 until 400).map(i => ("big", i.toLong))
+    .++((1000 until 1100).map(i => ("small", i.toLong)))
+    .toDF("g", "id")
+
+  test("temperatureResample keeps the smallest group whole and flattens the rest") {
+    val kept = Sampling.temperatureResample(skewed, "g", "id", alpha = 0.5,
+      seed = "t")
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("small") == 100L) // rate (100/100)^0.5 = 1
+    // big: rate sqrt(100/400) = 0.5 → expect ~200; hash split tolerance
+    assert(math.abs(byG("big") - 200L) <= 30L, s"big kept ${byG("big")}")
+  }
+
+  test("temperatureResample is a pure function of (seed, id)") {
+    val a = Sampling.temperatureResample(skewed, "g", "id", 0.5, "t")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureResample(skewed.repartition(13), "g", "id", 0.5, "t")
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    val c = Sampling.temperatureResample(skewed, "g", "id", 0.5, "other")
+      .select("id").as[Long].collect().toSet
+    assert(a != c) // fresh seed → fresh membership (overwhelming probability)
+    // output rows are input rows (no duplication, no mutation)
+    assert(a.subsetOf((0L until 400L).toSet ++ (1000L until 1100L).toSet))
+  }
+
+  test("temperatureResample at alpha=1 is the identity mix") {
+    val kept = Sampling.temperatureResample(skewed, "g", "id", alpha = 1.0,
+      seed = "t")
+    assert(kept.count() == 500L)
+  }
+}
