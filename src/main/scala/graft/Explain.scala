@@ -32,7 +32,8 @@ object Explain {
     "q38_dedup_normalized", "q39_dedup_drop_normalized",
     "q32_fingerprint", "q33_json_props", "q34_multimodal",
     "q46_knn_join", "q47_neardup_clusters", "q50_pack_sequences",
-    "q51_decontam", "q53_repetition_quality", "q54_pii_scrub")
+    "q51_decontam", "q53_repetition_quality", "q54_pii_scrub",
+    "q56_chunk_dedup")
 
   /** Joins against a broadcast-worthy global/dimension table. */
   private val MustBroadcast = Seq("q02_join_global_inner", "q03_join_global_left")

@@ -805,6 +805,13 @@ object SparkEntry {
       table(s, dir, "documents").select(col("doc_id"), col("lang")),
       "lang", "doc_id", alpha = 0.5, seed = "t1")
 
+  /** Chunk-level exact dedup ([[Dedup.chunkDedup]]): duplicated
+    * PASSAGES removed corpus-wide (first occurrence wins), documents
+    * reassembled from their surviving 10-token chunks. */
+  private def qChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(cpuTable(s, dir, "documents"), "doc_id", col("text"),
+      chunkTokens = 10)
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -863,6 +870,7 @@ object SparkEntry {
     "q53_repetition_quality" -> (qRepetition _),
     "q54_pii_scrub" -> (qPiiScrub _),
     "q55_temperature_resample" -> (qTemperatureResample _),
+    "q56_chunk_dedup" -> (qChunkDedup _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1480,5 +1488,26 @@ object SparkEntry {
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE CAST(('0x'||substr(md5('t1'||CAST(doc_id AS VARCHAR)),1,15))
         |        AS BIGINT) % 10000 < bp""".stripMargin,
+
+    // q56: DuckDB 1-based inclusive list slices clamp like Spark's
+    // slice; the packed keeper key doc_id*2^20+pos replays
+    // Dedup.chunkDedup exactly; string_agg(ORDER BY pos) = the sorted
+    // reassembly.
+    "q56_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(ws[(i*10+1):((i+1)*10)], ' ') AS chunk
+        |  FROM w, unnest(generate_series(0,
+        |    CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1)) AS t(i)),
+        |k AS (SELECT md5(chunk) AS kk, min(doc_id * 1048576 + pos) AS dp
+        |      FROM ch GROUP BY 1),
+        |kept AS (SELECT ch.doc_id, ch.pos, ch.chunk
+        |         FROM ch JOIN k ON md5(ch.chunk) = k.kk
+        |           AND ch.doc_id * 1048576 + ch.pos = k.dp)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS dedup_text,
+        |       count(*) AS n_chunks_kept
+        |FROM kept GROUP BY doc_id""".stripMargin,
   )
 }

@@ -86,6 +86,70 @@ object Dedup {
       .agg(min(struct(payloadCols.map(col): _*)).as("__p"))
       .select(idCols.map(col) ++ payloadCols.map(c => col(s"__p.`$c`").as(c)): _*)
 
+  /** Maximum chunk positions per document in [[chunkDedup]]'s packed
+    * (doc, pos) key: 2^20 chunk slots keeps `doc_id · 2^20 + pos` exact
+    * in a long for doc ids up to 2^43. */
+  val MaxChunksPerDoc: Long = 1L << 20
+
+  /** Chunk-level exact dedup — the practical, shuffle-friendly form of
+    * exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": duplicated PASSAGES,
+    * not whole documents, dominate web corpora; their suffix array
+    * doesn't distribute, fixed token chunks do): split each document
+    * into consecutive `chunkTokens`-token chunks, keep only the FIRST
+    * corpus-wide occurrence of each distinct chunk (first = smallest
+    * (doc_id, position)), and reassemble every document from its
+    * surviving chunks in order.
+    *
+    * Scale shape: one explode (corpus × ~tokens/chunkTokens rows,
+    * persisted once through `scope` — it feeds both the keeper
+    * aggregate and the join probe), one
+    * hash aggregate on the chunk's full 128-bit md5 (EXACT — same
+    * birthday-bound reasoning as [[exactNormalized]]; the 32-byte key
+    * also shrinks the shuffle vs. shipping chunk text) whose min is a
+    * SINGLE PACKED LONG `doc_id · 2^20 + pos` — a struct min would kick
+    * the aggregate from HashAggregate into SortAggregate — then one
+    * equi-join back on (key, packed) and a per-doc reassembly aggregate
+    * (collect bounded by document length, sorted in-memory per doc, no
+    * window). Documents whose every chunk was seen earlier vanish from
+    * the output (their text is fully duplicate).
+    *
+    * The tail chunk is shorter than `chunkTokens` (both engines' slice
+    * clamps); a guard embedded in the sequence bound fails fast past
+    * [[MaxChunksPerDoc]] positions rather than silently corrupting the
+    * packed key. */
+  def chunkDedup(df: DataFrame, idCol: String, text: Column,
+      chunkTokens: Int = 10,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens >= 1, got $chunkTokens")
+    val ws = split(text, " ")
+    val nRaw = ceil(size(ws) / lit(chunkTokens.toDouble)).cast("long")
+    // guard inside the sequence's end bound so pruning can't drop it
+    val nCh = when(nRaw > MaxChunksPerDoc,
+      raise_error(concat(lit(s"chunkDedup: more than $MaxChunksPerDoc chunks in doc "),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(nRaw)
+    // persisted once (capBuckets discipline): the chunk projection feeds
+    // both the keeper aggregate and the join probe — without the cache
+    // the corpus is scanned+exploded twice
+    val exploded = scope.cache(df
+      .select(col(idCol), ws.as("__ws"),
+        explode(sequence(lit(0L), nCh - 1)).as("pos"))
+      .select(col(idCol), col("pos"),
+        array_join(slice(col("__ws"), (col("pos") * chunkTokens + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk"))
+      .withColumn("__k", md5(col("chunk")))
+      .withColumn("__dp", col(idCol).cast("long") * MaxChunksPerDoc + col("pos")))
+    val keepers = exploded.groupBy(col("__k")).agg(min(col("__dp")).as("__dp"))
+    exploded.join(keepers, Seq("__k", "__dp"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("chunk"))).as("__cs"))
+      .select(col(idCol),
+        array_join(transform(array_sort(col("__cs")), c => c.getField("chunk")),
+          " ").as("dedup_text"),
+        size(col("__cs")).cast("long").as("n_chunks_kept"))
+  }
+
   // ---------------------------------------------------------------- text
 
   /** Distinct word `n`-gram shingles of a whitespace-tokenized text.

@@ -102,6 +102,35 @@ class TextPipelineOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  //  chunkDedup                                                       //
+  // ---------------------------------------------------------------- //
+
+  test("chunkDedup keeps the first corpus-wide occurrence of each chunk") {
+    val in = Seq(1L -> "a b c d", 2L -> "a b x y").toDF("doc_id", "text")
+    val out = graft.ops.Dedup.chunkDedup(in, "doc_id", col("text"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c d", 2L))) // first occurrence: untouched
+    assert(out(2L) == (("x y", 1L)))     // shared "a b" chunk dropped
+  }
+
+  test("chunkDedup drops within-document repeats and fully-duplicate docs") {
+    val in = Seq(1L -> "a b a b c", 2L -> "a b a b").toDF("doc_id", "text")
+    // doc 1 chunks: "a b"(0) "a b"(2... pos1) "c"(pos2) → "a b c";
+    // doc 2 is entirely chunks already seen → vanishes
+    val out = graft.ops.Dedup.chunkDedup(in, "doc_id", col("text"), 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b c"))
+  }
+
+  test("chunkDedup reassembles >10 chunks in numeric (not string) position order") {
+    val words = (0 until 24).map(i => s"w$i").mkString(" ") // 12 distinct 2-token chunks
+    val in = Seq(7L -> words).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.chunkDedup(in, "doc_id", col("text"), 2)
+      .head.getString(1)
+    assert(out == words) // all chunks unique → text round-trips in order
+  }
+
+  // ---------------------------------------------------------------- //
   //  temperatureResample                                              //
   // ---------------------------------------------------------------- //
 
