@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, FoldHash, MinHashSig, ShingleHashes, SimHash}
+import graft.functions.{ArgExtremum, CosineSim, FoldHash, MinHashSig, ShingleHashes, SimHash}
 
 /** Spark-native extension point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -15,7 +15,10 @@ import graft.functions.{CosineSim, FoldHash, MinHashSig, ShingleHashes, SimHash}
   * Registered: `cosine_sim(a, b)`, `fold_hash(text)`,
   * `shingle_hashes(text, n)`, `simhash(text, bits)`,
   * `minhash_sig(hashes, k)` — the size parameters must be integer
-  * literals (they shape the generated code, like `round`'s scale). */
+  * literals (they shape the generated code, like `round`'s scale) —
+  * plus the hash-aggregable argmax pair `arg_max_hash(value, ord)` /
+  * `arg_min_hash(value, ord)` (max_by/min_by semantics without the
+  * SortAggregate fallback on var-length types). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, fn: String): Int =
@@ -40,7 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("fold_hash", 1, a => FoldHash(a(0))),
     fn("shingle_hashes", 2, a => ShingleHashes(a(0), intLit(a(1), "shingle_hashes"))),
     fn("simhash", 2, a => SimHash(a(0), intLit(a(1), "simhash"))),
-    fn("minhash_sig", 2, a => MinHashSig(a(0), intLit(a(1), "minhash_sig"))))
+    fn("minhash_sig", 2, a => MinHashSig(a(0), intLit(a(1), "minhash_sig"))),
+    fn("arg_max_hash", 2,
+      a => ArgExtremum(a(0), a(1), asMin = false).toAggregateExpression()),
+    fn("arg_min_hash", 2,
+      a => ArgExtremum(a(0), a(1), asMin = true).toAggregateExpression()))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

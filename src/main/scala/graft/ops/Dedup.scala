@@ -72,19 +72,27 @@ object Dedup {
   /** Dedup-by-id keeping the record that is maximal under the total
     * lexicographic order of `payloadCols` (deterministic even when ids
     * collide with different payloads — the reference's keep-"latest" with
-    * a total tie-break). Single hash aggregate via `max(struct(...))`. */
-  def keepLatest(df: DataFrame, idCols: Seq[String], payloadCols: Seq[String]): DataFrame =
+    * a total tie-break). Single hash aggregate: the argmax is
+    * [[graft.functions.ArgExtremum]] (ObjectHashAggregate), because
+    * native `max(struct)` can't run in HashAggregateExec and falls back
+    * to a per-partition SortAggregate. */
+  def keepLatest(df: DataFrame, idCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
     df.groupBy(idCols.map(col): _*)
-      .agg(max(struct(payloadCols.map(col): _*)).as("__p"))
+      .agg(graft.functions.ArgExtremum.maxBy(payload, payload).as("__p"))
       .select(idCols.map(col) ++ payloadCols.map(c => col(s"__p.`$c`").as(c)): _*)
+  }
 
   /** First-occurrence dedup (the reference fragment's semantics:
     * emit a value only the first time its id is seen) — minimal payload
-    * under the order columns. */
-  def keepFirst(df: DataFrame, idCols: Seq[String], payloadCols: Seq[String]): DataFrame =
+    * under the order columns. Hash-aggregated argmin (see
+    * [[keepLatest]]). */
+  def keepFirst(df: DataFrame, idCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
     df.groupBy(idCols.map(col): _*)
-      .agg(min(struct(payloadCols.map(col): _*)).as("__p"))
+      .agg(graft.functions.ArgExtremum.minBy(payload, payload).as("__p"))
       .select(idCols.map(col) ++ payloadCols.map(c => col(s"__p.`$c`").as(c)): _*)
+  }
 
   /** Maximum chunk positions per document in [[chunkDedup]]'s packed
     * (doc, pos) key: 2^20 chunk slots keeps `doc_id · 2^20 + pos` exact

@@ -120,7 +120,8 @@ object Joins {
     // (one row per (key, bucket); the prefix window runs over a tiny table)
     val bucketLast = unioned.filter(col("__side") === 0)
       .groupBy(col("__k"), col("__b"))
-      .agg(max_by(col("__rv"), struct(col("__t"), col("__side"))).as("__bl"))
+      .agg(graft.functions.ArgExtremum.maxBy(
+        col("__rv"), struct(col("__t"), col("__side"))).as("__bl"))
     // occupied buckets (including left-only ones, which have no bucketLast
     // row) get their carry from the latest earlier bucket's last value
     val carryAll = unioned.select(col("__k"), col("__b")).distinct()

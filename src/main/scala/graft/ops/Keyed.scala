@@ -19,16 +19,23 @@ object Keyed {
     * distributed batch, so callers pass `order` columns that make the
     * ordering total (e.g. a sequence/id column).
     *
-    * Implemented as `max_by(struct(rest), struct(order))` — a single-pass
-    * partial+final HASH aggregate: map-side combine shrinks the shuffle to
-    * one row per (partition, key), and a hot key costs O(n) with O(1)
-    * state instead of the full per-key sort a `row_number` window needs.
-    * Use [[latestPerKeyRank]] when you need rank-window semantics.
+    * Implemented as a hash-aggregable argmax
+    * ([[graft.functions.ArgExtremum]], `max_by(struct(rest),
+    * struct(order))` semantics) — a single-pass partial+final hash
+    * aggregate: map-side combine shrinks the shuffle to one row per
+    * (partition, key), and a hot key costs O(n) with O(1) state instead
+    * of the full per-key sort a `row_number` window needs. NOT the
+    * native `max_by`: its struct-typed declarative buffer can't mutate
+    * inside an UnsafeRow, so HashAggregateExec rejects it and the plan
+    * silently falls back to SortAggregate — a per-partition sort of the
+    * whole input. Use [[latestPerKeyRank]] when you need rank-window
+    * semantics.
     */
   def latestPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column]): DataFrame = {
     val rest = df.columns.filterNot(keyCols.contains)
     df.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(rest.map(col): _*), struct(order: _*)).as("__last"))
+      .agg(graft.functions.ArgExtremum.maxBy(
+        struct(rest.map(col): _*), struct(order: _*)).as("__last"))
       .select(keyCols.map(col) ++ rest.map(c => col(s"__last.`$c`").as(c)): _*)
   }
 

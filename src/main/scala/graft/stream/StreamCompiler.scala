@@ -1808,8 +1808,12 @@ object StreamCompiler extends org.apache.spark.internal.Logging {
     val agg = t.aggregate match {
       case Some(AggSpec.ExprAgg(e)) => e
       case None =>
-        // latest-per-key as a streaming-safe hash aggregate
-        max_by(struct(col(ValueCol)), struct(col(TsCol))).getField(ValueCol)
+        // latest-per-key as a streaming-safe hash aggregate — the
+        // ArgExtremum form for the same reason as the batch coercion
+        // (Keyed.latestPerKey): native max_by's struct buffer kicks the
+        // micro-batch partial aggregate into SortAggregate
+        graft.functions.ArgExtremum.maxBy(
+          struct(col(ValueCol)), struct(col(TsCol))).getField(ValueCol)
       case Some(f: AggSpec.FoldAgg) if !rekeyed.isStreaming =>
         // static feed: plan-time ordered fold — the batch compiler's ONE
         // fold definition, not a re-implementation of it

@@ -157,6 +157,11 @@ class CosineSimSpec extends AnyFunSuite {
         |FROM docs_sql""".stripMargin).collect()
     assert(text.length == 2)
     assert(text.forall(r => r.getSeq[Long](4).length == 4))
+    // the aggregate pair groups from SQL too
+    val am = spark.sql(
+      """SELECT arg_max_hash(text, id) AS last, arg_min_hash(text, id) AS first
+        |FROM docs_sql""".stripMargin).head
+    assert(am.getString(0) == "x y" && am.getString(1) == "a b c d")
     // non-literal size parameter is rejected at analysis
     val err = intercept[Exception](
       spark.sql("SELECT simhash(text, id) FROM docs_sql").collect())
