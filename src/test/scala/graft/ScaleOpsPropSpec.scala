@@ -133,4 +133,29 @@ class ScaleOpsPropSpec extends AnyFunSuite {
       assert(got == expected, s"seed $i budget $budget")
     }
   }
+
+  test("prop: chunkDedup equals a sequential first-occurrence reference") {
+    (1 to 4).foreach { i =>
+      // small vocab + short docs → plenty of within-doc and cross-doc
+      // duplicate chunks
+      val docs = sample(Gen.listOfN(40,
+        Gen.chooseNum(1, 12).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab")).map(_.mkString(" ")))), i * 11)
+        .zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      val ct = sample(Gen.choose(1, 3), i * 5)
+      // reference: scan docs in id order, chunk sequentially, keep a
+      // chunk iff its text was never seen before (corpus-wide)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.flatMap { case (id, t) =>
+        val kept = t.split(" ").grouped(ct).map(_.mkString(" "))
+          .filter(c => seen.add(c)).toSeq
+        if (kept.isEmpty) None
+        else Some((id, kept.mkString(" "), kept.size.toLong))
+      }.toSet
+      val got = Dedup.chunkDedup(docs.toDF("doc_id", "text"), "doc_id",
+        col("text"), ct)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed $i chunkTokens $ct")
+    }
+  }
 }
