@@ -805,6 +805,14 @@ object SparkEntry {
       table(s, dir, "documents").select(col("doc_id"), col("lang")),
       "lang", "doc_id", alpha = 0.5, seed = "t1")
 
+  /** Training-order shuffle ([[Sampling.shuffleShards]]): every doc
+    * gets a deterministic (shard, shard_pos) address — curation order
+    * broken by an id-hash permutation, reproducible across engines. */
+  private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.shuffleShards(
+      table(s, dir, "documents").select(col("doc_id")),
+      "doc_id", nShards = 8, seed = "sh1")
+
   /** Chunk-level exact dedup ([[Dedup.chunkDedup]]): duplicated
     * PASSAGES removed corpus-wide (first occurrence wins), documents
     * reassembled from their surviving 10-token chunks. */
@@ -871,6 +879,7 @@ object SparkEntry {
     "q54_pii_scrub" -> (qPiiScrub _),
     "q55_temperature_resample" -> (qTemperatureResample _),
     "q56_chunk_dedup" -> (qChunkDedup _),
+    "q57_shuffle_shards" -> (qShuffleShards _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1509,5 +1518,21 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS dedup_text,
         |       count(*) AS n_chunks_kept
         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    // q57: both hashes are the q44 md5 construction with distinct
+    // salts; row_number over (ord hash, doc_id) is a total order, so
+    // positions are engine-independent.
+    "q57_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('sh1#s'||CAST(doc_id AS VARCHAR)),1,15))
+        |      AS BIGINT) % 8 AS shard,
+        |    CAST(('0x'||substr(md5('sh1#o'||CAST(doc_id AS VARCHAR)),1,15))
+        |      AS BIGINT) AS ord
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+        |    AS shard_pos
+        |FROM h""".stripMargin,
   )
 }

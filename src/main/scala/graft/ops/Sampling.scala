@@ -77,6 +77,35 @@ object Sampling {
     * Rows with a NULL group are dropped (equi-join semantics — null
     * never matches a rate row), matching the SQL twin exactly; assign
     * an explicit "unknown" group upstream to keep them. */
+  /** Deterministic training-order shuffle into `nShards` shards — the
+    * last step of a pretraining data pipeline: break curation order
+    * (source/time locality would otherwise become curriculum bias) and
+    * emit a reproducible (shard, shard_pos) address for every row.
+    * Like everything here, the permutation is a pure function of
+    * (seed, id): re-runs, repartitioning, and engine choice cannot
+    * change a single row's position; a new seed is a fresh permutation.
+    *
+    * Mechanism: shard = id-hash mod nShards; within-shard order = an
+    * INDEPENDENT second hash (different salt — reusing the shard hash
+    * would sort each shard by its own bucket residue, correlating
+    * position with the very value that chose the shard), id tiebreak
+    * for totality. Scale shape: one hash shuffle to shards + an
+    * in-shard sort — shards are sized to the cluster (each sorts
+    * independently; no global sort ever exists), exactly how training
+    * shards are written in production. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    require(nShards >= 1, s"nShards >= 1, got $nShards")
+    val id = col(idCol).cast("string")
+    val shard = Dedup.hash60(concat(lit(seed + "#s"), id)) % nShards
+    val ord = Dedup.hash60(concat(lit(seed + "#o"), id))
+    df.withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(ord.asc, col(idCol).asc))
+        .cast("long"))
+  }
+
   def temperatureResample(df: DataFrame, groupCol: String, idCol: String,
       alpha: Double = 0.5, seed: String = "temp"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")

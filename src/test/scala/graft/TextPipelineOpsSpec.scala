@@ -160,6 +160,39 @@ class TextPipelineOpsSpec extends AnyFunSuite {
     assert(a.subsetOf((0L until 400L).toSet ++ (1000L until 1100L).toSet))
   }
 
+  test("shuffleShards is a stable permutation: every row exactly once, dense per-shard positions") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val out = Sampling.shuffleShards(docs, "doc_id", nShards = 8, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == (0L until 500L).toSet) // a permutation
+    // positions are dense 1..n within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.size).toSeq)
+    }
+    // stable under repartitioning; new seed is a different permutation
+    val again = Sampling.shuffleShards(docs.repartition(13), "doc_id", 8, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val other = Sampling.shuffleShards(docs, "doc_id", 8, "s2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq != other.sortBy(_._1).toSeq)
+  }
+
+  test("shuffleShards breaks id-order locality (order decorrelated from shard)") {
+    val docs = (0L until 400L).toDF("doc_id")
+    val byShard = Sampling.shuffleShards(docs, "doc_id", 4, "s")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+      .groupBy(_._1)
+    // within a shard, consecutive positions should NOT be consecutive
+    // ids: count adjacent pairs whose ids differ by exactly 1 — a
+    // curation-order-preserving "shuffle" would make most of them 1
+    val adjacent = byShard.values.map { rows =>
+      val ids = rows.sortBy(_._2).map(_._3)
+      ids.sliding(2).count(p => math.abs(p(1) - p(0)) == 1)
+    }.sum
+    assert(adjacent < 20, s"$adjacent consecutive-id adjacencies — order not shuffled")
+  }
+
   test("temperatureResample at alpha=1 is the identity mix") {
     val kept = Sampling.temperatureResample(skewed, "g", "id", alpha = 1.0,
       seed = "t")
