@@ -193,6 +193,36 @@ class StreamCongruitySpec extends AnyFunSuite {
     assert(kvOf(batch) == Seq(("j", 4), ("k", 9)))
   }
 
+  test("congruity: latest-per-key state round-trips micro-batches (typed argmax buffer)") {
+    // the streaming latest-per-key aggregate now runs on ArgExtremum
+    // (the SortAggregate fix): its state-store life cycle — serialize
+    // after a batch, deserialize + merge against the next batch's
+    // partial — only executes across MULTIPLE micro-batches, which the
+    // single-batch congruity test above never reaches. Chunk 3 delivers
+    // an event-time-OLDER update for a key the state already holds: the
+    // restored incumbent must win the merge.
+    implicit val sql = spark.sqlContext
+    val topo = Topology(
+      Seq("in" -> "tbl", "tbl" -> "out"),
+      Map("in" -> Entity.Topic("in"), "tbl" -> Entity.KTable(),
+        "out" -> Entity.Topic("out")))
+    val chunks = Seq(
+      Seq(("k", 1, 100L), ("j", 4, 50L)),
+      Seq(("k", 9, 300L), ("m", 7, 10L)),
+      Seq(("k", 5, 200L), ("j", 2, 500L))) // k@200 loses to stored k@300
+    val ms = MemoryStream[(String, Int, Long)]
+    val dfs = StreamCompiler.run(topo, Map("in" -> recordStream(ms)), Map.empty, None)
+    qn += 1
+    val name = s"congruity_$qn"
+    val q = dfs("tbl").writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    val batch = BatchCompiler.run(topo, Map("in" -> records(chunks.flatten: _*)))("tbl")
+    assert(kvOf(spark.table(name)) == kvOf(batch))
+    assert(kvOf(batch) == Seq(("j", 2), ("k", 9), ("m", 7)))
+  }
+
   test("congruity: windowed stream-stream inner join") {
     val topo = Topology(
       Seq("a" -> "j", "b" -> "j", "j" -> "out"),
