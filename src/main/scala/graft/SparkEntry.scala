@@ -805,6 +805,14 @@ object SparkEntry {
       table(s, dir, "documents").select(col("doc_id"), col("lang")),
       "lang", "doc_id", alpha = 0.5, seed = "t1")
 
+  /** Token rarity ([[TextAnalysis.tokenRarity]]): the corpus as its own
+    * language model — per-doc rare-token counts/fraction and mean
+    * corpus token frequency, integer-exact instead of libm-dependent
+    * log-probs. */
+  private def qTokenRarity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenRarity(cpuTable(s, dir, "documents"), "doc_id",
+      col("text"), rareBelow = 3)
+
   /** Training-order shuffle ([[Sampling.shuffleShards]]): every doc
     * gets a deterministic (shard, shard_pos) address — curation order
     * broken by an id-hash permutation, reproducible across engines. */
@@ -880,6 +888,7 @@ object SparkEntry {
     "q55_temperature_resample" -> (qTemperatureResample _),
     "q56_chunk_dedup" -> (qChunkDedup _),
     "q57_shuffle_shards" -> (qShuffleShards _),
+    "q58_token_rarity" -> (qTokenRarity _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1534,5 +1543,21 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
         |    AS shard_pos
         |FROM h""".stripMargin,
+
+    // q58: integer sums + exact divisions only (no ln), so the 6-dp
+    // rounds agree bit-for-bit.
+    "q58_token_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1)
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN tf < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  round(sum(CASE WHEN tf < 3 THEN 1 ELSE 0 END)
+        |      / CAST(count(*) AS DOUBLE), 6) AS rare_frac,
+        |  round(sum(tf) / CAST(count(*) AS DOUBLE), 6) AS mean_tf
+        |FROM toks JOIN vocab USING (tok)
+        |GROUP BY doc_id""".stripMargin,
   )
 }

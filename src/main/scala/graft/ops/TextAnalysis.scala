@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -82,4 +82,38 @@ object TextAnalysis {
     * replaced for ~20×). DuckDB twin unchanged:
     * list_reduce(list_prepend(0, hashes), ...). */
   def fingerprint(text: Column): Column = graft.functions.FoldHashFn(text)
+
+  /** Self-supervised token-rarity quality stats — the corpus is its own
+    * language model: a document stuffed with tokens the corpus has
+    * barely seen is gibberish/OCR noise, one made of ubiquitous tokens
+    * is boilerplate. Per document: whitespace token count, count and
+    * 6-dp fraction of RARE tokens (corpus frequency < `rareBelow`), and
+    * the 6-dp mean corpus frequency of its tokens. Deliberately NOT the
+    * classic mean unigram log-prob: `ln` is only faithfully (not
+    * correctly) rounded and differs per libm, while these stats are
+    * integer sums and exact divisions — bit-identical on any engine.
+    *
+    * Scale shape: the token explode is persisted once through `scope`
+    * (it feeds the vocabulary count and the join probe); the vocabulary
+    * aggregate's result is vocab-sized (≪ corpus); the frequency
+    * join-back keys on the token, where hot stopword keys skew the
+    * shuffle — linear work per partition, AQE skew-split applies, and a
+    * 100 TB run can salt via [[graft.ops.Joins.salted]] if one token
+    * dominates a partition. One final doc-keyed hash aggregate. */
+  def tokenRarity(df: DataFrame, idCol: String, text: Column,
+      rareBelow: Long = 3, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(rareBelow >= 1, s"rareBelow >= 1, got $rareBelow")
+    val toks = scope.cache(
+      df.select(col(idCol), explode(split(text, " ")).as("tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tf") < rareBelow, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("tf")).as("__tf_sum"))
+      .select(col(idCol), col("n_tokens"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_frac"),
+        round(col("__tf_sum").cast("double") / col("n_tokens"), 6).as("mean_tf"))
+  }
 }

@@ -102,6 +102,24 @@ class TextPipelineOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  //  tokenRarity                                                      //
+  // ---------------------------------------------------------------- //
+
+  test("tokenRarity: hand-computed corpus frequencies and rare fractions") {
+    // corpus tf: a→3, b→2, z→1; rareBelow=2 → only z is rare
+    val in = Seq(1L -> "a a b", 2L -> "a b z").toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.tokenRarity(in, "doc_id", col("text"),
+      rareBelow = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0, round6((3 + 3 + 2) / 3.0))))
+    assert(out(2L) == ((3L, 1L, round6(1 / 3.0), round6((3 + 2 + 1) / 3.0))))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---------------------------------------------------------------- //
   //  chunkDedup                                                       //
   // ---------------------------------------------------------------- //
 
