@@ -80,7 +80,8 @@ object Explain {
     } else {
       val names = if (rest.length > 1) rest.drop(1).toSeq
         else Seq("q01_agg_pricing", "q02_join_global_inner", "q10_asof_left",
-          "q23_dedup_ngram", "q26_sim_topk")
+          "q23_dedup_ngram", "q26_sim_topk", "q16_latest_per_key",
+          "q53_repetition_quality", "q56_chunk_dedup", "q58_token_rarity")
       names.foreach { n =>
         println(s"\n========== $n ==========")
         println(plan(n))

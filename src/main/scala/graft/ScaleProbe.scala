@@ -186,6 +186,13 @@ object ScaleProbe {
       "repetition_bigram" -> (() =>
         graft.ops.Repetition.bigramProfile(docs, "doc_id", "text", "n_chars")
           .count()),
+      // token explode + vocab agg + frequency join-back (q58's exact
+      // shape) — the join keys on tokens, so the red line is the hot
+      // stopword keys bending the shuffle super-linear
+      "token_rarity" -> (() => CacheScope.using { sc =>
+        graft.ops.TextAnalysis.tokenRarity(docs, "doc_id", col("text"),
+          rareBelow = 3, scope = sc).count()
+      }),
       // fixed bits: the query as registered — within-bucket pair work
       // grows O(occupancy²) as the corpus outruns 2^bits buckets
       "knn_join_fixed_bits" -> (() => CacheScope.using { sc =>

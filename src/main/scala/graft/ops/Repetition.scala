@@ -67,18 +67,18 @@ object Repetition {
     // like (cnt, bigram) — count first (zero-padded decimal orders
     // numerically up to 10^10−1 occurrences, unreachable for any real
     // document), then the raw bigram bytes (UTF-8 byte order on both
-    // engines — memcmp semantics). The max itself is
-    // [[graft.functions.MaxUtf8Aggregator]] (ObjectHashAggregate), not
+    // engines — Catalyst's StringType ordering IS unsigned UTF-8
+    // memcmp). The max itself is the hash-aggregable
+    // [[graft.functions.ArgExtremum]] (ObjectHashAggregate), not
     // Catalyst `max`: a var-length aggregation buffer kicks native max
     // out of HashAggregateExec into SortAggregate, and a partition-wide
     // sort of the distinct-bigram set is exactly the plan a 100 TB
     // corpus can't afford.
-    val maxPacked = udaf(new graft.functions.MaxUtf8Aggregator)
+    val packed = concat(lpad(col("count").cast("string"), 10, "0"), col("bigram"))
     grams
       .groupBy(idCol, charsCol, "dup_token_frac", "bigram").count()
       .groupBy(idCol, charsCol, "dup_token_frac")
-      .agg(maxPacked(concat(lpad(col("count").cast("string"), 10, "0"),
-        col("bigram"))).as("m"))
+      .agg(graft.functions.ArgExtremum.maxBy(packed, packed).as("m"))
       .select(
         col(idCol), col(charsCol), col("dup_token_frac"),
         col("m").substr(lit(11), length(col("m")) - 10).as("top_bigram"),

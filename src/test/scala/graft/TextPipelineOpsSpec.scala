@@ -50,7 +50,7 @@ class TextPipelineOpsSpec extends AnyFunSuite {
   }
 
   test("bigramProfile plans hash-based aggregation only (no SortAggregate)") {
-    // the argmax must run as ObjectHashAggregate (MaxUtf8Aggregator);
+    // the argmax must run as ObjectHashAggregate (ArgExtremum);
     // native max over the packed string would silently fall back to a
     // partition-wide SortAggregate
     val plan = Repetition.bigramProfile(
