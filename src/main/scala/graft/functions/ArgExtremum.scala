@@ -33,7 +33,19 @@ final class ArgBuf(var pair: UnsafeRow)
   * stream→table latest-per-key coercion, keep-latest/keep-first dedup),
   * so this TypedImperativeAggregate reimplements argmax with a JVM-pair
   * buffer: ObjectHashAggregateExec plans it as hash-table grouping with
-  * partial aggregation before the shuffle, no sort anywhere.
+  * partial aggregation before the shuffle.
+  *
+  * Execution regimes (measured, `graft.ArgmaxBench`; SCALING.md round
+  * 13): ObjectHashAggregateExec hash-processes up to
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` groups
+  * per task (Spark default 128 — deliberately tiny, because the object
+  * map has NO spill accounting; raising it to millions was measured to
+  * OOM) and then falls back to sort-based aggregation internally. So:
+  * at bounded per-partition group cardinality the path is pure hash
+  * and beats SortAggregate 10-25% (latest-per-key table coercions);
+  * at huge cardinality (dedup-by-id, groups ≈ rows) it degrades to
+  * the same external sort with ~15% object-serialization overhead —
+  * bounded downside, structural upside, one implementation.
   *
   * Semantics replicate the native pair exactly — rows with a NULL
   * ordering are ignored, a strictly-greater (asMin: strictly-smaller)
