@@ -828,6 +828,41 @@ object SparkEntry {
     Dedup.chunkDedup(cpuTable(s, dir, "documents"), "doc_id", col("text"),
       chunkTokens = 10)
 
+  /** Boilerplate-span removal ([[Dedup.boilerplateSpans]]): every
+    * occurrence of any 3-token span appearing in ≥3 distinct documents
+    * is dropped — the C4-style inverse of q56's keep-first chunk dedup
+    * (first copies go too; infrequent duplicates stay). ~3% of span
+    * occurrences in this corpus cross the bar, so the drop path is
+    * exercised on real rows, not vacuously. */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateSpans(cpuTable(s, dir, "documents"), "doc_id",
+      col("text"), spanTokens = 3, minDocs = 3)
+
+  /** Token-budget mixture ([[Sampling.mixtureByBudget]]): cap every
+    * source's contribution at 800 tokens via the hash-bucket histogram
+    * prefix — the absolute-cap half of data mixing next to q55's
+    * relative temperature flattening. */
+  private def qMixtureBudget(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.mixtureByBudget(
+      table(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "source", "doc_id", col("n_tokens"), budget = 800L, nBuckets = 1024,
+      seed = "mix1")
+
+  /** Int8 embedding quantization ([[Similarity.quantizeInt8]]),
+    * projected to hash-stable facts per vector: dims, the 6-dp scale,
+    * an md5 over the comma-joined quantized components (every element
+    * participates in the hash), and their exact integer sum. */
+  private def qQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(cpuTable(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"),
+        size(col("qvec")).cast("long").as("n_dims"),
+        round(col("scale"), 6).as("scale6"),
+        md5(array_join(transform(col("qvec"), x => x.cast("string")), ","))
+          .as("q_md5"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long"))
+          .as("q_sum"))
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -889,6 +924,9 @@ object SparkEntry {
     "q56_chunk_dedup" -> (qChunkDedup _),
     "q57_shuffle_shards" -> (qShuffleShards _),
     "q58_token_rarity" -> (qTokenRarity _),
+    "q59_boilerplate" -> (qBoilerplate _),
+    "q60_mixture_budget" -> (qMixtureBudget _),
+    "q61_quantize_int8" -> (qQuantizeInt8 _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1559,5 +1597,70 @@ object SparkEntry {
         |  round(sum(tf) / CAST(count(*) AS DOUBLE), 6) AS mean_tf
         |FROM toks JOIN vocab USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    // q59: q56's span explode, but keyed on count(DISTINCT doc_id) and
+    // dropping EVERY hot occurrence; string_agg FILTER + coalesce('')
+    // mirrors Spark's null-skipping collect_list over an all-hot doc.
+    "q59_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(ws[(i*3+1):((i+1)*3)], ' ') AS span
+        |  FROM w, unnest(generate_series(0,
+        |    CAST(ceil(len(ws) / 3.0) AS BIGINT) - 1)) AS t(i)),
+        |k AS (SELECT md5(span) AS kk, count(DISTINCT doc_id) AS df
+        |      FROM ch GROUP BY 1),
+        |f AS (SELECT ch.doc_id, ch.pos, ch.span, k.df >= 3 AS hot
+        |      FROM ch JOIN k ON md5(ch.span) = k.kk)
+        |SELECT doc_id,
+        |  coalesce(string_agg(span, ' ' ORDER BY pos)
+        |    FILTER (WHERE NOT hot), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE NOT hot) AS BIGINT) AS n_spans_kept,
+        |  CAST(count(*) FILTER (WHERE hot) AS BIGINT) AS n_spans_dropped
+        |FROM f GROUP BY doc_id""".stripMargin,
+
+    // q60: the bucket hash is the q44 md5 construction; the window
+    // cumsum runs over the (source × bucket) histogram only, and
+    // bucket-distinctness within a partition makes RANGE == ROWS, so
+    // both engines' default frames agree.
+    "q60_mixture_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x'||substr(md5('mix1'||CAST(doc_id AS VARCHAR)),1,15))
+        |      AS BIGINT) % 1024 AS b
+        |  FROM documents),
+        |h AS (SELECT source, b, sum(n_tokens) AS w FROM d GROUP BY 1, 2),
+        |c AS (SELECT source, b,
+        |        sum(w) OVER (PARTITION BY source ORDER BY b) AS cum
+        |      FROM h),
+        |cut AS (SELECT source, max(b) AS cutb FROM c WHERE cum <= 800
+        |        GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_tokens
+        |FROM d JOIN cut ON d.source = cut.source AND d.b <= cut.cutb""".stripMargin,
+
+    // q61: fixed operation order ((x·127)/s, max over double-widened
+    // floats) makes the doubles bit-identical; 1-arg round is
+    // away-from-zero on both engines (Spark HALF_UP == away-from-zero);
+    // the md5 commits every quantized component to the hash.
+    "q61_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, s,
+        |    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS INTEGER))
+        |    END AS qv
+        |  FROM q)
+        |SELECT vec_id,
+        |  CAST(len(qv) AS BIGINT) AS n_dims,
+        |  round(s, 6) AS scale6,
+        |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)),
+        |    ',')) AS q_md5,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum
+        |FROM v""".stripMargin,
   )
 }

@@ -158,6 +158,63 @@ object Dedup {
         size(col("__cs")).cast("long").as("n_chunks_kept"))
   }
 
+  /** Boilerplate-span removal — the C4/RefinedWeb companion to
+    * [[chunkDedup]] with the OPPOSITE keep rule: a span of `spanTokens`
+    * consecutive tokens that occurs in at least `minDocs` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, license
+    * headers, template stubs) and EVERY occurrence is dropped — the
+    * first one too, which is exactly where [[chunkDedup]] differs (it
+    * keeps the earliest copy, because there the duplicated passage is
+    * assumed to be content). Spans below the document-frequency bar are
+    * all kept, duplicated or not. C4 (Raffel et al. 2020, §2.2) applies
+    * this at the three-sentence level, RefinedWeb at the line level;
+    * token spans are the tokenizer-only form that needs no sentence or
+    * line structure.
+    *
+    * Scale shape: identical to [[chunkDedup]] — the exploded span
+    * projection is persisted once through `scope` and feeds (a) a hash
+    * aggregate computing per-span-md5 DISTINCT-document counts (two-level
+    * partial agg, no expand), and (b) the join probe. The hot-key side
+    * (df ≥ minDocs) is typically a sliver of the key space — AQE
+    * broadcasts it when it fits — and the per-doc reassembly is the same
+    * bounded in-memory sort. Every input document survives in the
+    * output; a fully-boilerplate document comes back with an empty
+    * `clean_text` and `n_spans_kept = 0` (dropping short survivors is a
+    * downstream filter's decision, not this operator's).
+    *
+    * The aggregate keys on the span's full 128-bit md5 (birthday-safe,
+    * fixed 32-byte shuffle key) exactly as [[chunkDedup]] does. */
+  def boilerplateSpans(df: DataFrame, idCol: String, text: Column,
+      spanTokens: Int = 3, minDocs: Int = 3,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens >= 1, got $spanTokens")
+    require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
+    val ws = split(text, " ")
+    val nCh = ceil(size(ws) / lit(spanTokens.toDouble)).cast("long")
+    val exploded = scope.cache(df
+      .select(col(idCol), ws.as("__ws"),
+        explode(sequence(lit(0L), nCh - 1)).as("pos"))
+      .select(col(idCol), col("pos"),
+        array_join(slice(col("__ws"), (col("pos") * spanTokens + 1).cast("int"),
+          lit(spanTokens)), " ").as("span"))
+      .withColumn("__k", md5(col("span"))))
+    val hot = exploded.groupBy(col("__k"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__k"), lit(true).as("__hot"))
+    exploded.join(hot, Seq("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        collect_list(when(col("__hot").isNull, struct(col("pos"), col("span"))))
+          .as("__cs"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_spans_dropped"))
+      .select(col(idCol),
+        array_join(transform(array_sort(col("__cs")), c => c.getField("span")),
+          " ").as("clean_text"),
+        size(col("__cs")).cast("long").as("n_spans_kept"),
+        col("n_spans_dropped"))
+  }
+
   // ---------------------------------------------------------------- text
 
   /** Distinct word `n`-gram shingles of a whitespace-tokenized text.

@@ -106,6 +106,50 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Token-budget mixture sampling — cap each group (source, domain,
+    * language) at `budget` total `weight` (typically tokens), the other
+    * half of the data-mixing toolkit next to [[temperatureResample]]:
+    * temperature reshapes RELATIVE proportions, a budget caps ABSOLUTE
+    * contribution (e.g. "no source exceeds 50B tokens in the mix").
+    * Membership is hash-stable: each row lands in one of `nBuckets`
+    * hash buckets and a group keeps the longest PREFIX of buckets whose
+    * running token total fits the budget — a pure function of
+    * (seed, id, the group's histogram).
+    *
+    * Scale shape — the reason for buckets instead of a per-row cumsum:
+    * an exact per-row budget needs `sum over (partition by group order
+    * by hash)`, a full sort of every group, and at 100 TB one hot
+    * source IS the corpus — that window is the job. Here the corpus is
+    * touched by exactly two cheap passes: (1) a partial-aggregated
+    * (group × bucket) weight histogram — at most |groups|·`nBuckets`
+    * rows, the ONLY thing the window cumsum ever sorts; (2) a broadcast
+    * join of the per-group cutoff bucket + a stateless filter. The
+    * price is precision: the kept total undershoots the budget by at
+    * most one bucket's weight (expected group_total/`nBuckets` — raise
+    * `nBuckets` to tighten). A group whose very first bucket overshoots
+    * is dropped whole rather than overshot (documented, not hidden);
+    * rows with a NULL group or id are dropped (equi-join/null-hash
+    * semantics, matching the SQL twin). */
+  def mixtureByBudget(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, budget: Long, nBuckets: Int = 1024,
+      seed: String = "mix"): DataFrame = {
+    require(budget > 0, s"budget > 0, got $budget")
+    require(nBuckets >= 2, s"nBuckets >= 2, got $nBuckets")
+    val bucket =
+      Dedup.hash60(concat(lit(seed), col(idCol).cast("string"))) % nBuckets
+    val bucketed = df.withColumn("__b", bucket)
+    val hist = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(sum(weight).as("__w"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__w")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("__b"))))
+    val cut = cum.filter(col("__cum") <= budget)
+      .groupBy(col(groupCol)).agg(max(col("__b")).as("__cut"))
+    bucketed.join(broadcast(cut), groupCol)
+      .filter(col("__b") <= col("__cut"))
+      .drop("__b", "__cut")
+  }
+
   def temperatureResample(df: DataFrame, groupCol: String, idCol: String,
       alpha: Double = 0.5, seed: String = "temp"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")

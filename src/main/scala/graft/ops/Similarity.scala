@@ -49,6 +49,39 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim(a, b)
 
+  /** Symmetric per-vector int8 quantization — the standard 4× memory/IO
+    * shrink for an ANN corpus (float32 → int8 + one float scale per
+    * vector; IVF/HNSW deployments at the 100 TB tier ship quantized
+    * vectors and rerank survivors against full precision). Each vector
+    * gets `scale = max |v_i|` and `q_i = round(v_i · 127 / scale)`
+    * (HALF_UP — both engines round doubles away from zero), so every
+    * component lands in [−127, 127]; an all-zero vector quantizes to
+    * zeros with scale 0 rather than NaN. One narrow per-row projection,
+    * no shuffle, no state — HOF lambdas (interpreted, but this is a
+    * once-per-row pass, not the all-pairs hot loop that justified the
+    * codegen [[graft.functions.CosineSim]]); the arithmetic is
+    * double-precision with a
+    * fixed operation order (`(v · 127) / scale`, max over
+    * double-widened floats) so an external engine replays the exact
+    * same doubles bit-for-bit.
+    *
+    * Output: the input columns plus `scale` (double) and `qvec`
+    * (array<byte>). Downstream dot products are exact int arithmetic
+    * (≤ 127²·dims fits a long); `cos(q_a, q_b)` approximates
+    * `cos(a, b)` to ~1e-2 — rerank the short list at full precision
+    * where that matters. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val s = aggregate(transform(v, x => abs(x.cast("double"))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    df.withColumn("scale", s)
+      .withColumn("qvec",
+        when(col("scale") === 0.0,
+          transform(v, _ => lit(0).cast("byte")))
+        .otherwise(transform(v,
+          x => round(x.cast("double") * 127.0 / col("scale"), 0).cast("byte"))))
+  }
+
   /** Reduce scored candidates to per-query top-k via the bounded-heap
     * [[graft.functions.TopKAggregator]]: partial aggregation trims each
     * map task's slice to k rows BEFORE the shuffle, so the exchange

@@ -216,4 +216,128 @@ class TextPipelineOpsSpec extends AnyFunSuite {
       seed = "t")
     assert(kept.count() == 500L)
   }
+
+  // ---------------------------------------------------------------- //
+  //  boilerplateSpans                                                 //
+  // ---------------------------------------------------------------- //
+
+  private def bp(rows: (Long, String)*)(spanTokens: Int, minDocs: Int) =
+    graft.ops.Dedup.boilerplateSpans(rows.toSeq.toDF("doc_id", "text"),
+      "doc_id", col("text"), spanTokens, minDocs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("boilerplateSpans drops EVERY occurrence past the doc-frequency bar") {
+    // "x" is in 3 docs → boilerplate; unlike chunkDedup, the FIRST
+    // occurrence (doc 1) is dropped too
+    val out = bp(1L -> "x a b", 2L -> "x c", 3L -> "x d")(1, 3)
+    assert(out(1L) == (("a b", 2L, 1L)))
+    assert(out(2L) == (("c", 1L, 1L)))
+    assert(out(3L) == (("d", 1L, 1L)))
+  }
+
+  test("boilerplateSpans counts DISTINCT documents, not occurrences") {
+    // "y" occurs 3 times but in one doc → df=1, kept whole
+    val out = bp(1L -> "y y y", 2L -> "z")(1, 2)
+    assert(out(1L) == (("y y y", 3L, 0L)))
+    assert(out(2L) == (("z", 1L, 0L)))
+  }
+
+  test("a fully-boilerplate document survives with empty text") {
+    val out = bp(1L -> "q", 2L -> "q")(1, 2)
+    assert(out(1L) == (("", 0L, 1L)))
+    assert(out(2L) == (("", 0L, 1L)))
+  }
+
+  test("boilerplateSpans reassembles around a dropped middle span in order") {
+    val out = bp(1L -> "a b H H c d", 2L -> "H H", 3L -> "H H")(2, 2)
+    assert(out(1L) == (("a b c d", 2L, 1L)))
+    assert(out(2L) == (("", 0L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  mixtureByBudget                                                  //
+  // ---------------------------------------------------------------- //
+
+  private def mixDocs = ((0 until 300).map(i => ("big", i.toLong, 10L))
+    ++ (1000 until 1010).map(i => ("tiny", i.toLong, 10L)))
+    .toDF("g", "id", "w")
+
+  test("mixtureByBudget caps each group's kept weight at the budget") {
+    val kept = Sampling.mixtureByBudget(mixDocs, "g", "id", col("w"),
+      budget = 500L, nBuckets = 64, seed = "m")
+    val byG = kept.groupBy("g").agg(sum("w")).as[(String, Long)]
+      .collect().toMap
+    assert(byG("big") <= 500L, s"big kept ${byG("big")} > budget")
+    assert(byG("big") >= 300L, s"big kept only ${byG("big")} of 500 budget " +
+      "— more than one trailing bucket undershot") // 64 buckets ≈ 47 w/bucket
+    assert(byG("tiny") == 100L) // under budget → kept whole
+  }
+
+  test("mixtureByBudget keeps a hash-bucket PREFIX, stable under repartitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureByBudget(df, "g", "id", col("w"), 500L, 64, "m")
+        .select("id").as[Long].collect().toSet
+    val a = run(mixDocs)
+    assert(a == run(mixDocs.repartition(13)))
+    // prefix property: within each group, every kept bucket < every
+    // dropped bucket (recomputed with the operator's own hash)
+    val withB = mixDocs.withColumn("b",
+      graft.ops.Dedup.hash60(concat(lit("m"), col("id").cast("string"))) % 64)
+      .select("g", "id", "b").as[(String, Long, Long)].collect()
+    val keptB = withB.filter(r => a.contains(r._2)).groupBy(_._1)
+    val dropB = withB.filterNot(r => a.contains(r._2)).groupBy(_._1)
+    for (g <- keptB.keys if dropB.contains(g))
+      assert(keptB(g).map(_._3).max < dropB(g).map(_._3).min,
+        s"group $g kept set is not a bucket prefix")
+    // a larger budget keeps a superset (prefix monotonicity)
+    val more = Sampling.mixtureByBudget(mixDocs, "g", "id", col("w"),
+      1500L, 64, "m").select("id").as[Long].collect().toSet
+    assert(a.subsetOf(more))
+  }
+
+  test("a group whose first bucket overshoots is dropped whole, not overshot") {
+    val df = Seq(("fat", 1L, 900L), ("ok", 2L, 10L)).toDF("g", "id", "w")
+    val kept = Sampling.mixtureByBudget(df, "g", "id", col("w"), 500L, 64, "m")
+      .select("g").as[String].collect().toSeq
+    assert(kept == Seq("ok"))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  quantizeInt8                                                     //
+  // ---------------------------------------------------------------- //
+
+  test("quantizeInt8: hand-computed scale and components, HALF_UP at .5") {
+    val in = Seq((1L, Seq(3.0f, -1.5f, 0.0f))).toDF("vec_id", "embedding")
+    val row = graft.ops.Similarity.quantizeInt8(in, "embedding").head
+    assert(row.getAs[Double]("scale") == 3.0)
+    // -1.5·127/3 = -63.5 → away from zero → -64 (both engines)
+    assert(row.getAs[scala.collection.Seq[Byte]]("qvec").toSeq == Seq[Byte](127, -64, 0))
+  }
+
+  test("quantizeInt8: all-zero vector quantizes to zeros, not NaN") {
+    val in = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val row = graft.ops.Similarity.quantizeInt8(in, "embedding").head
+    assert(row.getAs[Double]("scale") == 0.0)
+    assert(row.getAs[scala.collection.Seq[Byte]]("qvec").toSeq == Seq[Byte](0, 0))
+  }
+
+  test("quantizeInt8 bounds every component and reconstructs within a half step") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val rows = graft.ops.Similarity.quantizeInt8(
+      vecs.toDF("vec_id", "embedding"), "embedding")
+      .select("embedding", "scale", "qvec").collect()
+    rows.foreach { r =>
+      val (v, s, q) = (r.getAs[scala.collection.Seq[Float]](0), r.getDouble(1),
+        r.getAs[scala.collection.Seq[Byte]](2))
+      assert(q.forall(b => b >= -127 && b <= 127))
+      v.zip(q).foreach { case (x, b) =>
+        assert(math.abs(x - b * s / 127.0) <= s / 254.0 + 1e-9,
+          s"component $x reconstructed as ${b * s / 127.0} (scale $s)")
+      }
+    }
+  }
 }
