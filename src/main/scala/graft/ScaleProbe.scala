@@ -193,6 +193,14 @@ object ScaleProbe {
         graft.ops.TextAnalysis.tokenRarity(docs, "doc_id", col("text"),
           rareBelow = 3, scope = sc).count()
       }),
+      // cached span explode + two-level DISTINCT-doc count + join-back
+      // (q59's exact shape; vocab ∝ cbrt(scale) holds span df constant
+      // like the 3-shingle families) — the red line is the distinct
+      // aggregate's first level (span, doc) bending super-linear
+      "boilerplate_spans" -> (() => CacheScope.using { sc =>
+        Dedup.boilerplateSpans(docs, "doc_id", col("text"),
+          spanTokens = 3, minDocs = 3, scope = sc).count()
+      }),
       // fixed bits: the query as registered — within-bucket pair work
       // grows O(occupancy²) as the corpus outruns 2^bits buckets
       "knn_join_fixed_bits" -> (() => CacheScope.using { sc =>
