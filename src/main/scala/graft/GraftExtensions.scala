@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgExtremum, CosineSim, FoldHash, MinHashSig, ShingleHashes, SimHash}
+import graft.functions.{ArgExtremum, CosineSim, FoldHash, Int8Cos, MinHashSig, ShingleHashes, SimHash}
 
 /** Spark-native extension point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -12,7 +12,7 @@ import graft.functions.{ArgExtremum, CosineSim, FoldHash, MinHashSig, ShingleHas
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
   *
-  * Registered: `cosine_sim(a, b)`, `fold_hash(text)`,
+  * Registered: `cosine_sim(a, b)`, `int8_cos(qa, qb)`, `fold_hash(text)`,
   * `shingle_hashes(text, n)`, `simhash(text, bits)`,
   * `minhash_sig(hashes, k)` — the size parameters must be integer
   * literals (they shape the generated code, like `round`'s scale) —
@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * before the extension was installed) can register the same set. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
     fn("cosine_sim", 2, a => CosineSim(a(0), a(1))),
+    fn("int8_cos", 2, a => Int8Cos(a(0), a(1))),
     fn("fold_hash", 1, a => FoldHash(a(0))),
     fn("shingle_hashes", 2, a => ShingleHashes(a(0), intLit(a(1), "shingle_hashes"))),
     fn("simhash", 2, a => SimHash(a(0), intLit(a(1), "simhash"))),

@@ -208,6 +208,15 @@ object ScaleProbe {
           k = 3, signBits = 8, probeHamming = 1, maxBucket = MaxBucket,
           scope = sc).count()
       }),
+      // quantized coarse + fp rerank at the same fixed bits (q62's exact
+      // shape) — A/B against knn_join_fixed_bits: the int8 candidate
+      // scoring should cheapen the within-bucket O(occupancy²) term that
+      // dominates at 10×, at the price of two shortlist join-backs
+      "knn_join_quantized" -> (() => CacheScope.using { sc =>
+        Similarity.knnJoinQuantized(embs, "vec_id", "embedding",
+          k = 3, signBits = 8, probeHamming = 1, coarseK = 10,
+          maxBucket = MaxBucket, scope = sc).count()
+      }),
       // scaled bits: occupancy held constant (bits + log2(scale)) — the
       // knob a 100 TB deployment MUST turn; the probe proves it restores
       // the exponent

@@ -621,6 +621,16 @@ object SparkEntry {
     Similarity.knnJoin(cpuTable(s, dir, "embeddings"), "vec_id", "embedding",
       k = 3, signBits = 8, probeHamming = 1, maxBucket = LshMaxBucket)
 
+  /** q46's kNN join with quantized coarse scoring + full-precision
+    * rerank ([[Similarity.knnJoinQuantized]]): the candidate hot loop
+    * scores int8 vectors (codegen [[graft.functions.Int8Cos]], ¼ the
+    * memory traffic), the float32 vectors move only for the
+    * coarseK-deep shortlist. Same output shape as q46. */
+  private def qKnnQuantized(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinQuantized(cpuTable(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 3, signBits = 8, probeHamming = 1, coarseK = 10,
+      maxBucket = LshMaxBucket)
+
   /** Ranking-window family (lag/lead — absent from the reference,
     * SURVEY §2.7): per-user event sequencing with the previous event's
     * type and the inter-event gap. Deterministic order: (µs timestamp,
@@ -927,6 +937,7 @@ object SparkEntry {
     "q59_boilerplate" -> (qBoilerplate _),
     "q60_mixture_budget" -> (qMixtureBudget _),
     "q61_quantize_int8" -> (qQuantizeInt8 _),
+    "q62_knn_quantized" -> (qKnnQuantized _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1662,5 +1673,46 @@ object SparkEntry {
         |    ',')) AS q_md5,
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum
         |FROM v""".stripMargin,
+
+    // q62: q46's LSH skeleton + q61's quantization CTE; the coarse
+    // scores are cosines over integer lists (exact in double — every
+    // sum < 2^53), so the coarseK=10 shortlist, and with it the rerank
+    // input, is bit-identical across engines; both stages tie-break by
+    // ascending id like the bounded-heap aggregator.
+    "q62_knn_quantized" ->
+      s"""WITH qz AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id, embedding,
+        |    CASE WHEN s = 0 THEN list_transform(embedding,
+        |           x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
+        |    END AS q
+        |  FROM qz),
+        |b0 AS (SELECT *, ${(0 until 8).map(i =>
+             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM qv),
+        |b AS (SELECT * FROM b0
+        |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |pq AS (SELECT vec_id AS qid, q AS qq, unnest([bkt${(0 until 8).map(i =>
+             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM b0),
+        |co AS (SELECT pq.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.q", "pq.qq")} AS cc
+        | FROM b e JOIN pq ON e.bkt = pq.bkt AND e.vec_id <> pq.qid),
+        |short AS (SELECT qid, id FROM co
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY cc DESC, id ASC) <= 10),
+        |re AS (SELECT s.qid, s.id,
+        |  ${OSql.cosSql("ei.embedding", "eq.embedding")} AS cos
+        | FROM short s
+        | JOIN embeddings ei ON s.id = ei.vec_id
+        | JOIN embeddings eq ON s.qid = eq.vec_id)
+        |SELECT qid, id, cos,
+        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |FROM re
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin,
   )
 }

@@ -211,6 +211,61 @@ object Similarity {
     topKReduce(joined, itemId, k)
   }
 
+  /** [[knnJoin]] with quantized coarse scoring + full-precision rerank —
+    * the production ANN shape at the 100 TB tier, closing the loop
+    * [[quantizeInt8]] opens: the candidate join (the hot loop — up to
+    * (signBits+1)× corpus rows meeting bucket populations) carries and
+    * scores ONLY the int8 vectors via the codegen
+    * [[graft.functions.Int8Cos]] (¼ the memory traffic of float32, exact
+    * long accumulators), keeps the best `coarseK ≥ k` candidates per
+    * query through the bounded-heap aggregator, and only then pays for
+    * full precision: the float32 vectors are equi-joined back onto the
+    * shortlist — nQueries·coarseK rows, not the candidate explosion —
+    * and re-scored with [[cosine]] for the final top-k.
+    *
+    * Approximation semantics: buckets bound recall exactly as in
+    * [[knnJoin]]; additionally a true neighbor can be lost only if the
+    * quantized cosine demotes it below coarse rank `coarseK` — at int8
+    * resolution the quantized cosine sits within ~1e-2 of the true one,
+    * so `coarseK` of 3-5× k recovers effectively all of them (the
+    * classic rerank-depth knob). Scales cancel in the cosine, so the
+    * coarse score needs no dequantization. Deterministic end to end:
+    * both stages' ties break by ascending id, and the quantized scores
+    * are cross-engine bit-exact (integer sums below 2^53; see
+    * [[graft.functions.Int8Cos]]).
+    *
+    * Output: qid, id, cos (full-precision, 6 dp), rank — [[knnJoin]]'s
+    * exact shape, so the two are drop-in interchangeable. */
+  def knnJoinQuantized(items: DataFrame, itemId: String, itemVec: String,
+      k: Int, signBits: Int, probeHamming: Int = 1, coarseK: Int,
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val quant = scope.cache(
+      quantizeInt8(items.select(col(itemId), col(itemVec)), itemVec))
+    val bucketed = Dedup.capBuckets(
+      quant.select(col(itemId), col("qvec").as("__iq"),
+        signBucket(col(itemVec), signBits).as("__bkt")),
+      Seq("__bkt"), maxBucket, scope)
+    val own = signBucket(col(itemVec), signBits)
+    val probes =
+      if (probeHamming <= 0) array(own)
+      else array(own +: (0 until signBits).map(i =>
+        own.bitwiseXOR(lit(1L << i)): Column): _*)
+    val queries = quant.select(col(itemId).as("qid"), col("qvec").as("__qq"),
+      explode(probes).as("__bkt"))
+    val coarse = bucketed.join(queries, Seq("__bkt"))
+      .filter(col("qid") =!= col(itemId))
+      .withColumn("cos", graft.functions.Int8Cos(col("__iq"), col("__qq")))
+    val shortlist = topKReduce(coarse, itemId, coarseK).select("qid", "id")
+    val fpItem = quant.select(col(itemId).cast("long").as("id"),
+      col(itemVec).as("__iv"))
+    val fpQuery = quant.select(col(itemId).cast("long").as("qid"),
+      col(itemVec).as("__qv"))
+    val reranked = shortlist.join(fpItem, "id").join(fpQuery, "qid")
+      .withColumn("cos", cosine(col("__iv"), col("__qv")))
+    topKReduce(reranked, "id", k)
+  }
+
   /** Sign-bit LSH bucket key: bit i set iff dimension i is non-negative.
     * Deterministic (no random planes) so oracles can mirror it. */
   def signBucket(vec: Column, signBits: Int): Column =

@@ -54,6 +54,67 @@ class KnnClusterSpec extends AnyFunSuite {
     assert(capped.agg(min(col("qid"))).head().getLong(0) >= 100L)
   }
 
+  test("Int8Cos equals a hand fold over the quantized ints; zero norm is 0") {
+    val in = Seq(
+      (Array[Byte](127, -64, 0), Array[Byte](127, 127, 1)),
+      (Array[Byte](0, 0, 0), Array[Byte](5, 5, 5))).toDF("a", "b")
+    val got = in.select(graft.functions.Int8Cos(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    val dot = 127.0 * 127 + (-64.0) * 127 + 0
+    val exp = BigDecimal(dot / (math.sqrt(127.0 * 127 + 64.0 * 64) *
+      math.sqrt(127.0 * 127 + 127.0 * 127 + 1)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(exp, 0.0))
+    // length mismatch → null, like CosineSim
+    val m = Seq((Array[Byte](1, 2), Array[Byte](1, 2, 3))).toDF("a", "b")
+      .select(graft.functions.Int8Cos(col("a"), col("b"))).head
+    assert(m.isNullAt(0))
+    // mixed representations: packed BINARY against array<tinyint>
+    val mixed = Seq(Array[Byte](127, -64, 0)).toDF("bin")
+      .select(graft.functions.Int8Cos(col("bin"),
+        array(lit(127).cast("byte"), lit(127).cast("byte"),
+          lit(1).cast("byte")))).as[Double].head()
+    assert(mixed == exp)
+  }
+
+  test("int8 coarse ranking tracks full-precision ranking on real vectors") {
+    // quantized cosine within ~1e-2 of true cosine on every pair
+    val q = Similarity.quantizeInt8(vecs, "embedding")
+    val pairs = q.select(col("vec_id").as("a"), col("embedding").as("va"),
+        col("qvec").as("qa"))
+      .crossJoin(q.select(col("vec_id").as("b"), col("embedding").as("vb"),
+        col("qvec").as("qb")))
+      .filter(col("a") < col("b"))
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("fp"),
+        graft.functions.Int8Cos(col("qa"), col("qb")).as("i8"))
+      .select(max(abs(col("fp") - col("i8")))).head.getDouble(0)
+    assert(pairs < 0.02, s"max |fp-int8| cosine gap $pairs")
+  }
+
+  test("knnJoinQuantized with a deep shortlist equals knnJoin exactly") {
+    // coarseK >= the largest probed candidate set → the rerank sees every
+    // candidate, so the quantized coarse stage cannot lose a neighbor and
+    // the full-precision top-k must equal knnJoin's
+    val plain = Similarity.knnJoin(vecs, "vec_id", "embedding",
+      k = 3, signBits = 4, probeHamming = 1)
+    val quant = Similarity.knnJoinQuantized(vecs, "vec_id", "embedding",
+      k = 3, signBits = 4, probeHamming = 1, coarseK = 200)
+    assert(quant.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
+
+  test("knnJoinQuantized at practical rerank depth loses almost nothing") {
+    val plain = Similarity.knnJoin(vecs, "vec_id", "embedding",
+      k = 3, signBits = 4, probeHamming = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.knnJoinQuantized(vecs, "vec_id", "embedding",
+      k = 3, signBits = 4, probeHamming = 1, coarseK = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (plain & quant).size.toDouble / plain.size
+    assert(recall >= 0.95, s"recall $recall at coarseK=10")
+  }
+
   test("connected components: cliques, chains, singletons") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
