@@ -873,6 +873,52 @@ object SparkEntry {
         aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long"))
           .as("q_sum"))
 
+  /** Incremental crawl-vs-corpus MinHash dedup
+    * ([[Dedup.minhashMatchedAgainst]] + [[Dedup.dropNearDupsAgainst]]):
+    * the standing corpus is the doc_id % 4 == 0 quarter, the incoming
+    * batch the rest; incoming docs whose signature agreement with any
+    * banded reference candidate reaches 0.5 are dropped. Output = the
+    * surviving incoming docs. Same shingle/signature/band/cap constants
+    * as q24, so the two share every oracle fragment. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    // each signature table feeds banding AND the agreement join probe;
+    // session-scoped like every operator cache (freed by clearCache)
+    val incSigs = CacheScope.session.cache(
+      Dedup.minHashSignatures(docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", col("text"), n = 3, k = 8))
+    val refSigs = CacheScope.session.cache(
+      Dedup.minHashSignatures(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", col("text"), n = 3, k = 8))
+    val matched = Dedup.minhashMatchedAgainst(incSigs, refSigs, "doc_id",
+      k = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = LshMaxBucket)
+    Dedup.dropNearDupsAgainst(
+      docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", matched)
+  }
+
+  /** Semantic (SemDeDup-style) dedup over embeddings
+    * ([[Dedup.semanticDedup]]): sign-bucket cells, integer-exact int8
+    * centroid, most-central representative, drop members at int8 cosine
+    * ≥ 0.35 to it (the corpus's embeddings are near-orthogonal — within-
+    * cell cosines top out ~0.43 — so a production-style 0.9 would make
+    * the drop path vacuous; 0.35 exercises it on real rows). Output =
+    * survivors with their cell, representative flag, and 6-dp cosine to
+    * the representative. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(cpuTable(s, dir, "embeddings"), "vec_id",
+      col("embedding"), signBits = 8, threshold = 0.35,
+      maxBucket = LshMaxBucket)
+
+  /** Hashed linear quality score ([[TextAnalysis.hashedLinearScore]])
+    * with the deterministic md5 stand-in model
+    * ([[TextAnalysis.md5Weights]], dim 512, salt "w") over uni+bigram
+    * features — integer-valued weights, so sums are exact. */
+  private def qHashedScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(cpuTable(s, dir, "documents"),
+      "doc_id", col("text"), TextAnalysis.md5Weights(512, "w"))
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -938,6 +984,9 @@ object SparkEntry {
     "q60_mixture_budget" -> (qMixtureBudget _),
     "q61_quantize_int8" -> (qQuantizeInt8 _),
     "q62_knn_quantized" -> (qKnnQuantized _),
+    "q63_dedup_incremental" -> (qDedupIncremental _),
+    "q64_semantic_dedup" -> (qSemanticDedup _),
+    "q65_hashed_score" -> (qHashedScore _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1714,5 +1763,100 @@ object SparkEntry {
         |FROM re
         |QUALIFY row_number() OVER (PARTITION BY qid
         |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin,
+
+    // Same shingle/signature/band fragments as q24; the two sides band
+    // separately, each QUALIFY-capped on its own bucket occupancy, and
+    // candidates join incoming bands to reference bands only.
+    "q63_dedup_incremental" ->
+      s"""${OSql.shingleCte},
+        |${OSql.sigCte},
+        |ib0 AS (
+        | SELECT doc_id, 0 AS band, ${OSql.bkey(0)} AS bkey FROM sig WHERE doc_id % 4 <> 0
+        | UNION ALL SELECT doc_id, 1, ${OSql.bkey(4)} FROM sig WHERE doc_id % 4 <> 0),
+        |ib AS (SELECT doc_id, band, bkey FROM ib0
+        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $LshMaxBucket),
+        |rb0 AS (
+        | SELECT doc_id, 0 AS band, ${OSql.bkey(0)} AS bkey FROM sig WHERE doc_id % 4 = 0
+        | UNION ALL SELECT doc_id, 1, ${OSql.bkey(4)} FROM sig WHERE doc_id % 4 = 0),
+        |rb AS (SELECT doc_id, band, bkey FROM rb0
+        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $LshMaxBucket),
+        |cand AS (SELECT DISTINCT i.doc_id AS a, r.doc_id AS b
+        |  FROM ib i JOIN rb r ON i.band = r.band AND i.bkey = r.bkey),
+        |m AS (SELECT DISTINCT cand.a FROM cand
+        |  JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id
+        |  WHERE (${(0 until 8).map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE / 8.0 >= 0.5)
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id % 4 <> 0 AND d.doc_id NOT IN (SELECT a FROM m)""".stripMargin,
+
+    // Same int8 quantization as q61/q62, sign-bucket cells as q27/q28;
+    // integer-exact centroid sums via the positional explode, score =
+    // dot/sqrt(nsq) (exact ints + IEEE sqrt/divide, so the argmax
+    // agrees bit-for-bit), pairwise int8 cosine with Int8Cos's
+    // zero-norm-is-0.0 convention, capped cells passed through.
+    "q64_semantic_dedup" ->
+      s"""WITH qz AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id, embedding,
+        |    CASE WHEN s = 0 THEN list_transform(embedding,
+        |           x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
+        |    END AS q
+        |  FROM qz),
+        |b0 AS (SELECT vec_id, q, ${(0 until 8).map(i =>
+             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(q, x -> x * x)), (a, x) -> a + x) AS nsq
+        |  FROM qv),
+        |cnt AS (SELECT bkt, count(*) AS n FROM b0 GROUP BY bkt),
+        |m AS (SELECT b0.* FROM b0 JOIN cnt USING (bkt) WHERE n <= $LshMaxBucket),
+        |cap AS (SELECT b0.* FROM b0 JOIN cnt USING (bkt) WHERE n > $LshMaxBucket),
+        |e0 AS (SELECT vec_id, bkt, q,
+        |    unnest(generate_series(0, len(q) - 1)) AS pos FROM m),
+        |e AS (SELECT vec_id, bkt, pos, q[pos + 1] AS qd FROM e0),
+        |c AS (SELECT bkt, pos, sum(qd) AS cd FROM e GROUP BY bkt, pos),
+        |d AS (SELECT e.vec_id, sum(e.qd * c.cd) AS dot
+        |  FROM e JOIN c USING (bkt, pos) GROUP BY e.vec_id),
+        |sc AS (SELECT m.vec_id, m.bkt, m.q, m.nsq,
+        |    CASE WHEN m.nsq = 0 THEN -1e18 ELSE dot / sqrt(m.nsq) END AS score
+        |  FROM m JOIN d USING (vec_id)),
+        |k AS (SELECT bkt, vec_id AS kid, q AS kq, nsq AS knsq FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY bkt
+        |    ORDER BY score DESC, vec_id ASC) = 1),
+        |p AS (SELECT sc.vec_id, sc.bkt, (sc.vec_id = k.kid) AS is_rep, sc.nsq,
+        |    CASE WHEN sc.nsq = 0 OR k.knsq = 0 THEN 0.0
+        |         ELSE round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(list_zip(sc.q, k.kq), x -> x[1] * x[2])),
+        |             (a, x) -> a + x)
+        |           / (sqrt(sc.nsq) * sqrt(k.knsq)), 6)
+        |    END AS cos_rep
+        |  FROM sc JOIN k USING (bkt))
+        |SELECT vec_id, CAST(bkt AS BIGINT) AS bucket, is_rep, cos_rep FROM p
+        |WHERE is_rep OR nsq = 0 OR cos_rep < 0.35
+        |UNION ALL
+        |SELECT vec_id, CAST(bkt AS BIGINT) AS bucket, false AS is_rep,
+        |  CAST(NULL AS DOUBLE) AS cos_rep FROM cap""".stripMargin,
+
+    // The md5 stand-in model regenerated inline: bucket = hash60(gram)
+    // mod 512, weight = (hash60('w'||bucket) mod 2001) - 1000 — exactly
+    // TextAnalysis.md5Weights(512, "w"), recomputed per gram.
+    "q65_hashed_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(
+        |      generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+        |    ELSE [] END) AS gs FROM w),
+        |sc AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |  list_reduce(list_prepend(0.0, list_transform(gs, t ->
+        |    CAST((CAST(('0x' || substr(md5('w' ||
+        |      CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512) AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE))),
+        |    (acc, v) -> acc + v) AS score_sum
+        | FROM g)
+        |SELECT doc_id, n_grams, score_sum,
+        |  round(score_sum / n_grams, 6) AS mean_weight
+        |FROM sc""".stripMargin,
   )
 }

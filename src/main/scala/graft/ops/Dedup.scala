@@ -304,6 +304,24 @@ object Dedup {
         keys)
     }
 
+  /** One (id, band, bkey) row per signature band: band `b`'s key is the
+    * comma-joined run of `rowsPerBand` consecutive signature values —
+    * shared by the self-join ([[lshCandidates]]) and cross-corpus
+    * ([[lshCandidatesAgainst]]) candidate generators so their bucket
+    * keys cannot drift apart. */
+  private def bandSignatures(sigs: DataFrame, idCol: String,
+      k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    sigs.select(
+      col(idCol),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until rowsPerBand).map(r =>
+            col("sig").getItem(b * rowsPerBand + r).cast("string")): _*).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+  }
+
   /** LSH banding: candidate pairs are docs sharing at least one band of
     * `rowsPerBand` consecutive signature values. The join is *per band
     * bucket* (equi-join on the band key) — the scale-out shape: a band
@@ -312,21 +330,75 @@ object Dedup {
     * `maxBucket <= 0` disables). Returns distinct (a, b) pairs, a < b. */
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
       maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
-    val nBands = k / rowsPerBand
-    val banded0 = sigs.select(
-      col(idCol),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", (0 until rowsPerBand).map(r =>
-            col("sig").getItem(b * rowsPerBand + r).cast("string")): _*).as("bkey"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bkey"))
-    val banded = capBuckets(banded0, Seq("band", "bkey"), maxBucket, scope)
+    val banded = capBuckets(bandSignatures(sigs, idCol, k, rowsPerBand),
+      Seq("band", "bkey"), maxBucket, scope)
     val l = banded.select(col("band"), col("bkey"), col(idCol).as("a"))
     val r = banded.select(col("band"), col("bkey"), col(idCol).as("b"))
     l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
+
+  /** Cross-corpus LSH candidates — the incremental-ingest half of MinHash
+    * dedup: (a = incoming id, b = reference id) pairs sharing at least
+    * one band bucket, with NO pairs generated within either corpus. The
+    * recurring production shape is "dedupe this week's crawl against the
+    * standing corpus": re-running the self-join over corpus ∪ batch
+    * re-pays the whole corpus's banding and pair work every ingest, while
+    * this joins the (tiny) batch's bands against the corpus's — whose
+    * signatures are computed once at ingest and persist as a table.
+    *
+    * Each side is bucket-capped independently at `maxBucket` (skew
+    * guard, `<= 0` disables): a boilerplate-degenerate band bucket is
+    * excluded for the side where it is degenerate, bounding any single
+    * bucket's pair fan-out at `maxBucket²` — same contract (and same
+    * oracle mirror) as [[lshCandidates]]. Returns distinct (a, b). */
+  def lshCandidatesAgainst(incSigs: DataFrame, refSigs: DataFrame,
+      idCol: String, k: Int, rowsPerBand: Int,
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+    val bi = capBuckets(bandSignatures(incSigs, idCol, k, rowsPerBand),
+      Seq("band", "bkey"), maxBucket, scope)
+    val br = capBuckets(bandSignatures(refSigs, idCol, k, rowsPerBand),
+      Seq("band", "bkey"), maxBucket, scope)
+    bi.select(col("band"), col("bkey"), col(idCol).as("a"))
+      .join(br.select(col("band"), col("bkey"), col(idCol).as("b")),
+        Seq("band", "bkey"))
+      .select("a", "b").distinct()
+  }
+
+  /** Incoming ids whose MinHash signature agreement with at least one
+    * reference candidate reaches `threshold` (fraction of the k
+    * signature positions that match — the standard Jaccard estimator).
+    * Both signature inputs are [[minHashSignatures]] outputs; candidates
+    * come from [[lshCandidatesAgainst]] so only banded collisions are
+    * verified. The agreement count is exact integer arithmetic
+    * (`zip_with` equality fold), so the `>= threshold` cut is
+    * cross-engine reproducible. Returns one `idCol` row per matched
+    * incoming doc — feed to [[dropNearDupsAgainst]]. */
+  def minhashMatchedAgainst(incSigs: DataFrame, refSigs: DataFrame,
+      idCol: String, k: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+    val cands = lshCandidatesAgainst(incSigs, refSigs, idCol, k, rowsPerBand,
+      maxBucket, scope)
+    val sa = incSigs.select(col(idCol).as("a"), col("sig").as("__sa"))
+    val sb = refSigs.select(col(idCol).as("b"), col("sig").as("__sb"))
+    cands.join(sa, "a").join(sb, "b")
+      .withColumn("__match",
+        aggregate(zip_with(col("__sa"), col("__sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+      .filter(col("__match").cast("double") / k >= threshold)
+      .select(col("a").as(idCol)).distinct()
+  }
+
+  /** Drop incoming docs matched against the reference corpus — the
+    * consumer half of incremental dedup. `matched` is
+    * [[minhashMatchedAgainst]]'s output (or any one-column id set); one
+    * anti-join on the id. Unlike [[dropNearDups]] there is no
+    * connected-components step: matches point INTO the reference corpus,
+    * whose members are kept by definition, so dropping every matched
+    * incoming doc is already the transitive-safe rule. */
+  def dropNearDupsAgainst(incoming: DataFrame, idCol: String,
+      matched: DataFrame): DataFrame =
+    incoming.join(matched, Seq(idCol), "left_anti")
 
   /** Exact Jaccard over distinct word n-gram shingles for given candidate
     * pairs, via the inverted index (explode + equi-join on shingle), with
@@ -589,5 +661,92 @@ object Dedup {
       .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster
+    * the embedding space, keep one representative per semantic cluster,
+    * drop members too close to it). Clusters here are the deterministic
+    * sign-bit LSH cells ([[Similarity.signBucket]]) rather than k-means —
+    * no iterative fitting, no model state, and the cell assignment is a
+    * pure projection, which is what makes the operator a single-pass
+    * pipeline stage at 100 TB. Within each cell:
+    *
+    *  1. vectors are int8-quantized ([[Similarity.quantizeInt8]]) so all
+    *     cross-row math is EXACT integer arithmetic — the cell centroid
+    *     is the un-normalized component sum (cosine is scale-invariant,
+    *     so the division by |cell| is dropped rather than rounded), and
+    *     summation order cannot perturb it;
+    *  2. the representative is the member most cosine-similar to the
+    *     centroid (score `dot/√normsq`: exact integer dot and norm,
+    *     one IEEE-correctly-rounded sqrt + divide, ties to the lowest
+    *     id) — elected via the bounded-heap argmax, k=1 state per cell
+    *     per task, no sort;
+    *  3. members whose int8 cosine to the representative (codegen
+    *     [[graft.functions.Int8Cos]], 6-dp) reaches `threshold` are
+    *     dropped; the representative itself, zero-norm members (cosine
+    *     undefined — kept by convention), and far members survive.
+    *
+    * Cells larger than `maxBucket` are NOT deduplicated: a degenerate
+    * sign cell (all-equal leading signs — e.g. non-negative feature
+    * embeddings) is a region where one representative is meaningless,
+    * and electing it would put the whole cell behind one reducer. Those
+    * rows pass through as survivors with `is_rep = false, cos_rep =
+    * null` (the skew guard changes how much is DEDUPED, never what is
+    * KEPT — the safe direction for a destructive operator).
+    *
+    * Scale shape: one explode keyed (cell, dim) feeding a two-level
+    * partial-aggregated centroid (the exchange carries cells × dims
+    * rows, not corpus × dims), centroids equi-joined back per cell, and
+    * the bounded-heap election — no all-pairs work anywhere; the only
+    * per-member pairwise cosine is against the single representative.
+    * `idCol` must be integral (the argmax payload, as in
+    * [[graft.ops.Rank.topNPerGroup]]); null vectors are excluded.
+    * Output: `idCol`, bucket, is_rep, cos_rep (null for capped cells). */
+  def semanticDedup(df: DataFrame, idCol: String, vec: Column,
+      signBits: Int, threshold: Double, maxBucket: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val all = scope.cache(
+      Similarity.quantizeInt8(
+        df.filter(vec.isNotNull).select(col(idCol), vec.as("__v")), "__v")
+        .select(col(idCol),
+          Similarity.signBucket(col("__v"), signBits).as("__bkt"),
+          col("qvec").as("__q"),
+          aggregate(transform(col("qvec"),
+            x => x.cast("long") * x.cast("long")),
+            lit(0L), (a, x) => a + x).as("__nsq")))
+    // skew guard: overfull cells pass through UNDEDUPED (see scaladoc)
+    val over = all.groupBy(col("__bkt")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > (if (maxBucket <= 0) Long.MaxValue else maxBucket))
+      .select(col("__bkt"))
+    val members = all.join(over, Seq("__bkt"), "left_anti")
+    val capped = all.join(over, Seq("__bkt"), "left_semi")
+    // integer-exact centroid: component sums per (cell, dim), partially
+    // aggregated before the exchange, reassembled to one array per cell
+    val centroid = members
+      .select(col("__bkt"), posexplode(col("__q")))
+      .groupBy(col("__bkt"), col("pos")).agg(sum(col("col")).as("__cd"))
+      .groupBy(col("__bkt"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("__cd")))),
+        x => x.getField("__cd")).as("__cent"))
+    val scored = members.join(centroid, Seq("__bkt"))
+      .withColumn("__dot",
+        aggregate(zip_with(col("__q"), col("__cent"),
+          (a, c) => a.cast("long") * c), lit(0L), (a, x) => a + x))
+      .withColumn("__score",
+        when(col("__nsq") === 0L, lit(-1e18))
+          .otherwise(col("__dot").cast("double") /
+            sqrt(col("__nsq").cast("double"))))
+    val rep = Rank.topNPerGroup(scored, Seq("__bkt"), idCol, "__score", n = 1)
+      .select(col("__bkt"), col("id").as("__kid"))
+      .join(all.select(col(idCol).cast("long").as("__kid"),
+        col("__bkt"), col("__q").as("__kq")), Seq("__bkt", "__kid"))
+    val judged = scored.join(rep, Seq("__bkt"))
+      .withColumn("cos_rep", graft.functions.Int8Cos(col("__q"), col("__kq")))
+      .withColumn("is_rep", col(idCol).cast("long") === col("__kid"))
+      .filter(col("is_rep") || col("__nsq") === 0L || col("cos_rep") < threshold)
+      .select(col(idCol), col("__bkt").as("bucket"), col("is_rep"),
+        col("cos_rep"))
+    judged.unionByName(capped.select(col(idCol), col("__bkt").as("bucket"),
+      lit(false).as("is_rep"), lit(null).cast("double").as("cos_rep")))
   }
 }

@@ -116,4 +116,65 @@ object TextAnalysis {
         round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_frac"),
         round(col("__tf_sum").cast("double") / col("n_tokens"), 6).as("mean_tf"))
   }
+
+  /** fastText-style hashed linear model score — the distributed shape of
+    * model-based quality filtering (CCNet/GPT-3/LLaMA pipelines put a
+    * linear classifier over hashed uni+bigram features in front of every
+    * other filter). Features are word unigrams (+ bigrams when `bigrams`)
+    * bucketed by the hashing trick (`hash60 mod weights.length` — the
+    * fixed-size model that makes vocabulary growth a non-event), and the
+    * document's score is the sum of its features' weights: a trained
+    * model rides along as the plain `weights` array, compiled into the
+    * scoring expression as an array literal — at 100 TB the model ships
+    * once per executor inside the task binary, and scoring is ONE
+    * narrow per-row projection with no shuffle, no join, no state.
+    *
+    * The raw sum (not a sigmoid) is returned: thresholding is monotone
+    * in it, and `exp` is only faithfully rounded — per-libm results
+    * would break cross-engine reproduction (same reasoning as
+    * [[tokenRarity]]'s dropped log-prob). With integer-valued weights
+    * (e.g. [[md5Weights]], or a trained model's weights scaled and
+    * rounded to integers) every sum is exact in doubles (< 2^53), so
+    * oracles match bit-for-bit. Output: `idCol`, n_grams, score_sum,
+    * mean_weight (6-dp per-feature mean, length-normalized like
+    * fastText's). */
+  def hashedLinearScore(df: DataFrame, idCol: String, text: Column,
+      weights: Array[Double], bigrams: Boolean = true): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val dim = weights.length
+    val w = typedLit(weights)
+    val toks = split(text, " ")
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = if (bigrams) concat(toks, bi) else toks
+    df.withColumn("__g", grams)
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_grams"),
+        aggregate(col("__g"), lit(0.0), (acc, g) =>
+          acc + element_at(w,
+            (pmod(Dedup.hash60(g), lit(dim.toLong)) + 1).cast("int")))
+          .as("__s"))
+      .select(col(idCol), col("n_grams"),
+        col("__s").as("score_sum"),
+        round(col("__s") / col("n_grams"), 6).as("mean_weight"))
+  }
+
+  /** Deterministic integer-valued stand-in weights for
+    * [[hashedLinearScore]]: bucket b's weight is
+    * `(md5-hash60(salt || b) mod 2001) − 1000` ∈ [−1000, 1000] — the
+    * same md5-based hash the engine uses everywhere
+    * ([[Dedup.hash60]]), so an external SQL engine regenerates the
+    * identical model from (salt, dim) alone. Stands in for trained
+    * weights where no model artifact is available (this sandbox);
+    * a real deployment passes its trained array instead. */
+  def md5Weights(dim: Int, salt: String): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { b =>
+      val hex = md.digest(s"$salt$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble
+    }.toArray
+  }
 }
