@@ -231,6 +231,34 @@ object ScaleProbe {
           n = 3, threshold = 0.5, maxDf = 100, scope = sc)
         Dedup.connectedComponents(pairs, docs.select(col("doc_id")), "doc_id")
           .count()
+      }),
+      // asymmetric banding (q63's exact shape: ref = doc_id % 4 == 0,
+      // inc = rest, per-side caps) — the candidate join's within-bucket
+      // term is |inc ∩ bucket| × |ref ∩ bucket|, so the red line is the
+      // same occupancy² bend as the self-join family, A/B-comparable
+      // against minhash_lsh on the same corpus
+      "incremental_minhash" -> (() => CacheScope.using { sc =>
+        val incSigs = sc.cache(Dedup.minHashSignatures(
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", col("text"),
+          n = 3, k = 8))
+        val refSigs = sc.cache(Dedup.minHashSignatures(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", col("text"),
+          n = 3, k = 8))
+        val matched = Dedup.minhashMatchedAgainst(incSigs, refSigs,
+          "doc_id", k = 8, rowsPerBand = 4, threshold = 0.5,
+          maxBucket = MaxBucket, scope = sc)
+        Dedup.dropNearDupsAgainst(
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", matched).count()
+      }),
+      // q64's exact shape — centroid exchange is cells × dims (constant
+      // per cell count), election and pairwise-to-rep are linear, so the
+      // red line is cell occupancy outrunning the cap: survivors must
+      // stay ≈ corpus (pass-through keeps capped cells whole) while time
+      // stays sub-quadratic
+      "semantic_dedup" -> (() => CacheScope.using { sc =>
+        Dedup.semanticDedup(embs, "vec_id", col("embedding"),
+          signBits = 8, threshold = 0.35, maxBucket = MaxBucket,
+          scope = sc).count()
       }))
 
     // fail fast on a typo'd filter — otherwise the probe spends minutes

@@ -919,6 +919,48 @@ object SparkEntry {
     TextAnalysis.hashedLinearScore(cpuTable(s, dir, "documents"),
       "doc_id", col("text"), TextAnalysis.md5Weights(512, "w"))
 
+  /** Embedding-side incremental dedup ([[Dedup.cosineMatchedAgainst]] +
+    * [[Dedup.dropNearDupsAgainst]]): q63's crawl-vs-corpus shape over
+    * vectors — the standing index is the vec_id % 4 == 0 quarter, the
+    * incoming batch the rest; incoming vectors at exact 6-dp cosine
+    * ≥ 0.3 to any same-cell reference vector are dropped (the corpus's
+    * embeddings are near-orthogonal, so a production-style 0.9 would
+    * make the drop path vacuous — 0.3 exercises it on real rows). Same
+    * signBits/cap constants as q28, so the cell fragments mirror. */
+  private def qCosineIncremental(s: SparkSession, dir: String): DataFrame = {
+    val embs = cpuTable(s, dir, "embeddings")
+    val matched = Dedup.cosineMatchedAgainst(
+      embs.filter(col("vec_id") % 4 =!= 0),
+      embs.filter(col("vec_id") % 4 === 0),
+      "vec_id", col("embedding"), signBits = 8, threshold = 0.3,
+      maxBucket = LshMaxBucket)
+    Dedup.dropNearDupsAgainst(
+      embs.filter(col("vec_id") % 4 =!= 0).select(col("vec_id"), col("label")),
+      "vec_id", matched)
+  }
+
+  /** Per-language vocabulary top-K ([[TextAnalysis.vocabTopK]]): the 10
+    * most frequent tokens per language via the bounded-heap grouped
+    * top-k (k rows of state per group per task — never a per-group
+    * window sort over the corpus), ties by the cross-engine md5 hash of
+    * the token. */
+  private def qVocabTopK(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(cpuTable(s, dir, "documents"), "lang",
+      col("text"), k = 10)
+
+  /** Leakage-safe splits ([[Sampling.leakageSafeSplit]]): q44's
+    * train/val/test assignment hashed on the NEAR-DUP CLUSTER (q47's
+    * connected components over the n-gram Jaccard pairs) instead of the
+    * doc id, so no near-duplicate pair ever straddles the train/test
+    * fence. */
+  private def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+      n = 3, threshold = 0.5, maxDf = 100)
+    graft.ops.Sampling.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
+      pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "ls1")
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -987,6 +1029,9 @@ object SparkEntry {
     "q63_dedup_incremental" -> (qDedupIncremental _),
     "q64_semantic_dedup" -> (qSemanticDedup _),
     "q65_hashed_score" -> (qHashedScore _),
+    "q66_cosine_incremental" -> (qCosineIncremental _),
+    "q67_vocab_topk" -> (qVocabTopK _),
+    "q68_leakage_split" -> (qLeakageSplit _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1858,5 +1903,58 @@ object SparkEntry {
         |SELECT doc_id, n_grams, score_sum,
         |  round(score_sum / n_grams, 6) AS mean_weight
         |FROM sc""".stripMargin,
+
+    // q28's cell construction with asymmetric sides (each QUALIFY-capped
+    // on its own occupancy), the 6-dp cosine at the cut, and q63's
+    // NOT IN consumer.
+    "q66_cosine_incremental" ->
+      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM embeddings),
+        |i AS (SELECT * FROM b0 WHERE vec_id % 4 <> 0
+        |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |r AS (SELECT * FROM b0 WHERE vec_id % 4 = 0
+        |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |m AS (SELECT DISTINCT i.vec_id FROM i JOIN r ON i.bkt = r.bkt
+        |  WHERE ${OSql.cosSql("i.embedding", "r.embedding")} >= 0.3)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id % 4 <> 0 AND vec_id NOT IN (SELECT vec_id FROM m)""".stripMargin,
+
+    // Tie order mirrors the heap's (cnt desc, hash60(token) asc) — the
+    // same md5 construction as q44.
+    "q67_vocab_topk" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM t
+        |  WHERE len(token) > 0 GROUP BY 1, 2)
+        |SELECT lang, token, cnt, rank FROM (
+        | SELECT lang, token, cnt, row_number() OVER (PARTITION BY lang
+        |   ORDER BY cnt DESC,
+        |     CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) ASC) AS rank
+        | FROM c) WHERE rank <= 10""".stripMargin,
+
+    // q47's recursive-CTE clusters feeding q44's basis-point CASE, hash
+    // keyed on the cluster (seed 'ls1').
+    "q68_leakage_split" ->
+      s"""${OSql.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |shh AS (SELECT doc_id, nsh, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 100),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+        | FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2, x.nsh, y.nsh
+        | HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |reach(id, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |cc AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY 1)
+        |SELECT doc_id, cluster,
+        | CASE WHEN h < 8000 THEN 'train' WHEN h < 9000 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster,
+        |  CAST(('0x'||substr(md5('ls1'||CAST(cluster AS VARCHAR)),1,15)) AS BIGINT)
+        |    % 10000 AS h
+        | FROM cc)""".stripMargin,
   )
 }

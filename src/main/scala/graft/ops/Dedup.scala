@@ -663,6 +663,37 @@ object Dedup {
       .select("a", "b", "cos")
   }
 
+  /** Embedding-side incremental dedup — [[minhashMatchedAgainst]]'s
+    * vector twin ("drop this week's vectors that duplicate the standing
+    * index"): incoming ids whose EXACT cosine to at least one reference
+    * vector in the same sign-bucket cell reaches `threshold`. Both sides
+    * bucket on the same deterministic hyperplanes
+    * ([[Similarity.signBucket]]) and are capped independently at
+    * `maxBucket` (per-cell fan-out bound maxBucket², the
+    * [[lshCandidatesAgainst]] contract); no within-side pairs exist, so
+    * the standing index's pair work is never re-paid at ingest — its
+    * bucketed table persists and only the (tiny) batch's cells join in.
+    * Same-cell-only recall caveat as [[cosineNearDupPairs]]: a near-dup
+    * whose vector crosses one hyperplane is invisible (raise to
+    * multi-probe via [[Similarity.lshTopK]] when that matters). Returns
+    * one `idCol` row per matched incoming vector — feed to
+    * [[dropNearDupsAgainst]] (reference members are kept by definition,
+    * so dropping every matched incoming row is the transitive-safe
+    * rule, no connected-components step). */
+  def cosineMatchedAgainst(inc: DataFrame, ref: DataFrame, idCol: String,
+      vec: Column, signBits: Int, threshold: Double, maxBucket: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    def side(df: DataFrame) = capBuckets(
+      df.filter(vec.isNotNull).select(col(idCol), vec.as("__v"),
+        Similarity.signBucket(vec, signBits).as("__bkt")),
+      Seq("__bkt"), maxBucket, scope)
+    side(inc).select(col("__bkt"), col(idCol).as("a"), col("__v").as("va"))
+      .join(side(ref).select(col("__bkt"), col(idCol).as("b"),
+        col("__v").as("vb")), Seq("__bkt"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("a").as(idCol)).distinct()
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster
     * the embedding space, keep one representative per semantic cluster,
     * drop members too close to it). Clusters here are the deterministic

@@ -39,6 +39,34 @@ object Sampling {
       splits: Seq[(String, Double)], seed: String): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), splits, seed))
 
+  /** Leakage-safe train/val/test assignment: split by NEAR-DUP CLUSTER,
+    * not by document. Hashing raw doc ids ([[hashSplit]]) puts ~two
+    * members of every near-duplicate pair on opposite sides of the
+    * train/test fence — the classic eval-contamination bug that survives
+    * per-split dedup (each side is internally clean; the leak is across).
+    * Here every document first gets its connected-component label from
+    * the near-dup pair list ([[Dedup.connectedComponents]] — the q47
+    * machinery), and [[splitColumn]] hashes the CLUSTER id, so a whole
+    * dedup group lands in one split by construction; singleton docs are
+    * their own cluster and split exactly as [[hashSplit]] would on the
+    * cluster id. Split proportions are then cluster-weighted rather than
+    * doc-weighted — with near-dup rates in the low percents the drift
+    * from the requested weights is the same low percents, the accepted
+    * cost of the guarantee (group-wise splitting is the standard remedy,
+    * cf. scikit-learn's GroupShuffleSplit).
+    *
+    * `pairs` is any (a, b) near-dup pair list (Jaccard/MinHash/SimHash/
+    * cosine families all produce one); cost is the CC iterations (probed
+    * sub-linear at 10×/30×, `SCALING.md`) plus one id-keyed equi-join —
+    * the split itself stays a stateless projection. Output: `df`'s
+    * columns + cluster + split. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], seed: String): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs, df.select(col(idCol)), idCol)
+    df.join(cc, Seq(idCol))
+      .withColumn("split", splitColumn(col("cluster"), splits, seed))
+  }
+
   /** Deterministic fractional sample: keep a row iff its hash bucket
     * falls below `fraction` — the same stability properties as
     * [[hashSplit]], unlike `df.sample()` (seeded per-partition, so

@@ -161,6 +161,41 @@ object TextAnalysis {
         round(col("__s") / col("n_grams"), 6).as("mean_weight"))
   }
 
+  /** Per-group vocabulary top-K: the `k` most frequent whitespace tokens
+    * per `groupCol` (languages, sources, domains) — the corpus pass
+    * behind tokenizer-vocabulary construction and per-language corpus
+    * drift dashboards.
+    *
+    * Scale shape: one token explode into a two-key hash aggregate (the
+    * exchange carries one partially-aggregated row per distinct (group,
+    * token), not one per occurrence), then the bounded-heap
+    * [[Rank.topNPerGroup]] over the vocab-sized count table — k rows of
+    * state per group per task, never a per-group window sort — and one
+    * vocab-sized equi-join to restore token strings. Ranking order is
+    * count descending, ties by ascending [[Dedup.hash60]] of the token:
+    * the heap's payload is integral, so the tie-break key IS the hash —
+    * deterministic and cross-engine reproducible (an external oracle
+    * orders by the same md5 construction). A same-group hash60 collision
+    * would duplicate a rank row in the join-back; at 60 bits that needs
+    * ~2^30 distinct tokens in ONE group to reach even 50% odds —
+    * accepted and documented rather than paid for. */
+  def vocabTopK(df: DataFrame, groupCol: String, text: Column, k: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val counts = scope.cache(
+      df.select(col(groupCol), explode(split(text, " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col(groupCol), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__tid", Dedup.hash60(col("token"))))
+    // heap order is (score desc, id asc) = (cnt desc, hash60 asc)
+    Rank.topNPerGroup(counts, Seq(groupCol), "__tid", "cnt", k)
+      .join(counts.select(col(groupCol), col("token"), col("__tid").as("id")),
+        Seq(groupCol, "id"))
+      .select(col(groupCol), col("token"),
+        col("score").cast("long").as("cnt"), col("rank"))
+  }
+
   /** Deterministic integer-valued stand-in weights for
     * [[hashedLinearScore]]: bucket b's weight is
     * `(md5-hash60(salt || b) mod 2001) − 1000` ∈ [−1000, 1000] — the

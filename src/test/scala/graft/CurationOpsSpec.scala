@@ -249,4 +249,124 @@ class CurationOpsSpec extends AnyFunSuite {
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(3) == mean)
   }
+
+  // ---------------------------------------------------------------- //
+  //  Embedding-side incremental dedup                                 //
+  // ---------------------------------------------------------------- //
+
+  /** Driver-side 6-dp cosine, CosineSim's sequential double fold. */
+  private def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("cosineMatchedAgainst: same-cell cross-side matches only; sign-crossed near-dup invisible") {
+    val ref = embDf(
+      0L -> Seq(1f, 1f, 0.5f, 0f),
+      4L -> Seq(-1f, 1f, 0f, 0f))
+    val inc = embDf(
+      1L -> Seq(1f, 1f, 0.5f, 0.01f), // near-copy of ref 0, same cell → matched
+      2L -> Seq(1f, 1f, 0.5f, 0.01f), // identical to inc 1: within-side must NOT pair
+      3L -> Seq(-1f, -1f, -0.5f, 0f), // negation of ref 0: different cell → invisible
+      5L -> Seq(0.9f, -1f, 0.5f, 0f)) // unlike any reference
+    val matched = Dedup.cosineMatchedAgainst(inc, ref, "vec_id",
+      col("embedding"), signBits = 4, threshold = 0.9)
+      .as[Long].collect().toSet
+    assert(matched == Set(1L, 2L),
+      "both same-cell near-copies of ref 0 match; nothing else")
+    val out = Dedup.dropNearDupsAgainst(inc, "vec_id", matched.toSeq.toDF("vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(3L, 5L))
+  }
+
+  test("cosineMatchedAgainst: per-side cap drops the degenerate side's cell only") {
+    // three identical reference vectors in one cell, maxBucket=2: the
+    // REFERENCE cell is dropped, so the incoming copy matches nothing
+    val ref = embDf(0L -> Seq(1f, 1f), 2L -> Seq(1f, 1f), 4L -> Seq(1f, 1f))
+    val inc = embDf(1L -> Seq(1f, 1f))
+    assert(Dedup.cosineMatchedAgainst(inc, ref, "vec_id", col("embedding"),
+      signBits = 2, threshold = 0.9, maxBucket = 2).count() == 0)
+    assert(Dedup.cosineMatchedAgainst(inc, ref, "vec_id", col("embedding"),
+      signBits = 2, threshold = 0.9, maxBucket = 3).count() == 1)
+  }
+
+  test("property: cosineMatchedAgainst == driver-side reference (4 seeds)") {
+    for (seed <- 11 to 14) {
+      val rnd = new scala.util.Random(seed)
+      def vec() = Seq.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)
+      val refV = (0L until 30L).map(i => (i * 2) -> vec()).toMap
+      val incV = (0L until 30L).map(i => (i * 2 + 1) -> vec()).toMap
+      val thr = 0.6
+      val bits = 3
+      def cell(v: Seq[Float]) =
+        (0 until bits).map(i => if (v(i) >= 0) 1L << i else 0L).sum
+      val want = incV.collect { case (ia, va) if refV.exists { case (_, vb) =>
+        cell(va) == cell(vb) && cos6(va, vb) >= thr } => ia }.toSet
+      val got = Dedup.cosineMatchedAgainst(
+        embDf(incV.toSeq: _*), embDf(refV.toSeq: _*), "vec_id",
+        col("embedding"), signBits = bits, threshold = thr)
+        .as[Long].collect().toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Vocabulary top-K                                                 //
+  // ---------------------------------------------------------------- //
+
+  test("vocabTopK: per-group counts, heap order (cnt desc, hash60 asc), empty tokens excluded") {
+    val docs = Seq(
+      ("en", "a a a b b c"),
+      ("en", "b  c"), // double space → one empty token, excluded
+      ("de", "x y x")).toDF("lang", "text")
+    val got = TextAnalysis.vocabTopK(docs, "lang", col("text"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // en: a=3, b=3 (tie → hash60 order), c=2; de: x=2, y=1
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val enTie = Seq("a", "b").sortBy(h60)
+    assert(got == Set(
+      ("en", enTie(0), 3L, 1L), ("en", enTie(1), 3L, 2L),
+      ("de", "x", 2L, 1L), ("de", "y", 1L, 2L)))
+  }
+
+  test("vocabTopK: k larger than the vocabulary returns the whole vocabulary ranked") {
+    val docs = Seq(("en", "p q p")).toDF("lang", "text")
+    val got = TextAnalysis.vocabTopK(docs, "lang", col("text"), k = 10)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq("p" -> 2L, "q" -> 1L))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Leakage-safe splits                                              //
+  // ---------------------------------------------------------------- //
+
+  test("leakageSafeSplit: connected near-dups share a split; singletons match hashSplit on own id") {
+    import graft.ops.Sampling
+    val ids = (0L until 40L).toDF("doc_id")
+    // one 3-chain (0≈1≈2) + one pair (10≈11); the rest are singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.leakageSafeSplit(ids, "doc_id", pairs, splits, "s9")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 40)
+    assert(Seq(0L, 1L, 2L).map(out(_)).distinct.size == 1,
+      "the whole 3-chain lands in one (cluster, split)")
+    assert(out(10L) == out(11L))
+    assert(out(0L)._1 == 0L && out(10L)._1 == 10L, "cluster = min member id")
+    // singletons: cluster is the own id, so the assignment IS hashSplit's
+    val hs = Sampling.hashSplit((12L until 40L).toDF("doc_id"), "doc_id",
+      splits, "s9").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (12L until 40L).foreach(i => assert(out(i) == (i -> hs(i)), s"doc $i"))
+  }
 }
