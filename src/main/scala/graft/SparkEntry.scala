@@ -961,6 +961,48 @@ object SparkEntry {
       pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "ls1")
   }
 
+  /** Quality-filter funnel ([[graft.ops.Curation.filterFunnel]]):
+    * four integer-exact rules in pipeline order, each document charged
+    * to the FIRST rule it fails (null = kept). Mean-word-length and
+    * digit-fraction bounds are cross-multiplied into integer
+    * comparisons so no division noise crosses engines. */
+  private def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val uniq = size(array_distinct(split(col("text"), " "))).cast("long")
+    // bounds tuned so every rule attributes real drops on the fixture
+    // corpus (90/16/15/8 of 500 at sf0.01) — a funnel whose tail rules
+    // never fire tests nothing
+    graft.ops.Curation.filterFunnel(
+      cpuTable(s, dir, "documents"), "doc_id", Seq(
+        "min_chars" -> (col("n_chars") >= 150L),
+        "min_words" -> (words >= 30L),
+        // mean word length <= 5.8: n_chars*5 <= words*29, exact in longs
+        "long_words" -> (col("n_chars") * 5L <= words * 29L),
+        // distinct-token ratio >= 30%: Gopher-style repetition screen
+        "low_diversity" -> (uniq * 10L >= words * 3L)))
+      .select(col("doc_id"), col("first_failed"), col("kept"))
+  }
+
+  /** Keep-best near-dup dedup ([[Dedup.dropNearDupsKeeping]]): q47's
+    * clusters, but the survivor is the LONGEST member (ties to lowest
+    * id) instead of the min-id canonical — the quality-keeper rule. */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+      n = 3, threshold = 0.5, maxDf = 100)
+    Dedup.dropNearDupsKeeping(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      "doc_id", pairs, "n_chars")
+  }
+
+  /** Per-source cap ([[graft.ops.Sampling.capPerGroup]]): at most 20
+    * docs per source by the salted 52-bit hash rank — the
+    * domain-diversity guard, exactly-n and deterministic. */
+  private def qCapPerSource(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capPerGroup(
+      table(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", n = 20, seed = "cap1")
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1032,6 +1074,9 @@ object SparkEntry {
     "q66_cosine_incremental" -> (qCosineIncremental _),
     "q67_vocab_topk" -> (qVocabTopK _),
     "q68_leakage_split" -> (qLeakageSplit _),
+    "q69_filter_funnel" -> (qFilterFunnel _),
+    "q70_dedup_keep_best" -> (qDedupKeepBest _),
+    "q71_cap_per_source" -> (qCapPerSource _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1956,5 +2001,58 @@ object SparkEntry {
         |  CAST(('0x'||substr(md5('ls1'||CAST(cluster AS VARCHAR)),1,15)) AS BIGINT)
         |    % 10000 AS h
         | FROM cc)""".stripMargin,
+
+    // First-failing-rule CASE in pipeline order; integer-exact bounds
+    // (cross-multiplied — no division noise crosses engines).
+    "q69_filter_funnel" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN NOT (n_chars >= 150) THEN 'min_chars'
+        |      WHEN NOT (words >= 30) THEN 'min_words'
+        |      WHEN NOT (n_chars * 5 <= words * 29) THEN 'long_words'
+        |      WHEN NOT (uniq * 10 >= words * 3) THEN 'low_diversity'
+        |      ELSE NULL END AS first_failed,
+        | (n_chars >= 150 AND words >= 30 AND n_chars * 5 <= words * 29
+        |  AND uniq * 10 >= words * 3) AS kept
+        |FROM f""".stripMargin,
+
+    // q47's clusters; the survivor is the longest member (ties to
+    // lowest id) instead of min(id).
+    "q70_dedup_keep_best" ->
+      s"""${OSql.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |shh AS (SELECT doc_id, nsh, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 100),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+        | FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2, x.nsh, y.nsh
+        | HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |reach(id, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |cc AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY 1),
+        |keep AS (SELECT doc_id FROM (
+        |  SELECT c.doc_id, c.cluster, d.n_chars FROM cc c
+        |  JOIN documents d USING (doc_id))
+        | QUALIFY row_number() OVER (PARTITION BY cluster
+        |   ORDER BY n_chars DESC, doc_id ASC) = 1)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |JOIN keep USING (doc_id)""".stripMargin,
+
+    // Ascending 52-bit salted hash rank within each source, first 20
+    // survive — q44's md5 construction reduced mod 2^52 (the operator's
+    // double-exact range), ties to lowest id.
+    "q71_cap_per_source" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(('0x'||substr(md5('cap1'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    % 4503599627370496 AS r
+        | FROM documents)
+        |SELECT doc_id, source FROM h
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY r ASC, doc_id ASC) <= 20""".stripMargin,
   )
 }

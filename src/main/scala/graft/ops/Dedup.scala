@@ -663,6 +663,27 @@ object Dedup {
       .select("a", "b", "cos")
   }
 
+  /** [[dropNearDups]] with a QUALITY keeper instead of the min-id
+    * keeper: within each connected near-dup cluster, survive the member
+    * with the highest `scoreCol` (ties to the lowest id) — "keep the
+    * longest/highest-quality copy", the rule real pipelines want once a
+    * quality signal exists (the min-id keeper is only canonical, not
+    * best). Same CC machinery and cost as [[dropNearDups]]; the keeper
+    * election is the bounded-heap [[Rank.topNPerGroup]] at n = 1 (k = 1
+    * state per cluster per task, no window sort), then one semi-join.
+    * `idCol` must be integral (the argmax payload), `scoreCol` numeric;
+    * a null score excludes the row from election (and from survival,
+    * unless it is a singleton cluster — score your rows first). */
+  def dropNearDupsKeeping(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, df.select(col(idCol)), idCol)
+    val keep = Rank.topNPerGroup(
+      df.select(col(idCol), col(scoreCol)).join(cc, Seq(idCol)),
+      Seq("cluster"), idCol, scoreCol, n = 1)
+      .select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Embedding-side incremental dedup — [[minhashMatchedAgainst]]'s
     * vector twin ("drop this week's vectors that duplicate the standing
     * index"): incoming ids whose EXACT cosine to at least one reference

@@ -39,6 +39,40 @@ object Sampling {
       splits: Seq[(String, Double)], seed: String): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), splits, seed))
 
+  /** Per-group document cap — "at most `n` docs per domain/source", the
+    * domain-diversity guard every web-scale corpus applies (a handful of
+    * boilerplate-heavy domains otherwise dominate the token budget).
+    * Membership must be deterministic AND exactly-n, so neither
+    * `rand()` (unstable) nor a plain hash-rate filter ([[hashSample]] —
+    * approximate counts) qualifies: each row is ranked within its group
+    * by a salted hash and the first `n` survive, via the bounded-heap
+    * [[Rank.topNPerGroup]] (n rows of state per group per task — never
+    * a per-group window sort over the corpus, which is the naive
+    * row_number() shape this operator exists to avoid at 100 TB).
+    *
+    * The ranking key is `hash60(seed || id) mod 2^52` — reduced into
+    * double-exact range because the heap compares scores as doubles
+    * and 60-bit longs round at 2^53 (two distinct hashes could collide
+    * after rounding and flip the order an external engine computes
+    * exactly); at 52 bits every value is a distinct-representable
+    * double, residual collisions are real ties, and the heap's
+    * ascending-id tie-break makes them deterministic cross-engine.
+    * `idCol` must be integral. Output: `df`'s rows that survive. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      n: Int, seed: String): DataFrame = {
+    require(n >= 1, s"n >= 1, got $n")
+    val rank52 = pmod(
+      Dedup.hash60(concat(lit(seed), col(idCol).cast("string"))),
+      lit(1L << 52))
+    // topNPerGroup keeps the HIGHEST scores: negate so the smallest
+    // hash ranks first (plain ascending-hash semantics for the oracle)
+    val keep = Rank.topNPerGroup(
+      df.select(col(groupCol), col(idCol), (-rank52).cast("double").as("__r")),
+      Seq(groupCol), idCol, "__r", n)
+      .select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Leakage-safe train/val/test assignment: split by NEAR-DUP CLUSTER,
     * not by document. Hashing raw doc ids ([[hashSplit]]) puts ~two
     * members of every near-duplicate pair on opposite sides of the

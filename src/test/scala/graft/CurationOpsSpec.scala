@@ -369,4 +369,91 @@ class CurationOpsSpec extends AnyFunSuite {
       splits, "s9").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     (12L until 40L).foreach(i => assert(out(i) == (i -> hs(i)), s"doc $i"))
   }
+
+  // ---------------------------------------------------------------- //
+  //  Filter funnel                                                    //
+  // ---------------------------------------------------------------- //
+
+  test("filterFunnel: first failing rule wins, kept iff all pass, counts add up") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, 10L), // fails r1 AND r2 → charged to r1 (pipeline order)
+      (2L, 60L), // fails r2 only
+      (3L, 200L) // passes both
+    ).toDF("doc_id", "n")
+    val rules = Seq(
+      "ge50" -> (col("n") >= 50L),
+      "ge100" -> (col("n") >= 100L))
+    val out = Curation.filterFunnel(docs, "doc_id", rules)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(out == Map(
+      1L -> (Some("ge50"), false),
+      2L -> (Some("ge100"), false),
+      3L -> (None, true)))
+    val counts = Curation.funnelCounts(docs, "doc_id", rules)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(counts == Map(Some("ge50") -> 1L, Some("ge100") -> 1L, None -> 1L))
+    assert(counts.values.sum == 3L, "every doc is attributed exactly once")
+  }
+
+  test("filterFunnel rejects duplicate rule names") {
+    import graft.ops.Curation
+    val e = intercept[IllegalArgumentException] {
+      Curation.filterFunnel(Seq((1L, 1L)).toDF("doc_id", "n"), "doc_id",
+        Seq("r" -> (col("n") > 0), "r" -> (col("n") < 0)))
+    }
+    assert(e.getMessage.contains("duplicate rule names"))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Keep-best dedup + per-group cap                                  //
+  // ---------------------------------------------------------------- //
+
+  test("dropNearDupsKeeping: longest member survives per cluster, ties to lowest id") {
+    val df = Seq(
+      (0L, 10L), (1L, 30L), (2L, 30L), // chain 0-1-2: 1 and 2 tie on score → 1
+      (10L, 5L), (11L, 9L), // pair: 11 longer
+      (20L, 1L) // singleton
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.dropNearDupsKeeping(df, "doc_id", pairs, "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 11L, 20L))
+    // contrast: the min-id keeper would keep 0 and 10
+    val minId = Dedup.dropNearDups(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(0L, 10L, 20L))
+  }
+
+  test("capPerGroup: exactly n survive per overfull group, membership deterministic and seed-dependent") {
+    import graft.ops.Sampling
+    val df = (0L until 100L).map(i => (i, "g" + (i % 2))).toDF("doc_id", "source")
+    val a = Sampling.capPerGroup(df, "source", "doc_id", n = 10, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.groupBy(_._2).view.mapValues(_.size).toMap ==
+      Map("g0" -> 10, "g1" -> 10))
+    // deterministic: same seed → same members
+    val a2 = Sampling.capPerGroup(df, "source", "doc_id", n = 10, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == a2)
+    // a different seed picks a different subset (overwhelmingly)
+    val b = Sampling.capPerGroup(df, "source", "doc_id", n = 10, seed = "s2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a != b)
+    // under-full groups survive whole
+    val small = Sampling.capPerGroup(df, "source", "doc_id", n = 60, seed = "s1")
+    assert(small.count() == 100)
+    // the survivors are the n smallest 52-bit salted hashes — the
+    // documented contract, recomputed driver-side
+    def h52(seed: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s"$seed$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) % (1L << 52)
+    }
+    val want = (0L until 100L).groupBy(i => "g" + (i % 2)).flatMap {
+      case (g, ids) => ids.sortBy(i => (h52("s1", i), i)).take(10).map((_, g))
+    }.toSet
+    assert(a == want)
+  }
 }
