@@ -1003,6 +1003,27 @@ object SparkEntry {
       table(s, dir, "documents").select(col("doc_id"), col("source")),
       "source", "doc_id", n = 20, seed = "cap1")
 
+  /** Gap sessionization ([[graft.ops.Events.sessionize]]): user events
+    * split into visits at >8h silences (the fixture's median
+    * within-user gap is ~7.3h, so both the same-session and new-session
+    * paths carry real rows). Order = (µs timestamp, event_id), the q48
+    * convention. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.sessionize(
+      eventsDf(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us")),
+      "user_id", "ts_us", "event_id", gapUs = 8L * 3600L * 1000000L)
+
+  /** Conversion funnel ([[graft.ops.Events.funnel]]):
+    * view → click → purchase with strictly-increasing timestamps,
+    * earliest-feasible matching — per-user chain times and the step
+    * count reached. */
+  private def qEventFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.funnel(
+      eventsDf(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")),
+      "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1077,6 +1098,8 @@ object SparkEntry {
     "q69_filter_funnel" -> (qFilterFunnel _),
     "q70_dedup_keep_best" -> (qDedupKeepBest _),
     "q71_cap_per_source" -> (qCapPerSource _),
+    "q72_sessionize" -> (qSessionize _),
+    "q73_event_funnel" -> (qEventFunnel _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2054,5 +2077,45 @@ object SparkEntry {
         |SELECT doc_id, source FROM h
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY r ASC, doc_id ASC) <= 20""".stripMargin,
+
+    // Same (ts_us, event_id) order as q48; session_event re-derived as
+    // a per-(user, session) row_number — equal to the engine's
+    // rn − session_start_rn + 1 by construction.
+    "q72_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    > 28800000000 THEN 1
+        |  WHEN lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) IS NULL THEN 1
+        |  ELSE 0 END AS nw FROM e),
+        |s AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id FROM g)
+        |SELECT event_id, user_id, ts_us, session_id,
+        | row_number() OVER (PARTITION BY user_id, session_id
+        |   ORDER BY ts_us, event_id) AS session_event
+        |FROM s""".stripMargin,
+
+    // Greedy earliest-feasible chain: each step's per-user min over
+    // events strictly after the previous step's time.
+    "q73_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t1_us GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us FROM e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2_us GROUP BY 1)
+        |SELECT s1.user_id, t1_us, t2_us, t3_us,
+        | CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+        |      WHEN t2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+        |   AS steps_completed
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
   )
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event-sequence analytics: gap sessionization and ordered
+  * conversion funnels — the two queries every event warehouse runs
+  * daily. Both shuffle ONCE on the user key and then work inside the
+  * per-user partition (sessionize) or through partially-aggregated
+  * per-user minima (funnel); no self-join explodes, no collect. */
+object Events {
+
+  /** Gap-based sessionization: events of one `userCol` ordered by
+    * (`tsUsCol`, `orderCol`) belong to the same session until a gap
+    * larger than `gapUs` µs opens; `session_id` is the user-local
+    * 1-based session index, `session_event` the 1-based position within
+    * the session. Deterministic total order: the µs timestamp with the
+    * integral `orderCol` as tie-break (same convention as the lag/lead
+    * family — an external engine must order by the SAME µs-truncated
+    * instant).
+    *
+    * Scale shape: one shuffle on the user key, then two window passes
+    * over the per-user partition (lag + running sum — linear, no
+    * per-user materialization). Per-user event counts bound partition
+    * memory; a pathological single user beyond task memory spills
+    * through the sort, it does not OOM the executor. Output: `df`'s
+    * columns + session_id + session_event. */
+  def sessionize(df: DataFrame, userCol: String, tsUsCol: String,
+      orderCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs > 0, got $gapUs")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol), col(orderCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = col(tsUsCol) - lag(col(tsUsCol), 1).over(w)
+    // every window below shares (partition userCol, order ts, order) —
+    // one exchange + one sort serve all four passes
+    df.withColumn("__new", when(gap.isNull || gap > gapUs, 1L).otherwise(0L))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("session_id", sum(col("__new")).over(run))
+      .withColumn("__srn",
+        max(when(col("__new") === 1L, col("__rn"))).over(run))
+      .withColumn("session_event", col("__rn") - col("__srn") + 1L)
+      .drop("__new", "__rn", "__srn")
+  }
+
+  /** Ordered conversion funnel: for each user who performed
+    * `steps.head`, the earliest strictly-increasing timestamp chain
+    * through `steps` (greedy earliest-feasible matching, which is
+    * optimal: taking the minimal feasible time at each step can only
+    * widen later steps' choices — the standard funnel semantics) and
+    * the number of steps completed. One row per user who reached step
+    * 1; `t<i>_us` is null from the first unreached step on.
+    *
+    * Scale shape: k−1 rounds of (filter one event type → equi-join the
+    * previous step's per-user minima → min-aggregate), every round
+    * partially aggregated before its exchange and keyed on the user —
+    * k−1 user-keyed shuffles of per-user rows, never an event-level
+    * self-join (the naive `e1 JOIN e2 ON ts >` shape is quadratic in
+    * events-per-user; this is linear). */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate steps in $steps")
+    val base = df.select(col(userCol), col(typeCol), col(tsUsCol))
+    val stepMins: Seq[DataFrame] = steps.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
+        val events = base.filter(col(typeCol) === step)
+        val m =
+          if (i == 0)
+            events.groupBy(col(userCol))
+              .agg(min(col(tsUsCol)).as(s"t${i + 1}_us"))
+          else
+            events.join(acc.last, Seq(userCol))
+              .filter(col(tsUsCol) > col(s"t${i}_us"))
+              .groupBy(col(userCol))
+              .agg(min(col(tsUsCol)).as(s"t${i + 1}_us"))
+        acc :+ m.select(col(userCol), col(s"t${i + 1}_us"))
+      }
+    val joined = stepMins.tail.foldLeft(stepMins.head)(
+      (l, r) => l.join(r, Seq(userCol), "left"))
+    // ascending fold so the HIGHEST completed step's when() ends up
+    // outermost: when(t_k, k).otherwise(when(t_{k-1}, k-1). … .otherwise(1))
+    val completed = steps.indices.foldLeft(lit(1L): Column) {
+      (els, i) => if (i == 0) els
+        else when(col(s"t${i + 1}_us").isNotNull, lit((i + 1).toLong)).otherwise(els)
+    }
+    joined.withColumn("steps_completed", completed)
+  }
+}

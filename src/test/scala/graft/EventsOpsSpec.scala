@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Events
+
+/** Gap sessionization and conversion funnels, pinned against hand
+  * examples and driver-side re-derivations over seeded random feeds. */
+class EventsOpsSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) = // (id, user, tsUs)
+    rows.toSeq.toDF("event_id", "user_id", "ts_us")
+
+  test("sessionize: gaps split sessions, positions restart, ties break on event_id") {
+    val df = ev(
+      (1L, "u1", 100L), (2L, "u1", 150L), // session 1 (gap 50 <= 100)
+      (3L, "u1", 300L), // gap 150 > 100 → session 2
+      (4L, "u1", 300L), // tie ts with id 3 ordered after: gap 0 → session 2
+      (10L, "u2", 5L)) // other user: own session 1
+    val got = Events.sessionize(df, "user_id", "ts_us", "event_id", gapUs = 100L)
+      .select("event_id", "session_id", "session_event")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 1L), 2L -> (1L, 2L),
+      3L -> (2L, 1L), 4L -> (2L, 2L),
+      10L -> (1L, 1L)))
+  }
+
+  test("property: sessionize == driver-side linear scan (4 seeds)") {
+    for (seed <- 21 to 24) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 200L).map { id =>
+        (id, "u" + rnd.nextInt(5), rnd.nextInt(1000).toLong)
+      }
+      val gap = 40L
+      val got = Events.sessionize(ev(rows: _*), "user_id", "ts_us",
+        "event_id", gap)
+        .select("event_id", "session_id", "session_event")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, es) =>
+        val ordered = es.sortBy(e => (e._3, e._1))
+        var sess = 0L; var pos = 0L; var prev = Option.empty[Long]
+        ordered.map { case (id, _, ts) =>
+          if (prev.forall(p => ts - p > gap)) { sess += 1; pos = 1 }
+          else pos += 1
+          prev = Some(ts)
+          id -> (sess, pos)
+        }
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  private def fev(rows: (String, String, Long)*) = // (user, type, tsUs)
+    rows.toSeq.toDF("user_id", "event_type", "ts_us")
+
+  test("funnel: full chain, greedy edge case, step-1-less users excluded") {
+    val df = fev(
+      // u1 completes all three
+      ("u1", "view", 10L), ("u1", "click", 20L), ("u1", "purchase", 30L),
+      // u2: the greedy edge case — view@10, click@5 (before view, unusable),
+      // click@15, purchase@12 (before the matched click) → stops at 2
+      ("u2", "view", 10L), ("u2", "click", 5L), ("u2", "click", 15L),
+      ("u2", "purchase", 12L),
+      // u3: view only
+      ("u3", "view", 7L),
+      // u4: no view at all → absent from the output
+      ("u4", "click", 1L), ("u4", "purchase", 2L))
+    val got = Events.funnel(df, "user_id", "event_type", "ts_us",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(got == Map(
+      "u1" -> (Some(10L), Some(20L), Some(30L), 3L),
+      "u2" -> (Some(10L), Some(15L), None, 2L),
+      "u3" -> (Some(7L), None, None, 1L)))
+  }
+
+  test("property: funnel == driver-side greedy chain (4 seeds)") {
+    val steps = Seq("a", "b", "c")
+    for (seed <- 31 to 34) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 300).map { _ =>
+        ("u" + rnd.nextInt(8), steps(rnd.nextInt(3)), rnd.nextInt(100).toLong)
+      }
+      val got = Events.funnel(fev(rows: _*), "user_id", "event_type",
+        "ts_us", steps)
+        .collect().map(r => r.getString(0) ->
+          (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+        def nextMin(step: String, after: Option[Long]): Option[Long] = {
+          val c = es.filter(e => e._2 == step &&
+            after.forall(a => e._3 > a)).map(_._3)
+          if (c.isEmpty) None else Some(c.min)
+        }
+        val t1 = es.filter(_._2 == "a").map(_._3).minOption
+        t1.map { t1v =>
+          val t2 = nextMin("b", Some(t1v))
+          val t3 = t2.flatMap(t2v => nextMin("c", Some(t2v)))
+          val n = if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L
+          u -> (Some(t1v), t2, t3, n)
+        }
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+}
