@@ -1024,6 +1024,27 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us")),
       "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
 
+  /** Trailing 24h per-event window ([[graft.ops.Events.trailingWindow]]):
+    * every event's same-user activity count and spend over the closed
+    * [ts−24h, ts] interval. Values as integer cents (q36's convention)
+    * so the rolling sum is exact on both engines. */
+  private def qTrailingWindow(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.trailingWindow(
+      eventsDf(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents")),
+      "user_id", "ts_us", "cents", windowUs = 24L * 3600L * 1000000L)
+
+  /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
+    * cohort = epoch-day of first event, cells = distinct active users
+    * per (cohort, offset) — daily grain populates 59 cells across two
+    * cohorts on the fixture (weekly collapses it to one cohort). */
+  private def qRetentionCohorts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.retentionCohorts(
+      eventsDf(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us")),
+      "user_id", "ts_us", bucketUs = 86400000000L)
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1100,6 +1121,8 @@ object SparkEntry {
     "q71_cap_per_source" -> (qCapPerSource _),
     "q72_sessionize" -> (qSessionize _),
     "q73_event_funnel" -> (qEventFunnel _),
+    "q74_trailing_window" -> (qTrailingWindow _),
+    "q75_retention_cohorts" -> (qRetentionCohorts _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2117,5 +2140,30 @@ object SparkEntry {
         |      WHEN t2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
         |   AS steps_completed
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // RANGE framing on both engines (same-timestamp peers are mutual
+    // members); integer-cent sums, exact on both sides.
+    "q74_trailing_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, ts_us, cents,
+        | CAST(count(*) OVER w AS BIGINT) AS w_count,
+        | CAST(sum(cents) OVER w AS BIGINT) AS w_sum
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Calendar-free integer days (floor of ts_us / day_µs); the
+    // distinct user-day reduction before the cell counts.
+    "q75_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b
+        | FROM events),
+        |f AS (SELECT user_id, min(b) AS cohort_bucket FROM e GROUP BY 1),
+        |ub AS (SELECT DISTINCT e.user_id, f.cohort_bucket,
+        |   e.b - f.cohort_bucket AS bucket_offset
+        | FROM e JOIN f USING (user_id))
+        |SELECT cohort_bucket, bucket_offset, count(*) AS n_active
+        |FROM ub GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -44,6 +44,54 @@ object Events {
       .drop("__new", "__rn", "__srn")
   }
 
+  /** Trailing event-time window aggregate: for every event, the count
+    * and sum over the SAME user's events in the closed interval
+    * `[ts − windowUs, ts]` — the per-row rolling feature (24h activity,
+    * 7-day spend) that tumbling/hopping windows cannot express because
+    * every row anchors its own window. RANGE framing, so same-timestamp
+    * peers are mutual members on both engines.
+    *
+    * Scale shape: one user-keyed exchange + one sort; the range frame
+    * advances two pointers over the sorted partition (Spark's sliding
+    * window frame is O(n + window overlap) per partition, not O(n ×
+    * window)). Output: `df`'s columns + w_count + w_sum. */
+  def trailingWindow(df: DataFrame, userCol: String, tsUsCol: String,
+      valueCol: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs > 0, got $windowUs")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsUsCol))
+      .rangeBetween(-windowUs, 0)
+    df.withColumn("w_count", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col(valueCol)).over(w))
+  }
+
+  /** Retention cohorts: users are grouped by the time bucket of their
+    * FIRST event (the cohort), and each (cohort_bucket, bucket_offset)
+    * cell counts the cohort's users active in that later bucket — the
+    * retention triangle every growth dashboard plots, at whatever grain
+    * `bucketUs` sets (daily/weekly). Buckets are
+    * `floor(ts_us / bucketUs)` — calendar-free integer arithmetic that
+    * any engine reproduces exactly.
+    *
+    * Scale shape: per-user first-event minima (partial-aggregated,
+    * user-keyed), joined back, then one distinct (cohort, offset, user)
+    * reduction into the cell counts — the distinct's exchange carries
+    * one row per user-bucket, not per event.
+    * Output: cohort_bucket, bucket_offset, n_active. */
+  def retentionCohorts(df: DataFrame, userCol: String,
+      tsUsCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs > 0, got $bucketUs")
+    val bucket = floor(col(tsUsCol) / bucketUs).cast("long")
+    val first = df.groupBy(col(userCol))
+      .agg(min(bucket).as("cohort_bucket"))
+    df.select(col(userCol), bucket.as("__b"))
+      .join(first, Seq(userCol))
+      .select(col(userCol), col("cohort_bucket"),
+        (col("__b") - col("cohort_bucket")).as("bucket_offset"))
+      .distinct()
+      .groupBy(col("cohort_bucket"), col("bucket_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Ordered conversion funnel: for each user who performed
     * `steps.head`, the earliest strictly-increasing timestamp chain
     * through `steps` (greedy earliest-feasible matching, which is

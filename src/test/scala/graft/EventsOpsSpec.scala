@@ -54,6 +54,41 @@ class EventsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trailingWindow: closed interval, per-user isolation, same-ts peers mutual") {
+    val df = Seq(
+      ("u1", 0L, 1L), ("u1", 50L, 2L), ("u1", 100L, 4L), // 100-50=50<=100 all in
+      ("u1", 300L, 8L), // window [200,300]: alone
+      ("u1", 300L, 16L), // RANGE peer of the above: both see both
+      ("u2", 60L, 32L)).toDF("user_id", "ts_us", "v")
+    val got = Events.trailingWindow(df, "user_id", "ts_us", "v", windowUs = 100L)
+      .select("user_id", "ts_us", "v", "w_count", "w_sum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got(("u1", 0L, 1L)) == (1L, 1L))
+    assert(got(("u1", 50L, 2L)) == (2L, 3L))
+    assert(got(("u1", 100L, 4L)) == (3L, 7L), "closed lower bound includes ts=0")
+    assert(got(("u1", 300L, 8L)) == (2L, 24L), "RANGE peers are mutual members")
+    assert(got(("u1", 300L, 16L)) == (2L, 24L))
+    assert(got(("u2", 60L, 32L)) == (1L, 32L), "users are isolated")
+  }
+
+  test("retentionCohorts: triangle cells count distinct users per (cohort, offset)") {
+    // bucket = 10: uA first in bucket 0 (active 0, 2), uB first in 0
+    // (active 0), uC first in 2 (active 2, 3); duplicates within a
+    // bucket collapse
+    val df = Seq(
+      ("uA", 1L), ("uA", 5L), ("uA", 25L),
+      ("uB", 9L),
+      ("uC", 20L), ("uC", 21L), ("uC", 35L)).toDF("user_id", "ts_us")
+    val got = Events.retentionCohorts(df, "user_id", "ts_us", bucketUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // uA, uB at their own first bucket
+      (0L, 2L) -> 1L, // uA back two buckets later
+      (2L, 0L) -> 1L, // uC
+      (2L, 1L) -> 1L)) // uC next bucket
+  }
+
   private def fev(rows: (String, String, Long)*) = // (user, type, tsUs)
     rows.toSeq.toDF("user_id", "event_type", "ts_us")
 
