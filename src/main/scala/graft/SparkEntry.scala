@@ -1035,6 +1035,18 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents")),
       "user_id", "ts_us", "cents", windowUs = 24L * 3600L * 1000000L)
 
+  /** Per-group z-score outliers ([[graft.ops.Stats.outliersByGroup]]):
+    * events whose whole-unit value sits more than 3 population-σ from
+    * their event type's mean, decided by the integer cross-multiplied
+    * inequality (no float moment ever computed) — the value
+    * distribution is exponential-ish (σ ≈ μ ≈ 50, max ≈ 8σ), so the
+    * 3σ tail flags real rows. */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.outliersByGroup(
+      eventsDf(s, dir).select(col("event_id"), col("event_type"),
+        round(col("value")).cast("long").as("units")),
+      "event_type", "units", zNum = 3L)
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1123,6 +1135,7 @@ object SparkEntry {
     "q73_event_funnel" -> (qEventFunnel _),
     "q74_trailing_window" -> (qTrailingWindow _),
     "q75_retention_cohorts" -> (qRetentionCohorts _),
+    "q76_group_outliers" -> (qOutliers _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2165,5 +2178,20 @@ object SparkEntry {
         | FROM e JOIN f USING (user_id))
         |SELECT cohort_bucket, bucket_offset, count(*) AS n_active
         |FROM ub GROUP BY 1, 2""".stripMargin,
+
+    // The cross-multiplied z-inequality in HUGEINT — DuckDB's exact
+    // 128-bit integers mirror Spark's DECIMAL(38,0) arithmetic.
+    "q76_group_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  CAST(round(value) AS BIGINT) AS units FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(CAST(units AS HUGEINT)) AS HUGEINT) AS s,
+        |  CAST(sum(CAST(units AS HUGEINT) * units) AS HUGEINT) AS q
+        | FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.units,
+        | CAST(m.n AS BIGINT) AS n_group,
+        | ((m.n * e.units - m.s) * (m.n * e.units - m.s)
+        |   > 9 * (m.n * m.q - m.s * m.s)) AS is_outlier
+        |FROM e JOIN m USING (event_type)""".stripMargin,
   )
 }

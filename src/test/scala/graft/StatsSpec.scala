@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Stats
+
+/** Integer-exact z-score outlier flags: exact boundary behavior (the
+  * reason the cross-multiplied form exists) and a BigInt re-derivation
+  * over random groups. */
+class StatsSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  test("outliersByGroup: EXACT boundary is not an outlier (strict >), zero variance flags nothing") {
+    // {0,0,0,0,4}: n=5, s=4, q=16 → (n·4−s)² = 256, n·q−s² = 64.
+    // z=2: 256 > 4·64 = 256 is FALSE — v=4 sits exactly at 2σ, and the
+    // integer comparison decides that without a ulp of float noise.
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L),
+      ("a", 4L, 0L), ("a", 5L, 4L),
+      ("z", 6L, 7L), ("z", 7L, 7L)) // zero variance
+      .toDF("g", "id", "v")
+    def flags(z: Long) = Stats.outliersByGroup(df, "g", "v", zNum = z)
+      .filter($"is_outlier").select("id").as[Long].collect().toSet
+    assert(flags(2L) == Set.empty, "exactly 2 sigma is NOT > 2 sigma")
+    assert(flags(1L) == Set(5L), "strictly beyond 1 sigma flags only v=4")
+  }
+
+  test("property: outliersByGroup == BigInt re-derivation (4 seeds)") {
+    for (seed <- 41 to 44) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 300L).map(id =>
+        ("g" + rnd.nextInt(3), id, rnd.nextInt(1000).toLong))
+      val got = Stats.outliersByGroup(rows.toDF("g", "id", "v"), "g", "v",
+        zNum = 3L, zDen = 2L) // z = 1.5
+        .filter($"is_outlier").select("id").as[Long].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, es) =>
+        val n = BigInt(es.size)
+        val s = es.map(e => BigInt(e._3)).sum
+        val q = es.map(e => BigInt(e._3) * e._3).sum
+        es.collect { case (_, id, v)
+          if BigInt(4) * (n * v - s) * (n * v - s) > BigInt(9) * (n * q - s * s) => id }
+      }.toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+}
