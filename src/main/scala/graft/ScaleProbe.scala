@@ -97,22 +97,49 @@ object ScaleProbe {
     Vec(id, raw.map(_ / norm), label)
   }
 
-  /** Generate + write the corpus for `scale`; returns (docs, embeddings)
-    * read BACK from parquet so every op sees the same scan it sees in
-    * production (columnar read, not an in-memory local relation). */
+  final case class Ev(event_id: Long, user_id: String, event_type: String,
+      ts_us: Long, units: Long)
+
+  private val EvTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  /** Event of row `id`: USERS grow ∝ scale while events-per-user stays
+    * ~67 (the fixture's density) — the realistic 100× shape for an
+    * event warehouse (more users, not deeper histories), which keeps
+    * per-user window partitions CONSTANT-sized as the corpus grows;
+    * the probe verifies the user-keyed exchange + sort is what scales,
+    * not the per-partition work. Timestamps spread over ~30 days with
+    * exponential-ish values like the fixture. */
+  private def evOf(id: Long, scale: Int): Ev = {
+    val r = rng(id, 0xe7e27L)
+    val nUsers = 150L * scale
+    Ev(id, "u" + r.nextInt(nUsers.toInt),
+      EvTypes(r.nextInt(EvTypes.size)),
+      math.round(r.nextDouble() * 30L * 86400L * 1000000L),
+      math.round(-50.0 * math.log(1.0 - r.nextDouble())))
+  }
+
+  /** Generate + write the corpus for `scale`; returns (docs, embeddings,
+    * events) read BACK from parquet so every op sees the same scan it
+    * sees in production (columnar read, not an in-memory local
+    * relation). */
   private def corpus(spark: SparkSession, dir: String, scale: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val v = vocab(scale)
     val nDocs = 5000L * scale
     val nVecs = 2000L * scale
+    val nEvs = 10000L * scale
     val docPath = s"$dir/s$scale/documents.parquet"
     val vecPath = s"$dir/s$scale/embeddings.parquet"
+    val evPath = s"$dir/s$scale/events.parquet"
     spark.range(nDocs).map(id => docOf(id, v))
       .write.mode("overwrite").parquet(docPath)
     spark.range(nVecs).map(id => vecOf(id))
       .write.mode("overwrite").parquet(vecPath)
-    (spark.read.parquet(docPath), spark.read.parquet(vecPath))
+    spark.range(nEvs).map(id => evOf(id, scale))
+      .write.mode("overwrite").parquet(evPath)
+    (spark.read.parquet(docPath), spark.read.parquet(vecPath),
+      spark.read.parquet(evPath))
   }
 
   /** Wall-seconds of `body` (forced via count), min of `reps`, plus the
@@ -157,7 +184,8 @@ object ScaleProbe {
 
     // the expensive-op families, each mirroring its registered query's
     // exact parameters (SparkEntry q23/q24/q25/q46/q47/q53)
-    def ops(docs: DataFrame, embs: DataFrame, scale: Int): Seq[(String, () => Long)] = Seq(
+    def ops(docs: DataFrame, embs: DataFrame, evs: DataFrame,
+        scale: Int): Seq[(String, () => Long)] = Seq(
       "ngram_jaccard" -> (() => CacheScope.using { sc =>
         Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
           n = 3, threshold = 0.5, maxDf = 100, scope = sc).count()
@@ -259,14 +287,28 @@ object ScaleProbe {
         Dedup.semanticDedup(embs, "vec_id", col("embedding"),
           signBits = 8, threshold = 0.35, maxBucket = MaxBucket,
           scope = sc).count()
-      }))
+      }),
+      // the event-sequence family (q72/q73/q74's exact shapes): users
+      // ∝ scale with constant events-per-user, so per-user partitions
+      // stay fixed-size and the red line is the user-keyed exchange +
+      // sort bending super-linear (rows must grow a strict ∝ scale —
+      // no caps exist in this family)
+      "sessionize" -> (() =>
+        graft.ops.Events.sessionize(evs, "user_id", "ts_us", "event_id",
+          gapUs = 8L * 3600L * 1000000L).count()),
+      "event_funnel" -> (() =>
+        graft.ops.Events.funnel(evs, "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase")).count()),
+      "trailing_window" -> (() =>
+        graft.ops.Events.trailingWindow(evs, "user_id", "ts_us", "units",
+          windowUs = 24L * 3600L * 1000000L).count()))
 
     // fail fast on a typo'd filter — otherwise the probe spends minutes
     // generating both corpora and then reports an empty ops map as if
     // the run succeeded. Names come from the ops list itself (building
     // it never invokes the thunks, so null frames are safe) — one
     // source of truth, no hand-kept set to drift.
-    val knownOps = ops(null, null, 1).map(_._1).toSet
+    val knownOps = ops(null, null, null, 1).map(_._1).toSet
     onlyOps.foreach { sel =>
       val unknown = sel -- knownOps
       require(unknown.isEmpty,
@@ -276,8 +318,8 @@ object ScaleProbe {
     final case class Cell(t: Double, rows: Long)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Cell, Cell)]
     for (scale <- Seq(1, bigScale)) {
-      val (docs, embs) = corpus(spark, dir, scale)
-      ops(docs, embs, scale)
+      val (docs, embs, evs) = corpus(spark, dir, scale)
+      ops(docs, embs, evs, scale)
         .filter { case (name, _) => onlyOps.forall(_.contains(name)) }
         .foreach { case (name, body) =>
         val (t, rows) = time(spark, reps)(body())

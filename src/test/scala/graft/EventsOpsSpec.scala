@@ -114,6 +114,20 @@ class EventsOpsSpec extends AnyFunSuite {
       "u3" -> (Some(7L), None, None, 1L)))
   }
 
+  test("funnel: 4-step arity — chain columns and completion count generalize") {
+    val df = fev(
+      ("u1", "a", 1L), ("u1", "b", 2L), ("u1", "c", 3L), ("u1", "d", 4L),
+      ("u2", "a", 1L), ("u2", "b", 2L), ("u2", "d", 3L)) // skips c
+    val got = Events.funnel(df, "user_id", "event_type", "ts_us",
+      Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), r.getLong(5))).toMap
+    assert(got == Map(
+      "u1" -> (Some(1L), Some(2L), Some(3L), Some(4L), 4L),
+      "u2" -> (Some(1L), Some(2L), None, None, 2L)))
+  }
+
   test("property: funnel == driver-side greedy chain (4 seeds)") {
     val steps = Seq("a", "b", "c")
     for (seed <- 31 to 34) {
