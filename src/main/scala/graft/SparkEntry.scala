@@ -1035,6 +1035,25 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents")),
       "user_id", "ts_us", "cents", windowUs = 24L * 3600L * 1000000L)
 
+  /** q63's incremental dedup through the STREAM-SAFE chained-anti-join
+    * form ([[Dedup.dropNearDupsAgainstLive]]) on the same data split
+    * and constants — registered against q63's byte-identical oracle, so
+    * the restructuring (per-band anti-join chain vs candidates+verify)
+    * is oracle-proven drop-set-equivalent; the live congruity test runs
+    * the same plan on a MemoryStream with zero state operators. */
+  private def qDedupIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val refSigs = CacheScope.session.cache(
+      Dedup.minHashSignatures(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", col("text"), n = 3, k = 8))
+    Dedup.dropNearDupsAgainstLive(
+      docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text")),
+      refSigs, "doc_id", col("text"), n = 3, k = 8, rowsPerBand = 4,
+      threshold = 0.5, maxBucket = LshMaxBucket)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** Per-group z-score outliers ([[graft.ops.Stats.outliersByGroup]]):
     * events whose whole-unit value sits more than 3 population-σ from
     * their event type's mean, decided by the integer cross-multiplied
@@ -1136,6 +1155,7 @@ object SparkEntry {
     "q74_trailing_window" -> (qTrailingWindow _),
     "q75_retention_cohorts" -> (qRetentionCohorts _),
     "q76_group_outliers" -> (qOutliers _),
+    "q77_dedup_ingest" -> (qDedupIngest _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1916,7 +1936,16 @@ object SparkEntry {
     // Same shingle/signature/band fragments as q24; the two sides band
     // separately, each QUALIFY-capped on its own bucket occupancy, and
     // candidates join incoming bands to reference bands only.
-    "q63_dedup_incremental" ->
+    "q63_dedup_incremental" -> IncrementalDedupSql,
+
+    // The stream-safe chained form computes the SAME drop set — one
+    // oracle text, two plans (the strongest equivalence the gate can
+    // state).
+    "q77_dedup_ingest" -> IncrementalDedupSql,
+  ) ++ oracleSql2
+
+  /** q63/q77's shared oracle (see both entries above). */
+  private val IncrementalDedupSql: String =
       s"""${OSql.shingleCte},
         |${OSql.sigCte},
         |ib0 AS (
@@ -1935,8 +1964,9 @@ object SparkEntry {
         |  JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id
         |  WHERE (${(0 until 8).map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE / 8.0 >= 0.5)
         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
-        |WHERE d.doc_id % 4 <> 0 AND d.doc_id NOT IN (SELECT a FROM m)""".stripMargin,
+        |WHERE d.doc_id % 4 <> 0 AND d.doc_id NOT IN (SELECT a FROM m)""".stripMargin
 
+  private def oracleSql2: Map[String, String] = Map(
     // Same int8 quantization as q61/q62, sign-bucket cells as q27/q28;
     // integer-exact centroid sums via the positional explode, score =
     // dot/sqrt(nsq) (exact ints + IEEE sqrt/divide, so the argmax

@@ -400,6 +400,65 @@ object Dedup {
       matched: DataFrame): DataFrame =
     incoming.join(matched, Seq(idCol), "left_anti")
 
+  /** The STREAM-SAFE form of incremental MinHash dedup — same drop set
+    * as [[minhashMatchedAgainst]] + [[dropNearDupsAgainst]], restructured
+    * so every stage is STATELESS and the operator runs at ingest on a
+    * live `readStream` with NO state store, no watermark, and no
+    * end-to-end aggregation:
+    *
+    *  1. signatures are the codegen projections ([[graft.functions
+    *     .ShingleHashesFn]]/[[graft.functions.MinHashSigFn]] — per-row,
+    *     no shuffle), and each band key is a projected column;
+    *  2. the batch form's "candidates from ANY band, then one agreement
+    *     check per pair" becomes a CHAIN of per-band stream–static LEFT
+    *     ANTI equi-joins (band b's join keys on the b-th band key, with
+    *     the signature-agreement cut inside the join condition): a doc
+    *     is dropped at the first band where a qualifying reference
+    *     neighbor exists — exactly the batch disjunction, since the
+    *     agreement test for a pair is band-independent;
+    *  3. docs too short to sign (and null text) bypass the chain and
+    *     survive, as in the batch form.
+    *
+    * The reference side is banded + bucket-capped ONCE
+    * ([[capBuckets]], static-side skew guard; a degenerate incoming
+    * band key merely probes a bucket the static side already dropped).
+    * Works identically on a batch `incoming` (same plan, same rows) —
+    * the congruity test pins stream output == the batch twin. Returns
+    * `incoming`'s columns, survivors only. */
+  def dropNearDupsAgainstLive(incoming: DataFrame, refSigs: DataFrame,
+      idCol: String, text: Column, n: Int, k: Int, rowsPerBand: Int,
+      threshold: Double, maxBucket: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val nBands = k / rowsPerBand
+    val refBanded = scope.cache(
+      capBuckets(bandSignatures(refSigs, idCol, k, rowsPerBand),
+        Seq("band", "bkey"), maxBucket, scope)
+        .join(refSigs.select(col(idCol), col("sig").as("__rsig")), Seq(idCol))
+        .select(col("band"), col("bkey"), col("__rsig")))
+    val signable = coalesce(size(split(text, " ")) >= n, lit(false))
+    val sigd = (0 until nBands).foldLeft(
+      incoming.filter(signable)
+        .withColumn("__sig",
+          graft.functions.MinHashSigFn(graft.functions.ShingleHashesFn(text, n), k))) {
+      (df, b) =>
+        df.withColumn(s"__bk$b", concat_ws(",", (0 until rowsPerBand).map(r =>
+          col("__sig").getItem(b * rowsPerBand + r).cast("string")): _*))
+    }
+    val survivors = (0 until nBands).foldLeft(sigd) { (df, b) =>
+      val refB = refBanded.filter(col("band") === b)
+        .select(col("bkey").as(s"__rbk$b"), col("__rsig").as(s"__rs$b"))
+      df.join(refB,
+        col(s"__bk$b") === col(s"__rbk$b") &&
+          aggregate(zip_with(col("__sig"), col(s"__rs$b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _)
+            .cast("double") / k >= threshold,
+        "left_anti")
+    }
+    survivors.drop("__sig" +: (0 until nBands).map(b => s"__bk$b"): _*)
+      .unionByName(incoming.filter(!signable))
+  }
+
   /** Exact Jaccard over distinct word n-gram shingles for given candidate
     * pairs, via the inverted index (explode + equi-join on shingle), with
     * a document-frequency cap: shingles appearing in more than `maxDf`

@@ -250,6 +250,56 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == mean)
   }
 
+  test("dropNearDupsAgainstLive: LIVE stream survivors == batch twin, ZERO state operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def doc() = Seq.fill(6 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val refRows = (0L until 12L).map(i => (i * 2) -> doc())
+    val incRows = (0L until 12L).map(i => (i * 2 + 1) -> doc()) :+
+      (101L -> refRows.head._2) :+ // exact copy of a reference doc
+      (103L -> "xy") // too short to sign — must survive
+    val ref = corpus(refRows: _*)
+    val refSigs = CacheScope.session.cache(
+      Dedup.minHashSignatures(ref, "doc_id", col("text"), 3, K))
+    def live(in: org.apache.spark.sql.DataFrame) =
+      Dedup.dropNearDupsAgainstLive(in, refSigs, "doc_id", col("text"),
+        n = 3, k = K, rowsPerBand = RPB, threshold = 0.5)
+    // batch twin #1: the same operator on a batch frame; batch twin #2:
+    // the candidates+verify form — all three must agree
+    val batchSame = live(corpus(incRows: _*))
+      .select("doc_id").as[Long].collect().toSet
+    val incSigs = Dedup.minHashSignatures(corpus(incRows: _*), "doc_id",
+      col("text"), 3, K)
+    val batchClassic = Dedup.dropNearDupsAgainst(corpus(incRows: _*), "doc_id",
+      Dedup.minhashMatchedAgainst(incSigs, refSigs, "doc_id", K, RPB, 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchSame == batchClassic)
+    assert(!batchSame.contains(101L) && batchSame.contains(103L))
+    // live: same rows through a MemoryStream, and the query must report
+    // NO state operators (the whole point of the chained form)
+    val ms = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = live(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("doc_id").collect().map(_.getLong(0))
+        out.synchronized { out ++= ids }
+        ()
+      }.start()
+    try {
+      ms.addData(incRows.take(7): _*); q.processAllAvailable()
+      ms.addData(incRows.drop(7): _*); q.processAllAvailable()
+      val sp = q.lastProgress
+      assert(sp == null || sp.stateOperators.isEmpty,
+        s"expected stateless plan, got ${Option(sp).map(_.stateOperators.length)}")
+    } finally q.stop()
+    assert(out.synchronized(out.toSet) == batchSame,
+      "live survivors == batch twin")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   // ---------------------------------------------------------------- //
   //  Embedding-side incremental dedup                                 //
   // ---------------------------------------------------------------- //
