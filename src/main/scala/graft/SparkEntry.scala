@@ -1054,6 +1054,23 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** q66's embedding-side incremental dedup through the STREAM-SAFE
+    * single-anti-join form ([[Dedup.cosineDropAgainstLive]]): same data
+    * split, sign bits, threshold, and static-side cap; the one contract
+    * difference (the stream side cannot be occupancy-capped) is
+    * reflected in this query's own oracle — the incoming side carries
+    * no QUALIFY cap. */
+  private def qCosineIngest(s: SparkSession, dir: String): DataFrame = {
+    val embs = cpuTable(s, dir, "embeddings")
+    Dedup.cosineDropAgainstLive(
+      embs.filter(col("vec_id") % 4 =!= 0).select(col("vec_id"), col("label"),
+        col("embedding")),
+      embs.filter(col("vec_id") % 4 === 0),
+      "vec_id", col("embedding"), signBits = 8, threshold = 0.3,
+      maxBucket = LshMaxBucket)
+      .select(col("vec_id"), col("label"))
+  }
+
   /** Per-group z-score outliers ([[graft.ops.Stats.outliersByGroup]]):
     * events whose whole-unit value sits more than 3 population-σ from
     * their event type's mean, decided by the integer cross-multiplied
@@ -1156,6 +1173,7 @@ object SparkEntry {
     "q75_retention_cohorts" -> (qRetentionCohorts _),
     "q76_group_outliers" -> (qOutliers _),
     "q77_dedup_ingest" -> (qDedupIngest _),
+    "q78_cosine_ingest" -> (qCosineIngest _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2208,6 +2226,20 @@ object SparkEntry {
         | FROM e JOIN f USING (user_id))
         |SELECT cohort_bucket, bucket_offset, count(*) AS n_active
         |FROM ub GROUP BY 1, 2""".stripMargin,
+
+    // q66's construction with the incoming side UNCAPPED (the live
+    // form's contract: only the static index is occupancy-capped).
+    "q78_cosine_ingest" ->
+      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM embeddings),
+        |i AS (SELECT * FROM b0 WHERE vec_id % 4 <> 0),
+        |r AS (SELECT * FROM b0 WHERE vec_id % 4 = 0
+        |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |m AS (SELECT DISTINCT i.vec_id FROM i JOIN r ON i.bkt = r.bkt
+        |  WHERE ${OSql.cosSql("i.embedding", "r.embedding")} >= 0.3)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id % 4 <> 0 AND vec_id NOT IN (SELECT vec_id FROM m)""".stripMargin,
 
     // The cross-multiplied z-inequality in HUGEINT — DuckDB's exact
     // 128-bit integers mirror Spark's DECIMAL(38,0) arithmetic.

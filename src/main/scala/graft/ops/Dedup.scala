@@ -774,6 +774,39 @@ object Dedup {
       .select(col("a").as(idCol)).distinct()
   }
 
+  /** The STREAM-SAFE form of embedding-side incremental dedup —
+    * [[dropNearDupsAgainstLive]]'s vector twin: incoming vectors sign-
+    * bucket by a projection and ONE stream–static LEFT ANTI equi-join
+    * (cell = cell, with the exact 6-dp cosine cut inside the join
+    * condition) drops every incoming vector with a qualifying same-cell
+    * reference neighbor — stateless end-to-end, so it runs at ingest on
+    * a live `readStream` with no state store or watermark. The static
+    * index is bucketed + capped once ([[capBuckets]]); the STREAM side
+    * cannot be occupancy-capped (that would need an aggregation), which
+    * is the one contract difference from [[cosineMatchedAgainst]] —
+    * a degenerate incoming cell merely probes a cell the static side
+    * already dropped, so the per-row probe cost stays ≤ maxBucket
+    * comparisons. Null-vector rows bypass the join and survive. Works
+    * identically on a batch `incoming` (same plan, same rows). Returns
+    * `incoming`'s columns, survivors only. */
+  def cosineDropAgainstLive(incoming: DataFrame, ref: DataFrame,
+      idCol: String, vec: Column, signBits: Int, threshold: Double,
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+    val refCells = scope.cache(
+      capBuckets(ref.filter(vec.isNotNull).select(col(idCol), vec.as("__rv"),
+        Similarity.signBucket(vec, signBits).as("__bkt")),
+        Seq("__bkt"), maxBucket, scope)
+        .select(col("__bkt").as("__rbkt"), col("__rv")))
+    incoming.filter(vec.isNotNull)
+      .withColumn("__bkt", Similarity.signBucket(vec, signBits))
+      .join(refCells,
+        col("__bkt") === col("__rbkt") &&
+          Similarity.cosine(vec, col("__rv")) >= threshold,
+        "left_anti")
+      .drop("__bkt")
+      .unionByName(incoming.filter(vec.isNull))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster
     * the embedding space, keep one representative per semantic cluster,
     * drop members too close to it). Clusters here are the deterministic

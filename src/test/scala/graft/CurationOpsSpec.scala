@@ -366,6 +366,45 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineDropAgainstLive: LIVE stream survivors == batch twin, ZERO state operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(9)
+    def vec() = Seq.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)
+    val refRows = (0L until 20L).map(i => (i * 2) -> vec())
+    val incRows = (0L until 20L).map(i => (i * 2 + 1) -> vec()) :+
+      (101L -> refRows.head._2) // exact copy of a reference vector
+    val ref = embDf(refRows: _*)
+    def live(in: org.apache.spark.sql.DataFrame) =
+      Dedup.cosineDropAgainstLive(in, ref, "vec_id", col("embedding"),
+        signBits = 3, threshold = 0.6)
+    val batchSame = live(embDf(incRows: _*))
+      .select("vec_id").as[Long].collect().toSet
+    val batchClassic = Dedup.dropNearDupsAgainst(embDf(incRows: _*), "vec_id",
+      Dedup.cosineMatchedAgainst(embDf(incRows: _*), ref, "vec_id",
+        col("embedding"), signBits = 3, threshold = 0.6))
+      .select("vec_id").as[Long].collect().toSet
+    assert(batchSame == batchClassic)
+    assert(!batchSame.contains(101L), "the exact copy is dropped")
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = live(ms.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("vec_id").collect().map(_.getLong(0))
+        out.synchronized { out ++= ids }
+        ()
+      }.start()
+    try {
+      ms.addData(incRows.take(10): _*); q.processAllAvailable()
+      ms.addData(incRows.drop(10): _*); q.processAllAvailable()
+      val sp = q.lastProgress
+      assert(sp == null || sp.stateOperators.isEmpty, "expected stateless plan")
+    } finally q.stop()
+    assert(out.synchronized(out.toSet) == batchSame)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   // ---------------------------------------------------------------- //
   //  Vocabulary top-K                                                 //
   // ---------------------------------------------------------------- //
