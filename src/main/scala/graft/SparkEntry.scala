@@ -1035,6 +1035,24 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents")),
       "user_id", "ts_us", "cents", windowUs = 24L * 3600L * 1000000L)
 
+  /** Overlapping chunk windows ([[TextAnalysis.chunkWindows]]): 32-token
+    * windows at stride 24 (25% overlap) — the RAG/long-doc split. */
+  private def qChunkWindows(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWindows(cpuTable(s, dir, "documents"), "doc_id",
+      col("text"), chunkTokens = 32, strideTokens = 24)
+
+  /** Integer-exact per-label centroids
+    * ([[Similarity.centroidByGroup]]), projected to hash-stable facts
+    * (q61's convention): the md5 over comma-joined component sums plus
+    * their exact total. */
+  private def qCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidByGroup(cpuTable(s, dir, "embeddings"), "label",
+      "embedding")
+      .select(col("label"), col("n_vecs"), col("n_null"),
+        md5(array_join(transform(col("centroid_sum"),
+          x => x.cast("string")), ",")).as("c_md5"),
+        aggregate(col("centroid_sum"), lit(0L), (a, x) => a + x).as("c_sum"))
+
   /** q63's incremental dedup through the STREAM-SAFE chained-anti-join
     * form ([[Dedup.dropNearDupsAgainstLive]]) on the same data split
     * and constants — registered against q63's byte-identical oracle, so
@@ -1174,6 +1192,8 @@ object SparkEntry {
     "q76_group_outliers" -> (qOutliers _),
     "q77_dedup_ingest" -> (qDedupIngest _),
     "q78_cosine_ingest" -> (qCosineIngest _),
+    "q79_chunk_windows" -> (qChunkWindows _),
+    "q80_label_centroids" -> (qCentroids _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2226,6 +2246,53 @@ object SparkEntry {
         | FROM e JOIN f USING (user_id))
         |SELECT cohort_bucket, bucket_offset, count(*) AS n_active
         |FROM ub GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's 1-based inclusive slice ws[a+1 : a+32] == Spark
+    // slice(ws, a+1, 32); ceil window count over the same double
+    // division.
+    "q79_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nt,
+        |  greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT) + 1, 1) AS nw
+        | FROM w),
+        |c AS (SELECT doc_id, ws, nt,
+        |  unnest(generate_series(0, nw - 1)) AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx, chunk_idx * 24 AS tok_start,
+        | array_to_string(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+        |   AS chunk_text,
+        | least(32, nt - chunk_idx * 24) AS n_tokens
+        |FROM c""".stripMargin,
+
+    // q64's quantization fragments, summed per label; the array
+    // projected to q61-style hash-stable facts.
+    "q80_label_centroids" ->
+      """WITH qz AS (SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qv AS (SELECT vec_id, label,
+        |    CASE WHEN s = 0 THEN list_transform(embedding,
+        |           x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
+        |    END AS q
+        |  FROM qz),
+        |e0 AS (SELECT label, q,
+        |    unnest(generate_series(0, len(q) - 1)) AS pos FROM qv),
+        |e AS (SELECT label, pos, q[pos + 1] AS qd FROM e0),
+        |c AS (SELECT label, pos, sum(qd) AS cd FROM e GROUP BY 1, 2),
+        |a AS (SELECT label, list(cd ORDER BY pos) AS cent,
+        |    sum(cd) AS c_sum FROM c GROUP BY 1),
+        |k AS (SELECT label, count(embedding) AS n_vecs,
+        |    sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS n_null
+        |  FROM embeddings GROUP BY 1)
+        |SELECT k.label, CAST(k.n_vecs AS BIGINT) AS n_vecs,
+        | CAST(k.n_null AS BIGINT) AS n_null,
+        | md5(array_to_string(list_transform(a.cent,
+        |   x -> CAST(x AS VARCHAR)), ',')) AS c_md5,
+        | CAST(a.c_sum AS BIGINT) AS c_sum
+        |FROM k JOIN a USING (label)""".stripMargin,
 
     // q66's construction with the incoming side UNCAPPED (the live
     // form's contract: only the static index is occupancy-capped).

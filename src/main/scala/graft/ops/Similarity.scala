@@ -266,6 +266,43 @@ object Similarity {
     topKReduce(reranked, "id", k)
   }
 
+  /** Integer-exact per-group centroid SUMS over int8-quantized vectors —
+    * the class-centroid pass behind nearest-centroid classification, IVF
+    * coarse-quantizer training, and per-label drift monitoring. Mean-
+    * pooling float vectors per group is accumulation-order-dependent
+    * (different partitionings → different centroids → different
+    * downstream assignments); this quantizes each vector
+    * ([[quantizeInt8]], deterministic per row) and sums COMPONENTS as
+    * exact integers, returning the un-normalized sum (the q64
+    * convention: cosine against a centroid is scale-invariant, so the
+    * |group| division is dropped rather than rounded — consumers divide
+    * themselves if they need the mean, choosing their own precision).
+    *
+    * Scale shape: one positional explode keyed (group, dim) into a
+    * two-level partially-aggregated sum — the exchange carries groups ×
+    * dims rows, not corpus × dims — then one collect-free reassembly to
+    * an array per group. Null vectors are excluded (counted in
+    * n_null). Output: `groupCol`, n_vecs, n_null, centroid_sum
+    * (array<long>, one element per dimension). */
+  def centroidByGroup(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val q = quantizeInt8(
+      df.select(col(groupCol), col(vecCol).as("__v")), "__v")
+      .select(col(groupCol), col("qvec"))
+    val counts = df.groupBy(col(groupCol)).agg(
+      count(col(vecCol)).as("n_vecs"),
+      sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("n_null"))
+    q.filter(col("qvec").isNotNull)
+      .select(col(groupCol), posexplode(col("qvec")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("col").cast("long")).as("__cd"))
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("__cd")))),
+        x => x.getField("__cd")).as("centroid_sum"))
+      .join(counts, Seq(groupCol))
+      .select(col(groupCol), col("n_vecs"), col("n_null"), col("centroid_sum"))
+  }
+
   /** Sign-bit LSH bucket key: bit i set iff dimension i is non-negative.
     * Deterministic (no random planes) so oracles can mirror it. */
   def signBucket(vec: Column, signBits: Int): Column =

@@ -161,6 +161,45 @@ object TextAnalysis {
         round(col("__s") / col("n_grams"), 6).as("mean_weight"))
   }
 
+  /** Overlapping token-window chunking — the retrieval/RAG prep shape
+    * (and long-document training splits): each document explodes into
+    * windows of `chunkTokens` whitespace tokens advancing by
+    * `strideTokens` (stride < chunk ⇒ overlap, the standard recipe so
+    * no boundary sentence is lost to a cut). Window `i` covers token
+    * offsets [i·stride, i·stride + chunk); the last window starts at
+    * the largest offset still introducing ≥ 1 new token, so every
+    * token lands in ≥ 1 chunk and no fully-redundant tail window is
+    * emitted. One stateless explode — no shuffle; a 100 TB corpus
+    * chunks in the scan. Token counts per chunk ride along (the tail
+    * may be short). Output: `idCol`, chunk_idx, tok_start, chunk_text,
+    * n_tokens. Docs with null/empty text produce no chunks. */
+  def chunkWindows(df: DataFrame, idCol: String, text: Column,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"need 1 <= stride <= chunk, got $strideTokens/$chunkTokens")
+    val ws = split(text, " ")
+    // windows with start < nTokens introduce >= 1 new token; ceil form
+    val nWin = ceil((size(ws) - lit(chunkTokens)) /
+      lit(strideTokens.toDouble)).cast("long") + 1L
+    val nW = when(nWin > graft.ops.Dedup.MaxChunksPerDoc,
+      raise_error(concat(lit("chunkWindows: more than "),
+        lit(graft.ops.Dedup.MaxChunksPerDoc.toString), lit(" windows in doc "),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(greatest(nWin, lit(1L)))
+    df.filter(text.isNotNull && length(text) >= 1)
+      .select(col(idCol), ws.as("__ws"),
+        explode(sequence(lit(0L), nW - 1L)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * strideTokens).as("tok_start"),
+        array_join(slice(col("__ws"),
+          (col("chunk_idx") * strideTokens + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          size(col("__ws")) - col("chunk_idx") * strideTokens).cast("long")
+          .as("n_tokens"))
+  }
+
   /** Per-group vocabulary top-K: the `k` most frequent whitespace tokens
     * per `groupCol` (languages, sources, domains) — the corpus pass
     * behind tokenizer-vocabulary construction and per-language corpus

@@ -460,6 +460,44 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  //  Chunk windows + label centroids                                  //
+  // ---------------------------------------------------------------- //
+
+  test("chunkWindows: overlap, tail coverage, short docs, empty text excluded") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, chunk 4 stride 2 → starts 0,2,4 (ceil(3/2)+1=3)
+      (2L, "x y"), // shorter than one chunk → 1 window
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, "doc_id", col("text"),
+      chunkTokens = 4, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(got == Map(
+      (1L, 0L) -> (0L, "a b c d", 4L),
+      (1L, 1L) -> (2L, "c d e f", 4L),
+      (1L, 2L) -> (4L, "e f g", 3L), // tail window short but covers g
+      (2L, 0L) -> (0L, "x y", 2L)))
+    // every token of doc 1 appears in at least one chunk
+    val covered = got.collect { case ((1L, _), (_, t, _)) => t.split(" ") }
+      .flatten.toSet
+    assert(covered == Set("a", "b", "c", "d", "e", "f", "g"))
+  }
+
+  test("centroidByGroup: exact int8 component sums, null vectors counted not summed") {
+    val df = Seq(
+      (1L, "g1", Seq(1f, -1f)), // quantizes to (127, -127)
+      (2L, "g1", Seq(0.5f, 1f)), // scale 1 → (64, 127): round(63.5) HALF_UP = 64
+      (3L, "g2", Seq(2f, 0f)), // (127, 0)
+      (4L, "g2", null)).toDF("vec_id", "g", "embedding")
+    val got = Similarity.centroidByGroup(df, "g", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList)).toMap
+    assert(got == Map(
+      "g1" -> (2L, 0L, List(191L, 0L)),
+      "g2" -> (1L, 1L, List(127L, 0L))))
+  }
+
+  // ---------------------------------------------------------------- //
   //  Filter funnel                                                    //
   // ---------------------------------------------------------------- //
 
