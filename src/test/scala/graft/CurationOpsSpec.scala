@@ -366,6 +366,47 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dropNearDupsAgainstLive: restart recovery is OFFSETS-ONLY (no state to rebuild, no re-emission)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val ref = corpus(0L -> "a b c d e f g h i j")
+    val refSigs = CacheScope.session.cache(
+      Dedup.minHashSignatures(ref, "doc_id", col("text"), 3, K))
+    def live(in: org.apache.spark.sql.DataFrame) =
+      Dedup.dropNearDupsAgainstLive(in, refSigs, "doc_id", col("text"),
+        n = 3, k = K, rowsPerBand = RPB, threshold = 0.5)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt-")
+    val ms = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = live(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptDir.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("doc_id").collect().map(_.getLong(0))
+        out.synchronized { out ++= ids }
+        ()
+      }.start()
+    val q1 = start()
+    try {
+      ms.addData(1L -> "a b c d e f g h i j", 2L -> "q r s t u v w x y z")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(out.synchronized(out.toSet) == Set(2L), "dup of ref dropped pre-restart")
+    // restart against the same checkpoint: the committed batch must NOT
+    // re-emit (offsets restored), and new data dedups correctly with no
+    // state recovery at all (there is none to recover)
+    val q2 = start()
+    try {
+      ms.addData(3L -> "a b c d e f g h i j", 4L -> "k l m n o p k l m n")
+      q2.processAllAvailable()
+      assert(q2.lastProgress == null || q2.lastProgress.stateOperators.isEmpty)
+    } finally q2.stop()
+    assert(out.synchronized(out.toSet) == Set(2L, 4L),
+      "no re-emission of batch 1, dup dropped and fresh doc kept post-restart")
+    org.apache.commons.io.FileUtils.deleteDirectory(ckptDir.toFile)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("cosineDropAgainstLive: LIVE stream survivors == batch twin, ZERO state operators") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
