@@ -1101,6 +1101,18 @@ object SparkEntry {
         round(col("value")).cast("long").as("units")),
       "event_type", "units", zNum = 3L)
 
+  /** Per-language length quartiles ([[graft.ops.Stats.quantileBuckets]]):
+    * every document's quartile within its OWN language's n_chars
+    * distribution — boundary table + broadcast join, never a per-group
+    * corpus sort. At sf0.01 every language group is far below the
+    * 10000 accuracy, so boundaries are exact order statistics and
+    * DuckDB's quantile_disc mirrors them (the q45 argument). */
+  private def qQuantileBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.quantileBuckets(
+      table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      "lang", "n_chars", Seq(0.25, 0.5, 0.75))
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1194,6 +1206,7 @@ object SparkEntry {
     "q78_cosine_ingest" -> (qCosineIngest _),
     "q79_chunk_windows" -> (qChunkWindows _),
     "q80_label_centroids" -> (qCentroids _),
+    "q81_quantile_buckets" -> (qQuantileBuckets _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2246,6 +2259,21 @@ object SparkEntry {
         | FROM e JOIN f USING (user_id))
         |SELECT cohort_bucket, bucket_offset, count(*) AS n_active
         |FROM ub GROUP BY 1, 2""".stripMargin,
+
+    // quantile_disc == percentile_approx@10000 below the accuracy (the
+    // q45 argument); strict-greater bucket arithmetic, boundary ties
+    // land low on both engines.
+    "q81_quantile_buckets" ->
+      """WITH b AS (SELECT lang,
+        |  quantile_disc(n_chars, 0.25) AS q1,
+        |  quantile_disc(n_chars, 0.5) AS q2,
+        |  quantile_disc(n_chars, 0.75) AS q3
+        | FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        | CAST(1 + (CASE WHEN d.n_chars > b.q1 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN d.n_chars > b.q2 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN d.n_chars > b.q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |FROM documents d JOIN b USING (lang)""".stripMargin,
 
     // DuckDB's 1-based inclusive slice ws[a+1 : a+32] == Spark
     // slice(ws, a+1, 32); ceil window count over the same double

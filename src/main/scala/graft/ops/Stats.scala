@@ -52,4 +52,36 @@ object Stats {
   }
 
   private def pow2(c: Column): Column = c * c
+
+  /** Per-group quantile binning — each row's bucket (1..boundaries+1)
+    * within its group's own value distribution, e.g. per-language
+    * quality quartiles for mixture weighting ("upsample the top
+    * quartile of each language" — binning against the GLOBAL
+    * distribution would just re-rank languages).
+    *
+    * The naive shape is `ntile() OVER (PARTITION BY group ORDER BY v)`
+    * — a corpus-wide per-group sort. This instead aggregates the
+    * boundary quantiles per group (`percentile_approx`, accuracy
+    * 10000: exact order statistics whenever a group is smaller than
+    * the accuracy, bounded-error beyond — the q45 contract) into a
+    * GROUPS-sized table and broadcast-joins it back: one partial
+    * aggregate + one stateless comparison pass, no sort of the corpus.
+    * Bucket = 1 + |{b : v > boundary_b}| — strict-greater integer
+    * comparisons, so ties on a boundary all land in the lower bucket
+    * on every engine. Output: `df`'s columns + bucket. */
+  def quantileBuckets(df: DataFrame, groupCol: String, valueCol: String,
+      probabilities: Seq[Double]): DataFrame = {
+    require(probabilities.nonEmpty && probabilities == probabilities.sorted &&
+      probabilities.forall(p => p > 0 && p < 1),
+      s"need sorted probabilities in (0,1), got $probabilities")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      percentile_approx(col(valueCol),
+        typedLit(probabilities), lit(10000)).as("__qs"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bucket",
+        probabilities.indices.map(i =>
+          when(col(valueCol) > col("__qs").getItem(i), 1L).otherwise(0L))
+          .reduce(_ + _) + 1L)
+      .drop("__qs")
+  }
 }

@@ -25,6 +25,19 @@ class StatsSpec extends AnyFunSuite {
     assert(flags(1L) == Set(5L), "strictly beyond 1 sigma flags only v=4")
   }
 
+  test("quantileBuckets: per-group boundaries, strict-greater buckets, boundary ties land low") {
+    // group a: values 1..8 → exact quartile boundaries (disc) 2, 4, 6;
+    // group b has its OWN distribution (10x), proving per-group binning
+    val df = ((1L to 8L).map(v => ("a", v, v)) ++
+      (1L to 4L).map(v => ("b", 100L + v, v * 10))).toDF("g", "id", "v")
+    val got = Stats.quantileBuckets(df, "g", "v", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // a: v<=2 → 1; 3,4 → 2; 5,6 → 3; 7,8 → 4 (boundary values land LOW)
+    assert((1L to 8L).map(got) == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
+    // b: boundaries 10, 20, 30 of its own values
+    assert((101L to 104L).map(got) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("property: outliersByGroup == BigInt re-derivation (4 seeds)") {
     for (seed <- 41 to 44) {
       val rnd = new scala.util.Random(seed)
