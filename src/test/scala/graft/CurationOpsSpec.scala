@@ -524,6 +524,67 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(covered == Set("a", "b", "c", "d", "e", "f", "g"))
   }
 
+  test("property: chunkWindows covers every token, respects stride/size bounds (4 seeds)") {
+    for (seed <- 51 to 54) {
+      val rnd = new scala.util.Random(seed)
+      val chunk = 2 + rnd.nextInt(6)
+      val stride = 1 + rnd.nextInt(chunk)
+      val docs = (1L to 20L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(25))("t" + rnd.nextInt(50)).mkString(" ")
+      }
+      val got = TextAnalysis.chunkWindows(docs.toDF("doc_id", "text"),
+        "doc_id", col("text"), chunk, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4)))
+      val byDoc = got.groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val ws = byDoc(id).sortBy(_._2)
+        // indices contiguous from 0; starts advance by exactly stride
+        assert(ws.map(_._2).toSeq == ws.indices.map(_.toLong))
+        ws.foreach { case (_, i, start, t, n) =>
+          assert(start == i * stride)
+          val expect = toks.slice(start.toInt, start.toInt + chunk)
+          assert(t == expect.mkString(" ") && n == expect.size,
+            s"seed=$seed doc=$id win=$i")
+        }
+        // full coverage and no redundant tail: last start < nTokens,
+        // last window reaches the final token
+        assert(ws.last._3 < toks.size)
+        assert(ws.last._3 + ws.last._5 == toks.size,
+          s"seed=$seed doc=$id: last window must end at the last token")
+      }
+    }
+  }
+
+  test("property: vocabTopK == driver-side recount with the hash60 tie order (4 seeds)") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    for (seed <- 61 to 64) {
+      val rnd = new scala.util.Random(seed)
+      val langs = Seq("en", "de")
+      val docs = (1 to 40).map { _ =>
+        (langs(rnd.nextInt(2)),
+          Seq.fill(3 + rnd.nextInt(10))("w" + rnd.nextInt(12)).mkString(" "))
+      }
+      val k = 1 + rnd.nextInt(5)
+      val got = TextAnalysis.vocabTopK(docs.toDF("lang", "text"), "lang",
+        col("text"), k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = docs.groupBy(_._1).flatMap { case (lang, ds) =>
+        val counts = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+          .groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+        counts.toSeq.sortBy { case (t, c) => (-c, h60(t)) }.take(k)
+          .zipWithIndex.map { case ((t, c), i) => (lang, t, c, (i + 1).toLong) }
+      }.toSet
+      assert(got == want, s"seed=$seed k=$k")
+    }
+  }
+
   test("centroidByGroup: exact int8 component sums, null vectors counted not summed") {
     val df = Seq(
       (1L, "g1", Seq(1f, -1f)), // quantizes to (127, -127)
