@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.ops.{CacheScope, Dedup, Similarity}
 
 /** Batch SCALE PROBE (round-12 verdict task 2): the driver fixtures stop
-  * at sf0.1, so the per-round bench can never see how the five most
-  * expensive operators GROW — a quadratic constant can hide under a cap
+  * at sf0.1, so the per-round bench can never see how the expensive
+  * operator families GROW — a quadratic constant can hide under a cap
   * at 5k documents. This main synthesizes a deterministic, seed-fixed
-  * corpus shaped like `documents`/`embeddings` (same schema, word-count
-  * distribution, language/source mix, a 5% near-duplicate rate so the
-  * LSH families have real candidate work) at 1× and 10× the sf0.1 row
-  * counts, runs each op at both, and prints per-op wall seconds plus the
-  * 1×→10× ratio and the implied scaling exponent `log10(t10/t1)`.
+  * corpus shaped like `documents`/`embeddings`/`events` (same schemas,
+  * word-count distribution, language/source mix, a 5% near-duplicate
+  * rate so the LSH families have real candidate work, users ∝ scale at
+  * constant events-per-user) at 1× and N× the sf0.1 row counts, runs
+  * each op at both, and prints per-op wall seconds plus the 1×→N×
+  * ratio and the implied scaling exponent `log_N(tN/t1)`.
   *
   * Density discipline: the probe holds CANDIDATE DENSITY constant across
   * scales — vocabulary grows ∝ cbrt(scale) so the 3-shingle document
