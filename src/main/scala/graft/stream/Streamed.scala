@@ -135,6 +135,48 @@ object Streamed {
           out.iterator
       }
 
+  /** LIVE conversion funnel — the streaming twin of
+    * [[graft.ops.Events.funnel]]. The batch form's greedy
+    * earliest-feasible matching is an ONLINE algorithm (at step i, take
+    * the first event of type steps(i) with ts strictly after step i−1's
+    * time), so the per-key state is just `(stepsDone, lastStepTs)` —
+    * two fields per user, independent of history length, the smallest
+    * state any funnel can carry. Each advance emits
+    * `Rec(key, (newStepsDone, tsOfThatStep), ts)` — a live funnel
+    * progress changelog (dashboard the max per key).
+    *
+    * Events are processed in ts order within each micro-batch; on feeds
+    * that arrive in ts order across batches the final per-key
+    * (stepsDone, stepTs) chain equals the batch funnel exactly
+    * (congruity-tested). Out-of-order arrival across micro-batches can
+    * miss a chain the batch form would find (an earlier-ts step
+    * arriving late cannot rewind state) — the same documented
+    * arrival-order caveat as the dedupe fragments. */
+  def funnelState[K: Encoder](ds: Dataset[Rec[K, String]], steps: Seq[String])(
+      implicit outEnc: Encoder[Rec[K, (Int, Long)]]): Dataset[Rec[K, (Int, Long)]] = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate steps in $steps")
+    implicit val stEnc: Encoder[(Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Int, Long), Rec[K, (Int, Long)]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, String]], state: GroupState[(Int, Long)]) =>
+          var (done, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Rec[K, (Int, Long)]]
+          records.toSeq.sortBy(_.tsMs).foreach { r =>
+            if (done < steps.size && r.value == steps(done) &&
+                (done == 0 || r.tsMs > lastTs)) {
+              done += 1
+              lastTs = r.tsMs
+              out += Rec(key, (done, r.tsMs), r.tsMs)
+            }
+          }
+          state.update((done, lastTs))
+          out.iterator
+      }
+  }
+
   /** KGroupedTable-style aggregate with subtractor: the stream is a table
     * changelog keyed by the TABLE key; `groupKey` re-keys for aggregation.
     * On an update to a table key, the previous value is subtracted and the

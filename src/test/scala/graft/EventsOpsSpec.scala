@@ -128,6 +128,44 @@ class EventsOpsSpec extends AnyFunSuite {
       "u2" -> (Some(1L), Some(2L), None, None, 2L)))
   }
 
+  test("funnelState: LIVE per-user chain == batch funnel on in-order feeds; state resumes across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val rnd = new scala.util.Random(77)
+    val feed = (1L to 120L).map { i => // ts-ordered feed, 6 users
+      Rec("u" + rnd.nextInt(6), steps(rnd.nextInt(3)), i * 10L)
+    }
+    val ms = MemoryStream[Rec[String, String]]
+    val q = Streamed.funnelState(ms.toDS(), steps)
+      .writeStream.format("memory").queryName("livefunnel")
+      .outputMode("update").start()
+    try { // split mid-chain: advances must resume from state, not restart
+      ms.addData(feed.take(50): _*); q.processAllAvailable()
+      ms.addData(feed.drop(50): _*); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("livefunnel")
+      .collect().map(r => (r.getString(0),
+        r.getStruct(1).getInt(0), r.getStruct(1).getLong(1)))
+    // each user's advances are 1,2,3… exactly once each
+    live.groupBy(_._1).foreach { case (u, adv) =>
+      assert(adv.map(_._2).sorted.toSeq == (1 to adv.size).toSeq, s"user $u")
+    }
+    // final chains == the batch funnel on the same rows
+    val batch = Events.funnel(
+      feed.map(r => (r.key, r.value, r.tsMs)).toDF("user_id", "event_type", "ts_us"),
+      "user_id", "event_type", "ts_us", steps)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    val liveChains = live.groupBy(_._1).map { case (u, adv) =>
+      val byStep = adv.map(a => a._2 -> a._3).toMap
+      u -> (byStep.get(1), byStep.get(2), byStep.get(3), byStep.keys.max.toLong)
+    }
+    assert(liveChains.keySet == batch.keySet)
+    liveChains.foreach { case (u, c) => assert(c == batch(u), s"user $u") }
+  }
+
   test("property: funnel == driver-side greedy chain (4 seeds)") {
     val steps = Seq("a", "b", "c")
     for (seed <- 31 to 34) {
