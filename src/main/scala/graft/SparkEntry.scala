@@ -1113,6 +1113,21 @@ object SparkEntry {
         col("n_chars")),
       "lang", "n_chars", Seq(0.25, 0.5, 0.75))
 
+  /** BM25 top-k retrieval ([[graft.ops.Retrieval.bm25TopK]]): the 10
+    * best corpus documents per query under rational-IDF BM25 (the log's
+    * argument as the term weight — IEEE-exact cross-engine where `ln`
+    * is libm-dependent). Queries = the first 6 tokens of docs 0-4, so
+    * each query's own document is a natural top hit and the seed-mining
+    * use ("find documents like these") is exercised as-is. */
+  private def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(col("text"), " "), 1, 6), " ").as("qtext"))
+    graft.ops.Retrieval.bm25TopK(docs, "doc_id", col("text"),
+      queries, "query_id", col("qtext"), k = 10)
+  }
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1207,6 +1222,7 @@ object SparkEntry {
     "q79_chunk_windows" -> (qChunkWindows _),
     "q80_label_centroids" -> (qCentroids _),
     "q81_quantile_buckets" -> (qQuantileBuckets _),
+    "q82_bm25_topk" -> (qBm25TopK _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2350,5 +2366,44 @@ object SparkEntry {
         | ((m.n * e.units - m.s) * (m.n * e.units - m.s)
         |   > 9 * (m.n * m.q - m.s * m.s)) AS is_outlier
         |FROM e JOIN m USING (event_type)""".stripMargin,
+
+    // Rational-IDF BM25 (the log's argument as the weight — no libm);
+    // every constant forced through ::DOUBLE so both engines fold the
+    // identical IEEE tree; per-term scores rounded to 6 dp and summed
+    // as DECIMAL (exact, order-free); heap tie order = (score desc,
+    // doc_id asc).
+    "q82_bm25_topk" ->
+      """WITH t0 AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM t0 WHERE len(tok) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(dl) AS DOUBLE) AS len FROM dl),
+        |q AS (SELECT doc_id AS query_id,
+        |   array_to_string((string_split(text, ' '))[1:6], ' ') AS qtext
+        | FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id, tok FROM
+        |   (SELECT query_id, unnest(string_split(qtext, ' ')) AS tok
+        |    FROM q) WHERE len(tok) > 0),
+        |post AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        | WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+        |term AS (SELECT qt.query_id, p.doc_id,
+        |   CAST(round(
+        |     ((st.n - CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE)
+        |       / (CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE))
+        |     * (CAST(p.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)
+        |        / (CAST(p.tf AS DOUBLE) + 1.2::DOUBLE
+        |           * (0.25::DOUBLE + 0.75::DOUBLE
+        |              * (CAST(dl.dl AS DOUBLE) * st.n / st.len)))),
+        |     6) AS DECIMAL(18,6)) AS ts
+        | FROM post p JOIN dl USING (doc_id) CROSS JOIN st
+        |   JOIN dfq USING (tok) JOIN qt USING (tok)),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE) AS score
+        | FROM term GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score, rank FROM (
+        | SELECT query_id, doc_id, score, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        | FROM sc) WHERE rank <= 10""".stripMargin,
   )
 }

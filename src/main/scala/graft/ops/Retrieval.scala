@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval operators: score a small query set against the
+  * corpus and keep the best k documents per query. The curation use is
+  * targeted corpus mining ("find the documents most like these seed
+  * examples") and retrieval-based inspection of a 100 TB corpus —
+  * the lexical complement to [[Similarity]]'s embedding top-k. The
+  * reference has no retrieval surface (SURVEY §2.7); driver-extension
+  * family like [[Rank]]. */
+object Retrieval {
+
+  /** BM25 top-k retrieval: the k best documents per query under
+    * Okapi BM25 with a RATIONAL IDF. Instead of the classic
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)` this uses the log's argument
+    * `(N - df + 0.5)/(df + 0.5)` directly as the term weight: `ln` is
+    * only faithfully rounded and differs per libm (the
+    * [[TextAnalysis.tokenRarity]] reasoning), while the rational form
+    * is one IEEE-exact division — bit-identical on any engine — and
+    * preserves the df ordering (ln is monotone), so which documents
+    * score high for WHICH terms is unchanged; only the relative
+    * weighting across terms is steeper, and as a bonus the weight is
+    * always positive (log-IDF goes negative past df > N/2, a known
+    * BM25 wart). Term frequency saturation is standard:
+    * `tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))` with query-term
+    * multiplicity ignored (qtf = 1, the common implementation choice).
+    * Per-term scores are rounded to 6 dp and summed as DECIMAL — the
+    * doc score is an exact decimal sum, immune to float addition
+    * order, then ranked (score desc, id asc) through the bounded-heap
+    * [[Rank.topNPerGroup]].
+    *
+    * Scale shape (corpus = `docs`, queries small and broadcast
+    * throughout): the token explode is cached once and feeds doc
+    * lengths, corpus stats, and the posting build; the posting list is
+    * cut to the QUERY VOCABULARY by a broadcast semi-join BEFORE its
+    * tf aggregate, so everything downstream of the one corpus-keyed
+    * doc-length join is sized |docs matching any query term| ×
+    * |query vocab| — never corpus × vocab. Document frequencies and
+    * corpus stats are query-vocab-sized / 1-row broadcasts. The final
+    * per-(query, doc) sum partially aggregates, and the heap keeps k
+    * rows of state per query per task. At 100 TB one hot query term is
+    * a skewed join key — the same AQE-skew/salting note as
+    * [[TextAnalysis.tokenRarity]]'s frequency join. */
+  def bm25TopK(docs: DataFrame, idCol: String, text: Column,
+      queries: DataFrame, qidCol: String, qtext: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]; got ($k1, $b)")
+    val toks = scope.cache(
+      docs.select(col(idCol), explode(split(text, " ")).as("__tok"))
+        .filter(length(col("__tok")) > 0))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    // corpus stats stay an exact integer pair (N, total length); the
+    // avgdl division happens inside the per-term expression so both
+    // engines evaluate the identical IEEE tree
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__len"))
+    val qterms = queries
+      .select(col(qidCol), explode(split(qtext, " ")).as("__tok"))
+      .filter(length(col("__tok")) > 0).distinct()
+    val qvocab = qterms.select(col("__tok")).distinct()
+    val posting = scope.cache(toks
+      .join(broadcast(qvocab), Seq("__tok"), "left_semi")
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf")))
+    // posting is distinct per (doc, term), so df = plain count; result
+    // is query-vocab-sized
+    val dfreq = posting.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val n = col("__n").cast("double")
+    val idf = (n - col("__df").cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    // dl/avgdl as (dl·N)/len: two exact long-to-double casts, one
+    // multiply, one divide — no intermediate rounding to disagree on
+    val relLen = col("__dl").cast("double") * n / col("__len").cast("double")
+    val tfd = col("__tf").cast("double")
+    val sat = tfd * lit(k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * relLen))
+    val perDoc = posting
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), "__tok")
+      .join(broadcast(qterms), Seq("__tok"))
+      .select(col(qidCol), col(idCol),
+        round(idf * sat, 6).cast("decimal(18,6)").as("__term_score"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__term_score")).cast("double").as("score"))
+    Rank.topNPerGroup(perDoc, Seq(qidCol), idCol, "score", k)
+      .select(col(qidCol), col("id").as(idCol), col("score"), col("rank"))
+  }
+}
