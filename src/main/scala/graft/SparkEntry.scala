@@ -1128,6 +1128,15 @@ object SparkEntry {
       queries, "query_id", col("qtext"), k = 10)
   }
 
+  /** Winnowed-fingerprint overlap pairs
+    * ([[graft.ops.Dedup.winnowedOverlapPairs]]): MOSS-style shared-span
+    * detection — any common run of k+w−1 = 7 words is guaranteed a
+    * shared fingerprint while the index holds only ~2/(w+1) of the
+    * grams; pairs sharing ≥ 2 fingerprints, containment-normalized. */
+  private def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.winnowedOverlapPairs(cpuTable(s, dir, "documents"),
+      "doc_id", col("text"), k = 4, w = 4, minShared = 2, maxDf = 100)
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1223,6 +1232,7 @@ object SparkEntry {
     "q80_label_centroids" -> (qCentroids _),
     "q81_quantile_buckets" -> (qQuantileBuckets _),
     "q82_bm25_topk" -> (qBm25TopK _),
+    "q83_winnow_pairs" -> (qWinnowPairs _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2405,5 +2415,35 @@ object SparkEntry {
         | SELECT query_id, doc_id, score, row_number() OVER (
         |   PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
         | FROM sc) WHERE rank <= 10""".stripMargin,
+
+    // Winnowing replay: k-gram hashes positionally (NOT distinct), one
+    // whole-list window when grams <= w (the slice clamps), sliding
+    // list_min otherwise; fingerprints = the distinct selected values.
+    // Same md5 hash60 construction as q23/q67.
+    "q83_winnow_pairs" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (SELECT doc_id, list_transform(
+        |    generate_series(1, len(w) - 3),
+        |    i -> CAST(('0x'||substr(md5(array_to_string(w[i:i+3], ' ')),
+        |      1, 15)) AS BIGINT)) AS gh
+        |  FROM ws),
+        |f0 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(gh) - 3, 1)),
+        |    j -> list_min(gh[j:j+3]))) AS fp
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM f0),
+        |nf AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id)
+        |    AS nfp FROM fp),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY
+        |    fp) AS df FROM nf) WHERE df <= 100),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nfp AS na,
+        |   y.nfp AS nb, count(*) AS shared
+        | FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |SELECT a, b, CAST(shared AS BIGINT) AS shared,
+        | round(CAST(shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 6)
+        |   AS overlap
+        |FROM p""".stripMargin,
   )
 }
