@@ -177,6 +177,50 @@ object Streamed {
       }
   }
 
+  /** LIVE gap sessionization — the streaming twin of
+    * [[graft.ops.Events.sessionize]]. Gap-based session assignment is an
+    * ONLINE algorithm over a ts-ordered feed (an event opens a new
+    * session iff it is the key's first or follows a gap > `gapMs`), so
+    * the per-key state is `(sessionIdx, lastTs, posInSession)` — three
+    * fields per user, independent of history length. Each event emits
+    * `Rec(key, (session_id, session_event), ts)`, the same user-local
+    * 1-based numbering as the batch form.
+    *
+    * Events are processed in ts order within each micro-batch; on feeds
+    * that arrive in ts order across batches (and with per-key distinct
+    * timestamps — the batch form breaks ts ties with its `orderCol`,
+    * which has no analogue here) the assignment equals the batch
+    * sessionize exactly (congruity-tested). A late event across batches
+    * cannot rewind a closed boundary: arriving with ts ≤ lastTs it
+    * joins the CURRENT session (its gap is non-positive) — the same
+    * documented arrival-order caveat as [[funnelState]] and the dedupe
+    * fragments. Unlike Spark's native session window this emits
+    * per-event immediately (no watermark hold-back) and never merges
+    * windows — assignment is final at arrival, the latency/fidelity
+    * trade the changelog consumers here want. */
+  def sessionizeState[K: Encoder](ds: Dataset[Rec[K, Long]], gapMs: Long)(
+      implicit outEnc: Encoder[Rec[K, (Long, Long)]]): Dataset[Rec[K, (Long, Long)]] = {
+    require(gapMs > 0, s"gapMs > 0, got $gapMs")
+    implicit val stEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Long), Rec[K, (Long, Long)]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, Long]],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (sid, lastTs, pos) = state.getOption.getOrElse((0L, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Rec[K, (Long, Long)]]
+          records.toSeq.sortBy(_.tsMs).foreach { r =>
+            if (sid == 0L || r.tsMs - lastTs > gapMs) { sid += 1; pos = 1L }
+            else pos += 1L
+            lastTs = r.tsMs
+            out += Rec(key, (sid, pos), r.tsMs)
+          }
+          state.update((sid, lastTs, pos))
+          out.iterator
+      }
+  }
+
   /** KGroupedTable-style aggregate with subtractor: the stream is a table
     * changelog keyed by the TABLE key; `groupKey` re-keys for aggregation.
     * On an update to a table key, the previous value is subtracted and the

@@ -166,6 +166,37 @@ class EventsOpsSpec extends AnyFunSuite {
     liveChains.foreach { case (u, c) => assert(c == batch(u), s"user $u") }
   }
 
+  test("sessionizeState: LIVE assignment == batch sessionize on in-order feeds; boundaries survive a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(123)
+    // globally increasing ts (distinct per user by construction); jumps
+    // larger than the 100ms gap open new sessions mid-feed
+    var t = 0L
+    val feed = (1L to 150L).map { i =>
+      t += (if (rnd.nextInt(4) == 0) 150L else 1L + rnd.nextInt(40))
+      Rec("u" + rnd.nextInt(5), i, t)
+    }
+    val ms = MemoryStream[Rec[String, Long]]
+    val q = Streamed.sessionizeState(ms.toDS(), gapMs = 100L)
+      .writeStream.format("memory").queryName("livesess")
+      .outputMode("update").start()
+    try { // split mid-feed: session continuity must come from state
+      ms.addData(feed.take(70): _*); q.processAllAvailable()
+      ms.addData(feed.drop(70): _*); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("livesess")
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    val batch = Events.sessionize(
+      feed.map(r => (r.key, r.value, r.tsMs)).toDF("user_id", "event_id", "ts_us"),
+      "user_id", "ts_us", "event_id", gapUs = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(live.size == feed.size && live == batch)
+  }
+
   test("property: funnel == driver-side greedy chain (4 seeds)") {
     val steps = Seq("a", "b", "c")
     for (seed <- 31 to 34) {
