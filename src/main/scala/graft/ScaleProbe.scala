@@ -294,6 +294,24 @@ object ScaleProbe {
       // stay fixed-size and the red line is the user-keyed exchange +
       // sort bending super-linear (rows must grow a strict ∝ scale —
       // no caps exist in this family)
+      // q83's exact shape — the ngram_jaccard index pre-shrunk ~2/(w+1)
+      // in the codegen winnow scan; A/B against ngram_jaccard on the
+      // same corpus, same red line (hot-fingerprint occupancy²)
+      "winnow_pairs" -> (() => CacheScope.using { sc =>
+        Dedup.winnowedOverlapPairs(docs, "doc_id", col("text"),
+          k = 4, w = 4, minShared = 2, maxDf = 100, scope = sc).count()
+      }),
+      // q82's exact shape — posting list cut to the query vocabulary by
+      // a broadcast semi-join before the tf aggregate; the red line is
+      // the corpus-keyed doc-length join and the hot-term skew (zipf
+      // words make the probe's query terms genuinely hot)
+      "bm25_topk" -> (() => CacheScope.using { sc =>
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 6), " ").as("qtext"))
+        graft.ops.Retrieval.bm25TopK(docs, "doc_id", col("text"),
+          queries, "query_id", col("qtext"), k = 10, scope = sc).count()
+      }),
       "sessionize" -> (() =>
         graft.ops.Events.sessionize(evs, "user_id", "ts_us", "event_id",
           gapUs = 8L * 3600L * 1000000L).count()),
