@@ -1137,6 +1137,15 @@ object SparkEntry {
     graft.ops.Dedup.winnowedOverlapPairs(cpuTable(s, dir, "documents"),
       "doc_id", col("text"), k = 4, w = 4, minShared = 2, maxDf = 100)
 
+  /** Corpus collocations ([[graft.ops.TextAnalysis.cooccurTopK]]): the
+    * 20 most frequent within-3-positions token pairs with their
+    * rational-PMI association ratio — count-ranked with PMI attached
+    * (PMI-first ranking surfaces minCount-boundary hapax pairs, the
+    * classic artifact). */
+  private def qCooccurTopK(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cooccurTopK(cpuTable(s, dir, "documents"), col("text"),
+      window = 3, k = 20, minCount = 5)
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1233,6 +1242,7 @@ object SparkEntry {
     "q81_quantile_buckets" -> (qQuantileBuckets _),
     "q82_bm25_topk" -> (qBm25TopK _),
     "q83_winnow_pairs" -> (qWinnowPairs _),
+    "q84_cooccur_topk" -> (qCooccurTopK _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2445,5 +2455,35 @@ object SparkEntry {
         | round(CAST(shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 6)
         |   AS overlap
         |FROM p""".stripMargin,
+
+    // Position self-join replays the nested-lambda pair scan (x.pos <
+    // y.pos <= x.pos + 3, unordered least/greatest at occurrence
+    // level); rational PMI = n_ab·N/(n_a·n_b), same ::DOUBLE tree;
+    // rank by (n_ab desc, md5-hash60(pair) asc) — the heap's order.
+    "q84_cooccur_topk" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS ws FROM documents),
+        |p0 AS (SELECT doc_id, unnest(ws) AS tok,
+        |    unnest(generate_series(1, len(ws))) AS pos FROM w),
+        |pr AS (SELECT least(x.tok, y.tok) AS tok_a,
+        |    greatest(x.tok, y.tok) AS tok_b, count(*) AS n_ab
+        |  FROM p0 x JOIN p0 y ON x.doc_id = y.doc_id
+        |    AND y.pos > x.pos AND y.pos <= x.pos + 3
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (SELECT tok, count(*) AS n FROM p0 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM p0),
+        |sc AS (SELECT tok_a, tok_b, n_ab,
+        |   round(CAST(n_ab AS DOUBLE) * tot.nn
+        |     / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)), 6)
+        |     AS pmi_ratio,
+        |   CAST(('0x'||substr(md5(tok_a||' '||tok_b),1,15)) AS BIGINT)
+        |     AS pid
+        | FROM pr CROSS JOIN tot
+        |   JOIN uni ua ON pr.tok_a = ua.tok
+        |   JOIN uni ub ON pr.tok_b = ub.tok)
+        |SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab, pmi_ratio,
+        |  rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY n_ab DESC, pid ASC)
+        |   AS rank FROM sc) WHERE rank <= 20""".stripMargin,
   )
 }

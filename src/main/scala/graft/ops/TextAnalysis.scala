@@ -235,6 +235,68 @@ object TextAnalysis {
         col("score").cast("long").as("cnt"), col("rank"))
   }
 
+  /** Corpus-wide top-K co-occurring token pairs with a RATIONAL PMI —
+    * the word2vec/PPMI-era association statistic (collocation mining,
+    * tokenizer-merge candidates, corpus drift): two tokens within
+    * `window` positions in a document are one co-occurrence, pairs are
+    * unordered (lexicographic least/greatest), and the association
+    * score is the log-PMI's ARGUMENT `n_ab·N / (n_a·n_b)` at 6 dp —
+    * `ln` is libm-dependent (the [[tokenRarity]] reasoning) while the
+    * ratio is one IEEE tree any engine reproduces; it is monotone in
+    * PMI, so thresholds and per-pair comparisons carry over. The top-K
+    * is by RAW co-occurrence count (ties by the cross-engine md5 hash
+    * of the pair): count-ranked pairs with PMI attached is the
+    * collocation-table shape — PMI-ranked output would surface
+    * minCount-boundary hapax pairs first, the classic PMI artifact.
+    *
+    * Scale shape: the token-array projection is cached once and feeds
+    * both the pair explode (fan-out ≤ window per token, built by a
+    * nested-lambda scan — no self-join on position) and the unigram
+    * explode; pair and unigram counts partially aggregate (the
+    * exchanges carry DISTINCT pairs/tokens, zipf-truncated, not
+    * occurrences); the total-token count rides a 1-row broadcast and
+    * the unigram join-backs key on single tokens — the [[tokenRarity]]
+    * hot-stopword skew note applies. The final ranking is the
+    * k-rows-of-state bounded heap, never a corpus sort. Pairs under
+    * `minCount` are dropped after the partial-agg (they cannot be
+    * dropped before it — a pair's count is only known globally).
+    * Output: tok_a, tok_b, n_ab, pmi_ratio, rank. */
+  def cooccurTopK(df: DataFrame, text: Column, window: Int, k: Int,
+      minCount: Long, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(window >= 1, s"window >= 1, got $window")
+    require(k >= 1 && minCount >= 1, s"k >= 1 and minCount >= 1, got ($k, $minCount)")
+    val wsDf = scope.cache(df.select(
+      filter(split(text, " "), t => t =!= "").as("__ws")))
+    // slice clamps past the array end, so short docs need no guard; the
+    // pair string is "min max" — unordered at the occurrence level
+    val pairs = wsDf.select(explode(flatten(transform(col("__ws"), (x, i) =>
+        transform(slice(col("__ws"), i + lit(2), lit(window)), y =>
+          concat_ws(" ", least(x, y), greatest(x, y)))))).as("__pair"))
+      .groupBy(col("__pair")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val toks = wsDf.select(explode(col("__ws")).as("__tok"))
+    val uni = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("__nn"))
+    // cached: feeds the heap and the rank join-back (pairs-table-sized,
+    // already minCount-pruned)
+    val scored = scope.cache(pairs
+      .withColumn("tok_a", split(col("__pair"), " ").getItem(0))
+      .withColumn("tok_b", split(col("__pair"), " ").getItem(1))
+      .join(uni.select(col("__tok").as("tok_a"), col("__n").as("__na")), "tok_a")
+      .join(uni.select(col("__tok").as("tok_b"), col("__n").as("__nb")), "tok_b")
+      .crossJoin(broadcast(tot))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("__nn") /
+          (col("__na").cast("double") * col("__nb").cast("double")), 6)
+          .as("pmi_ratio"),
+        Dedup.hash60(col("__pair")).as("__pid")))
+    Rank.topNPerGroup(scored, Seq.empty, "__pid", "n_ab", k)
+      .select(col("id").as("__pid"), col("rank"))
+      .join(scored, "__pid")
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("pmi_ratio"),
+        col("rank"))
+  }
+
   /** Deterministic integer-valued stand-in weights for
     * [[hashedLinearScore]]: bucket b's weight is
     * `(md5-hash60(salt || b) mod 2001) − 1000` ∈ [−1000, 1000] — the
