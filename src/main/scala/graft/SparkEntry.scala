@@ -1146,6 +1146,27 @@ object SparkEntry {
     TextAnalysis.cooccurTopK(cpuTable(s, dir, "documents"), col("text"),
       window = 3, k = 20, minCount = 5)
 
+  /** Per-type value drift ([[graft.ops.Stats.driftByGroup]]): OLS slope
+    * and signed r² of integer units against the epoch-day index, from
+    * exact DECIMAL(38,0) moments — distribution-shift monitoring with
+    * engine-identical numbers. */
+  private def qDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.driftByGroup(
+      eventsDf(s, dir).select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long")
+          .as("day_idx"),
+        round(col("value")).cast("long").as("units")),
+      "event_type", "day_idx", "units")
+
+  /** Attribution matrix ([[graft.ops.Events.attribution]]): per-user
+    * first/last event type by (ts, event_id), cross-tabulated — one
+    * argmin/argmax hash aggregate, no per-user window sort. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.attribution(
+      eventsDf(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us")),
+      "user_id", "event_type", "ts_us", "event_id")
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1243,6 +1264,8 @@ object SparkEntry {
     "q82_bm25_topk" -> (qBm25TopK _),
     "q83_winnow_pairs" -> (qWinnowPairs _),
     "q84_cooccur_topk" -> (qCooccurTopK _),
+    "q85_drift_by_group" -> (qDrift _),
+    "q86_attribution" -> (qAttribution _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2485,5 +2508,49 @@ object SparkEntry {
         |  rank
         |FROM (SELECT *, row_number() OVER (ORDER BY n_ab DESC, pid ASC)
         |   AS rank FROM sc) WHERE rank <= 20""".stripMargin,
+
+    // Exact HUGEINT moments (the q76 mirror of DECIMAL(38,0)); floats
+    // only in the last step — one cast per moment, same IEEE tree.
+    "q85_drift_by_group" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS x,
+        |   CAST(round(value) AS BIGINT) AS y FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |   sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |   sum(CAST(y AS HUGEINT) * y) AS syy,
+        |   sum(CAST(x AS HUGEINT) * y) AS sxy
+        | FROM e GROUP BY 1),
+        |c AS (SELECT event_type, n, n * sxy - sx * sy AS cov,
+        |   n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        | CASE WHEN vx = 0 THEN NULL ELSE
+        |   round(CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE), 6) END AS slope,
+        | CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE
+        |   round((CASE WHEN cov < 0 THEN -1.0 ELSE 1.0 END)
+        |     * CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+        |     / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
+        |   END AS corr2_signed
+        |FROM c""".stripMargin,
+
+    // Per-user endpoints by (ts_us, event_id) — the argmin/argmax
+    // aggregate replayed as rank-1 windows (oracle-side only; the
+    // engine never sorts per user).
+    "q86_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, event_type AS first_touch FROM
+        |  (SELECT user_id, event_type, row_number() OVER (
+        |     PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+        |     AS rn FROM e) WHERE rn = 1),
+        |l AS (SELECT user_id, event_type AS last_touch FROM
+        |  (SELECT user_id, event_type, row_number() OVER (
+        |     PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC)
+        |     AS rn FROM e) WHERE rn = 1),
+        |n AS (SELECT user_id, count(*) AS c FROM e GROUP BY 1)
+        |SELECT f.first_touch, l.last_touch,
+        | count(*) AS n_users, CAST(sum(n.c) AS BIGINT) AS n_events
+        |FROM f JOIN l USING (user_id) JOIN n USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -135,4 +135,25 @@ object Events {
     }
     joined.withColumn("steps_completed", completed)
   }
+
+  /** First-touch / last-touch attribution matrix: each user's earliest
+    * and latest event type (total order (`tsUsCol`, `orderCol`) — the
+    * [[sessionize]] convention) cross-tabulated into the
+    * (entry channel × exit action) matrix every funnel dashboard
+    * carries. Per-user endpoints come from ONE hash aggregate via the
+    * [[graft.functions.ArgExtremum]] argmin/argmax (partial
+    * aggregation, no per-user window sort — the q16/q22 SortAggregate
+    * repair applies verbatim); the matrix is a second partially-
+    * aggregated count whose exchange carries one row per user. Output:
+    * first_touch, last_touch, n_users, n_events. */
+  def attribution(df: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, orderCol: String): DataFrame = {
+    val ord = struct(col(tsUsCol), col(orderCol))
+    df.groupBy(col(userCol)).agg(
+        graft.functions.ArgExtremum.minBy(col(typeCol), ord).as("first_touch"),
+        graft.functions.ArgExtremum.maxBy(col(typeCol), ord).as("last_touch"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("n_events"))
+  }
 }

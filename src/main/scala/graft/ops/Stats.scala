@@ -51,6 +51,57 @@ object Stats {
       .drop("__s", "__q")
   }
 
+  /** Per-group linear drift of an integral metric `yCol` against an
+    * integral axis `xCol` (e.g. value against day index: "is this
+    * event type's value drifting over time?") — the monitoring
+    * statistic behind data-freshness and distribution-shift alarms,
+    * computed from EXACT integer moments in the [[outliersByGroup]]
+    * discipline: per group n, Σx, Σy, Σx², Σy², Σxy accumulate in
+    * DECIMAL(38,0), the centered forms covN = n·Σxy − Σx·Σy and
+    * varN = n·Σx² − (Σx)² are exact, and floats appear only in the
+    * LAST step — one correctly-rounded decimal→double cast per moment
+    * and a fixed IEEE tree, identical on any engine:
+    *
+    *   slope        = covN / varxN                      (OLS, 6 dp)
+    *   corr2_signed = sign(covN) · covN² / (varxN·varyN) (6 dp)
+    *
+    * corr2_signed is the SQUARED Pearson correlation carrying the
+    * sign — monotone in r for thresholding and sign-faithful for
+    * direction, with no √ (whose libm rounding differs per engine; the
+    * q58/q82 reasoning). Zero-variance groups yield null slope/corr
+    * rather than a division artifact. Exactness bound: the moment
+    * products fit 38 digits while n·|x|²·|y| stays under ~10^38 —
+    * |x| ≤ 10^4, |y| ≤ 10^6 holds to n ≈ 10^12 rows per group; rescale
+    * the axis (coarser buckets) past that.
+    *
+    * Scale shape: ONE partially-aggregated hash aggregate (the
+    * exchange carries one 6-moment row per group per task); the result
+    * is groups-sized. No join back, no window, no sort. Output:
+    * groupCol, n, slope, corr2_signed. */
+  def driftByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(d(col(xCol))).as("__sx"),
+      sum(d(col(yCol))).as("__sy"),
+      sum(d(col(xCol)) * d(col(xCol))).as("__sxx"),
+      sum(d(col(yCol)) * d(col(yCol))).as("__syy"),
+      sum(d(col(xCol)) * d(col(yCol))).as("__sxy"))
+    val covN = d(col("n")) * col("__sxy") - col("__sx") * col("__sy")
+    val varxN = d(col("n")) * col("__sxx") - pow2(col("__sx"))
+    val varyN = d(col("n")) * col("__syy") - pow2(col("__sy"))
+    val covD = covN.cast("double")
+    val sign = when(covN < 0, -1.0).otherwise(1.0)
+    m.select(col(groupCol), col("n"),
+      when(varxN === 0, lit(null).cast("double"))
+        .otherwise(round(covD / varxN.cast("double"), 6)).as("slope"),
+      when(varxN === 0 || varyN === 0, lit(null).cast("double"))
+        .otherwise(round(sign * covD * covD /
+          (varxN.cast("double") * varyN.cast("double")), 6))
+        .as("corr2_signed"))
+  }
+
   private def pow2(c: Column): Column = c * c
 
   /** Per-group quantile binning — each row's bucket (1..boundaries+1)

@@ -197,6 +197,23 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(live.size == feed.size && live == batch)
   }
 
+  test("attribution: first/last by (ts, event_id), cross-tab counts") {
+    // u1: view..purchase; u2: ts tie on 5 broken by event_id (2 < 3 ->
+    // first is click); u3: single event is both endpoints
+    val df = Seq(
+      (1L, 10L, "view", 100L), (2L, 10L, "click", 200L), (3L, 10L, "purchase", 300L),
+      (2L, 20L, "click", 5L), (3L, 20L, "view", 5L), (4L, 20L, "error", 9L),
+      (9L, 30L, "signup", 7L)
+    ).toDF("event_id", "user_id", "event_type", "ts_us")
+    val got = Events.attribution(df, "user_id", "event_type", "ts_us", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("view", "purchase") -> ((1L, 3L)),
+      ("click", "error") -> ((1L, 3L)),
+      ("signup", "signup") -> ((1L, 1L))))
+  }
+
   test("property: funnel == driver-side greedy chain (4 seeds)") {
     val steps = Seq("a", "b", "c")
     for (seed <- 31 to 34) {

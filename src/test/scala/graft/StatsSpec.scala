@@ -38,6 +38,52 @@ class StatsSpec extends AnyFunSuite {
     assert((101L to 104L).map(got) == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("driftByGroup: hand-checked slope/r2, zero-variance nulls, sign") {
+    // g=up: y = 2x exactly -> slope 2, corr2 +1; g=dn: y = -x -> -1;
+    // g=flat: x constant -> both null
+    val df = ((0L to 4L).map(x => ("up", x, 2 * x)) ++
+      (0L to 4L).map(x => ("dn", x, 10 - x)) ++
+      Seq(("flat", 3L, 1L), ("flat", 3L, 9L))).toDF("g", "x", "y")
+    val got = Stats.driftByGroup(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("up") == ((5L, Some(2.0), Some(1.0))))
+    assert(got("dn") == ((5L, Some(-1.0), Some(-1.0))))
+    assert(got("flat") == ((2L, None, None)))
+  }
+
+  test("property: driftByGroup == BigInt moment re-derivation (4 seeds)") {
+    for (seed <- 61 to 64) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 200L).map(_ =>
+        ("g" + rnd.nextInt(3), rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong))
+      val got = Stats.driftByGroup(rows.toDF("g", "x", "y"), "g", "x", "y")
+        .collect().map(r => r.getString(0) ->
+          (Option(r.get(2)).map(_.asInstanceOf[Double]),
+           Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+      val want = rows.groupBy(_._1).map { case (g, es) =>
+        val n = BigInt(es.size)
+        val sx = es.map(e => BigInt(e._2)).sum
+        val sy = es.map(e => BigInt(e._3)).sum
+        val sxx = es.map(e => BigInt(e._2) * e._2).sum
+        val syy = es.map(e => BigInt(e._3) * e._3).sum
+        val sxy = es.map(e => BigInt(e._2) * e._3).sum
+        val cov = n * sxy - sx * sy
+        val vx = n * sxx - sx * sx
+        val vy = n * syy - sy * sy
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val slope = if (vx == 0) None else Some(r6(cov.toDouble / vx.toDouble))
+        val c2 = if (vx == 0 || vy == 0) None
+          else Some(r6((if (cov < 0) -1.0 else 1.0) * cov.toDouble * cov.toDouble
+            / (vx.toDouble * vy.toDouble)))
+        g -> (slope, c2)
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("property: outliersByGroup == BigInt re-derivation (4 seeds)") {
     for (seed <- 41 to 44) {
       val rnd = new scala.util.Random(seed)
