@@ -221,6 +221,58 @@ object Streamed {
       }
   }
 
+  /** Buffer state for [[trailingWindowState]]: the key's in-horizon
+    * events as parallel (ts, value) arrays — bounded by window
+    * occupancy, the [[graft.dsl.Fragments]] bounded-horizon discipline
+    * applied to a rolling aggregate. */
+  final case class TrailState(ts: Array[Long], vs: Array[Long])
+
+  /** LIVE trailing event-time window — the streaming twin of
+    * [[graft.ops.Events.trailingWindow]]: for every event, the count
+    * and sum over the SAME key's events in the closed interval
+    * `[ts − windowMs, ts]`, emitted per event as
+    * `Rec(key, (w_count, w_sum), ts)` — the real-time rolling feature
+    * (24h activity, 7-day spend) batch q74 computes offline. Per-key
+    * state is the in-horizon event buffer, pruned at every advance —
+    * bounded by one window's occupancy per key (the bounded-horizon
+    * discipline), NOT by stream length.
+    *
+    * Congruity contract (tested): on feeds arriving in ts order the
+    * per-event (count, sum) equals the batch RANGE frame exactly —
+    * including same-ts peers, which the batch frame makes MUTUAL
+    * members: events sharing one timestamp are buffered and emitted
+    * together once the run ends, so each sees the full peer set. The
+    * two caveats are arrival-order shaped, like every live twin here:
+    * a same-ts run SPLIT ACROSS micro-batches under-counts the earlier
+    * emissions (the batch boundary is the commit point — peers landing
+    * later cannot retract an emitted row), and a late event joins
+    * windows from its arrival position onward only. */
+  def trailingWindowState[K: Encoder](ds: Dataset[Rec[K, Long]], windowMs: Long)(
+      implicit outEnc: Encoder[Rec[K, (Long, Long)]]): Dataset[Rec[K, (Long, Long)]] = {
+    require(windowMs > 0, s"windowMs > 0, got $windowMs")
+    implicit val stEnc: Encoder[TrailState] = Encoders.product[TrailState]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[TrailState, Rec[K, (Long, Long)]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, Long]], state: GroupState[TrailState]) =>
+          val st = state.getOption.getOrElse(TrailState(Array.empty, Array.empty))
+          var buf = st.ts.zip(st.vs).toVector
+          val out = scala.collection.mutable.ArrayBuffer.empty[Rec[K, (Long, Long)]]
+          // same-ts runs emit together so peers are mutual, as in the
+          // batch RANGE frame
+          records.toSeq.sortBy(_.tsMs).groupBy(_.tsMs).toSeq.sortBy(_._1)
+            .foreach { case (ts, peers) =>
+              buf = buf.filter(_._1 >= ts - windowMs) ++
+                peers.map(p => (p.tsMs, p.value))
+              val n = buf.size.toLong
+              val s = buf.map(_._2).sum
+              peers.foreach(p => out += Rec(key, (n, s), p.tsMs))
+            }
+          state.update(TrailState(buf.map(_._1).toArray, buf.map(_._2).toArray))
+          out.iterator
+      }
+  }
+
   /** KGroupedTable-style aggregate with subtractor: the stream is a table
     * changelog keyed by the TABLE key; `groupKey` re-keys for aggregation.
     * On an update to a table key, the previous value is subtracted and the

@@ -361,6 +361,82 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     assert(got == Seq(("u1", 8)))
   }
 
+  test("funnelState: chain progress survives restart (post-kill step only matches restored state)") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Rec[String, String]]
+    val ds = Streamed.funnelState(ms.toDS(), Seq("view", "click", "purchase"))
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(ds.toDF(), dir, "update", buf1)
+    try {
+      ms.addData(Rec("u1", "view", 100L)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf1.synchronized(buf1.size) == 1)
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(ds.toDF(), dir, "update", buf2)
+    try {
+      // "click" only advances if (done=1, ts=100) was restored — a
+      // reset state would be waiting for "view"
+      ms.addData(Rec("u1", "click", 200L), Rec("u1", "purchase", 300L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = buf2.synchronized(buf2.map(r =>
+      (r.getAs[Row]("value").getInt(0), r.getAs[Long]("tsMs"))).toSeq)
+    assert(got == Seq((2, 200L), (3, 300L)))
+  }
+
+  test("sessionizeState: open session and index survive restart; gap still closes it") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Rec[String, Long]]
+    val ds = Streamed.sessionizeState(ms.toDS(), gapMs = 100L)
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(ds.toDF(), dir, "update", buf1)
+    try {
+      ms.addData(Rec("u1", 1L, 100L)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(ds.toDF(), dir, "update", buf2)
+    try {
+      // 150 is within the gap of the PRE-KILL event (pos 2 of session
+      // 1 — a reset state would restart at session 1 pos 1); 400 opens
+      // session 2
+      ms.addData(Rec("u1", 2L, 150L), Rec("u1", 3L, 400L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = buf2.synchronized(buf2.map { r =>
+      val v = r.getAs[Row]("value"); (v.getLong(0), v.getLong(1))
+    }.toSeq)
+    assert(got == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("trailingWindowState: the in-horizon buffer survives restart and still prunes") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Rec[String, Long]]
+    val ds = Streamed.trailingWindowState(ms.toDS(), windowMs = 100L)
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(ds.toDF(), dir, "update", buf1)
+    try {
+      ms.addData(Rec("u1", 5L, 100L)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(ds.toDF(), dir, "update", buf2)
+    try {
+      // 150: pre-kill event still in horizon -> (2, 12); 300: horizon
+      // pruned both -> (1, 9)
+      ms.addData(Rec("u1", 7L, 150L)); q2.processAllAvailable()
+      ms.addData(Rec("u1", 9L, 300L)); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = buf2.synchronized(buf2.map { r =>
+      val v = r.getAs[Row]("value"); (v.getLong(0), v.getLong(1))
+    }.toSeq)
+    assert(got == Seq((2L, 12L), (1L, 9L)))
+  }
+
   test("events arriving while the query is DOWN are caught up on restart (fold continues)") {
     implicit val sql = spark.sqlContext
     val topo = Topology(

@@ -214,6 +214,45 @@ class EventsOpsSpec extends AnyFunSuite {
       ("signup", "signup") -> ((1L, 1L))))
   }
 
+  test("trailingWindowState: LIVE rolling (count, sum) == batch RANGE frame on in-order feeds; buffer prunes to the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(99)
+    var t = 0L
+    val feed = (1L to 120L).flatMap { i =>
+      t += 1L + rnd.nextInt(60)
+      // every 10th tick lands a same-ts pair (in one batch) — the RANGE
+      // frame makes the peers mutual and so must the live op
+      if (i % 10 == 0) Seq(Rec("u" + rnd.nextInt(4), i, t),
+        Rec("u" + rnd.nextInt(4), 1000 + i, t))
+      else Seq(Rec("u" + rnd.nextInt(4), i, t))
+    }
+    val ms = MemoryStream[Rec[String, Long]]
+    val q = Streamed.trailingWindowState(ms.toDS(), windowMs = 100L)
+      .writeStream.format("memory").queryName("livetrail")
+      .outputMode("update").start()
+    // split at a ts boundary so no same-ts run straddles the batches
+    val cut = (60 until feed.size).find(i => feed(i - 1).tsMs != feed(i).tsMs).get
+    try {
+      ms.addData(feed.take(cut): _*); q.processAllAvailable()
+      ms.addData(feed.drop(cut): _*); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("livetrail").collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    val batch = Events.trailingWindow(
+      feed.map(r => (r.key, r.value, r.tsMs)).toDF("user_id", "v", "ts_us"),
+      "user_id", "ts_us", "v", windowUs = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // keyed by (user, ts): same-user ties collapse to one entry with the
+    // identical mutual (count, sum) on both sides
+    val distinctKeys = feed.map(r => (r.key, r.tsMs)).distinct.size
+    assert(live.size == distinctKeys)
+    assert(live == batch)
+  }
+
   test("property: funnel == driver-side greedy chain (4 seeds)") {
     val steps = Seq("a", "b", "c")
     for (seed <- 31 to 34) {
