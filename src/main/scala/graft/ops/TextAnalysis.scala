@@ -265,13 +265,19 @@ object TextAnalysis {
       minCount: Long, scope: CacheScope = CacheScope.session): DataFrame = {
     require(window >= 1, s"window >= 1, got $window")
     require(k >= 1 && minCount >= 1, s"k >= 1 and minCount >= 1, got ($k, $minCount)")
+    // cached token arrays serve the unigram count and the total; the
+    // PAIR side deliberately re-scans the text instead — one codegen
+    // call per row ([[graft.functions.CooccurPairs]]; the interpreted
+    // nested-HOF form it replaces ran its lambdas outside whole-stage
+    // codegen, the ShingleHashes pattern, measured ~8× slower through
+    // the pair aggregate) straight off the column scan, because
+    // caching the materialized pair arrays costs more than the scan
+    // they save. Pair strings are "min max", unordered at the
+    // occurrence level.
     val wsDf = scope.cache(df.select(
       filter(split(text, " "), t => t =!= "").as("__ws")))
-    // slice clamps past the array end, so short docs need no guard; the
-    // pair string is "min max" — unordered at the occurrence level
-    val pairs = wsDf.select(explode(flatten(transform(col("__ws"), (x, i) =>
-        transform(slice(col("__ws"), i + lit(2), lit(window)), y =>
-          concat_ws(" ", least(x, y), greatest(x, y)))))).as("__pair"))
+    val pairs = df
+      .select(explode(graft.functions.CooccurPairsFn(text, window)).as("__pair"))
       .groupBy(col("__pair")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
     val toks = wsDf.select(explode(col("__ws")).as("__tok"))
