@@ -312,6 +312,14 @@ object ScaleProbe {
         graft.ops.Retrieval.bm25TopK(docs, "doc_id", col("text"),
           queries, "query_id", col("qtext"), k = 10, scope = sc).count()
       }),
+      // q84's exact shape — codegen pair scan (fan-out ≤ window per
+      // token) + distinct-pair exchange; vocab ∝ cbrt(scale) grows the
+      // pair key space ∝ scale^(2/3), so the red line is the pair
+      // aggregate's exchange bending past that
+      "cooccur_topk" -> (() => CacheScope.using { sc =>
+        graft.ops.TextAnalysis.cooccurTopK(docs, col("text"),
+          window = 3, k = 20, minCount = 5, scope = sc).count()
+      }),
       "sessionize" -> (() =>
         graft.ops.Events.sessionize(evs, "user_id", "ts_us", "event_id",
           gapUs = 8L * 3600L * 1000000L).count()),
