@@ -273,6 +273,62 @@ object Streamed {
       }
   }
 
+  /** Output row of [[driftState]]: running count, OLS slope and signed
+    * r² (nulls while the key's variance is degenerate) — the
+    * [[graft.ops.Stats.driftByGroup]] statistics, live. */
+  final case class DriftOut(n: Long, slope: Option[Double],
+      corr2Signed: Option[Double])
+
+  /** LIVE drift monitoring — the streaming twin of
+    * [[graft.ops.Stats.driftByGroup]]: per key, the running OLS slope
+    * and signed r² of an integral metric y against an integral axis x,
+    * re-emitted on every observation. The six raw moments (n, Σx, Σy,
+    * Σx², Σy², Σxy) are the entire per-key state — constant size, and
+    * because they are exact integers the emitted statistics match the
+    * batch form BIT-FOR-BIT on the same observations (same centered
+    * forms, same one-cast-per-moment double tree, same 6-dp rounding;
+    * congruity-tested) with no arrival-order caveat at all: moments
+    * are commutative, so unlike the dedupe/funnel/session twins this
+    * one is order-INSENSITIVE — any arrival order yields the batch
+    * answer once all records land. Overflow bound (documented in the
+    * batch scaladoc as the 38-digit form): state here is Long, exact
+    * while n·|x|·|y| < 2^63 per key — |x| ≤ 10^4, |y| ≤ 10^6 holds to
+    * ~9·10^8 observations per key; rescale the axis past that. */
+  def driftState[K: Encoder](ds: Dataset[Rec[K, (Long, Long)]])(
+      implicit outEnc: Encoder[Rec[K, DriftOut]]): Dataset[Rec[K, DriftOut]] = {
+    implicit val stEnc: Encoder[DriftSt] = Encoders.product[DriftSt]
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[DriftSt, Rec[K, DriftOut]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, (Long, Long)]],
+            state: GroupState[DriftSt]) =>
+          var DriftSt(n, sx, sy, sxx, syy, sxy) =
+            state.getOption.getOrElse(DriftSt(0L, 0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Rec[K, DriftOut]]
+          records.toSeq.sortBy(_.tsMs).foreach { r =>
+            val (x, y) = r.value
+            n += 1; sx += x; sy += y
+            sxx += x * x; syy += y * y; sxy += x * y
+            val cov = n * sxy - sx * sy
+            val vx = n * sxx - sx * sx
+            val vy = n * syy - sy * sy
+            val slope = if (vx == 0) None else Some(r6(cov.toDouble / vx.toDouble))
+            val c2 = if (vx == 0 || vy == 0) None
+              else Some(r6((if (cov < 0) -1.0 else 1.0) *
+                cov.toDouble * cov.toDouble / (vx.toDouble * vy.toDouble)))
+            out += Rec(key, DriftOut(n, slope, c2), r.tsMs)
+          }
+          state.update(DriftSt(n, sx, sy, sxx, syy, sxy))
+          out.iterator
+      }
+  }
+
+  /** Moment state for [[driftState]]: six exact integer sums. */
+  final case class DriftSt(n: Long, sx: Long, sy: Long, sxx: Long,
+      syy: Long, sxy: Long)
+
   /** KGroupedTable-style aggregate with subtractor: the stream is a table
     * changelog keyed by the TABLE key; `groupKey` re-keys for aggregation.
     * On an update to a table key, the previous value is subtracted and the

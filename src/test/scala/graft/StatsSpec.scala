@@ -84,6 +84,42 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("driftState: LIVE final stats == batch driftByGroup, under SHUFFLED arrival (moments are order-insensitive)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(55)
+    val obs = (1L to 90L).map { i =>
+      ("g" + rnd.nextInt(3), rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong, i)
+    }
+    // arrival order deliberately != ts order: unlike the other live
+    // twins, moments commute, so the final answer must still match
+    val feed = rnd.shuffle(obs).map { case (g, x, y, ts) => Rec(g, (x, y), ts) }
+    val ms = MemoryStream[Rec[String, (Long, Long)]]
+    val q = Streamed.driftState(ms.toDS())
+      .writeStream.format("memory").queryName("livedrift")
+      .outputMode("update").start()
+    try {
+      ms.addData(feed.take(40): _*); q.processAllAvailable()
+      ms.addData(feed.drop(40): _*); q.processAllAvailable()
+    } finally q.stop()
+    // last emission per key (max running n) is the final statistic
+    val live = spark.table("livedrift").collect()
+      .map(r => (r.getString(0), r.getStruct(1)))
+      .groupBy(_._1).map { case (g, rows) =>
+        val last = rows.map(_._2).maxBy(_.getLong(0))
+        g -> (last.getLong(0),
+          Option(last.get(1)).map(_.asInstanceOf[Double]),
+          Option(last.get(2)).map(_.asInstanceOf[Double]))
+      }
+    val batch = Stats.driftByGroup(
+      obs.map(o => (o._1, o._2, o._3)).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(live == batch)
+  }
+
   test("property: outliersByGroup == BigInt re-derivation (4 seeds)") {
     for (seed <- 41 to 44) {
       val rnd = new scala.util.Random(seed)
