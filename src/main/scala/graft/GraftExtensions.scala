@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgExtremum, CosineSim, FoldHash, Int8Cos, MinHashSig, ShingleHashes, SimHash}
+import graft.functions.{ArgExtremum, CooccurPairs, CosineSim, FoldHash, Int8Cos, MinHashSig, ShingleHashes, SimHash, WinnowHashes}
 
 /** Spark-native extension point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -14,7 +14,8 @@ import graft.functions.{ArgExtremum, CosineSim, FoldHash, Int8Cos, MinHashSig, S
   *
   * Registered: `cosine_sim(a, b)`, `int8_cos(qa, qb)`, `fold_hash(text)`,
   * `shingle_hashes(text, n)`, `simhash(text, bits)`,
-  * `minhash_sig(hashes, k)` — the size parameters must be integer
+  * `minhash_sig(hashes, k)`, `winnow_hashes(text, k, w)`,
+  * `cooccur_pairs(text, window)` — the size parameters must be integer
   * literals (they shape the generated code, like `round`'s scale) —
   * plus the hash-aggregable argmax pair `arg_max_hash(value, ord)` /
   * `arg_min_hash(value, ord)` (max_by/min_by semantics without the
@@ -45,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("shingle_hashes", 2, a => ShingleHashes(a(0), intLit(a(1), "shingle_hashes"))),
     fn("simhash", 2, a => SimHash(a(0), intLit(a(1), "simhash"))),
     fn("minhash_sig", 2, a => MinHashSig(a(0), intLit(a(1), "minhash_sig"))),
+    fn("winnow_hashes", 3, a => WinnowHashes(a(0),
+      intLit(a(1), "winnow_hashes"), intLit(a(2), "winnow_hashes"))),
+    fn("cooccur_pairs", 2, a => CooccurPairs(a(0), intLit(a(1), "cooccur_pairs"))),
     fn("arg_max_hash", 2,
       a => ArgExtremum(a(0), a(1), asMin = false).toAggregateExpression()),
     fn("arg_min_hash", 2,

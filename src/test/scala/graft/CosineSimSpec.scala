@@ -157,6 +157,14 @@ class CosineSimSpec extends AnyFunSuite {
         |FROM docs_sql""".stripMargin).collect()
     assert(text.length == 2)
     assert(text.forall(r => r.getSeq[Long](4).length == 4))
+    val scans = spark.sql(
+      """SELECT id, winnow_hashes(text, 2, 2) AS wf,
+        |  cooccur_pairs(text, 2) AS cp FROM docs_sql""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).length, r.getSeq[String](2))).toMap
+    assert(scans(1L)._1 >= 1) // "a b c d": 3 grams, windowed minima
+    assert(scans(1L)._2 == Seq("a b", "a c", "b c", "b d", "c d"))
+    assert(scans(2L)._2 == Seq("x y"))
     // the aggregate pair groups from SQL too
     val am = spark.sql(
       """SELECT arg_max_hash(text, id) AS last, arg_min_hash(text, id) AS first
