@@ -1167,6 +1167,14 @@ object SparkEntry {
         col("event_type"), unix_micros(col("ts")).as("ts_us")),
       "user_id", "event_type", "ts_us", "event_id")
 
+  /** Winsorized length stats ([[graft.ops.Stats.winsorizedMean]]):
+    * per-language mean n_chars with values clamped to the language's
+    * own [p05, p95] — tail-robust monitoring next to q81's quartiles. */
+  private def qWinsorized(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.winsorizedMean(
+      table(s, dir, "documents").select(col("lang"), col("n_chars")),
+      "lang", "n_chars", lo = 0.05, hi = 0.95)
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1266,6 +1274,7 @@ object SparkEntry {
     "q84_cooccur_topk" -> (qCooccurTopK _),
     "q85_drift_by_group" -> (qDrift _),
     "q86_attribution" -> (qAttribution _),
+    "q87_winsorized_mean" -> (qWinsorized _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2552,5 +2561,21 @@ object SparkEntry {
         | count(*) AS n_users, CAST(sum(n.c) AS BIGINT) AS n_events
         |FROM f JOIN l USING (user_id) JOIN n USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // quantile_disc boundaries (the q81 accuracy argument), integer
+    // clamp, exact integer sums, one double division at 6 dp.
+    "q87_winsorized_mean" ->
+      """WITH b AS (SELECT lang, quantile_disc(n_chars, 0.05) AS lo,
+        |   quantile_disc(n_chars, 0.95) AS hi
+        | FROM documents GROUP BY 1)
+        |SELECT d.lang, count(*) AS n,
+        | CAST(b.lo AS BIGINT) AS lo_bound, CAST(b.hi AS BIGINT) AS hi_bound,
+        | round(CAST(sum(CAST(d.n_chars AS HUGEINT)) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
+        | round(CAST(sum(CAST(greatest(b.lo, least(d.n_chars, b.hi))
+        |     AS HUGEINT)) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS mean_winsorized
+        |FROM documents d JOIN b USING (lang)
+        |GROUP BY 1, 3, 4""".stripMargin,
   )
 }

@@ -135,4 +135,44 @@ object Stats {
           .reduce(_ + _) + 1L)
       .drop("__qs")
   }
+
+  /** Per-group winsorized mean of an integral metric: values are
+    * clamped to the group's own [lo, hi] quantile boundaries before
+    * averaging — the robust central-tendency monitoring statistic (a
+    * handful of 10^7-char documents should not move a language's mean
+    * quality length; trimming drops rows, winsorizing keeps corpus
+    * mass and is the standard choice when downstream weights depend on
+    * n). Boundaries come from the [[quantileBuckets]] sketch (exact
+    * order statistics below percentile_approx's accuracy — the
+    * q45/q81 contract); clamped and raw sums accumulate as exact
+    * integers (`valueCol` integral, the q36/q76 convention) and the
+    * only float step is one final exact-sum / count division per
+    * group, 6 dp.
+    *
+    * Scale shape: one partially-aggregated quantile sketch (groups-
+    * sized result, broadcast back), one clamp projection, one
+    * partially-aggregated sum — the [[quantileBuckets]] shape plus a
+    * constant-cost pass; the corpus is never sorted. Output: groupCol,
+    * n, lo_bound, hi_bound, mean_raw, mean_winsorized. */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo > 0 && hi < 1 && lo < hi, s"need 0 < lo < hi < 1, got ($lo, $hi)")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      percentile_approx(col(valueCol),
+        typedLit(Seq(lo, hi)), lit(10000)).as("__qs"))
+    val clamped = greatest(col("__qs").getItem(0),
+      least(col(valueCol), col("__qs").getItem(1)))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("__qs").getItem(0)).cast("long").as("lo_bound"),
+        first(col("__qs").getItem(1)).cast("long").as("hi_bound"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__sr"),
+        sum(clamped.cast("decimal(38,0)")).as("__sw"))
+      .select(col(groupCol), col("n"), col("lo_bound"), col("hi_bound"),
+        round(col("__sr").cast("double") / col("n").cast("double"), 6)
+          .as("mean_raw"),
+        round(col("__sw").cast("double") / col("n").cast("double"), 6)
+          .as("mean_winsorized"))
+  }
 }

@@ -66,6 +66,13 @@ class CooccurSpec extends AnyFunSuite {
     assert(got.head._3 == 2L)
   }
 
+  test("cooccurTopK: multi-byte UTF-8 tokens pair and order like the reference (binary collation)") {
+    val texts = Seq("café 東京 café über", "café 東京 naïve 東京",
+      "東京 café 東京 café")
+    assert(run(texts, window = 2, k = 10, minCount = 2) ==
+      reference(texts, 2, 10, 2))
+  }
+
   test("property: operator == driver-side reference on seeded corpora (4 seeds)") {
     val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7")
     for (seed <- 71 to 74) {

@@ -120,6 +120,24 @@ class StatsSpec extends AnyFunSuite {
     assert(live == batch)
   }
 
+  test("winsorizedMean: clamped mean resists tails the raw mean absorbs") {
+    // g: 1..19 plus a 10^6 outlier; p05/p95 of the 20 values are exact
+    // order statistics (quantile_disc convention: elements 1 and 19)
+    val vals = (1L to 19L) :+ 1000000L
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val r = Stats.winsorizedMean(df, "g", "v", 0.05, 0.95).head
+    assert(r.getLong(1) == 20L)
+    val lo = r.getLong(2); val hi = r.getLong(3)
+    assert(lo >= 1L && hi <= 19L && lo < hi)
+    val rawMean = BigDecimal(vals.sum) / 20
+    assert(r.getDouble(4) == (rawMean.setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)).toDouble)
+    val wins = vals.map(v => math.max(lo, math.min(v, hi))).sum
+    assert(r.getDouble(5) == (BigDecimal(wins) / 20).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(5) < r.getDouble(4) / 100) // the outlier is gone
+  }
+
   test("property: outliersByGroup == BigInt re-derivation (4 seeds)") {
     for (seed <- 41 to 44) {
       val rnd = new scala.util.Random(seed)

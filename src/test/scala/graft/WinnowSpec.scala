@@ -82,6 +82,19 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow: multi-byte UTF-8 tokens hash and window like the reference (byte spans are split-safe)") {
+    val docs = Seq(
+      1L -> "naïve café 東京 привет mañana über",
+      2L -> "東京 привет mañana x1 x2 x3")
+    val got = winnowDf(docs: _*).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (id, fs) => id -> fs.map(_._2).toSet }
+    val expect = docs.map { case (id, t) => id -> refWinnow(t, K, W).toSet }.toMap
+    assert(got == expect)
+    // the shared 3-token run is k+w-1 short of the guarantee length,
+    // but the reference decides — operator and reference agree above
+  }
+
   test("winnowedOverlapPairs: containment hits 1.0 for an embedded document; maxDf drops hot fingerprints") {
     val shared = "m1 m2 m3 m4 m5 m6 m7 m8"
     val pairs = Dedup.winnowedOverlapPairs(
