@@ -1175,6 +1175,22 @@ object SparkEntry {
       table(s, dir, "documents").select(col("lang"), col("n_chars")),
       "lang", "n_chars", lo = 0.05, hi = 0.95)
 
+  /** Constraint report ([[graft.ops.Quality.check]]): the pre-training
+    * validation gate in one aggregation job — exact integer metrics
+    * (the uniqueness check is exact, not sketched). The in_range rule
+    * is deliberately tighter than the data so the report exercises a
+    * failing row. */
+  private def qQualityCheck(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality._
+    check(
+      eventsDf(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), round(col("value")).cast("long").as("units")),
+      Seq(NotNull("user_id"), Unique("event_id"),
+        InRange("units", 0L, 100L),
+        InSet("event_type",
+          Seq("view", "click", "purchase", "signup", "error"))))
+  }
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1275,6 +1291,7 @@ object SparkEntry {
     "q85_drift_by_group" -> (qDrift _),
     "q86_attribution" -> (qAttribution _),
     "q87_winsorized_mean" -> (qWinsorized _),
+    "q88_quality_check" -> (qQualityCheck _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2577,5 +2594,30 @@ object SparkEntry {
         |   / CAST(count(*) AS DOUBLE), 6) AS mean_winsorized
         |FROM documents d JOIN b USING (lang)
         |GROUP BY 1, 3, 4""".stripMargin,
+
+    // One wide scalar aggregate melted to the long report; exact
+    // integer metrics only (the uniqueness check is count - count
+    // distinct, not a sketch).
+    "q88_quality_check" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   CAST(round(value) AS BIGINT) AS units FROM events),
+        |w AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v1,
+        |  count(event_id) - count(DISTINCT event_id) AS v2,
+        |  sum(CASE WHEN units IS NOT NULL AND (units < 0 OR units > 100)
+        |      THEN 1 ELSE 0 END) AS v3,
+        |  sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        |      ('view','click','purchase','signup','error')
+        |      THEN 1 ELSE 0 END) AS v4
+        | FROM e)
+        |SELECT CAST(1 AS BIGINT) AS rank, 'not_null(user_id)' AS rule,
+        |  'user_id' AS col_name, n AS n_rows,
+        |  CAST(v1 AS BIGINT) AS n_violations, v1 = 0 AS passed FROM w
+        |UNION ALL SELECT 2, 'unique(event_id)', 'event_id', n,
+        |  CAST(v2 AS BIGINT), v2 = 0 FROM w
+        |UNION ALL SELECT 3, 'in_range(units,0,100)', 'units', n,
+        |  CAST(v3 AS BIGINT), v3 = 0 FROM w
+        |UNION ALL SELECT 4, 'in_set(event_type)', 'event_type', n,
+        |  CAST(v4 AS BIGINT), v4 = 0 FROM w""".stripMargin,
   )
 }
