@@ -1191,6 +1191,27 @@ object SparkEntry {
           Seq("view", "click", "purchase", "signup", "error"))))
   }
 
+  /** Directional as-of joins ([[graft.ops.Joins.asOfForward]] /
+    * [[graft.ops.Joins.asOfNearest]]): q10's purchase→signup
+    * enrichment with the pandas merge_asof forward / nearest
+    * directions — next-signup-after and closest-signup-either-way
+    * (exact-ts and equidistant ties resolve backward). */
+  private def qAsOfDir(s: SparkSession, dir: String, nearest: Boolean): DataFrame = {
+    val ev = eventsDf(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value").as("purchase_val"), col("ts"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("value").as("sv"), col("ts"))
+    val j = if (nearest)
+      graft.ops.Joins.asOfNearest(p, sg, "user_id", "user_id", "ts", "ts",
+        "sv", "signup_val", inner = false)
+    else
+      graft.ops.Joins.asOfForward(p, sg, "user_id", "user_id", "ts", "ts",
+        "sv", "signup_val", inner = false)
+    j.select(col("user_id"), col("purchase_val"), col("signup_val"),
+      unix_micros(col("ts")).as("ts_us"))
+  }
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1292,6 +1313,8 @@ object SparkEntry {
     "q86_attribution" -> (qAttribution _),
     "q87_winsorized_mean" -> (qWinsorized _),
     "q88_quality_check" -> (qQualityCheck _),
+    "q89_asof_forward" -> ((s: SparkSession, d: String) => qAsOfDir(s, d, nearest = false)),
+    "q90_asof_nearest" -> ((s: SparkSession, d: String) => qAsOfDir(s, d, nearest = true)),
   )
 
   // ------------------------------------------------------------------ //
@@ -2619,5 +2642,35 @@ object SparkEntry {
         |  CAST(v3 AS BIGINT), v3 = 0 FROM w
         |UNION ALL SELECT 4, 'in_set(event_type)', 'event_type', n,
         |  CAST(v4 AS BIGINT), v4 = 0 FROM w""".stripMargin,
+
+    // DuckDB ASOF with <= picks the nearest FOLLOWING row — the
+    // forward direction, inclusive on exact-ts like the engine.
+    "q89_asof_forward" ->
+      """SELECT p.user_id, p.value AS purchase_val, s.value AS signup_val,
+        | epoch_us(p.ts) AS ts_us
+        |FROM (SELECT user_id, value, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, value, ts FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts <= s.ts""".stripMargin,
+
+    // Nearest = both ASOF directions per purchase (joined back on the
+    // unique event_id), closest by exact µs distance, ties backward.
+    "q90_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, value, ts FROM events
+        |   WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, value, ts FROM events
+        |   WHERE event_type = 'signup'),
+        |b AS (SELECT p.event_id, p.user_id, p.value, p.ts,
+        |   s.value AS bv, s.ts AS bt
+        | FROM p ASOF LEFT JOIN s
+        |   ON p.user_id = s.user_id AND p.ts >= s.ts),
+        |f AS (SELECT p.event_id, s.value AS fv, s.ts AS ft
+        | FROM p ASOF LEFT JOIN s
+        |   ON p.user_id = s.user_id AND p.ts <= s.ts)
+        |SELECT b.user_id, b.value AS purchase_val,
+        | CASE WHEN bv IS NULL THEN fv WHEN fv IS NULL THEN bv
+        |   WHEN epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts)
+        |   THEN bv ELSE fv END AS signup_val,
+        | epoch_us(b.ts) AS ts_us
+        |FROM b JOIN f USING (event_id)""".stripMargin,
   )
 }

@@ -76,6 +76,89 @@ object Joins {
     if (inner) joined.filter(col(rightAs).isNotNull) else joined
   }
 
+  /** Forward as-of join — the pandas `merge_asof(direction="forward")`
+    * / QuestDB LT-JOIN-mirrored shape [[asOf]] doesn't cover: for each
+    * left record, the EARLIEST right value with `right.ts >= left.ts`,
+    * equal key ("what happened next": the first fill after an order,
+    * the next session after a signup). Same one-union-one-window plan
+    * as [[asOf]] mirrored — `first(right_value) ignoreNulls` over a
+    * current-row-to-unbounded-FOLLOWING frame, ordered (ts, side desc)
+    * so a same-ts right row sorts after the left row and stays visible
+    * (inclusive, like the backward form). One shuffle on the key. */
+  def asOfForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightVal: String, rightAs: String,
+      inner: Boolean): DataFrame =
+    asOfDirectional(left, right, leftKey, rightKey, leftTs, rightTs,
+      rightVal, rightAs, inner, nearest = false)
+
+  /** Nearest as-of join — pandas `merge_asof(direction="nearest")`: for
+    * each left record, the right value whose timestamp is CLOSEST in
+    * either direction (ties, including an exact-ts match, resolve
+    * BACKWARD — the pandas convention). Both candidate scans share the
+    * single union and key exchange (two in-partition window sorts, no
+    * second shuffle, no join-back). Requires timestamp-typed ts
+    * columns: the distance compare is exact integer µs. */
+  def asOfNearest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightVal: String, rightAs: String,
+      inner: Boolean): DataFrame =
+    asOfDirectional(left, right, leftKey, rightKey, leftTs, rightTs,
+      rightVal, rightAs, inner, nearest = true)
+
+  private def asOfDirectional(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightVal: String, rightAs: String,
+      inner: Boolean, nearest: Boolean): DataFrame = {
+    val lTag = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
+      .withColumnRenamed(leftKey, "__k").withColumnRenamed(leftTs, "__t")
+    val carried = lTag.columns.filterNot(Set("__side", "__rv", "__k", "__t"))
+    val rTag = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__side"), col(rightVal).as("__rv"))
+    val unioned = lTag.select(
+      (Seq("__k", "__t", "__side", "__rv") ++ carried).map(col): _*)
+      .unionByName(rTag.select(
+        (Seq("__k", "__t", "__side", "__rv").map(col) ++
+          carried.map(c => lit(null).cast(lTag.schema(c).dataType).as(c))): _*))
+    // right rows carried as (ts, value) structs so nearest can compare
+    // distances; null for left rows (ignoreNulls skips them)
+    val rStruct = when(col("__side") === 0,
+      struct(col("__t").as("t"), col("__rv").as("v")))
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withFwd = unioned.withColumn("__mf", first(rStruct, ignoreNulls = true).over(wF))
+    val resolved =
+      if (!nearest) withFwd.withColumn("__m", col("__mf.v"))
+      else {
+        val wB = Window.partitionBy(col("__k"))
+          .orderBy(col("__t"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withFwd
+          .withColumn("__mb", last(rStruct, ignoreNulls = true).over(wB))
+          .withColumn("__m",
+            when(col("__mb").isNull, col("__mf.v"))
+              .when(col("__mf").isNull, col("__mb.v"))
+              .when(unix_micros(col("__t")) - unix_micros(col("__mb.t")) <=
+                unix_micros(col("__mf.t")) - unix_micros(col("__t")),
+                col("__mb.v"))
+              .otherwise(col("__mf.v")))
+      }
+    val joined = resolved
+      .filter(col("__side") === 1)
+      .select((Seq(col("__k").as(leftKey), col("__t").as(leftTs)) ++
+        carried.map(col) :+ col("__m").as(rightAs)): _*)
+    if (inner) joined.filter(col(rightAs).isNotNull) else joined
+  }
+
   /** Skew-resistant as-of join: identical semantics to [[asOf]], but a
     * hot key no longer serializes into one window task. Two passes:
     *

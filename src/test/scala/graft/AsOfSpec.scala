@@ -39,6 +39,34 @@ class AsOfSpec extends AnyFunSuite {
     assert(canon(bInner) == canon(pInner))
   }
 
+  test("forward/nearest as-of: hand-built directions, inclusive exact-ts, backward tie") {
+    // right k: values 10@100, 20@300; left lookups straddle them
+    val right = records(("k", 10, 100L), ("k", 20, 300L))
+    val left = records(("k", 1, 50L), ("k", 2, 100L), ("k", 3, 180L),
+      ("k", 4, 200L), ("k", 5, 350L), ("x", 6, 100L))
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "value", "rv").collect()
+        .map(r => (r.getString(0), r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq.sorted
+    val fwd = Joins.asOfForward(left, right, "key", "key", "ts", "ts",
+      "value", "rv", inner = false)
+    // 50→10 (next), 100→10 (inclusive exact), 180→20, 200→20 (tie at
+    // 200? no — next is 300), 350→null (nothing follows), x→null
+    assert(got(fwd) == Seq(("k", 1, 10), ("k", 2, 10), ("k", 3, 20),
+      ("k", 4, 20), ("k", 5, -1), ("x", 6, -1)).sorted)
+    val near = Joins.asOfNearest(left, right, "key", "key", "ts", "ts",
+      "value", "rv", inner = false)
+    // 50→10 (only fwd), 100→10 (exact), 180→10 (80 back vs 120 fwd),
+    // 200→10 (EQUIDISTANT 100 — tie resolves backward), 350→20, x→null
+    assert(got(near) == Seq(("k", 1, 10), ("k", 2, 10), ("k", 3, 10),
+      ("k", 4, 10), ("k", 5, 20), ("x", 6, -1)).sorted)
+    // inner drops the unmatched rows only
+    assert(Joins.asOfForward(left, right, "key", "key", "ts", "ts",
+      "value", "rv", inner = true).count() == 4)
+    assert(Joins.asOfNearest(left, right, "key", "key", "ts", "ts",
+      "value", "rv", inner = true).count() == 5)
+  }
+
   test("as-of against an aggregated table sees the running aggregate") {
     val topo = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),
