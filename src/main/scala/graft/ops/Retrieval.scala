@@ -49,10 +49,15 @@ object Retrieval {
       scope: CacheScope = CacheScope.session): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]; got ($k1, $b)")
-    val toks = scope.cache(
-      docs.select(col(idCol), explode(split(text, " ")).as("__tok"))
-        .filter(length(col("__tok")) > 0))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    // doc lengths are a NARROW per-row projection (token count =
+    // size of the filtered split), not an explode + corpus-wide
+    // groupBy — the length table needs no exchange at all, and the
+    // token explode below feeds only the (broadcast-cut) posting
+    // build, so it is never materialized corpus-wide either
+    // (measured: the explode+groupBy dl build was the query's
+    // largest exchange)
+    val dl = scope.cache(docs.select(col(idCol),
+      size(filter(split(text, " "), t => t =!= "")).cast("long").as("__dl")))
     // corpus stats stay an exact integer pair (N, total length); the
     // avgdl division happens inside the per-term expression so both
     // engines evaluate the identical IEEE tree
@@ -61,10 +66,12 @@ object Retrieval {
       .select(col(qidCol), explode(split(qtext, " ")).as("__tok"))
       .filter(length(col("__tok")) > 0).distinct()
     val qvocab = qterms.select(col("__tok")).distinct()
-    val posting = scope.cache(toks
-      .join(broadcast(qvocab), Seq("__tok"), "left_semi")
-      .groupBy(col(idCol), col("__tok"))
-      .agg(count(lit(1)).as("__tf")))
+    val posting = scope.cache(
+      docs.select(col(idCol), explode(split(text, " ")).as("__tok"))
+        .filter(length(col("__tok")) > 0)
+        .join(broadcast(qvocab), Seq("__tok"), "left_semi")
+        .groupBy(col(idCol), col("__tok"))
+        .agg(count(lit(1)).as("__tf")))
     // posting is distinct per (doc, term), so df = plain count; result
     // is query-vocab-sized
     val dfreq = posting.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
