@@ -1212,6 +1212,32 @@ object SparkEntry {
       unix_micros(col("ts")).as("ts_us"))
   }
 
+  /** End-to-end curation pipeline — five operators COMPOSED into the
+    * mix-assembly job a corpus team actually ships, as one lazy plan:
+    * integer-exact quality gate → normalized exact dedup
+    * ([[graft.ops.Dedup.dropNormalizedDups]]) → transitive near-dup
+    * drop (q23's pairs through q47's clusters) → per-source cap
+    * ([[graft.ops.Sampling.capPerGroup]]) → hash split, train slice.
+    * Each stage is a semi-join or projection over the previous
+    * survivors, so Catalyst fuses the chain — no materialization
+    * between stages; every stage's parameters mirror its standalone
+    * oracle-gated query. */
+  private def qCurationE2E(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, Sampling}
+    val docs = cpuTable(s, dir, "documents")
+    val gated = docs.filter(col("n_chars") >= 100L && col("n_chars") <= 5000L)
+    val d1 = Dedup.dropNormalizedDups(gated, "doc_id", col("text"))
+    val pairs = Dedup.ngramJaccardPairs(d1, "doc_id", col("text"),
+      n = 3, threshold = 0.5, maxDf = 100)
+    val d2 = Dedup.dropNearDups(d1, "doc_id", pairs)
+    val capped = Sampling.capPerGroup(d2, "source", "doc_id",
+      n = 40, seed = "cur1")
+    Sampling.hashSplit(capped, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "cur1")
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1315,6 +1341,7 @@ object SparkEntry {
     "q88_quality_check" -> (qQualityCheck _),
     "q89_asof_forward" -> ((s: SparkSession, d: String) => qAsOfDir(s, d, nearest = false)),
     "q90_asof_nearest" -> ((s: SparkSession, d: String) => qAsOfDir(s, d, nearest = true)),
+    "q91_curation_e2e" -> (qCurationE2E _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2672,5 +2699,49 @@ object SparkEntry {
         |   THEN bv ELSE fv END AS signup_val,
         | epoch_us(b.ts) AS ts_us
         |FROM b JOIN f USING (event_id)""".stripMargin,
+
+    // The five standalone stage oracles composed over a filtered base:
+    // q38/q39's normalization, q23's capped shingle pairs, q47's
+    // recursive-CTE clusters, q71's hash-rank cap, q44's basis-point
+    // split — each stage's constants identical to its standalone query.
+    "q91_curation_e2e" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text, lang, source
+        |  FROM documents WHERE n_chars >= 100 AND n_chars <= 5000),
+        |nk AS (SELECT doc_id, md5(trim(regexp_replace(lower(
+        |    regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),
+        |    ' +', ' ', 'g'))) AS k FROM base),
+        |d1 AS (SELECT b.* FROM base b JOIN (SELECT min(doc_id) AS doc_id
+        |   FROM nk GROUP BY k) keep USING (doc_id)),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM d1),
+        |s0 AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) ELSE [] END AS shs
+        |  FROM w),
+        |sh AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM s0),
+        |shh AS (SELECT doc_id, nsh,
+        |   CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY
+        |   sh) AS df FROM shh) WHERE df <= 100),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+        | FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2, x.nsh, y.nsh
+        | HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs
+        |  UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |reach(id, lab) AS (
+        | SELECT doc_id, doc_id FROM d1
+        | UNION
+        | SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |d2 AS (SELECT d1.* FROM d1 JOIN (SELECT id AS doc_id
+        |   FROM (SELECT id, min(lab) AS cluster FROM reach GROUP BY 1)
+        |   WHERE cluster = id) k2 USING (doc_id)),
+        |cap AS (SELECT doc_id, lang, source FROM (SELECT d2.*,
+        |   CAST(('0x'||substr(md5('cur1'||CAST(doc_id AS VARCHAR)),1,15))
+        |     AS BIGINT) % 4503599627370496 AS r FROM d2)
+        | QUALIFY row_number() OVER (PARTITION BY source
+        |   ORDER BY r ASC, doc_id ASC) <= 40)
+        |SELECT doc_id, lang, source FROM cap
+        |WHERE CAST(('0x'||substr(md5('cur1'||CAST(doc_id AS VARCHAR)),1,15))
+        |   AS BIGINT) % 10000 < 8000""".stripMargin,
   )
 }
