@@ -1238,6 +1238,18 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** JL random projection ([[graft.ops.Similarity.randomProjectInt8]]):
+    * 64 → 16 dims over int8-quantized vectors with a deterministic ±1
+    * matrix — exact integer components, q80-style hash-stable facts. */
+  private def qRandomProject(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.randomProjectInt8(
+      cpuTable(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", dim = 64, outDim = 16, seed = "jl1")
+      .select(col("vec_id"),
+        md5(array_join(transform(col("proj"), _.cast("string")), ","))
+          .as("p_md5"),
+        aggregate(col("proj"), lit(0L), _ + _).as("p_sum"))
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1342,6 +1354,7 @@ object SparkEntry {
     "q89_asof_forward" -> ((s: SparkSession, d: String) => qAsOfDir(s, d, nearest = false)),
     "q90_asof_nearest" -> ((s: SparkSession, d: String) => qAsOfDir(s, d, nearest = true)),
     "q91_curation_e2e" -> (qCurationE2E _),
+    "q92_random_project" -> (qRandomProject _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2743,5 +2756,38 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM cap
         |WHERE CAST(('0x'||substr(md5('cur1'||CAST(doc_id AS VARCHAR)),1,15))
         |   AS BIGINT) % 10000 < 8000""".stripMargin,
+
+    // q61's quantization replay, then the projection components as
+    // generated exact-integer sums — the ±1 matrix is baked from the
+    // SAME jlSign constants as the operator (the OSql convention), so
+    // matrix drift is impossible.
+    "q92_random_project" -> {
+      val comps = (0 until 16).map { j =>
+        (0 until 64).map { i =>
+          val s = graft.ops.Similarity.jlSign("jl1", i, j)
+          s"qv[${i + 1}]*($s)"
+        }.mkString("+")
+      }.map(e => s"CAST($e AS BIGINT)").mkString(", ")
+      s"""WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |v AS (SELECT vec_id,
+        |    CASE WHEN embedding IS NULL THEN NULL
+        |         WHEN s = 0 THEN list_transform(embedding,
+        |           x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
+        |    END AS qv
+        |  FROM q),
+        |p AS (SELECT vec_id, CASE WHEN qv IS NULL THEN NULL
+        |    ELSE [$comps] END AS proj FROM v)
+        |SELECT vec_id,
+        |  md5(array_to_string(list_transform(proj,
+        |    x -> CAST(x AS VARCHAR)), ',')) AS p_md5,
+        |  CAST(list_sum(proj) AS BIGINT) AS p_sum
+        |FROM p""".stripMargin
+    },
   )
 }

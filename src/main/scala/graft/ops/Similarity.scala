@@ -303,6 +303,51 @@ object Similarity {
       .select(col(groupCol), col("n_vecs"), col("n_null"), col("centroid_sum"))
   }
 
+  /** Deterministic ±1 sign for Johnson–Lindenstrauss cell (i, j): the
+    * parity of the engine's md5 [[graft.ops.Dedup.hash60]] of
+    * `"seed:i:j"` — any external engine regenerates the identical
+    * projection matrix from (seed, dims) alone, the
+    * [[graft.ops.TextAnalysis.md5Weights]] convention. */
+  def jlSign(seed: String, i: Int, j: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 0L) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection over int8-QUANTIZED
+    * vectors: out_j = Σ_i q_i · s_ij with a deterministic ±1 matrix
+    * ([[jlSign]]) — the standard dimensionality crunch in front of an
+    * ANN index (Achlioptas 2001: ±1 entries preserve pairwise
+    * distances like Gaussian ones), applied AFTER [[quantizeInt8]] so
+    * every output component is an EXACT integer sum (|out_j| ≤
+    * 127·dim): float accumulation order never exists, and the oracle
+    * reproduces the projection bit-for-bit (the q61/q80 discipline —
+    * JL on raw floats would be order-sensitive per component).
+    *
+    * The matrix rides the expression as dim × outDim literal signs
+    * (the [[graft.ops.TextAnalysis.hashedLinearScore]] ship-the-model
+    * convention — at 100 TB it ships once per executor inside the
+    * task binary) and the projection is ONE narrow per-row projection
+    * of native add/multiply expressions: no shuffle, no UDF, no HOF.
+    * Null vectors pass through as null. Output: `df`'s columns +
+    * `scale` (the per-vector quantization scale, for consumers that
+    * rescale) + `proj` (array<long>, outDim exact components). */
+  def randomProjectInt8(df: DataFrame, vecCol: String, dim: Int,
+      outDim: Int, seed: String): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got ($outDim, $dim)")
+    val q = quantizeInt8(df, vecCol)
+    val comps = (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        col("qvec").getItem(i).cast("long") * lit(jlSign(seed, i, j).toLong)
+      }.reduce(_ + _)
+    }
+    q.withColumn("proj",
+      when(col("qvec").isNull, lit(null)).otherwise(array(comps: _*)))
+      .drop("qvec")
+  }
+
   /** Sign-bit LSH bucket key: bit i set iff dimension i is non-negative.
     * Deterministic (no random planes) so oracles can mirror it. */
   def signBucket(vec: Column, signBits: Int): Column =
