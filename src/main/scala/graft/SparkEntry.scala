@@ -1250,6 +1250,19 @@ object SparkEntry {
           .as("p_md5"),
         aggregate(col("proj"), lit(0L), _ + _).as("p_sum"))
 
+  /** Concurrency gauge ([[graft.ops.Events.concurrency]]): peak
+    * simultaneously-active user lifetimes ([first event, last event]
+    * per user) per day — the bucketed sweep line, never a global
+    * single-partition sort over endpoints. */
+  private def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val spans = eventsDf(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
+    graft.ops.Events.concurrency(spans, "s_us", "e_us",
+      bucketUs = 86400000000L)
+  }
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1355,6 +1368,7 @@ object SparkEntry {
     "q90_asof_nearest" -> ((s: SparkSession, d: String) => qAsOfDir(s, d, nearest = true)),
     "q91_curation_e2e" -> (qCurationE2E _),
     "q92_random_project" -> (qRandomProject _),
+    "q93_concurrency" -> (qConcurrency _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2789,5 +2803,21 @@ object SparkEntry {
         |  CAST(list_sum(proj) AS BIGINT) AS p_sum
         |FROM p""".stripMargin
     },
+
+    // The global sweep the engine computes bucketed: running sum over
+    // (ts, delta) with ends (−1 at e+1) releasing before same-instant
+    // starts, peak per day bucket.
+    "q93_concurrency" ->
+      """WITH spans AS (SELECT user_id, min(epoch_us(ts)) AS s_us,
+        |   max(epoch_us(ts)) AS e_us FROM events GROUP BY 1),
+        |d AS (SELECT s_us AS ts, CAST(1 AS BIGINT) AS dl FROM spans
+        | UNION ALL SELECT e_us + 1, -1 FROM spans),
+        |r AS (SELECT CAST(floor(ts / 86400000000) AS BIGINT) AS bucket, dl,
+        |   sum(dl) OVER (ORDER BY ts, dl
+        |     ROWS UNBOUNDED PRECEDING) AS run FROM d)
+        |SELECT bucket, max(greatest(run, run - dl)) AS peak_concurrent,
+        | sum(CASE WHEN dl = 1 THEN 1 ELSE 0 END) AS n_starts,
+        | sum(CASE WHEN dl = -1 THEN 1 ELSE 0 END) AS n_ends
+        |FROM r GROUP BY 1""".stripMargin,
   )
 }

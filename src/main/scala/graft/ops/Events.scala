@@ -136,6 +136,60 @@ object Events {
     joined.withColumn("steps_completed", completed)
   }
 
+  /** Interval concurrency gauge (sweep line, bucketed): given intervals
+    * `[startUs, endUs]` (µs, inclusive), the PEAK number simultaneously
+    * active within each `bucketUs` time bucket — "peak concurrent
+    * sessions/users per day", the capacity/load question interval data
+    * exists to answer. Classic sweep: +1 at start, −1 at end+1, running
+    * sum in (ts, delta) order (ends release before same-instant starts).
+    *
+    * Scale shape: the naive sweep is ONE globally-ordered running sum —
+    * a single-partition window sort over every endpoint, the
+    * anti-pattern this engine bans. Here the [[graft.ops.Joins]]
+    * asOfBucketed carry discipline applies: endpoints bucket by
+    * `bucketUs` and the running sum is (a) an in-bucket window —
+    * parallel across buckets — plus (b) a carry-in prefix-summed over
+    * the BUCKETS table (one row per occupied bucket; that tiny table is
+    * the only single-partition window, documented as groups-sized).
+    * Only buckets containing an endpoint emit a row — a bucket interior
+    * to a long interval has constant concurrency equal to its
+    * neighbors' carry and no event to change it. Output: bucket,
+    * peak_concurrent, n_starts, n_ends. */
+  def concurrency(intervals: DataFrame, startUsCol: String,
+      endUsCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs > 0, got $bucketUs")
+    val deltas = intervals
+      .select(col(startUsCol).cast("long").as("__ts"), lit(1L).as("__d"))
+      .unionByName(intervals
+        .select((col(endUsCol).cast("long") + 1L).as("__ts"), lit(-1L).as("__d")))
+      .withColumn("__b", floor(col("__ts") / bucketUs).cast("long"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("__ts"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = deltas.withColumn("__run_in", sum(col("__d")).over(wIn))
+    // carry-in per bucket: prefix sum of earlier buckets' totals — a
+    // window over the occupied-buckets table (tiny), not the endpoints
+    val carry = deltas.groupBy(col("__b"))
+      .agg(sum(col("__d")).as("__tot"),
+        sum(when(col("__d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("__d") === -1L, 1L).otherwise(0L)).as("n_ends"))
+      .withColumn("__carry",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // the gauge's peak inside a bucket is over BOTH sides of every
+    // delta: the pre-delta value (run − d) covers the level carried in
+    // from earlier buckets (an interval spanning the bucket start), the
+    // post-delta value covers every change inside it
+    inBucket.join(carry, Seq("__b"))
+      .withColumn("__run", col("__run_in") + col("__carry"))
+      .groupBy(col("__b").as("bucket"))
+      .agg(max(greatest(col("__run"), col("__run") - col("__d")))
+          .as("peak_concurrent"),
+        first(col("n_starts")).as("n_starts"),
+        first(col("n_ends")).as("n_ends"))
+  }
+
   /** First-touch / last-touch attribution matrix: each user's earliest
     * and latest event type (total order (`tsUsCol`, `orderCol`) — the
     * [[sessionize]] convention) cross-tabulated into the

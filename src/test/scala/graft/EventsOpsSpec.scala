@@ -253,6 +253,41 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(live == batch)
   }
 
+  test("concurrency: hand-built peaks; bucketed carry == driver-side GLOBAL sweep (3 seeds)") {
+    // two overlapping + one disjoint: peak 2 in bucket 0, carry keeps
+    // the long interval alive into bucket 1 (endpoint there -> row)
+    val iv = Seq((0L, 150L), (50L, 80L), (300L, 310L))
+      .toDF("s_us", "e_us")
+    val got = Events.concurrency(iv, "s_us", "e_us", bucketUs = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == ((2L, 2L, 1L))) // both start here, one ends (80+1)
+    assert(got(1L) == ((1L, 0L, 1L))) // the long one, carried, ends at 151
+    assert(got(3L) == ((1L, 1L, 1L)))
+    assert(got.size == 3) // bucket 2 has no endpoint -> no row
+    for (seed <- 81 to 83) {
+      val rnd = new scala.util.Random(seed)
+      val ivs = (1 to 200).map { _ =>
+        val s = rnd.nextInt(5000).toLong; (s, s + rnd.nextInt(800).toLong)
+      }
+      val bucketed = Events.concurrency(ivs.toDF("s_us", "e_us"), "s_us", "e_us", 250L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side GLOBAL sweep, peaks grouped by bucket
+      val deltas = (ivs.map(i => (i._1, 1L)) ++ ivs.map(i => (i._2 + 1, -1L)))
+        .sortBy(d => (d._1, d._2))
+      var run = 0L
+      val peaks = scala.collection.mutable.Map.empty[Long, Long]
+      deltas.foreach { case (ts, d) =>
+        val pre = run
+        run += d
+        val b = ts / 250L
+        // the gauge peak sees both the carried-in level (pre) and the
+        // post-delta level
+        peaks(b) = math.max(peaks.getOrElse(b, Long.MinValue), math.max(pre, run))
+      }
+      assert(bucketed == peaks.toMap, s"seed $seed")
+    }
+  }
+
   test("property: funnel == driver-side greedy chain (4 seeds)") {
     val steps = Seq("a", "b", "c")
     for (seed <- 31 to 34) {
