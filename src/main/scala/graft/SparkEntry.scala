@@ -1263,6 +1263,19 @@ object SparkEntry {
       bucketUs = 86400000000L)
   }
 
+  /** Snapshot diff ([[graft.ops.Dedup.snapshotDiff]]): two simulated
+    * drops of the documents corpus (old = ids ∌ 7·k, new = ids ∌ 5·k,
+    * with every 11th new doc's text perturbed) → delta-sized
+    * added/removed/changed report. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    graft.ops.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", col("text"))
+  }
+
   /** Daily retention triangle ([[graft.ops.Events.retentionCohorts]]):
     * cohort = epoch-day of first event, cells = distinct active users
     * per (cohort, offset) — daily grain populates 59 cells across two
@@ -1369,6 +1382,7 @@ object SparkEntry {
     "q91_curation_e2e" -> (qCurationE2E _),
     "q92_random_project" -> (qRandomProject _),
     "q93_concurrency" -> (qConcurrency _),
+    "q94_snapshot_diff" -> (qSnapshotDiff _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2819,5 +2833,22 @@ object SparkEntry {
         | sum(CASE WHEN dl = 1 THEN 1 ELSE 0 END) AS n_starts,
         | sum(CASE WHEN dl = -1 THEN 1 ELSE 0 END) AS n_ends
         |FROM r GROUP BY 1""".stripMargin,
+
+    // Same simulated drops, full outer on the id, md5 content compare,
+    // unchanged dropped (delta-sized output).
+    "q94_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+        |   WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0
+        |     THEN text || ' rev2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.h IS NULL THEN 'added'
+        |      WHEN n.h IS NULL THEN 'removed'
+        |      WHEN o.h <> n.h THEN 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE CASE WHEN o.h IS NULL THEN 'added'
+        |      WHEN n.h IS NULL THEN 'removed'
+        |      WHEN o.h <> n.h THEN 'changed' END IS NOT NULL""".stripMargin,
   )
 }

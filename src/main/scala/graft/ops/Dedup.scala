@@ -568,6 +568,31 @@ object Dedup {
       .select("a", "b", "shared", "overlap")
   }
 
+  /** Snapshot diff: what changed between two corpus drops — the
+    * incremental-crawl bookkeeping every recurring ingest runs before
+    * deciding what to re-process. Keyed full outer join on the id,
+    * content compared by full-128-bit md5 (the [[exactNormalized]]
+    * exactness argument: a 60-bit birthday collision would silently
+    * mark a changed document unchanged), emitting one row per doc in
+    * `added` / `removed` / `changed` status — UNCHANGED docs are
+    * dropped, because at 100 TB the point of a diff is that its output
+    * is delta-sized, not corpus-sized (the unchanged count is one
+    * aggregate away for anyone who wants it). One hash-shuffle join on
+    * the id; the texts never move, only their hashes. Output: idCol,
+    * status. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      text: Column): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(text).as("__ho"))
+    val n = newDf.select(col(idCol), md5(text).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   /** 32-bit SimHash signature per doc: for each bit j, the sign of the
     * sum over tokens of (2*bit_j(hash(token)) − 1). Output: id, simhash
     * (long, 32 bits). One narrow codegen pass ([[graft.functions.SimHash]])

@@ -99,6 +99,16 @@ class DedupCapSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L))
   }
 
+  test("snapshotDiff: added/removed/changed, unchanged dropped, delta-sized") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // identical snapshots diff to nothing
+    assert(Dedup.snapshotDiff(oldSnap, oldSnap, "doc_id", col("text")).count() == 0)
+  }
+
   test("capBuckets is a no-op when maxBucket <= 0") {
     val docs = (0 until 50).map(i => (i.toLong, s"doc $i has words ${i % 3}"))
       .toDF("doc_id", "text")
