@@ -325,6 +325,35 @@ object Streamed {
       }
   }
 
+  /** LIVE per-group admission quota: admit at most `n` records per key,
+    * first-come-first-admitted in (ts, arrival) order — the ingest-time
+    * domain cap ("stop taking documents from this domain once we have
+    * n") that keeps a crawler's hot domain from flooding a live
+    * pipeline. State is ONE counter per key. Deliberately NOT the
+    * batch [[graft.ops.Sampling.capPerGroup]]'s selection: the batch
+    * form picks a deterministic hash-ranked subset (re-runnable on a
+    * closed corpus), while an online quota cannot know future arrivals
+    * and admits the first n — both are documented contracts, choose by
+    * whether the corpus is closed. Admitted records pass through
+    * unchanged; over-quota records are dropped. */
+  def capPerGroupState[K: Encoder, V](ds: Dataset[Rec[K, V]], n: Long)(
+      implicit re: Encoder[Rec[K, V]]): Dataset[Rec[K, V]] = {
+    require(n >= 1, s"n >= 1, got $n")
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, Rec[K, V]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, V]], state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Rec[K, V]]
+          records.toSeq.sortBy(_.tsMs).foreach { r =>
+            if (admitted < n) { admitted += 1; out += r }
+          }
+          state.update(admitted)
+          out.iterator
+      }
+  }
+
   /** Moment state for [[driftState]]: six exact integer sums. */
   final case class DriftSt(n: Long, sx: Long, sy: Long, sxx: Long,
       syy: Long, sxy: Long)

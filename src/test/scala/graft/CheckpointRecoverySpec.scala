@@ -437,6 +437,31 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     assert(got == Seq((2L, 12L), (1L, 9L)))
   }
 
+  test("capPerGroupState: the admission counter survives restart (quota is lifetime, not per-run)") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Rec[String, Int]]
+    val ds = Streamed.capPerGroupState(ms.toDS(), n = 3L)
+    val dir = ckpt()
+    val buf1 = ArrayBuffer.empty[Row]
+    val q1 = start(ds.toDF(), dir, "update", buf1)
+    try {
+      ms.addData(Rec("d1", 1, 100L), Rec("d1", 2, 200L), Rec("d2", 9, 100L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf1.synchronized(buf1.size) == 3) // all under quota
+
+    val buf2 = ArrayBuffer.empty[Row]
+    val q2 = start(ds.toDF(), dir, "update", buf2)
+    try {
+      // d1 has 2 admitted pre-kill: only ONE of these may pass
+      ms.addData(Rec("d1", 3, 300L), Rec("d1", 4, 400L), Rec("d1", 5, 500L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = buf2.synchronized(buf2.map(r =>
+      (r.getAs[String]("key"), r.getAs[Int]("value"))).toSeq)
+    assert(got == Seq(("d1", 3))) // earliest-ts of the batch, quota then full
+  }
+
   test("events arriving while the query is DOWN are caught up on restart (fold continues)") {
     implicit val sql = spark.sqlContext
     val topo = Topology(
