@@ -337,15 +337,16 @@ object Similarity {
       outDim: Int, seed: String): DataFrame = {
     require(dim >= 1 && outDim >= 1 && outDim <= dim,
       s"need 1 <= outDim <= dim, got ($outDim, $dim)")
-    val q = quantizeInt8(df, vecCol)
-    val comps = (0 until outDim).map { j =>
-      (0 until dim).map { i =>
-        col("qvec").getItem(i).cast("long") * lit(jlSign(seed, i, j).toLong)
-      }.reduce(_ + _)
-    }
-    q.withColumn("proj",
-      when(col("qvec").isNull, lit(null)).otherwise(array(comps: _*)))
-      .drop("qvec")
+    // fused quantize+project in one codegen call per row
+    // ([[graft.functions.JlProjectInt8]] — the unfused Column form ran
+    // an interpreted aggregate HOF plus a dim × outDim expression tree
+    // that fell out of whole-stage codegen; measured 2.5s → sub-second
+    // at sf0.1)
+    df.withColumn("__jp",
+        graft.functions.JlProjectInt8Fn(col(vecCol), dim, outDim, seed))
+      .withColumn("scale", col("__jp.scale"))
+      .withColumn("proj", col("__jp.proj"))
+      .drop("__jp")
   }
 
   /** Sign-bit LSH bucket key: bit i set iff dimension i is non-negative.
