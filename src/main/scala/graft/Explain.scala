@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSession
   *   - a CPU-heavy query (per-row hash/JSON/cosine work) whose plan lost
   *     its scatter exchange — on the single-row-group testdata layout the
   *     scan plans 1 partition, and without `RoundRobinPartitioning` all
-  *     per-row work lands on one core regardless of cluster width.
+  *     per-row work lands on one core regardless of cluster width;
+  *   - a `SortAggregate` anywhere (hash aggregation silently fell back
+  *     to sorting every group's rows — the `max_by(struct)` regression
+  *     class repaired in r13, now permanently gated).
   */
 object Explain {
 
@@ -48,7 +51,17 @@ object Explain {
     Option.when(MustBroadcast.contains(name) && !plan.contains("BroadcastHashJoin"))(
       "global-table join is not a BroadcastHashJoin"),
     Option.when(CpuHeavy.contains(name) && !plan.contains("RoundRobinPartitioning"))(
-      "CPU-heavy query lost its scatter exchange (1-partition scan)")
+      "CPU-heavy query lost its scatter exchange (1-partition scan)"),
+    // The r13 regression class, made standing: `max_by`/`max(struct)`
+    // silently plan SortAggregate (a per-partition SORT of every group's
+    // rows before each partial and final aggregate — at 100 TB that is
+    // a corpus sort per aggregation stage). Every aggregate in the
+    // registered surface must stay HashAggregate/ObjectHashAggregate
+    // (argmax work goes through functions.ArgExtremum). No allowlist on
+    // purpose: one new max_by(struct) call is exactly the regression
+    // this rule exists to catch.
+    Option.when(plan.contains("SortAggregate"))(
+      "SortAggregate (hash aggregate fell back to per-group sort)")
   ).flatten
 
   def main(args: Array[String]): Unit = {

@@ -1055,10 +1055,11 @@ object SparkEntry {
 
   /** q63's incremental dedup through the STREAM-SAFE chained-anti-join
     * form ([[Dedup.dropNearDupsAgainstLive]]) on the same data split
-    * and constants — registered against q63's byte-identical oracle, so
-    * the restructuring (per-band anti-join chain vs candidates+verify)
-    * is oracle-proven drop-set-equivalent; the live congruity test runs
-    * the same plan on a MemoryStream with zero state operators. */
+    * and constants — registered against its OWN oracle, which differs
+    * from q63's in exactly the live contract: the incoming side carries
+    * no occupancy cap (a stream has no global bucket counts), only the
+    * static reference side does. The live congruity test runs the same
+    * plan on a MemoryStream with zero state operators. */
   private def qDedupIngest(s: SparkSession, dir: String): DataFrame = {
     val docs = cpuTable(s, dir, "documents")
     val refSigs = CacheScope.session.cache(
@@ -2165,21 +2166,33 @@ object SparkEntry {
     // candidates join incoming bands to reference bands only.
     "q63_dedup_incremental" -> IncrementalDedupSql,
 
-    // The stream-safe chained form computes the SAME drop set — one
-    // oracle text, two plans (the strongest equivalence the gate can
-    // state).
-    "q77_dedup_ingest" -> IncrementalDedupSql,
+    // The stream-safe chained form's own contract: the INCOMING side
+    // cannot be occupancy-capped (a stream has no global bucket
+    // counts), so its oracle leaves ib uncapped — only the static
+    // reference side carries the QUALIFY cap, mirroring
+    // dropNearDupsAgainstLive exactly (q78 makes the same asymmetry
+    // explicit for the vector twin).
+    "q77_dedup_ingest" -> incrementalDedupSqlWith(capIncoming = false),
   ) ++ oracleSql2
 
-  /** q63/q77's shared oracle (see both entries above). */
+  /** q63's oracle (capIncoming = true) and q77's live-contract variant
+    * (capIncoming = false: the stream side carries no occupancy cap). */
   private val IncrementalDedupSql: String =
-      s"""${OSql.shingleCte},
+    incrementalDedupSqlWith(capIncoming = true)
+
+  private def incrementalDedupSqlWith(capIncoming: Boolean): String = {
+    val ibCte =
+      if (capIncoming)
+        s"""ib AS (SELECT doc_id, band, bkey FROM ib0
+           |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $LshMaxBucket),""".stripMargin
+      else
+        "ib AS (SELECT doc_id, band, bkey FROM ib0),"
+    s"""${OSql.shingleCte},
         |${OSql.sigCte},
         |ib0 AS (
         | SELECT doc_id, 0 AS band, ${OSql.bkey(0)} AS bkey FROM sig WHERE doc_id % 4 <> 0
         | UNION ALL SELECT doc_id, 1, ${OSql.bkey(4)} FROM sig WHERE doc_id % 4 <> 0),
-        |ib AS (SELECT doc_id, band, bkey FROM ib0
-        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $LshMaxBucket),
+        |$ibCte
         |rb0 AS (
         | SELECT doc_id, 0 AS band, ${OSql.bkey(0)} AS bkey FROM sig WHERE doc_id % 4 = 0
         | UNION ALL SELECT doc_id, 1, ${OSql.bkey(4)} FROM sig WHERE doc_id % 4 = 0),
@@ -2192,6 +2205,7 @@ object SparkEntry {
         |  WHERE (${(0 until 8).map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE / 8.0 >= 0.5)
         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
         |WHERE d.doc_id % 4 <> 0 AND d.doc_id NOT IN (SELECT a FROM m)""".stripMargin
+  }
 
   private def oracleSql2: Map[String, String] = Map(
     // Same int8 quantization as q61/q62, sign-bucket cells as q27/q28;
@@ -2203,7 +2217,7 @@ object SparkEntry {
       s"""WITH qz AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding,
         |      x -> abs(CAST(x AS DOUBLE)))) AS s
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |qv AS (SELECT vec_id, embedding,
         |    CASE WHEN s = 0 THEN list_transform(embedding,
         |           x -> CAST(0 AS BIGINT))
@@ -2829,9 +2843,10 @@ object SparkEntry {
         |r AS (SELECT CAST(floor(ts / 86400000000) AS BIGINT) AS bucket, dl,
         |   sum(dl) OVER (ORDER BY ts, dl
         |     ROWS UNBOUNDED PRECEDING) AS run FROM d)
-        |SELECT bucket, max(greatest(run, run - dl)) AS peak_concurrent,
-        | sum(CASE WHEN dl = 1 THEN 1 ELSE 0 END) AS n_starts,
-        | sum(CASE WHEN dl = -1 THEN 1 ELSE 0 END) AS n_ends
+        |SELECT bucket,
+        | CAST(max(greatest(run, run - dl)) AS BIGINT) AS peak_concurrent,
+        | CAST(sum(CASE WHEN dl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        | CAST(sum(CASE WHEN dl = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
         |FROM r GROUP BY 1""".stripMargin,
 
     // Same simulated drops, full outer on the id, md5 content compare,

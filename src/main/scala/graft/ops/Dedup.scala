@@ -810,8 +810,9 @@ object Dedup {
     * election is the bounded-heap [[Rank.topNPerGroup]] at n = 1 (k = 1
     * state per cluster per task, no window sort), then one semi-join.
     * `idCol` must be integral (the argmax payload), `scoreCol` numeric;
-    * a null score excludes the row from election (and from survival,
-    * unless it is a singleton cluster — score your rows first). */
+    * a null score excludes the row from election and therefore from
+    * survival — even a singleton cluster whose only member has a null
+    * score elects no keeper and is dropped. Score your rows first. */
   def dropNearDupsKeeping(df: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame = {
     val cc = connectedComponents(pairs, df.select(col(idCol)), idCol)

@@ -55,9 +55,13 @@ object Retrieval {
     // token explode below feeds only the (broadcast-cut) posting
     // build, so it is never materialized corpus-wide either
     // (measured: the explode+groupBy dl build was the query's
-    // largest exchange)
+    // largest exchange). Empty/whitespace-only/null docs are excluded
+    // so corpus size N counts only docs with >= 1 token — the same
+    // population an inverted index derives lengths from; a zero-token
+    // doc can never score anyway.
     val dl = scope.cache(docs.select(col(idCol),
-      size(filter(split(text, " "), t => t =!= "")).cast("long").as("__dl")))
+      size(filter(split(text, " "), t => t =!= "")).cast("long").as("__dl"))
+      .filter(col("__dl") >= 1))
     // corpus stats stay an exact integer pair (N, total length); the
     // avgdl division happens inside the per-term expression so both
     // engines evaluate the identical IEEE tree

@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-regression gate, wired into `sbt test` so a correct-but-wrong-
   * at-scale plan shape fails the suite, not just the optional
-  * `Explain --check` run: no CartesianProduct anywhere, global-table
+  * `Explain --check` run: no CartesianProduct anywhere, no SortAggregate
+  * anywhere (the r13 `max_by(struct)` fallback class), global-table
   * joins must broadcast, CPU-heavy queries must keep their scatter
   * exchange over the single-row-group testdata layout. Plans are built
   * (never executed) at sf0.001, so this is analysis-only. */
