@@ -38,7 +38,8 @@ object Explain {
     "q51_decontam", "q53_repetition_quality", "q54_pii_scrub",
     "q56_chunk_dedup", "q58_token_rarity", "q59_boilerplate",
     "q61_quantize_int8", "q62_knn_quantized", "q63_dedup_incremental",
-    "q64_semantic_dedup", "q65_hashed_score")
+    "q64_semantic_dedup", "q65_hashed_score",
+    "q95_lm_score", "q96_dsir_weights", "q98_kmeans_step")
 
   /** Joins against a broadcast-worthy global/dimension table. */
   private val MustBroadcast = Seq("q02_join_global_inner", "q03_join_global_left")

@@ -1287,6 +1287,82 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us")),
       "user_id", "ts_us", bucketUs = 86400000000L)
 
+  /** Hashed-gram LM buckets — small enough that the model rides in the
+    * task binary as a literal array, large enough that sf-scale gram
+    * collisions stay rare. */
+  private val LmBuckets = 4096
+
+  /** Hashed n-gram LM quality score ([[TextAnalysis.hashedGramCounts]] +
+    * [[TextAnalysis.hashedGramScore]]) — the CCNet/KenLM pipeline stage:
+    * train add-one-smoothed gram log-probs on a 10% reference slice
+    * (doc_id ≡ 0 mod 10), score the other 90% by mean log-prob per
+    * gram. Training is one BUCKETS-sized aggregate; scoring is a pure
+    * narrow projection (the term table is a literal), zero shuffle. */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val (counts, total) = graft.ops.TextAnalysis.hashedGramCounts(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), LmBuckets)
+    graft.ops.TextAnalysis.hashedGramScore(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", col("text"),
+      graft.ops.TextAnalysis.lmTermMicros(counts, total))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023's hashed-n-gram
+    * form): per-doc weight = mean over grams of
+    * (log p_target − log p_background), with target = English docs and
+    * background = the rest. The two LMs train as two bucket-sized
+    * aggregates; their term-table DIFFERENCE folds in one narrow
+    * scoring projection — at 100 TB the selection score is computed in
+    * the scan, and sampling by weight composes with q55/q60. */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val ta = graft.ops.TextAnalysis
+    val (tc, tt) = ta.hashedGramCounts(
+      docs.filter(col("lang") === "en"), col("text"), LmBuckets)
+    val (bc, bt) = ta.hashedGramCounts(
+      docs.filter(col("lang") =!= "en"), col("text"), LmBuckets)
+    val diff = ta.lmTermMicros(tc, tt).lazyZip(ta.lmTermMicros(bc, bt))
+      .map(_ - _).toArray
+    ta.hashedGramScore(docs, "doc_id", col("text"), diff)
+      .select(col("doc_id"), col("n_grams"),
+        col("score_micro").as("w_micro"), col("mean_score").as("mean_w"))
+  }
+
+  /** Per-source dataset card ([[graft.ops.Stats.groupCard]]): doc
+    * count, exact char total, language count, and the Shannon entropy
+    * of each source's language mix in exact micro-nats — the corpus
+    * report a curation pipeline publishes alongside its output. */
+  private def qSourceCard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.groupCard(cpuTable(s, dir, "documents"),
+      "source", "lang", "n_chars")
+
+  /** One k-means Lloyd iteration ([[Similarity.kmeansStepInt8]]) over
+    * the embedding corpus, seeded with the q37 IVF centroids (the 8
+    * lowest-id vectors, a driver-side 8-row model fetch): assignment is
+    * the narrow codegen cosine chain, the new centroids integer-exact
+    * int8 sums, projected to the q61/q80 hash-stable facts. */
+  private def qKmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val cents = table(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    Similarity.kmeansStepInt8(
+      cpuTable(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", cents)
+      .select(col("cluster").cast("long").as("cluster"), col("n_vecs"),
+        md5(array_join(transform(col("centroid_sum"), _.cast("string")), ","))
+          .as("c_md5"),
+        aggregate(col("centroid_sum"), lit(0L), _ + _).as("c_sum"))
+  }
+
+  /** Markov transition matrix ([[graft.ops.Events.transitionCounts]]):
+    * consecutive event-type pairs per user in (ts, event_id) order,
+    * with each edge's share of its source type's out-degree. */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.transitionCounts(
+      eventsDf(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us")),
+      "user_id", "event_type", "ts_us", "event_id")
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1384,6 +1460,11 @@ object SparkEntry {
     "q92_random_project" -> (qRandomProject _),
     "q93_concurrency" -> (qConcurrency _),
     "q94_snapshot_diff" -> (qSnapshotDiff _),
+    "q95_lm_score" -> (qLmScore _),
+    "q96_dsir_weights" -> (qDsirWeights _),
+    "q97_source_card" -> (qSourceCard _),
+    "q98_kmeans_step" -> (qKmeansStep _),
+    "q99_transitions" -> (qTransitions _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2865,5 +2946,140 @@ object SparkEntry {
         |WHERE CASE WHEN o.h IS NULL THEN 'added'
         |      WHEN n.h IS NULL THEN 'removed'
         |      WHEN o.h <> n.h THEN 'changed' END IS NOT NULL""".stripMargin,
+
+    // The hashed LM regenerated from scratch: counts over the same
+    // unigram+bigram grams (q65's gram CTE) hashed into LmBuckets,
+    // per-gram term = round(ln((c+1)/(T+B))·1e6) as BIGINT micro-nats
+    // (order-free integer sum — the engine folds the same terms from a
+    // literal array), mean = micro/1e6/n at 6 dp.
+    "q95_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(
+        |      generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+        |    ELSE [] END) AS gs FROM w),
+        |rg AS (SELECT unnest(gs) AS t FROM g WHERE doc_id % 10 = 0),
+        |cb AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+        |    % $LmBuckets AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM rg GROUP BY 1),
+        |tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM cb),
+        |sg AS (SELECT doc_id, unnest(gs) AS t FROM g WHERE doc_id % 10 <> 0),
+        |sb AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+        |    % $LmBuckets AS b FROM sg),
+        |term AS (SELECT sb.doc_id,
+        |   CAST(round(ln(CAST(coalesce(cb.c, 0) + 1 AS DOUBLE)
+        |     / CAST(tot.t + $LmBuckets AS DOUBLE)) * 1000000) AS BIGINT) AS tm
+        | FROM sb LEFT JOIN cb USING (b) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(tm) AS BIGINT) AS score_micro,
+        | round(CAST(sum(tm) AS DOUBLE) / 1000000.0
+        |   / CAST(count(*) AS DOUBLE), 6) AS mean_score
+        |FROM term GROUP BY doc_id""".stripMargin,
+
+    // Two LMs (target = English docs, background = the rest), per-gram
+    // term = difference of the two micro-nat log-probs — identical to
+    // the engine's driver-side term-table subtraction since both
+    // engines round each side to BIGINT micros BEFORE subtracting.
+    "q96_dsir_weights" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, lang, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(
+        |      generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+        |    ELSE [] END) AS gs FROM w),
+        |tb AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+        |    % $LmBuckets AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(gs) AS t FROM g WHERE lang = 'en') GROUP BY 1),
+        |tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM tb),
+        |bb AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+        |    % $LmBuckets AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(gs) AS t FROM g WHERE lang <> 'en') GROUP BY 1),
+        |bt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM bb),
+        |sg AS (SELECT doc_id, unnest(gs) AS t FROM g),
+        |sb AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+        |    % $LmBuckets AS b FROM sg),
+        |term AS (SELECT sb.doc_id,
+        |   CAST(round(ln(CAST(coalesce(tb.c, 0) + 1 AS DOUBLE)
+        |     / CAST(tt.t + $LmBuckets AS DOUBLE)) * 1000000) AS BIGINT)
+        |   - CAST(round(ln(CAST(coalesce(bb.c, 0) + 1 AS DOUBLE)
+        |     / CAST(bt.t + $LmBuckets AS DOUBLE)) * 1000000) AS BIGINT) AS tm
+        | FROM sb LEFT JOIN tb USING (b) LEFT JOIN bb USING (b)
+        |   CROSS JOIN tt CROSS JOIN bt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(tm) AS BIGINT) AS w_micro,
+        | round(CAST(sum(tm) AS DOUBLE) / 1000000.0
+        |   / CAST(count(*) AS DOUBLE), 6) AS mean_w
+        |FROM term GROUP BY doc_id""".stripMargin,
+
+    // Two-level aggregate: (source, lang) counts/char sums, per-source
+    // totals, then Shannon entropy of the language mix as a sum of
+    // per-lang micro-nat terms (each rounded to BIGINT before the sum,
+    // so the addition is order-free — the engine's exact trick).
+    "q97_source_card" ->
+      """WITH cl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(n_chars) AS BIGINT) AS s FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(sum(s) AS BIGINT) AS total_size,
+        |    CAST(count(*) AS BIGINT) AS n_subgroups FROM cl GROUP BY 1),
+        |ent AS (SELECT cl.source, CAST(sum(CAST(round(
+        |     (CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |     * ln(CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |     * -1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |  FROM cl JOIN tot USING (source) GROUP BY 1)
+        |SELECT tot.source, n_rows, total_size, n_subgroups, entropy_micro,
+        |  round(CAST(entropy_micro AS DOUBLE) / 1000000.0, 6) AS entropy
+        |FROM tot JOIN ent USING (source)""".stripMargin,
+
+    // q37's assignment CTE (6-dp cosine argmax, ties to the lowest
+    // centroid id) + q61's quantization + q80's positional-explode
+    // integer centroid sums, projected to the same hash-stable facts.
+    "q98_kmeans_step" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+        |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
+        | FROM embeddings e CROSS JOIN c WHERE e.embedding IS NOT NULL),
+        |a AS (SELECT vec_id, embedding, cid FROM a0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |qz AS (SELECT cid, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s FROM a),
+        |qv AS (SELECT cid,
+        |    CASE WHEN s = 0 THEN list_transform(embedding,
+        |           x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
+        |    END AS q
+        |  FROM qz),
+        |e0 AS (SELECT cid, q,
+        |    unnest(generate_series(0, len(q) - 1)) AS pos FROM qv),
+        |e AS (SELECT cid, pos, q[pos + 1] AS qd FROM e0),
+        |cs AS (SELECT cid, pos, CAST(sum(qd) AS BIGINT) AS cd
+        |  FROM e GROUP BY 1, 2),
+        |arr AS (SELECT cid, list(cd ORDER BY pos) AS csum FROM cs GROUP BY 1),
+        |n AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM a GROUP BY 1)
+        |SELECT CAST(arr.cid AS BIGINT) AS cluster, n.n_vecs,
+        |  md5(array_to_string(list_transform(csum,
+        |    x -> CAST(x AS VARCHAR)), ',')) AS c_md5,
+        |  CAST(list_sum(csum) AS BIGINT) AS c_sum
+        |FROM arr JOIN n USING (cid)""".stripMargin,
+
+    // lead over the same (user, ts, event_id) order every Events query
+    // uses; share = edge count / source out-degree.
+    "q99_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, nxt AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  round(CAST(n_trans AS DOUBLE) /
+        |    CAST(sum(n_trans) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |    AS share
+        |FROM c""".stripMargin,
   )
 }

@@ -210,4 +210,33 @@ object Events {
       .groupBy(col("first_touch"), col("last_touch"))
       .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("n_events"))
   }
+
+  /** First-order Markov transition counts over each user's event
+    * sequence — the path-mining complement to [[funnel]] (the funnel
+    * asks "did the fixed sequence happen", transitions ask "which
+    * sequences happen"): consecutive (type → next-type) pairs per user
+    * in (ts, order) order, counted corpus-wide, with each transition's
+    * share of its SOURCE type's outgoing edges (the Markov row
+    * probability) at 6 dp.
+    *
+    * Scale shape: the family's single user-keyed exchange + one
+    * in-partition sort for the `lead`, then a partially-aggregated
+    * (from, to) hash aggregate — the exchange after the window carries
+    * one row per (from, to) per task. Out-degree totals come from a
+    * window over the TRANSITION-TYPES-sized aggregate, not the corpus.
+    * Output: from_type, to_type, n_trans, share. */
+  def transitionCounts(df: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol), col(orderCol))
+    val counts = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val out = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("share", round(col("n_trans").cast("double") /
+        sum(col("n_trans")).over(out).cast("double"), 6))
+  }
 }

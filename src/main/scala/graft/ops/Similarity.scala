@@ -151,15 +151,8 @@ object Similarity {
       centroids: Seq[(Int, Array[Float])], k: Int, nProbe: Int): DataFrame = {
     require(centroids.size >= 2 && nProbe >= 1 && nProbe <= centroids.size,
       s"need >=2 centroids and 1 <= nProbe <= ${centroids.size}")
-    def nearestCell(vec: Column): (Column, Seq[(Int, Column)]) = {
-      val cos = centroids.map { case (cid, v) => cid -> cosine(vec, typedLit(v)) }
-      val best = greatest(cos.map(_._2): _*)
-      val cell = cos.foldRight(lit(-1): Column) { case ((cid, c), els) =>
-        when(c === best, lit(cid)).otherwise(els) // earliest (lowest) cid wins ties
-      }
-      (cell, cos)
-    }
-    val assigned = items.withColumn("__cid", nearestCell(col(itemVec))._1)
+    val assigned = items.withColumn("__cid",
+      nearestCentroid(col(itemVec), centroids))
     // probe list: nProbe nearest centroids per query (query side is tiny)
     val spark = queries.sparkSession
     import spark.implicits._
@@ -264,6 +257,53 @@ object Similarity {
     val reranked = shortlist.join(fpItem, "id").join(fpQuery, "qid")
       .withColumn("cos", cosine(col("__iv"), col("__qv")))
     topKReduce(reranked, "id", k)
+  }
+
+  /** Nearest-centroid id by 6-dp cosine (ties to the lowest id) as one
+    * codegen expression chain against centroid LITERALS — a narrow
+    * per-row projection, no shuffle (an argmax-by-join would shuffle
+    * the corpus once per assignment pass). */
+  private def nearestCentroid(vec: Column,
+      centroids: Seq[(Int, Array[Float])]): Column = {
+    val cos = centroids.map { case (cid, v) => cid -> cosine(vec, typedLit(v)) }
+    val best = greatest(cos.map(_._2): _*)
+    cos.foldRight(lit(-1): Column) { case ((cid, c), els) =>
+      when(c === best, lit(cid)).otherwise(els) // earliest (lowest) cid wins ties
+    }
+  }
+
+  /** One Lloyd iteration of cosine k-means as a corpus operator — the
+    * training step behind the IVF coarse quantizer and semantic-cluster
+    * curation: every vector is assigned to its nearest centroid (the
+    * [[ivfTopK]] assignment chain — narrow codegen, no shuffle), and
+    * the new per-cluster centroids come back as INTEGER-EXACT
+    * int8-quantized component sums ([[centroidByGroup]]), so the
+    * iteration is deterministic under any partitioning — float
+    * mean-pooling would make every run's centroids (and the next
+    * round's assignments) drift with accumulation order. Null vectors
+    * are excluded. The whole step is ONE scan + a (clusters × dims)-
+    * sized aggregate: n_vecs rides the same (cluster, dim) partials
+    * (max over per-dim counts — exact, since a non-empty vector
+    * contributes to every one of its dims), so the assignment chain is
+    * never recomputed for a second counting pass; at 100 TB the
+    * exchange carries k·d rows per task, nothing else. Output:
+    * cluster, n_vecs, centroid_sum. */
+  def kmeansStepInt8(df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
+    val assigned = df.filter(col(vecCol).isNotNull)
+      .select(nearestCentroid(col(vecCol), centroids).as("__cid"),
+        col(vecCol).as("__v"))
+    quantizeInt8(assigned, "__v")
+      .select(col("__cid"), posexplode(col("qvec")))
+      .groupBy(col("__cid"), col("pos"))
+      .agg(sum(col("col").cast("long")).as("__cd"),
+        count(lit(1)).as("__ct"))
+      .groupBy(col("__cid"))
+      .agg(max(col("__ct")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("pos"), col("__cd")))),
+          x => x.getField("__cd")).as("centroid_sum"))
+      .select(col("__cid").as("cluster"), col("n_vecs"), col("centroid_sum"))
   }
 
   /** Integer-exact per-group centroid SUMS over int8-quantized vectors —

@@ -175,4 +175,41 @@ object Stats {
         round(col("__sw").cast("double") / col("n").cast("double"), 6)
           .as("mean_winsorized"))
   }
+
+  /** Per-group dataset card — the corpus-report stage of a curation
+    * pipeline ("what is in this source?"): row count, exact total of a
+    * size column, distinct sub-group count (e.g. languages), and the
+    * Shannon entropy of the sub-group distribution. The entropy is the
+    * house integer trick applied to −Σ p·ln p: each (group, sub) term
+    * is rounded to exact MICRO-NAT longs, so the per-group sum is
+    * order-free and bit-identical across engines; only the final /1e6
+    * is float (6 dp).
+    *
+    * Scale shape: ONE corpus scan into one partially-aggregated hash
+    * aggregate keyed (group, sub) — the exchange carries one row per
+    * (group, sub) per task; everything after (the group-total window
+    * and the final per-group roll-up) runs over the (groups × subs)-
+    * sized table. Sums go through DECIMAL(38,0) so a 100 TB char total
+    * cannot silently wrap a long. Output: groupCol, n_rows,
+    * total_size, n_subgroups, entropy_micro, entropy. */
+  def groupCard(df: DataFrame, groupCol: String, subCol: String,
+      sizeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = df.groupBy(col(groupCol), col(subCol))
+      .agg(count(lit(1)).as("__c"),
+        sum(col(sizeCol).cast("decimal(38,0)")).as("__s"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    cl.withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__e", round(p * log(p) * lit(-1000000.0)).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(first(col("__n")).as("n_rows"),
+        sum(col("__s")).cast("long").as("total_size"),
+        count(lit(1)).as("n_subgroups"),
+        sum(col("__e")).as("entropy_micro"))
+      .select(col(groupCol), col("n_rows"), col("total_size"),
+        col("n_subgroups"), col("entropy_micro"),
+        round(col("entropy_micro").cast("double") / lit(1000000.0), 6)
+          .as("entropy"))
+  }
 }

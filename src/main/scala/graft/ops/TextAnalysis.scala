@@ -143,13 +143,7 @@ object TextAnalysis {
     require(weights.nonEmpty, "weights must be non-empty")
     val dim = weights.length
     val w = typedLit(weights)
-    val toks = split(text, " ")
-    val bi = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val grams = if (bigrams) concat(toks, bi) else toks
-    df.withColumn("__g", grams)
+    df.withColumn("__g", wordGrams(text, bigrams))
       .select(col(idCol),
         size(col("__g")).cast("long").as("n_grams"),
         aggregate(col("__g"), lit(0.0), (acc, g) =>
@@ -318,5 +312,80 @@ object TextAnalysis {
         .map("%02x".format(_)).mkString.take(15)
       ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble
     }.toArray
+  }
+
+  /** The shared word-gram array of [[hashedLinearScore]] (unigrams +
+    * optional bigrams over single-space tokenization), factored so the
+    * hashed-LM family below tokenizes identically. */
+  private[ops] def wordGrams(text: Column, bigrams: Boolean): Column = {
+    val toks = split(text, " ")
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    if (bigrams) concat(toks, bi) else toks
+  }
+
+  /** Train a hashed word-gram count model (the count half of a
+    * CCNet/KenLM-style n-gram LM, over `buckets` hash buckets instead
+    * of an explicit vocabulary): gram g lands in bucket
+    * `hash60(g) mod buckets`. Returns (per-bucket counts, total gram
+    * count). The aggregation is corpus-wide but BUCKETS-sized (partial
+    * map-side combine into ≤ `buckets` rows), and the collect fetches
+    * the model, not data — the [[Similarity.ivfTopK]] centroid
+    * convention: production trains once on a reference slice and ships
+    * the array; at 100 TB the training pass is one bounded agg and the
+    * model is a few KB. Null-text rows contribute nothing. */
+  def hashedGramCounts(df: DataFrame, text: Column, buckets: Int,
+      bigrams: Boolean = true): (Array[Long], Long) = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"need 2 <= buckets <= 2^20, got $buckets")
+    val rows = df.filter(text.isNotNull)
+      .select(explode(wordGrams(text, bigrams)).as("__g"))
+      .select(pmod(Dedup.hash60(col("__g")), lit(buckets.toLong)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .collect()
+    val counts = new Array[Long](buckets)
+    rows.foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    (counts, counts.sum)
+  }
+
+  /** Per-bucket add-one-smoothed log-probability terms in exact
+    * MICRO-NATS (`round(ln((c+1)/(total+B)) · 1e6)`, half away from
+    * zero — DuckDB `round` semantics): integer terms make the per-doc
+    * score an order-free BIGINT sum, so the engine can fold them in a
+    * narrow projection while an external SQL engine sums them through
+    * an explode+join and both land on identical bits. */
+  def lmTermMicros(counts: Array[Long], total: Long): Array[Long] =
+    counts.map { c =>
+      val x = math.log((c + 1).toDouble / (total + counts.length).toDouble) * 1e6
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    }
+
+  /** Score documents under a hashed-gram term table ([[lmTermMicros]],
+    * or a difference of two term tables for DSIR-style importance
+    * weights): score_micro = Σ over the doc's grams of the gram's
+    * bucket term, n_grams alongside, mean = score / 1e6 / n_grams at 6
+    * dp. The whole scoring side is ONE narrow codegen projection — the
+    * term table rides in the task binary as a literal array
+    * ([[hashedLinearScore]]'s shape), so a 100 TB corpus scores in the
+    * scan with zero shuffle and zero joins. Null-text docs are
+    * excluded (they have no grams to score). */
+  def hashedGramScore(df: DataFrame, idCol: String, text: Column,
+      termMicros: Array[Long], bigrams: Boolean = true): DataFrame = {
+    require(termMicros.nonEmpty, "termMicros must be non-empty")
+    val dim = termMicros.length
+    val t = typedLit(termMicros)
+    df.filter(text.isNotNull)
+      .withColumn("__g", wordGrams(text, bigrams))
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_grams"),
+        aggregate(col("__g"), lit(0L), (acc, g) =>
+          acc + element_at(t,
+            (pmod(Dedup.hash60(g), lit(dim.toLong)) + 1).cast("int")))
+          .as("score_micro"))
+      .select(col(idCol), col("n_grams"), col("score_micro"),
+        round(col("score_micro").cast("double") / lit(1000000.0) /
+          col("n_grams").cast("double"), 6).as("mean_score"))
   }
 }

@@ -250,6 +250,63 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == mean)
   }
 
+  test("hashedGramCounts/lmTermMicros/hashedGramScore match a driver-side LM; null text excluded") {
+    val b = 32
+    val train = Seq(10L -> "the cat sat", 20L -> "the dog sat on the cat")
+    val score = Seq(1L -> "the cat", 2L -> "a new dog", 3L -> "one")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def grams(t: String): Seq[String] = {
+      val toks = t.split(" ", -1).toSeq
+      toks ++ (if (toks.size >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq else Nil)
+    }
+    val refCounts = new Array[Long](b)
+    train.flatMap(d => grams(d._2)).foreach(g => refCounts((h60(g) % b).toInt) += 1)
+    val refTotal = refCounts.sum
+
+    val (counts, total) = TextAnalysis.hashedGramCounts(
+      train.toDF("doc_id", "text"), col("text"), b)
+    assert(counts.toSeq == refCounts.toSeq && total == refTotal)
+
+    val terms = TextAnalysis.lmTermMicros(counts, total)
+    terms.zip(counts).foreach { case (tm, c) =>
+      val x = math.log((c + 1).toDouble / (total + b).toDouble) * 1e6
+      assert(tm == (if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong))
+      assert(tm < 0, "add-one-smoothed log-probs are negative")
+    }
+
+    val withNull = score :+ (9L -> (null: String))
+    val got = TextAnalysis.hashedGramScore(
+      withNull.toDF("doc_id", "text"), "doc_id", col("text"), terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!got.contains(9L), "null-text docs have no grams to score")
+    score.foreach { case (id, t) =>
+      val gs = grams(t)
+      val want = gs.map(g => terms((h60(g) % b).toInt)).sum
+      assert(got(id) == ((gs.size.toLong, want)), s"doc $id")
+    }
+  }
+
+  test("hashedGramScore under a DSIR difference table == target score − background score") {
+    val b = 16
+    val docs = Seq(1L -> "x y z", 2L -> "p q x", 3L -> "z z z z")
+    val (tc, tt) = TextAnalysis.hashedGramCounts(
+      Seq(0L -> "x y x z").toDF("doc_id", "text"), col("text"), b)
+    val (bc, bt) = TextAnalysis.hashedGramCounts(
+      Seq(0L -> "p q r s p").toDF("doc_id", "text"), col("text"), b)
+    val (tTerms, bTerms) = (TextAnalysis.lmTermMicros(tc, tt),
+      TextAnalysis.lmTermMicros(bc, bt))
+    val diff = tTerms.zip(bTerms).map { case (a, c) => a - c }
+    def scores(terms: Array[Long]) = TextAnalysis.hashedGramScore(
+      docs.toDF("doc_id", "text"), "doc_id", col("text"), terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (st, sb, sd) = (scores(tTerms), scores(bTerms), scores(diff))
+    docs.foreach { case (id, _) =>
+      assert(sd(id) == st(id) - sb(id), s"doc $id") // fold is linear in the table
+    }
+  }
+
   test("dropNearDupsAgainstLive: LIVE stream survivors == batch twin, ZERO state operators") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext

@@ -316,4 +316,21 @@ class EventsOpsSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("transitionCounts: per-user consecutive pairs, ties on order col, out-degree shares") {
+    // u1: a@1 → b@2 → a@3 → c@3(id5 after id4 at same ts) ⇒ a→b, b→a, a→c
+    // u2: a@1 → b@2 ⇒ a→b. Last event of each user emits nothing.
+    val df = Seq(
+      (1L, "u1", "a", 1L), (2L, "u1", "b", 2L), (4L, "u1", "a", 3L),
+      (5L, "u1", "c", 3L), (6L, "u2", "a", 1L), (7L, "u2", "b", 2L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val got = Events.transitionCounts(df, "user_id", "event_type",
+      "ts_us", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 0.666667)), // of a's 3 outgoing edges
+      ("a", "c") -> ((1L, 0.333333)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
 }

@@ -172,4 +172,31 @@ class KnnClusterSpec extends AnyFunSuite {
         s"vertex ${ids(c, i)} of chain $c labeled ${got(ids(c, i))}, want $c"))
     }
   }
+
+  test("kmeansStepInt8: cosine assignment, integer-exact sums, null vectors excluded") {
+    // centroids: axis-aligned e0 and e1. Vectors near each axis assign
+    // there; the quantized sums are exact hand-computable ints
+    // (quantizeInt8: round(x·127/maxabs)).
+    val df = Seq(
+      (1L, Some(Array(1.0f, 0.1f))),  // → c0; q = [127, 13]
+      (2L, Some(Array(0.5f, 0.0f))),  // → c0; q = [127, 0]
+      (3L, Some(Array(0.0f, 2.0f))),  // → c1; q = [0, 127]
+      (4L, Option.empty[Array[Float]])) // excluded
+      .toDF("id", "v")
+    val cents = Seq(0 -> Array(1.0f, 0.0f), 1 -> Array(0.0f, 1.0f))
+    val got = Similarity.kmeansStepInt8(df, "v", cents)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(got == Map(
+      0 -> ((2L, List(254L, 13L))),
+      1 -> ((1L, List(0L, 127L)))))
+  }
+
+  test("kmeansStepInt8: equidistant vector ties to the lowest centroid id") {
+    val df = Seq((1L, Array(1.0f, 1.0f))).toDF("id", "v")
+    val cents = Seq(0 -> Array(1.0f, 0.0f), 1 -> Array(0.0f, 1.0f))
+    val got = Similarity.kmeansStepInt8(df, "v", cents)
+      .select("cluster").as[Int].collect().toList
+    assert(got == List(0))
+  }
 }

@@ -156,4 +156,20 @@ class StatsSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("groupCard: counts, exact size totals, and micro-nat entropy") {
+    // src a: 2 langs at 50/50 → H = ln 2; per-lang term
+    // round(0.5·ln 0.5·−1e6) = 346574 → micro 693148.
+    // src b: one lang → 1·ln 1 = −0.0 → micro 0.
+    val df = Seq(
+      ("a", "en", 10L), ("a", "en", 20L), ("a", "de", 5L), ("a", "de", 7L),
+      ("b", "en", 100L))
+      .toDF("src", "lang", "sz")
+    val got = Stats.groupCard(df, "src", "lang", "sz")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got("a") == ((4L, 42L, 2L, 693148L, 0.693148)))
+    assert(got("b") == ((1L, 100L, 1L, 0L, 0.0)))
+  }
 }
