@@ -1363,6 +1363,32 @@ object SparkEntry {
         col("event_type"), unix_micros(col("ts")).as("ts_us")),
       "user_id", "event_type", "ts_us", "event_id")
 
+  /** Dedup threshold sweep ([[Dedup.thresholdSweep]]): the q23 n-gram
+    * Jaccard pairs at a low 0.1 floor, binned into 20 similarity
+    * buckets with the descending cumulative pair count — the
+    * calibration curve behind choosing the production 0.5. */
+  private def qThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.thresholdSweep(
+      Dedup.ngramJaccardPairs(cpuTable(s, dir, "documents"), "doc_id",
+        col("text"), n = 3, threshold = 0.1, maxDf = 100),
+      "jaccard", bins = 20)
+
+  /** BPE pair statistics ([[TextAnalysis.bpePairCounts]]): top-20
+    * adjacent character pairs inside words, weighted by word frequency
+    * — the counting pass a tokenizer trainer iterates. */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairCounts(cpuTable(s, dir, "documents"),
+      col("text"), k = 20)
+
+  /** Per-user activity profile ([[graft.ops.Events.activityProfile]]):
+    * the five event types pivoted to count columns + total — one hash
+    * aggregate on the user key. */
+  private def qActivityProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.activityProfile(
+      eventsDf(s, dir).select(col("user_id"), col("event_type")),
+      "user_id", "event_type",
+      Seq("click", "error", "purchase", "signup", "view"))
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1465,6 +1491,9 @@ object SparkEntry {
     "q97_source_card" -> (qSourceCard _),
     "q98_kmeans_step" -> (qKmeansStep _),
     "q99_transitions" -> (qTransitions _),
+    "q100_threshold_sweep" -> (qThresholdSweep _),
+    "q101_bpe_pairs" -> (qBpePairs _),
+    "q102_activity_profile" -> (qActivityProfile _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3081,5 +3110,56 @@ object SparkEntry {
         |    CAST(sum(n_trans) OVER (PARTITION BY from_type) AS DOUBLE), 6)
         |    AS share
         |FROM c""".stripMargin,
+
+    // q23's pair pipeline at a 0.1 floor, 20 similarity bins, and the
+    // descending cumulative count (default RANGE frame on both
+    // engines); a 1.0 score clamps into the last bin.
+    "q100_threshold_sweep" ->
+      s"""${OSql.shingleCte},
+        |shh AS (SELECT doc_id, nsh, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 100),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |  round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) AS jaccard
+        | FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2, x.nsh, y.nsh
+        | HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.1),
+        |h AS (SELECT least(CAST(floor(jaccard * 20) AS BIGINT), 19) AS bin,
+        |   CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1)
+        |SELECT bin, round(CAST(bin AS DOUBLE) / 20.0, 6) AS bin_lo, n_pairs,
+        | CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT) AS n_pairs_ge
+        |FROM h""".stripMargin,
+
+    // Vocab-then-pairs (the BPE trainer's counting shape): word counts,
+    // adjacent code-point pairs per distinct word, weighted sums, top-20
+    // by count with md5-hash ties — substr is code-point-based on both
+    // engines.
+    "q101_bpe_pairs" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM w0
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |p0 AS (SELECT unnest(list_transform(
+        |    generate_series(1, length(w) - 1),
+        |    i -> substr(w, CAST(i AS INT), 2))) AS pair, wc FROM wc),
+        |pc AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occ,
+        |    CAST(('0x'||substr(md5(pair),1,15)) AS BIGINT) AS pid
+        |  FROM p0 GROUP BY 1)
+        |SELECT pair, n_occ, rank FROM (
+        | SELECT pair, n_occ, row_number() OVER (
+        |   ORDER BY n_occ DESC, pid ASC) AS rank FROM pc)
+        |WHERE rank <= 20""".stripMargin,
+
+    // The pivot as five CASE sums; n_events sums the listed columns
+    // (not count(*)), matching the engine's ignore-unlisted contract.
+    "q102_activity_profile" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cases = types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(",\n| ")
+      s"""SELECT user_id,
+        | $cases,
+        | CAST(${types.map(t => s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_events
+        |FROM events GROUP BY 1""".stripMargin
+    },
   )
 }

@@ -568,6 +568,33 @@ object Dedup {
       .select("a", "b", "shared", "overlap")
   }
 
+  /** Threshold-tuning sweep over candidate-pair similarities — "how
+    * many pairs would each dedup threshold catch?", the calibration
+    * pass a pipeline runs BEFORE committing to a near-dup threshold:
+    * a `bins`-sized histogram of the pair scores plus, per bin, the
+    * DESCENDING cumulative pair count (pairs scoring at or above the
+    * bin's floor — the drop volume of a threshold set there). A score
+    * equal to the top edge lands in the last bin.
+    *
+    * Scale shape: the pair scores partially aggregate into ≤ `bins`
+    * rows; the cumulative window then runs over that BINS-sized table
+    * — the single-partition global window the house rule bans is fine
+    * here because the corpus never reaches it. Output: bin, bin_lo,
+    * n_pairs, n_pairs_ge. */
+  def thresholdSweep(pairs: DataFrame, simCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 100000, s"need 1 <= bins <= 1e5, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val idx = least(floor(col(simCol) * bins).cast("long"), lit(bins - 1L))
+    pairs.filter(col(simCol).isNotNull)
+      .groupBy(idx.as("bin")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_ge",
+        sum(col("n_pairs")).over(Window.orderBy(col("bin").desc)))
+      .select(col("bin"),
+        round(col("bin").cast("double") / lit(bins.toDouble), 6).as("bin_lo"),
+        col("n_pairs"), col("n_pairs_ge"))
+  }
+
   /** Snapshot diff: what changed between two corpus drops — the
     * incremental-crawl bookkeeping every recurring ingest runs before
     * deciding what to re-process. Keyed full outer join on the id,

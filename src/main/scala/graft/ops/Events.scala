@@ -239,4 +239,25 @@ object Events {
       .withColumn("share", round(col("n_trans").cast("double") /
         sum(col("n_trans")).over(out).cast("double"), 6))
   }
+
+  /** Wide per-entity activity profile — the feature-vector shape a
+    * model consumes (one row per user, one count column per event
+    * type): `groupBy(user).pivot(type, explicit values)`. The explicit
+    * value list matters at scale: it pins the output schema AND skips
+    * the extra corpus-wide distinct-discovery job an open pivot runs;
+    * the whole profile is then ONE partially-aggregated hash aggregate
+    * on the user key (k count expressions riding one exchange). Types
+    * outside the list are ignored; n_events sums the listed columns.
+    * Output: userCol, one BIGINT column per type (0 where absent),
+    * n_events. */
+  def activityProfile(df: DataFrame, userCol: String, typeCol: String,
+      types: Seq[String]): DataFrame = {
+    require(types.nonEmpty && types.distinct == types,
+      s"types must be non-empty and distinct, got $types")
+    df.groupBy(col(userCol))
+      .pivot(typeCol, types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .withColumn("n_events", types.map(col).reduce(_ + _))
+  }
 }

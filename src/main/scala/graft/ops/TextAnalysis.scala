@@ -314,6 +314,36 @@ object TextAnalysis {
     }.toArray
   }
 
+  /** One BPE statistics pass — the counting step a tokenizer trainer
+    * iterates: corpus-wide frequencies of ADJACENT CHARACTER PAIRS
+    * inside words, weighted by word frequency, top-k by count (ties by
+    * the cross-engine md5 hash of the pair, the [[vocabTopK]]
+    * convention). The classic BPE optimization is built in: pairs are
+    * counted over the VOCAB (distinct words × their corpus counts),
+    * not the corpus — the corpus-wide stage is one word-count hash
+    * aggregate; the pair explode runs over vocab-sized input, and the
+    * top-k is the bounded heap, never a global sort. Positions are
+    * code points on both engines (`substr`), so multilingual text
+    * pairs identically. Output: pair, n_occ, rank. */
+  def bpePairCounts(df: DataFrame, text: Column, k: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val words = df.filter(text.isNotNull)
+      .select(explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pairs = scope.cache(words
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n_occ"))
+      .withColumn("__pid", Dedup.hash60(col("pair"))))
+    Rank.topNPerGroup(pairs, Seq.empty, "__pid", "n_occ", k)
+      .select(col("id").as("__pid"), col("rank"))
+      .join(pairs, "__pid")
+      .select(col("pair"), col("n_occ"), col("rank"))
+  }
+
   /** The shared word-gram array of [[hashedLinearScore]] (unigrams +
     * optional bigrams over single-space tokenization), factored so the
     * hashed-LM family below tokenizes identically. */

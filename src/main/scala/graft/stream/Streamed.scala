@@ -354,6 +354,39 @@ object Streamed {
       }
   }
 
+  /** Live twin of [[graft.ops.Events.transitionCounts]]'s pair
+    * EXTRACTION: per-user consecutive (from, to) event-type pairs
+    * emitted AS THEY ARRIVE — state is one (last type, last ts) per
+    * user, so a transition is visible one event after it happens
+    * instead of at batch close. Counting and out-degree shares are a
+    * downstream aggregation over the emitted pairs (exactly the batch
+    * op's second stage). In-order contract like the family's other
+    * twins: records are processed in (tsMs, arrival) order within a
+    * micro-batch and state carries the last event across batches, so
+    * an in-order feed reproduces the batch pair multiset; same-ts
+    * events rely on arrival order where the batch form uses the
+    * explicit order column. Emits Rec(user, (from, to), ts-of-to). */
+  def transitionsState[K: Encoder](ds: Dataset[Rec[K, String]])(
+      implicit outEnc: Encoder[Rec[K, (String, String)]]): Dataset[Rec[K, (String, String)]] = {
+    implicit val stEnc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(String, Long), Rec[K, (String, String)]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, String]],
+            state: GroupState[(String, Long)]) =>
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[Rec[K, (String, String)]]
+          records.toSeq.sortBy(_.tsMs).foreach { r =>
+            prev.foreach { case (pt, _) => out += Rec(key, (pt, r.value), r.tsMs) }
+            prev = Some((r.value, r.tsMs))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Moment state for [[driftState]]: six exact integer sums. */
   final case class DriftSt(n: Long, sx: Long, sy: Long, sxx: Long,
       syy: Long, sxy: Long)

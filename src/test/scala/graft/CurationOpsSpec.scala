@@ -288,6 +288,23 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpePairCounts: vocab-weighted adjacent pairs, hash ties, code-point pairs for CJK") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val df = Seq(1L -> "ab ab cd", 2L -> "abc", 3L -> "你好 你好", 4L -> "x")
+      .toDF("doc_id", "text") // "x" is a 1-char word: no pair
+    val got = TextAnalysis.bpePairCounts(df, col("text"), k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // counts: ab = 2 (word "ab" ×2) + 1 (inside "abc"); 你好 = 2; cd, bc = 1
+    assert(got.view.mapValues(_._1).toMap ==
+      Map("ab" -> 3L, "你好" -> 2L, "cd" -> 1L, "bc" -> 1L))
+    assert(got("ab")._2 == 1L && got("你好")._2 == 2L)
+    // the two singletons order by ascending md5 hash
+    val (lo, hi) = if (h60("cd") < h60("bc")) ("cd", "bc") else ("bc", "cd")
+    assert(got(lo)._2 == 3L && got(hi)._2 == 4L)
+  }
+
   test("hashedGramScore under a DSIR difference table == target score − background score") {
     val b = 16
     val docs = Seq(1L -> "x y z", 2L -> "p q x", 3L -> "z z z z")

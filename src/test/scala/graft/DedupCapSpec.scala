@@ -119,4 +119,18 @@ class DedupCapSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("thresholdSweep: binning, top-edge clamp, descending cumulative counts") {
+    import spark.implicits._
+    val pairs = Seq(0.12, 0.14, 0.5, 0.55, 0.99, 1.0)
+      .zipWithIndex.map { case (s, i) => (i.toLong, i.toLong + 100, s) }
+      .toDF("a", "b", "jaccard")
+    val got = graft.ops.Dedup.thresholdSweep(pairs, "jaccard", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((0.1, 2L, 6L)), // 0.12, 0.14; 6 pairs >= 0.1
+      5L -> ((0.5, 2L, 4L)), // 0.5, 0.55
+      9L -> ((0.9, 2L, 2L)))) // 0.99 and the clamped 1.0
+  }
 }

@@ -333,4 +333,32 @@ class EventsOpsSpec extends AnyFunSuite {
       ("a", "c") -> ((1L, 0.333333)),
       ("b", "a") -> ((1L, 1.0))))
   }
+
+  test("transitionsState: LIVE pair multiset == batch transitions on in-order feeds; state spans batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val types = Seq("a", "b", "c")
+    val rnd = new scala.util.Random(31)
+    val feed = (1L to 100L).map { i => // distinct ts per arrival, 5 users
+      Rec("u" + rnd.nextInt(5), types(rnd.nextInt(3)), i * 10L)
+    }
+    val ms = MemoryStream[Rec[String, String]]
+    val q = Streamed.transitionsState(ms.toDS())
+      .writeStream.format("memory").queryName("livetrans")
+      .outputMode("update").start()
+    try { // split mid-stream: the cross-batch pair needs the stored last event
+      ms.addData(feed.take(40): _*); q.processAllAvailable()
+      ms.addData(feed.drop(40): _*); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("livetrans").collect()
+      .map(r => (r.getStruct(1).getString(0), r.getStruct(1).getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batch = Events.transitionCounts(
+      feed.zipWithIndex.map { case (r, i) => (i.toLong, r.key, r.value, r.tsMs) }
+        .toDF("event_id", "user_id", "event_type", "ts_us"),
+      "user_id", "event_type", "ts_us", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(live == batch)
+  }
 }
