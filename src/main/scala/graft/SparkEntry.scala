@@ -926,14 +926,22 @@ object SparkEntry {
     * ≥ 0.3 to any same-cell reference vector are dropped (the corpus's
     * embeddings are near-orthogonal, so a production-style 0.9 would
     * make the drop path vacuous — 0.3 exercises it on real rows). Same
-    * signBits/cap constants as q28, so the cell fragments mirror. */
+    * signBits/cap constants as q28, so the cell fragments mirror.
+    * probes = 4: the standing index registers each vector under its
+    * own cell + its 3 least-confident single-bit flips
+    * ([[graft.ops.Similarity.probeCells]]), catching matches the
+    * same-cell form misses (measured on this fixture at sf0.01:
+    * 23 of 375 incoming matched at probes = 4 vs 11 at probes = 1 —
+    * 2.1× the recall; the superset property is pinned in
+    * `CurationOpsSpec`) while the incoming side still probes with
+    * one equi-join key. */
   private def qCosineIncremental(s: SparkSession, dir: String): DataFrame = {
     val embs = cpuTable(s, dir, "embeddings")
     val matched = Dedup.cosineMatchedAgainst(
       embs.filter(col("vec_id") % 4 =!= 0),
       embs.filter(col("vec_id") % 4 === 0),
       "vec_id", col("embedding"), signBits = 8, threshold = 0.3,
-      maxBucket = LshMaxBucket)
+      maxBucket = LshMaxBucket, probes = 4)
     Dedup.dropNearDupsAgainst(
       embs.filter(col("vec_id") % 4 =!= 0).select(col("vec_id"), col("label")),
       "vec_id", matched)
@@ -1075,10 +1083,10 @@ object SparkEntry {
 
   /** q66's embedding-side incremental dedup through the STREAM-SAFE
     * single-anti-join form ([[Dedup.cosineDropAgainstLive]]): same data
-    * split, sign bits, threshold, and static-side cap; the one contract
-    * difference (the stream side cannot be occupancy-capped) is
-    * reflected in this query's own oracle — the incoming side carries
-    * no QUALIFY cap. */
+    * split, sign bits, threshold, static-side cap, and probes = 4
+    * multi-probe registration; the one contract difference (the stream
+    * side cannot be occupancy-capped) is reflected in this query's own
+    * oracle — the incoming side carries no QUALIFY cap. */
   private def qCosineIngest(s: SparkSession, dir: String): DataFrame = {
     val embs = cpuTable(s, dir, "embeddings")
     Dedup.cosineDropAgainstLive(
@@ -1086,7 +1094,7 @@ object SparkEntry {
         col("embedding")),
       embs.filter(col("vec_id") % 4 === 0),
       "vec_id", col("embedding"), signBits = 8, threshold = 0.3,
-      maxBucket = LshMaxBucket)
+      maxBucket = LshMaxBucket, probes = 4)
       .select(col("vec_id"), col("label"))
   }
 
@@ -1517,6 +1525,20 @@ object SparkEntry {
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
     val simBits = (0 until 32).map(j =>
       s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    /** The reference-side multi-probe registration cells of q66/q78
+      * (assumes a CTE `b0` carrying embeddings + their own-cell `bkt`):
+      * the vec_id % 4 == 0 index rows, each under its own cell PLUS
+      * the xor-flips of its `probes − 1` smallest-|component| dims
+      * among the first 8 — [[graft.ops.Similarity.probeCells]]' exact
+      * order (abs asc, dim asc). Emits CTEs `rb`/`rx`/`rall`. */
+    def refProbeCte(probes: Int): String =
+      s"""rb AS (SELECT vec_id, label, embedding, bkt FROM b0 WHERE vec_id % 4 = 0),
+        |rx AS (SELECT vec_id, label, embedding,
+        |    xor(bkt, CAST(power(2, i) AS BIGINT)) AS bkt
+        |  FROM (SELECT rb.*, t.i, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY abs(embedding[t.i + 1]) ASC, t.i ASC) AS rnk
+        |    FROM rb, range(0, 8) t(i)) WHERE rnk <= ${probes - 1}),
+        |rall AS (SELECT * FROM rb UNION ALL SELECT vec_id, label, embedding, bkt FROM rx),""".stripMargin
     /** The 6-dp cosine fold, identical to CosineSim's sequential order. */
     def cosSql(a: String, b: String): String =
       s"""round(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
@@ -2390,15 +2412,18 @@ object SparkEntry {
         |FROM sc""".stripMargin,
 
     // q28's cell construction with asymmetric sides (each QUALIFY-capped
-    // on its own occupancy), the 6-dp cosine at the cut, and q63's
-    // NOT IN consumer.
+    // on its own REGISTERED occupancy), the reference side expanded to
+    // its probes=4 multi-probe cells (own cell + xor of the 3
+    // smallest-|component| bits, ties by ascending dim — probeCells'
+    // order), the 6-dp cosine at the cut, and q63's NOT IN consumer.
     "q66_cosine_incremental" ->
       s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
         |  FROM embeddings),
         |i AS (SELECT * FROM b0 WHERE vec_id % 4 <> 0
         |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
-        |r AS (SELECT * FROM b0 WHERE vec_id % 4 = 0
+        |${OSql.refProbeCte(probes = 4)}
+        |r AS (SELECT * FROM rall
         |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
         |m AS (SELECT DISTINCT i.vec_id FROM i JOIN r ON i.bkt = r.bkt
         |  WHERE ${OSql.cosSql("i.embedding", "r.embedding")} >= 0.3)
@@ -2623,13 +2648,15 @@ object SparkEntry {
         |FROM k JOIN a USING (label)""".stripMargin,
 
     // q66's construction with the incoming side UNCAPPED (the live
-    // form's contract: only the static index is occupancy-capped).
+    // form's contract: only the static index is occupancy-capped);
+    // the static side carries the same probes=4 registration cells.
     "q78_cosine_ingest" ->
       s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
         |  FROM embeddings),
         |i AS (SELECT * FROM b0 WHERE vec_id % 4 <> 0),
-        |r AS (SELECT * FROM b0 WHERE vec_id % 4 = 0
+        |${OSql.refProbeCte(probes = 4)}
+        |r AS (SELECT * FROM rall
         |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
         |m AS (SELECT DISTINCT i.vec_id FROM i JOIN r ON i.bkt = r.bkt
         |  WHERE ${OSql.cosSql("i.embedding", "r.embedding")} >= 0.3)

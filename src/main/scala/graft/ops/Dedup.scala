@@ -860,23 +860,34 @@ object Dedup {
     * [[lshCandidatesAgainst]] contract); no within-side pairs exist, so
     * the standing index's pair work is never re-paid at ingest — its
     * bucketed table persists and only the (tiny) batch's cells join in.
-    * Same-cell-only recall caveat as [[cosineNearDupPairs]]: a near-dup
-    * whose vector crosses one hyperplane is invisible (raise to
-    * multi-probe via [[Similarity.lshTopK]] when that matters). Returns
+    *
+    * Recall: at `probes = 1` a near-dup whose vector crosses one
+    * hyperplane is invisible (the [[cosineNearDupPairs]] caveat). At
+    * `probes > 1` the REFERENCE side registers each vector under its
+    * [[Similarity.probeCells]] — own cell plus flips of its `probes−1`
+    * least-confident sign dimensions — so a pair whose cells differ by
+    * one of those bits is caught while the incoming side still carries
+    * exactly ONE cell key per row: registration-side multi-probe. The
+    * index pays `probes×` registration ONCE; every future ingest batch
+    * probes it with the same plain equi-join. `maxBucket` caps
+    * REGISTERED occupancy per cell on each side independently (an
+    * expanded reference cell counts its extra registrations). Returns
     * one `idCol` row per matched incoming vector — feed to
     * [[dropNearDupsAgainst]] (reference members are kept by definition,
     * so dropping every matched incoming row is the transitive-safe
     * rule, no connected-components step). */
   def cosineMatchedAgainst(inc: DataFrame, ref: DataFrame, idCol: String,
       vec: Column, signBits: Int, threshold: Double, maxBucket: Long = 0L,
-      scope: CacheScope = CacheScope.session): DataFrame = {
-    def side(df: DataFrame) = capBuckets(
+      probes: Int = 1, scope: CacheScope = CacheScope.session): DataFrame = {
+    def side(df: DataFrame, cells: Column) = capBuckets(
       df.filter(vec.isNotNull).select(col(idCol), vec.as("__v"),
-        Similarity.signBucket(vec, signBits).as("__bkt")),
+        explode(cells).as("__bkt")),
       Seq("__bkt"), maxBucket, scope)
-    side(inc).select(col("__bkt"), col(idCol).as("a"), col("__v").as("va"))
-      .join(side(ref).select(col("__bkt"), col(idCol).as("b"),
-        col("__v").as("vb")), Seq("__bkt"))
+    side(inc, array(Similarity.signBucket(vec, signBits)))
+      .select(col("__bkt"), col(idCol).as("a"), col("__v").as("va"))
+      .join(side(ref, Similarity.probeCells(vec, signBits, probes))
+        .select(col("__bkt"), col(idCol).as("b"), col("__v").as("vb")),
+        Seq("__bkt"))
       .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
       .select(col("a").as(idCol)).distinct()
   }
@@ -893,15 +904,21 @@ object Dedup {
     * is the one contract difference from [[cosineMatchedAgainst]] —
     * a degenerate incoming cell merely probes a cell the static side
     * already dropped, so the per-row probe cost stays ≤ maxBucket
-    * comparisons. Null-vector rows bypass the join and survive. Works
-    * identically on a batch `incoming` (same plan, same rows). Returns
+    * comparisons. `probes > 1` raises single-bit-miss recall WITHOUT
+    * touching the stream side: the static index registers each vector
+    * under its [[Similarity.probeCells]] (registration-side
+    * multi-probe — the [[cosineMatchedAgainst]] contract), and the
+    * live plan stays the same one stateless anti-join on one cell key.
+    * Null-vector rows bypass the join and survive. Works identically
+    * on a batch `incoming` (same plan, same rows). Returns
     * `incoming`'s columns, survivors only. */
   def cosineDropAgainstLive(incoming: DataFrame, ref: DataFrame,
       idCol: String, vec: Column, signBits: Int, threshold: Double,
-      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+      maxBucket: Long = 0L, probes: Int = 1,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val refCells = scope.cache(
       capBuckets(ref.filter(vec.isNotNull).select(col(idCol), vec.as("__rv"),
-        Similarity.signBucket(vec, signBits).as("__bkt")),
+        explode(Similarity.probeCells(vec, signBits, probes)).as("__bkt")),
         Seq("__bkt"), maxBucket, scope)
         .select(col("__bkt").as("__rbkt"), col("__rv")))
     incoming.filter(vec.isNotNull)

@@ -395,6 +395,35 @@ object Similarity {
     (0 until signBits).map(i =>
       when(vec.getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L)): Column).reduce(_ + _)
 
+  /** The `probes` REGISTRATION cells of a vector under sign-bit LSH:
+    * its [[signBucket]] cell plus the cells reached by flipping, one at
+    * a time, the `probes − 1` dimensions whose |component| is SMALLEST
+    * among the first `signBits` (ties by ascending dimension) — classic
+    * multi-probe LSH (Lv et al., VLDB 2007), except aimed at the cells
+    * a vector most plausibly SHOULD ALSO live in rather than the cells
+    * a query should also look in: the smallest-|component| dimensions
+    * are exactly the hyperplanes a near-duplicate is most likely to
+    * have crossed. Registering the standing side of an incremental
+    * dedup under these cells buys single-bit-miss recall while the
+    * probing side stays ONE row with ONE equi-join key — which is what
+    * keeps the live ingest form stateless. `probes = 1` is the plain
+    * own-cell key. Pure projection, cross-engine mirrorable (the flip
+    * choice orders by the stored float values both engines share). */
+  def probeCells(vec: Column, signBits: Int, probes: Int): Column = {
+    require(probes >= 1 && probes <= signBits + 1,
+      s"need 1 <= probes <= signBits + 1, got probes=$probes signBits=$signBits")
+    val own = signBucket(vec, signBits)
+    if (probes <= 1) array(own)
+    else {
+      val nearest = slice(array_sort(transform(
+        sequence(lit(0), lit(signBits - 1)),
+        i => struct(abs(element_at(vec, i + 1)).as("a"), i.as("i")))),
+        1, probes - 1)
+      concat(array(own), transform(nearest, s => own.bitwiseXOR(
+        pow(lit(2.0), s.getField("i").cast("double")).cast("long"))))
+    }
+  }
+
   /** Approximate top-k over sign-bucket LSH. `probeHamming = 0` probes
     * only the query's own bucket (scanned fraction ≈ 2^-signBits per
     * query; recall depends on the data's sign stability — a neighbor

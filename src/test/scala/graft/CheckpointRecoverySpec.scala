@@ -462,6 +462,61 @@ class CheckpointRecoverySpec extends AnyFunSuite with org.scalatest.BeforeAndAft
     assert(got == Seq(("d1", 3))) // earliest-ts of the batch, quota then full
   }
 
+  test("property: capPerGroupState vs batch capPerGroup — counts on ANY feed, exact membership on hash-ordered feeds, across a random restart (3 seeds)") {
+    // Pins the documented relationship between the two cap contracts
+    // (live = first-n-by-arrival, batch = hash-ranked subset): their
+    // per-group COUNTS agree on every feed; their MEMBERSHIP agrees
+    // exactly when arrival order happens to equal hash-rank order; and
+    // both facts survive a kill + checkpoint restart at a random point.
+    implicit val sql = spark.sqlContext
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rank52(seed: String, id: Long): Long =
+      java.lang.Long.parseLong(md.digest((seed + id.toString)
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16) %
+        (1L << 52)
+    for (seed <- 41 to 43) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(4) // quota 1..4
+      val rows: Seq[(String, Long)] = Seq("g1", "g2", "g3").zipWithIndex
+        .flatMap { case (g, gi) => // sizes straddle the quota
+          (0 until (1 + rnd.nextInt(2 * n + 2))).map(j => g -> (gi * 100L + j)) }
+      val batchKeep = graft.ops.Sampling.capPerGroup(
+        rows.toDF("grp", "id"), "grp", "id", n, seed = s"s$seed")
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toSet
+      val batchCounts = batchKeep.groupBy(_._1).view.mapValues(_.size).toMap
+
+      def runLive(feed: Seq[Rec[String, Long]]): Seq[(String, Long)] = {
+        val ms = MemoryStream[Rec[String, Long]]
+        val ds = Streamed.capPerGroupState(ms.toDS(), n.toLong)
+        val dir = ckpt()
+        val cut = 1 + rnd.nextInt(feed.size) min (feed.size - 1) max 1
+        val buf1 = ArrayBuffer.empty[Row]
+        val q1 = start(ds.toDF(), dir, "update", buf1)
+        try { ms.addData(feed.take(cut): _*); q1.processAllAvailable() }
+        finally q1.stop()
+        val buf2 = ArrayBuffer.empty[Row]
+        val q2 = start(ds.toDF(), dir, "update", buf2)
+        try { ms.addData(feed.drop(cut): _*); q2.processAllAvailable() }
+        finally q2.stop()
+        (buf1.synchronized(buf1.toSeq) ++ buf2.synchronized(buf2.toSeq))
+          .map(r => (r.getAs[String]("key"), r.getAs[Long]("value")))
+      }
+
+      // (a) ANY arrival order: per-group admitted counts == batch counts
+      val liveAny = runLive(rnd.shuffle(rows).zipWithIndex
+        .map { case ((g, id), i) => Rec(g, id, (i + 1) * 10L) })
+      assert(liveAny.groupBy(_._1).view.mapValues(_.size).toMap == batchCounts,
+        s"seed=$seed: per-group admitted counts")
+
+      // (b) arrival order == hash-rank order (heap tie-break included):
+      // membership equals the batch cap's exactly
+      val liveOrdered = runLive(
+        rows.sortBy { case (_, id) => (rank52(s"s$seed", id), id) }
+          .zipWithIndex.map { case ((g, id), i) => Rec(g, id, (i + 1) * 10L) })
+      assert(liveOrdered.toSet == batchKeep, s"seed=$seed: membership")
+    }
+  }
+
   test("events arriving while the query is DOWN are caught up on restart (fold continues)") {
     implicit val sql = spark.sqlContext
     val topo = Topology(

@@ -409,6 +409,50 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out == Set(3L, 5L))
   }
 
+  test("cosineMatchedAgainst probes>1: single-bit-crossed near-dup becomes visible; matched set is a superset") {
+    // ref 0's dim 2 is the least-confident sign (|0.01|); inc 1 is a
+    // near-copy sitting on the OTHER side of that hyperplane
+    val ref = embDf(0L -> Seq(1f, 1f, 0.01f, 1f))
+    val inc = embDf(
+      1L -> Seq(1f, 1f, -0.01f, 1f), // one crossed plane: invisible at probes=1
+      3L -> Seq(-1f, -1f, 1f, -1f))  // far in sign space: invisible at any probes<=2
+    def matched(p: Int) = Dedup.cosineMatchedAgainst(inc, ref, "vec_id",
+      col("embedding"), signBits = 4, threshold = 0.9, probes = p)
+      .as[Long].collect().toSet
+    assert(matched(1) == Set.empty[Long])
+    assert(matched(2) == Set(1L), "ref registers under its dim-2 flip cell")
+    // property: matched(probes) ⊇ matched(probes-1) on random data
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)
+    val bigRef = embDf((0L until 40L).map(i => (i * 2) -> vec()): _*)
+    val bigInc = embDf((0L until 40L).map(i => (i * 2 + 1) -> vec()): _*)
+    val sets = (1 to 4).map(p => Dedup.cosineMatchedAgainst(bigInc, bigRef,
+      "vec_id", col("embedding"), signBits = 4, threshold = 0.5, probes = p)
+      .as[Long].collect().toSet)
+    sets.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), "raising probes never loses a match") }
+  }
+
+  test("cosineDropAgainstLive probes>1: survivors == batch multi-probe twin, plan still stateless") {
+    val rnd = new scala.util.Random(23)
+    def vec() = Seq.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)
+    val ref = embDf((0L until 25L).map(i => (i * 2) -> vec()): _*)
+    val inc = embDf(((0L until 25L).map(i => (i * 2 + 1) -> vec()) :+
+      (201L -> Seq(1f, 1f, -0.01f, 0.5f, 0.5f, 0.5f))): _*)
+    val refX = embDf(((0L until 25L).map(i => (i * 2) -> vec())
+      :+ (200L -> Seq(1f, 1f, 0.01f, 0.5f, 0.5f, 0.5f))): _*)
+    val live = Dedup.cosineDropAgainstLive(inc, refX, "vec_id",
+      col("embedding"), signBits = 3, threshold = 0.9, probes = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val batch = Dedup.dropNearDupsAgainst(inc, "vec_id",
+      Dedup.cosineMatchedAgainst(inc, refX, "vec_id", col("embedding"),
+        signBits = 3, threshold = 0.9, probes = 3))
+      .select("vec_id").as[Long].collect().toSet
+    assert(live == batch)
+    assert(!live.contains(201L),
+      "the bit-crossed near-copy of ref 200 is dropped via its registration cell")
+  }
+
   test("cosineMatchedAgainst: per-side cap drops the degenerate side's cell only") {
     // three identical reference vectors in one cell, maxBucket=2: the
     // REFERENCE cell is dropped, so the incoming copy matches nothing
