@@ -1397,6 +1397,29 @@ object SparkEntry {
       "user_id", "event_type",
       Seq("click", "error", "purchase", "signup", "view"))
 
+  /** Weighted per-group cap ([[Sampling.capPerGroupWeighted]]): at most
+    * 15 docs per source (the fixture carries 25/source at sf0.01, so
+    * the cap genuinely binds) by n_chars-weighted deterministic
+    * priority sampling — longer docs proportionally likelier to
+    * survive, still exactly-n and hash-stable. */
+  private def qWeightedCap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capPerGroupWeighted(
+      cpuTable(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "doc_id", col("n_chars"), n = 15, seed = "wc1")
+
+  /** Keyword extraction ([[TextAnalysis.keywordsTopK]]): top-3 tokens
+    * per document by rational tf-idf (`tf·N/df`), ties by token hash. */
+  private def qKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.keywordsTopK(cpuTable(s, dir, "documents"), "doc_id",
+      col("text"), k = 3)
+
+  /** Script mix ([[TextAnalysis.scriptMix]]): per-doc Latin/digit/
+    * whitespace/CJK/other code-point fractions — one narrow projection. */
+  private def qScriptMix(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptMix(cpuTable(s, dir, "documents"), "doc_id",
+      col("text"))
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1502,6 +1525,9 @@ object SparkEntry {
     "q100_threshold_sweep" -> (qThresholdSweep _),
     "q101_bpe_pairs" -> (qBpePairs _),
     "q102_activity_profile" -> (qActivityProfile _),
+    "q103_weighted_cap" -> (qWeightedCap _),
+    "q104_keywords_tfidf" -> (qKeywords _),
+    "q105_script_mix" -> (qScriptMix _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3188,5 +3214,53 @@ object SparkEntry {
         | CAST(${types.map(t => s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin
     },
+
+    // Priority sampling: u = (hash52 + 1)/2^52 exact, pri = w/u one
+    // correctly-rounded division — identical order on both engines;
+    // double ties break by doc_id asc (the heap's tie rule).
+    "q103_weighted_cap" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+        |  CAST(n_chars AS DOUBLE) / (CAST((CAST(('0x'||substr(md5('wc1'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    % 4503599627370496 + 1) AS DOUBLE) / 4503599627370496.0) AS pri
+        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, source, n_chars FROM (
+        | SELECT doc_id, source, n_chars,
+        |   row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id ASC) AS rnk
+        | FROM p) WHERE rnk <= 15""".stripMargin,
+
+    // Rational tf-idf (tf·N/df, no libm): N = tokenized docs, one
+    // double division, ties by the md5 token hash ascending.
+    "q104_keywords_tfidf" ->
+      """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT doc_id, token FROM t0 WHERE len(token) > 0),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        |s AS (SELECT tf.doc_id, tf.token,
+        |   CAST(tf.tf * nd.n AS DOUBLE) / CAST(dft.df AS DOUBLE) AS pri,
+        |   CAST(('0x'||substr(md5(tf.token),1,15)) AS BIGINT) AS tid
+        | FROM tf JOIN dft USING (token) CROSS JOIN nd)
+        |SELECT doc_id, token, round(pri, 6) AS tfidf, rank FROM (
+        | SELECT doc_id, token, pri,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC, tid ASC) AS rank
+        | FROM s) WHERE rank <= 3""".stripMargin,
+
+    // Code-point class counts via delete-and-measure; the character
+    // classes are dialect-neutral, and both engines' length() counts
+    // code points.
+    "q105_script_mix" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_cp,
+        | round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS latin_frac,
+        | round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_frac,
+        | round(CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS DOUBLE) / length(text), 6) AS space_frac,
+        | round(CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fa5}]', '', 'g')) AS DOUBLE) / length(text), 6) AS cjk_frac,
+        | round(CAST(length(text)
+        |   - (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+        |   - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |   - (length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')))
+        |   - (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fa5}]', '', 'g')))
+        |   AS DOUBLE) / length(text), 6) AS other_frac
+        |FROM documents WHERE text IS NOT NULL AND length(text) >= 1""".stripMargin,
   )
 }

@@ -113,6 +113,41 @@ object Sampling {
         math.round(fraction * 10000))
   }
 
+  /** WEIGHTED per-group cap — [[capPerGroup]] with a quality bias:
+    * keep at most `n` rows per group, selected by priority sampling
+    * (Duffield–Lund–Thorup): each row's priority is `w / u` with `u`
+    * its deterministic hash uniform on (0, 1], and the `n` highest
+    * priorities per group survive. Selection is weight-proportional-ish
+    * without replacement (a row with 2× the weight is ~2× as likely to
+    * make the cut), yet keeps every [[capPerGroup]] stability property:
+    * re-run/repartition/incremental-append stable membership, exactly
+    * min(n, group size) kept, and the bounded-heap plan (n rows of
+    * state per group per task — never a per-group window sort).
+    *
+    * Cross-engine exactness: `u = (hash52 + 1) / 2^52` is exact (both
+    * operands < 2^53, the divisor a power of two) and the single
+    * division `w / u` is IEEE-correctly-rounded — bit-identical on any
+    * engine, so an external oracle computes the identical priority
+    * order; residual double ties break by ascending id in the heap.
+    * Rows with a NULL or non-positive weight never survive (a zero
+    * weight must not be electable; filter or clamp upstream if "keep
+    * anyway at lowest priority" is wanted). `idCol` must be integral.
+    * Output: `df`'s surviving rows. */
+  def capPerGroupWeighted(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, n: Int, seed: String): DataFrame = {
+    require(n >= 1, s"n >= 1, got $n")
+    val u = (pmod(
+      Dedup.hash60(concat(lit(seed), col(idCol).cast("string"))),
+      lit(1L << 52)) + lit(1L)).cast("double") / lit((1L << 52).toDouble)
+    val keep = Rank.topNPerGroup(
+      df.filter(weight.isNotNull && weight > 0)
+        .select(col(groupCol), col(idCol),
+          (weight.cast("double") / u).as("__pri")),
+      Seq(groupCol), idCol, "__pri", n)
+      .select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Temperature resampling — flatten a skewed group mix (languages,
     * domains, sources) toward uniform, the standard multilingual
     * pretraining recipe (mBERT/XLM: sample group g with probability

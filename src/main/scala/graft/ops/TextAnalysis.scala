@@ -229,6 +229,76 @@ object TextAnalysis {
         col("score").cast("long").as("cnt"), col("rank"))
   }
 
+  /** Per-document script/character-class mix — the cheap signal a
+    * multilingual curation pass cuts on before any model-based langid:
+    * fractions of Latin letters, digits, whitespace, CJK ideographs
+    * (U+4E00–U+9FA5), and everything else. One zero-shuffle narrow
+    * projection; each class count is `len(text) − len(text with the
+    * class deleted)` over code points, so the five regexes are plain
+    * character classes that mean the same thing in every regex dialect
+    * (the PII-scrub cross-engine precedent). Fractions at 6 dp of the
+    * code-point length; empty/whitespace-only docs keep fraction 0/len
+    * semantics (len ≥ 1 rows only — the null/empty filter is the
+    * caller's quality gate). Output: idCol, n_cp, latin_frac,
+    * digit_frac, space_frac, cjk_frac, other_frac. */
+  def scriptMix(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    def cnt(cls: String): Column =
+      length(text) - length(regexp_replace(text, cls, ""))
+    val classes = Seq(
+      "latin" -> "[A-Za-z]", "digit" -> "[0-9]",
+      "space" -> "[ \\t\\n\\r]", "cjk" -> "[\\x{4e00}-\\x{9fa5}]")
+    val n = length(text)
+    val counted = classes.map { case (nm, cls) => nm -> cnt(cls) }
+    val known = counted.map(_._2).reduce(_ + _)
+    df.filter(text.isNotNull && length(text) >= 1)
+      .select(Seq(col(idCol), n.cast("long").as("n_cp")) ++
+        counted.map { case (nm, c) =>
+          round(c.cast("double") / n, 6).as(s"${nm}_frac") } :+
+        round((n - known).cast("double") / n, 6).as("other_frac"): _*)
+  }
+
+  /** Per-document keyword extraction: top-k tokens by RATIONAL tf-idf
+    * — score `tf · N / df` (the idf log's argument, the [[q82 BM25]]
+    * no-libm convention: thresholding and ranking are monotone in it,
+    * and it keeps every arithmetic step cross-engine bit-exact). N is
+    * the number of TOKENIZED documents (≥ 1 non-empty token — the
+    * corpus-size definition the BM25 advice fix standardized), df the
+    * number of distinct docs containing the token. `tf · N` is an
+    * exact integer product (< 2^53 for any real corpus since tf ≤ doc
+    * length and N ≤ corpus size), and the single division by df is
+    * IEEE-correctly-rounded — identical priority order on any engine;
+    * ties break by the md5 token hash ascending.
+    *
+    * Scale shape: one cached explode; tf is a (doc, token)-keyed hash
+    * aggregate; df aggregates the tf table to vocab size; N rides in
+    * as a broadcast 1-row cross join; the df join-back keys on the
+    * token (the measured SkewProbe hazard: stopword keys — broadcast
+    * while vocab fits, salt beyond); the final top-k is the bounded
+    * heap, k rows of state per doc per task. Output: idCol, token,
+    * tfidf (6 dp), rank. */
+  def keywordsTopK(df: DataFrame, idCol: String, text: Column, k: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val tf = scope.cache(
+      df.filter(text.isNotNull)
+        .select(col(idCol), explode(split(text, " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+        .withColumn("__tid", Dedup.hash60(col("token"))))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(count_distinct(col(idCol)).as("__n"))
+    val scored = tf.join(dft, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__pri",
+        (col("tf") * col("__n")).cast("double") / col("df").cast("double"))
+    Rank.topNPerGroup(scored, Seq(idCol), "__tid", "__pri", k)
+      .select(col(idCol), col("id").as("__tid"),
+        round(col("score"), 6).as("tfidf"), col("rank"))
+      .join(tf.select(col(idCol), col("token"), col("__tid")),
+        Seq(idCol, "__tid"))
+      .select(col(idCol), col("token"), col("tfidf"), col("rank"))
+  }
+
   /** Corpus-wide top-K co-occurring token pairs with a RATIONAL PMI —
     * the word2vec/PPMI-era association statistic (collocation mining,
     * tokenizer-merge candidates, corpus drift): two tokens within

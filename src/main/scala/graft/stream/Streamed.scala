@@ -354,6 +354,66 @@ object Streamed {
       }
   }
 
+  /** One Space-Saving summary shard: at most k (key, count, overcount)
+    * entries. */
+  final case class HeavyKeysSt(entries: Seq[(String, Long, Long)])
+
+  /** One emitted heavy-keys row: shard, key, estimated count, and the
+    * estimate's maximum overcount (`est − err ≤ true ≤ est`). */
+  final case class HeavyKey(shard: Int, key: String, est: Long, err: Long)
+
+  /** LIVE heavy-keys — the streaming twin of the exact batch top-k
+    * (q52): SHARDED Space-Saving (Metwally et al., ICDT 2005). Keys
+    * hash into `shards` state groups; each shard keeps at most `k`
+    * (key, count, overcount) entries — an arriving tracked key
+    * increments its count; an untracked key evicts the shard's minimum
+    * and inherits its count as overcount. Totals are bounded by
+    * shards·k entries FOREVER (heavy hitters over an unbounded stream
+    * cannot keep exact per-key counts — that state is key-cardinality
+    * sized, the thing this operator exists to avoid); the classic
+    * guarantees hold per shard: `est − err ≤ true ≤ est`, and every
+    * key with true count > n_shard / k is present. Sharding keeps the
+    * state-store work distributed (one giant global summary would put
+    * the whole stream behind one state key) at the cost of the
+    * guarantee applying per shard, not globally — merge shard
+    * summaries downstream and treat `err` as the confidence signal.
+    * Emits each UPDATED shard's full summary every micro-batch
+    * (Update mode); read the latest batch per shard. With shards = 1
+    * and k ≥ distinct keys the summary is exact (err 0, counts equal
+    * the batch aggregate's). Records are processed in (ts, arrival)
+    * order within a batch, the family's in-order contract. */
+  def heavyKeysState(ds: Dataset[Rec[String, Long]], k: Int,
+      shards: Int = 32): Dataset[HeavyKey] = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(shards >= 1, s"shards >= 1, got $shards")
+    implicit val stEnc: Encoder[HeavyKeysSt] = Encoders.product[HeavyKeysSt]
+    implicit val outEnc: Encoder[HeavyKey] = Encoders.product[HeavyKey]
+    implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+    ds.groupByKey(r => math.floorMod(r.key.hashCode, shards))
+      .flatMapGroupsWithState[HeavyKeysSt, HeavyKey](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, records: Iterator[Rec[String, Long]],
+            state: GroupState[HeavyKeysSt]) =>
+          val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+          state.getOption.foreach(_.entries.foreach { case (key, c, e) =>
+            m(key) = (c, e) })
+          records.toSeq.sortBy(_.tsMs).foreach { r =>
+            m.get(r.key) match {
+              case Some((c, e)) => m(r.key) = (c + 1, e)
+              case None if m.size < k => m(r.key) = (1L, 0L)
+              case None =>
+                val (mk, (mc, _)) = m.minBy { case (key, (c, _)) => (c, key) }
+                m.remove(mk)
+                m(r.key) = (mc + 1, mc)
+            }
+          }
+          val entries = m.toSeq.map { case (key, (c, e)) => (key, c, e) }
+            .sortBy { case (key, c, _) => (-c, key) }
+          state.update(HeavyKeysSt(entries))
+          entries.iterator.map { case (key, c, e) => HeavyKey(shard, key, c, e) }
+      }
+  }
+
   /** Live twin of [[graft.ops.Events.transitionCounts]]'s pair
     * EXTRACTION: per-user consecutive (from, to) event-type pairs
     * emitted AS THEY ARRIVE — state is one (last type, last ts) per

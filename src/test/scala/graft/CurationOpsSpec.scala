@@ -773,6 +773,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(minId == Set(0L, 10L, 20L))
   }
 
+  test("capPerGroupWeighted: exactly-n, driver-side priority parity, weight bias, null/zero weights excluded") {
+    import graft.ops.Sampling
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 200L).map(i =>
+      (i, "g" + (i % 2), if (i % 50 == 0) 0L else 1L + rnd.nextInt(9)))
+    val df = rows.toDF("doc_id", "source", "w")
+    val got = Sampling.capPerGroupWeighted(df, "source", "doc_id",
+      col("w"), n = 20, seed = "pw1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.groupBy(_._2).view.mapValues(_.size).toMap ==
+      Map("g0" -> 20, "g1" -> 20))
+    // driver-side re-derivation of the priority order (w/u, exact)
+    def h52(seed: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s"$seed$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) % (1L << 52)
+    }
+    val want = rows.filter(_._3 > 0).groupBy(_._2).flatMap { case (g, rs) =>
+      rs.sortBy { case (id, _, w) =>
+        (-(w.toDouble / ((h52("pw1", id) + 1).toDouble / (1L << 52).toDouble)), id)
+      }.take(20).map(r => (r._1, g))
+    }.toSet
+    assert(got == want, "membership == driver-side priority sampling")
+    // weight bias: weight-10 rows survive far more often than weight-1
+    // rows across seeds (priority ∝ w/u)
+    val biased = (0L until 400L).map(i => (i, "g", if (i < 200) 10L else 1L))
+      .toDF("doc_id", "source", "w")
+    val heavyKept = (1 to 5).map { s =>
+      Sampling.capPerGroupWeighted(biased, "source", "doc_id", col("w"),
+        n = 100, seed = s"b$s").filter(col("doc_id") < 200).count()
+    }.sum
+    assert(heavyKept > 5 * 70,
+      s"10x-weight rows should dominate the kept set, got $heavyKept/500")
+    // zero-weight rows never survive even in an under-full group
+    val zeros = Seq((1L, "z", 0L), (2L, "z", 5L)).toDF("doc_id", "source", "w")
+    assert(Sampling.capPerGroupWeighted(zeros, "source", "doc_id",
+      col("w"), n = 10, seed = "z").select("doc_id").as[Long].collect().toSeq
+      == Seq(2L))
+  }
+
   test("capPerGroup: exactly n survive per overfull group, membership deterministic and seed-dependent") {
     import graft.ops.Sampling
     val df = (0L until 100L).map(i => (i, "g" + (i % 2))).toDF("doc_id", "source")

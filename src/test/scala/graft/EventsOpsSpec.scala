@@ -334,6 +334,73 @@ class EventsOpsSpec extends AnyFunSuite {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("heavyKeysState: Space-Saving guarantees per shard, exact at shards=1 with k >= distinct, counters survive restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    // Zipf-ish: key j with prob ~ 1/(j+1); 600 events over ~40 keys
+    val feed = (1L to 600L).map { i =>
+      val u = rnd.nextDouble()
+      Rec("u" + math.min(39, (1.0 / u - 1).toInt), 1L, i * 10L)
+    }
+    val trueCounts = feed.groupBy(_.key).view.mapValues(_.size.toLong).toMap
+    val shards = 4
+    def shardOf(key: String) = math.floorMod(key.hashCode, shards)
+    val nShard = feed.groupBy(r => shardOf(r.key)).view.mapValues(_.size.toLong).toMap
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hk-ckpt-")
+    val ms = MemoryStream[Rec[String, Long]]
+    // summary = latest emission per shard, merged across batches
+    val latest = scala.collection.mutable.Map.empty[Int, Seq[(String, Long, Long)]]
+    def start() = Streamed.heavyKeysState(ms.toDS(), k = 8, shards = shards)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streamed.HeavyKey], _: Long) =>
+        val rows = b.collect()
+        latest.synchronized {
+          rows.groupBy(_.shard).foreach { case (s, rs) =>
+            latest(s) = rs.map(r => (r.key, r.est, r.err)).toSeq }
+        }
+        ()
+      }.start()
+    val q1 = start()
+    try { ms.addData(feed.take(300): _*); q1.processAllAvailable() }
+    finally q1.stop() // kill mid-stream: counts must resume, not reset
+    val q2 = start()
+    try { ms.addData(feed.drop(300): _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val summary = latest.synchronized(latest.toMap)
+    summary.foreach { case (shard, entries) =>
+      assert(entries.size <= 8, "bounded state")
+      entries.foreach { case (key, est, err) =>
+        val t = trueCounts(key)
+        assert(est - err <= t && t <= est,
+          s"shard $shard $key: est=$est err=$err true=$t (restart must not reset)")
+      }
+      // every key over the n/k bar for its shard is tracked
+      trueCounts.filter { case (key, c) =>
+        shardOf(key) == shard && c > nShard(shard) / 8.0 }.keys.foreach { key =>
+        assert(entries.exists(_._1 == key), s"heavy key $key missing from shard $shard")
+      }
+    }
+    // shards=1, k >= distinct keys: exact counts == the batch aggregate
+    val ms2 = MemoryStream[Rec[String, Long]]
+    val out2 = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val q3 = Streamed.heavyKeysState(ms2.toDS(), k = 64, shards = 1)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streamed.HeavyKey], _: Long) =>
+        val rows = b.collect()
+        out2.synchronized { rows.foreach(r => out2(r.key) = (r.est, r.err)) }
+        ()
+      }.start()
+    try { ms2.addData(feed: _*); q3.processAllAvailable() } finally q3.stop()
+    assert(out2.synchronized(out2.toMap) ==
+      trueCounts.view.mapValues(c => (c, 0L)).toMap)
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+  }
+
   test("transitionsState: LIVE pair multiset == batch transitions on in-order feeds; state spans batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.stream.{Rec, Streamed}

@@ -340,4 +340,47 @@ class TextPipelineOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---------------------------------------------------------------- //
+  //  Keyword extraction + script mix (round 14)                       //
+  // ---------------------------------------------------------------- //
+
+  test("keywordsTopK: rational tf-idf, hand-computed; corpus-wide token ranks below doc-specific") {
+    import graft.ops.TextAnalysis
+    // 3 tokenized docs: 'the' in all (df=3), 'cat' in 1 (df=1, tf=2)
+    val df = Seq(
+      1L -> "the cat cat sat", 2L -> "the dog sat", 3L -> "the bird",
+      4L -> null.asInstanceOf[String], 5L -> " ")
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.keywordsTopK(df, "doc_id", col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    // doc 1: cat tf=2 df=1 -> 2*3/1=6; sat tf=1 df=2 -> 1.5; the -> 1
+    assert(got((1L, "cat")) == ((6.0, 1L)))
+    assert(got((1L, "sat")) == ((1.5, 2L)))
+    assert(!got.contains((1L, "the")), "k=2 cuts the stopword")
+    // doc 3: bird 3.0 ranks above the 1.0
+    assert(got((3L, "bird"))._2 == 1L && got((3L, "the"))._2 == 2L)
+    // null and whitespace-only docs contribute nothing (N = 3)
+    assert(!got.keys.exists(k => k._1 == 4L || k._1 == 5L))
+  }
+
+  test("scriptMix: code-point class fractions incl. CJK, empty/null excluded") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      1L -> "ab1 你好!", // 8 cps: 2 latin, 1 digit, 1 space, 2 cjk, 2 other(!)... recount below
+      2L -> "abcd",
+      3L -> null.asInstanceOf[String], 4L -> "")
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // "ab1 你好!" = a b 1 ' ' 你 好 ! → 7 code points
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((7L, r6(2.0 / 7), r6(1.0 / 7), r6(1.0 / 7),
+      r6(2.0 / 7), r6(1.0 / 7))))
+    assert(got(2L) == ((4L, 1.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
 }
