@@ -1420,6 +1420,45 @@ object SparkEntry {
     TextAnalysis.scriptMix(cpuTable(s, dir, "documents"), "doc_id",
       col("text"))
 
+  /** Tolerance-bounded backward as-of ([[graft.ops.Joins.asOfWithin]]):
+    * q10's purchase←signup lookup, but a signup older than 6 hours
+    * reads as NO match — pandas merge_asof(tolerance=...). */
+  private def qAsOfWithin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsDf(s, dir)
+    graft.ops.Joins.asOfWithin(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value").as("purchase_val"), col("ts")),
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("value").as("sv"), col("ts")),
+      "user_id", "user_id", "ts", "ts", "sv", "signup_val",
+      toleranceUs = 21600000000L, inner = false)
+      .select(col("user_id"), col("purchase_val"), col("signup_val"),
+        unix_micros(col("ts")).as("ts_us"))
+  }
+
+  /** kNN label propagation ([[graft.ops.Similarity.labelPropagate]]):
+    * labels masked off two-thirds of the embedding corpus (vec_id % 3
+    * ≠ 0), each masked vector takes the majority label of its 5
+    * nearest labeled neighbors via q46's multi-probe LSH machinery. */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.labelPropagate(
+      cpuTable(s, dir, "embeddings").withColumn("lbl",
+        when(col("vec_id") % 3 === 0, col("label"))),
+      "vec_id", "embedding", "lbl", k = 5, signBits = 8,
+      probeHamming = 1, maxBucket = LshMaxBucket)
+      .select(col("vec_id"), col("lbl").as("label"), col("votes"))
+
+  /** Per-source percentile gate ([[graft.ops.Sampling.percentileGate]]):
+    * drop each source's bottom quartile by n_chars — the histogram-
+    * cumsum percentile_disc cut, corpus never sorted. */
+  private def qPercentileGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.percentileGate(
+      cpuTable(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", bp = 2500)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("__thr").as("thr"))
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1528,6 +1567,9 @@ object SparkEntry {
     "q103_weighted_cap" -> (qWeightedCap _),
     "q104_keywords_tfidf" -> (qKeywords _),
     "q105_script_mix" -> (qScriptMix _),
+    "q106_label_prop" -> (qLabelProp _),
+    "q107_percentile_gate" -> (qPercentileGate _),
+    "q108_asof_within" -> (qAsOfWithin _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3262,5 +3304,51 @@ object SparkEntry {
         |   - (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fa5}]', '', 'g')))
         |   AS DOUBLE) / length(text), 6) AS other_frac
         |FROM documents WHERE text IS NOT NULL AND length(text) >= 1""".stripMargin,
+
+    // q46's multi-probe kNN skeleton with the reference restricted to
+    // the unmasked third; majority vote with ties to the lowest label.
+    "q106_label_prop" ->
+      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM embeddings),
+        |lab AS (SELECT * FROM b0 WHERE vec_id % 3 = 0
+        |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, unnest([bkt${(0 until 8).map(i =>
+             s", xor(bkt, ${1L << i})").mkString}]) AS bkt
+        |  FROM b0 WHERE vec_id % 3 <> 0),
+        |nn AS (SELECT q.qid, e.vec_id AS id, e.label,
+        |   ${OSql.cosSql("e.embedding", "q.qv")} AS cos
+        | FROM lab e JOIN q ON e.bkt = q.bkt
+        | QUALIFY row_number() OVER (PARTITION BY q.qid
+        |   ORDER BY cos DESC, id ASC) <= 5),
+        |v AS (SELECT qid, label, count(*) AS votes FROM nn GROUP BY 1, 2)
+        |SELECT qid AS vec_id, label, CAST(votes AS BIGINT) AS votes FROM (
+        | SELECT qid, label, votes, row_number() OVER (PARTITION BY qid
+        |   ORDER BY votes DESC, label ASC) AS rn FROM v) WHERE rn = 1""".stripMargin,
+
+    // percentile_disc via the histogram cumsum (RANGE default frame
+    // counts value peers on both engines); all-integer cut decision.
+    "q107_percentile_gate" ->
+      """WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT source, n_chars,
+        |   sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |   sum(c) OVER (PARTITION BY source) AS n FROM h),
+        |t AS (SELECT source, min(n_chars) AS thr FROM cm
+        |  WHERE cum * 10000 >= n * 2500 GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars, CAST(t.thr AS BIGINT) AS thr
+        |FROM documents d JOIN t USING (source) WHERE d.n_chars >= t.thr""".stripMargin,
+
+    // DuckDB ASOF carries the matched ts so the staleness cut is a
+    // post-join exact-us CASE (ASOF itself has no tolerance clause).
+    "q108_asof_within" ->
+      """SELECT p.user_id, p.value AS purchase_val,
+        | CASE WHEN s.ts IS NOT NULL
+        |   AND epoch_us(p.ts) - epoch_us(s.ts) <= 21600000000
+        |   THEN s.value END AS signup_val,
+        | epoch_us(p.ts) AS ts_us
+        |FROM (SELECT user_id, value, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, value, ts FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
   )
 }

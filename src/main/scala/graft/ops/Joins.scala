@@ -110,12 +110,34 @@ object Joins {
     asOfDirectional(left, right, leftKey, rightKey, leftTs, rightTs,
       rightVal, rightAs, inner, nearest = true)
 
+  /** Backward as-of join WITH a staleness bound — pandas
+    * `merge_asof(tolerance=...)`: the latest right value with
+    * `right.ts <= left.ts`, but only if it is at most `toleranceUs`
+    * old; a staler match reads as NO match (null / dropped under
+    * `inner`). The real-world contract of most lookups ("the quote as
+    * of the trade — unless the feed was down for an hour, in which
+    * case don't price off it"). Same single union + window plan as
+    * [[asOf]], carrying (ts, value) structs so the age check is an
+    * exact integer-µs compare; requires timestamp-typed ts columns. */
+  def asOfWithin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightVal: String, rightAs: String,
+      toleranceUs: Long, inner: Boolean): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs >= 0, got $toleranceUs")
+    asOfDirectional(left, right, leftKey, rightKey, leftTs, rightTs,
+      rightVal, rightAs, inner, nearest = false, backward = true,
+      toleranceUs = Some(toleranceUs))
+  }
+
   private def asOfDirectional(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       rightVal: String, rightAs: String,
-      inner: Boolean, nearest: Boolean): DataFrame = {
+      inner: Boolean, nearest: Boolean, backward: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val lTag = left.withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
       .withColumnRenamed(leftKey, "__k").withColumnRenamed(leftTs, "__t")
@@ -137,7 +159,18 @@ object Joins {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val withFwd = unioned.withColumn("__mf", first(rStruct, ignoreNulls = true).over(wF))
     val resolved =
-      if (!nearest) withFwd.withColumn("__m", col("__mf.v"))
+      if (backward) {
+        val wB = Window.partitionBy(col("__k"))
+          .orderBy(col("__t"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val aged = unioned
+          .withColumn("__mb", last(rStruct, ignoreNulls = true).over(wB))
+        val fresh = toleranceUs.map(tol =>
+          unix_micros(col("__t")) - unix_micros(col("__mb.t")) <= tol)
+          .getOrElse(lit(true))
+        aged.withColumn("__m", when(col("__mb").isNotNull && fresh,
+          col("__mb.v")))
+      } else if (!nearest) withFwd.withColumn("__m", col("__mf.v"))
       else {
         val wB = Window.partitionBy(col("__k"))
           .orderBy(col("__t"), col("__side"))

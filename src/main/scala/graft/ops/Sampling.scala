@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/splitting for training-data pipelines.
@@ -111,6 +112,39 @@ object Sampling {
     df.filter(
       Dedup.hash60(concat(lit(seed), col(idCol).cast("string"))) % 10000 <
         math.round(fraction * 10000))
+  }
+
+  /** Per-group percentile gate — "drop each source's bottom q% by this
+    * score", the relative quality trim that complements an absolute
+    * threshold (a uniformly weak source still contributes its best
+    * rows; a strong one sheds only its own tail). The cut is
+    * percentile_disc: a row survives iff its value ≥ the smallest
+    * group value whose ≤-cumulative count reaches `bp` basis points of
+    * the group (bp = 2500 drops the bottom quartile). All-integer
+    * decision (`cum · 10⁴ ≥ n · bp`) — no float percentile
+    * interpolation to diverge across engines.
+    *
+    * Scale shape: the corpus never sorts — the rank structure comes
+    * from a (group, value) HISTOGRAM (partial-aggregated, ≪ corpus for
+    * any real score column), a group-partitioned cumulative window
+    * over that histogram, a groups-sized threshold table, and one
+    * equi-join + stateless filter back on the corpus (the q55
+    * histogram-cumsum pattern). Null-valued rows never survive.
+    * Output: `df`'s surviving rows + the group's `__thr` threshold. */
+  def percentileGate(df: DataFrame, groupCol: String, valueCol: String,
+      bp: Int): DataFrame = {
+    require(bp >= 0 && bp <= 10000, s"bp in [0, 10000], got $bp")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col(groupCol))))
+    val thr = cum.filter(col("__cum") * 10000 >= col("__n") * bp)
+      .groupBy(col(groupCol)).agg(min(col(valueCol)).as("__thr"))
+    df.join(thr, Seq(groupCol))
+      .filter(col(valueCol) >= col("__thr"))
   }
 
   /** WEIGHTED per-group cap — [[capPerGroup]] with a quality bias:

@@ -389,6 +389,55 @@ object Similarity {
       .drop("__jp")
   }
 
+  /** kNN label propagation — push labels from a labeled seed set to the
+    * unlabeled remainder (semi-supervised data labeling: a human-rated
+    * or classifier-scored seed corpus labels the other 97% by embedding
+    * neighborhood). Rows with a non-null `labelCol` are the reference;
+    * each null-label row takes the MAJORITY label among its top-`k`
+    * exact-cosine neighbors from the reference, candidates generated by
+    * the [[knnJoin]] multi-probe sign-LSH machinery (same `signBits` /
+    * `probeHamming` / `maxBucket` semantics — a query whose probed
+    * cells hold no labeled vector propagates nothing and is absent
+    * from the output; raise `probeHamming` when coverage matters).
+    * Vote counts are exact integers; vote ties break by ascending
+    * label, neighbor-rank ties by (cos desc, id asc) — deterministic
+    * end to end. `labelCol` must be integral. Output: itemId, label
+    * (predicted), votes. */
+  def labelPropagate(items: DataFrame, itemId: String, itemVec: String,
+      labelCol: String, k: Int, signBits: Int, probeHamming: Int = 1,
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val labeled = Dedup.capBuckets(
+      items.filter(col(labelCol).isNotNull)
+        .select(col(itemId), col(itemVec), col(labelCol),
+          signBucket(col(itemVec), signBits).as("__bkt")),
+      Seq("__bkt"), maxBucket, scope)
+    val own = signBucket(col(itemVec), signBits)
+    val probes =
+      if (probeHamming <= 0) array(own)
+      else array(own +: (0 until signBits).map(i =>
+        own.bitwiseXOR(lit(1L << i)): Column): _*)
+    val queries = items.filter(col(labelCol).isNull)
+      .select(col(itemId).as("qid"), col(itemVec).as("__qv"),
+        explode(probes).as("__bkt"))
+    val nn = topKReduce(
+      labeled.join(queries, Seq("__bkt"))
+        .withColumn("cos", cosine(col(itemVec), col("__qv"))),
+      itemId, k)
+    val votes = nn
+      .join(items.filter(col(labelCol).isNotNull)
+        .select(col(itemId).cast("long").as("id"), col(labelCol).as("__lbl")),
+        "id")
+      .groupBy(col("qid"), col("__lbl"))
+      .agg(count(lit(1)).as("__votes"))
+    // majority = bounded-heap argmax; ties (equal votes) to LOWEST label
+    graft.ops.Rank.topNPerGroup(votes, Seq("qid"), "__lbl", "__votes", n = 1)
+      .select(col("qid").as(itemId),
+        // the heap carries its payload as long; restore the label dtype
+        col("id").cast(items.schema(labelCol).dataType).as(labelCol),
+        col("score").cast("long").as("votes"))
+  }
+
   /** Sign-bit LSH bucket key: bit i set iff dimension i is non-negative.
     * Deterministic (no random planes) so oracles can mirror it. */
   def signBucket(vec: Column, signBits: Int): Column =

@@ -67,6 +67,30 @@ class AsOfSpec extends AnyFunSuite {
       "value", "rv", inner = true).count() == 5)
   }
 
+  test("asOfWithin: backward match nulled past the staleness bound, inclusive exact-ts") {
+    val right = records(("k", 10, 100L), ("k", 20, 300L))
+    val left = records(("k", 1, 100L), ("k", 2, 180L), ("k", 3, 250L),
+      ("k", 4, 350L), ("k", 5, 50L))
+    def got(tolUs: Long, inner: Boolean) =
+      Joins.asOfWithin(left, right, "key", "key", "ts", "ts",
+        "value", "rv", toleranceUs = tolUs, inner = inner)
+        .select("value", "rv").collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    // tolerance 100 ms: @100 exact (age 0), @180 age 80 ok, @250 age 150
+    // STALE -> null, @350 age 50 from the 300 row, @50 no backward row
+    assert(got(100000L, inner = false) ==
+      Map(1 -> 10, 2 -> 10, 3 -> -1, 4 -> 20, 5 -> -1))
+    // inner drops both the stale and the unmatched
+    assert(Joins.asOfWithin(left, right, "key", "key", "ts", "ts",
+      "value", "rv", toleranceUs = 100000L, inner = true).count() == 3)
+    // unbounded-ish tolerance reproduces plain asOf
+    val plain = Joins.asOf(left, right, "key", "key", "ts", "ts",
+      "value", "rv", inner = false)
+      .select("value", "rv").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(got(Long.MaxValue / 2, inner = false) == plain)
+  }
+
   test("as-of against an aggregated table sees the running aggregate") {
     val topo = Topology(
       Seq("s" -> "j", "u" -> "tbl", "tbl" -> "j", "j" -> "out"),

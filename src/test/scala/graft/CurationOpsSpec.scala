@@ -813,6 +813,32 @@ class CurationOpsSpec extends AnyFunSuite {
       == Seq(2L))
   }
 
+  test("percentileGate: percentile_disc cut per group, RANGE peers counted, null values dropped") {
+    import graft.ops.Sampling
+    val df = ((1L to 8L).map(i => (i, "g", i)) ++ // values 1..8, one each
+      Seq((11L, "h", 1L), (12L, "h", 1L), (13L, "h", 1L), (14L, "h", 4L)))
+      .toDF("doc_id", "source", "v")
+    // bottom quartile of g: cum >= 8*0.25 = 2 -> thr 2; values >= 2 survive
+    val got = Sampling.percentileGate(df, "source", "v", bp = 2500)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("__thr")).toMap
+    assert(got.keySet.filter(_ <= 8L) == (2L to 8L).toSet)
+    assert(got(2L) == 2L)
+    // h at bp=2500: value 1 has cum 3 >= 1 -> thr 1, all of h survives
+    assert(got.keySet.filter(_ > 8L) == Set(11L, 12L, 13L, 14L))
+    // median cut with peers: value 1's cum (3, RANGE counts peers)
+    // reaches 4*0.5 = 2 at value 1 -> thr 1, everything survives
+    val med = Sampling.percentileGate(df.filter(col("source") === "h"),
+      "source", "v", bp = 5000).count()
+    assert(med == 4)
+    // a null value never survives and doesn't shift the histogram
+    val withNull = df.unionByName(Seq((99L, "g", Option.empty[Long]))
+      .toDF("doc_id", "source", "v"))
+    val g2 = Sampling.percentileGate(withNull, "source", "v", bp = 2500)
+      .filter(col("source") === "g").select("doc_id").as[Long].collect().toSet
+    assert(g2 == (2L to 8L).toSet)
+  }
+
   test("capPerGroup: exactly n survive per overfull group, membership deterministic and seed-dependent") {
     import graft.ops.Sampling
     val df = (0L until 100L).map(i => (i, "g" + (i % 2))).toDF("doc_id", "source")

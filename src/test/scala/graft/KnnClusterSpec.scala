@@ -199,4 +199,29 @@ class KnnClusterSpec extends AnyFunSuite {
       .select("cluster").as[Int].collect().toList
     assert(got == List(0))
   }
+
+  test("labelPropagate: majority vote, vote ties to lowest label, uncovered queries absent") {
+    val items = Seq[(Long, Seq[Float], Option[Int])](
+      (0L, Seq(1f, 1f, 1f, 0.1f), Some(1)), // labeled refs
+      (2L, Seq(1f, 1f, 0.9f, 0.1f), Some(2)),
+      (4L, Seq(1f, 1f, 0.95f, 0.1f), Some(2)),
+      (6L, Seq(-1f, -1f, -1f, -0.1f), Some(3)),
+      (11L, Seq(1f, 1f, 0.97f, 0.1f), None), // 3 votes: 2x label2, 1x label1
+      (13L, Seq(-1f, -1f, -0.9f, -0.1f), None), // near ref 6
+      (15L, Seq(1f, -1f, 1f, -1f), None)) // no labeled cell at Hamming 0
+      .toDF("vec_id", "embedding", "lbl")
+    // majority among k=3 labeled neighbors
+    val got = Similarity.labelPropagate(items, "vec_id", "embedding", "lbl",
+      k = 3, signBits = 4, probeHamming = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(11L) == ((2, 2L)), "two label-2 neighbors outvote label 1")
+    assert(got(13L) == ((3, 1L)))
+    assert(!got.contains(15L), "no labeled vector in the probed cell")
+    // vote tie: k=2 keeps refs 0 (label 1) and the closer label-2 ref —
+    // one vote each, tie resolves to the LOWER label
+    val tied = Similarity.labelPropagate(items, "vec_id", "embedding", "lbl",
+      k = 2, signBits = 4, probeHamming = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tied(11L) == 1, "1-1 vote tie goes to the lowest label")
+  }
 }
