@@ -1420,6 +1420,41 @@ object SparkEntry {
     TextAnalysis.scriptMix(cpuTable(s, dir, "documents"), "doc_id",
       col("text"))
 
+  /** Messy-ingest quarantine ([[graft.sources.Sources
+    * .parseJsonQuarantine]]): documents serialized to JSON payloads
+    * with every 13th truncated (malformed), parsed back under the
+    * PERMISSIVE + corrupt-column policy, reported per parsed lang
+    * (corrupt rows land in the NULL-lang bucket). The payload string
+    * is hand-concatenated so both engines corrupt the identical
+    * bytes. */
+  private def qJsonIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val js = concat(lit("{\"doc_id\":"), col("doc_id"),
+      lit(",\"lang\":\""), col("lang"), lit("\",\"n_chars\":"),
+      col("n_chars"), lit("}"))
+    val withJs = cpuTable(s, dir, "documents")
+      .withColumn("__js", js)
+      .select(col("doc_id").as("src_id"),
+        when(col("doc_id") % 13 === 0,
+          expr("substring(__js, 1, length(__js) - 3)"))
+          .otherwise(col("__js")).as("payload"))
+    graft.sources.Sources.parseJsonQuarantine(withJs, col("payload"),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** Exact-n global sample ([[graft.ops.Sampling.sampleExactN]]): carve
+    * exactly 100 docs corpus-wide by the n smallest salted hashes —
+    * the global bounded heap, no sort. */
+  private def qExactSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleExactN(
+      cpuTable(s, dir, "documents").select(col("doc_id"), col("source")),
+      "doc_id", n = 100, seed = "xs1")
+
   /** Tolerance-bounded backward as-of ([[graft.ops.Joins.asOfWithin]]):
     * q10's purchase←signup lookup, but a signup older than 6 hours
     * reads as NO match — pandas merge_asof(tolerance=...). */
@@ -1570,6 +1605,8 @@ object SparkEntry {
     "q106_label_prop" -> (qLabelProp _),
     "q107_percentile_gate" -> (qPercentileGate _),
     "q108_asof_within" -> (qAsOfWithin _),
+    "q109_json_ingest" -> (qJsonIngest _),
+    "q110_exact_sample" -> (qExactSample _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3350,5 +3387,34 @@ object SparkEntry {
         |FROM (SELECT user_id, value, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, value, ts FROM events WHERE event_type = 'signup') s
         |ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    // Identical hand-concatenated payloads; DuckDB detects corruption
+    // with json_valid (the truncated 13th payloads lose their closing
+    // brace), extracts typed fields from the valid ones, and the
+    // corrupt rows aggregate under the NULL lang.
+    "q109_json_ingest" ->
+      """WITH j AS (SELECT doc_id AS src_id,
+        |  CASE WHEN doc_id % 13 = 0
+        |    THEN substr(js, 1, length(js) - 3) ELSE js END AS payload
+        | FROM (SELECT doc_id, '{"doc_id":' || doc_id || ',"lang":"' || lang
+        |    || '","n_chars":' || n_chars || '}' AS js FROM documents)),
+        |p AS (SELECT src_id, NOT json_valid(payload) AS is_corrupt,
+        |  CASE WHEN json_valid(payload)
+        |    THEN json_extract_string(payload, '$.lang') END AS lang,
+        |  CASE WHEN json_valid(payload)
+        |    THEN CAST(json_extract(payload, '$.n_chars') AS BIGINT) END AS n_chars
+        | FROM j)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // The n smallest salted 52-bit hashes corpus-wide, ties by id.
+    "q110_exact_sample" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source, row_number() OVER (ORDER BY
+        |   CAST(('0x'||substr(md5('xs1'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |     % 4503599627370496 ASC, doc_id ASC) AS rnk
+        | FROM documents) WHERE rnk <= 100""".stripMargin,
   )
 }

@@ -114,6 +114,30 @@ object Sampling {
         math.round(fraction * 10000))
   }
 
+  /** EXACT-n deterministic global sample — "carve exactly 10k eval
+    * docs out of the corpus": the n smallest salted 52-bit hashes
+    * corpus-wide, via the bounded heap run as a GLOBAL aggregate
+    * (n rows of state per task partial, one n-sized final merge — no
+    * global sort, no sortWithinPartitions+limit scan). The global
+    * form of [[capPerGroup]] with every stability property intact:
+    * membership is a pure function of (id, seed), so re-runs,
+    * repartitions, and appends that don't displace the n smallest
+    * hashes keep the sample identical. `n` must be driver-heap small
+    * (it is the final merge's state — fine to ~1e6 ids). `idCol`
+    * integral. Output: `df`'s surviving rows. */
+  def sampleExactN(df: DataFrame, idCol: String, n: Int,
+      seed: String): DataFrame = {
+    require(n >= 1, s"n >= 1, got $n")
+    val rank52 = pmod(
+      Dedup.hash60(concat(lit(seed), col(idCol).cast("string"))),
+      lit(1L << 52))
+    val keep = Rank.topNPerGroup(
+      df.select(col(idCol), (-rank52).cast("double").as("__r")),
+      Seq.empty, idCol, "__r", n)
+      .select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Per-group percentile gate — "drop each source's bottom q% by this
     * score", the relative quality trim that complements an absolute
     * threshold (a uniformly weak source still contributes its best

@@ -134,6 +134,37 @@ object Sources {
       from_json(col("value").cast("string"), valueSchema),
       col("timestamp"))
 
+  /** Corrupt-tolerant JSON field extraction — the quarantine policy
+    * every messy ingest needs: parse `json` against `schema`, flag the
+    * unparseable rows instead of failing the job or silently dropping
+    * them. A malformed payload yields `is_corrupt = true` with every
+    * schema field null (detected via PERMISSIVE mode's corrupt-record
+    * column — since Spark 3 a bad parse is a row of nulls, not a null
+    * struct, so the struct itself can't be the signal);
+    * a well-formed payload missing a field parses with that field null
+    * and is NOT corrupt (schema drift ≠ corruption — count the two
+    * separately). Stateless projection: runs identically on a batch
+    * backfill and a live `readStream` (same plan, no state), which is
+    * the point — one quarantine rule for both paths. Output: `df`'s
+    * columns + each schema field + is_corrupt. */
+  def parseJsonQuarantine(df: DataFrame, json: Column,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(!schema.fieldNames.contains("__corrupt"),
+      "__corrupt is reserved for the quarantine flag")
+    // since Spark 3, PERMISSIVE from_json yields a row of NULLS (not a
+    // null struct) for malformed input — columnNameOfCorruptRecord is
+    // the reliable corruption signal; a NULL payload stays not-corrupt
+    // (absent != malformed)
+    val parsed = df.withColumn("__p", from_json(json,
+      schema.add("__corrupt", org.apache.spark.sql.types.StringType),
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "__corrupt")))
+    schema.fieldNames.foldLeft(
+      parsed.withColumn("is_corrupt", col("__p.__corrupt").isNotNull))(
+      (d, f) => d.withColumn(f, col(s"__p.$f")))
+      .drop("__p")
+  }
+
   /** The serde half of [[kafkaSinkTopic]] — encode records into the Kafka
     * writer's expected columns: message `key` string, `value` JSON of
     * (value, ts) (`to_json` ↔ the serde encode in `streams.clj:12-14`).

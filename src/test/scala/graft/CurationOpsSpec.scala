@@ -813,6 +813,29 @@ class CurationOpsSpec extends AnyFunSuite {
       == Seq(2L))
   }
 
+  test("sampleExactN: exact n, deterministic, append-stable unless displaced") {
+    import graft.ops.Sampling
+    val df = (0L until 500L).map(i => (i, "p" + i)).toDF("doc_id", "v")
+    val a = Sampling.sampleExactN(df, "doc_id", n = 50, seed = "e1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 50)
+    assert(a == Sampling.sampleExactN(df, "doc_id", n = 50, seed = "e1")
+      .select("doc_id").as[Long].collect().toSet, "re-run stable")
+    // driver-side contract: the 50 smallest salted 52-bit hashes
+    def h52(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s"e1$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) % (1L << 52)
+    }
+    assert(a == (0L until 500L).sortBy(id => (h52(id), id)).take(50).toSet)
+    // appending rows only displaces members whose hash is beaten
+    val bigger = (0L until 800L).map(i => (i, "p" + i)).toDF("doc_id", "v")
+    val b = Sampling.sampleExactN(bigger, "doc_id", n = 50, seed = "e1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b == (0L until 800L).sortBy(id => (h52(id), id)).take(50).toSet)
+    assert((a intersect b) == b.filter(_ < 500L), "old members persist unless out-hashed")
+  }
+
   test("percentileGate: percentile_disc cut per group, RANGE peers counted, null values dropped") {
     import graft.ops.Sampling
     val df = ((1L to 8L).map(i => (i, "g", i)) ++ // values 1..8, one each

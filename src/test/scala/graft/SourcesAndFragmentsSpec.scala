@@ -919,4 +919,46 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     // and the zombie stays fenced
     intercept[Sources.FencedWriterException] { zombie(Seq(9).toDF("v"), 3L) }
   }
+
+  test("parseJsonQuarantine: malformed flagged, schema drift and null payload are NOT corrupt, live plan stateless") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("lang", StringType)))
+    val rows = Seq(
+      (1L, """{"id":1,"lang":"en"}"""), // clean
+      (2L, """{"id":2,"lang":"de""""), // truncated: malformed
+      (3L, """{"id":3}"""), // schema drift: lang missing, NOT corrupt
+      (4L, null.asInstanceOf[String]), // absent payload, NOT corrupt
+      (5L, "not json at all")) // malformed
+    val got = Sources.parseJsonQuarantine(rows.toDF("src", "payload"),
+      col("payload"), schema)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) "-" else r.getString(4)))).toMap
+    assert(got(1L) == ((false, 1L, "en")))
+    assert(got(2L) == ((true, -1L, "-")))
+    assert(got(3L) == ((false, 3L, "-")), "missing field is drift, not corruption")
+    assert(got(4L) == ((false, -1L, "-")), "null payload is absent, not corrupt")
+    assert(got(5L) == ((true, -1L, "-")))
+    // the quarantine is one stateless projection: identical on readStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = Sources.parseJsonQuarantine(ms.toDF().toDF("src", "payload"),
+      col("payload"), schema)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rs = b.collect().map(r => (r.getLong(0), r.getBoolean(2)))
+        out.synchronized { out ++= rs }
+        ()
+      }.start()
+    try {
+      ms.addData(rows.filter(_._2 != null): _*); q.processAllAvailable()
+      val sp = q.lastProgress
+      assert(sp == null || sp.stateOperators.isEmpty, "stateless plan")
+    } finally q.stop()
+    assert(out.synchronized(out.toMap) ==
+      Map(1L -> false, 2L -> true, 3L -> false, 5L -> true))
+  }
 }
