@@ -320,6 +320,23 @@ object ScaleProbe {
         graft.ops.TextAnalysis.cooccurTopK(docs, col("text"),
           window = 3, k = 20, minCount = 5, scope = sc).count()
       }),
+      // q104's exact shape — one cached explode, vocab-sized df
+      // aggregate, token-keyed join-back (the SkewProbe hazard under
+      // zipf words), bounded-heap top-k per doc
+      "keywords_tfidf" -> (() => CacheScope.using { sc =>
+        graft.ops.TextAnalysis.keywordsTopK(docs, "doc_id", col("text"),
+          k = 3, scope = sc).count()
+      }),
+      // q106's exact shape — knn candidates against the labeled third
+      // only, exact-integer majority vote; red line = per-cell
+      // occupancy (fixed bits, like knn_join_fixed_bits)
+      "label_prop" -> (() => CacheScope.using { sc =>
+        Similarity.labelPropagate(
+          embs.withColumn("lbl",
+            when(col("vec_id") % 3 === 0, col("label"))),
+          "vec_id", "embedding", "lbl", k = 5, signBits = 8,
+          probeHamming = 1, maxBucket = 1000L, scope = sc).count()
+      }),
       "sessionize" -> (() =>
         graft.ops.Events.sessionize(evs, "user_id", "ts_us", "event_id",
           gapUs = 8L * 3600L * 1000000L).count()),
