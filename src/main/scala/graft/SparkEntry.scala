@@ -1420,6 +1420,23 @@ object SparkEntry {
     TextAnalysis.scriptMix(cpuTable(s, dir, "documents"), "doc_id",
       col("text"))
 
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]):
+    * for every embedding, its 3 most-similar DIFFERENT-label vectors
+    * via q46's multi-probe machinery — contrastive training pairs. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.hardNegatives(cpuTable(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", k = 3, signBits = 8,
+      probeHamming = 1, maxBucket = LshMaxBucket)
+
+  /** Time-decayed activity score ([[graft.ops.Events.decayedScore]]):
+    * per-user engagement with a 1-day half-life anchored at the
+    * corpus's max ts — every arithmetic step cross-engine exact. */
+  private def qDecayedScore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.decayedScore(
+      eventsDf(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value")),
+      "user_id", "ts_us", "value", bucketUs = 86400000000L)
+
   /** Messy-ingest quarantine ([[graft.sources.Sources
     * .parseJsonQuarantine]]): documents serialized to JSON payloads
     * with every 13th truncated (malformed), parsed back under the
@@ -1607,6 +1624,8 @@ object SparkEntry {
     "q108_asof_within" -> (qAsOfWithin _),
     "q109_json_ingest" -> (qJsonIngest _),
     "q110_exact_sample" -> (qExactSample _),
+    "q111_hard_negatives" -> (qHardNegatives _),
+    "q112_decayed_score" -> (qDecayedScore _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3416,5 +3435,40 @@ object SparkEntry {
         |   CAST(('0x'||substr(md5('xs1'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
         |     % 4503599627370496 ASC, doc_id ASC) AS rnk
         | FROM documents) WHERE rnk <= 100""".stripMargin,
+
+    // q46's skeleton with the different-label cut inside the candidate
+    // join.
+    "q111_hard_negatives" ->
+      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM embeddings),
+        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql,
+        |   unnest([bkt${(0 until 8).map(i => s", xor(bkt, ${1L << i})").mkString}]) AS bkt
+        | FROM b0),
+        |sc AS (SELECT q.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
+        | FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.qid
+        |   AND e.label <> q.ql)
+        |SELECT qid, id, cos,
+        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 3""".stripMargin,
+
+    // Integer units x HUGEINT powers of two, un-scaled by one exact
+    // binary shift; ages anchored at the corpus max ts.
+    "q112_decayed_score" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |   CAST(round(value) AS BIGINT) AS units FROM events
+        | WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |mx AS (SELECT max(ts_us) AS asof FROM e),
+        |w AS (SELECT user_id,
+        |   CAST(units AS HUGEINT)
+        |     * CAST(power(2, 60 - floor((mx.asof - ts_us) / 86400000000)) AS HUGEINT) AS sc
+        | FROM e CROSS JOIN mx
+        | WHERE floor((mx.asof - ts_us) / 86400000000) BETWEEN 0 AND 60)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | round(CAST(sum(sc) AS DOUBLE) / power(2, 60), 6) AS score
+        |FROM w GROUP BY 1""".stripMargin,
   )
 }

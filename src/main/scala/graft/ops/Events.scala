@@ -11,6 +11,48 @@ import org.apache.spark.sql.functions._
   * per-user minima (funnel); no self-join explodes, no collect. */
 object Events {
 
+  /** Exponentially time-decayed activity score — the recency-weighted
+    * engagement/freshness signal ranking pipelines keep per entity:
+    * `score(key) = Σ units(e) · 2^(−age_buckets(e))`, half-life = one
+    * `bucketUs` bucket, ages measured back from `asOfUs` (pass the
+    * corpus max ts for "as of the data's end"). Contributions older
+    * than `horizon` buckets (default 60) are dropped — they are below
+    * 2⁻⁶⁰ of a fresh event and the horizon is what makes the BIT-EXACT
+    * cross-engine story hold at every step: values quantize to integer
+    * units, each weight 2^(horizon − age) is an exactly-representable
+    * power of two, the weighted sum runs in DECIMAL (exact integers,
+    * order-free), and the final un-scaling divides by 2^horizon — an
+    * exact binary shift. No libm `exp`, no float accumulation order
+    * anywhere. One hash aggregate on the key (plus, when `asOfUs` is
+    * None, a broadcast 1-row max for the "as of the data's end"
+    * anchor). Output: keyCol, n_events (in-horizon), score (double,
+    * exact). */
+  def decayedScore(df: DataFrame, keyCol: String, tsUsCol: String,
+      valueCol: String, bucketUs: Long, asOfUs: Option[Long] = None,
+      horizon: Int = 60): DataFrame = {
+    require(bucketUs > 0, s"bucketUs > 0, got $bucketUs")
+    require(horizon >= 1 && horizon <= 120,
+      s"horizon in [1, 120] (DECIMAL(38) headroom), got $horizon")
+    val anchored = asOfUs match {
+      case Some(a) => df.withColumn("__asof", lit(a))
+      case None => df.crossJoin(
+        broadcast(df.agg(max(col(tsUsCol)).as("__asof"))))
+    }
+    val age = floor((col("__asof") - col(tsUsCol)) / lit(bucketUs))
+    val units = round(col(valueCol)).cast("long")
+    val w = pow(lit(2.0), (lit(horizon) - age).cast("double"))
+      .cast(org.apache.spark.sql.types.DecimalType(25, 0))
+    anchored.filter(col(tsUsCol).isNotNull && col(valueCol).isNotNull &&
+        age >= 0 && age <= horizon)
+      .select(col(keyCol), (units.cast(
+        org.apache.spark.sql.types.DecimalType(12, 0)) * w).as("__sc"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__sc")).as("__s"))
+      .select(col(keyCol), col("n_events"),
+        round(col("__s").cast("double") /
+          math.pow(2.0, horizon), 6).as("score"))
+  }
+
   /** Gap-based sessionization: events of one `userCol` ordered by
     * (`tsUsCol`, `orderCol`) belong to the same session until a gap
     * larger than `gapUs` µs opens; `session_id` is the user-local

@@ -438,6 +438,40 @@ object Similarity {
         col("score").cast("long").as("votes"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * vector, its top-`k` most cosine-similar vectors with a DIFFERENT
+    * label ("looks like an anchor, isn't one" — the negatives that
+    * actually teach an embedding model, vs easy random negatives).
+    * Exactly [[knnJoin]]'s candidate machinery (multi-probe sign-LSH,
+    * per-cell cap, bounded-heap top-k, ties (cos desc, id asc)) with
+    * the label-mismatch cut applied BEFORE the heap, so the k slots
+    * hold negatives only. Null-label rows can't serve as anchors or
+    * negatives (no label to differ from). Output: qid (anchor), id
+    * (negative), cos, rank. */
+  def hardNegatives(items: DataFrame, itemId: String, itemVec: String,
+      labelCol: String, k: Int, signBits: Int, probeHamming: Int = 1,
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val labeled = items.filter(col(labelCol).isNotNull)
+    val bucketed = Dedup.capBuckets(
+      labeled.select(col(itemId), col(itemVec), col(labelCol),
+        signBucket(col(itemVec), signBits).as("__bkt")),
+      Seq("__bkt"), maxBucket, scope)
+    val own = signBucket(col(itemVec), signBits)
+    val probes =
+      if (probeHamming <= 0) array(own)
+      else array(own +: (0 until signBits).map(i =>
+        own.bitwiseXOR(lit(1L << i)): Column): _*)
+    val queries = labeled.select(col(itemId).as("qid"),
+      col(itemVec).as("__qv"), col(labelCol).as("__ql"),
+      explode(probes).as("__bkt"))
+    val joined = bucketed.join(queries, Seq("__bkt"))
+      .filter(col("qid") =!= col(itemId) &&
+        col(labelCol) =!= col("__ql")) // the hard-negative cut
+      .withColumn("cos", cosine(col(itemVec), col("__qv")))
+    topKReduce(joined, itemId, k)
+  }
+
   /** Sign-bit LSH bucket key: bit i set iff dimension i is non-negative.
     * Deterministic (no random planes) so oracles can mirror it. */
   def signBucket(vec: Column, signBits: Int): Column =

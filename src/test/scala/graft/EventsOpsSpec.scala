@@ -334,6 +334,30 @@ class EventsOpsSpec extends AnyFunSuite {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("decayedScore: exact halving per bucket, horizon cut, data-max anchor, fixed anchor") {
+    val us = 86400000000L // 1-day buckets
+    val df = Seq(
+      ("u1", 100L * us, 8.0),  // the max ts -> age 0, weight 1
+      ("u1", 99L * us, 4.0),   // age 1 -> x0.5
+      ("u1", 98L * us, 4.0),   // age 2 -> x0.25
+      ("u1", 30L * us, 1000.0), // age 70 > horizon 60: dropped
+      ("u2", 100L * us, 2.49), // units = round(2.49) = 2
+      ("u2", 50L * us, 0.6))   // age 50 -> 1 * 2^-50 (tiny but in-horizon)
+      .toDF("user_id", "ts_us", "value")
+    val got = graft.ops.Events.decayedScore(df, "user_id", "ts_us",
+      "value", bucketUs = us)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("u1") == ((3L, 8.0 + 2.0 + 1.0)))
+    val u2 = 2.0 + math.pow(2.0, -50)
+    assert(got("u2") == ((2L,
+      BigDecimal(u2).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // explicit anchor: shift asOf one bucket later, everything halves
+    val shifted = graft.ops.Events.decayedScore(df, "user_id", "ts_us",
+      "value", bucketUs = us, asOfUs = Some(101L * us))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(shifted("u1") == (8.0 + 2.0 + 1.0) / 2)
+  }
+
   test("heavyKeysState: Space-Saving guarantees per shard, exact at shards=1 with k >= distinct, counters survive restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.stream.{Rec, Streamed}

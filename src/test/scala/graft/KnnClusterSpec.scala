@@ -200,6 +200,27 @@ class KnnClusterSpec extends AnyFunSuite {
     assert(got == List(0))
   }
 
+  test("hardNegatives: same-label twins excluded, nearest different-label wins, null labels out") {
+    val items = Seq[(Long, Seq[Float], Option[Int])](
+      (0L, Seq(1f, 1f, 1f, 0.2f), Some(1)), // anchor
+      (2L, Seq(1f, 1f, 0.99f, 0.2f), Some(1)), // same-label twin: NOT a negative
+      (4L, Seq(1f, 1f, 0.9f, 0.2f), Some(2)), // the hard negative
+      (6L, Seq(1f, 1f, 0.5f, 0.2f), Some(2)), // a softer negative
+      (8L, Seq(1f, 1f, 0.95f, 0.2f), None)) // unlabeled: can't serve
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.hardNegatives(items, "vec_id",
+      "embedding", "label", k = 2, signBits = 4, probeHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    // anchor 0: rank1 = 4 (closest different label), rank2 = 6;
+    // the same-label 2 and unlabeled 8 never appear
+    assert(got((0L, 1L)) == 4L && got((0L, 2L)) == 6L)
+    val negsOf0 = got.filter(_._1._1 == 0L).values.toSet
+    assert(negsOf0 == Set(4L, 6L),
+      "same-label twin 2 and unlabeled 8 are never 0's negatives")
+    // the unlabeled vector is no anchor either
+    assert(!got.keys.exists(_._1 == 8L))
+  }
+
   test("labelPropagate: majority vote, vote ties to lowest label, uncovered queries absent") {
     val items = Seq[(Long, Seq[Float], Option[Int])](
       (0L, Seq(1f, 1f, 1f, 0.1f), Some(1)), // labeled refs
