@@ -1437,6 +1437,19 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us"), col("value")),
       "user_id", "ts_us", "value", bucketUs = 86400000000L)
 
+  /** kNN-graph PageRank ([[graft.ops.Centrality.pageRankInt]]): q46's
+    * k=3 neighbor edges, two fixed-point integer rounds — central
+    * (often-neighbored) vectors score high; the data-selection signal
+    * beyond q47's membership-only clusters. */
+  private def qKnnPageRank(s: SparkSession, dir: String): DataFrame = {
+    val embs = cpuTable(s, dir, "embeddings")
+    val edges = graft.ops.Similarity.knnJoin(embs, "vec_id", "embedding",
+      k = 3, signBits = 8, probeHamming = 1, maxBucket = LshMaxBucket)
+      .select(col("qid").as("src"), col("id").as("dst"))
+    graft.ops.Centrality.pageRankInt(edges, embs.select(col("vec_id")),
+      "vec_id", iters = 2, dampBp = 8500)
+  }
+
   /** Messy-ingest quarantine ([[graft.sources.Sources
     * .parseJsonQuarantine]]): documents serialized to JSON payloads
     * with every 13th truncated (malformed), parsed back under the
@@ -1626,6 +1639,7 @@ object SparkEntry {
     "q110_exact_sample" -> (qExactSample _),
     "q111_hard_negatives" -> (qHardNegatives _),
     "q112_decayed_score" -> (qDecayedScore _),
+    "q113_knn_pagerank" -> (qKnnPageRank _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3470,5 +3484,33 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         | round(CAST(sum(sc) AS DOUBLE) / power(2, 60), 6) AS score
         |FROM w GROUP BY 1""".stripMargin,
+
+    // q46's neighbor edges + two synchronous fixed-point rounds; all
+    // arithmetic is truncating integer division on non-negative values
+    // (DuckDB // == Spark div here), so the rounds agree bit-for-bit.
+    "q113_knn_pagerank" ->
+      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM embeddings),
+        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, unnest([bkt${(0 until 8).map(i =>
+             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM b0),
+        |nn AS (SELECT q.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
+        | FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.qid
+        | QUALIFY row_number() OVER (PARTITION BY q.qid
+        |   ORDER BY cos DESC, id ASC) <= 3),
+        |ed AS (SELECT qid AS src, id AS dst FROM nn),
+        |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+        |n0 AS (SELECT vec_id, CAST(1000000000000 AS BIGINT) AS s FROM embeddings),
+        |i1 AS (SELECT ed.dst, sum((8500 * (n0.s // deg.deg)) // 10000) AS inn
+        |  FROM ed JOIN n0 ON ed.src = n0.vec_id JOIN deg USING (src) GROUP BY 1),
+        |n1 AS (SELECT n0.vec_id, CAST(150000000000 + coalesce(i1.inn, 0) AS BIGINT) AS s
+        |  FROM n0 LEFT JOIN i1 ON n0.vec_id = i1.dst),
+        |i2 AS (SELECT ed.dst, sum((8500 * (n1.s // deg.deg)) // 10000) AS inn
+        |  FROM ed JOIN n1 ON ed.src = n1.vec_id JOIN deg USING (src) GROUP BY 1),
+        |n2 AS (SELECT n1.vec_id, CAST(150000000000 + coalesce(i2.inn, 0) AS BIGINT) AS s
+        |  FROM n1 LEFT JOIN i2 ON n1.vec_id = i2.dst)
+        |SELECT vec_id, s AS score_fp FROM n2""".stripMargin,
   )
 }

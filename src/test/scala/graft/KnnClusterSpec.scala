@@ -200,6 +200,23 @@ class KnnClusterSpec extends AnyFunSuite {
     assert(got == List(0))
   }
 
+  test("pageRankInt: hand-computed fixed-point rounds, bit-exact, orphan keeps teleport mass only") {
+    import graft.ops.Centrality
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("vec_id") // 9 is an orphan
+    def run(iters: Int) = Centrality.pageRankInt(edges, nodes, "vec_id",
+      iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: base 150e9; hub 1 takes 3 x 850e9, node 2 takes 850e9
+    assert(run(1) == Map(
+      1L -> 2700000000000L, 2L -> 1000000000000L,
+      3L -> 150000000000L, 4L -> 150000000000L, 9L -> 150000000000L))
+    // round 2 (hand): in(1) = 850e9 + 2x127.5e9; in(2) = 2295e9
+    assert(run(2) == Map(
+      1L -> 1255000000000L, 2L -> 2445000000000L,
+      3L -> 150000000000L, 4L -> 150000000000L, 9L -> 150000000000L))
+  }
+
   test("hardNegatives: same-label twins excluded, nearest different-label wins, null labels out") {
     val items = Seq[(Long, Seq[Float], Option[Int])](
       (0L, Seq(1f, 1f, 1f, 0.2f), Some(1)), // anchor
