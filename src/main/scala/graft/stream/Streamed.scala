@@ -354,6 +354,73 @@ object Streamed {
       }
   }
 
+  /** Decayed-score state: the bucket of the last event, the 2^60-scaled
+    * integer sum as a decimal string (BigInt survives any stream
+    * length; a long would overflow), and the lifetime event count. */
+  final case class DecaySt(lastBucket: Long, scaled: String, n: Long)
+
+  /** One emitted decayed-score row: key, the event's bucket, events
+    * folded so far, and the score AS OF THAT EVENT'S BUCKET (6 dp). */
+  final case class DecayOut[K](key: K, bucket: Long, n_events: Long,
+      score: Double)
+
+  /** Live twin of [[graft.ops.Events.decayedScore]] — the running
+    * recency-weighted engagement score, updated per event instead of
+    * recomputed against a batch-close anchor. State per key is ONE
+    * (last bucket, scaled integer sum) pair; on an event `shift`
+    * buckets later the sum right-shifts by `shift` (each shift is one
+    * exact half-life) and the event's integer units land at the 2^60
+    * scale. The shift TRUNCATES residue below 2⁻⁶⁰ of a fresh unit —
+    * the live rendering of the batch horizon: a contribution vanishes
+    * entirely once shifted past bit 0. On bucket-aligned feeds (the
+    * batch op ages by `floor((asOf − ts)/bucket)`, the live one by
+    * bucket-index difference — equal when timestamps sit on bucket
+    * boundaries) whose ages stay within the horizon or beyond it by
+    * more than the units' bit width, the final per-key score equals
+    * the batch op's at `asOfUs = lastBucket · bucketUs` exactly —
+    * spec-pinned. In-order contract as the
+    * family's other twins (records fold in (ts, arrival) order;
+    * BACKWARD time travel within a key is rejected at fold time —
+    * a decayed score cannot be un-decayed). Emits one [[DecayOut]]
+    * per event (Update mode). */
+  def decayedState[K: Encoder](ds: Dataset[Rec[K, (Long, Double)]],
+      bucketUs: Long, horizon: Int = 60)(
+      implicit outEnc: Encoder[DecayOut[K]]): Dataset[DecayOut[K]] = {
+    require(bucketUs > 0, s"bucketUs > 0, got $bucketUs")
+    require(horizon >= 1 && horizon <= 62, s"horizon in [1, 62], got $horizon")
+    implicit val stEnc: Encoder[DecaySt] = Encoders.product[DecaySt]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[DecaySt, DecayOut[K]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, records: Iterator[Rec[K, (Long, Double)]],
+            state: GroupState[DecaySt]) =>
+          var (lastB, scaled, n) = state.getOption match {
+            case Some(DecaySt(b, s, cnt)) => (b, BigInt(s), cnt)
+            case None => (Long.MinValue, BigInt(0), 0L)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[DecayOut[K]]
+          records.toSeq.sortBy(_.tsMs).foreach { r =>
+            val (tsUs, value) = r.value
+            val b = Math.floorDiv(tsUs, bucketUs)
+            require(b >= lastB || lastB == Long.MinValue,
+              s"decayedState($key): event at bucket $b after bucket $lastB — " +
+                "out-of-order beyond the micro-batch; feed in order")
+            val shift = if (lastB == Long.MinValue) 0L
+              else math.min(b - lastB, horizon + 64L)
+            scaled = (scaled >> shift.toInt) +
+              (BigInt(math.round(value)) << horizon)
+            lastB = b
+            n += 1
+            out += DecayOut(key, b, n,
+              BigDecimal(scaled.toDouble / math.pow(2.0, horizon))
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+          state.update(DecaySt(lastB, scaled.toString, n))
+          out.iterator
+      }
+  }
+
   /** One Space-Saving summary shard: at most k (key, count, overcount)
     * entries. */
   final case class HeavyKeysSt(entries: Seq[(String, Long, Long)])

@@ -358,6 +358,62 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(shifted("u1") == (8.0 + 2.0 + 1.0) / 2)
   }
 
+  test("decayedState: LIVE final score == batch decayedScore on bucket-aligned feeds, across a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val us = 86400000000L
+    val rnd = new scala.util.Random(61)
+    // bucket-aligned feed: 4 users, increasing buckets, random values;
+    // one ancient event per user (age > horizon + unit bits: vanishes
+    // in both forms)
+    val feed = (0 until 4).flatMap { u =>
+      // in-horizon spread <= 57 buckets (< 60), so live truncation and
+      // the batch horizon agree exactly on every surviving term
+      val buckets = (0L until 12L).map(i => 1000L + i * 5 + rnd.nextInt(3))
+        .distinct.sorted
+      Seq(Rec(s"u$u", (800L * us, 500.0), 800L * us)) ++
+        buckets.map(b => Rec(s"u$u", (b * us, rnd.nextInt(100).toDouble), b * us))
+    }.sortBy(_.tsMs)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-decay-ckpt-")
+    val ms = MemoryStream[Rec[String, (Long, Double)]]
+    val lastScore = scala.collection.mutable.Map.empty[String, (Long, Double)]
+    def start() = Streamed.decayedState(ms.toDS(), bucketUs = us)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streamed.DecayOut[String]], _: Long) =>
+        val rows = b.collect()
+        lastScore.synchronized {
+          rows.sortBy(r => (r.n_events)).foreach { r =>
+            lastScore(r.key) = (r.n_events, r.score) }
+        }
+        ()
+      }.start()
+    val cut = feed.size / 2
+    val q1 = start()
+    try { ms.addData(feed.take(cut): _*); q1.processAllAvailable() }
+    finally q1.stop() // decay state must survive, not reset
+    val q2 = start()
+    try { ms.addData(feed.drop(cut): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    // batch twin anchored at each user's LAST bucket
+    val batch = feed.groupBy(_.key).map { case (u, rs) =>
+      val asOf = rs.map(r => r.value._1 / us).max * us
+      u -> graft.ops.Events.decayedScore(
+        rs.map(r => (u, r.value._1, r.value._2)).toDF("k", "ts_us", "v"),
+        "k", "ts_us", "v", bucketUs = us, asOfUs = Some(asOf))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    }
+    val live = lastScore.synchronized(lastScore.toMap)
+    batch.foreach { case (u, (nB, scoreB)) =>
+      val (nL, scoreL) = live(u)
+      assert(scoreL == scoreB, s"$u: live $scoreL != batch $scoreB")
+      assert(nL == nB + 1, // live counts the vanished ancient event too
+        s"$u: live n $nL vs batch in-horizon n $nB")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+  }
+
   test("heavyKeysState: Space-Saving guarantees per shard, exact at shards=1 with k >= distinct, counters survive restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.stream.{Rec, Streamed}
