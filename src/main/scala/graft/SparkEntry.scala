@@ -1437,6 +1437,28 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us"), col("value")),
       "user_id", "ts_us", "value", bucketUs = 86400000000L)
 
+  /** SCD-type-2 compaction ([[graft.ops.Keyed.scd2History]]): each
+    * user's event_type as a tracked dimension attribute — consecutive
+    * same-type events compact into one version with [from, to)
+    * validity. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Keyed.scd2History(
+      eventsDf(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id")),
+      Seq("user_id"), "ts_us", Seq("event_type"), "event_id")
+
+  /** Top session journeys ([[graft.ops.Events.topJourneys]]): q72's
+    * sessions (30-minute gap) reduced to their first-5-step event-type
+    * paths, top-10 corpus-wide. */
+  private def qTopJourneys(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Events.sessionize(
+      eventsDf(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us")),
+      "user_id", "ts_us", "event_id", gapUs = 1800000000L)
+    graft.ops.Events.topJourneys(sess, Seq("user_id", "session_id"),
+      "event_type", "ts_us", "event_id", maxSteps = 5, k = 10)
+  }
+
   /** kNN-graph PageRank ([[graft.ops.Centrality.pageRankInt]]): q46's
     * k=3 neighbor edges, two fixed-point integer rounds — central
     * (often-neighbored) vectors score high; the data-selection signal
@@ -1640,6 +1662,8 @@ object SparkEntry {
     "q111_hard_negatives" -> (qHardNegatives _),
     "q112_decayed_score" -> (qDecayedScore _),
     "q113_knn_pagerank" -> (qKnnPageRank _),
+    "q114_scd2_history" -> (qScd2 _),
+    "q115_top_journeys" -> (qTopJourneys _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3512,5 +3536,51 @@ object SparkEntry {
         |n2 AS (SELECT n1.vec_id, CAST(150000000000 + coalesce(i2.inn, 0) AS BIGINT) AS s
         |  FROM n1 LEFT JOIN i2 ON n1.vec_id = i2.dst)
         |SELECT vec_id, s AS score_fp FROM n2""".stripMargin,
+
+    // Change detection via IS DISTINCT FROM against the keyed lag
+    // (null-safe, like the engine's struct <=> compare), then the
+    // interval close and version number over the compacted rows.
+    "q114_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |   event_id FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id) AS prev FROM e),
+        |v AS (SELECT user_id, event_type, ts_us, event_id FROM c
+        |  WHERE event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, valid_from, valid_to, version,
+        | valid_to IS NULL AS is_current FROM (
+        | SELECT user_id, event_type, ts_us AS valid_from,
+        |   lead(ts_us) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS valid_to,
+        |   CAST(row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS BIGINT) AS version
+        | FROM v)""".stripMargin,
+
+    // q72's session construction at a 30-minute gap; per-session paths
+    // via the ordered list aggregate sliced to 5 steps; top-10 with
+    // ASCII path tie-break.
+    "q115_top_journeys" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    > 1800000000 THEN 1
+        |  WHEN lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) IS NULL THEN 1
+        |  ELSE 0 END AS nw FROM e),
+        |s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |p AS (SELECT user_id, session_id,
+        |   array_to_string(list_slice(
+        |     list(event_type ORDER BY ts_us, event_id), 1, 5), ' > ') AS path
+        | FROM s GROUP BY 1, 2),
+        |n AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        | FROM p GROUP BY 1)
+        |SELECT path, n_sessions,
+        | CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS BIGINT) AS rank
+        |FROM n
+        |QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path ASC) <= 10""".stripMargin,
   )
 }

@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
   * per-user minima (funnel); no self-join explodes, no collect. */
 object Events {
 
+  /** Top session journeys — the most common event-type PATHS through a
+    * session ("view > click > purchase"), the product-analytics staple
+    * behind funnel discovery. Each session contributes its first
+    * `maxSteps` event types (in (ts, order) order) joined by " > ";
+    * paths count corpus-wide and the top `k` return, ties by path
+    * string ascending (ASCII-comparable on any engine).
+    *
+    * Scale shape: sessions come pre-keyed (compose after
+    * [[sessionize]]); per-session path assembly is one hash aggregate
+    * whose state is the session's first `maxSteps` types — the
+    * `sort_array(collect_list(...))` buffer is bounded by session
+    * length, and `maxSteps` caps the path string; the path count is a
+    * second path-keyed partial aggregate (paths ≪ events), and the
+    * top-k is TakeOrdered (per-partition heap + driver merge of k
+    * rows). Output: path, n_sessions, rank. */
+  def topJourneys(df: DataFrame, sessionCols: Seq[String],
+      typeCol: String, tsUsCol: String, orderCol: String,
+      maxSteps: Int, k: Int): DataFrame = {
+    require(maxSteps >= 1 && k >= 1, s"maxSteps/k >= 1, got $maxSteps/$k")
+    val steps = sort_array(collect_list(
+      struct(col(tsUsCol).as("t"), col(orderCol).as("o"),
+        col(typeCol).as("e"))))
+    val paths = df.groupBy(sessionCols.map(col): _*)
+      .agg(array_join(slice(transform(steps, s => s.getField("e")),
+        1, maxSteps), " > ").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+    paths.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_sessions").desc, col("path").asc)).cast("long"))
+  }
+
   /** Exponentially time-decayed activity score — the recency-weighted
     * engagement/freshness signal ranking pipelines keep per entity:
     * `score(key) = Σ units(e) · 2^(−age_buckets(e))`, half-life = one

@@ -126,4 +126,39 @@ object Keyed {
     df.groupBy(keyCols.map(col): _*)
       .agg(aggregate(pairs, init, (acc, p) => adder(acc, p("v"))).as(as))
   }
+
+  /** SCD-type-2 history compaction — turn an update stream into the
+    * versioned dimension table a warehouse keeps: one row per VALUE
+    * CHANGE of the tracked attributes, with `[valid_from, valid_to)`
+    * validity intervals (`valid_to` null = the current version).
+    * Consecutive updates carrying identical attribute values compact
+    * into one version (the null-safe struct compare, so a null
+    * attribute equals a null attribute); at equal timestamps
+    * `orderCol` breaks the tie like the rest of the keyed family.
+    *
+    * Scale shape: one hash shuffle on the key, then two in-partition
+    * window passes (lag for change detection over the raw updates,
+    * lead for the interval close over the compacted versions) — no
+    * self-join, no driver state; a key's whole history streams through
+    * one sorted partition run. Output: keyCols, the tracked
+    * `valueCols`, valid_from, valid_to (same unit as `tsCol`),
+    * version (1-based per key), is_current. */
+  def scd2History(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], orderCol: String): DataFrame = {
+    require(valueCols.nonEmpty, "scd2History needs tracked value columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(orderCol))
+    val payload = struct(valueCols.map(col): _*)
+    val versions = df
+      .withColumn("__chg", !(payload <=> lag(payload, 1).over(w)))
+      .filter(col("__chg"))
+    val wv = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(orderCol))
+    versions
+      .select((keyCols ++ valueCols).map(col) :+
+        col(tsCol).as("valid_from") :+
+        lead(col(tsCol), 1).over(wv).as("valid_to") :+
+        row_number().over(wv).cast("long").as("version"): _*)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

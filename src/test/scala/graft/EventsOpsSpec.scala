@@ -358,6 +358,51 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(shifted("u1") == (8.0 + 2.0 + 1.0) / 2)
   }
 
+  test("scd2History: no-change compaction, null-safe compare, interval close, version numbering") {
+    val df = Seq(
+      ("u", 100L, "a", 1L), ("u", 200L, "a", 2L), // same value: compacts
+      ("u", 300L, "b", 3L),
+      ("u", 400L, null.asInstanceOf[String], 4L), // null is a version
+      ("u", 500L, null.asInstanceOf[String], 5L), // null == null: compacts
+      ("u", 600L, "a", 6L), // back to a: a NEW version (not merged)
+      ("v", 100L, "x", 7L))
+      .toDF("user_id", "ts_us", "attr", "event_id")
+    val got = graft.ops.Keyed.scd2History(df, Seq("user_id"), "ts_us",
+      Seq("attr"), "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(4)) ->
+        ((Option(r.get(1)).map(_.toString).getOrElse("-"), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got == Map(
+      ("u", 1L) -> (("a", 100L, 300L, false)),
+      ("u", 2L) -> (("b", 300L, 400L, false)),
+      ("u", 3L) -> (("-", 400L, 600L, false)),
+      ("u", 4L) -> (("a", 600L, -1L, true)),
+      ("v", 1L) -> (("x", 100L, -1L, true))))
+  }
+
+  test("topJourneys: path assembly order, maxSteps cut, count ties by path string") {
+    val df = Seq(
+      // session A (u1,1): view > click > buy; B (u1,2): view > click > buy
+      ("u1", 1L, "view", 10L, 1L), ("u1", 1L, "click", 20L, 2L),
+      ("u1", 1L, "buy", 30L, 3L),
+      ("u1", 2L, "view", 110L, 4L), ("u1", 2L, "click", 120L, 5L),
+      ("u1", 2L, "buy", 130L, 6L),
+      // session C (u2,1): aaa alone; D (u2,2): zzz alone — 1 each, tie
+      ("u2", 1L, "aaa", 10L, 7L), ("u2", 2L, "zzz", 200L, 8L),
+      // session E (u3,1): six steps — the 6th must be cut at maxSteps=5
+      ("u3", 1L, "s1", 1L, 9L), ("u3", 1L, "s2", 2L, 10L),
+      ("u3", 1L, "s3", 3L, 11L), ("u3", 1L, "s4", 4L, 12L),
+      ("u3", 1L, "s5", 5L, 13L), ("u3", 1L, "s6", 6L, 14L))
+      .toDF("user_id", "session_id", "event_type", "ts_us", "event_id")
+    val got = graft.ops.Events.topJourneys(df, Seq("user_id", "session_id"),
+      "event_type", "ts_us", "event_id", maxSteps = 5, k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("view > click > buy") == ((2L, 1L)))
+    assert(got("aaa")._1 == 1L && got("zzz")._1 == 1L)
+    assert(got("aaa")._2 < got("zzz")._2, "equal counts tie by path string")
+    assert(got.contains("s1 > s2 > s3 > s4 > s5") && !got.keys.exists(_.contains("s6")))
+  }
+
   test("decayedState: LIVE final score == batch decayedScore on bucket-aligned feeds, across a restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.stream.{Rec, Streamed}
