@@ -209,6 +209,32 @@ object StreamBench {
       drive(spark, dedupeTopo(within = true), Map("in" -> dupRows(n)), "out",
         "append", b, watermarkMs = Some(n.toLong))
 
+    // r14 additions drive the Streamed API directly (no topology):
+    // sharded Space-Saving heavy keys and the per-event decayed score
+    def driveDs[T](mk: MemoryStream[graft.stream.Rec[String, T]] =>
+        org.apache.spark.sql.Dataset[_], rows: Seq[graft.stream.Rec[String, T]])(
+        implicit enc: org.apache.spark.sql.Encoder[graft.stream.Rec[String, T]]): Double = {
+      implicit val sql = spark.sqlContext
+      val ms = MemoryStream[graft.stream.Rec[String, T]]
+      val q = mk(ms).writeStream.format("noop").outputMode("update").start()
+      val chunks = rows.grouped(math.max(1, (rows.size + b - 1) / b)).toSeq
+      val t0 = System.nanoTime()
+      var t1 = t0
+      try {
+        chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+        t1 = System.nanoTime()
+      } finally q.stop()
+      rows.size / ((t1 - t0) / 1e9)
+    }
+    import spark.implicits._
+    ops("heavy_keys") = driveDs[Long](
+      ms => graft.stream.Streamed.heavyKeysState(ms.toDS(), k = 64, shards = 32),
+      (0 until n).map(i => graft.stream.Rec(s"k${i % k}", 1L, 1000L + i)))
+    ops("decayed_score") = driveDs[(Long, Double)](
+      ms => graft.stream.Streamed.decayedState(ms.toDS(), bucketUs = 1000L),
+      (0 until n).map(i => graft.stream.Rec(s"k${i % k}",
+        ((1000L + i) * 1000L, 1.0), 1000L + i)))
+
     val opsJson = ops.map { case (name, eps) => s"\"$name\":${math.round(eps)}" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"streaming_throughput","unit":"events_per_sec",""" +
