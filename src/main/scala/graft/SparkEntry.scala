@@ -1437,6 +1437,47 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us"), col("value")),
       "user_id", "ts_us", "value", bucketUs = 86400000000L)
 
+  /** Daily volume spikes ([[graft.ops.Stats.outliersByGroup]] COMPOSED
+    * over per-(type, day) event counts): days whose count sits more
+    * than 2 population-σ from their type's daily mean — time-series
+    * spike detection in the same integer cross-multiplied moment space
+    * as q76, run on the aggregate instead of the rows. */
+  private def qDailySpikes(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsDf(s, dir)
+      .select(col("event_type"), // exact integer day index (div == //)
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_day"))
+    graft.ops.Stats.outliersByGroup(daily, "event_type", "n_day",
+      zNum = 2, zDen = 1)
+      .select(col("event_type"), col("day"), col("n_day"),
+        col("n_group"), col("is_outlier"))
+  }
+
+  /** User lifecycle classification: first/last event per user against
+    * the corpus end — new (first seen < 29 days ago), churned (silent
+    * ≥ 1 day), active otherwise; thresholds scaled to the fixture's
+    * 30-day span so all three branches genuinely fire (the production
+    * analogues are 7/14 against months of history). One user-keyed
+    * aggregate + a broadcast 1-row corpus max; day arithmetic in
+    * exact integer µs. */
+  private def qUserLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val spans = eventsDf(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+    spans.crossJoin(broadcast(
+        spans.agg(max(col("last_us")).as("__asof"))))
+      .select(col("user_id"),
+        floor((col("__asof") - col("first_us")) / day).as("days_known"),
+        floor((col("__asof") - col("last_us")) / day).as("days_silent"))
+      .withColumn("status",
+        when(col("days_known") < 29, "new")
+          .when(col("days_silent") >= 1, "churned")
+          .otherwise("active"))
+  }
+
   /** SCD-type-2 compaction ([[graft.ops.Keyed.scd2History]]): each
     * user's event_type as a tracked dimension attribute — consecutive
     * same-type events compact into one version with [from, to)
@@ -1664,6 +1705,8 @@ object SparkEntry {
     "q113_knn_pagerank" -> (qKnnPageRank _),
     "q114_scd2_history" -> (qScd2 _),
     "q115_top_journeys" -> (qTopJourneys _),
+    "q116_daily_spikes" -> (qDailySpikes _),
+    "q117_user_lifecycle" -> (qUserLifecycle _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3582,5 +3625,35 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS BIGINT) AS rank
         |FROM n
         |QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path ASC) <= 10""".stripMargin,
+
+    // q76's HUGEINT cross-multiplied z-inequality over the per-day
+    // count aggregate (z = 2).
+    "q116_daily_spikes" ->
+      """WITH d AS (SELECT event_type,
+        |   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |   CAST(count(*) AS BIGINT) AS n_day
+        | FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(CAST(n_day AS HUGEINT)) AS HUGEINT) AS s,
+        |  CAST(sum(CAST(n_day AS HUGEINT) * n_day) AS HUGEINT) AS q
+        | FROM d GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n_day,
+        | CAST(m.n AS BIGINT) AS n_group,
+        | ((m.n * d.n_day - m.s) * (m.n * d.n_day - m.s)
+        |   > 4 * (m.n * m.q - m.s * m.s)) AS is_outlier
+        |FROM d JOIN m USING (event_type)""".stripMargin,
+
+    // first/last per user vs the corpus max, exact integer-us day math.
+    "q117_user_lifecycle" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |   max(epoch_us(ts)) AS last_us FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_us) AS asof FROM s)
+        |SELECT user_id,
+        | CAST(floor((mx.asof - first_us) / 86400000000) AS BIGINT) AS days_known,
+        | CAST(floor((mx.asof - last_us) / 86400000000) AS BIGINT) AS days_silent,
+        | CASE WHEN floor((mx.asof - first_us) / 86400000000) < 29 THEN 'new'
+        |   WHEN floor((mx.asof - last_us) / 86400000000) >= 1 THEN 'churned'
+        |   ELSE 'active' END AS status
+        |FROM s CROSS JOIN mx""".stripMargin,
   )
 }
