@@ -1437,6 +1437,33 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us"), col("value")),
       "user_id", "ts_us", "value", bucketUs = 86400000000L)
 
+  /** End-to-end EMBEDDING pipeline — the vector stack's q91: three
+    * oracle-gated operators COMPOSED into one lazy plan. Semantic
+    * dedup (q64's constants) picks the survivors; labels are masked
+    * off two-thirds of them and label propagation (q106's constants,
+    * run WITHIN the survivor set) fills them back; the final labeled
+    * corpus summarizes per label with membership-sensitive facts
+    * (count + id-sum — any survivor-set or vote flip moves the hash).
+    * Unlabeled survivors whose probed cells hold no labeled neighbor
+    * drop out, exactly as q106 documents. */
+  private def qEmbeddingE2E(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, Similarity}
+    val embs = cpuTable(s, dir, "embeddings")
+    val surv = Dedup.semanticDedup(embs, "vec_id", col("embedding"),
+      signBits = 8, threshold = 0.35, maxBucket = LshMaxBucket)
+      .select(col("vec_id"))
+    val masked = embs.join(surv, Seq("vec_id"), "left_semi")
+      .withColumn("lbl", when(col("vec_id") % 3 === 0, col("label")))
+    val predicted = Similarity.labelPropagate(masked, "vec_id",
+      "embedding", "lbl", k = 5, signBits = 8, probeHamming = 1,
+      maxBucket = LshMaxBucket)
+      .select(col("vec_id"), col("lbl"))
+    masked.filter(col("lbl").isNotNull).select(col("vec_id"), col("lbl"))
+      .unionByName(predicted)
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_ids"))
+  }
+
   /** Daily volume spikes ([[graft.ops.Stats.outliersByGroup]] COMPOSED
     * over per-(type, day) event counts): days whose count sits more
     * than 2 population-σ from their type's daily mean — time-series
@@ -1707,6 +1734,7 @@ object SparkEntry {
     "q115_top_journeys" -> (qTopJourneys _),
     "q116_daily_spikes" -> (qDailySpikes _),
     "q117_user_lifecycle" -> (qUserLifecycle _),
+    "q118_embedding_e2e" -> (qEmbeddingE2E _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1744,6 +1772,51 @@ object SparkEntry {
         |      ORDER BY abs(embedding[t.i + 1]) ASC, t.i ASC) AS rnk
         |    FROM rb, range(0, 8) t(i)) WHERE rnk <= ${probes - 1}),
         |rall AS (SELECT * FROM rb UNION ALL SELECT vec_id, label, embedding, bkt FROM rx),""".stripMargin
+    /** q64's semantic-dedup CTE chain through `p` (scored members +
+      * representative cosines) and `cap` (capped-cell passthrough) —
+      * shared by q64 and the q118 composition. */
+    def semDedupCtes: String =
+      s"""qz AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qv AS (SELECT vec_id, embedding,
+        |    CASE WHEN s = 0 THEN list_transform(embedding,
+        |           x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
+        |    END AS q
+        |  FROM qz),
+        |b0 AS (SELECT vec_id, q, ${(0 until 8).map(i =>
+             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(q, x -> x * x)), (a, x) -> a + x) AS nsq
+        |  FROM qv),
+        |cnt AS (SELECT bkt, count(*) AS n FROM b0 GROUP BY bkt),
+        |m AS (SELECT b0.* FROM b0 JOIN cnt USING (bkt) WHERE n <= $LshMaxBucket),
+        |cap AS (SELECT b0.* FROM b0 JOIN cnt USING (bkt) WHERE n > $LshMaxBucket),
+        |e0 AS (SELECT vec_id, bkt, q,
+        |    unnest(generate_series(0, len(q) - 1)) AS pos FROM m),
+        |e AS (SELECT vec_id, bkt, pos, q[pos + 1] AS qd FROM e0),
+        |c AS (SELECT bkt, pos, sum(qd) AS cd FROM e GROUP BY bkt, pos),
+        |d AS (SELECT e.vec_id, sum(e.qd * c.cd) AS dot
+        |  FROM e JOIN c USING (bkt, pos) GROUP BY e.vec_id),
+        |sc AS (SELECT m.vec_id, m.bkt, m.q, m.nsq,
+        |    CASE WHEN m.nsq = 0 THEN -1e18 ELSE dot / sqrt(m.nsq) END AS score
+        |  FROM m JOIN d USING (vec_id)),
+        |k AS (SELECT bkt, vec_id AS kid, q AS kq, nsq AS knsq FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY bkt
+        |    ORDER BY score DESC, vec_id ASC) = 1),
+        |p AS (SELECT sc.vec_id, sc.bkt, (sc.vec_id = k.kid) AS is_rep, sc.nsq,
+        |    CASE WHEN sc.nsq = 0 OR k.knsq = 0 THEN 0.0
+        |         ELSE round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(list_zip(sc.q, k.kq), x -> x[1] * x[2])),
+        |             (a, x) -> a + x)
+        |           / (sqrt(sc.nsq) * sqrt(k.knsq)), 6)
+        |    END AS cos_rep
+        |  FROM sc JOIN k USING (bkt))
+        |""".stripMargin.trim
+
     /** The 6-dp cosine fold, identical to CosineSim's sequential order. */
     def cosSql(a: String, b: String): String =
       s"""round(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
@@ -2551,45 +2624,7 @@ object SparkEntry {
     // agrees bit-for-bit), pairwise int8 cosine with Int8Cos's
     // zero-norm-is-0.0 convention, capped cells passed through.
     "q64_semantic_dedup" ->
-      s"""WITH qz AS (SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE)))) AS s
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |qv AS (SELECT vec_id, embedding,
-        |    CASE WHEN s = 0 THEN list_transform(embedding,
-        |           x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(embedding,
-        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
-        |    END AS q
-        |  FROM qz),
-        |b0 AS (SELECT vec_id, q, ${(0 until 8).map(i =>
-             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(q, x -> x * x)), (a, x) -> a + x) AS nsq
-        |  FROM qv),
-        |cnt AS (SELECT bkt, count(*) AS n FROM b0 GROUP BY bkt),
-        |m AS (SELECT b0.* FROM b0 JOIN cnt USING (bkt) WHERE n <= $LshMaxBucket),
-        |cap AS (SELECT b0.* FROM b0 JOIN cnt USING (bkt) WHERE n > $LshMaxBucket),
-        |e0 AS (SELECT vec_id, bkt, q,
-        |    unnest(generate_series(0, len(q) - 1)) AS pos FROM m),
-        |e AS (SELECT vec_id, bkt, pos, q[pos + 1] AS qd FROM e0),
-        |c AS (SELECT bkt, pos, sum(qd) AS cd FROM e GROUP BY bkt, pos),
-        |d AS (SELECT e.vec_id, sum(e.qd * c.cd) AS dot
-        |  FROM e JOIN c USING (bkt, pos) GROUP BY e.vec_id),
-        |sc AS (SELECT m.vec_id, m.bkt, m.q, m.nsq,
-        |    CASE WHEN m.nsq = 0 THEN -1e18 ELSE dot / sqrt(m.nsq) END AS score
-        |  FROM m JOIN d USING (vec_id)),
-        |k AS (SELECT bkt, vec_id AS kid, q AS kq, nsq AS knsq FROM sc
-        |  QUALIFY row_number() OVER (PARTITION BY bkt
-        |    ORDER BY score DESC, vec_id ASC) = 1),
-        |p AS (SELECT sc.vec_id, sc.bkt, (sc.vec_id = k.kid) AS is_rep, sc.nsq,
-        |    CASE WHEN sc.nsq = 0 OR k.knsq = 0 THEN 0.0
-        |         ELSE round(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(list_zip(sc.q, k.kq), x -> x[1] * x[2])),
-        |             (a, x) -> a + x)
-        |           / (sqrt(sc.nsq) * sqrt(k.knsq)), 6)
-        |    END AS cos_rep
-        |  FROM sc JOIN k USING (bkt))
+      s"""WITH ${OSql.semDedupCtes}
         |SELECT vec_id, CAST(bkt AS BIGINT) AS bucket, is_rep, cos_rep FROM p
         |WHERE is_rep OR nsq = 0 OR cos_rep < 0.35
         |UNION ALL
@@ -3655,5 +3690,38 @@ object SparkEntry {
         |   WHEN floor((mx.asof - last_us) / 86400000000) >= 1 THEN 'churned'
         |   ELSE 'active' END AS status
         |FROM s CROSS JOIN mx""".stripMargin,
+
+    // q64's CTE chain supplies the survivor set; q106's propagation
+    // machinery runs WITHIN it (labeled third capped per cell, probes
+    // over the unlabeled two-thirds, vote argmax with low-label ties);
+    // the summary carries count + id-sum so any membership or vote
+    // flip moves the hash.
+    "q118_embedding_e2e" ->
+      s"""WITH ${OSql.semDedupCtes},
+        |surv AS (SELECT vec_id FROM p
+        |   WHERE is_rep OR nsq = 0 OR cos_rep < 0.35
+        |  UNION ALL SELECT vec_id FROM cap),
+        |sb AS (SELECT e.vec_id, e.embedding, e.label, ${(0 until 8).map(i =>
+            s"(CASE WHEN e.embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS sbkt
+        |  FROM embeddings e JOIN surv USING (vec_id)),
+        |lab AS (SELECT * FROM sb WHERE vec_id % 3 = 0
+        |  QUALIFY count(*) OVER (PARTITION BY sbkt) <= $LshMaxBucket),
+        |qq AS (SELECT vec_id AS qid, embedding AS qv,
+        |   unnest([sbkt${(0 until 8).map(i => s", xor(sbkt, ${1L << i})").mkString}]) AS sbkt
+        | FROM sb WHERE vec_id % 3 <> 0),
+        |nn AS (SELECT qq.qid, e.vec_id AS id, e.label,
+        |  ${OSql.cosSql("e.embedding", "qq.qv")} AS cos
+        | FROM lab e JOIN qq ON e.sbkt = qq.sbkt
+        | QUALIFY row_number() OVER (PARTITION BY qq.qid
+        |   ORDER BY cos DESC, id ASC) <= 5),
+        |v AS (SELECT qid, label, count(*) AS votes FROM nn GROUP BY 1, 2),
+        |pr AS (SELECT qid AS vec_id, label FROM (
+        |  SELECT qid, label, row_number() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, label ASC) AS rn FROM v) WHERE rn = 1),
+        |fin AS (SELECT vec_id, label FROM sb WHERE vec_id % 3 = 0
+        |  UNION ALL SELECT vec_id, label FROM pr)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+        | CAST(sum(vec_id) AS BIGINT) AS sum_ids
+        |FROM fin GROUP BY 1""".stripMargin,
   )
 }
