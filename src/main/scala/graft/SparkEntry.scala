@@ -1464,6 +1464,28 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_ids"))
   }
 
+  /** Re-crawl repeat suppression ([[Dedup.dropRepeatsWithin]]): events
+    * of one user within a trailing 1-hour quiet horizon collapse to
+    * the burst's first row; a sighting after a full quiet hour starts
+    * a fresh burst and survives. */
+  private def qRepeatSuppression(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropRepeatsWithin(
+      eventsDf(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us")),
+      "user_id", "ts_us", "event_id", horizonUs = 3600000000L)
+
+  /** Token-budget best-first fill ([[graft.ops.Sampling.budgetFill]]):
+    * each source's 5k-char budget filled by its longest documents
+    * (per-source totals run ~8.5k at sf0.01, so the budget genuinely
+    * binds)
+    * first (score = cost = n_chars, the simplest quality proxy) —
+    * greedy-prefix knapsack, one window pass. */
+  private def qBudgetFill(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.budgetFill(
+      cpuTable(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "doc_id", "n_chars", "n_chars", budget = 5000L)
+
   /** Daily volume spikes ([[graft.ops.Stats.outliersByGroup]] COMPOSED
     * over per-(type, day) event counts): days whose count sits more
     * than 2 population-σ from their type's daily mean — time-series
@@ -1735,6 +1757,8 @@ object SparkEntry {
     "q116_daily_spikes" -> (qDailySpikes _),
     "q117_user_lifecycle" -> (qUserLifecycle _),
     "q118_embedding_e2e" -> (qEmbeddingE2E _),
+    "q119_repeat_suppression" -> (qRepeatSuppression _),
+    "q120_budget_fill" -> (qBudgetFill _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3723,5 +3747,32 @@ object SparkEntry {
         |SELECT label, CAST(count(*) AS BIGINT) AS n_members,
         | CAST(sum(vec_id) AS BIGINT) AS sum_ids
         |FROM fin GROUP BY 1""".stripMargin,
+
+    // q72's chained-gap burst construction keyed on the user; each
+    // burst keeps its (ts, event_id)-first row.
+    "q119_repeat_suppression" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    <= 3600000000 THEN 0 ELSE 1 END AS nb FROM e),
+        |b AS (SELECT *, SUM(nb) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+        |  FROM g)
+        |SELECT event_id, user_id, ts_us FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id, burst
+        |   ORDER BY ts_us, event_id) AS rn FROM b) WHERE rn = 1""".stripMargin,
+
+    // Greedy prefix: running cost sum in (score desc, id) order, kept
+    // while <= budget (monotone with positive costs).
+    "q120_budget_fill" ->
+      """SELECT doc_id, source, n_chars, CAST(spent AS BIGINT) AS spent FROM (
+        | SELECT doc_id, source, n_chars,
+        |   sum(n_chars) OVER (PARTITION BY source
+        |     ORDER BY n_chars DESC, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spent
+        | FROM documents WHERE n_chars > 0)
+        |WHERE spent <= 5000""".stripMargin,
   )
 }

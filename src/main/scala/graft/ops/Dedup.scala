@@ -595,6 +595,39 @@ object Dedup {
         col("n_pairs"), col("n_pairs_ge"))
   }
 
+  /** Time-horizon repeat suppression — the re-crawl guard: a row whose
+    * key was already seen within the trailing `horizonUs` is a repeat
+    * and drops; a recurrence AFTER the horizon survives (it is a fresh
+    * observation worth keeping — the difference from [[keepFirst]]'s
+    * forever-dedup). "Within" CHAINS off the previous observation
+    * (survivor or not): a run of repeats at `horizon − ε` spacing is
+    * ONE burst keeping only its first row, and a new burst starts only
+    * after a full quiet horizon with no sightings at all —
+    * [[graft.ops.Events.sessionize]]'s gap rule applied to dedup
+    * (the quiet-period contract a crawler wants: constant re-sighting
+    * means the page is still live, not newly changed). Same
+    * one-key-shuffle lag + running burst index, then each burst's
+    * first row by the (ts, order) total order. Output: `df`'s
+    * surviving rows. */
+  def dropRepeatsWithin(df: DataFrame, keyCol: String, tsUsCol: String,
+      orderCol: String, horizonUs: Long): DataFrame = {
+    require(horizonUs > 0, s"horizonUs > 0, got $horizonUs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(orderCol))
+    val newBurst = when(
+      col(tsUsCol) - lag(col(tsUsCol), 1).over(w) <= horizonUs, 0L)
+      .otherwise(1L) // first row per key: lag null -> new burst
+    df.withColumn("__burst",
+        sum(newBurst).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("__burst"))
+          .orderBy(col(tsUsCol), col(orderCol))))
+      .filter(col("__rn") === 1)
+      .drop("__burst", "__rn")
+  }
+
   /** Snapshot diff: what changed between two corpus drops — the
     * incremental-crawl bookkeeping every recurring ingest runs before
     * deciding what to re-process. Keyed full outer join on the id,

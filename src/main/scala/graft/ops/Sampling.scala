@@ -114,6 +114,36 @@ object Sampling {
         math.round(fraction * 10000))
   }
 
+  /** Token-budget best-first fill — "fill each source's 1M-token
+    * budget with its best documents": rows rank within their group by
+    * (`scoreCol` desc, id asc) and survive while the RUNNING `costCol`
+    * sum (themselves included) stays ≤ `budget` — the greedy
+    * quality-knapsack every training-mix assembly runs once it has a
+    * quality signal and a token budget. Greedy-prefix semantics, NOT
+    * optimal knapsack: the first row that overflows the budget stops
+    * the fill for its group even if a later cheaper row would still
+    * fit — deterministic, one-pass, and the rule a human would audit.
+    *
+    * Scale shape: one hash shuffle on the group key, one in-partition
+    * window pass (running sum over the (score desc, id) order) — the
+    * sessionize cost model; no per-group materialization, no driver
+    * loop. Null scores and null/non-positive costs never survive
+    * (a zero or negative cost would break the prefix argument below).
+    * Output: `df`'s surviving rows + spent (the running total through
+    * each row). The prefix semantics fall out of monotonicity: with
+    * strictly positive costs the running sum only grows down the
+    * ranking, so `spent ≤ budget` IS the greedy prefix. */
+  def budgetFill(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, costCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget >= 0, got $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(scoreCol).isNotNull && col(costCol) > 0)
+      .withColumn("spent", sum(col(costCol)).over(w))
+      .filter(col("spent") <= budget)
+  }
+
   /** EXACT-n deterministic global sample — "carve exactly 10k eval
     * docs out of the corpus": the n smallest salted 52-bit hashes
     * corpus-wide, via the bounded heap run as a GLOBAL aggregate

@@ -813,6 +813,39 @@ class CurationOpsSpec extends AnyFunSuite {
       == Seq(2L))
   }
 
+  test("dropRepeatsWithin: chained bursts, quiet-horizon revival, per-key independence") {
+    val h = 100L
+    val df = Seq(
+      // key a: burst at 0,60,120 (chained 60-gaps) -> keep 0 only;
+      // quiet 150 -> 270 starts a new burst; 300 within 30 -> drop
+      ("a", 0L, 1L), ("a", 60L, 2L), ("a", 120L, 3L),
+      ("a", 270L, 4L), ("a", 300L, 5L),
+      // key b: two sightings exactly horizon apart: 100 - 0 <= 100 -> repeat
+      ("b", 0L, 6L), ("b", 100L, 7L), ("b", 201L, 8L))
+      .toDF("k", "ts_us", "oid")
+    val got = graft.ops.Dedup.dropRepeatsWithin(df, "k", "ts_us", "oid",
+      horizonUs = h).select("oid").as[Long].collect().toSet
+    assert(got == Set(1L, 4L, 6L, 8L))
+  }
+
+  test("budgetFill: greedy prefix by (score desc, id), running spent, non-positive costs out") {
+    import graft.ops.Sampling
+    val df = Seq(
+      // group g, budget 100: scores rank 5,4,3(tie->id),2; costs 60,30,20
+      (1L, "g", 5L, 60L), (2L, "g", 4L, 30L),
+      (3L, "g", 3L, 20L), (4L, "g", 3L, 50L), // tie: id 3 before 4
+      (5L, "g", 2L, 1L),  // would fit, but 4 overflowed first -> prefix cut
+      (6L, "h", 1L, 100L), // exactly the budget
+      (7L, "h", 9L, 0L))   // zero cost: excluded by contract
+      .toDF("doc_id", "grp", "score", "cost")
+    val got = Sampling.budgetFill(df, "grp", "doc_id", "score", "cost",
+      budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // g: 60, then 90; id 3 overflows at 110 and the prefix stops — the
+    // cheap id 5 does NOT sneak in. h: exactly-budget row survives.
+    assert(got == Map(1L -> 60L, 2L -> 90L, 6L -> 100L))
+  }
+
   test("sampleExactN: exact n, deterministic, append-stable unless displaced") {
     import graft.ops.Sampling
     val df = (0L until 500L).map(i => (i, "p" + i)).toDF("doc_id", "v")
