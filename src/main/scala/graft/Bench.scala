@@ -25,7 +25,12 @@ object Bench {
     // polluted by external load — reporting every rep's raw total
     // alongside so the number stays self-describing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // iteration aid: time a subset without paying for the whole suite
+    // (the driver never sets this — full-suite totals stay comparable)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val runs: Seq[Map[String, (Double, Boolean)]] = (1 to reps).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()

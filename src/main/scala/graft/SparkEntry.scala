@@ -1452,8 +1452,13 @@ object SparkEntry {
     val surv = Dedup.semanticDedup(embs, "vec_id", col("embedding"),
       signBits = 8, threshold = 0.35, maxBucket = LshMaxBucket)
       .select(col("vec_id"))
-    val masked = embs.join(surv, Seq("vec_id"), "left_semi")
-      .withColumn("lbl", when(col("vec_id") % 3 === 0, col("label")))
+    // labelPropagate consumes its input THREE times (labeled side,
+    // probe side, vote join-back); without this cache the whole
+    // semantic-dedup subtree recomputes per consumer — measured 8.3 s
+    // -> 5.0 s at sf0.1 (3-rep min, same box)
+    val masked = graft.ops.CacheScope.session.cache(
+      embs.join(surv, Seq("vec_id"), "left_semi")
+        .withColumn("lbl", when(col("vec_id") % 3 === 0, col("label"))))
     val predicted = Similarity.labelPropagate(masked, "vec_id",
       "embedding", "lbl", k = 5, signBits = 8, probeHamming = 1,
       maxBucket = LshMaxBucket)
