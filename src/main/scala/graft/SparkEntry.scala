@@ -1469,6 +1469,41 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_ids"))
   }
 
+  /** Referential-integrity audit ([[graft.ops.Quality
+    * .referentialIntegrity]]) over the relational tables: orders →
+    * customer (with every 13th custkey negated, the q94-style
+    * synthetic drift, so the audit genuinely fires) and lineitem →
+    * orders (clean by construction — the passing row is the control). */
+  private def qFkAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality
+    val badOrders = table(s, dir, "orders").withColumn("o_custkey",
+      when(col("o_orderkey") % 13 === 0, -col("o_custkey"))
+        .otherwise(col("o_custkey")))
+    Quality.referentialIntegrity("orders->customer", badOrders,
+      "o_custkey", table(s, dir, "customer"), "c_custkey")
+      .unionByName(Quality.referentialIntegrity("lineitem->orders",
+        table(s, dir, "lineitem"), "l_orderkey",
+        table(s, dir, "orders"), "o_orderkey"))
+  }
+
+  /** Daily trending ([[graft.ops.Rank.topNPerGroup]] over per-day type
+    * counts): each day's top-3 event types by volume, ties by the
+    * cross-engine type hash — the bounded heap, never a per-day sort
+    * over events. */
+  private def qDailyTrending(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsDf(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tid", Dedup.hash60(col("event_type")))
+    graft.ops.Rank.topNPerGroup(daily, Seq("day"), "__tid", "n", n = 3)
+      .join(daily.select(col("day"), col("event_type"),
+        col("__tid").as("id")), Seq("day", "id"))
+      .select(col("day"), col("event_type"),
+        col("score").cast("long").as("n"), col("rank"))
+  }
+
   /** Re-crawl repeat suppression ([[Dedup.dropRepeatsWithin]]): events
     * of one user within a trailing 1-hour quiet horizon collapse to
     * the burst's first row; a sighting after a full quiet hour starts
@@ -1764,6 +1799,8 @@ object SparkEntry {
     "q118_embedding_e2e" -> (qEmbeddingE2E _),
     "q119_repeat_suppression" -> (qRepeatSuppression _),
     "q120_budget_fill" -> (qBudgetFill _),
+    "q121_fk_audit" -> (qFkAudit _),
+    "q122_daily_trending" -> (qDailyTrending _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3779,5 +3816,37 @@ object SparkEntry {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spent
         | FROM documents WHERE n_chars > 0)
         |WHERE spent <= 5000""".stripMargin,
+
+    // Orphans counted over distinct-FK semantics (NOT IN the parent
+    // key set); exact basis points by integer floor division.
+    "q121_fk_audit" ->
+      """WITH bo AS (SELECT CASE WHEN o_orderkey % 13 = 0
+        |    THEN -o_custkey ELSE o_custkey END AS fk FROM orders),
+        |a1 AS (SELECT 'orders->customer' AS relation,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+        |  CAST(sum(CASE WHEN fk IS NOT NULL AND fk NOT IN
+        |    (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        | FROM bo),
+        |a2 AS (SELECT 'lineitem->orders' AS relation,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+        |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        | FROM lineitem)
+        |SELECT relation, n_rows, n_null_fk, n_orphans,
+        | CAST((n_orphans * 10000) // greatest(n_rows - n_null_fk, 1) AS BIGINT) AS orphan_bp,
+        | n_orphans = 0 AS passed
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)""".stripMargin,
+
+    // The vocabTopK tie convention: (n desc, md5-hash of the type asc).
+    "q122_daily_trending" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n, rank FROM (
+        | SELECT day, event_type, n, row_number() OVER (PARTITION BY day
+        |   ORDER BY n DESC,
+        |     CAST(('0x'||substr(md5(event_type),1,15)) AS BIGINT) ASC) AS rank
+        | FROM d) WHERE rank <= 3""".stripMargin,
   )
 }

@@ -84,4 +84,38 @@ object Quality {
         col("__r.n_violations").as("n_violations"))
       .withColumn("passed", col("n_violations") === 0L)
   }
+
+  /** Referential-integrity audit — the cross-TABLE constraint [[check]]
+    * can't express: does every child foreign key resolve to a parent?
+    * Null FKs count separately (an absent reference is a modeling
+    * choice, not a dangling one); orphan rate reports in exact integer
+    * basis points of the NON-NULL keys. One row out:
+    * relation, n_rows, n_null_fk, n_orphans, orphan_bp, passed.
+    *
+    * Scale shape: the orphan count is a LEFT ANTI equi-join of the
+    * child's (pre-aggregated, distinct) FK values against the parent
+    * key — the anti-join moves distinct keys, not child rows, and the
+    * per-key child multiplicities ride alongside as counts, so a fact
+    * table auditing a dimension shuffles dimension-cardinality data.
+    * Composable: union several audits into one report. */
+  def referentialIntegrity(relation: String, child: DataFrame,
+      fkCol: String, parent: DataFrame, pkCol: String): DataFrame = {
+    val fkCounts = child.groupBy(col(fkCol).as("__fk"))
+      .agg(count(lit(1)).as("__n"))
+    val nonNull = fkCounts.filter(col("__fk").isNotNull)
+    val orphanN = nonNull
+      .join(parent.select(col(pkCol).as("__fk")).distinct(),
+        Seq("__fk"), "left_anti")
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_orphans"))
+    val totals = fkCounts.agg(
+      sum(col("__n")).as("n_rows"),
+      coalesce(sum(when(col("__fk").isNull, col("__n"))), lit(0L))
+        .as("n_null_fk"))
+    totals.crossJoin(broadcast(orphanN))
+      .select(lit(relation).as("relation"), col("n_rows"),
+        col("n_null_fk"), col("n_orphans"),
+        expr("(n_orphans * 10000) div greatest(n_rows - n_null_fk, 1)")
+          .as("orphan_bp"))
+      .withColumn("passed", col("n_orphans") === 0L)
+  }
 }

@@ -49,4 +49,19 @@ class QualitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](InRange("v", 5L, 4L))
     intercept[IllegalArgumentException](InSet("t", Seq.empty))
   }
+
+  test("referentialIntegrity: orphan multiplicities, null FKs separate, exact basis points, clean control") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(9L),
+      None, Some(2L)).toDF("fk") // 3 orphan ROWS on one orphan key
+    val r = graft.ops.Quality.referentialIntegrity("c->p", child, "fk",
+      parent, "pk").collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getBoolean(5)) ==
+      (("c->p", 7L, 1L, 3L, 3L * 10000 / 6, false)))
+    // clean relation passes with 0 bp
+    val ok = graft.ops.Quality.referentialIntegrity("ok", parent, "pk",
+      parent, "pk").collect().head
+    assert(ok.getLong(3) == 0L && ok.getBoolean(5))
+  }
 }
