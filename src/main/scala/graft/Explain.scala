@@ -39,7 +39,8 @@ object Explain {
     "q56_chunk_dedup", "q58_token_rarity", "q59_boilerplate",
     "q61_quantize_int8", "q62_knn_quantized", "q63_dedup_incremental",
     "q64_semantic_dedup", "q65_hashed_score",
-    "q95_lm_score", "q96_dsir_weights", "q98_kmeans_step")
+    "q95_lm_score", "q96_dsir_weights", "q98_kmeans_step",
+    "q125_token_entropy", "q128_source_overlap")
 
   /** Joins against a broadcast-worthy global/dimension table. */
   private val MustBroadcast = Seq("q02_join_global_inner", "q03_join_global_left")

@@ -345,7 +345,39 @@ object ScaleProbe {
           Seq("view", "click", "purchase")).count()),
       "trailing_window" -> (() =>
         graft.ops.Events.trailingWindow(evs, "user_id", "ts_us", "units",
-          windowUs = 24L * 3600L * 1000000L).count()))
+          windowUs = 24L * 3600L * 1000000L).count()),
+      // r14 families: the corpus-shingle self-join (sources fixed, the
+      // per-hash fanout is what could grow), the grid-bucketed interval
+      // join, the session-keyed pair build, and the presence-replication
+      // distinct — each mirroring its registered query's parameters
+      // (q128/q124/q126/q129)
+      "source_overlap" -> (() => CacheScope.using { sc =>
+        Dedup.sourceOverlapMatrix(docs, "source", col("text"), n = 3,
+          scope = sc).count()
+      }),
+      "interval_overlap" -> (() => {
+        val ev2 = evs.select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"), col("ts_us"))
+        val spans = ev2.groupBy(col("user_id"), col("day"))
+          .agg(min(col("ts_us")).as("s_lo"), max(col("ts_us")).as("s_hi"))
+          .drop("day")
+        val wins = ev2.select(col("day")).distinct()
+          .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+          .select((col("day") * 4 + col("k")).as("window_id"),
+            (col("day") * 86400000000L + col("k") * 21600000000L).as("w_lo"))
+          .withColumn("w_hi", col("w_lo") + 7200000000L - 1)
+        graft.ops.Joins.intervalOverlapJoin(spans, "s_lo", "s_hi",
+          wins, "w_lo", "w_hi", bucketWidth = 21600000000L).count()
+      }),
+      "covisitation" -> (() => CacheScope.using { sc =>
+        graft.ops.Events.covisitation(
+          graft.ops.Events.sessionize(evs, "user_id", "ts_us", "event_id",
+            gapUs = 8L * 3600L * 1000000L),
+          Seq("user_id", "session_id"), "event_type", scope = sc).count()
+      }),
+      "rolling_active" -> (() =>
+        graft.ops.Events.rollingActiveUsers(evs, "user_id", "ts_us",
+          windowDays = 7).count()))
 
     // fail fast on a typo'd filter — otherwise the probe spends minutes
     // generating both corpora and then reports an empty ops map as if

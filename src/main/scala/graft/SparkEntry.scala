@@ -1676,6 +1676,118 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("__thr").as("thr"))
 
+  /** Corpus CUBE ([[graft.ops.Stats.cubeSummary]]): counts and exact
+    * char totals for every subset of (source, lang) — per source, per
+    * language, per cell, and overall — in one Expand + hash-aggregate
+    * pass; `gid` is the grouping bitmask rebuilt from per-column
+    * grouping bits so both engines agree on it. */
+  private def qCubeSummary(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cubeSummary(table(s, dir, "documents"),
+      Seq("source", "lang"), "n_chars")
+
+  /** Interval-overlap join ([[graft.ops.Joins.intervalOverlapJoin]]):
+    * per-(user, day) activity spans against four fixed 2-hour audit
+    * windows per observed day — which windows saw how many active
+    * spans/users. The engine joins span × window on a 6-hour bucket
+    * grid with the first-shared-cell exactly-once filter (no distinct,
+    * no cartesian); the oracle states the raw overlap inequality. */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val ev = eventsDf(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val spans = ev.groupBy(col("user_id"), col("day"))
+      .agg(min(col("ts_us")).as("s_lo"), max(col("ts_us")).as("s_hi"))
+      .drop("day")
+    val wins = ev.select(col("day")).distinct()
+      .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+      .select((col("day") * 4 + col("k")).as("window_id"),
+        (col("day") * day + col("k") * 21600000000L).as("w_lo"))
+      .withColumn("w_hi", col("w_lo") + 7200000000L - 1)
+    graft.ops.Joins.intervalOverlapJoin(
+        spans, "s_lo", "s_hi", wins, "w_lo", "w_hi",
+        bucketWidth = 21600000000L)
+      .groupBy(col("window_id"), col("w_lo"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Per-document token entropy ([[TextAnalysis.tokenEntropy]]): the
+    * single-pass codegen scan — token count, type count, and unigram
+    * Shannon entropy in exact micro-nats; the oracle recomputes it the
+    * expensive way (explode + per-(doc, token) aggregate). */
+  private def qTokenEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(
+      cpuTable(s, dir, "documents").filter(col("text").isNotNull),
+      "doc_id", col("text"))
+
+  /** Session co-visitation ([[graft.ops.Events.covisitation]] over
+    * [[graft.ops.Events.sessionize]]'s 8-hour-gap sessions): for each
+    * unordered event-type pair, the sessions containing both and the
+    * lift against independence — the "did A, also did B" matrix. */
+  private def qCovisitation(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Events.sessionize(
+      eventsDf(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us")),
+      "user_id", "ts_us", "event_id", gapUs = 28800000000L)
+    graft.ops.Events.covisitation(sess,
+      Seq("user_id", "session_id"), "event_type")
+  }
+
+  /** Robust per-source size outliers ([[graft.ops.Stats.medianMad]]):
+    * docs whose |n_chars − source median| exceeds 3 × the source's MAD
+    * — the robust sibling of q76's z-score flags, decided by the same
+    * integer cross-multiplication discipline. */
+  private def qMedianMad(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.medianMad(
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", kNum = 3L, kDen = 1L)
+
+  /** Source overlap matrix ([[Dedup.sourceOverlapMatrix]]): pairwise
+    * shared-shingle counts and Jaccard between sources over q23's
+    * 3-gram hash space — the ingest-worthiness report. */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlapMatrix(cpuTable(s, dir, "documents"),
+      "source", col("text"), n = 3)
+
+  /** Rolling 7-day distinct actives ([[graft.ops.Events
+    * .rollingActiveUsers]]): WAU per observed day via presence
+    * replication — the exact form of the metric approximate sketches
+    * trade away. */
+  private def qRollingActive(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.rollingActiveUsers(
+      eventsDf(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us")),
+      "user_id", "ts_us", windowDays = 7)
+
+  /** Stratified exact-n sample ([[graft.ops.Sampling.stratifiedExactN]]):
+    * exactly 60 docs, per-source counts by largest-remainder
+    * apportionment, membership by the q44/q71 ascending-hash rank. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedExactN(
+      table(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", n = 60, seed = "strat1")
+
+  /** Per-source percentile digest ([[graft.ops.Stats.percentilesDisc]]):
+    * p25/p50/p75/p95 of n_chars in one histogram pass — every cut an
+    * observed value under the q107 integer disc rule. */
+  private def qPercentileDigest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.percentilesDisc(
+      table(s, dir, "documents").select(col("source"), col("n_chars")),
+      "source", "n_chars", Seq(2500, 5000, 7500, 9500))
+
+  /** Daily session-quality rollup ([[graft.ops.Events
+    * .sessionStatsDaily]] over q72's 8-hour-gap sessions): bounce rate
+    * in exact basis points, exact dwell totals, one derived mean. */
+  private def qSessionStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.sessionStatsDaily(
+      graft.ops.Events.sessionize(
+        eventsDf(s, dir).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us")),
+        "user_id", "ts_us", "event_id", gapUs = 28800000000L),
+      "user_id", "ts_us")
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1801,6 +1913,16 @@ object SparkEntry {
     "q120_budget_fill" -> (qBudgetFill _),
     "q121_fk_audit" -> (qFkAudit _),
     "q122_daily_trending" -> (qDailyTrending _),
+    "q123_cube_summary" -> (qCubeSummary _),
+    "q124_interval_overlap" -> (qIntervalOverlap _),
+    "q125_token_entropy" -> (qTokenEntropy _),
+    "q126_covisitation" -> (qCovisitation _),
+    "q127_median_mad" -> (qMedianMad _),
+    "q128_source_overlap" -> (qSourceOverlap _),
+    "q129_rolling_active" -> (qRollingActive _),
+    "q130_stratified_sample" -> (qStratifiedSample _),
+    "q131_percentile_digest" -> (qPercentileDigest _),
+    "q132_session_stats" -> (qSessionStats _),
   )
 
   // ------------------------------------------------------------------ //
@@ -3848,5 +3970,221 @@ object SparkEntry {
         |   ORDER BY n DESC,
         |     CAST(('0x'||substr(md5(event_type),1,15)) AS BIGINT) ASC) AS rank
         | FROM d) WHERE rank <= 3""".stripMargin,
+
+    // The gid bitmask is rebuilt from per-column GROUPING bits on both
+    // engines (first dim = most significant), so neither engine's
+    // native grouping_id bit order is trusted.
+    "q123_cube_summary" ->
+      """SELECT coalesce(source, '<all>') AS source,
+        |  coalesce(lang, '<all>') AS lang,
+        |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_size
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
+
+    // The raw overlap inequality the engine computes bucketed with the
+    // first-shared-cell exactly-once trick; windows derive from the
+    // observed days so the fixture scales with sf.
+    "q124_interval_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |   epoch_us(ts) // 86400000000 AS day FROM events),
+        |s AS (SELECT user_id, day, min(ts_us) AS s_lo, max(ts_us) AS s_hi
+        | FROM e GROUP BY 1, 2),
+        |w AS (SELECT day * 4 + k AS window_id,
+        |   day * 86400000000 + k * 21600000000 AS w_lo,
+        |   day * 86400000000 + k * 21600000000 + 7199999999 AS w_hi
+        | FROM (SELECT DISTINCT day FROM e), generate_series(0, 3) t(k))
+        |SELECT window_id, w_lo, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM s JOIN w ON s_lo <= w_hi AND w_lo <= s_hi
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The explode + per-(doc, token) aggregate the engine's single-pass
+    // codegen scan replaces; per-type terms rounded to micro-nat longs
+    // BEFORE the sum (order-free — the house entropy trick, q97).
+    // string_split(text, ' ') == the expression's split: empty tokens
+    // kept, '' is one empty token.
+    "q125_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        | FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |f AS (SELECT c.doc_id, n.n AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CAST(round(
+        |     -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro
+        | FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY 1, 2)
+        |SELECT doc_id, n_tokens, n_types, entropy_micro,
+        |  round(CAST(entropy_micro AS DOUBLE) / 1000000.0, 6) AS entropy
+        |FROM f""".stripMargin,
+
+    // q72's sessionize CTE, then distinct (session, type), the
+    // session-keyed pair self-join (type_a < type_b, binary order),
+    // per-type session counts, and lift against independence.
+    "q126_covisitation" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    > 28800000000 THEN 1
+        |  WHEN lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) IS NULL THEN 1
+        |  ELSE 0 END AS nw FROM e),
+        |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id FROM g),
+        |st AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        | FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        | FROM (SELECT DISTINCT user_id, session_id FROM st)),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |   CAST(count(*) AS BIGINT) AS n_ab
+        | FROM st a JOIN st b ON a.user_id = b.user_id
+        |   AND a.session_id = b.session_id
+        |   AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, pa.n AS n_a, pb.n AS n_b, n_ab, n_sessions,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(n_sessions AS DOUBLE)
+        |    / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)), 6) AS lift
+        |FROM p
+        |JOIN pt pa ON p.type_a = pa.event_type
+        |JOIN pt pb ON p.type_b = pb.event_type, tot""".stripMargin,
+
+    // The lower-median (disc) convention of q107 applied twice — value
+    // histogram then deviation histogram — and the outlier decided by
+    // the integer cross-multiplication |v−med|·kDen > mad·kNum.
+    "q127_median_mad" ->
+      """WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v,
+        |   sum(c) OVER (PARTITION BY source ORDER BY v
+        |     ROWS UNBOUNDED PRECEDING) AS cum,
+        |   sum(c) OVER (PARTITION BY source) AS n FROM h),
+        |med AS (SELECT source, CAST(min(v) AS BIGINT) AS median
+        | FROM cum WHERE cum * 2 >= n GROUP BY 1),
+        |dh AS (SELECT h.source, abs(v - median) AS dev, sum(c) AS c
+        | FROM h JOIN med ON h.source = med.source GROUP BY 1, 2),
+        |dcum AS (SELECT source, dev,
+        |   sum(c) OVER (PARTITION BY source ORDER BY dev
+        |     ROWS UNBOUNDED PRECEDING) AS cum,
+        |   sum(c) OVER (PARTITION BY source) AS n FROM dh),
+        |mad AS (SELECT source, CAST(min(dev) AS BIGINT) AS mad
+        | FROM dcum WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT doc_id, d.source, n_chars, median, mad,
+        |  abs(n_chars - median) * 1 > mad * 3 AS is_outlier
+        |FROM documents d
+        |JOIN med ON d.source = med.source
+        |JOIN mad ON d.source = mad.source""".stripMargin,
+
+    // q23's shingle-hash space grouped by source instead of doc: the
+    // per-doc distinct is subsumed by the per-source DISTINCT, so the
+    // CTE skips list_distinct; same md5-60-bit hash as the engine.
+    "q128_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |s0 AS (SELECT source, CASE WHEN len(ws) >= 3
+        |   THEN list_transform(generate_series(1, len(ws) - 2),
+        |     i -> array_to_string(ws[i:i+2], ' '))
+        |   ELSE [] END AS shs FROM w),
+        |sh AS (SELECT DISTINCT source,
+        |   CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        | FROM (SELECT source, unnest(shs) AS sh FROM s0)),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        | FROM sh GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |   CAST(count(*) AS BIGINT) AS n_common
+        | FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b, n_common,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |FROM p
+        |JOIN ns na ON source_a = na.source
+        |JOIN ns nb ON source_b = nb.source""".stripMargin,
+
+    // Exact trailing-window distinct: presence replicated to the 7
+    // report days it supports, re-distincted, restricted to observed
+    // days — the engine's shape stated declaratively.
+    "q129_rolling_active" ->
+      """WITH e AS (SELECT user_id,
+        |   epoch_us(ts) // 86400000000 AS day FROM events),
+        |p AS (SELECT DISTINCT user_id, day FROM e),
+        |d AS (SELECT DISTINCT day FROM e),
+        |x AS (SELECT DISTINCT user_id, day + k AS day2
+        | FROM p, generate_series(0, 6) t(k))
+        |SELECT day2 AS day, CAST(count(*) AS BIGINT) AS n_active
+        |FROM x JOIN d ON x.day2 = d.day GROUP BY 1""".stripMargin,
+
+    // Largest-remainder apportionment on the groups table, then q71's
+    // ascending-52-bit-hash rank cut at the per-source quota.
+    "q130_stratified_sample" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT source, c,
+        |   CAST((60 * c) // sum(c) OVER () AS BIGINT) AS base,
+        |   CAST((60 * c) % sum(c) OVER () AS BIGINT) AS rem FROM c),
+        |a AS (SELECT source, c, LEAST(base + CASE WHEN
+        |    row_number() OVER (ORDER BY rem DESC, source ASC)
+        |      <= 60 - sum(base) OVER () THEN 1 ELSE 0 END, c) AS quota
+        | FROM t),
+        |h AS (SELECT doc_id, source,
+        |   CAST(('0x' || substr(md5('strat1' || CAST(doc_id AS VARCHAR)),
+        |     1, 15)) AS BIGINT) % 4503599627370496 AS r FROM documents),
+        |rk AS (SELECT doc_id, source, row_number() OVER (
+        |   PARTITION BY source ORDER BY r ASC, doc_id ASC) AS rk FROM h)
+        |SELECT rk.doc_id, rk.source
+        |FROM rk JOIN a ON rk.source = a.source WHERE rk <= quota""".stripMargin,
+
+    // One histogram, one cumulative window, four disc cuts under the
+    // q107 integer rule (cum·10⁴ ≥ n·bp).
+    "q131_percentile_digest" ->
+      """WITH h AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v,
+        |   CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |   CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM h)
+        |SELECT source, CAST(min(n) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cum * 10000 >= n * 2500 THEN v END) AS BIGINT) AS p2500,
+        |  CAST(min(CASE WHEN cum * 10000 >= n * 5000 THEN v END) AS BIGINT) AS p5000,
+        |  CAST(min(CASE WHEN cum * 10000 >= n * 7500 THEN v END) AS BIGINT) AS p7500,
+        |  CAST(min(CASE WHEN cum * 10000 >= n * 9500 THEN v END) AS BIGINT) AS p9500
+        |FROM cum GROUP BY 1""".stripMargin,
+
+    // q72's sessionize CTE, per-session collapse, then the day rollup:
+    // exact integer counts/dwell, basis-point bounce via floor
+    // division, mean dwell the one derived 6-dp float.
+    "q132_session_stats" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    > 28800000000 THEN 1
+        |  WHEN lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) IS NULL THEN 1
+        |  ELSE 0 END AS nw FROM e),
+        |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id FROM g),
+        |ps AS (SELECT user_id, session_id, min(ts_us) AS s_us,
+        |   max(ts_us) AS e_us, CAST(count(*) AS BIGINT) AS ne
+        | FROM s GROUP BY 1, 2),
+        |d AS (SELECT s_us // 86400000000 AS day, e_us - s_us AS dur, ne
+        | FROM ps)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  CAST((sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) * 10000)
+        |    // count(*) AS BIGINT) AS bounce_bp,
+        |  CAST(sum(ne) AS BIGINT) AS n_events,
+        |  CAST(sum(dur) AS BIGINT) AS dur_sum_us,
+        |  round(CAST(sum(dur) AS DOUBLE) / 1000000.0 / count(*), 6)
+        |    AS mean_dur_s
+        |FROM d GROUP BY 1""".stripMargin,
   )
 }

@@ -514,6 +514,48 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Cross-source overlap matrix — corpus-level contamination/diversity
+    * analytics: for every unordered pair of sources, the number of
+    * shared distinct word n-gram shingles and the shingle-set Jaccard.
+    * The "how much of source B is already in source A" report that
+    * decides whether a new crawl slice is worth ingesting (high overlap
+    * ⇒ mostly re-crawl) — [[ngramJaccardPairs]]' measure lifted from
+    * doc × doc to source × source, where the output is sources²-sized
+    * and exact computation is affordable.
+    *
+    * Scale shape: one codegen shingle scan + hash-distinct to (source,
+    * shingle-hash) — the only corpus-sized exchange, carrying 8-byte
+    * hashes; the pair build self-joins KEYED ON THE HASH, per-key
+    * fanout bounded by the source count (a boilerplate shingle present
+    * in all S sources contributes S²/2 rows — fine for the tens-to-
+    * hundreds of sources this is for; the join never touches doc
+    * counts); per-source set sizes join back broadcast. Output:
+    * source_a, source_b (binary string order), n_a, n_b, n_common,
+    * jaccard (6 dp). */
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String, text: Column,
+      n: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    val sh = scope.cache(df
+      .select(col(groupCol).as("__g"),
+        explode(graft.functions.ShingleHashesFn(text, n)).as("__h"))
+      .distinct())
+    val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val pairs = sh
+      .join(sh.select(col("__g").as("__gb"), col("__h")), Seq("__h"))
+      .filter(col("__g") < col("__gb"))
+      .groupBy(col("__g").as("source_a"), col("__gb").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("__g").as("source_a"),
+        col("__n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("__g").as("source_b"),
+        col("__n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Winnowed fingerprints per document (Schleimer/Wilkerson/Aiken,
     * SIGMOD 2003): the distinct k-gram hashes minimal in at least one
     * window of `w` consecutive gram positions — guaranteed to catch any

@@ -335,4 +335,126 @@ object Events {
       .na.fill(0L, types)
       .withColumn("n_events", types.map(col).reduce(_ + _))
   }
+
+  /** Daily session-quality rollup — the engagement report over
+    * [[sessionize]]'s output: per session-start day, session count,
+    * single-event (bounce) count and exact basis-point bounce rate,
+    * event volume, exact total dwell, and mean dwell (the one 6-dp
+    * float, derived from two exact integers). Duration is last−first
+    * event µs — a 1-event session has duration 0 and counts as a
+    * bounce.
+    *
+    * Scale shape: rides sessionize's single user-keyed exchange; the
+    * per-session collapse is a hash aggregate on (user, session) and
+    * the rollup a second on the day — both partial-aggregated; no new
+    * sort. Output: day, n_sessions, n_bounce, bounce_bp, n_events,
+    * dur_sum_us, mean_dur_us. */
+  def sessionStatsDaily(sessions: DataFrame, userCol: String,
+      tsUsCol: String): DataFrame = {
+    val perSession = sessions
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsUsCol)).as("__s"), max(col(tsUsCol)).as("__e"),
+        count(lit(1)).as("__ne"))
+      .select(expr("__s div 86400000000").as("day"),
+        (col("__e") - col("__s")).as("__dur"), col("__ne"))
+    perSession.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__ne") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("__ne")).as("n_events"),
+        sum(col("__dur").cast("decimal(38,0)")).cast("long").as("dur_sum_us"))
+      .withColumn("bounce_bp",
+        expr("(n_bounce * 10000) div n_sessions"))
+      .withColumn("mean_dur_s", // seconds, not µs: at µs magnitude a
+        // 6-dp round needs > 16 significant digits and the two engines'
+        // roundings diverge in the last ulp (observed); ÷1e6 first
+        // keeps the rounded value inside double precision
+        round(col("dur_sum_us").cast("double") / lit(1000000.0) /
+          col("n_sessions").cast("double"), 6))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        col("bounce_bp"), col("n_events"), col("dur_sum_us"),
+        col("mean_dur_s"))
+  }
+
+  /** Trailing-window distinct actives — for each observed day, how many
+    * distinct users had ≥ 1 event in the `windowDays`-day window ending
+    * that day (the DAU/WAU/MAU family). Distinct counts don't compose
+    * across days (a user active twice in the window must count once),
+    * so the corpus-safe exact shape REPLICATES each user-day presence
+    * to the `windowDays` report days it supports and re-distincts —
+    * never a per-day scan over raw events.
+    *
+    * Scale shape: one corpus-sized hash-distinct to (user, day) — after
+    * which everything is presence-sized: the explode multiplies by
+    * windowDays (bounded, e.g. 7/28), the second distinct and the final
+    * count are hash aggregates on (report-day, user). Report days with
+    * no events of their own are dropped (broadcast semi-join against
+    * the observed-day set) — a dashboard reports on days that exist.
+    * Output: day, n_active. */
+  def rollingActiveUsers(df: DataFrame, userCol: String, tsUsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays in [1, 366], got $windowDays")
+    val day = 86400000000L
+    val presence = df
+      .select(col(userCol).as("__u"), // exact integer day index, no
+        expr(s"$tsUsCol div $day").as("__d")) // double division rounding
+      .distinct()
+    val observed = presence.select(col("__d").as("day")).distinct()
+    presence
+      .withColumn("day",
+        explode(sequence(col("__d"), col("__d") + (windowDays - 1))))
+      .select(col("__u"), col("day")).distinct()
+      .join(broadcast(observed), "day")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Session co-visitation matrix — for every unordered pair of event
+    * types, how many sessions contain BOTH (the "users who did A also
+    * did B" signal behind co-occurrence recommenders), with each pair's
+    * lift `n_ab · S / (n_a · n_b)` against independence (> 1 ⇔ the two
+    * behaviors attract). Pairs are canonicalized `type_a < type_b`
+    * (binary string order, identical on any engine for the UTF-8 types
+    * this keys on).
+    *
+    * Scale shape: one hash-distinct to (session, type) — the only
+    * corpus-sized exchange; the pair build is a SELF-JOIN KEYED ON THE
+    * SESSION, where per-key cardinality is bounded by the type
+    * vocabulary (never the session's raw event count — a 10k-event bot
+    * session still contributes ≤ vocab rows), so the join is linear in
+    * sessions with a small constant; everything after runs on
+    * vocab²-sized tables, with the per-type counts and the 1-row
+    * session total joined back via broadcast. The distinct table is
+    * cached through `scope` (it feeds the join twice plus both count
+    * sides). Output: type_a, type_b, n_a, n_b, n_ab, n_sessions,
+    * lift (6 dp). */
+  def covisitation(df: DataFrame, sessionCols: Seq[String],
+      typeCol: String, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(sessionCols.nonEmpty, "covisitation needs >= 1 session column")
+    val sk = sessionCols.map(col)
+    val st = scope.cache(
+      df.select(sk :+ col(typeCol).as("__t"): _*).distinct())
+    val perType = st.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val total = st.select(sk: _*).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    // explicit right-side renames — self-join disambiguation by dataset
+    // id is fragile (and warns); renamed columns cannot mis-resolve
+    val b = st.select(sessionCols.map(c => col(c).as(s"__r_$c")) :+
+      col("__t").as("__tb"): _*)
+    val pairs = st.join(b,
+        sessionCols.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
+          col("__t") < col("__tb"))
+      .groupBy(col("__t").as("type_a"), col("__tb").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("__t").as("type_a"),
+        col("__n").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("__t").as("type_b"),
+        col("__n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_sessions"),
+        round(col("n_ab").cast("double") * col("n_sessions").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+  }
 }

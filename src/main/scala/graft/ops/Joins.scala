@@ -349,4 +349,48 @@ object Joins {
       .filter(col(pointVal) >= col(loCol) && col(pointVal) <= col(hiCol))
       .drop("__b")
   }
+
+  /** Interval-overlap join — [[rangeJoin]]'s interval × interval
+    * sibling: every (left, right) pair whose closed spans
+    * `[lLo, lHi] ∩ [rLo, rHi] ≠ ∅` (optionally also matching on equi
+    * `keys`), the "which maintenance windows did this session touch"
+    * shape Spark's equi-joins cannot express and a naive `ON lLo <= rHi
+    * AND rLo <= lHi` plans as a cartesian.
+    *
+    * Scale shape: both sides explode onto a fixed time grid
+    * (`bucketWidth` units per cell) and equi-join on the cell, so the
+    * exchange is keyed and replication is O(span / bucketWidth) per row
+    * — pick bucketWidth near the typical span, as [[rangeJoin]]'s doc
+    * says. A pair spanning several shared cells would surface once per
+    * cell; instead of a post-join `distinct` (a second full shuffle of
+    * the output), each pair is emitted ONLY in its first shared cell —
+    * `max(floor(lLo/w), floor(rLo/w))`, a cell both sides provably
+    * occupy when they overlap — an exactly-once filter inside the join
+    * stage. `maxBucketsPerRange` fail-fasts degenerate spans on BOTH
+    * sides. Long/integer domains only. Output: all left columns + all
+    * right columns (names must be disjoint). */
+  def intervalOverlapJoin(
+      left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      bucketWidth: Long, keys: Seq[String] = Nil,
+      maxBucketsPerRange: Long = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def buckets(df: DataFrame, lo: String, hi: String, side: String) = {
+      val bLo = floor(col(lo) / bucketWidth)
+      val bHi = floor(col(hi) / bucketWidth)
+      val bHiChecked = when(bHi - bLo >= maxBucketsPerRange,
+        raise_error(concat(lit(s"intervalOverlapJoin: $side span wider than " +
+          s"$maxBucketsPerRange buckets of $bucketWidth at "),
+          col(lo).cast("string"), lit(".."), col(hi).cast("string")))
+          .cast("long"))
+        .otherwise(bHi)
+      df.withColumn("__b", explode(sequence(bLo, bHiChecked)))
+    }
+    buckets(left, lLoCol, lHiCol, "left")
+      .join(buckets(right, rLoCol, rHiCol, "right"), keys :+ "__b")
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+        col("__b") === greatest(floor(col(lLoCol) / bucketWidth),
+          floor(col(rLoCol) / bucketWidth)))
+      .drop("__b")
+  }
 }

@@ -168,6 +168,57 @@ object Sampling {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Stratified exact-n sample — draw EXACTLY `n` rows overall with
+    * per-group counts proportional to group sizes (largest-remainder
+    * apportionment: every group gets `⌊n·c_g/N⌋`, and the `n − Σ⌊…⌋`
+    * leftover seats go to the largest fractional remainders, ties by
+    * group name) — the eval-set construction [[sampleExactN]] can't do
+    * (a plain global draw over- and under-samples strata by √c noise)
+    * and [[capPerGroup]] can't either (fixed cap ≠ proportional).
+    * Selection within a group is the same deterministic ascending-
+    * 52-bit-hash rank as [[capPerGroup]], so membership is re-run /
+    * repartition / incremental-append stable. With n ≤ N every quota
+    * provably fits its group (a +1 seat only ever lands on a positive
+    * remainder); n > N degrades to keeping everything.
+    *
+    * Scale shape: one groups-sized count aggregate; the apportionment
+    * runs entirely on that groups-sized table (the single-partition
+    * window is over GROUPS, the q55 histogram convention, never the
+    * corpus); selection is the bounded-heap top-k keyed per group with
+    * heap bound `n` — so driver-free, sort-free, one corpus exchange.
+    * The heap bound is the TOTAL `n` (quotas vary per group and the
+    * heap size is fixed up front): per-task state is groups × n ids —
+    * sized for eval-set n (10²–10⁵), not corpus-sized draws. `idCol`
+    * must be integral. Output: `df`'s surviving rows. */
+  def stratifiedExactN(df: DataFrame, groupCol: String, idCol: String,
+      n: Int, seed: String): DataFrame = {
+    require(n >= 1, s"n >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+    val wAll = Window.partitionBy()
+    val alloc = counts
+      .withColumn("__N", sum(col("__c")).over(wAll))
+      .withColumn("__base", expr(s"(${n}L * __c) div __N"))
+      .withColumn("__rem", expr(s"(${n}L * __c) % __N"))
+      .withColumn("__extra", lit(n.toLong) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(groupCol).asc)))
+      .withColumn("__quota", least(
+        col("__base") + when(col("__rk") <= col("__extra"), 1L).otherwise(0L),
+        col("__c")))
+      .select(col(groupCol), col("__quota"))
+    val rank52 = pmod(
+      Dedup.hash60(concat(lit(seed), col(idCol).cast("string"))),
+      lit(1L << 52))
+    val keep = Rank.topNPerGroup(
+        df.select(col(groupCol), col(idCol), (-rank52).cast("double").as("__r")),
+        Seq(groupCol), idCol, "__r", n)
+      .join(broadcast(alloc), Seq(groupCol))
+      .filter(col("rank") <= col("__quota"))
+      .select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Per-group percentile gate — "drop each source's bottom q% by this
     * score", the relative quality trim that complements an absolute
     * threshold (a uniformly weak source still contributes its best

@@ -212,4 +212,114 @@ object Stats {
         round(col("entropy_micro").cast("double") / lit(1000000.0), 6)
           .as("entropy"))
   }
+
+  /** Per-group multi-percentile summary in ONE histogram pass — the
+    * p25/p50/p75/p95 digest a corpus report publishes per source. Every
+    * cut is percentile_disc under the [[Sampling.percentileGate]]
+    * integer rule (smallest value whose ≤-cumulative count reaches the
+    * basis points), so each reported percentile is an observed value
+    * and the decision has no float interpolation to diverge across
+    * engines.
+    *
+    * Scale shape: one corpus-sized (group, value) hash-aggregate
+    * histogram; the cumulative window and the per-bp minima all run on
+    * the histogram (all `bps` ride the SAME window pass — k percentiles
+    * cost one scan, not k); output is groups-sized. `valueCol` must be
+    * integral. Output: groupCol, n_rows, one `p<bp>` column per
+    * requested basis point. */
+  def percentilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+      bps: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bps.nonEmpty && bps.forall(bp => bp >= 0 && bp <= 10000) &&
+      bps.distinct == bps, s"bps must be distinct in [0, 10000], got $bps")
+    val cum = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col(groupCol))))
+    cum.groupBy(col(groupCol))
+      .agg(first(col("__n")).as("n_rows"),
+        bps.map(bp => min(when(col("__cum") * 10000 >= col("__n") * bp,
+          col(valueCol))).as(s"p$bp")): _*)
+  }
+
+  /** Robust per-group outlier flags — median/MAD instead of mean/σ
+    * ([[outliersByGroup]]'s moment space is itself dragged by the very
+    * outliers it hunts; the median absolute deviation is breakdown-50%
+    * robust). Per group: the lower median (smallest v with cumulative
+    * count ≥ half — the [[Sampling.percentileGate]] disc convention, so
+    * it is always an observed integral value), MAD = the same median
+    * over |v − median|, and a per-row flag `|v − median| > k·MAD` with
+    * `k = kNum/kDen` decided as an EXACT integer cross-multiplication —
+    * no float ulp can flip a boundary row between engines. A
+    * zero-MAD group (> half its rows at the median) flags only rows
+    * strictly off the median when kNum is 0 — with the default k=3 it
+    * flags any deviation > 0 only if 3·0 < dev, i.e. every off-median
+    * row; that is the textbook MAD=0 degeneracy, left to the caller's
+    * choice of k (document, don't special-case).
+    *
+    * Scale shape: ONE corpus-sized hash aggregate builds the (group,
+    * value) histogram; the median, the deviation histogram (derived
+    * from the first histogram, NOT a second corpus pass), and the MAD
+    * all run over histogram-sized tables with groups-keyed windows;
+    * one join keyed on the group flags the rows. `valueCol` must be
+    * integral. Output: `df`'s columns + median, mad, is_outlier. */
+  def medianMad(df: DataFrame, groupCol: String, valueCol: String,
+      kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kNum >= 0 && kDen > 0, s"need kNum >= 0, kDen > 0, got $kNum/$kDen")
+    def discMedian(hist: DataFrame, vCol: String, out: String) = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(vCol))))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col(groupCol))))
+      .filter(col("__cum") * 2 >= col("__n"))
+      .groupBy(col(groupCol)).agg(min(col(vCol)).as(out))
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    val med = discMedian(hist, valueCol, "median")
+    val devHist = hist.join(med, Seq(groupCol))
+      .groupBy(col(groupCol), abs(col(valueCol) - col("median")).as("__dev"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = discMedian(devHist, "__dev", "mad")
+    df.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("median")) * kDen > col("mad") * kNum)
+  }
+
+  /** Multi-dimensional corpus summary over every subset of `dimCols` —
+    * the CUBE a reporting layer asks of a curated corpus ("counts and
+    * char totals by source, by language, by source × language, and
+    * overall") computed in ONE pass instead of 2^d separate GROUP BYs.
+    * `gid` is the grouping bitmask (bit d−1−i set ⇔ `dimCols(i)` is
+    * rolled up — first dim is the most significant bit, the Spark
+    * `grouping_id` convention, rebuilt from per-column `grouping` bits
+    * so the oracle can mirror it engine-independently); rolled-up dims
+    * read the sentinel `<all>` rather than NULL so a rolled-up cell is
+    * distinguishable from a genuinely-NULL dimension value.
+    *
+    * Scale shape: Catalyst plans CUBE as one Expand (2^d rows per input
+    * row) feeding a partially-aggregated hash aggregate — the map-side
+    * combine collapses the expansion to (groups × 2^d) rows per task
+    * BEFORE the one exchange, so the shuffle carries the result size,
+    * not 2^d × corpus. The 2^d scan-stream amplification is CPU-only
+    * and d is small by contract (require ≤ 4 ⇒ ≤ 16×); sums go through
+    * DECIMAL(38,0) so a 100 TB char total cannot wrap a long. Output:
+    * dimCols (string, `<all>`-coalesced), gid, n_rows, total_size. */
+  def cubeSummary(df: DataFrame, dimCols: Seq[String], sizeCol: String)
+      : DataFrame = {
+    require(dimCols.nonEmpty && dimCols.size <= 4,
+      s"cubeSummary takes 1..4 dims, got ${dimCols.size}")
+    val gid = dimCols.zipWithIndex
+      .map { case (c, i) =>
+        grouping(col(c)).cast("long") * lit(1L << (dimCols.size - 1 - i)) }
+      .reduce(_ + _)
+    df.cube(dimCols.map(col): _*)
+      .agg(gid.as("gid"), count(lit(1)).as("n_rows"),
+        sum(col(sizeCol).cast("decimal(38,0)")).cast("long").as("total_size"))
+      .select(dimCols.map(c =>
+          coalesce(col(c).cast("string"), lit("<all>")).as(c)) ++
+        Seq(col("gid"), col("n_rows"), col("total_size")): _*)
+  }
 }

@@ -83,6 +83,25 @@ object TextAnalysis {
     * list_reduce(list_prepend(0, hashes), ...). */
   def fingerprint(text: Column): Column = graft.functions.FoldHashFn(text)
 
+  /** Per-document token-distribution facts — count, distinct types, and
+    * unigram Shannon entropy in exact micro-nats — via the single-pass
+    * [[graft.functions.TokenEntropy]] codegen expression: a narrow
+    * projection with NO shuffle at all, vs the explode + per-(doc,
+    * token) aggregate plan that shuffles the corpus's entire token
+    * stream (the SQL oracle's shape, mirrored bit-exactly). Low entropy
+    * flags repetitive boilerplate, high `n_types/n_tokens` flags
+    * vocabulary spam — the cheap diversity gate of a quality funnel.
+    * Output: idCol, n_tokens, n_types, entropy_micro, entropy (6 dp). */
+  def tokenEntropy(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val f = graft.functions.TokenEntropyFn(text)
+    df.select(col(idCol), f.as("__f"))
+      .select(col(idCol), col("__f").getItem(0).as("n_tokens"),
+        col("__f").getItem(1).as("n_types"),
+        col("__f").getItem(2).as("entropy_micro"))
+      .withColumn("entropy",
+        round(col("entropy_micro").cast("double") / lit(1000000.0), 6))
+  }
+
   /** Self-supervised token-rarity quality stats — the corpus is its own
     * language model: a document stuffed with tokens the corpus has
     * barely seen is gibberish/OCR noise, one made of ubiquitous tokens

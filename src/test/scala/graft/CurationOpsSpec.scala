@@ -925,4 +925,33 @@ class CurationOpsSpec extends AnyFunSuite {
     }.toSet
     assert(a == want)
   }
+
+  test("stratifiedExactN: largest-remainder quotas, exact n overall, hash-rank membership") {
+    import graft.ops.Sampling
+    def h52(seed: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s"$seed$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) % (1L << 52)
+    }
+    // sizes A=10 B=6 C=4 (N=20), n=7: shares 3.5/2.1/1.4 → base 3/2/1,
+    // remainders (×N) 10/2/8 → the 1 leftover seat goes to A → 4/2/1
+    val rows = (0L until 10L).map(i => (i, "A")) ++
+      (10L until 16L).map(i => (i, "B")) ++ (16L until 20L).map(i => (i, "C"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Sampling.stratifiedExactN(df, "source", "doc_id",
+        n = 7, seed = "st1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 7, "exactly n overall")
+    val bySrc = got.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    assert(bySrc.view.mapValues(_.size).toMap ==
+      Map("A" -> 4, "B" -> 2, "C" -> 1))
+    val want = rows.groupBy(_._2).map { case (g, ids) =>
+      g -> ids.map(_._1).sortBy(i => (h52("st1", i), i))
+        .take(Map("A" -> 4, "B" -> 2, "C" -> 1)(g)).toSet
+    }
+    assert(bySrc == want, "membership = ascending salted hash per group")
+    // n >= N degrades to keeping everything
+    assert(Sampling.stratifiedExactN(df, "source", "doc_id",
+      n = 25, seed = "st1").count() == 20)
+  }
 }

@@ -553,4 +553,58 @@ class EventsOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(live == batch)
   }
+
+  test("covisitation: pair session counts, repeats collapse, lift against independence") {
+    // sessions (user, sid): s1={A,B,A}, s2={A,B,C}, s3={B}, s4={C}
+    // → S=4; n_A=2 n_B=3 n_C=2; AB in 2, AC in 1, BC in 1
+    val df = Seq(
+      ("u1", 1L, "A"), ("u1", 1L, "B"), ("u1", 1L, "A"),
+      ("u1", 2L, "A"), ("u1", 2L, "B"), ("u1", 2L, "C"),
+      ("u2", 1L, "B"), ("u3", 1L, "C"))
+      .toDF("user_id", "session_id", "event_type")
+    val got = Events.covisitation(df, Seq("user_id", "session_id"),
+        "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(got(("A", "B")) == ((2L, 3L, 2L, 4L, // 2·4/(2·3)
+      math.rint(8.0 / 6.0 * 1e6) / 1e6)))
+    assert(got(("A", "C")) == ((2L, 2L, 1L, 4L, 1.0)))
+    assert(got(("B", "C")) == ((3L, 2L, 1L, 4L,
+      math.rint(4.0 / 6.0 * 1e6) / 1e6)))
+  }
+
+  test("rollingActiveUsers: window membership exact, repeats count once, unobserved days absent") {
+    val day = 86400000000L
+    // u1 active days 0 and 2 (counts once on overlap days), u2 day 0,
+    // u3 day 10 (isolated); observed days = {0, 2, 10}
+    val df = Seq(("u1", 0L), ("u1", 2L * day), ("u1", 2L * day + 5L),
+      ("u2", 1L), ("u3", 10L * day))
+      .toDF("user_id", "ts_us")
+    val got = Events.rollingActiveUsers(df, "user_id", "ts_us", windowDays = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 0: u1+u2; day 2: u1 (both presences support it — once) + u2
+    // (day 0 within 3-day window); day 10: u3 only. Days 1,3,4,11,12
+    // are unobserved → absent even though windows cover them.
+    assert(got == Map(0L -> 2L, 2L -> 2L, 10L -> 1L))
+  }
+
+  test("sessionStatsDaily: bounce bp exact, dwell sums exact, mean in seconds") {
+    val day = 86400000000L
+    // u1 day 0: events at 0 and 100 (one session, dwell 100), then at
+    // 5000 (gap 4900 > 1000 → bounce). u2 day 1: one event → bounce.
+    val df = Seq((1L, "u1", 0L), (2L, "u1", 100L), (3L, "u1", 5000L),
+      (4L, "u2", day))
+      .toDF("event_id", "user_id", "ts_us")
+    val sess = Events.sessionize(df, "user_id", "ts_us", "event_id",
+      gapUs = 1000L)
+    val got = Events.sessionStatsDaily(sess, "user_id", "ts_us")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(0L) == ((2L, 1L, 5000L, 3L, 100L, 5.0e-5)),
+      "2 sessions, 1 bounce → 5000 bp; dwell 100 µs → mean 5e-5 s")
+    assert(got(1L) == ((1L, 1L, 10000L, 1L, 0L, 0.0)))
+  }
 }

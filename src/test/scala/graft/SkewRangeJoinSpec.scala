@@ -92,4 +92,59 @@ class SkewRangeJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null && e.getMessage.contains("rangeJoin"))
   }
+
+  test("interval overlap join matches the nested-loop predicate, pairs exactly once") {
+    // spans engineered so many pairs SHARE several grid cells (the
+    // exactly-once filter is what's under test), plus touching-at-a-
+    // point, containment, and disjoint cases
+    val left = Seq(
+      (1L, 0L, 250L), (2L, 90L, 110L), (3L, 100L, 100L),
+      (4L, 500L, 900L), (5L, 901L, 902L), (6L, -80L, -20L))
+      .toDF("lid", "s_lo", "s_hi")
+    val right = Seq(
+      (10L, 50L, 300L), (11L, 100L, 100L), (12L, 250L, 499L),
+      (13L, 600L, 1200L), (14L, -100L, -50L), (15L, 2000L, 2100L))
+      .toDF("rid", "w_lo", "w_hi")
+    val naive = left.crossJoin(right)
+      .filter(col("s_lo") <= col("w_hi") && col("w_lo") <= col("s_hi"))
+      .select("lid", "rid", "s_lo")
+    val bucketed = Joins.intervalOverlapJoin(left, "s_lo", "s_hi",
+      right, "w_lo", "w_hi", bucketWidth = 100).select("lid", "rid", "s_lo")
+    // rowsOf is a multiset compare: a pair surfacing in two shared
+    // cells would show as a duplicate and fail here
+    assert(rowsOf(bucketed) == rowsOf(naive))
+    assert(naive.count() > 0)
+  }
+
+  test("interval overlap join with equi keys restricts matches per key") {
+    val left = Seq((0L, 1L, 0L, 100L), (1L, 2L, 0L, 100L))
+      .toDF("k", "lid", "s_lo", "s_hi")
+    val right = Seq((0L, 10L, 50L, 150L), (1L, 11L, 50L, 150L),
+      (0L, 12L, 200L, 300L)).toDF("k", "rid", "w_lo", "w_hi")
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+        col("s_lo") <= col("w_hi") && col("w_lo") <= col("s_hi"))
+      .select(col("l.k"), col("lid"), col("rid"))
+    val bucketed = Joins.intervalOverlapJoin(left, "s_lo", "s_hi",
+      right, "w_lo", "w_hi", bucketWidth = 64, keys = Seq("k"))
+      .select("k", "lid", "rid")
+    assert(rowsOf(bucketed) == rowsOf(naive))
+    assert(naive.count() == 2)
+  }
+
+  test("interval overlap join fail-fasts on degenerate spans, either side") {
+    val ok = Seq((1L, 0L, 50L)).toDF("lid", "s_lo", "s_hi")
+    val wide = Seq((2L, 0L, 1000000L)).toDF("rid", "w_lo", "w_hi")
+    val e = intercept[Exception] {
+      Joins.intervalOverlapJoin(ok, "s_lo", "s_hi", wide, "w_lo", "w_hi",
+        bucketWidth = 10, maxBucketsPerRange = 100).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("intervalOverlapJoin"))
+    val e2 = intercept[Exception] {
+      Joins.intervalOverlapJoin(wide.toDF("lid", "s_lo", "s_hi"),
+        "s_lo", "s_hi", ok.toDF("rid", "w_lo", "w_hi"), "w_lo", "w_hi",
+        bucketWidth = 10, maxBucketsPerRange = 100).count()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("intervalOverlapJoin"))
+  }
 }

@@ -172,4 +172,79 @@ class StatsSpec extends AnyFunSuite {
     assert(got("a") == ((4L, 42L, 2L, 693148L, 0.693148)))
     assert(got("b") == ((1L, 100L, 1L, 0L, 0.0)))
   }
+
+  test("cubeSummary: all four grouping sets, gid bits, <all> sentinel, exact totals") {
+    val df = Seq(
+      ("a", "en", 10L), ("a", "en", 20L), ("a", "de", 5L),
+      ("b", "en", 100L))
+      .toDF("src", "lang", "sz")
+    val got = Stats.cubeSummary(df, Seq("src", "lang"), "sz")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 3 + 2 + 2 + 1, "cells + per-src + per-lang + grand")
+    assert(got(("a", "en")) == ((0L, 2L, 30L)))
+    assert(got(("a", "de")) == ((0L, 1L, 5L)))
+    assert(got(("b", "en")) == ((0L, 1L, 100L)))
+    // gid bit 1 (MSB) = first dim (src) rolled up, bit 0 = lang
+    assert(got(("a", "<all>")) == ((1L, 3L, 35L)))
+    assert(got(("b", "<all>")) == ((1L, 1L, 100L)))
+    assert(got(("<all>", "en")) == ((2L, 3L, 130L)))
+    assert(got(("<all>", "de")) == ((2L, 1L, 5L)))
+    assert(got(("<all>", "<all>")) == ((3L, 4L, 135L)))
+  }
+
+  test("cubeSummary: a genuinely-NULL dim value stays distinguishable from rolled-up") {
+    val df = Seq(("a", "en", 1L), (null, "en", 2L))
+      .toDF("src", "lang", "sz")
+    val got = Stats.cubeSummary(df, Seq("src", "lang"), "sz")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(4))
+      .toMap
+    // the NULL-src cell keeps gid 0; rolled-up src reads <all> at gid 2
+    assert(got(("<all>", "en", 0L)) == 2L, "NULL src cell coalesces visually but gid=0")
+    assert(got(("<all>", "en", 2L)) == 3L, "rolled-up src sums both")
+  }
+
+  test("medianMad: lower-median convention, robust vs mean, exact k boundary") {
+    // group a: {1,2,3,4,100} → median 3 (lower disc), devs {2,1,0,1,97}
+    // sorted {0,1,1,2,97} → MAD 1; k=3 flags |v−3| > 3: only 100.
+    // The mean-based flag would be dragged by 100 (mean=22, σ≈39 —
+    // nothing flags at 2σ); the median form catches it.
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("a", 4L, 4L), ("a", 5L, 100L),
+      ("b", 6L, 10L), ("b", 7L, 10L)) // zero MAD group
+      .toDF("g", "id", "v")
+    val got = Stats.medianMad(df, "g", "v", kNum = 3L, kDen = 1L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((3L, 1L, false)), "dev 2 <= 3·MAD")
+    assert(got(4L) == ((3L, 1L, false)))
+    assert(got(5L) == ((3L, 1L, true)), "97 > 3")
+    // boundary: dev == k·MAD must NOT flag (strict >)
+    val df2 = Seq(("c", 1L, 0L), ("c", 2L, 1L), ("c", 3L, 2L),
+      ("c", 4L, 5L)).toDF("g", "id", "v")
+    // median (lower) = 1, devs {1,0,1,4} sorted {0,1,1,4} → MAD 1; k=4/1
+    val got2 = Stats.medianMad(df2, "g", "v", kNum = 4L, kDen = 1L)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    assert(got2 == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false),
+      "dev 4 == 4·MAD sits exactly at the bar: strict > keeps it")
+    // zero-MAD group: both at the median, nothing flags
+    assert(got(6L) == ((10L, 0L, false)) && got(7L) == ((10L, 0L, false)))
+  }
+
+  test("percentilesDisc: disc cuts are observed values, per-group, one histogram pass") {
+    // a: 1..8 one each → p25=2 (cum 2 ≥ 8·.25), p50=4, p75=6, p95=8
+    // b: {10,10,10,40} → p25=10, p50=10, p75=10, p95=40
+    val df = ((1L to 8L).map(v => ("a", v)) ++
+      Seq(("b", 10L), ("b", 10L), ("b", 10L), ("b", 40L)))
+      .toDF("g", "v")
+    val got = Stats.percentilesDisc(df, "g", "v",
+        Seq(2500, 5000, 7500, 9500))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got("a") == ((8L, 2L, 4L, 6L, 8L)))
+    assert(got("b") == ((4L, 10L, 10L, 10L, 40L)))
+  }
 }

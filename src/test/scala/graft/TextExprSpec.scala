@@ -231,6 +231,12 @@ class TextExprSpec extends AnyFunSuite {
   }
 
   test("minhash_sig skips null slots in a nullable array<bigint>") {
+    // self-sufficient SQL registration (don't depend on another suite
+    // having installed GraftExtensions into the shared session first)
+    val reg = spark.sessionState.functionRegistry
+    new GraftExtensions().functions.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val withNull = new GenericArrayData(Array[Any](7L, null, 11L))
     val dense = new GenericArrayData(Array[Any](7L, 11L))
@@ -241,5 +247,45 @@ class TextExprSpec extends AnyFunSuite {
       "SELECT minhash_sig(array(7L, CAST(NULL AS BIGINT), 11L), 4) AS s," +
         " minhash_sig(array(7L, 11L), 4) AS d").head()
     assert(viaSql.getSeq[Long](0) == viaSql.getSeq[Long](1))
+  }
+
+  test("token_entropy: counts, types, and micro-nat entropy match a by-hand model") {
+    def facts(s: String): (Long, Long, Long) = {
+      val a = graft.functions.TokenEntropyUtil.facts(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toLongArray()
+      (a(0), a(1), a(2))
+    }
+    // "a a b": n=3, types=2, terms round(-(2/3)ln(2/3)e6) + round(-(1/3)ln(1/3)e6)
+    val t1 = Math.round(-(2.0 / 3) * Math.log(2.0 / 3) * 1e6)
+    val t2 = Math.round(-(1.0 / 3) * Math.log(1.0 / 3) * 1e6)
+    assert(facts("a a b") == ((3L, 2L, t1 + t2)))
+    // uniform: "x y z w" → H = ln 4; four terms round(0.25·ln4·1e6)
+    assert(facts("x y z w") ==
+      ((4L, 4L, 4 * Math.round(0.25 * Math.log(4.0) * 1e6))))
+    // single type: p=1 → exactly 0 micro-nats
+    assert(facts("the the the") == ((3L, 1L, 0L)))
+    assert(facts("word") == ((1L, 1L, 0L)))
+  }
+
+  test("token_entropy: string_split semantics — empties are tokens, '' is one empty token") {
+    def facts(s: String): Seq[Long] = graft.functions.TokenEntropyUtil.facts(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toLongArray().toSeq
+    assert(facts("") == Seq(1L, 1L, 0L), "'' splits to one empty token")
+    // "a  b " → ["a", "", "b", ""] : n=4, types 3 ("" counted once as a type)
+    assert(facts("a  b ").take(2) == Seq(4L, 3L))
+    // "   " → 4 empty tokens of one type → entropy 0
+    assert(facts("   ") == Seq(4L, 1L, 0L))
+    // non-ASCII round-trips through the split
+    assert(facts("的 是 的").take(2) == Seq(3L, 2L))
+  }
+
+  test("tokenEntropy operator output matches the expression and is a no-shuffle plan") {
+    val out = TextAnalysis.tokenEntropy(
+      docs.filter(col("text").isNotNull), "doc_id", col("text"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+    val r = out.filter(col("doc_id") === 9L).head() // "the the the the"
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ==
+      ((4L, 1L, 0L, 0.0)))
   }
 }

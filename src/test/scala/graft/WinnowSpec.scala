@@ -112,4 +112,20 @@ class WinnowSpec extends AnyFunSuite {
       "doc_id", col("text"), K, W, minShared = 1, maxDf = 2)
     assert(hot.count() == 0)
   }
+
+  test("sourceOverlapMatrix: exact pairwise shingle Jaccard, per-source distinct, null text skipped") {
+    // srcA docs: "a b c d" → 3-grams {abc, bcd}; "a b c" → {abc} (dup
+    // of the first doc's — per-source distinct keeps it once)
+    // srcB: "b c d e" → {bcd, cde}; srcC: "x y z" → {xyz}; null text
+    val df = Seq(
+      ("A", "a b c d"), ("A", "a b c"), ("B", "b c d e"),
+      ("C", "x y z"), ("C", null))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlapMatrix(df, "source", col("text"), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only A-B share anything: {abc,bcd} ∩ {bcd,cde} = {bcd} → J = 1/3
+    assert(got.keySet == Set(("A", "B")))
+    assert(got(("A", "B")) == ((2L, 2L, 1L, 0.333333)))
+  }
 }
