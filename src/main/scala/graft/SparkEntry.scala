@@ -1788,6 +1788,44 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", gapUs = 28800000000L),
       "user_id", "ts_us")
 
+  /** Per-node triangle counts over the q113 kNN graph
+    * ([[graft.ops.Centrality.triangleCounts]]): degree-oriented wedge
+    * join — local clustering density as a redundancy/bridge signal on
+    * the same edge list PageRank scores. */
+  private def qKnnTriangles(s: SparkSession, dir: String): DataFrame = {
+    val embs = cpuTable(s, dir, "embeddings")
+    val edges = Similarity.knnJoin(embs, "vec_id", "embedding",
+      k = 3, signBits = 8, probeHamming = 1, maxBucket = LshMaxBucket)
+      .select(col("qid").as("src"), col("id").as("dst"))
+    graft.ops.Centrality.triangleCounts(edges,
+      embs.select(col("vec_id")), "vec_id")
+  }
+
+  /** Language confusion matrix — [[TextAnalysis.langId]] predictions
+    * against the labeled lang column: per (truth, prediction) cell the
+    * count and its exact basis-point share of the truth row — the
+    * model-eval report for the heuristic classifier. One codegen scan
+    * + a cells-sized aggregate + a langs-sized window. */
+  private def qLangConfusion(s: SparkSession, dir: String): DataFrame =
+    cpuTable(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_bp",
+        expr("(n * 10000) div sum(n) OVER (PARTITION BY lang)"))
+
+  /** Split balance audit ([[graft.ops.Sampling.hashSplit]] composed
+    * into [[graft.ops.Stats.cubeSummary]]): q44's assignment rolled up
+    * by every subset of (split, source) — the fairness report that
+    * catches a skewed split before training does. */
+  private def qSplitAudit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cubeSummary(
+      graft.ops.Sampling.hashSplit(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "s1"),
+      Seq("split", "source"), "n_chars")
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1923,6 +1961,9 @@ object SparkEntry {
     "q130_stratified_sample" -> (qStratifiedSample _),
     "q131_percentile_digest" -> (qPercentileDigest _),
     "q132_session_stats" -> (qSessionStats _),
+    "q133_knn_triangles" -> (qKnnTriangles _),
+    "q134_lang_confusion" -> (qLangConfusion _),
+    "q135_split_audit" -> (qSplitAudit _),
   )
 
   // ------------------------------------------------------------------ //
@@ -1933,6 +1974,23 @@ object SparkEntry {
     * from the same constants as the Scala operators so they cannot drift. */
   private object OSql {
     val P = Dedup.MinHashP
+    /** The q30 langid decision as one SQL CASE over `text` — marker
+      * occurrence sums per language, argmax with the positive-score
+      * guard, 'und' fallback (mirrors [[TextAnalysis.langId]]). */
+    val langCase: String = {
+      def occ(m: String) = {
+        val esc = m.replace("'", "''")
+        s"(length(' '||text||' ') - length(replace(' '||text||' ', '$esc', ''))) // ${m.length}"
+      }
+      val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        l -> ms.map(occ).mkString("(", " + ", ")")
+      }
+      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+      val cases = scores.map { case (l, sc) =>
+        s"WHEN $sc > 0 AND $sc = $best THEN '$l'"
+      }.mkString("\n ")
+      s"CASE\n $cases\n ELSE 'und' END"
+    }
     val shingleCte =
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |s0 AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))) ELSE [] END AS shs FROM w),
@@ -2332,23 +2390,9 @@ object SparkEntry {
         | CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt
         |FROM documents""".stripMargin,
 
-    "q30_text_langid" -> {
-      def occ(m: String) = {
-        val esc = m.replace("'", "''")
-        s"(length(' '||text||' ') - length(replace(' '||text||' ', '$esc', ''))) // ${m.length}"
-      }
-      val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
-        l -> ms.map(occ).mkString("(", " + ", ")")
-      }
-      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
-      val cases = scores.map { case (l, sc) =>
-        s"WHEN $sc > 0 AND $sc = $best THEN '$l'"
-      }.mkString("\n ")
-      s"""SELECT doc_id, CASE
-        | $cases
-        | ELSE 'und' END AS lang_pred
-        |FROM documents""".stripMargin
-    },
+    "q30_text_langid" ->
+      s"""SELECT doc_id, ${OSql.langCase} AS lang_pred
+        |FROM documents""".stripMargin,
 
     "q31_token_count" ->
       """SELECT doc_id,
@@ -4186,5 +4230,60 @@ object SparkEntry {
         |  round(CAST(sum(dur) AS DOUBLE) / 1000000.0 / count(*), 6)
         |    AS mean_dur_s
         |FROM d GROUP BY 1""".stripMargin,
+
+    // q113's kNN edge CTE, canonicalized undirected, then the textbook
+    // a<b<c three-way self-join — the oracle needs no orientation trick
+    // (the engine's degree orientation changes the JOIN SHAPE, not the
+    // triangle set).
+    "q133_knn_triangles" ->
+      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM embeddings),
+        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, unnest([bkt${(0 until 8).map(i =>
+             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM b0),
+        |nn AS (SELECT q.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
+        | FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.qid
+        | QUALIFY row_number() OVER (PARTITION BY q.qid
+        |   ORDER BY cos DESC, id ASC) <= 3),
+        |u AS (SELECT DISTINCT LEAST(qid, id) AS a, GREATEST(qid, id) AS b
+        | FROM nn),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM u e1 JOIN u e2 ON e2.a = e1.b
+        |   JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |c AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM (
+        |   SELECT unnest([x, y, z]) AS v FROM t) GROUP BY 1)
+        |SELECT emb.vec_id, coalesce(c.n, 0) AS n_triangles
+        |FROM embeddings emb LEFT JOIN c ON emb.vec_id = c.v""".stripMargin,
+
+    // q30's langid CASE, crossed with the labeled lang; share in exact
+    // basis points of the truth row.
+    "q134_lang_confusion" ->
+      s"""WITH p AS (SELECT lang, ${OSql.langCase} AS lang_pred
+        |  FROM documents),
+        |c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        | FROM p GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n,
+        |  CAST((n * 10000) // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS share_bp
+        |FROM c""".stripMargin,
+
+    // q44's split assignment rolled up by CUBE (split, source) under
+    // the q123 gid/sentinel conventions.
+    "q135_split_audit" ->
+      """WITH sp AS (SELECT source, n_chars,
+        |  CASE WHEN h < 8000 THEN 'train' WHEN h < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM (SELECT source, n_chars,
+        |   CAST(('0x'||substr(md5('s1'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |     % 10000 AS h
+        |  FROM documents))
+        |SELECT coalesce(split, '<all>') AS split,
+        |  coalesce(source, '<all>') AS source,
+        |  CAST(GROUPING(split) * 2 + GROUPING(source) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_size
+        |FROM sp GROUP BY CUBE (split, source)""".stripMargin,
   )
 }

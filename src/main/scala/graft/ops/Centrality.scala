@@ -71,4 +71,59 @@ object Centrality {
     }
     scores
   }
+
+  /** Per-node triangle counts over an undirected graph — the local
+    * clustering signal (n_triangles / (deg·(deg−1)/2) is the local
+    * clustering coefficient): dense kNN neighborhoods mark redundant
+    * near-duplicate regions, triangle-free nodes mark bridges/noise.
+    *
+    * The scale discipline is DEGREE ORIENTATION (the classic
+    * edge-iterator bound): every edge points from its lower-(degree,
+    * id) endpoint to the higher, making the out-degree of any vertex
+    * O(√m), so the wedge self-join generates O(m^{3/2}) candidates
+    * worst-case instead of Σ deg² — the difference between a hub
+    * exploding quadratically and bounded per-key work. Each triangle
+    * {x, y, z} (rank x < y < z) is found EXACTLY once: as the wedge
+    * (y, z) out of x closed by the oriented edge y→z — no /3
+    * correction, no distinct.
+    *
+    * Scale shape: canonicalize + distinct (one edge-keyed exchange),
+    * a nodes-sized degree aggregate joined back, the u-keyed wedge
+    * self-join (per-key fanout bounded by orientation), and one
+    * (v, w)-keyed closure join; per-vertex counts are a final hash
+    * aggregate over 3× the triangle list. Deterministic: set algebra
+    * only. Input edges may be directed/duplicated — they canonicalize.
+    * Output: idCol, n_triangles (0 for nodes in no triangle). */
+  def triangleCounts(edges: DataFrame, nodes: DataFrame, idCol: String,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("__db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"),
+        when(aFirst, col("__db")).otherwise(col("__da")).as("__dw"))
+    val wedges = oriented
+      .select(col("u"), col("w").as("v"), col("__dw").as("__dv"))
+      .join(oriented.select(col("u"), col("w"), col("__dw")), "u")
+      .filter(col("__dv") < col("__dw") ||
+        (col("__dv") === col("__dw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges
+      .join(oriented.select(col("u").as("v"), col("w")), Seq("v", "w"))
+    val counts = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+    nodes.select(col(idCol))
+      .join(counts.select(col("__v").as(idCol), col("__t")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__t"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -217,6 +217,23 @@ class KnnClusterSpec extends AnyFunSuite {
       3L -> 150000000000L, 4L -> 150000000000L, 9L -> 150000000000L))
   }
 
+  test("triangleCounts: exactly-once per triangle, dup/directed edges canonicalize, zeros kept") {
+    import graft.ops.Centrality
+    // K4 on {1,2,3,4} (4 triangles, 3 per vertex) + pendant 5-1 +
+    // isolated 9; edges deliberately duplicated and both-direction
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val edges = (k4 ++ Seq((1L, 5L), (5L, 1L), (1L, 5L))).toDF("src", "dst")
+    val nodes = (1L to 5L).map(identity).toSeq.union(Seq(9L)).toDF("id")
+    val got = Centrality.triangleCounts(edges, nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 9L -> 0L))
+    // a plain cycle has no triangles
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Centrality.triangleCounts(cyc, nodes, "id")
+      .agg(sum(col("n_triangles"))).head().getLong(0) == 0L)
+  }
+
   test("hardNegatives: same-label twins excluded, nearest different-label wins, null labels out") {
     val items = Seq[(Long, Seq[Float], Option[Int])](
       (0L, Seq(1f, 1f, 1f, 0.2f), Some(1)), // anchor
