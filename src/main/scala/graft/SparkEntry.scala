@@ -1826,6 +1826,34 @@ object SparkEntry {
         "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "s1"),
       Seq("split", "source"), "n_chars")
 
+  /** q136: edit-distance similarity self-join over the 40-char title
+    * prefix — q-gram count filter + rare-first prefix signatures +
+    * exact levenshtein verify ([[graft.ops.StringSim.editDistanceJoin]]);
+    * the oracle is the brute-force quadratic form the operator avoids. */
+  private def qEditJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StringSim.editDistanceJoin(
+      table(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("title")),
+      "doc_id", "title", maxDist = 6, q = 2)
+
+  /** q137: recall@10 of the Hamming-1-probed 8-bit LSH index against
+    * exact brute force, per query — the ANN evaluation harness
+    * ([[graft.ops.Similarity.annRecall]]) under q26/q27's conventions. */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    graft.ops.Similarity.annRecall(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 25), "vec_id", "embedding",
+      k = 10, signBits = 8, probeHamming = 1)
+  }
+
+  /** q138: shingle-containment join — ordered pairs where ≥70% of the
+    * contained doc's distinct 3-gram shingles appear in the container
+    * ([[graft.ops.StringSim.containmentJoin]]); the subsumption signal
+    * Jaccard misses. */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StringSim.containmentJoin(
+      table(s, dir, "documents"), "doc_id", "text", n = 3, tauBp = 7000)
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1964,6 +1992,9 @@ object SparkEntry {
     "q133_knn_triangles" -> (qKnnTriangles _),
     "q134_lang_confusion" -> (qLangConfusion _),
     "q135_split_audit" -> (qSplitAudit _),
+    "q136_edit_join" -> (qEditJoin _),
+    "q137_ann_recall" -> (qAnnRecall _),
+    "q138_containment" -> (qContainment _),
   )
 
   // ------------------------------------------------------------------ //
@@ -4285,5 +4316,63 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS total_size
         |FROM sp GROUP BY CUBE (split, source)""".stripMargin,
+
+    // The quadratic form q136's filter-and-verify plan avoids: all pairs,
+    // exact levenshtein over the 40-char title prefix.
+    "q136_edit_join" ->
+      """WITH s AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 6""".stripMargin,
+
+    // q26's brute top-k and q27's probed-LSH top-k (same cos/tiebreak
+    // conventions, 25 queries, k=10), intersected per query.
+    "q137_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |    FROM embeddings WHERE vec_id < 25),
+        |sc AS (SELECT q.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
+        | FROM embeddings e, q),
+        |bt AS (SELECT qid, id FROM sc QUALIFY row_number()
+        |  OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10),
+        |b AS (SELECT *, ${(0 until 8).map(i =>
+             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM embeddings),
+        |q0 AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM b WHERE vec_id < 25),
+        |qp AS (SELECT qid, qv, unnest([bkt${(0 until 8).map(i =>
+             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM q0),
+        |asc0 AS (SELECT qp.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "qp.qv")} AS cos
+        | FROM b e JOIN qp ON e.bkt = qp.bkt),
+        |ap AS (SELECT qid, id FROM asc0 QUALIFY row_number()
+        |  OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10),
+        |h AS (SELECT bt.qid, count(*) AS n_hit
+        |  FROM bt JOIN ap ON bt.qid = ap.qid AND bt.id = ap.id GROUP BY 1),
+        |f AS (SELECT qid, count(*) AS n_found FROM ap GROUP BY 1)
+        |SELECT q.qid, CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST((coalesce(h.n_hit, 0) * 10000) // 10 AS BIGINT) AS recall_bp
+        |FROM q LEFT JOIN f ON q.qid = f.qid
+        |  LEFT JOIN h ON q.qid = h.qid""".stripMargin,
+
+    // Exact containment over distinct 3-gram shingles: the unrestricted
+    // token-table self-join q138's signature plan avoids.
+    "q138_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |    [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |t AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s
+        |  WHERE len(sh) >= 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.inter, sz.n AS size_a,
+        |  CAST((i.inter * 10000) // sz.n AS BIGINT) AS cont_bp
+        |FROM i JOIN sz ON i.id_a = sz.doc_id
+        |WHERE i.inter * 10000 >= 7000 * sz.n""".stripMargin,
   )
 }

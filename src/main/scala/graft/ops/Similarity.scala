@@ -535,4 +535,43 @@ object Similarity {
       .withColumn("cos", cosine(col(itemVec), col("__qv")))
     topKReduce(joined, itemId, k)
   }
+
+  /** Recall@k of the LSH index against exact brute force — the
+    * evaluation harness every ANN deployment needs BEFORE trusting the
+    * approximate path at scale: recall is a data property (it moves
+    * when the embedding distribution moves), so it is measured on a
+    * query sample as a pipeline step, not assumed from the paper.
+    *
+    * Per query: `n_found` = rows the LSH probe returned (< k when the
+    * probed cells are under-populated), `n_hit` = how many of those are
+    * in the exact top-k, `recall_bp` = `n_hit·10000 div k` (integer
+    * basis points — no float ratios). Both rankings share the
+    * round-6dp cosine + ascending-id tiebreak, so the intersection is
+    * deterministic cross-engine.
+    *
+    * Scale shape: the exact side is the brute-force scan (queries are a
+    * SAMPLE — the broadcast-queries × corpus pass is one linear scan);
+    * the approximate side probes buckets as [[lshTopK]] does. Two
+    * bounded-heap top-k aggregates, a (qid, id)-keyed hash join on two
+    * k-row-per-query tables, and queries-sized joins out. */
+  def annRecall(items: DataFrame, itemId: String, itemVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, signBits: Int, probeHamming: Int = 0): DataFrame = {
+    val truth = bruteForceTopK(items, itemId, itemVec,
+      queries, queryId, queryVec, k)
+    val approx = lshTopK(items, itemId, itemVec,
+      queries, queryId, queryVec, k, signBits, probeHamming)
+    val hits = truth.select(col("qid"), col("id"))
+      .join(approx.select(col("qid"), col("id")), Seq("qid", "id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val found = approx.groupBy(col("qid")).agg(count(lit(1)).as("n_found"))
+    queries.select(col(queryId).as("qid"))
+      .join(found, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_found"), lit(0L)).cast("long").as("n_found"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+        expr(s"CAST((coalesce(n_hit, 0) * 10000) div $k AS BIGINT)")
+          .as("recall_bp"))
+  }
 }

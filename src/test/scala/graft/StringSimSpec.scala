@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Similarity, StringSim}
+
+/** [[graft.ops.StringSim]] + [[graft.ops.Similarity.annRecall]]: hand
+  * fixtures with known answers, and the completeness property that
+  * matters — the filter-and-verify plans return EXACTLY the brute-force
+  * pair sets on randomized inputs (the prefix filter may only ever drop
+  * non-matching candidates, never matching ones). */
+class StringSimSpec extends AnyFunSuite {
+
+  import TestKit._
+  import spark.implicits._
+
+  /** Driver-side reference edit distance (classic DP). */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def editPairsBrute(ss: Seq[String], k: Int): Set[(Long, Long, Long)] =
+    (for {
+      i <- ss.indices; j <- ss.indices if i < j
+      d = lev(ss(i), ss(j)) if d <= k
+    } yield (i.toLong, j.toLong, d.toLong)).toSet
+
+  private def editPairsOp(ss: Seq[String], k: Int, q: Int): Set[(Long, Long, Long)] = {
+    val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    StringSim.editDistanceJoin(df, "id", "s", k, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("editDistanceJoin: hand fixture incl. short-string bucket") {
+    // shorts (len < k*q + q = 6 for k=2, q=2) must still pair up
+    val ss = Seq("abcd", "abxd", "zzzz", "the quick brown fox",
+      "the quick brown fax", "a completely different sentence")
+    val got = editPairsOp(ss, k = 2, q = 2)
+    assert(got === Set((0L, 1L, 1L), (3L, 4L, 1L)))
+  }
+
+  test("editDistanceJoin: identical strings, distance zero") {
+    val got = editPairsOp(Seq("same title", "same title", "other"), 3, 2)
+    assert(got === Set((0L, 1L, 0L)))
+  }
+
+  test("editDistanceJoin completeness property vs brute force") {
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 0 until 3) {
+      val alpha = "abc"
+      val ss = (0 until 36).map { _ =>
+        val len = rnd.nextInt(13) // 0..12 crosses the short-bucket bound
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      for (k <- Seq(1, 2)) {
+        val brute = editPairsBrute(ss, k)
+        val got = editPairsOp(ss, k, q = 2)
+        assert(got === brute, s"round=$round k=$k")
+      }
+    }
+  }
+
+  /** Driver-side reference containment over distinct n-gram shingles. */
+  private def contBrute(docs: Seq[String], n: Int, tauBp: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val sh = docs.map(_.split(" ", -1).toSeq.sliding(n)
+      .filter(_.size == n).map(_.mkString(" ")).toSet)
+    (for {
+      a <- docs.indices; b <- docs.indices
+      if a != b && sh(a).nonEmpty
+      inter = (sh(a) intersect sh(b)).size.toLong
+      if inter * 10000 >= tauBp.toLong * sh(a).size
+    } yield (a.toLong, b.toLong, inter, sh(a).size.toLong,
+      inter * 10000 / sh(a).size)).toSet
+  }
+
+  test("containmentJoin: hand fixture — asymmetric subsumption") {
+    val small = "x y z w v" // shingles: {x y z, y z w, z w v} (3)
+    val big = s"a b c d e $small f g h" // contains all 3 of small's
+    val docs = Seq(small, big, "p q r s t u")
+    val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    val got = StringSim.containmentJoin(df, "id", "t", n = 3, tauBp = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // small ⊂ big at 100%; big ⊄ small (3 of 12 shingles)
+    assert(got === Set((0L, 1L, 3L, 3L, 10000L)))
+  }
+
+  test("containmentJoin completeness property vs brute force") {
+    val rnd = new scala.util.Random(42L)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 30).map { _ =>
+      val len = 2 + rnd.nextInt(12) // below-n docs exercise the empty guard
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    for (tauBp <- Seq(5000, 8000, 10000)) {
+      val got = StringSim.containmentJoin(df, "id", "t", 3, tauBp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === contBrute(docs, 3, tauBp), s"tauBp=$tauBp")
+    }
+  }
+
+  test("annRecall: hand fixture — cross-bucket misses counted exactly") {
+    // two sign-opposite clusters in the first 2 dims; signBits=2, no probes
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(0.9f, 1.0f)),
+      (2L, Array(-1.0f, -1.0f)), (3L, Array(-0.9f, -1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.annRecall(df, "vec_id", "embedding",
+        df.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 3, signBits = 2, probeHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // bucket (+,+) holds {0, 1} → found 2; exact top-3 = {0, 1, 3}
+    // (cos(v0,v3) ≈ −0.999 beats cos(v0,v2) = −1) → hits {0, 1}
+    assert(got === Set((0L, 2L, 2L, 6666L)))
+  }
+
+  test("annRecall: probing every Hamming-1 cell reaches full recall here") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(0.9f, 1.0f)),
+      (2L, Array(-1.0f, 1.0f)), (3L, Array(1.0f, -1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.annRecall(df, "vec_id", "embedding",
+        df.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 3, signBits = 2, probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // probes cover buckets 3, 2, 1 → candidates {0,1,2,3}; top-3 found
+    assert(got === Set((0L, 3L, 3L, 10000L)))
+  }
+}
