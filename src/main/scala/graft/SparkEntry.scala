@@ -1826,15 +1826,29 @@ object SparkEntry {
         "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "s1"),
       Seq("split", "source"), "n_chars")
 
-  /** q136: edit-distance similarity self-join over the 40-char title
-    * prefix — q-gram count filter + rare-first prefix signatures +
-    * exact levenshtein verify ([[graft.ops.StringSim.editDistanceJoin]]);
-    * the oracle is the brute-force quadratic form the operator avoids. */
-  private def qEditJoin(s: SparkSession, dir: String): DataFrame =
+  /** q136: probe-vs-corpus edit-distance lookup over the 40-char title
+    * prefix — a 50-doc probe batch fuzzy-matched against the standing
+    * corpus ([[graft.ops.StringSim.editDistanceLookup]]: corpus-side
+    * gram order, banded-levenshtein verify); the oracle is the
+    * probe × corpus product the operator's filter chain avoids. */
+  private def qEditJoin(s: SparkSession, dir: String): DataFrame = {
+    val titles = table(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+    graft.ops.StringSim.editDistanceLookup(
+      titles.filter(col("doc_id") < 50), "doc_id", "title",
+      titles, "doc_id", "title", maxDist = 6, q = 2)
+  }
+
+  /** q139: blocked edit-distance self-join — near-identical titles
+    * WITHIN the same (lang, source), the production blocking discipline
+    * ([[graft.ops.StringSim.editDistanceJoin]] with `blockOn`). */
+  private def qEditBlocked(s: SparkSession, dir: String): DataFrame =
     graft.ops.StringSim.editDistanceJoin(
       table(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("title")),
-      "doc_id", "title", maxDist = 6, q = 2)
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 40).as("title")),
+      "doc_id", "title", maxDist = 6, q = 2,
+      blockOn = Seq("lang", "source"))
 
   /** q137: recall@10 of the Hamming-1-probed 8-bit LSH index against
     * exact brute force, per query — the ANN evaluation harness
@@ -1846,13 +1860,13 @@ object SparkEntry {
       k = 10, signBits = 8, probeHamming = 1)
   }
 
-  /** q138: shingle-containment join — ordered pairs where ≥70% of the
+  /** q138: shingle-containment join — ordered pairs where ≥80% of the
     * contained doc's distinct 3-gram shingles appear in the container
     * ([[graft.ops.StringSim.containmentJoin]]); the subsumption signal
     * Jaccard misses. */
   private def qContainment(s: SparkSession, dir: String): DataFrame =
     graft.ops.StringSim.containmentJoin(
-      table(s, dir, "documents"), "doc_id", "text", n = 3, tauBp = 7000)
+      table(s, dir, "documents"), "doc_id", "text", n = 3, tauBp = 8000)
 
   // ------------------------------------------------------------------ //
 
@@ -1995,6 +2009,7 @@ object SparkEntry {
     "q136_edit_join" -> (qEditJoin _),
     "q137_ann_recall" -> (qAnnRecall _),
     "q138_containment" -> (qContainment _),
+    "q139_edit_blocked" -> (qEditBlocked _),
   )
 
   // ------------------------------------------------------------------ //
@@ -4317,13 +4332,24 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_size
         |FROM sp GROUP BY CUBE (split, source)""".stripMargin,
 
-    // The quadratic form q136's filter-and-verify plan avoids: all pairs,
-    // exact levenshtein over the 40-char title prefix.
+    // The probe × corpus product q136's filter-and-verify plan avoids:
+    // exact levenshtein over the 40-char title prefix, probe doc_id < 50.
     "q136_edit_join" ->
       """WITH s AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |FROM (SELECT * FROM s WHERE doc_id < 50) a, s b
+        |WHERE levenshtein(a.p, b.p) <= 6""".stripMargin,
+
+    // q136's brute form restricted to the (lang, source) block — the
+    // self-join contract: only within-block pairs exist.
+    "q139_edit_blocked" ->
+      """WITH s AS (SELECT doc_id, lang, source, substr(text, 1, 40) AS p
+        |  FROM documents)
+        |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        |FROM s a JOIN s b
+        |  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
         |WHERE levenshtein(a.p, b.p) <= 6""".stripMargin,
 
     // q26's brute top-k and q27's probed-LSH top-k (same cos/tiebreak
@@ -4356,16 +4382,14 @@ object SparkEntry {
         |FROM q LEFT JOIN f ON q.qid = f.qid
         |  LEFT JOIN h ON q.qid = h.qid""".stripMargin,
 
-    // Exact containment over distinct 3-gram shingles: the unrestricted
-    // token-table self-join q138's signature plan avoids.
+    // Exact containment over the same md5-60-bit 3-shingle hashes the
+    // engine shuffles: the unrestricted hash-table self-join q138's
+    // signature plan avoids.
     "q138_containment" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |s AS (SELECT doc_id, list_distinct(
-        |    [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-        |  FROM w WHERE len(ws) >= 3),
-        |t AS (SELECT doc_id, unnest(sh) AS tok FROM s),
-        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s
-        |  WHERE len(sh) >= 1),
+      s"""${OSql.shingleCte},
+        |t AS (SELECT doc_id, nsh,
+        |    CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS tok FROM sh),
+        |sz AS (SELECT DISTINCT doc_id, CAST(nsh AS BIGINT) AS n FROM t),
         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(count(*) AS BIGINT) AS inter
         |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
@@ -4373,6 +4397,6 @@ object SparkEntry {
         |SELECT i.id_a, i.id_b, i.inter, sz.n AS size_a,
         |  CAST((i.inter * 10000) // sz.n AS BIGINT) AS cont_bp
         |FROM i JOIN sz ON i.id_a = sz.doc_id
-        |WHERE i.inter * 10000 >= 7000 * sz.n""".stripMargin,
+        |WHERE i.inter * 10000 >= 8000 * sz.n""".stripMargin,
   )
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * quote-detection direction Jaccard is blind to, because a short doc
   * contained in a long one has low Jaccard but 100% containment).
   *
-  * Both operators follow the filter-and-verify discipline (Gravano et
+  * All operators follow the filter-and-verify discipline (Gravano et
   * al. VLDB 2001; Xiao et al. Ed-Join VLDB 2008; Chaudhuri et al. ICDE
   * 2006 prefix filtering): a COMPLETE signature join proposes a candidate
   * superset, and an exact per-pair predicate keeps only true matches —
@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   * ascending global frequency (rarest first), the standard choice that
   * minimizes candidate fanout: a gram shared by half the corpus is
   * pushed out of every signature that can afford to drop it.
+  *
+  * SCALE HONESTY: no exact edit filter survives an adversarial corpus.
+  * When strings are near-uniform draws over a tiny alphabet (the
+  * synthetic word-soup corpus is exactly this), every pair shares even
+  * its rarest grams and the candidate set degrades toward all-pairs —
+  * measured here: 40-char soup titles pass ~70% of pairs through the
+  * k=6 prefix filter. Production edit joins therefore DEPLOY in one of
+  * two scale-sane shapes, both provided: probe-vs-corpus lookup
+  * ([[editDistanceLookup]] — candidates bounded by |probe| × corpus
+  * collisions) and a blocked self-join ([[editDistanceJoin]] with
+  * `blockOn` — candidates bounded per block). The unblocked self-join
+  * remains available and exact; its worst case is the data's fault.
   */
 object StringSim {
 
@@ -34,10 +46,12 @@ object StringSim {
       .otherwise(array().cast("array<string>"))
 
   /** Edit-distance similarity self-join: all unordered pairs `{a, b}`
-    * with `levenshtein(a, b) <= maxDist` over `strCol`, found without
-    * comparing all pairs.
+    * with `levenshtein(a, b) <= maxDist` over `strCol` — restricted to
+    * pairs agreeing on every `blockOn` column when blocking keys are
+    * given (the production discipline: near-identical titles WITHIN a
+    * language/source; cross-block pairs are out of contract).
     *
-    * Filter chain (each step preserves completeness):
+    * Filter chain (each step preserves within-block completeness):
     *  1. **q-gram count filter** (Gravano et al.): one edit operation
     *     destroys at most `q` of a string's `|s|−q+1` q-grams, so
     *     `ed(s,t) <= k` forces a multiset q-gram overlap of at least
@@ -50,56 +64,141 @@ object StringSim {
     *     independent of string length.
     *  3. **Length filter**: `| |s| − |t| | <= k` (each edit changes
     *     length by at most 1), applied before the verify.
-    *  4. **Exact verify**: `levenshtein` (codegen built-in) on the
-    *     surviving candidates.
+    *  4. **Exact verify**: threshold-form `levenshtein` — banded DP,
+    *     `O(k·n)` per pair with early exit, not the full `O(n²)`
+    *     table; the verify is the hot loop when data defeats the
+    *     prefix filter.
     *
     * Strings with at most `k·q` grams (length `< k·q + q`) get no
     * overlap guarantee from step 1 (the bound is vacuous when both
     * sides are that short), so the short stragglers are all-paired
-    * among themselves — by construction a bounded bucket (strings
-    * shorter than ~`k·q` chars); short×long pairs are still covered by
-    * the main path because the long side's bound stays positive and
-    * `k·q + 1` grams cover the short side's whole multiset.
+    * among themselves per block — by construction a bounded bucket
+    * (strings shorter than ~`k·q` chars); short×long pairs are still
+    * covered by the main path because the long side's bound stays
+    * positive and `k·q + 1` grams cover the short side's whole
+    * multiset.
     *
     * Scale shape: one explode to the gram table (`Σ|s|` rows), a
     * vocab-sized frequency aggregate broadcast back, one doc-keyed
     * exchange for the per-string rank (partitions of `|s|` rows — never
-    * a global sort), the gram-keyed candidate equi-join (the only
-    * fanout, bounded by the rare-first prefix discipline), and a
-    * pair-keyed verify. No all-pairs product anywhere.
+    * a global sort), the (gram, block)-keyed candidate equi-join (the
+    * only fanout, bounded by the rare-first prefix discipline and the
+    * block sizes), and a pair-keyed verify. No all-pairs product
+    * anywhere (except the per-block short bucket by design).
     *
-    * Output: `id_a`, `id_b` (`id_a < id_b`), `dist` (long). */
+    * Output: `blockOn` columns, `id_a`, `id_b` (`id_a < id_b`),
+    * `dist` (long). */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, q: Int = 2): DataFrame = {
+      maxDist: Int, q: Int = 2, blockOn: Seq[String] = Nil,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(maxDist >= 1 && maxDist <= 32, s"maxDist in [1, 32], got $maxDist")
     require(q >= 1 && q <= 8, s"q in [1, 8], got $q")
     val sigLen = maxDist * q + 1
-    val s = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .filter(col("__s").isNotNull)
-    val grams = s.select(col("__id"),
-      posexplode(charGrams(col("__s"), q)).as(Seq("__pos", "__g")))
+    val bks = blockOn.map(c => s"__bk_$c")
+    // the string table feeds the gram build, the short bucket, and both
+    // verify joins; the gram table feeds the frequency agg and the rank —
+    // cache both or each consumer re-scans + re-explodes the source
+    val s = scope.cache(df.select(
+        col(idCol).as("__id") +: col(strCol).as("__s") +:
+          blockOn.zip(bks).map { case (c, b) => col(c).as(b) }: _*)
+      .filter(col("__s").isNotNull))
+    val grams = scope.cache(s.select(
+      col("__id") +: bks.map(col) :+
+        posexplode(charGrams(col("__s"), q)).as(Seq("__pos", "__g")): _*))
     val freq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
     val rankW = Window.partitionBy(col("__id"))
       .orderBy(col("__f").asc, col("__g").asc, col("__pos").asc)
     val sig = grams.join(broadcast(freq), "__g")
       .withColumn("__rn", row_number().over(rankW))
       .filter(col("__rn") <= sigLen)
-      .select(col("__id"), col("__g"))
-    val candMain = sig.join(sig.select(col("__id").as("__idb"), col("__g")), "__g")
-      .filter(col("__id") < col("__idb"))
-      .select(col("__id").as("id_a"), col("__idb").as("id_b"))
-    // both-short stragglers: no count-filter guarantee, all-pair them
+      .select(col("__id") +: col("__g") +: bks.map(col): _*)
+    val candMain = sig.select(col("__id").as("__ida") +: col("__g") +: bks.map(col): _*)
+      .join(sig.select(col("__id").as("__idb") +: col("__g") +: bks.map(col): _*),
+        "__g" +: bks)
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
+    // both-short stragglers: no count-filter guarantee, all-pair per block
     val short = s.filter(length(col("__s")) < maxDist * q + q)
-      .select(col("__id"))
-    val candShort = short.crossJoin(short.select(col("__id").as("__idb")))
-      .filter(col("__id") < col("__idb"))
-      .select(col("__id").as("id_a"), col("__idb").as("id_b"))
+    val shortL = short.select(col("__id").as("__ida") +: bks.map(col): _*)
+    val shortR = short.select(col("__id").as("__idb") +: bks.map(col): _*)
+    val candShort =
+      (if (bks.isEmpty) shortL.crossJoin(shortR) else shortL.join(shortR, bks))
+        .filter(col("__ida") < col("__idb"))
+        .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
     candMain.unionByName(candShort).distinct()
-      .join(s.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(s.select(col("__id").as("id_a") +: col("__s").as("__sa") +:
+        bks.map(col): _*), "id_a")
       .join(s.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
       .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // threshold form = banded DP: O(k·n) per pair with early exit
+      // (returns −1 above the threshold), not the full O(n²) table
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(blockOn.zip(bks).map { case (c, b) => col(b).as(c) } ++
+        Seq(col("id_a"), col("id_b"), col("dist")): _*)
+  }
+
+  /** Probe-vs-corpus edit-distance lookup: for every probe string, all
+    * corpus strings within `maxDist` — fuzzy entity resolution / typo
+    * matching at its deployed granularity (a batch of incoming records
+    * matched against a standing reference, never reference × reference).
+    *
+    * Same filter chain as [[editDistanceJoin]]; the global gram order is
+    * computed from the CORPUS side and probe grams absent from the
+    * corpus rank as frequency 0 (any consistent total order preserves
+    * the prefix-intersection guarantee, and an absent gram can only
+    * occupy probe prefix slots, never corpus ones). Candidates are
+    * bounded by |probe| × per-gram corpus fanout — linear in the corpus
+    * for a fixed probe batch, whatever the alphabet does.
+    *
+    * Output: `id_a` (probe), `id_b` (corpus), `dist` (long); a probe
+    * row present in the corpus matches itself at distance 0. */
+  def editDistanceLookup(
+      probe: DataFrame, probeId: String, probeStr: String,
+      corpus: DataFrame, corpusId: String, corpusStr: String,
+      maxDist: Int, q: Int = 2,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 32, s"maxDist in [1, 32], got $maxDist")
+    require(q >= 1 && q <= 8, s"q in [1, 8], got $q")
+    val sigLen = maxDist * q + 1
+    val c = scope.cache(corpus
+      .select(col(corpusId).as("__cid"), col(corpusStr).as("__cs"))
+      .filter(col("__cs").isNotNull))
+    val p = scope.cache(probe
+      .select(col(probeId).as("__pid"), col(probeStr).as("__ps"))
+      .filter(col("__ps").isNotNull))
+    val cGrams = scope.cache(c.select(col("__cid"),
+      posexplode(charGrams(col("__cs"), q)).as(Seq("__pos", "__g"))))
+    val freq = cGrams.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
+    val cRankW = Window.partitionBy(col("__cid"))
+      .orderBy(col("__f").asc, col("__g").asc, col("__pos").asc)
+    val cSig = cGrams.join(broadcast(freq), "__g")
+      .withColumn("__rn", row_number().over(cRankW))
+      .filter(col("__rn") <= sigLen)
+      .select(col("__cid"), col("__g"))
+    val pRankW = Window.partitionBy(col("__pid"))
+      .orderBy(col("__f").asc, col("__g").asc, col("__pos").asc)
+    val pSig = p.select(col("__pid"),
+        posexplode(charGrams(col("__ps"), q)).as(Seq("__pos", "__g")))
+      .join(broadcast(freq), Seq("__g"), "left")
+      .withColumn("__f", coalesce(col("__f"), lit(0L)))
+      .withColumn("__rn", row_number().over(pRankW))
+      .filter(col("__rn") <= sigLen)
+      .select(col("__pid"), col("__g"))
+    val candMain = pSig.join(cSig, "__g")
+      .select(col("__pid").as("id_a"), col("__cid").as("id_b"))
+    val candShort = p.filter(length(col("__ps")) < maxDist * q + q)
+      .select(col("__pid").as("id_a"))
+      .crossJoin(c.filter(length(col("__cs")) < maxDist * q + q)
+        .select(col("__cid").as("id_b")))
+    candMain.unionByName(candShort).distinct()
+      .join(p.select(col("__pid").as("id_a"), col("__ps").as("__sa")), "id_a")
+      .join(c.select(col("__cid").as("id_b"), col("__cs").as("__sb")), "id_b")
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -120,25 +219,38 @@ object StringSim {
     * The exact intersection is then counted per candidate pair and the
     * threshold applied as integer arithmetic (no float ratios).
     *
-    * Scale shape: one explode to the shingle table, a vocab-sized
-    * frequency aggregate broadcast back, a doc-keyed rank exchange, the
-    * shingle-keyed candidate join (signature × inverted index), and a
-    * pair-restricted intersection count (candidates × A-shingles joined
-    * once more against the index — never the unrestricted
-    * shingle-table self-join). Frequency-ascending signatures keep hot
-    * shingles out of the probe side.
+    * Shingles travel as the 60-bit [[graft.functions.ShingleHashesFn]]
+    * hashes, not strings — every exchange carries 8-byte longs, and the
+    * DuckDB oracle mirrors the identical md5-based hash so the (≈
+    * n²/2^61, none in practice) collision behavior is engine-identical.
+    *
+    * Scale shape: one codegen shingle-hash scan cached and exploded, a
+    * vocab-sized frequency aggregate broadcast back, a doc-keyed rank
+    * exchange, the hash-keyed candidate join (signature × inverted
+    * index), and a pair-restricted intersection count (candidates ×
+    * A-shingles joined once more against the index — never the
+    * unrestricted shingle-table self-join). Frequency-ascending
+    * signatures keep hot shingles out of the probe side; the index side
+    * is uncapped by necessity (capping would silently break the
+    * containment contract), so a boilerplate shingle shared by most of
+    * the corpus is the AQE-skew/salting hazard to watch — same note as
+    * BM25's posting join.
     *
     * Output: `id_a` (contained), `id_b` (container), `inter`, `size_a`,
     * `cont_bp` (= `inter·10000 div size_a`, all long). */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
-      n: Int, tauBp: Int): DataFrame = {
+      n: Int, tauBp: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(n >= 1 && n <= 16, s"n in [1, 16], got $n")
     require(tauBp >= 1 && tauBp <= 10000, s"tauBp in [1, 10000], got $tauBp")
-    val base = df.select(col(idCol).as("__id"),
-        Dedup.wordShingles(col(textCol), n).as("__sh"))
-      .select(col("__id"), col("__sh"), size(col("__sh")).as("__na"))
-      .filter(col("__na") >= 1)
-    val sh = base.select(col("__id"), col("__na"), explode(col("__sh")).as("__t"))
+    // five consumers (frequency agg, signature rank, index side of the
+    // candidate join, both sides of the intersection count) — cache the
+    // exploded hash table once or each re-tokenizes the corpus
+    val sh = scope.cache(df.select(col(idCol).as("__id"),
+        graft.functions.ShingleHashesFn(col(textCol), n).as("__shs"))
+      .withColumn("__na", size(col("__shs")))
+      .select(col("__id"), col("__na"), explode_outer(col("__shs")).as("__t"))
+      .filter(col("__t").isNotNull))
     val freq = sh.groupBy(col("__t")).agg(count(lit(1)).as("__f"))
     // prefix length |A| - ceil(tauBp*|A|/10000) + 1, integer-exact
     val prefLen = expr(s"__na - (($tauBp * CAST(__na AS BIGINT) + 9999) div 10000) + 1")
@@ -156,8 +268,9 @@ object StringSim {
       .join(sh.select(col("__id").as("id_a"), col("__t")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__t")), Seq("id_b", "__t"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("__id"), col("__na")).distinct()
     inter
-      .join(base.select(col("__id").as("id_a"), col("__na").as("size_a")), "id_a")
+      .join(sizes.select(col("__id").as("id_a"), col("__na").as("size_a")), "id_a")
       .withColumn("cont_bp",
         expr("CAST((inter * 10000) div size_a AS BIGINT)"))
       .filter(col("inter") * 10000L >= lit(tauBp.toLong) * col("size_a"))

@@ -66,6 +66,47 @@ class StringSimSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistanceJoin with blockOn: only within-block pairs, property") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 30).map { i =>
+      val len = rnd.nextInt(11)
+      val s = (0 until len).map(_ => "ab" (rnd.nextInt(2))).mkString
+      (i.toLong, s, "blk" + rnd.nextInt(2))
+    }
+    val df = rows.toDF("id", "s", "b")
+    val got = graft.ops.StringSim
+      .editDistanceJoin(df, "id", "s", 2, 2, blockOn = Seq("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = (for {
+      i <- rows.indices; j <- rows.indices if i < j
+      if rows(i)._3 == rows(j)._3
+      d = lev(rows(i)._2, rows(j)._2) if d <= 2
+    } yield (rows(i)._3, i.toLong, j.toLong, d.toLong)).toSet
+    assert(got === want)
+  }
+
+  test("editDistanceLookup completeness property vs brute force") {
+    val rnd = new scala.util.Random(99L)
+    val corpus = (0 until 40).map { i =>
+      val len = rnd.nextInt(13)
+      (i.toLong, (0 until len).map(_ => "abc" (rnd.nextInt(3))).mkString)
+    }
+    val probe = corpus.take(6) ++ Seq((100L, "cabacaba"), (101L, ""))
+    val cDf = corpus.toDF("id", "s")
+    val pDf = probe.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = graft.ops.StringSim
+        .editDistanceLookup(pDf, "id", "s", cDf, "id", "s", k, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (pi, ps) <- probe; (ci, cs) <- corpus
+        d = lev(ps, cs) if d <= k
+      } yield (pi, ci, d.toLong)).toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
   /** Driver-side reference containment over distinct n-gram shingles. */
   private def contBrute(docs: Seq[String], n: Int, tauBp: Int)
       : Set[(Long, Long, Long, Long, Long)] = {
