@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dsl._
 import graft.batch.BatchCompiler
-import graft.ops.{CacheScope, Dedup, Keyed, Multimodal, PiiScrub, Similarity, TextAnalysis}
+import graft.ops.{CacheScope, Dedup, Keyed, Multimodal, PiiScrub, Retrieval, Similarity, TextAnalysis}
 
 /** Driver contract — named batch queries + DuckDB oracle twins.
   *
@@ -1868,6 +1868,31 @@ object SparkEntry {
     graft.ops.StringSim.containmentJoin(
       table(s, dir, "documents"), "doc_id", "text", n = 3, tauBp = 8000)
 
+  /** q140: k-core of the part–supplier bipartite graph (supplier ids
+    * offset into their own range) — iterative peeling to fixpoint
+    * ([[graft.ops.Centrality.kCore]]); the oracle unrolls the peel as a
+    * fixed CTE chain (6 rounds ≥ the observed fixpoint at both SFs, and
+    * extra rounds are idempotent). */
+  private def qKCore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Centrality.kCore(
+      table(s, dir, "lineitem").select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst")),
+      "node_id", k = 30)
+
+  /** q141: exact-phrase retrieval over positional postings
+    * ([[graft.ops.Retrieval.phraseSearch]]) — a 2-token and a 3-token
+    * phrase, union-labeled; the primitive BM25's bag-of-words misses. */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Retrieval.phraseSearch(docs, "doc_id", col("text"), Seq("table", "hash"))
+      .withColumn("phrase", lit("table hash"))
+      .unionByName(
+        Retrieval.phraseSearch(docs, "doc_id", col("text"),
+            Seq("slow", "hash", "batch"))
+          .withColumn("phrase", lit("slow hash batch")))
+      .select(col("phrase"), col("doc_id"), col("n_occ"))
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2010,6 +2035,8 @@ object SparkEntry {
     "q137_ann_recall" -> (qAnnRecall _),
     "q138_containment" -> (qContainment _),
     "q139_edit_blocked" -> (qEditBlocked _),
+    "q140_kcore" -> (qKCore _),
+    "q141_phrase_search" -> (qPhraseSearch _),
   )
 
   // ------------------------------------------------------------------ //
@@ -4398,5 +4425,39 @@ object SparkEntry {
         |  CAST((i.inter * 10000) // sz.n AS BIGINT) AS cont_bp
         |FROM i JOIN sz ON i.id_a = sz.doc_id
         |WHERE i.inter * 10000 >= 8000 * sz.n""".stripMargin,
+
+    // The engine's peel, unrolled: 6 rounds of "drop degree<30 nodes,
+    // keep edges between survivors" over the symmetric part–supplier
+    // adjacency — past the fixpoint, rounds are idempotent.
+    "q140_kcore" -> {
+      val rounds = (1 to 6).map(i =>
+        s"""k$i AS (SELECT v FROM (
+           |   SELECT v, count(*) AS d FROM c${i - 1} GROUP BY 1) WHERE d >= 30),
+           |c$i AS (SELECT c.v, c.w FROM c${i - 1} c
+           |  JOIN k$i x ON c.v = x.v JOIN k$i y ON c.w = y.v)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000 AS s
+        |  FROM lineitem),
+        |c0 AS (SELECT p AS v, s AS w FROM e UNION ALL SELECT s, p FROM e),
+        |$rounds
+        |SELECT v AS node_id, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM c6 GROUP BY 1""".stripMargin
+    },
+
+    // Positional phrase matching over the same whitespace tokens, via
+    // list comprehension — overlapping occurrences all count.
+    "q141_phrase_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |a AS (SELECT 'table hash' AS phrase, doc_id,
+        |  CAST(len([i for i in range(1, len(ws))
+        |    if ws[i] = 'table' AND ws[i+1] = 'hash']) AS BIGINT) AS n_occ
+        | FROM w),
+        |b AS (SELECT 'slow hash batch' AS phrase, doc_id,
+        |  CAST(len([i for i in range(1, len(ws) - 1)
+        |    if ws[i] = 'slow' AND ws[i+1] = 'hash' AND ws[i+2] = 'batch'])
+        |   AS BIGINT) AS n_occ
+        | FROM w)
+        |SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |WHERE n_occ >= 1""".stripMargin,
   )
 }

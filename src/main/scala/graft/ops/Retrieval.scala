@@ -100,4 +100,41 @@ object Retrieval {
     Rank.topNPerGroup(perDoc, Seq(qidCol), idCol, "score", k)
       .select(col(qidCol), col("id").as(idCol), col("score"), col("rank"))
   }
+
+  /** Exact-phrase search over positional postings: documents containing
+    * the token sequence `phrase` contiguously, with occurrence counts
+    * (overlapping occurrences all count — "a a a" holds TWO "a a"s).
+    * The retrieval primitive BM25's bag-of-words scoring cannot
+    * express: "foo bar" as a PHRASE, not two terms.
+    *
+    * Scale shape: ONE token scan filtered to the phrase's terms before
+    * anything else (`isin` pushes into the explode — the posting lists
+    * are phrase-vocabulary-sized, a vanishing fraction of the corpus),
+    * cached once, then `len(phrase) − 1` (doc, position)-keyed
+    * equi-joins anchored on the FIRST term, each join key carrying the
+    * position offset so only aligned occurrences survive. Join fanout
+    * per step is bounded by per-doc term frequency; a stopword inside
+    * the phrase makes a fat posting list — the standard mitigation
+    * (anchor the chain on the rarest term first) is a join-order
+    * choice AQE makes from runtime sizes, and the chain is
+    * commutative: every order yields the same aligned positions.
+    * Output: `idCol`, `n_occ` (long, ≥ 1). */
+  def phraseSearch(docs: DataFrame, idCol: String, text: Column,
+      phrase: Seq[String],
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 16,
+      s"phrase of 1..16 tokens, got ${phrase.size}")
+    val toks = scope.cache(docs
+      .select(col(idCol), posexplode(split(text, " ")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok").isin(phrase.distinct: _*)))
+    val anchor = toks.filter(col("__tok") === phrase.head)
+      .select(col(idCol), col("__pos"))
+    val aligned = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (w, i)) =>
+        acc.join(toks.filter(col("__tok") === w)
+            .select(col(idCol), (col("__pos") - i).as("__pos")),
+          Seq(idCol, "__pos"))
+    }
+    aligned.groupBy(col(idCol)).agg(count(lit(1)).as("n_occ"))
+  }
 }

@@ -279,4 +279,29 @@ class KnnClusterSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(tied(11L) == 1, "1-1 vote tie goes to the lowest label")
   }
+
+  test("kCore: peeling cascade to the exact core, directed dups canonicalize") {
+    // K4 on {1,2,3,4} + a pendant chain 4-5-6 + a triangle {7,8,9}
+    // hanging off 1 via edge 1-7. 3-core = exactly the K4: the chain
+    // peels immediately; the triangle's degree-2 corners peel, which
+    // drops 7 below 3 even though deg(7)=3 initially (cascade).
+    val es = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (5, 6), (7, 8), (7, 9), (8, 9), (1, 7),
+      (2, 1), (3, 1)) // directed duplicates must not inflate degrees
+    val edges = es.toDF("src", "dst")
+    val got = graft.ops.Centrality.kCore(edges, "node_id", k = 3)
+      .collect().map(r => r.getAs[Number]("node_id").longValue ->
+        r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2 keeps K4, the triangle AND the 1-7 bridge (both ends stay
+    // core members) — only the pendant chain peels
+    val g2 = graft.ops.Centrality.kCore(edges, "node_id", k = 2)
+      .collect().map(r => r.getAs[Number]("node_id").longValue ->
+        r.getLong(1)).toMap
+    assert(g2 === Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      7L -> 3L, 8L -> 2L, 9L -> 2L))
+    // empty core converges (everything peels)
+    val g9 = graft.ops.Centrality.kCore(edges, "node_id", k = 9)
+    assert(g9.count() === 0L)
+  }
 }

@@ -91,4 +91,29 @@ class RetrievalSpec extends AnyFunSuite {
         s"seed $seed")
     }
   }
+
+  test("phraseSearch: aligned positions only, overlaps count, chain order-free") {
+    val docs = Seq(
+      (1L, "x table hash y table hash"),   // two non-overlapping occurrences
+      (2L, "table y hash"),                // terms present, never adjacent
+      (3L, "hash table"),                  // reversed order is no match
+      (4L, "table hash"),                  // exact doc
+      (5L, "zzz")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", col("text"),
+        Seq("table", "hash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 4L -> 1L))
+    // overlapping occurrences all count: "a a a" holds two "a a"s
+    val ov = Retrieval.phraseSearch(
+        Seq((1L, "a a a")).toDF("doc_id", "text"), "doc_id", col("text"),
+        Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ov === Map(1L -> 2L))
+    // three-term phrase: only the full contiguous run matches
+    val tri = Retrieval.phraseSearch(
+        Seq((1L, "p q r"), (2L, "p q x r"), (3L, "w p q r w p q r"))
+          .toDF("doc_id", "text"), "doc_id", col("text"), Seq("p", "q", "r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(1L -> 1L, 3L -> 2L))
+  }
 }
