@@ -377,7 +377,47 @@ object ScaleProbe {
       }),
       "rolling_active" -> (() =>
         graft.ops.Events.rollingActiveUsers(evs, "user_id", "ts_us",
-          windowDays = 7).count()))
+          windowDays = 7).count()),
+      // r14 string-sim + retrieval + graph families, each mirroring its
+      // registered query's parameters (q136/q139/q138/q141/q140). The
+      // red lines: lookup — corpus-side signature build staying linear
+      // with the probe batch FIXED at 50; blocked self-join — per-block
+      // candidate quadratics (block count is fixed at langs×sources, so
+      // blocks grow ∝ scale); containment — the uncapped inverted-index
+      // fanout; phrase — a frequent term's posting join; kcore — peel
+      // rounds staying flat on a constant-degree bipartite graph
+      // (parts/suppliers/edges all ∝ scale, degrees Poisson-constant).
+      "edit_lookup" -> (() => CacheScope.using { sc =>
+        val titles = docs.select(col("doc_id"),
+          substring(col("text"), 1, 40).as("title"))
+        graft.ops.StringSim.editDistanceLookup(
+          titles.filter(col("doc_id") < 50), "doc_id", "title",
+          titles, "doc_id", "title", maxDist = 6, q = 2, scope = sc).count()
+      }),
+      "edit_blocked" -> (() => CacheScope.using { sc =>
+        graft.ops.StringSim.editDistanceJoin(
+          docs.select(col("doc_id"), col("lang"), col("source"),
+            substring(col("text"), 1, 40).as("title")),
+          "doc_id", "title", maxDist = 6, q = 2,
+          blockOn = Seq("lang", "source"), scope = sc).count()
+      }),
+      "containment" -> (() => CacheScope.using { sc =>
+        graft.ops.StringSim.containmentJoin(docs, "doc_id", "text",
+          n = 3, tauBp = 8000, scope = sc).count()
+      }),
+      "phrase_search" -> (() => CacheScope.using { sc =>
+        graft.ops.Retrieval.phraseSearch(docs, "doc_id", col("text"),
+          Seq("w0", "w1"), scope = sc).count()
+      }),
+      "kcore" -> (() => {
+        val parts = 2000L * scale
+        val supps = 100L * scale
+        val e = docs.sparkSession.range(60000L * scale).select(
+          pmod(hash(col("id"), lit(1)).cast("long"), lit(parts)).as("src"),
+          (pmod(hash(col("id"), lit(2)).cast("long"), lit(supps)) +
+            10000000000L).as("dst"))
+        graft.ops.Centrality.kCore(e, "node_id", k = 20).count()
+      }))
 
     // fail fast on a typo'd filter — otherwise the probe spends minutes
     // generating both corpora and then reports an empty ops map as if

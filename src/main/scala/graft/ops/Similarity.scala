@@ -264,13 +264,14 @@ object Similarity {
     * per-row projection, no shuffle (an argmax-by-join would shuffle
     * the corpus once per assignment pass). */
   private def nearestCentroid(vec: Column,
-      centroids: Seq[(Int, Array[Float])]): Column = {
-    val cos = centroids.map { case (cid, v) => cid -> cosine(vec, typedLit(v)) }
-    val best = greatest(cos.map(_._2): _*)
-    cos.foldRight(lit(-1): Column) { case ((cid, c), els) =>
-      when(c === best, lit(cid)).otherwise(els) // earliest (lowest) cid wins ties
-    }
-  }
+      centroids: Seq[(Int, Array[Float])]): Column =
+    // one generated static call ([[graft.functions.NearestCentroid]]);
+    // the k-cosines → greatest → when-chain Column form it replaces
+    // trips a janino "not an rvalue" compile error at k = 8 and drops
+    // the whole stage to interpreted execution — same argmax semantics
+    // (round-6 cosine, earliest centroid wins ties, dim-mismatch
+    // skipped, all-mismatch → −1), oracle-hash-verified on q37/q98
+    graft.functions.NearestCentroidFn(vec, centroids)
 
   /** One Lloyd iteration of cosine k-means as a corpus operator — the
     * training step behind the IVF coarse quantizer and semantic-cluster

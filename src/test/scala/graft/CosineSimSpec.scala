@@ -183,4 +183,40 @@ class CosineSimSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(out(1L) == false && out(2L) == true)
   }
+
+  test("NearestCentroid: argmax parity with the greatest/when chain") {
+    import graft.functions.NearestCentroidFn
+    val cents = Seq(
+      0 -> Array(1f, 0f), 1 -> Array(0f, 1f),
+      2 -> Array(1f, 0f), // duplicate of 0: tie must go to the EARLIER
+      3 -> Array(1f, 1f, 1f)) // dim mismatch: never selectable for 2-d rows
+    val rows = Seq(
+      (1L, Array(0.9f, 0.1f)),  // nearest: centroid 0
+      (2L, Array(0.1f, 0.9f)),  // nearest: centroid 1
+      (3L, Array(1.0f, 0.0f)),  // exact tie 0 vs 2 -> 0
+      (4L, Array(0.0f, 0.0f))   // zero vector: all-NaN -> first centroid
+    ).toDF("id", "v")
+    val got = rows.select(col("id"), NearestCentroidFn(col("v"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 0))
+    // chain parity on the same rows (the Column form it replaced)
+    val cos = cents.filter(_._2.length == 2)
+      .map { case (cid, v) => cid -> graft.ops.Similarity.cosine(col("v"), typedLit(v)) }
+    val best = greatest(cos.map(_._2): _*)
+    val chain = cos.foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case ((cid, c), els) => when(c === best, lit(cid)).otherwise(els)
+    }
+    val want = rows.select(col("id"), chain.as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+    // every centroid dim-mismatched -> the chain's otherwise(-1)
+    val none = rows.select(NearestCentroidFn(col("v"),
+        Seq(7 -> Array(1f, 2f, 3f))).as("c"))
+      .collect().map(_.getInt(0)).toSet
+    assert(none === Set(-1))
+    // null vector -> null out
+    val nl = Seq((1L, null: Array[Float])).toDF("id", "v")
+      .select(NearestCentroidFn(col("v"), cents).as("c")).collect()
+    assert(nl.head.isNullAt(0))
+  }
 }
