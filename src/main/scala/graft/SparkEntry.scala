@@ -1893,6 +1893,40 @@ object SparkEntry {
       .select(col("phrase"), col("doc_id"), col("n_occ"))
   }
 
+  /** q142: MinHash-LSH banding quality report — precision/recall of the
+    * q24 candidate build against the exact q23 Jaccard truth, in basis
+    * points ([[graft.ops.Dedup.minhashEval]]); the text-side twin of
+    * q137's ANN recall. */
+  private def qLshEval(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEval(table(s, dir, "documents"), "doc_id", col("text"),
+      n = 3, k = 8, rowsPerBand = 4, maxBucket = LshMaxBucket,
+      threshold = 0.5, maxDf = 100)
+
+  /** q143: cross-language duplication matrix — exact near-dup pairs
+    * (q23's build) labeled with both sides' languages: the
+    * "which languages leak into which" contamination report. */
+  private def qDupLangMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+        n = 3, threshold = 0.5, maxDf = 100)
+      .join(docs.select(col("doc_id").as("a"), col("lang").as("__la")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("lang").as("__lb")), "b")
+      .groupBy(least(col("__la"), col("__lb")).as("lang_a"),
+        greatest(col("__la"), col("__lb")).as("lang_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** q144: canonical text normalization
+    * ([[graft.ops.TextAnalysis.normalizeText]] — Cc/Cf strip, codegen
+    * NFC, space collapse, trim) fingerprinted per doc; `changed` counts
+    * docs the pass rewrote. */
+  private def qNormalizeText(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("__n"), col("text"))
+      .select(col("doc_id"), md5(col("__n")).as("norm_md5"),
+        (col("__n") =!= col("text")).cast("long").as("changed"))
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2037,6 +2071,9 @@ object SparkEntry {
     "q139_edit_blocked" -> (qEditBlocked _),
     "q140_kcore" -> (qKCore _),
     "q141_phrase_search" -> (qPhraseSearch _),
+    "q142_lsh_eval" -> (qLshEval _),
+    "q143_dup_lang_matrix" -> (qDupLangMatrix _),
+    "q144_normalize_text" -> (qNormalizeText _),
   )
 
   // ------------------------------------------------------------------ //
@@ -4459,5 +4496,68 @@ object SparkEntry {
         | FROM w)
         |SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
         |WHERE n_occ >= 1""".stripMargin,
+
+    // q24's candidate build full-outer-joined against q23's exact truth,
+    // reduced to one row of counts + basis-point precision/recall.
+    "q142_lsh_eval" ->
+      s"""${OSql.shingleCte},
+        |${OSql.sigCte},
+        |bands0 AS (
+        | SELECT doc_id, 0 AS band, ${OSql.bkey(0)} AS bkey FROM sig
+        | UNION ALL SELECT doc_id, 1, ${OSql.bkey(4)} FROM sig),
+        |bands AS (SELECT doc_id, band, bkey FROM bands0
+        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $LshMaxBucket),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+        |  WHERE x.doc_id < y.doc_id),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY h)
+        |    AS df FROM h) WHERE df <= 100),
+        |tru AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM capped x JOIN capped y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, x.nsh, y.nsh
+        |  HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5),
+        |j AS (SELECT coalesce(c.f, 0) AS c, coalesce(t.f, 0) AS t
+        |  FROM (SELECT a, b, 1 AS f FROM cand) c
+        |  FULL OUTER JOIN (SELECT a, b, 1 AS f FROM tru) t
+        |    ON c.a = t.a AND c.b = t.b)
+        |SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
+        |  CAST(coalesce(sum(c * t), 0) AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN sum(c) > 0 THEN (sum(c * t) * 10000) // sum(c)
+        |    ELSE -1 END AS BIGINT) AS precision_bp,
+        |  CAST(CASE WHEN sum(t) > 0 THEN (sum(c * t) * 10000) // sum(t)
+        |    ELSE -1 END AS BIGINT) AS recall_bp
+        |FROM j""".stripMargin,
+
+    // q23's exact pair build, each side labeled with its language,
+    // rolled up to the symmetric (lang, lang) matrix.
+    "q143_dup_lang_matrix" ->
+      s"""${OSql.shingleCte},
+        |shh AS (SELECT doc_id, nsh,
+        |  CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sh)
+        |    AS df FROM shh) WHERE df <= 100),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, x.nsh, y.nsh
+        |  HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5)
+        |SELECT LEAST(da.lang, db.lang) AS lang_a,
+        |  GREATEST(da.lang, db.lang) AS lang_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p JOIN documents da ON p.a = da.doc_id
+        |  JOIN documents db ON p.b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The engine's normalization chain, mirrored step for step
+    // (Cc/Cf strip -> NFC -> space collapse -> trim), fingerprinted.
+    "q144_normalize_text" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(nfc_normalize(
+        |    regexp_replace(text, '[\p{Cc}\p{Cf}]', '', 'g')),
+        |    ' +', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT doc_id, md5(nt) AS norm_md5,
+        |  CAST(nt <> text AS BIGINT) AS changed
+        |FROM n""".stripMargin,
   )
 }

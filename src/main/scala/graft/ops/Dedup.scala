@@ -514,6 +514,44 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** MinHash-LSH banding quality report — precision/recall of
+    * [[lshCandidates]] against the exact n-gram Jaccard ground truth
+    * ([[ngramJaccardPairs]]) at `threshold`, in integer basis points:
+    * the text-side twin of [[Similarity.annRecall]]. Banding parameters
+    * (k, rowsPerBand) fix an S-curve; where the corpus's similarity
+    * mass actually sits relative to that curve is a DATA property — so
+    * recall is measured as a pipeline step before anyone trusts the
+    * banded dedup at scale, and precision says how much exact-verify
+    * work each candidate costs.
+    *
+    * One full-outer join of the two pair sets on (a, b) + a single-row
+    * aggregate; both pair builds are the bucketed/capped shapes of the
+    * operators under evaluation (the eval inherits their scale
+    * discipline — and their caps: a `maxBucket`-dropped bucket costs
+    * recall HERE TOO, which is exactly what the report is for).
+    * Output (one row): n_candidates, n_true, n_hit, precision_bp,
+    * recall_bp (−1 when the denominator is empty). */
+  def minhashEval(df: DataFrame, idCol: String, text: Column, n: Int,
+      k: Int, rowsPerBand: Int, maxBucket: Long, threshold: Double,
+      maxDf: Long, scope: CacheScope = CacheScope.session): DataFrame = {
+    val sigs = scope.cache(minHashSignatures(df, idCol, text, n, k))
+    val cand = lshCandidates(sigs, idCol, k, rowsPerBand, maxBucket, scope)
+      .withColumn("__c", lit(1L))
+    val truth = ngramJaccardPairs(df, idCol, text, n, threshold, maxDf, scope)
+      .select(col("a"), col("b"), lit(1L).as("__t"))
+    cand.join(truth, Seq("a", "b"), "full_outer")
+      .agg(coalesce(sum(coalesce(col("__c"), lit(0L))), lit(0L))
+          .as("n_candidates"),
+        coalesce(sum(coalesce(col("__t"), lit(0L))), lit(0L)).as("n_true"),
+        coalesce(sum(coalesce(col("__c"), lit(0L)) *
+          coalesce(col("__t"), lit(0L))), lit(0L)).as("n_hit"))
+      .select(col("n_candidates"), col("n_true"), col("n_hit"),
+        expr("CASE WHEN n_candidates > 0 THEN (n_hit * 10000) div n_candidates ELSE -1 END")
+          .cast("long").as("precision_bp"),
+        expr("CASE WHEN n_true > 0 THEN (n_hit * 10000) div n_true ELSE -1 END")
+          .cast("long").as("recall_bp"))
+  }
+
   /** Cross-source overlap matrix — corpus-level contamination/diversity
     * analytics: for every unordered pair of sources, the number of
     * shared distinct word n-gram shingles and the shingle-set Jaccard.

@@ -44,6 +44,20 @@ object TextAnalysis {
       graft.functions.LangIdExpr(
         org.apache.spark.sql.GraftBridge.expression(text), LangMarkers))
 
+  /** Canonical text normalization — the pass run BEFORE any hashing or
+    * shingling so byte-level dedup sees one representation per logical
+    * text: strip control (Cc) and format (Cf — zero-width chars, BOM,
+    * bidi marks) characters, Unicode-NFC compose (the codegen
+    * [[graft.functions.NfcNormalize]]), collapse space runs, trim.
+    * Pure per-row projection — no shuffle, codegen end to end; the
+    * DuckDB twin is `trim(regexp_replace(nfc_normalize(regexp_replace(
+    * text, '[\p{Cc}\p{Cf}]', '', 'g')), ' +', ' ', 'g'))`. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.NfcNormalizeFn(
+        regexp_replace(text, "[\\p{Cc}\\p{Cf}]", "")),
+      " +", " "))
+
   /** Whitespace token count (single-space tokenization). */
   def wsTokenCount(text: Column): Column = size(split(text, " ")).cast("long")
 

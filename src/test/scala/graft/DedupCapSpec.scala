@@ -133,4 +133,22 @@ class DedupCapSpec extends AnyFunSuite {
       5L -> ((0.5, 2L, 4L)), // 0.5, 0.55
       9L -> ((0.9, 2L, 2L)))) // 0.99 and the clamped 1.0
   }
+
+  test("minhashEval: counts candidates, truth, and hits exactly") {
+    import graft.ops.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                     // exact dups: true + candidate
+      (3L, "one two three four five six seven"),
+      (4L, "unrelated words entirely different here now")).toDF("id", "t")
+    val row = Dedup.minhashEval(docs, "id", col("t"), n = 3, k = 8,
+        rowsPerBand = 4, maxBucket = 1000L, threshold = 0.5, maxDf = 100)
+      .collect().head
+    val (nc, nt, nh) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nt === 1L, "exactly one true >=0.5 pair (the exact dup)")
+    assert(nh === 1L, "identical signatures always share both bands")
+    assert(nc >= 1L)
+    assert(row.getLong(3) === 10000L / nc * 1L || row.getLong(3) === (nh * 10000L) / nc)
+    assert(row.getLong(4) === 10000L)
+  }
 }

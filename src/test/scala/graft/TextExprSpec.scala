@@ -288,4 +288,30 @@ class TextExprSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ==
       ((4L, 1L, 0L, 0.0)))
   }
+
+  test("normalizeText: Cc/Cf strip, NFC compose, space collapse, trim") {
+    import graft.ops.TextAnalysis
+    val rows = Seq(
+      (1L, "plain ascii text"),
+      (2L, "e\u0301cole"),              // e + combining acute -> \u00e9cole
+      (3L, "zero\u200bwidth\u00a0?"),  // Cf stripped; NBSP is Zs: KEPT
+      (4L, "ctl\u0007chars\ttabbed"),  // BEL and TAB are Cc: stripped
+      (5L, "  a   b  "),                 // collapse + trim
+      (6L, "\u00e9cole"))               // already NFC: unchanged
+      .toDF("id", "t")
+    val got = rows.select(col("id"),
+        TextAnalysis.normalizeText(col("t")).as("n"),
+        (TextAnalysis.normalizeText(col("t")) =!= col("t")).as("ch"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === (("plain ascii text", false)))
+    assert(got(2L) === (("\u00e9cole", true)))
+    assert(got(3L) === (("zerowidth\u00a0?", true)))
+    assert(got(4L) === (("ctlcharstabbed", true)))
+    assert(got(5L) === (("a b", true)))
+    assert(got(6L) === (("\u00e9cole", false)))
+    // null passes through
+    val nl = Seq((1L, null: String)).toDF("id", "t")
+      .select(TextAnalysis.normalizeText(col("t"))).collect()
+    assert(nl.head.isNullAt(0))
+  }
 }
