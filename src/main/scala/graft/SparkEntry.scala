@@ -1927,6 +1927,24 @@ object SparkEntry {
       .select(col("doc_id"), md5(col("__n")).as("norm_md5"),
         (col("__n") =!= col("text")).cast("long").as("changed"))
 
+  /** q145: per-language ROC AUC of document length against the
+    * embedding-label class, by the exact Mann–Whitney midrank statistic
+    * ([[graft.ops.Stats.groupAuc]]) — integer end to end. */
+  private def qScoreAuc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.groupAuc(
+      table(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(table(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
+          (col("label") < 5).cast("long").as("y")), "doc_id"),
+      Seq("lang"), "y", "n_chars")
+
+  /** q146: Welch A/B comparison of order quantity between return flags
+    * R and A per line status ([[graft.ops.Stats.abTest]]) — integer
+    * moments, one fixed IEEE z² sequence, integer-space significance. */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.abTest(table(s, dir, "lineitem"),
+      Seq("l_linestatus"), "l_returnflag", "R", "A", "l_quantity",
+      critBp = 19600L)
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2074,6 +2092,8 @@ object SparkEntry {
     "q142_lsh_eval" -> (qLshEval _),
     "q143_dup_lang_matrix" -> (qDupLangMatrix _),
     "q144_normalize_text" -> (qNormalizeText _),
+    "q145_score_auc" -> (qScoreAuc _),
+    "q146_ab_test" -> (qAbTest _),
   )
 
   // ------------------------------------------------------------------ //
@@ -4559,5 +4579,58 @@ object SparkEntry {
         |SELECT doc_id, md5(nt) AS norm_md5,
         |  CAST(nt <> text AS BIGINT) AS changed
         |FROM n""".stripMargin,
+
+    // Mann–Whitney with midranks carried as the integer 2·avgrank =
+    // 2·rank + |tie group| − 1; AUC in exact basis points.
+    "q145_score_auc" ->
+      """WITH j AS (SELECT d.lang, d.n_chars AS s,
+        |    CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |r AS (SELECT lang, y,
+        |    2 * rank() OVER (PARTITION BY lang ORDER BY s ASC)
+        |      + count(*) OVER (PARTITION BY lang, s) - 1 AS r2 FROM j),
+        |a AS (SELECT lang, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) AS rsum2
+        |  FROM r GROUP BY 1)
+        |SELECT lang, n_pos, n_neg,
+        |  CAST(rsum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN ((rsum2 - n_pos * (n_pos + 1)) * 5000) // (n_pos * n_neg)
+        |    ELSE -1 END AS BIGINT) AS auc_bp
+        |FROM a""".stripMargin,
+
+    // The engine's Welch z² operation sequence, stated identically:
+    // integer moments, explicit multiply for the square, round 6,
+    // significance on round(z2·10⁶) >= 19600²/100.
+    "q146_ab_test" ->
+      """WITH f AS (SELECT l_linestatus, l_returnflag AS arm,
+        |    CAST(l_quantity AS BIGINT) AS v FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'A')),
+        |a AS (SELECT l_linestatus,
+        |    CAST(sum(CASE WHEN arm = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'R' THEN v ELSE 0 END) AS BIGINT) AS sum_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |    CAST(sum(CASE WHEN arm = 'R' THEN v * v ELSE 0 END) AS BIGINT) AS q_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN v * v ELSE 0 END) AS BIGINT) AS q_b
+        |  FROM f GROUP BY 1
+        |  HAVING n_a >= 2 AND n_b >= 2),
+        |z AS (SELECT *, round(
+        |    (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    * (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / ((CAST(q_a AS DOUBLE) - CAST(sum_a AS DOUBLE)
+        |         * (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+        |        / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     + (CAST(q_b AS DOUBLE) - CAST(sum_b AS DOUBLE)
+        |         * (CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |        / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)), 6) AS z2
+        |  FROM a)
+        |SELECT l_linestatus, n_a, n_b, sum_a, sum_b, z2,
+        |  CAST(CAST(round(z2 * 1000000) AS BIGINT) >= 3841600 AS BIGINT)
+        |    AS significant
+        |FROM z""".stripMargin,
   )
 }

@@ -234,6 +234,12 @@ object StreamBench {
       ms => graft.stream.Streamed.decayedState(ms.toDS(), bucketUs = 1000L),
       (0 until n).map(i => graft.stream.Rec(s"k${i % k}",
         ((1000L + i) * 1000L, 1.0), 1000L + i)))
+    // 7-day presence replication: each event fans out to 7 state keys,
+    // so events/s here carries a built-in 7x state-write amplification
+    ops("rolling_active") = driveDs[Long](
+      ms => graft.stream.Streamed.rollingActiveState(ms.toDS(), windowDays = 7),
+      (0 until n).map(i => graft.stream.Rec(s"k${i % k}", 0L,
+        (i % 30).toLong * 86400000L + i)))
 
     val opsJson = ops.map { case (name, eps) => s"\"$name\":${math.round(eps)}" }
       .mkString("{", ",", "}")

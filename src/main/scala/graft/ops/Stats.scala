@@ -322,4 +322,110 @@ object Stats {
           coalesce(col(c).cast("string"), lit("<all>")).as(c)) ++
         Seq(col("gid"), col("n_rows"), col("total_size")): _*)
   }
+
+  /** Per-group ROC AUC of a numeric score against a binary label, by
+    * the exact Mann–Whitney rank statistic — the feature-screening /
+    * model-eval report ("does this quality signal actually separate the
+    * classes?") with NO float ranks anywhere: ties are handled by the
+    * midrank convention carried as 2× the average rank (an integer:
+    * `2·rank + |tie group| − 1`), so
+    *
+    *   U·2 = Σ_{positives} 2·avgrank − n⁺·(n⁺+1)
+    *   AUC·10⁴ = (U·2 · 5000) div (n⁺·n⁻)
+    *
+    * is exact integer arithmetic end to end — two engines agree
+    * bit-for-bit, and a 0.5000 AUC means EXACTLY uninformative.
+    *
+    * Scale shape: one group-keyed rank window (the sort is the honest
+    * cost of an exact rank statistic — same class as any per-group
+    * ranking; for discrete scores at 100 TB, bucket first and feed the
+    * histogram midranks instead) + a groups-sized aggregate. Groups
+    * with no positives or no negatives report auc_bp = −1 (undefined),
+    * not a fabricated 5000. Output: groupCols, n_pos, n_neg, u2
+    * (= 2·U), auc_bp. */
+  def groupAuc(df: DataFrame, groupCols: Seq[String], labelCol: String,
+      scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupAuc needs >= 1 group column")
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col(scoreCol).asc)
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs :+ col(scoreCol): _*)
+    df.select(gs ++ Seq(col(labelCol).cast("long").as("__y"), col(scoreCol)): _*)
+      .withColumn("__r2",
+        lit(2L) * rank().over(w) + count(lit(1)).over(wt) - 1L)
+      .groupBy(gs: _*)
+      .agg(sum(col("__y")).as("n_pos"),
+        (count(lit(1)) - sum(col("__y"))).as("n_neg"),
+        sum(when(col("__y") === 1L, col("__r2")).otherwise(lit(0L)))
+          .as("__rsum2"))
+      .select(gs ++ Seq(col("n_pos"), col("n_neg"),
+        (col("__rsum2") - col("n_pos") * (col("n_pos") + 1L)).as("u2")): _*)
+      .withColumn("auc_bp", expr(
+        "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 " +
+          "THEN (u2 * 5000) div (n_pos * n_neg) ELSE -1 END AS BIGINT)"))
+  }
+
+  /** Per-segment two-arm A/B comparison (Welch): integer moments per
+    * arm (n, Σx, Σx² — exact BIGINT aggregates of an integral metric),
+    * then the z² statistic as ONE FIXED double-arithmetic expression
+    * over those integers, rounded to 6 dp — the cosine-oracle
+    * discipline: both engines evaluate the identical IEEE operation
+    * sequence on identical integers, so the rounded statistic and the
+    * significance verdict cannot disagree, while the statistic itself
+    * stays a real Welch z² (a fully-exact rational form overflows
+    * DECIMAL(38) at corpus-scale moments — measured, not guessed).
+    *
+    *   z² = (m_a − m_b)² / (v_a/n_a + v_b/n_b),
+    *   m = S/n (double), v = (Q − S·m)/(n − 1)
+    *
+    * `significant` compares the ROUNDED z² against (critBp/10⁴)² —
+    * the decision is a deterministic function of the emitted number.
+    * Segments where either arm has n < 2 are dropped (variance
+    * undefined). One corpus-keyed aggregate, segments-sized everything
+    * after. Output: segmentCols, n_a, n_b, sum_a, sum_b, z2 (6 dp),
+    * significant (0/1 long). */
+  def abTest(df: DataFrame, segmentCols: Seq[String], armCol: String,
+      armA: String, armB: String, valueCol: String,
+      critBp: Long = 19600L): DataFrame = {
+    require(segmentCols.nonEmpty, "abTest needs >= 1 segment column")
+    require(armA != armB, "arms must differ")
+    require(critBp >= 0, s"critBp >= 0, got $critBp")
+    val gs = segmentCols.map(col)
+    val v = col(valueCol).cast("long")
+    val arm = col(armCol)
+    def m(a: String, f: Column) =
+      sum(when(arm === a, f).otherwise(lit(0L)))
+    val agg = df.filter(arm === armA || arm === armB)
+      .groupBy(gs: _*)
+      .agg(m(armA, lit(1L)).as("n_a"), m(armB, lit(1L)).as("n_b"),
+        m(armA, v).as("sum_a"), m(armB, v).as("sum_b"),
+        m(armA, v * v).as("__q_a"), m(armB, v * v).as("__q_b"))
+      .filter(col("n_a") >= 2L && col("n_b") >= 2L)
+    // one fixed IEEE operation sequence, stated identically in the
+    // DuckDB twin — explicit multiply for the square (pow(x, 2) is
+    // libm territory; x·x is one exact IEEE multiply on both engines)
+    val z2 = expr(
+      """round(
+        |  (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  * (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / ((CAST(__q_a AS DOUBLE) - CAST(sum_a AS DOUBLE)
+        |       * (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+        |      / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |   + (CAST(__q_b AS DOUBLE) - CAST(sum_b AS DOUBLE)
+        |       * (CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |      / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)), 6)""".stripMargin)
+    // decide on z2 scaled to an integer (round-6 z2 × 10⁶ is integral up
+    // to fp dust that round() clears) against critBp²/100 — an integer
+    // comparison both engines state identically; no squared-double
+    // literal whose binary value the oracle would have to reproduce
+    agg.withColumn("z2", z2)
+      .withColumn("significant",
+        (expr("CAST(round(z2 * 1000000) AS BIGINT)") >=
+          lit(critBp * critBp / 100L)).cast("long"))
+      .select(gs ++ Seq(col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+        col("z2"), col("significant")): _*)
+  }
 }

@@ -524,6 +524,60 @@ object Streamed {
     * new one added (willa `streams.clj:44-50`). Emits the group aggregate
     * after every update. State per group: the group acc + the latest value
     * per member table-key (bounded by member cardinality). */
+  /** Live rolling active users — the streaming twin of
+    * [[graft.ops.Events.rollingActiveUsers]]: for every day with
+    * activity, the distinct users active in the trailing `windowDays`
+    * window ending that day, maintained incrementally and emitted as a
+    * per-day changelog (key = epoch-day index, value = count so far).
+    *
+    * Presence replication, the same shape as the batch form: each event
+    * registers its user under every window END day its activity day
+    * feeds (`d .. d+windowDays−1`), so state is keyed by the OUTPUT day
+    * and each group is self-contained — no cross-key reads, cluster-
+    * parallel. A day emits only once it is OBSERVED (an event actually
+    * on that day arrived — mirroring the batch form's observed-days
+    * join), and re-emits only when its count grows or it flips to
+    * observed.
+    *
+    * State: per window-end day, the distinct-user set plus the observed
+    * flag — bounded by active users per window, times the windowDays
+    * replication. Days stop changing once the feed moves past them but
+    * the sets persist (NoTimeout — the congruity contract is exact
+    * parity with batch on any replay); a production deployment caps
+    * retention by watermarking the input and dropping days older than
+    * the horizon, trading the ability to count very-late events. */
+  def rollingActiveState(ds: Dataset[Rec[String, Long]], windowDays: Int)(
+      implicit pairEnc: Encoder[Rec[Long, (String, Boolean)]],
+      stEnc: Encoder[(Set[String], Boolean)],
+      outEnc: Encoder[Rec[Long, Long]]): Dataset[Rec[Long, Long]] = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays in [1, 366], got $windowDays")
+    val dayMs = 86400000L
+    val expanded = ds.flatMap { r =>
+      val d = Math.floorDiv(r.tsMs, dayMs)
+      (0 until windowDays).map(i => Rec(d + i, (r.key, i == 0), r.tsMs))
+    }
+    expanded.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Set[String], Boolean), Rec[Long, Long]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (day: Long, records: Iterator[Rec[Long, (String, Boolean)]],
+         state: GroupState[(Set[String], Boolean)]) =>
+          var (users, observed) =
+            state.getOption.getOrElse((Set.empty[String], false))
+          val before = (users.size, observed)
+          var lastTs = 0L
+          records.foreach { r =>
+            users += r.value._1
+            if (r.value._2) observed = true
+            lastTs = math.max(lastTs, r.tsMs)
+          }
+          state.update((users, observed))
+          if (observed && (users.size, observed) != before)
+            Iterator.single(Rec(day, users.size.toLong, lastTs))
+          else Iterator.empty
+      }
+  }
+
   def aggregateWithSubtractor[K: Encoder, G: Encoder, V: Encoder, A: Encoder](
       ds: Dataset[Rec[K, V]],
       groupKey: Rec[K, V] => G,

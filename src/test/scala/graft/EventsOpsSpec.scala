@@ -607,4 +607,42 @@ class EventsOpsSpec extends AnyFunSuite {
       "2 sessions, 1 bounce → 5000 bp; dwell 100 µs → mean 5e-5 s")
     assert(got(1L) == ((1L, 1L, 10000L, 1L, 0L, 0.0)))
   }
+
+  test("rollingActiveState: LIVE per-day counts == batch rollingActiveUsers, across a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(83)
+    val dayMs = 86400000L
+    // 12 users over ~20 days, multiple events per (user, day), gaps
+    val feed = (1 to 260).map { i =>
+      Rec("u" + rnd.nextInt(12), 0L,
+        rnd.nextInt(20).toLong * dayMs + rnd.nextInt(86400000).toLong)
+    }.sortBy(_.tsMs)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ra-ckpt-")
+    val ms = MemoryStream[Rec[String, Long]]
+    val latest = scala.collection.mutable.Map.empty[Long, Long]
+    def start() = Streamed.rollingActiveState(ms.toDS(), windowDays = 7)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Rec[Long, Long]], _: Long) =>
+        val rows = b.collect()
+        latest.synchronized { rows.foreach(r => latest(r.key) = r.value) }
+        ()
+      }.start()
+    val q1 = start()
+    try { ms.addData(feed.take(130): _*); q1.processAllAvailable() }
+    finally q1.stop() // presence sets must survive the restart, not reset
+    val q2 = start()
+    try { ms.addData(feed.drop(130): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val batch = graft.ops.Events.rollingActiveUsers(
+        feed.map(r => (r.key, r.tsMs * 1000L)).toDF("u", "ts_us"),
+        "u", "ts_us", windowDays = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val live = latest.synchronized(latest.toMap)
+    assert(live === batch,
+      s"live days ${live.keySet.toSeq.sorted} vs batch ${batch.keySet.toSeq.sorted}")
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+  }
 }

@@ -247,4 +247,85 @@ class StatsSpec extends AnyFunSuite {
     assert(got("a") == ((8L, 2L, 4L, 6L, 8L)))
     assert(got("b") == ((4L, 10L, 10L, 10L, 40L)))
   }
+
+  test("groupAuc: perfect separation, midrank ties, undefined groups") {
+    import graft.ops.Stats
+    val rows = Seq(
+      // g1: positives {3,4} all above negatives {1,2} -> AUC 1.0
+      ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 1L), ("g1", 4L, 1L),
+      // g2: one pos and one neg TIED -> exactly uninformative 0.5
+      ("g2", 2L, 1L), ("g2", 2L, 0L),
+      // g3: no negatives -> undefined
+      ("g3", 5L, 1L), ("g3", 6L, 1L)).toDF("g", "s", "y")
+    val got = Stats.groupAuc(rows, Seq("g"), "y", "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("g1") === ((2L, 2L, 8L, 10000L)))
+    assert(got("g2") === ((1L, 1L, 1L, 5000L)))
+    assert(got("g3") === ((2L, 0L, /* u2 */ got("g3")._3, -1L)))
+  }
+
+  test("groupAuc property: matches a driver-side midrank reference") {
+    import graft.ops.Stats
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map { _ =>
+      ("g" + rnd.nextInt(3), rnd.nextInt(12).toLong, rnd.nextInt(2).toLong)
+    }
+    def ref(xs: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val sorted = xs.sortBy(_._1)
+      // 2x average rank per tie group
+      val r2 = scala.collection.mutable.Map.empty[Long, Long]
+      var i = 0
+      while (i < sorted.size) {
+        val v = sorted(i)._1
+        val j = sorted.indexWhere(_._1 > v, i) match { case -1 => sorted.size; case k => k }
+        r2(v) = 2L * (i + 1) + (j - i) - 1 // rank() is min-rank, 1-based
+        i = j
+      }
+      val nPos = xs.count(_._2 == 1L).toLong
+      val nNeg = xs.size - nPos
+      val rsum2 = xs.filter(_._2 == 1L).map(x => r2(x._1)).sum
+      val u2 = rsum2 - nPos * (nPos + 1)
+      (nPos, nNeg, u2,
+        if (nPos > 0 && nNeg > 0) Math.floorDiv(u2 * 5000, nPos * nNeg) else -1L)
+    }
+    val want = rows.groupBy(_._1).view.mapValues(g => ref(g.map(x => (x._2, x._3)))).toMap
+    val got = Stats.groupAuc(rows.toDF("g", "s", "y"), Seq("g"), "y", "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+  }
+
+  test("abTest: identical arms insignificant, separated arms significant, n<2 dropped") {
+    import graft.ops.Stats
+    val rows =
+      (1 to 40).map(i => ("seg1", "R", (i % 5 + 10).toLong)) ++   // same dist
+      (1 to 40).map(i => ("seg1", "A", (i % 5 + 10).toLong)) ++
+      (1 to 40).map(i => ("seg2", "R", (i % 3 + 50).toLong)) ++   // far apart
+      (1 to 40).map(i => ("seg2", "A", (i % 3 + 10).toLong)) ++
+      Seq(("seg3", "R", 5L), ("seg3", "A", 1L), ("seg3", "A", 2L)) ++ // n_a < 2
+      (1 to 9).map(_ => ("seg1", "N", 999L))                      // other arm ignored
+    val got = Stats.abTest(rows.toDF("seg", "arm", "v"), Seq("seg"),
+        "arm", "R", "A", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getLong(6)))).toMap
+    assert(!got.contains("seg3"), "variance undefined at n<2")
+    val (na1, nb1, z1, s1) = got("seg1")
+    assert(na1 == 40L && nb1 == 40L && z1 == 0.0 && s1 == 0L)
+    val (_, _, z2v, s2) = got("seg2")
+    assert(z2v > 3.8416 && s2 == 1L)
+    // z2 equals the same IEEE sequence computed driver-side
+    def z(sa: Long, na: Long, qa: Long, sb: Long, nb: Long, qb: Long): Double = {
+      val ma = sa.toDouble / na.toDouble; val mb = sb.toDouble / nb.toDouble
+      val va = (qa.toDouble - sa.toDouble * ma) / (na - 1).toDouble / na.toDouble
+      val vb = (qb.toDouble - sb.toDouble * mb) / (nb - 1).toDouble / nb.toDouble
+      // exact-binary BigDecimal: what Spark's codegen round(x, 6) does
+      new java.math.BigDecimal((ma - mb) * (ma - mb) / (va + vb))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val r2 = rows.filter(r => r._1 == "seg2" && r._2 == "R").map(_._3)
+    val a2 = rows.filter(r => r._1 == "seg2" && r._2 == "A").map(_._3)
+    assert(z2v == z(r2.sum, r2.size, r2.map(x => x * x).sum,
+      a2.sum, a2.size, a2.map(x => x * x).sum))
+  }
 }
