@@ -1945,6 +1945,25 @@ object SparkEntry {
       Seq("l_linestatus"), "l_returnflag", "R", "A", "l_quantity",
       critBp = 19600L)
 
+  /** q147: leakage-safe out-of-fold target-encoding table
+    * ([[graft.ops.Features.targetEncode]]) — lang × 5 md5-hash folds,
+    * exact integer numerators, NULL (not fabricated) for categories
+    * with no out-of-fold evidence. */
+  private def qTargetEncoding(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Features.targetEncode(table(s, dir, "documents"),
+      "lang", "n_chars", "doc_id", folds = 5, seed = "te1")
+
+  /** q148: two-proportion conversion A/B test
+    * ([[graft.ops.Stats.proportionAb]]) — discount incidence between
+    * return flags R and A per line status, decided fully exactly in
+    * DECIMAL(38,0) cross-multiplied form. */
+  private def qConversionAb(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.proportionAb(
+      table(s, dir, "lineitem").select(col("l_linestatus"),
+        col("l_returnflag"), (col("l_discount") > 0.05).cast("long").as("conv")),
+      Seq("l_linestatus"), "l_returnflag", "R", "A", "conv",
+      critBp = 19600L)
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2094,6 +2113,8 @@ object SparkEntry {
     "q144_normalize_text" -> (qNormalizeText _),
     "q145_score_auc" -> (qScoreAuc _),
     "q146_ab_test" -> (qAbTest _),
+    "q147_target_encoding" -> (qTargetEncoding _),
+    "q148_conversion_ab" -> (qConversionAb _),
   )
 
   // ------------------------------------------------------------------ //
@@ -4632,5 +4653,48 @@ object SparkEntry {
         |  CAST(CAST(round(z2 * 1000000) AS BIGINT) >= 3841600 AS BIGINT)
         |    AS significant
         |FROM z""".stripMargin,
+
+    // Same md5 fold hash as q44's split; the complete (lang × fold)
+    // grid so categories missing a fold still get their full-mean row.
+    "q147_target_encoding" ->
+      """WITH f AS (SELECT lang,
+        |    CAST(('0x'||substr(md5('te1'||CAST(doc_id AS VARCHAR)),1,15))
+        |      AS BIGINT) % 5 AS fold, n_chars FROM documents),
+        |pf AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s FROM f GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(s) AS BIGINT) AS st FROM pf GROUP BY 1),
+        |g AS (SELECT t.lang, t.nt, t.st, fo.fold FROM t
+        |  CROSS JOIN (SELECT unnest(range(5)) AS fold) fo)
+        |SELECT g.lang, CAST(g.fold AS BIGINT) AS fold,
+        |  CAST(g.nt - coalesce(pf.n, 0) AS BIGINT) AS n_oof,
+        |  CAST(g.st - coalesce(pf.s, 0) AS BIGINT) AS sum_oof,
+        |  CASE WHEN g.nt - coalesce(pf.n, 0) > 0
+        |    THEN round(CAST(g.st - coalesce(pf.s, 0) AS DOUBLE)
+        |      / CAST(g.nt - coalesce(pf.n, 0) AS DOUBLE), 6)
+        |    ELSE NULL END AS enc
+        |FROM g LEFT JOIN pf ON g.lang = pf.lang AND g.fold = pf.fold""".stripMargin,
+
+    // The engine's cross-multiplied pooled z² inequality in HUGEINT —
+    // int128 covers the same range as the engine's DECIMAL(38,0).
+    "q148_conversion_ab" ->
+      """WITH f AS (SELECT l_linestatus, l_returnflag AS arm,
+        |    CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS conv
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |a AS (SELECT l_linestatus,
+        |    CAST(sum(CASE WHEN arm = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'R' THEN conv ELSE 0 END) AS BIGINT) AS k_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS k_b
+        |  FROM f GROUP BY 1 HAVING n_a >= 1 AND n_b >= 1)
+        |SELECT l_linestatus, n_a, k_a, n_b, k_b,
+        |  CAST(CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+        |    (CAST(k_a AS HUGEINT) * n_b - CAST(k_b AS HUGEINT) * n_a)
+        |    * (CAST(k_a AS HUGEINT) * n_b - CAST(k_b AS HUGEINT) * n_a)
+        |    * (n_a + n_b) * 100000000
+        |    >= CAST(19600 AS HUGEINT) * 19600 * (k_a + k_b)
+        |       * (n_a + n_b - k_a - k_b) * n_a * n_b
+        |  ELSE false END AS BIGINT) AS significant
+        |FROM a""".stripMargin,
   )
 }

@@ -421,11 +421,56 @@ object Stats {
     // to fp dust that round() clears) against critBp²/100 — an integer
     // comparison both engines state identically; no squared-double
     // literal whose binary value the oracle would have to reproduce
+    // (for 0/1 CONVERSION metrics prefer [[proportionAb]], which needs
+    // no variance estimate and decides fully exactly)
     agg.withColumn("z2", z2)
       .withColumn("significant",
         (expr("CAST(round(z2 * 1000000) AS BIGINT)") >=
           lit(critBp * critBp / 100L)).cast("long"))
       .select(gs ++ Seq(col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
         col("z2"), col("significant")): _*)
+  }
+
+  /** Two-proportion A/B z-test (pooled), decided FULLY EXACTLY — the
+    * conversion-rate comparison where, unlike [[abTest]]'s estimated
+    * variance, everything is rational in the four counts, so the whole
+    * inequality cross-multiplies into integers:
+    *
+    *   z² ≥ (critBp/10⁴)²  ⇔
+    *   (k_a·n_b − k_b·n_a)²·N·10⁸ ≥ critBp²·K·(N−K)·n_a·n_b
+    *
+    * with K = k_a + k_b, N = n_a + n_b — evaluated in DECIMAL(38,0),
+    * which holds exactly for per-segment n up to ~10⁶ (the left side is
+    * ~n⁵·10⁸; beyond that, test on a deterministic hash sample — the
+    * verdict at that scale is insensitive to sampling). Degenerate
+    * pooled variance (K = 0 or K = N: both arms all-failures or
+    * all-successes ⇒ p̂_a = p̂_b) reports insignificant, not a 0 ≥ 0
+    * accident. One corpus-keyed aggregate. Output: segmentCols, n_a,
+    * k_a, n_b, k_b, significant (0/1 long). */
+  def proportionAb(df: DataFrame, segmentCols: Seq[String], armCol: String,
+      armA: String, armB: String, successCol: String,
+      critBp: Long = 19600L): DataFrame = {
+    require(segmentCols.nonEmpty, "proportionAb needs >= 1 segment column")
+    require(armA != armB, "arms must differ")
+    require(critBp >= 0, s"critBp >= 0, got $critBp")
+    val gs = segmentCols.map(col)
+    val arm = col(armCol)
+    val succ = col(successCol).cast("long")
+    def m(a: String, f: Column) = sum(when(arm === a, f).otherwise(lit(0L)))
+    df.filter(arm === armA || arm === armB)
+      .groupBy(gs: _*)
+      .agg(m(armA, lit(1L)).as("n_a"), m(armA, succ).as("k_a"),
+        m(armB, lit(1L)).as("n_b"), m(armB, succ).as("k_b"))
+      .filter(col("n_a") >= 1L && col("n_b") >= 1L)
+      .withColumn("significant", expr(
+        s"""CAST(CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+           |  (CAST(k_a AS DECIMAL(38,0)) * n_b - CAST(k_b AS DECIMAL(38,0)) * n_a)
+           |  * (CAST(k_a AS DECIMAL(38,0)) * n_b - CAST(k_b AS DECIMAL(38,0)) * n_a)
+           |  * (n_a + n_b) * 100000000
+           |  >= CAST($critBp AS DECIMAL(38,0)) * $critBp
+           |     * (k_a + k_b) * (n_a + n_b - k_a - k_b) * n_a * n_b
+           |ELSE false END AS BIGINT)""".stripMargin))
+      .select(gs ++ Seq(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        col("significant")): _*)
   }
 }

@@ -328,4 +328,32 @@ class StatsSpec extends AnyFunSuite {
     assert(z2v == z(r2.sum, r2.size, r2.map(x => x * x).sum,
       a2.sum, a2.size, a2.map(x => x * x).sum))
   }
+
+  test("proportionAb: exact verdicts at the boundary, degenerate pools insignificant") {
+    import graft.ops.Stats
+    def run(kA: Int, nA: Int, kB: Int, nB: Int, critBp: Long = 19600L): Long = {
+      val rows = (1 to nA).map(i => ("s", "R", if (i <= kA) 1L else 0L)) ++
+        (1 to nB).map(i => ("s", "A", if (i <= kB) 1L else 0L))
+      Stats.proportionAb(rows.toDF("seg", "arm", "c"), Seq("seg"),
+        "arm", "R", "A", "c", critBp).collect().head.getLong(5)
+    }
+    // driver-side double reference for calibration of the exact form
+    def z2(kA: Int, nA: Int, kB: Int, nB: Int): Double = {
+      val p = (kA + kB).toDouble / (nA + nB)
+      val d = kA.toDouble / nA - kB.toDouble / nB
+      d * d / (p * (1 - p) * (1.0 / nA + 1.0 / nB))
+    }
+    assert(run(200, 400, 200, 400) === 0L, "identical arms")
+    assert(run(260, 400, 200, 400) === 1L, s"clear lift (z2=${z2(260,400,200,400)})")
+    // straddle the 1.96 boundary and check the exact form agrees with
+    // the double reference on both sides of it
+    val below = (227, 400, 200, 400) // z2 = 3.6617, just under 3.8416
+    val above = (228, 400, 200, 400) // z2 = 3.9393, just over
+    assert(z2(below._1, below._2, below._3, below._4) < 3.8416)
+    assert(z2(above._1, above._2, above._3, above._4) > 3.8416)
+    assert(run(below._1, below._2, below._3, below._4) === 0L)
+    assert(run(above._1, above._2, above._3, above._4) === 1L)
+    assert(run(0, 50, 0, 50) === 0L, "all-failure pool is not 0 >= 0 significant")
+    assert(run(50, 50, 50, 50) === 0L, "all-success pool likewise")
+  }
 }
