@@ -1964,6 +1964,27 @@ object SparkEntry {
       Seq("l_linestatus"), "l_returnflag", "R", "A", "conv",
       critBp = 19600L)
 
+  /** q149: the index/model evaluation card — q137's ANN recall, q142's
+    * LSH banding precision/recall, and q145's AUC spread scalarized
+    * into one (metric, value) report: the composed "is the approximate
+    * machinery good enough to ship" sheet, each metric riding its
+    * already-oracle-gated pipeline. */
+  private def qEvalCard(s: SparkSession, dir: String): DataFrame = {
+    val ann = qAnnRecall(s, dir)
+      .agg(expr("CAST(sum(recall_bp) div count(*) AS BIGINT)").as("m1"),
+        sum(col("n_hit")).as("m2"))
+      .select(expr(
+        "stack(2, 'ann_recall_bp_mean', m1, 'ann_hit_total', m2) AS (metric, value)"))
+    val lsh = qLshEval(s, dir).select(expr(
+      "stack(3, 'lsh_precision_bp', precision_bp, 'lsh_recall_bp', recall_bp," +
+        " 'lsh_candidates', n_candidates) AS (metric, value)"))
+    val auc = qScoreAuc(s, dir)
+      .agg(min(col("auc_bp")).as("mn"), max(col("auc_bp")).as("mx"))
+      .select(expr("stack(2, 'auc_bp_min', mn, 'auc_bp_max', mx) AS (metric, value)"))
+    ann.unionByName(lsh).unionByName(auc)
+      .select(col("metric"), col("value").cast("long").as("value"))
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2115,6 +2136,7 @@ object SparkEntry {
     "q146_ab_test" -> (qAbTest _),
     "q147_target_encoding" -> (qTargetEncoding _),
     "q148_conversion_ab" -> (qConversionAb _),
+    "q149_eval_card" -> (qEvalCard _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2223,6 +2245,83 @@ object SparkEntry {
          |    * sqrt(list_reduce(list_prepend(0.0, list_transform($b,
          |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))), 6)""".stripMargin
   }
+
+  /** Oracle bodies shared with the q149 eval-card composition. */
+  private lazy val Sql_q137: String =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |    FROM embeddings WHERE vec_id < 25),
+        |sc AS (SELECT q.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
+        | FROM embeddings e, q),
+        |bt AS (SELECT qid, id FROM sc QUALIFY row_number()
+        |  OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10),
+        |b AS (SELECT *, ${(0 until 8).map(i =>
+             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |  FROM embeddings),
+        |q0 AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM b WHERE vec_id < 25),
+        |qp AS (SELECT qid, qv, unnest([bkt${(0 until 8).map(i =>
+             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM q0),
+        |asc0 AS (SELECT qp.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "qp.qv")} AS cos
+        | FROM b e JOIN qp ON e.bkt = qp.bkt),
+        |ap AS (SELECT qid, id FROM asc0 QUALIFY row_number()
+        |  OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10),
+        |h AS (SELECT bt.qid, count(*) AS n_hit
+        |  FROM bt JOIN ap ON bt.qid = ap.qid AND bt.id = ap.id GROUP BY 1),
+        |f AS (SELECT qid, count(*) AS n_found FROM ap GROUP BY 1)
+        |SELECT q.qid, CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST((coalesce(h.n_hit, 0) * 10000) // 10 AS BIGINT) AS recall_bp
+        |FROM q LEFT JOIN f ON q.qid = f.qid
+        |  LEFT JOIN h ON q.qid = h.qid""".stripMargin
+
+  private lazy val Sql_q142: String =
+      s"""${OSql.shingleCte},
+        |${OSql.sigCte},
+        |bands0 AS (
+        | SELECT doc_id, 0 AS band, ${OSql.bkey(0)} AS bkey FROM sig
+        | UNION ALL SELECT doc_id, 1, ${OSql.bkey(4)} FROM sig),
+        |bands AS (SELECT doc_id, band, bkey FROM bands0
+        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $LshMaxBucket),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+        |  WHERE x.doc_id < y.doc_id),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY h)
+        |    AS df FROM h) WHERE df <= 100),
+        |tru AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM capped x JOIN capped y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, x.nsh, y.nsh
+        |  HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5),
+        |j AS (SELECT coalesce(c.f, 0) AS c, coalesce(t.f, 0) AS t
+        |  FROM (SELECT a, b, 1 AS f FROM cand) c
+        |  FULL OUTER JOIN (SELECT a, b, 1 AS f FROM tru) t
+        |    ON c.a = t.a AND c.b = t.b)
+        |SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
+        |  CAST(coalesce(sum(c * t), 0) AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN sum(c) > 0 THEN (sum(c * t) * 10000) // sum(c)
+        |    ELSE -1 END AS BIGINT) AS precision_bp,
+        |  CAST(CASE WHEN sum(t) > 0 THEN (sum(c * t) * 10000) // sum(t)
+        |    ELSE -1 END AS BIGINT) AS recall_bp
+        |FROM j""".stripMargin
+
+  private lazy val Sql_q145: String =
+      """WITH j AS (SELECT d.lang, d.n_chars AS s,
+        |    CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |r AS (SELECT lang, y,
+        |    2 * rank() OVER (PARTITION BY lang ORDER BY s ASC)
+        |      + count(*) OVER (PARTITION BY lang, s) - 1 AS r2 FROM j),
+        |a AS (SELECT lang, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) AS rsum2
+        |  FROM r GROUP BY 1)
+        |SELECT lang, n_pos, n_neg,
+        |  CAST(rsum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN ((rsum2 - n_pos * (n_pos + 1)) * 5000) // (n_pos * n_neg)
+        |    ELSE -1 END AS BIGINT) AS auc_bp
+        |FROM a""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q36_fold_agg" ->
@@ -4459,33 +4558,7 @@ object SparkEntry {
 
     // q26's brute top-k and q27's probed-LSH top-k (same cos/tiebreak
     // conventions, 25 queries, k=10), intersected per query.
-    "q137_ann_recall" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
-        |    FROM embeddings WHERE vec_id < 25),
-        |sc AS (SELECT q.qid, e.vec_id AS id,
-        |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
-        | FROM embeddings e, q),
-        |bt AS (SELECT qid, id FROM sc QUALIFY row_number()
-        |  OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10),
-        |b AS (SELECT *, ${(0 until 8).map(i =>
-             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
-        |  FROM embeddings),
-        |q0 AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM b WHERE vec_id < 25),
-        |qp AS (SELECT qid, qv, unnest([bkt${(0 until 8).map(i =>
-             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM q0),
-        |asc0 AS (SELECT qp.qid, e.vec_id AS id,
-        |  ${OSql.cosSql("e.embedding", "qp.qv")} AS cos
-        | FROM b e JOIN qp ON e.bkt = qp.bkt),
-        |ap AS (SELECT qid, id FROM asc0 QUALIFY row_number()
-        |  OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10),
-        |h AS (SELECT bt.qid, count(*) AS n_hit
-        |  FROM bt JOIN ap ON bt.qid = ap.qid AND bt.id = ap.id GROUP BY 1),
-        |f AS (SELECT qid, count(*) AS n_found FROM ap GROUP BY 1)
-        |SELECT q.qid, CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
-        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-        |  CAST((coalesce(h.n_hit, 0) * 10000) // 10 AS BIGINT) AS recall_bp
-        |FROM q LEFT JOIN f ON q.qid = f.qid
-        |  LEFT JOIN h ON q.qid = h.qid""".stripMargin,
+    "q137_ann_recall" -> Sql_q137,
 
     // Exact containment over the same md5-60-bit 3-shingle hashes the
     // engine shuffles: the unrestricted hash-table self-join q138's
@@ -4540,35 +4613,7 @@ object SparkEntry {
 
     // q24's candidate build full-outer-joined against q23's exact truth,
     // reduced to one row of counts + basis-point precision/recall.
-    "q142_lsh_eval" ->
-      s"""${OSql.shingleCte},
-        |${OSql.sigCte},
-        |bands0 AS (
-        | SELECT doc_id, 0 AS band, ${OSql.bkey(0)} AS bkey FROM sig
-        | UNION ALL SELECT doc_id, 1, ${OSql.bkey(4)} FROM sig),
-        |bands AS (SELECT doc_id, band, bkey FROM bands0
-        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $LshMaxBucket),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-        |  WHERE x.doc_id < y.doc_id),
-        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY h)
-        |    AS df FROM h) WHERE df <= 100),
-        |tru AS (SELECT x.doc_id AS a, y.doc_id AS b
-        |  FROM capped x JOIN capped y ON x.h = y.h AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2, x.nsh, y.nsh
-        |  HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5),
-        |j AS (SELECT coalesce(c.f, 0) AS c, coalesce(t.f, 0) AS t
-        |  FROM (SELECT a, b, 1 AS f FROM cand) c
-        |  FULL OUTER JOIN (SELECT a, b, 1 AS f FROM tru) t
-        |    ON c.a = t.a AND c.b = t.b)
-        |SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_candidates,
-        |  CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
-        |  CAST(coalesce(sum(c * t), 0) AS BIGINT) AS n_hit,
-        |  CAST(CASE WHEN sum(c) > 0 THEN (sum(c * t) * 10000) // sum(c)
-        |    ELSE -1 END AS BIGINT) AS precision_bp,
-        |  CAST(CASE WHEN sum(t) > 0 THEN (sum(c * t) * 10000) // sum(t)
-        |    ELSE -1 END AS BIGINT) AS recall_bp
-        |FROM j""".stripMargin,
+    "q142_lsh_eval" -> Sql_q142,
 
     // q23's exact pair build, each side labeled with its language,
     // rolled up to the symmetric (lang, lang) matrix.
@@ -4603,23 +4648,7 @@ object SparkEntry {
 
     // Mann–Whitney with midranks carried as the integer 2·avgrank =
     // 2·rank + |tie group| − 1; AUC in exact basis points.
-    "q145_score_auc" ->
-      """WITH j AS (SELECT d.lang, d.n_chars AS s,
-        |    CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y
-        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-        |r AS (SELECT lang, y,
-        |    2 * rank() OVER (PARTITION BY lang ORDER BY s ASC)
-        |      + count(*) OVER (PARTITION BY lang, s) - 1 AS r2 FROM j),
-        |a AS (SELECT lang, CAST(sum(y) AS BIGINT) AS n_pos,
-        |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
-        |    CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) AS rsum2
-        |  FROM r GROUP BY 1)
-        |SELECT lang, n_pos, n_neg,
-        |  CAST(rsum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
-        |    THEN ((rsum2 - n_pos * (n_pos + 1)) * 5000) // (n_pos * n_neg)
-        |    ELSE -1 END AS BIGINT) AS auc_bp
-        |FROM a""".stripMargin,
+    "q145_score_auc" -> Sql_q145,
 
     // The engine's Welch z² operation sequence, stated identically:
     // integer moments, explicit multiply for the square, round 6,
@@ -4696,5 +4725,21 @@ object SparkEntry {
         |       * (n_a + n_b - k_a - k_b) * n_a * n_b
         |  ELSE false END AS BIGINT) AS significant
         |FROM a""".stripMargin,
+
+    // The three eval oracles scalarized — each sub-SELECT is the exact
+    // body its own green row runs.
+    "q149_eval_card" ->
+      s"""SELECT 'ann_recall_bp_mean' AS metric,
+        |  CAST(sum(recall_bp) // count(*) AS BIGINT) AS value
+        |FROM ($Sql_q137)
+        |UNION ALL SELECT 'ann_hit_total', CAST(sum(n_hit) AS BIGINT)
+        |FROM ($Sql_q137)
+        |UNION ALL SELECT 'lsh_precision_bp', precision_bp FROM ($Sql_q142)
+        |UNION ALL SELECT 'lsh_recall_bp', recall_bp FROM ($Sql_q142)
+        |UNION ALL SELECT 'lsh_candidates', n_candidates FROM ($Sql_q142)
+        |UNION ALL SELECT 'auc_bp_min', CAST(min(auc_bp) AS BIGINT)
+        |FROM ($Sql_q145)
+        |UNION ALL SELECT 'auc_bp_max', CAST(max(auc_bp) AS BIGINT)
+        |FROM ($Sql_q145)""".stripMargin,
   )
 }

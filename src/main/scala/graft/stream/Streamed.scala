@@ -578,6 +578,63 @@ object Streamed {
       }
   }
 
+  /** Per-segment output of [[proportionAbState]]: running arm counts
+    * plus the exact significance verdict at this point of the stream. */
+  final case class AbOut(segment: String, n_a: Long, k_a: Long,
+      n_b: Long, k_b: Long, significant: Long, tsMs: Long)
+
+  /** Live two-proportion A/B monitor — the streaming twin of
+    * [[graft.ops.Stats.proportionAb]]: per segment, four running
+    * counters (trials and successes per arm) and the pooled-z²
+    * significance verdict recomputed on every update, decided with the
+    * SAME fully-exact cross-multiplied inequality as the batch form
+    * (BigInt here, DECIMAL(38,0) there — identical verdicts on
+    * identical counts, congruity-tested). Counts commute, so arrival
+    * order cannot change any emission's value — the strongest congruity
+    * contract of the live twins. State: four longs per segment,
+    * constant forever.
+    *
+    * The experiment-ops use: a dashboard watching `significant` flip
+    * during a rollout — with the standard peeking caveat (repeated
+    * looks at a fixed-threshold z inflate false positives; that is the
+    * statistics of CONTINUOUS MONITORING, not of this operator —
+    * sequential-testing corrections change `critBp`, nothing else). */
+  def proportionAbState(ds: Dataset[Rec[String, (String, Long)]],
+      armA: String, armB: String, critBp: Long = 19600L)(
+      implicit stEnc: Encoder[(Long, Long, Long, Long)],
+      outEnc: Encoder[AbOut]): Dataset[AbOut] = {
+    require(armA != armB, "arms must differ")
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), AbOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (seg: String, records: Iterator[Rec[String, (String, Long)]],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (na, ka, nb, kb) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          var lastTs = 0L
+          var touched = false
+          records.foreach { r =>
+            val (arm, s) = r.value
+            val s01 = if (s != 0L) 1L else 0L
+            if (arm == armA) { na += 1; ka += s01; touched = true }
+            else if (arm == armB) { nb += 1; kb += s01; touched = true }
+            lastTs = math.max(lastTs, r.tsMs)
+          }
+          state.update((na, ka, nb, kb))
+          if (!touched || na < 1 || nb < 1) Iterator.empty
+          else {
+            val (bna, bka, bnb, bkb) = (BigInt(na), BigInt(ka), BigInt(nb), BigInt(kb))
+            val k = bka + bkb; val n = bna + bnb
+            val d = bka * bnb - bkb * bna
+            val sig =
+              if (k <= 0 || k >= n) 0L
+              else if (d * d * n * 100000000L >=
+                BigInt(critBp) * critBp * k * (n - k) * bna * bnb) 1L
+              else 0L
+            Iterator.single(AbOut(seg, na, ka, nb, kb, sig, lastTs))
+          }
+      }
+  }
+
   def aggregateWithSubtractor[K: Encoder, G: Encoder, V: Encoder, A: Encoder](
       ds: Dataset[Rec[K, V]],
       groupKey: Rec[K, V] => G,

@@ -356,4 +356,53 @@ class StatsSpec extends AnyFunSuite {
     assert(run(0, 50, 0, 50) === 0L, "all-failure pool is not 0 >= 0 significant")
     assert(run(50, 50, 50, 50) === 0L, "all-success pool likewise")
   }
+
+  test("proportionAbState: LIVE final verdict == batch proportionAb under shuffled arrival, across a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    // seg0 identical arms; seg1 lifted arm R; seg2 degenerate (all zero)
+    val obs = (1 to 300).map { i =>
+      val seg = "seg" + rnd.nextInt(3)
+      val arm = if (rnd.nextBoolean()) "R" else "A"
+      val p = seg match {
+        case "seg0" => 0.5
+        case "seg1" => if (arm == "R") 0.8 else 0.4
+        case _      => 0.0
+      }
+      (seg, arm, if (rnd.nextDouble() < p) 1L else 0L)
+    }
+    val feed = rnd.shuffle(obs).zipWithIndex.map { case ((g, a, c), i) =>
+      Rec(g, (a, c), 1000L + i)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ab-ckpt-")
+    val ms = MemoryStream[Rec[String, (String, Long)]]
+    val latest = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Long)]
+    def start() = Streamed.proportionAbState(ms.toDS(), "R", "A")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streamed.AbOut], _: Long) =>
+        val rows = b.collect()
+        latest.synchronized { rows.foreach(r =>
+          latest(r.segment) = (r.n_a, r.k_a, r.n_b, r.k_b, r.significant)) }
+        ()
+      }.start()
+    val q1 = start()
+    try { ms.addData(feed.take(150): _*); q1.processAllAvailable() }
+    finally q1.stop() // counters must resume, not reset
+    val q2 = start()
+    try { ms.addData(feed.drop(150): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val batch = graft.ops.Stats.proportionAb(
+        obs.toDF("seg", "arm", "c"), Seq("seg"), "arm", "R", "A", "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(latest.synchronized(latest.toMap) === batch)
+    assert(batch("seg1")._5 === 1L, "the planted lift is detected")
+    assert(batch("seg0")._5 === 0L)
+    assert(batch("seg2")._5 === 0L, "degenerate pool stays insignificant")
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+  }
 }
