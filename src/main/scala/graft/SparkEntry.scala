@@ -1985,6 +1985,18 @@ object SparkEntry {
       .select(col("metric"), col("value").cast("long").as("value"))
   }
 
+  /** q150: q145's AUC by the histogram form
+    * ([[graft.ops.Stats.groupAucHist]] — no per-row rank window; the
+    * midranks come from the (group, score) histogram's running counts,
+    * the discrete-score shape that survives 100 TB). Same fixture, same
+    * oracle body as q145: two plans, one truth. */
+  private def qAucHist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.groupAucHist(
+      table(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(table(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
+          (col("label") < 5).cast("long").as("y")), "doc_id"),
+      Seq("lang"), "y", "n_chars")
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2137,6 +2149,7 @@ object SparkEntry {
     "q147_target_encoding" -> (qTargetEncoding _),
     "q148_conversion_ab" -> (qConversionAb _),
     "q149_eval_card" -> (qEvalCard _),
+    "q150_auc_hist" -> (qAucHist _),
   )
 
   // ------------------------------------------------------------------ //
@@ -4741,5 +4754,9 @@ object SparkEntry {
         |FROM ($Sql_q145)
         |UNION ALL SELECT 'auc_bp_max', CAST(max(auc_bp) AS BIGINT)
         |FROM ($Sql_q145)""".stripMargin,
+
+    // Identical truth to q145 — the oracle does not care which plan
+    // computed the midranks.
+    "q150_auc_hist" -> Sql_q145,
   )
 }

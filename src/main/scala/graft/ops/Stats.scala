@@ -366,6 +366,46 @@ object Stats {
           "THEN (u2 * 5000) div (n_pos * n_neg) ELSE -1 END AS BIGINT)"))
   }
 
+  /** [[groupAuc]] without the per-row rank window — the 100 TB form for
+    * DISCRETE scores: aggregate to the (group, score) histogram first
+    * (ONE corpus-keyed hash aggregate with map-side partials), then
+    * compute midranks from the histogram's running counts, where the
+    * window runs over groups × distinct-scores rows, not the corpus.
+    * For every score value with `n` rows of which `n⁺` positive and
+    * `c` rows strictly below it, each row's 2×-average-rank is
+    * `2c + n + 1`, so
+    *
+    *   rsum2 = Σ_values n⁺·(2c + n + 1)
+    *
+    * and u2/auc_bp follow exactly as in [[groupAuc]] — the two forms
+    * return IDENTICAL rows (same oracle), they differ only in where the
+    * sort happens: corpus-wide there, histogram-wide here. Output:
+    * groupCols, n_pos, n_neg, u2, auc_bp. */
+  def groupAucHist(df: DataFrame, groupCols: Seq[String], labelCol: String,
+      scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupAucHist needs >= 1 group column")
+    val gs = groupCols.map(col)
+    val hist = df
+      .select(gs ++ Seq(col(labelCol).cast("long").as("__y"), col(scoreCol)): _*)
+      .groupBy(gs :+ col(scoreCol): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col(scoreCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__c", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .groupBy(gs: _*)
+      .agg(sum(col("__np")).as("n_pos"),
+        (sum(col("__n")) - sum(col("__np"))).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__c") + col("__n") + 1L))
+          .as("__rsum2"))
+      .select(gs ++ Seq(col("n_pos"), col("n_neg"),
+        (col("__rsum2") - col("n_pos") * (col("n_pos") + 1L)).as("u2")): _*)
+      .withColumn("auc_bp", expr(
+        "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 " +
+          "THEN (u2 * 5000) div (n_pos * n_neg) ELSE -1 END AS BIGINT)"))
+  }
+
   /** Per-segment two-arm A/B comparison (Welch): integer moments per
     * arm (n, Σx, Σx² — exact BIGINT aggregates of an integral metric),
     * then the z² statistic as ONE FIXED double-arithmetic expression

@@ -405,4 +405,17 @@ class StatsSpec extends AnyFunSuite {
     assert(batch("seg2")._5 === 0L, "degenerate pool stays insignificant")
     org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
   }
+
+  test("groupAucHist == groupAuc row for row (random fixtures)") {
+    import graft.ops.Stats
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 400).map { _ =>
+      ("g" + rnd.nextInt(4), rnd.nextInt(9).toLong, rnd.nextInt(2).toLong)
+    }.toDF("g", "s", "y")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(canon(Stats.groupAucHist(rows, Seq("g"), "y", "s")) ===
+      canon(Stats.groupAuc(rows, Seq("g"), "y", "s")))
+  }
 }
