@@ -1997,6 +1997,17 @@ object SparkEntry {
           (col("label") < 5).cast("long").as("y")), "doc_id"),
       Seq("lang"), "y", "n_chars")
 
+  /** q151: calibration table for q145's score/label pair
+    * ([[graft.ops.Stats.calibrationTable]]) — per (lang, score
+    * quartile), the exact positive rate: what a score region MEANS,
+    * the reliability companion to AUC. */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.calibrationTable(
+      table(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(table(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
+          (col("label") < 5).cast("long").as("y")), "doc_id"),
+      "lang", "y", "n_chars", Seq(0.25, 0.5, 0.75))
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2150,6 +2161,7 @@ object SparkEntry {
     "q148_conversion_ab" -> (qConversionAb _),
     "q149_eval_card" -> (qEvalCard _),
     "q150_auc_hist" -> (qAucHist _),
+    "q151_calibration" -> (qCalibration _),
   )
 
   // ------------------------------------------------------------------ //
@@ -4758,5 +4770,28 @@ object SparkEntry {
     // Identical truth to q145 — the oracle does not care which plan
     // computed the midranks.
     "q150_auc_hist" -> Sql_q145,
+
+    // q81's quantile_disc buckets over the q145 join, rolled up to the
+    // per-(lang, bucket) exact positive rate.
+    "q151_calibration" ->
+      """WITH j AS (SELECT d.lang, d.n_chars,
+        |    CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |b AS (SELECT lang,
+        |  quantile_disc(n_chars, 0.25) AS q1,
+        |  quantile_disc(n_chars, 0.5) AS q2,
+        |  quantile_disc(n_chars, 0.75) AS q3
+        | FROM j GROUP BY 1),
+        |r AS (SELECT j.lang, j.n_chars, j.y,
+        |  CAST(1 + (CASE WHEN j.n_chars > b.q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN j.n_chars > b.q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN j.n_chars > b.q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM j JOIN b USING (lang))
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(min(n_chars) AS BIGINT) AS score_lo,
+        |  CAST(max(n_chars) AS BIGINT) AS score_hi,
+        |  CAST((sum(y) * 10000) // count(*) AS BIGINT) AS pos_rate_bp
+        |FROM r GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -406,6 +406,28 @@ object Stats {
           "THEN (u2 * 5000) div (n_pos * n_neg) ELSE -1 END AS BIGINT)"))
   }
 
+  /** Score calibration table — the reliability companion to
+    * [[groupAuc]]: bucket rows by the score's own per-group quantiles
+    * (the [[quantileBuckets]] sketch) and report each bucket's exact
+    * positive rate in basis points. AUC says the score RANKS well;
+    * calibration says what a score REGION actually means — a quality
+    * classifier can have AUC 0.9 and still be useless as a threshold
+    * gate if the top bucket is only 40% positive. All integers: counts,
+    * integer-div basis points, and the bucket's exact [lo, hi] score
+    * span. Scale shape: the quantileBuckets sketch + one (group,
+    * bucket)-keyed aggregate. Output: groupCol, bucket, n, n_pos,
+    * score_lo, score_hi, pos_rate_bp. */
+  def calibrationTable(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, probabilities: Seq[Double]): DataFrame =
+    quantileBuckets(df, groupCol, scoreCol, probabilities)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        min(col(scoreCol)).cast("long").as("score_lo"),
+        max(col(scoreCol)).cast("long").as("score_hi"))
+      .withColumn("pos_rate_bp",
+        expr("CAST((n_pos * 10000) div n AS BIGINT)"))
+
   /** Per-segment two-arm A/B comparison (Welch): integer moments per
     * arm (n, Σx, Σx² — exact BIGINT aggregates of an integral metric),
     * then the z² statistic as ONE FIXED double-arithmetic expression

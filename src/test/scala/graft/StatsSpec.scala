@@ -418,4 +418,19 @@ class StatsSpec extends AnyFunSuite {
     assert(canon(Stats.groupAucHist(rows, Seq("g"), "y", "s")) ===
       canon(Stats.groupAuc(rows, Seq("g"), "y", "s")))
   }
+
+  test("calibrationTable: exact per-bucket positive rates over quartile spans") {
+    import graft.ops.Stats
+    // 8 values per group; label = 1 only for the top half -> top buckets
+    // must read 10000bp, bottom buckets 0
+    val rows = (1L to 8L).map(v => ("g", v, if (v >= 5) 1L else 0L))
+    val got = Stats.calibrationTable(rows.toDF("g", "s", "y"),
+        "g", "y", "s", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 0L, 1L, 2L, 0L)), 2L -> ((2L, 0L, 3L, 4L, 0L)),
+      3L -> ((2L, 2L, 5L, 6L, 10000L)), 4L -> ((2L, 2L, 7L, 8L, 10000L))))
+  }
 }
