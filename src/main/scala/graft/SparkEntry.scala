@@ -2008,6 +2008,27 @@ object SparkEntry {
           (col("label") < 5).cast("long").as("y")), "doc_id"),
       "lang", "y", "n_chars", Seq(0.25, 0.5, 0.75))
 
+  /** q152: count/frequency encoding table for `source`
+    * ([[graft.ops.Features.countEncode]]). */
+  private def qCountEncoding(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Features.countEncode(table(s, dir, "documents"), "source")
+
+  /** q153: funnel step latency — per completed transition, the exact
+    * discrete p50/p90 of the step delta ([[graft.ops.Events.funnel]]
+    * composed into [[graft.ops.Stats.percentilesDisc]]): "how long from
+    * view to click, click to purchase". */
+  private def qFunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val f = graft.ops.Events.funnel(
+      eventsDf(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")),
+      "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+    val deltas = f.select(expr(
+        "stack(2, 'view>click', t2_us - t1_us," +
+          " 'click>purchase', t3_us - t2_us) AS (step, delta_us)"))
+      .filter(col("delta_us").isNotNull)
+    graft.ops.Stats.percentilesDisc(deltas, "step", "delta_us", Seq(5000, 9000))
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2162,6 +2183,8 @@ object SparkEntry {
     "q149_eval_card" -> (qEvalCard _),
     "q150_auc_hist" -> (qAucHist _),
     "q151_calibration" -> (qCalibration _),
+    "q152_count_encoding" -> (qCountEncoding _),
+    "q153_funnel_latency" -> (qFunnelLatency _),
   )
 
   // ------------------------------------------------------------------ //
@@ -4793,5 +4816,40 @@ object SparkEntry {
         |  CAST(max(n_chars) AS BIGINT) AS score_hi,
         |  CAST((sum(y) * 10000) // count(*) AS BIGINT) AS pos_rate_bp
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q152_count_encoding" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT c.source, c.n,
+        |  CAST((c.n * 10000) // t.total AS BIGINT) AS freq_bp
+        |FROM c, t""".stripMargin,
+
+    // q73's funnel chain, step deltas unpivoted, q131's disc-percentile
+    // convention per step.
+    "q153_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t1_us GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us FROM e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2_us GROUP BY 1),
+        |d AS (SELECT 'view>click' AS step, s2.t2_us - s1.t1_us AS v
+        |    FROM s1 JOIN s2 USING (user_id)
+        |  UNION ALL SELECT 'click>purchase', s3.t3_us - s2.t2_us
+        |    FROM s2 JOIN s3 USING (user_id)),
+        |h AS (SELECT step, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |cum AS (SELECT step, v,
+        |   CAST(sum(c) OVER (PARTITION BY step ORDER BY v
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |   CAST(sum(c) OVER (PARTITION BY step) AS BIGINT) AS n FROM h)
+        |SELECT step, CAST(min(n) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cum * 10000 >= n * 5000 THEN v END) AS BIGINT) AS p5000,
+        |  CAST(min(CASE WHEN cum * 10000 >= n * 9000 THEN v END) AS BIGINT) AS p9000
+        |FROM cum GROUP BY 1""".stripMargin,
   )
 }
