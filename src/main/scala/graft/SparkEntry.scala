@@ -2029,6 +2029,22 @@ object SparkEntry {
     graft.ops.Stats.percentilesDisc(deltas, "step", "delta_us", Seq(5000, 9000))
   }
 
+  /** q154: duplicate-cluster size histogram — q47's connected
+    * components rolled up to (cluster size → number of clusters, docs
+    * held): the "how duplicated is this corpus" report that sizes the
+    * dedup win before anyone runs it. */
+  private def qDupHistogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val cc = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+        n = 3, threshold = 0.5, maxDf = 100),
+      docs.select(col("doc_id")), "doc_id")
+    cc.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__sz")).as("n_docs"))
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2185,6 +2201,7 @@ object SparkEntry {
     "q151_calibration" -> (qCalibration _),
     "q152_count_encoding" -> (qCountEncoding _),
     "q153_funnel_latency" -> (qFunnelLatency _),
+    "q154_dup_histogram" -> (qDupHistogram _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2293,6 +2310,22 @@ object SparkEntry {
          |    * sqrt(list_reduce(list_prepend(0.0, list_transform($b,
          |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))), 6)""".stripMargin
   }
+
+  /** q47's recursive-CTE clustering — shared with q154's histogram. */
+  private lazy val Sql_q47: String =
+      s"""${OSql.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |shh AS (SELECT doc_id, nsh, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
+        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 100),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+        | FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2, x.nsh, y.nsh
+        | HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |reach(id, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY 1""".stripMargin
 
   /** Oracle bodies shared with the q149 eval-card composition. */
   private lazy val Sql_q137: String =
@@ -2799,20 +2832,7 @@ object SparkEntry {
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 3""".stripMargin,
 
-    "q47_neardup_clusters" ->
-      s"""${OSql.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        |shh AS (SELECT doc_id, nsh, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS sh FROM sh),
-        |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM shh) WHERE df <= 100),
-        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
-        | FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        | GROUP BY 1, 2, x.nsh, y.nsh
-        | HAVING round(count(*)::DOUBLE / (x.nsh + y.nsh - count(*)), 6) >= 0.5),
-        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
-        |reach(id, lab) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
-        |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY 1""".stripMargin,
+    "q47_neardup_clusters" -> Sql_q47,
 
     "q48_lag_lead" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
@@ -4851,5 +4871,14 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cum * 10000 >= n * 5000 THEN v END) AS BIGINT) AS p5000,
         |  CAST(min(CASE WHEN cum * 10000 >= n * 9000 THEN v END) AS BIGINT) AS p9000
         |FROM cum GROUP BY 1""".stripMargin,
+
+    // q47's truth rolled up twice: per-cluster sizes, then the
+    // size histogram.
+    "q154_dup_histogram" ->
+      s"""SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM ($Sql_q47) GROUP BY cluster)
+        |GROUP BY 1""".stripMargin,
   )
 }
