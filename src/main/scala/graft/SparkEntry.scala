@@ -2395,10 +2395,10 @@ object SparkEntry {
         |      + count(*) OVER (PARTITION BY lang, s) - 1 AS r2 FROM j),
         |a AS (SELECT lang, CAST(sum(y) AS BIGINT) AS n_pos,
         |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
-        |    CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) AS rsum2
+        |    sum(CASE WHEN y = 1 THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS rsum2
         |  FROM r GROUP BY 1)
         |SELECT lang, n_pos, n_neg,
-        |  CAST(rsum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |  CAST(rsum2 - n_pos * (n_pos + 1) AS DECIMAL(38,0)) AS u2,
         |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
         |    THEN ((rsum2 - n_pos * (n_pos + 1)) * 5000) // (n_pos * n_neg)
         |    ELSE -1 END AS BIGINT) AS auc_bp
@@ -4733,7 +4733,9 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN arm = 'R' THEN v * v ELSE 0 END) AS BIGINT) AS q_a,
         |    CAST(sum(CASE WHEN arm = 'A' THEN v * v ELSE 0 END) AS BIGINT) AS q_b
         |  FROM f GROUP BY 1
-        |  HAVING n_a >= 2 AND n_b >= 2),
+        |  HAVING n_a >= 2 AND n_b >= 2
+        |    AND NOT (CAST(q_a AS HUGEINT) * n_a = CAST(sum_a AS HUGEINT) * sum_a
+        |         AND CAST(q_b AS HUGEINT) * n_b = CAST(sum_b AS HUGEINT) * sum_b)),
         |z AS (SELECT *, round(
         |    (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
         |      - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
@@ -4773,7 +4775,10 @@ object SparkEntry {
         |FROM g LEFT JOIN pf ON g.lang = pf.lang AND g.fold = pf.fold""".stripMargin,
 
     // The engine's cross-multiplied pooled z² inequality in HUGEINT —
-    // int128 covers the same range as the engine's DECIMAL(38,0).
+    // int128 covers the same range as the engine's DECIMAL(38,0),
+    // including the same L ≥ 10³⁰ magnitude guard (DuckDB ERRORS on
+    // int128 overflow, so the guard is what keeps L·10⁸ from being
+    // formed exactly when it wouldn't fit).
     "q148_conversion_ab" ->
       """WITH f AS (SELECT l_linestatus, l_returnflag AS arm,
         |    CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS conv
@@ -4783,16 +4788,22 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN arm = 'R' THEN conv ELSE 0 END) AS BIGINT) AS k_a,
         |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS k_b
-        |  FROM f GROUP BY 1 HAVING n_a >= 1 AND n_b >= 1)
-        |SELECT l_linestatus, n_a, k_a, n_b, k_b,
-        |  CAST(CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+        |  FROM f GROUP BY 1 HAVING n_a >= 1 AND n_b >= 1),
+        |l AS (SELECT *,
         |    (CAST(k_a AS HUGEINT) * n_b - CAST(k_b AS HUGEINT) * n_a)
         |    * (CAST(k_a AS HUGEINT) * n_b - CAST(k_b AS HUGEINT) * n_a)
-        |    * (n_a + n_b) * 100000000
-        |    >= CAST(19600 AS HUGEINT) * 19600 * (k_a + k_b)
-        |       * (n_a + n_b - k_a - k_b) * n_a * n_b
+        |    * (n_a + n_b) AS lhs
+        |  FROM a)
+        |SELECT l_linestatus, n_a, k_a, n_b, k_b,
+        |  CAST(CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+        |    CASE WHEN lhs >= CAST('1000000000000000000000000000000' AS HUGEINT)
+        |      THEN true
+        |    ELSE lhs * 100000000
+        |      >= CAST(19600 AS HUGEINT) * 19600 * (k_a + k_b)
+        |         * (n_a + n_b - k_a - k_b) * n_a * n_b
+        |    END
         |  ELSE false END AS BIGINT) AS significant
-        |FROM a""".stripMargin,
+        |FROM l""".stripMargin,
 
     // The three eval oracles scalarized — each sub-SELECT is the exact
     // body its own green row runs.

@@ -335,6 +335,11 @@ object Stats {
     *
     * is exact integer arithmetic end to end — two engines agree
     * bit-for-bit, and a 0.5000 AUC means EXACTLY uninformative.
+    * The rank sum and U are quadratic in the group size (≈ n²), so
+    * they are carried and EMITTED in DECIMAL(38,0) (DuckDB HUGEINT
+    * covers the same range) — in BIGINT, u2·5000 would silently wrap
+    * past ~6·10⁷ balanced rows per group and rsum2 itself past ~3·10⁹;
+    * decimal keeps the statistic exact to n per group ≈ 10¹⁷.
     *
     * Scale shape: one group-keyed rank window (the sort is the honest
     * cost of an exact rank statistic — same class as any per-group
@@ -353,14 +358,16 @@ object Stats {
       .partitionBy(gs :+ col(scoreCol): _*)
     df.select(gs ++ Seq(col(labelCol).cast("long").as("__y"), col(scoreCol)): _*)
       .withColumn("__r2",
-        lit(2L) * rank().over(w) + count(lit(1)).over(wt) - 1L)
+        (lit(2L) * rank().over(w) + count(lit(1)).over(wt) - 1L)
+          .cast("decimal(38,0)"))
       .groupBy(gs: _*)
       .agg(sum(col("__y")).as("n_pos"),
         (count(lit(1)) - sum(col("__y"))).as("n_neg"),
-        sum(when(col("__y") === 1L, col("__r2")).otherwise(lit(0L)))
-          .as("__rsum2"))
+        sum(when(col("__y") === 1L, col("__r2"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__rsum2"))
       .select(gs ++ Seq(col("n_pos"), col("n_neg"),
-        (col("__rsum2") - col("n_pos") * (col("n_pos") + 1L)).as("u2")): _*)
+        (col("__rsum2") - (col("n_pos") * (col("n_pos") + 1L))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("u2")): _*)
       .withColumn("auc_bp", expr(
         "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 " +
           "THEN (u2 * 5000) div (n_pos * n_neg) ELSE -1 END AS BIGINT)"))
@@ -397,10 +404,13 @@ object Stats {
       .groupBy(gs: _*)
       .agg(sum(col("__np")).as("n_pos"),
         (sum(col("__n")) - sum(col("__np"))).as("n_neg"),
-        sum(col("__np") * (lit(2L) * col("__c") + col("__n") + 1L))
-          .as("__rsum2"))
+        // cast BEFORE the product: one hot score value can hold ~n rows,
+        // so __np · (2c + n + 1) ~ n² would wrap in BIGINT pre-cast
+        sum(col("__np").cast("decimal(38,0)") *
+          (lit(2L) * col("__c") + col("__n") + 1L)).as("__rsum2"))
       .select(gs ++ Seq(col("n_pos"), col("n_neg"),
-        (col("__rsum2") - col("n_pos") * (col("n_pos") + 1L)).as("u2")): _*)
+        (col("__rsum2") - (col("n_pos") * (col("n_pos") + 1L))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("u2")): _*)
       .withColumn("auc_bp", expr(
         "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 " +
           "THEN (u2 * 5000) div (n_pos * n_neg) ELSE -1 END AS BIGINT)"))
@@ -444,9 +454,14 @@ object Stats {
     * `significant` compares the ROUNDED z² against (critBp/10⁴)² —
     * the decision is a deterministic function of the emitted number.
     * Segments where either arm has n < 2 are dropped (variance
-    * undefined). One corpus-keyed aggregate, segments-sized everything
-    * after. Output: segmentCols, n_a, n_b, sum_a, sum_b, z2 (6 dp),
-    * significant (0/1 long). */
+    * undefined), and so are segments where BOTH arms have zero
+    * variance (the metric is constant within each arm: pooled
+    * denominator 0, z² = ±Infinity/NaN — engines diverge casting
+    * those, and "identical constants vs different constants" is a
+    * question a variance test cannot answer anyway). Zero variance is
+    * decided exactly in integers: v = 0 ⇔ n·Q = S². One corpus-keyed
+    * aggregate, segments-sized everything after. Output: segmentCols,
+    * n_a, n_b, sum_a, sum_b, z2 (6 dp), significant (0/1 long). */
   def abTest(df: DataFrame, segmentCols: Seq[String], armCol: String,
       armA: String, armB: String, valueCol: String,
       critBp: Long = 19600L): DataFrame = {
@@ -464,6 +479,13 @@ object Stats {
         m(armA, v).as("sum_a"), m(armB, v).as("sum_b"),
         m(armA, v * v).as("__q_a"), m(armB, v * v).as("__q_b"))
       .filter(col("n_a") >= 2L && col("n_b") >= 2L)
+      // drop both-arms-constant segments (zero pooled variance — see
+      // scaladoc); n·Q = S² decided in DECIMAL(38,0) so corpus-scale
+      // moments can't wrap the comparison itself
+      .filter(!(col("__q_a").cast("decimal(38,0)") * col("n_a") ===
+          col("sum_a").cast("decimal(38,0)") * col("sum_a") &&
+        col("__q_b").cast("decimal(38,0)") * col("n_b") ===
+          col("sum_b").cast("decimal(38,0)") * col("sum_b")))
     // one fixed IEEE operation sequence, stated identically in the
     // DuckDB twin — explicit multiply for the square (pow(x, 2) is
     // libm territory; x·x is one exact IEEE multiply on both engines)
@@ -499,12 +521,20 @@ object Stats {
     * inequality cross-multiplies into integers:
     *
     *   z² ≥ (critBp/10⁴)²  ⇔
-    *   (k_a·n_b − k_b·n_a)²·N·10⁸ ≥ critBp²·K·(N−K)·n_a·n_b
+    *   L·10⁸ ≥ R  where  L = (k_a·n_b − k_b·n_a)²·N,
+    *                     R = critBp²·K·(N−K)·n_a·n_b
     *
-    * with K = k_a + k_b, N = n_a + n_b — evaluated in DECIMAL(38,0),
-    * which holds exactly for per-segment n up to ~10⁶ (the left side is
-    * ~n⁵·10⁸; beyond that, test on a deterministic hash sample — the
-    * verdict at that scale is insensitive to sampling). Degenerate
+    * with K = k_a + k_b, N = n_a + n_b — evaluated in DECIMAL(38,0)
+    * (DuckDB HUGEINT mirrors it) behind a magnitude guard: when
+    * L ≥ 10³⁰ the product L·10⁸ would need 39 digits, but then
+    * L·10⁸ ≥ 10³⁸ > R for ANY representable R, so the verdict is
+    * `true` without forming it (a short-circuiting CASE, stated
+    * identically in both engines — DuckDB errors on int128 overflow
+    * rather than NULLing, so the guard is what keeps the engines
+    * agreeing at the extremes). Exact for per-arm n up to ~2·10⁷ —
+    * the binding term is R ≈ critBp²·n⁴ ≤ 10³⁸ (beyond that, test on
+    * a deterministic hash sample — the verdict at that scale is
+    * insensitive to sampling). Degenerate
     * pooled variance (K = 0 or K = N: both arms all-failures or
     * all-successes ⇒ p̂_a = p̂_b) reports insignificant, not a 0 ≥ 0
     * accident. One corpus-keyed aggregate. Output: segmentCols, n_a,
@@ -524,14 +554,19 @@ object Stats {
       .agg(m(armA, lit(1L)).as("n_a"), m(armA, succ).as("k_a"),
         m(armB, lit(1L)).as("n_b"), m(armB, succ).as("k_b"))
       .filter(col("n_a") >= 1L && col("n_b") >= 1L)
+      .withColumn("__l", expr(
+        """(CAST(k_a AS DECIMAL(38,0)) * n_b - CAST(k_b AS DECIMAL(38,0)) * n_a)
+          |* (CAST(k_a AS DECIMAL(38,0)) * n_b - CAST(k_b AS DECIMAL(38,0)) * n_a)
+          |* (n_a + n_b)""".stripMargin))
       .withColumn("significant", expr(
         s"""CAST(CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
-           |  (CAST(k_a AS DECIMAL(38,0)) * n_b - CAST(k_b AS DECIMAL(38,0)) * n_a)
-           |  * (CAST(k_a AS DECIMAL(38,0)) * n_b - CAST(k_b AS DECIMAL(38,0)) * n_a)
-           |  * (n_a + n_b) * 100000000
-           |  >= CAST($critBp AS DECIMAL(38,0)) * $critBp
-           |     * (k_a + k_b) * (n_a + n_b - k_a - k_b) * n_a * n_b
+           |  CASE WHEN __l >= CAST(${"1" + "0" * 30} AS DECIMAL(38,0)) THEN true
+           |  ELSE __l * 100000000
+           |    >= CAST($critBp AS DECIMAL(38,0)) * $critBp
+           |       * (k_a + k_b) * (n_a + n_b - k_a - k_b) * n_a * n_b
+           |  END
            |ELSE false END AS BIGINT)""".stripMargin))
+      .drop("__l")
       .select(gs ++ Seq(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
         col("significant")): _*)
   }

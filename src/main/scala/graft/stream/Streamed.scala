@@ -518,12 +518,6 @@ object Streamed {
   final case class DriftSt(n: Long, sx: Long, sy: Long, sxx: Long,
       syy: Long, sxy: Long)
 
-  /** KGroupedTable-style aggregate with subtractor: the stream is a table
-    * changelog keyed by the TABLE key; `groupKey` re-keys for aggregation.
-    * On an update to a table key, the previous value is subtracted and the
-    * new one added (willa `streams.clj:44-50`). Emits the group aggregate
-    * after every update. State per group: the group acc + the latest value
-    * per member table-key (bounded by member cardinality). */
   /** Live rolling active users — the streaming twin of
     * [[graft.ops.Events.rollingActiveUsers]]: for every day with
     * activity, the distinct users active in the trailing `windowDays`
@@ -635,6 +629,12 @@ object Streamed {
       }
   }
 
+  /** KGroupedTable-style aggregate with subtractor: the stream is a table
+    * changelog keyed by the TABLE key; `groupKey` re-keys for aggregation.
+    * On an update to a table key, the previous value is subtracted and the
+    * new one added (willa `streams.clj:44-50`). Emits the group aggregate
+    * after every update. State per group: the group acc + the latest value
+    * per member table-key (bounded by member cardinality). */
   def aggregateWithSubtractor[K: Encoder, G: Encoder, V: Encoder, A: Encoder](
       ds: Dataset[Rec[K, V]],
       groupKey: Rec[K, V] => G,

@@ -259,7 +259,8 @@ class StatsSpec extends AnyFunSuite {
       ("g3", 5L, 1L), ("g3", 6L, 1L)).toDF("g", "s", "y")
     val got = Stats.groupAuc(rows, Seq("g"), "y", "s")
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        ((r.getLong(1), r.getLong(2),
+          r.getDecimal(3).longValueExact(), r.getLong(4)))).toMap
     assert(got("g1") === ((2L, 2L, 8L, 10000L)))
     assert(got("g2") === ((1L, 1L, 1L, 5000L)))
     assert(got("g3") === ((2L, 0L, /* u2 */ got("g3")._3, -1L)))
@@ -292,7 +293,8 @@ class StatsSpec extends AnyFunSuite {
     val want = rows.groupBy(_._1).view.mapValues(g => ref(g.map(x => (x._2, x._3)))).toMap
     val got = Stats.groupAuc(rows.toDF("g", "s", "y"), Seq("g"), "y", "s")
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        ((r.getLong(1), r.getLong(2),
+          r.getDecimal(3).longValueExact(), r.getLong(4)))).toMap
     assert(got === want)
   }
 
@@ -304,12 +306,23 @@ class StatsSpec extends AnyFunSuite {
       (1 to 40).map(i => ("seg2", "R", (i % 3 + 50).toLong)) ++   // far apart
       (1 to 40).map(i => ("seg2", "A", (i % 3 + 10).toLong)) ++
       Seq(("seg3", "R", 5L), ("seg3", "A", 1L), ("seg3", "A", 2L)) ++ // n_a < 2
+      // seg4: both arms CONSTANT (different means) — zero pooled
+      // variance, z² = Infinity; must be dropped, not cast to a verdict
+      (1 to 5).map(_ => ("seg4", "R", 7L)) ++
+      (1 to 5).map(_ => ("seg4", "A", 3L)) ++
+      // seg5: one arm constant, the other not — variance is still
+      // positive, the segment must SURVIVE the degenerate filter
+      (1 to 5).map(_ => ("seg5", "R", 7L)) ++
+      (1 to 5).map(i => ("seg5", "A", (i % 2 + 3).toLong)) ++
       (1 to 9).map(_ => ("seg1", "N", 999L))                      // other arm ignored
     val got = Stats.abTest(rows.toDF("seg", "arm", "v"), Seq("seg"),
         "arm", "R", "A", "v")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getLong(6)))).toMap
     assert(!got.contains("seg3"), "variance undefined at n<2")
+    assert(!got.contains("seg4"), "both-arms-constant segment dropped")
+    assert(got.contains("seg5"), "one-arm-constant segment kept")
+    assert(got("seg5")._4 == 1L, "clearly separated means stay significant")
     val (na1, nb1, z1, s1) = got("seg1")
     assert(na1 == 40L && nb1 == 40L && z1 == 0.0 && s1 == 0L)
     val (_, _, z2v, s2) = got("seg2")
@@ -413,8 +426,8 @@ class StatsSpec extends AnyFunSuite {
       ("g" + rnd.nextInt(4), rnd.nextInt(9).toLong, rnd.nextInt(2).toLong)
     }.toDF("g", "s", "y")
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4))).toSet
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact(), r.getLong(4))).toSet
     assert(canon(Stats.groupAucHist(rows, Seq("g"), "y", "s")) ===
       canon(Stats.groupAuc(rows, Seq("g"), "y", "s")))
   }
