@@ -394,12 +394,21 @@ object ScaleProbe {
           titles.filter(col("doc_id") < 50), "doc_id", "title",
           titles, "doc_id", "title", maxDist = 6, q = 2, scope = sc).count()
       }),
+      // q139's registered shape (full text, lang block, length bands)
+      // vs the same join with banding OFF: rows must be identical and
+      // the banded exponent must hold flat where the flat-block form
+      // trends quadratic (the r14 finding, now the A/B under test)
       "edit_blocked" -> (() => CacheScope.using { sc =>
         graft.ops.StringSim.editDistanceJoin(
-          docs.select(col("doc_id"), col("lang"), col("source"),
-            substring(col("text"), 1, 40).as("title")),
-          "doc_id", "title", maxDist = 6, q = 2,
-          blockOn = Seq("lang", "source"), scope = sc).count()
+          docs.select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "text", maxDist = 6, q = 2,
+          blockOn = Seq("lang"), lengthBand = 6, scope = sc).count()
+      }),
+      "edit_blocked_flat" -> (() => CacheScope.using { sc =>
+        graft.ops.StringSim.editDistanceJoin(
+          docs.select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "text", maxDist = 6, q = 2,
+          blockOn = Seq("lang"), scope = sc).count()
       }),
       "containment" -> (() => CacheScope.using { sc =>
         graft.ops.StringSim.containmentJoin(docs, "doc_id", "text",

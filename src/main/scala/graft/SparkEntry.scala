@@ -1832,29 +1832,35 @@ object SparkEntry {
     * gram order, banded-levenshtein verify); the oracle is the
     * probe × corpus product the operator's filter chain avoids. */
   private def qEditJoin(s: SparkSession, dir: String): DataFrame = {
-    val titles = table(s, dir, "documents")
+    val titles = cpuTable(s, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
     graft.ops.StringSim.editDistanceLookup(
       titles.filter(col("doc_id") < 50), "doc_id", "title",
       titles, "doc_id", "title", maxDist = 6, q = 2)
   }
 
-  /** q139: blocked edit-distance self-join — near-identical titles
-    * WITHIN the same (lang, source), the production blocking discipline
-    * ([[graft.ops.StringSim.editDistanceJoin]] with `blockOn`). */
+  /** q139: blocked edit-distance self-join — near-identical documents
+    * (≤ 6 edits over the FULL text: the in-place-patch duplicates
+    * byte-exact dedup misses) WITHIN the same language, with
+    * length-interval banding ([[graft.ops.StringSim.editDistanceJoin]]
+    * with `blockOn` + `lengthBand`): the band count grows with the
+    * corpus's length spread, so within-block candidates stay bounded
+    * where any fixed block tuple saturates — the scale-safe shape the
+    * r14 30× probe demanded (fixed blocks trended quadratic, exponent
+    * 0.65 → 0.82; the banded form is flat — SCALING.md). Results are
+    * IDENTICAL to the unbanded form (ed ≤ k ⇒ length gap ≤ k). */
   private def qEditBlocked(s: SparkSession, dir: String): DataFrame =
     graft.ops.StringSim.editDistanceJoin(
-      table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          substring(col("text"), 1, 40).as("title")),
-      "doc_id", "title", maxDist = 6, q = 2,
-      blockOn = Seq("lang", "source"))
+      cpuTable(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text")),
+      "doc_id", "text", maxDist = 6, q = 2,
+      blockOn = Seq("lang"), lengthBand = 6)
 
   /** q137: recall@10 of the Hamming-1-probed 8-bit LSH index against
     * exact brute force, per query — the ANN evaluation harness
     * ([[graft.ops.Similarity.annRecall]]) under q26/q27's conventions. */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = cpuTable(s, dir, "embeddings")
     graft.ops.Similarity.annRecall(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 25), "vec_id", "embedding",
       k = 10, signBits = 8, probeHamming = 1)
@@ -1866,7 +1872,7 @@ object SparkEntry {
     * Jaccard misses. */
   private def qContainment(s: SparkSession, dir: String): DataFrame =
     graft.ops.StringSim.containmentJoin(
-      table(s, dir, "documents"), "doc_id", "text", n = 3, tauBp = 8000)
+      cpuTable(s, dir, "documents"), "doc_id", "text", n = 3, tauBp = 8000)
 
   /** q140: k-core of the part–supplier bipartite graph (supplier ids
     * offset into their own range) — iterative peeling to fixpoint
@@ -1883,7 +1889,7 @@ object SparkEntry {
     * ([[graft.ops.Retrieval.phraseSearch]]) — a 2-token and a 3-token
     * phrase, union-labeled; the primitive BM25's bag-of-words misses. */
   private def qPhraseSearch(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
+    val docs = cpuTable(s, dir, "documents")
     Retrieval.phraseSearch(docs, "doc_id", col("text"), Seq("table", "hash"))
       .withColumn("phrase", lit("table hash"))
       .unionByName(
@@ -1898,7 +1904,7 @@ object SparkEntry {
     * points ([[graft.ops.Dedup.minhashEval]]); the text-side twin of
     * q137's ANN recall. */
   private def qLshEval(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashEval(table(s, dir, "documents"), "doc_id", col("text"),
+    Dedup.minhashEval(cpuTable(s, dir, "documents"), "doc_id", col("text"),
       n = 3, k = 8, rowsPerBand = 4, maxBucket = LshMaxBucket,
       threshold = 0.5, maxDf = 100)
 
@@ -1906,7 +1912,7 @@ object SparkEntry {
     * (q23's build) labeled with both sides' languages: the
     * "which languages leak into which" contamination report. */
   private def qDupLangMatrix(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
+    val docs = cpuTable(s, dir, "documents")
     Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
         n = 3, threshold = 0.5, maxDf = 100)
       .join(docs.select(col("doc_id").as("a"), col("lang").as("__la")), "a")
@@ -1921,7 +1927,7 @@ object SparkEntry {
     * NFC, space collapse, trim) fingerprinted per doc; `changed` counts
     * docs the pass rewrote. */
   private def qNormalizeText(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+    cpuTable(s, dir, "documents")
       .select(col("doc_id"),
         TextAnalysis.normalizeText(col("text")).as("__n"), col("text"))
       .select(col("doc_id"), md5(col("__n")).as("norm_md5"),
@@ -4613,15 +4619,17 @@ object SparkEntry {
         |FROM (SELECT * FROM s WHERE doc_id < 50) a, s b
         |WHERE levenshtein(a.p, b.p) <= 6""".stripMargin,
 
-    // q136's brute form restricted to the (lang, source) block — the
-    // self-join contract: only within-block pairs exist.
+    // The brute within-language form over the FULL text — the length
+    // prefilter is implied by ed <= 6 (each edit moves length by at
+    // most 1), so adding it cannot change rows, only oracle cost; the
+    // engine's length banding prunes to the same contract.
     "q139_edit_blocked" ->
-      """WITH s AS (SELECT doc_id, lang, source, substr(text, 1, 40) AS p
-        |  FROM documents)
-        |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+      """WITH s AS (SELECT doc_id, lang, text AS p FROM documents)
+        |SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
         |FROM s a JOIN s b
-        |  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+        |  ON a.doc_id < b.doc_id AND a.lang = b.lang
+        |  AND abs(len(a.p) - len(b.p)) <= 6
         |WHERE levenshtein(a.p, b.p) <= 6""".stripMargin,
 
     // q26's brute top-k and q27's probed-LSH top-k (same cos/tiebreak

@@ -27,4 +27,21 @@ class PlanGateSpec extends AnyFunSuite {
       assert(failures.isEmpty, failures.mkString("\n"))
     } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
   }
+
+  test("registration discipline: every query is triaged heavy or light") {
+    // a query in neither list (or both) fails here the moment it is
+    // registered — the triage can never lag the surface again
+    val gaps = Explain.coverageGaps(SparkEntry.queries.keySet)
+    assert(gaps.isEmpty, gaps.mkString("\n"))
+  }
+
+  test("the scatter rule actually fires on a deliberately broken plan") {
+    // a CPU-heavy query whose plan lost its RoundRobinPartitioning must
+    // be flagged — the rule, not just the current plans, is under test
+    val broken = "Exchange hashpartitioning(doc_id, 4)\n+- FileScan parquet"
+    assert(Explain.violations("q23_dedup_ngram", broken)
+      .exists(_.contains("scatter")))
+    // and the same plan text is fine for a shuffle-bound query
+    assert(Explain.violations("q01_agg_pricing", broken).isEmpty)
+  }
 }

@@ -86,6 +86,50 @@ class StringSimSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("editDistanceJoin with lengthBand: identical results to unbanded, property") {
+    // strings spread over many length bands, lengths straddling band
+    // boundaries (the neighbor-probe direction is what's under test:
+    // a true pair split across adjacent bands must still be found)
+    val rnd = new scala.util.Random(1515L)
+    val ss = (0 until 40).map { _ =>
+      val len = 1 + rnd.nextInt(24)
+      (0 until len).map(_ => "ab" (rnd.nextInt(2))).mkString
+    }
+    val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (k <- Seq(1, 2); band <- Seq(k, k + 2)) {
+      val brute = editPairsBrute(ss, k)
+      val got = StringSim.editDistanceJoin(df, "id", "s", k, q = 2,
+          lengthBand = band)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute, s"k=$k band=$band")
+    }
+    // band narrower than maxDist would drop pairs — rejected up front
+    intercept[IllegalArgumentException] {
+      StringSim.editDistanceJoin(df, "id", "s", 3, q = 2, lengthBand = 2)
+    }
+  }
+
+  test("editDistanceJoin with blockOn AND lengthBand together") {
+    val rnd = new scala.util.Random(77L)
+    val rows = (0 until 30).map { i =>
+      val len = 1 + rnd.nextInt(15)
+      val s = (0 until len).map(_ => "ab" (rnd.nextInt(2))).mkString
+      (i.toLong, s, "blk" + rnd.nextInt(2))
+    }
+    val df = rows.toDF("id", "s", "b")
+    val got = StringSim
+      .editDistanceJoin(df, "id", "s", 2, 2, blockOn = Seq("b"),
+        lengthBand = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = (for {
+      i <- rows.indices; j <- rows.indices if i < j
+      if rows(i)._3 == rows(j)._3
+      d = lev(rows(i)._2, rows(j)._2) if d <= 2
+    } yield (rows(i)._3, i.toLong, j.toLong, d.toLong)).toSet
+    assert(got === want)
+  }
+
   test("editDistanceLookup completeness property vs brute force") {
     val rnd = new scala.util.Random(99L)
     val corpus = (0 until 40).map { i =>
