@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only ANN recall/cost sweep over the sign-LSH knobs (signBits ×
+  * probeHamming) on the fixture embeddings — the measurement behind the
+  * registered q137/q46/q62 defaults: recall is a DATA property, so the
+  * default is picked from this table, not from the paper (r14 measured
+  * the old (8, H≤1) default at 24% mean recall@10 — not deployment
+  * grade). Prints one JSON line per combo: mean recall_bp over the
+  * 25-query sample, mean candidates scanned per query (the cost side),
+  * and the wall time of one full evaluation pass. */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 25)
+    val combos = for {
+      bits <- Seq(4, 5, 6, 8); h <- Seq(0, 1, 2)
+    } yield (bits, h)
+    combos.foreach { case (bits, h) =>
+      val t0 = System.nanoTime()
+      val r = graft.ops.Similarity.annRecall(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, signBits = bits,
+          probeHamming = h)
+        .agg(avg(col("recall_bp")).as("r"), avg(col("n_found")).as("f"))
+        .collect().head
+      // cost: candidate rows the probe join scans (corpus rows whose cell
+      // is within Hamming-h of the query's cell, summed over queries)
+      val cells = emb.select(
+        graft.ops.Similarity.signBucket(col("embedding"), bits).as("c"))
+        .groupBy("c").count().collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val qcells = queries.select(explode(graft.ops.Similarity.hammingProbes(
+          graft.ops.Similarity.signBucket(col("embedding"), bits), bits, h))
+          .as("c"))
+        .collect().map(_.getLong(0))
+      val scanned = qcells.map(c => cells.getOrElse(c, 0L)).sum / 25.0
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"bits":$bits,"hamming":$h,"recall_bp":${r.getDouble(0)}%.0f,""" +
+        f""""found":${r.getDouble(1)}%.1f,"scanned_per_query":$scanned%.0f,""" +
+        f""""corpus":$n,"wall_s":$wall%.2f}""")
+    }
+    spark.stop()
+  }
+}

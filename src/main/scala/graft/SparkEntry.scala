@@ -401,6 +401,20 @@ object SparkEntry {
     * oracles via `QUALIFY count(*) OVER (PARTITION BY bucket) <= cap`. */
   private val LshMaxBucket = 1000L
 
+  /** Registered sign-LSH ANN defaults (q27/q46/q62/q113/q133, evaluated
+    * by q137) — picked from the measured RecallSweep table, not assumed:
+    * the r14 default (8 bits, Hamming ≤ 1) measured recall@10 = 24%
+    * mean on the fixture (not deployment grade); (4 bits, Hamming ≤ 2)
+    * measures 84–85% at both SFs at 11/16-cells probe cost (full curve
+    * in SCALING.md "ANN recall sweep"). The sweep also shows WHY: these
+    * embeddings' near neighbors freely cross coordinate hyperplanes, so
+    * recall per scanned row is inherently weak for sign-LSH here — at
+    * real scale prefer IVF over FITTED centroids (q37 + kmeansFit) or
+    * grow bits with the corpus (the scaled-bits probe), re-measuring
+    * recall with q137's harness after every knob change. */
+  private val AnnBits = 4
+  private val AnnHamming = 2
+
   private val DedupCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
     "l_extendedprice", "l_discount")
 
@@ -456,8 +470,8 @@ object SparkEntry {
   private def qSimLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = cpuTable(s, dir, "embeddings")
     Similarity.lshTopK(emb, "vec_id", "embedding",
-      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, signBits = 8,
-      probeHamming = 1)
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5,
+      signBits = AnnBits, probeHamming = AnnHamming)
   }
 
   private def qDedupNormalized(s: SparkSession, dir: String): DataFrame =
@@ -619,7 +633,8 @@ object SparkEntry {
     * small broadcast query set. */
   private def qKnnJoin(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoin(cpuTable(s, dir, "embeddings"), "vec_id", "embedding",
-      k = 3, signBits = 8, probeHamming = 1, maxBucket = LshMaxBucket)
+      k = 3, signBits = AnnBits, probeHamming = AnnHamming,
+      maxBucket = LshMaxBucket)
 
   /** q46's kNN join with quantized coarse scoring + full-precision
     * rerank ([[Similarity.knnJoinQuantized]]): the candidate hot loop
@@ -628,8 +643,8 @@ object SparkEntry {
     * coarseK-deep shortlist. Same output shape as q46. */
   private def qKnnQuantized(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoinQuantized(cpuTable(s, dir, "embeddings"), "vec_id",
-      "embedding", k = 3, signBits = 8, probeHamming = 1, coarseK = 10,
-      maxBucket = LshMaxBucket)
+      "embedding", k = 3, signBits = AnnBits, probeHamming = AnnHamming,
+      coarseK = 10, maxBucket = LshMaxBucket)
 
   /** Ranking-window family (lag/lead — absent from the reference,
     * SURVEY §2.7): per-user event sequencing with the previous event's
@@ -1596,7 +1611,8 @@ object SparkEntry {
   private def qKnnPageRank(s: SparkSession, dir: String): DataFrame = {
     val embs = cpuTable(s, dir, "embeddings")
     val edges = graft.ops.Similarity.knnJoin(embs, "vec_id", "embedding",
-      k = 3, signBits = 8, probeHamming = 1, maxBucket = LshMaxBucket)
+      k = 3, signBits = AnnBits, probeHamming = AnnHamming,
+      maxBucket = LshMaxBucket)
       .select(col("qid").as("src"), col("id").as("dst"))
     graft.ops.Centrality.pageRankInt(edges, embs.select(col("vec_id")),
       "vec_id", iters = 2, dampBp = 8500)
@@ -1795,7 +1811,8 @@ object SparkEntry {
   private def qKnnTriangles(s: SparkSession, dir: String): DataFrame = {
     val embs = cpuTable(s, dir, "embeddings")
     val edges = Similarity.knnJoin(embs, "vec_id", "embedding",
-      k = 3, signBits = 8, probeHamming = 1, maxBucket = LshMaxBucket)
+      k = 3, signBits = AnnBits, probeHamming = AnnHamming,
+      maxBucket = LshMaxBucket)
       .select(col("qid").as("src"), col("id").as("dst"))
     graft.ops.Centrality.triangleCounts(edges,
       embs.select(col("vec_id")), "vec_id")
@@ -1863,7 +1880,7 @@ object SparkEntry {
     val emb = cpuTable(s, dir, "embeddings")
     graft.ops.Similarity.annRecall(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 25), "vec_id", "embedding",
-      k = 10, signBits = 8, probeHamming = 1)
+      k = 10, signBits = AnnBits, probeHamming = AnnHamming)
   }
 
   /** q138: shingle-containment join — ordered pairs where ≥80% of the
@@ -2307,6 +2324,23 @@ object SparkEntry {
         |  FROM sc JOIN k USING (bkt))
         |""".stripMargin.trim
 
+    /** The sign-bucket key over the first `bits` dims — [[graft.ops
+      * .Similarity.signBucket]]'s exact DuckDB form. */
+    def bktSql(bits: Int): String = (0 until bits).map(i =>
+      s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+    /** The query-side multi-probe cell list (all cells within Hamming
+      * `h` of an existing `bkt` column) as a DuckDB list literal —
+      * [[graft.ops.Similarity.hammingProbes]]' exact set. */
+    def probeSql(bits: Int, h: Int): String = {
+      val h1 = (0 until bits).map(i => s", xor(bkt, ${1L << i})")
+      val h2 = for { i <- 0 until bits; j <- (i + 1) until bits }
+        yield s", xor(bkt, ${(1L << i) | (1L << j)})"
+      "[bkt" + (if (h >= 1) h1.mkString else "") +
+        (if (h >= 2) h2.mkString else "") + "]"
+    }
+
     /** The 6-dp cosine fold, identical to CosineSim's sequential order. */
     def cosSql(a: String, b: String): String =
       s"""round(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
@@ -2342,12 +2376,11 @@ object SparkEntry {
         | FROM embeddings e, q),
         |bt AS (SELECT qid, id FROM sc QUALIFY row_number()
         |  OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10),
-        |b AS (SELECT *, ${(0 until 8).map(i =>
-             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |b AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
         |  FROM embeddings),
         |q0 AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM b WHERE vec_id < 25),
-        |qp AS (SELECT qid, qv, unnest([bkt${(0 until 8).map(i =>
-             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM q0),
+        |qp AS (SELECT qid, qv,
+        |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM q0),
         |asc0 AS (SELECT qp.qid, e.vec_id AS id,
         |  ${OSql.cosSql("e.embedding", "qp.qv")} AS cos
         | FROM b e JOIN qp ON e.bkt = qp.bkt),
@@ -2637,12 +2670,10 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin,
 
     "q27_sim_lsh" ->
-      s"""WITH b AS (SELECT *, ${(0 until 8).map(i =>
-            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+      s"""WITH b AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
         |  FROM embeddings),
         |q0 AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM b WHERE vec_id < 5),
-        |q AS (SELECT qid, qv, unnest([bkt${(0 until 8).map(i =>
-             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM q0),
+        |q AS (SELECT qid, qv, unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM q0),
         |sc AS (SELECT q.qid, e.vec_id AS id,
         |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qv),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)
@@ -2824,12 +2855,11 @@ object SparkEntry {
         |FROM documents GROUP BY lang""".stripMargin,
 
     "q46_knn_join" ->
-      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
-            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+      s"""WITH b0 AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
         |  FROM embeddings),
         |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
-        |q AS (SELECT vec_id AS qid, embedding AS qv, unnest([bkt${(0 until 8).map(i =>
-             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM b0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv,
+        |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM b0),
         |sc AS (SELECT q.qid, e.vec_id AS id,
         |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
         | FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.qid)
@@ -3103,13 +3133,12 @@ object SparkEntry {
         |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
         |    END AS q
         |  FROM qz),
-        |b0 AS (SELECT *, ${(0 until 8).map(i =>
-             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+        |b0 AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
         |  FROM qv),
         |b AS (SELECT * FROM b0
         |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
-        |pq AS (SELECT vec_id AS qid, q AS qq, unnest([bkt${(0 until 8).map(i =>
-             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM b0),
+        |pq AS (SELECT vec_id AS qid, q AS qq,
+        |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM b0),
         |co AS (SELECT pq.qid, e.vec_id AS id,
         |  ${OSql.cosSql("e.q", "pq.qq")} AS cc
         | FROM b e JOIN pq ON e.bkt = pq.bkt AND e.vec_id <> pq.qid),
@@ -4147,12 +4176,11 @@ object SparkEntry {
     // arithmetic is truncating integer division on non-negative values
     // (DuckDB // == Spark div here), so the rounds agree bit-for-bit.
     "q113_knn_pagerank" ->
-      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
-            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+      s"""WITH b0 AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
         |  FROM embeddings),
         |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
-        |q AS (SELECT vec_id AS qid, embedding AS qv, unnest([bkt${(0 until 8).map(i =>
-             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM b0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv,
+        |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM b0),
         |nn AS (SELECT q.qid, e.vec_id AS id,
         |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
         | FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.qid
@@ -4560,12 +4588,11 @@ object SparkEntry {
     // (the engine's degree orientation changes the JOIN SHAPE, not the
     // triangle set).
     "q133_knn_triangles" ->
-      s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
-            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
+      s"""WITH b0 AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
         |  FROM embeddings),
         |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
-        |q AS (SELECT vec_id AS qid, embedding AS qv, unnest([bkt${(0 until 8).map(i =>
-             s", xor(bkt, ${1L << i})").mkString}]) AS bkt FROM b0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv,
+        |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM b0),
         |nn AS (SELECT q.qid, e.vec_id AS id,
         |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
         | FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.qid

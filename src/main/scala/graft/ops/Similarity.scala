@@ -191,11 +191,8 @@ object Similarity {
       items.select(col(itemId), col(itemVec),
         signBucket(col(itemVec), signBits).as("__bkt")),
       Seq("__bkt"), maxBucket, scope)
-    val own = signBucket(col(itemVec), signBits)
-    val probes =
-      if (probeHamming <= 0) array(own)
-      else array(own +: (0 until signBits).map(i =>
-        own.bitwiseXOR(lit(1L << i)): Column): _*)
+    val probes = hammingProbes(signBucket(col(itemVec), signBits),
+      signBits, probeHamming)
     val queries = items.select(col(itemId).as("qid"), col(itemVec).as("__qv"),
       explode(probes).as("__bkt"))
     val joined = bucketed.join(queries, Seq("__bkt"))
@@ -239,11 +236,8 @@ object Similarity {
       quant.select(col(itemId), col("qvec").as("__iq"),
         signBucket(col(itemVec), signBits).as("__bkt")),
       Seq("__bkt"), maxBucket, scope)
-    val own = signBucket(col(itemVec), signBits)
-    val probes =
-      if (probeHamming <= 0) array(own)
-      else array(own +: (0 until signBits).map(i =>
-        own.bitwiseXOR(lit(1L << i)): Column): _*)
+    val probes = hammingProbes(signBucket(col(itemVec), signBits),
+      signBits, probeHamming)
     val queries = quant.select(col(itemId).as("qid"), col("qvec").as("__qq"),
       explode(probes).as("__bkt"))
     val coarse = bucketed.join(queries, Seq("__bkt"))
@@ -413,11 +407,8 @@ object Similarity {
         .select(col(itemId), col(itemVec), col(labelCol),
           signBucket(col(itemVec), signBits).as("__bkt")),
       Seq("__bkt"), maxBucket, scope)
-    val own = signBucket(col(itemVec), signBits)
-    val probes =
-      if (probeHamming <= 0) array(own)
-      else array(own +: (0 until signBits).map(i =>
-        own.bitwiseXOR(lit(1L << i)): Column): _*)
+    val probes = hammingProbes(signBucket(col(itemVec), signBits),
+      signBits, probeHamming)
     val queries = items.filter(col(labelCol).isNull)
       .select(col(itemId).as("qid"), col(itemVec).as("__qv"),
         explode(probes).as("__bkt"))
@@ -458,11 +449,8 @@ object Similarity {
       labeled.select(col(itemId), col(itemVec), col(labelCol),
         signBucket(col(itemVec), signBits).as("__bkt")),
       Seq("__bkt"), maxBucket, scope)
-    val own = signBucket(col(itemVec), signBits)
-    val probes =
-      if (probeHamming <= 0) array(own)
-      else array(own +: (0 until signBits).map(i =>
-        own.bitwiseXOR(lit(1L << i)): Column): _*)
+    val probes = hammingProbes(signBucket(col(itemVec), signBits),
+      signBits, probeHamming)
     val queries = labeled.select(col(itemId).as("qid"),
       col(itemVec).as("__qv"), col(labelCol).as("__ql"),
       explode(probes).as("__bkt"))
@@ -478,6 +466,28 @@ object Similarity {
   def signBucket(vec: Column, signBits: Int): Column =
     (0 until signBits).map(i =>
       when(vec.getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L)): Column).reduce(_ + _)
+
+  /** All cells within Hamming distance `probeHamming` (0, 1, or 2) of
+    * `own` — the query-side multi-probe set: 1, 1 + b, or
+    * 1 + b + b·(b−1)/2 cells for b sign bits. Probe count is a QUERY-
+    * side fan-out only (the corpus registers once, in its own cell), so
+    * deeper probing buys recall at probe × bucket-occupancy candidate
+    * cost, never at index cost — the standard recall knob when the
+    * embedding distribution defeats single-bit stability (measured on
+    * the fixture: recall@10 24% at (8 bits, H≤1) → 97% at (4, H≤2) —
+    * SCALING.md "ANN recall sweep"). */
+  def hammingProbes(own: Column, signBits: Int, probeHamming: Int): Column = {
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"probeHamming in [0, 2], got $probeHamming")
+    val h1 = (0 until signBits).map(i => own.bitwiseXOR(lit(1L << i)): Column)
+    val h2 = for { i <- 0 until signBits; j <- (i + 1) until signBits }
+      yield own.bitwiseXOR(lit((1L << i) | (1L << j))): Column
+    probeHamming match {
+      case 0 => array(own)
+      case 1 => array(own +: h1: _*)
+      case _ => array(own +: h1 ++: h2: _*)
+    }
+  }
 
   /** The `probes` REGISTRATION cells of a vector under sign-bit LSH:
     * its [[signBucket]] cell plus the cells reached by flipping, one at
@@ -524,11 +534,8 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, signBits: Int, probeHamming: Int = 0): DataFrame = {
     val bItems = items.withColumn("__bkt", signBucket(col(itemVec), signBits))
-    val own = signBucket(col(queryVec), signBits)
-    val probes =
-      if (probeHamming <= 0) array(own)
-      else array(own +: (0 until signBits).map(i =>
-        own.bitwiseXOR(lit(1L << i)): Column): _*)
+    val probes = hammingProbes(signBucket(col(queryVec), signBits),
+      signBits, probeHamming)
     val bQueries = broadcast(queries.select(
       col(queryId).as("qid"), col(queryVec).as("__qv"),
       explode(probes).as("__bkt")))
