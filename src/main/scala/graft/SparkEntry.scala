@@ -415,6 +415,17 @@ object SparkEntry {
   private val AnnBits = 4
   private val AnnHamming = 2
 
+  /** Registered multi-probe depth for semantic dedup (q64, and q118's
+    * first stage): each cell's representative registers under its own
+    * cell plus `SemProbes − 1` least-confident sign flips
+    * ([[graft.ops.Similarity.probeCells]]), closing the one-crossed-
+    * hyperplane blind spot while members keep one cell key each.
+    * Measured on the fixture: drops rise 6 → 13 of 500 vs
+    * same-cell-only (11 from members reaching neighbor-cell reps, 2
+    * from the rep-vs-rep survivor rule), overfull-cell pass-through
+    * unchanged. */
+  private val SemProbes = 3
+
   private val DedupCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
     "l_extendedprice", "l_discount")
 
@@ -924,7 +935,7 @@ object SparkEntry {
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedup(cpuTable(s, dir, "embeddings"), "vec_id",
       col("embedding"), signBits = 8, threshold = 0.35,
-      maxBucket = LshMaxBucket)
+      maxBucket = LshMaxBucket, probes = SemProbes)
 
   /** Hashed linear quality score ([[TextAnalysis.hashedLinearScore]])
     * with the deterministic md5 stand-in model
@@ -1465,7 +1476,8 @@ object SparkEntry {
     import graft.ops.{Dedup, Similarity}
     val embs = cpuTable(s, dir, "embeddings")
     val surv = Dedup.semanticDedup(embs, "vec_id", col("embedding"),
-      signBits = 8, threshold = 0.35, maxBucket = LshMaxBucket)
+      signBits = 8, threshold = 0.35, maxBucket = LshMaxBucket,
+      probes = SemProbes)
       .select(col("vec_id"))
     // labelPropagate consumes its input THREE times (labeled side,
     // probe side, vote join-back); without this cache the whole
@@ -2280,8 +2292,13 @@ object SparkEntry {
         |    FROM rb, range(0, 8) t(i)) WHERE rnk <= ${probes - 1}),
         |rall AS (SELECT * FROM rb UNION ALL SELECT vec_id, label, embedding, bkt FROM rx),""".stripMargin
     /** q64's semantic-dedup CTE chain through `p` (scored members +
-      * representative cosines) and `cap` (capped-cell passthrough) —
-      * shared by q64 and the q118 composition. */
+      * best-probed-representative cosines) and `cap` (capped-cell
+      * passthrough) — shared by q64 and the q118 composition. Reps
+      * register under their `SemProbes` probe cells (flips of the
+      * smallest-|embedding component| dims among the first 8 — the
+      * probeCells order, as in q66's refProbeCte); each member keeps
+      * its one own-cell key and is judged against the best probed rep
+      * (max cosine, ties to the lowest rep id). */
     def semDedupCtes: String =
       s"""qz AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding,
@@ -2314,14 +2331,29 @@ object SparkEntry {
         |k AS (SELECT bkt, vec_id AS kid, q AS kq, nsq AS knsq FROM sc
         |  QUALIFY row_number() OVER (PARTITION BY bkt
         |    ORDER BY score DESC, vec_id ASC) = 1),
-        |p AS (SELECT sc.vec_id, sc.bkt, (sc.vec_id = k.kid) AS is_rep, sc.nsq,
-        |    CASE WHEN sc.nsq = 0 OR k.knsq = 0 THEN 0.0
+        |ke AS (SELECT k.*, e.embedding FROM k JOIN qv e ON k.kid = e.vec_id),
+        |kx AS (SELECT kid, kq, knsq, xor(bkt, CAST(power(2, i) AS BIGINT)) AS bkt
+        |  FROM (SELECT ke.*, t.i, row_number() OVER (PARTITION BY kid
+        |      ORDER BY abs(embedding[t.i + 1]) ASC, t.i ASC) AS rnk
+        |    FROM ke, range(0, 8) t(i)) WHERE rnk <= $SemProbes - 1),
+        |kall AS (SELECT bkt, kid, kq, knsq FROM k
+        |  UNION ALL SELECT bkt, kid, kq, knsq FROM kx),
+        |pc AS (SELECT sc.vec_id, sc.bkt, sc.nsq, kall.kid,
+        |    CASE WHEN sc.nsq = 0 OR kall.knsq = 0 THEN 0.0
         |         ELSE round(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(list_zip(sc.q, k.kq), x -> x[1] * x[2])),
+        |             list_transform(list_zip(sc.q, kall.kq), x -> x[1] * x[2])),
         |             (a, x) -> a + x)
-        |           / (sqrt(sc.nsq) * sqrt(k.knsq)), 6)
-        |    END AS cos_rep
-        |  FROM sc JOIN k USING (bkt))
+        |           / (sqrt(sc.nsq) * sqrt(kall.knsq)), 6)
+        |    END AS cr
+        |  FROM sc JOIN kall USING (bkt)),
+        |pb AS (SELECT * FROM pc QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cr DESC, kid ASC) = 1),
+        |rk AS (SELECT DISTINCT vec_id FROM pc
+        |  WHERE cr >= 0.35 AND kid < vec_id),
+        |p AS (SELECT pb.vec_id, pb.bkt, (pb.vec_id = k.kid) AS is_rep, pb.nsq,
+        |    pb.cr AS cos_rep,
+        |    (pb.vec_id IN (SELECT vec_id FROM rk)) AS killed
+        |  FROM pb JOIN k USING (bkt))
         |""".stripMargin.trim
 
     /** The sign-bucket key over the first `bits` dims — [[graft.ops
@@ -3211,7 +3243,8 @@ object SparkEntry {
     "q64_semantic_dedup" ->
       s"""WITH ${OSql.semDedupCtes}
         |SELECT vec_id, CAST(bkt AS BIGINT) AS bucket, is_rep, cos_rep FROM p
-        |WHERE is_rep OR nsq = 0 OR cos_rep < 0.35
+        |WHERE nsq = 0 OR (is_rep AND NOT killed)
+        |   OR (NOT is_rep AND cos_rep < 0.35)
         |UNION ALL
         |SELECT vec_id, CAST(bkt AS BIGINT) AS bucket, false AS is_rep,
         |  CAST(NULL AS DOUBLE) AS cos_rep FROM cap""".stripMargin,
@@ -4283,7 +4316,8 @@ object SparkEntry {
     "q118_embedding_e2e" ->
       s"""WITH ${OSql.semDedupCtes},
         |surv AS (SELECT vec_id FROM p
-        |   WHERE is_rep OR nsq = 0 OR cos_rep < 0.35
+        |   WHERE nsq = 0 OR (is_rep AND NOT killed)
+        |      OR (NOT is_rep AND cos_rep < 0.35)
         |  UNION ALL SELECT vec_id FROM cap),
         |sb AS (SELECT e.vec_id, e.embedding, e.label, ${(0 until 8).map(i =>
             s"(CASE WHEN e.embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS sbkt

@@ -1075,6 +1075,31 @@ object Dedup {
     * null` (the skew guard changes how much is DEDUPED, never what is
     * KEPT — the safe direction for a destructive operator).
     *
+    * `probes > 1` closes the same-cell-only blind spot (a near-dup of
+    * the representative that crossed ONE low-confidence hyperplane is
+    * invisible at `probes = 1`) by REGISTRATION-side multi-probe — the
+    * [[cosineMatchedAgainst]] contract transferred to the self-dedup
+    * form: each cell's representative registers under its
+    * [[Similarity.probeCells]] (own cell + flips of its `probes − 1`
+    * least-confident sign dims), and every member still probes with its
+    * ONE own cell — so the member side of the drop join never fans out,
+    * and the registration side adds at most `probes` rows per CELL
+    * (reps are one per cell, so the expansion is cells-sized, not
+    * corpus-sized). The dedup then runs within the union:
+    *  - a NON-representative is dropped when its best probed rep (max
+    *    cosine, ties to the lowest rep id — `cos_rep` reports that
+    *    similarity) reaches `threshold`;
+    *  - a REPRESENTATIVE is dropped when a probed rep with a STRICTLY
+    *    SMALLER id reaches `threshold` — the deterministic survivor
+    *    rule for near-dup reps split across adjacent cells (each alone
+    *    in its cell, each its own rep — invisible to the member rule).
+    *    Smaller-id-wins is local, not transitive (a rep chain A~B~C
+    *    with A≁C keeps only A — same approximation class as SemDeDup's
+    *    own one-rep-per-cluster rule).
+    * `probes = 1` is exactly the original same-cell contract: a rep
+    * meets only itself (equal id — never strictly smaller), members
+    * meet only their own rep.
+    *
     * Scale shape: one explode keyed (cell, dim) feeding a two-level
     * partial-aggregated centroid (the exchange carries cells × dims
     * rows, not corpus × dims), centroids equi-joined back per cell, and
@@ -1085,11 +1110,12 @@ object Dedup {
     * Output: `idCol`, bucket, is_rep, cos_rep (null for capped cells). */
   def semanticDedup(df: DataFrame, idCol: String, vec: Column,
       signBits: Int, threshold: Double, maxBucket: Long = 0L,
+      probes: Int = 1,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val all = scope.cache(
       Similarity.quantizeInt8(
         df.filter(vec.isNotNull).select(col(idCol), vec.as("__v")), "__v")
-        .select(col(idCol),
+        .select(col(idCol), col("__v"),
           Similarity.signBucket(col("__v"), signBits).as("__bkt"),
           col("qvec").as("__q"),
           aggregate(transform(col("qvec"),
@@ -1119,12 +1145,37 @@ object Dedup {
             sqrt(col("__nsq").cast("double"))))
     val rep = Rank.topNPerGroup(scored, Seq("__bkt"), idCol, "__score", n = 1)
       .select(col("__bkt"), col("id").as("__kid"))
-      .join(all.select(col(idCol).cast("long").as("__kid"),
-        col("__bkt"), col("__q").as("__kq")), Seq("__bkt", "__kid"))
-    val judged = scored.join(rep, Seq("__bkt"))
-      .withColumn("cos_rep", graft.functions.Int8Cos(col("__q"), col("__kq")))
+      .join(all.select(col(idCol).cast("long").as("__kid"), col("__bkt"),
+        col("__q").as("__kq"), col("__v").as("__kv")), Seq("__bkt", "__kid"))
+    // registration-side multi-probe (see scaladoc): reps register under
+    // their probe cells — a cells-sized expansion; members keep their
+    // one own-cell key, so the drop join's probe side never fans out
+    val repReg =
+      if (probes <= 1) rep.select(col("__bkt"), col("__kid"), col("__kq"))
+      else rep.select(col("__kid"), col("__kq"),
+        explode(Similarity.probeCells(col("__kv"), signBits, probes))
+          .as("__bkt"))
+    val cand = scored.join(repReg, Seq("__bkt"))
+      .withColumn("__cr", graft.functions.Int8Cos(col("__q"), col("__kq")))
+    // best probed rep per member: max cosine, ties to the lowest rep id
+    // (bounded-heap argmax — k = 1 state per member per task, no sort);
+    // every uncapped member meets at least its own cell's rep
+    val best = Rank.topNPerGroup(cand, Seq(idCol), "__kid", "__cr", n = 1)
+      .select(col(idCol), col("score").as("cos_rep"))
+    // the rep-vs-rep survivor rule (see scaladoc): ids with a probed rep
+    // of STRICTLY smaller id within threshold — reps-sized, not corpus
+    val killedReps = cand
+      .filter(col("__cr") >= threshold &&
+        col("__kid") < col(idCol).cast("long"))
+      .select(col(idCol)).distinct().withColumn("__killed", lit(true))
+    val judged = best
+      .join(all.select(col(idCol), col("__bkt"), col("__nsq")), Seq(idCol))
+      .join(rep.select(col("__bkt"), col("__kid")), Seq("__bkt"))
+      .join(killedReps, Seq(idCol), "left")
       .withColumn("is_rep", col(idCol).cast("long") === col("__kid"))
-      .filter(col("is_rep") || col("__nsq") === 0L || col("cos_rep") < threshold)
+      .filter(col("__nsq") === 0L ||
+        (col("is_rep") && !coalesce(col("__killed"), lit(false))) ||
+        (!col("is_rep") && col("cos_rep") < threshold))
       .select(col(idCol), col("__bkt").as("bucket"), col("is_rep"),
         col("cos_rep"))
     judged.unionByName(capped.select(col(idCol), col("__bkt").as("bucket"),

@@ -194,6 +194,46 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup multi-probe: one-bit-miss near-dups caught, probes=1 unchanged") {
+    // rep cell 0b1111: two members (10 elects as rep by centroid).
+    // 20 sits ONE low-confidence hyperplane away (dim 0 barely negative,
+    // so cell 0b1110) with high cosine to the rep; 21 is a far vector in
+    // the same neighbor cell. At probes=1 both 20 and 21 survive (20 is
+    // invisible); at probes=2 the rep registers into 0b1110 and drops 20
+    // while 21 stays (cosine below threshold).
+    val rows = embDf(
+      10L -> Seq(1f, 1f, 1f, 1f),
+      11L -> Seq(1f, 1f, 1f, 0.9f),       // same-cell near-dup: dropped both ways
+      20L -> Seq(-0.01f, 1f, 1f, 1f),     // one-bit miss, cos≈0.86 to rep
+      21L -> Seq(-1f, 1f, -0f, -0f))      // same neighbor cell, far
+    def run(p: Int) = Dedup.semanticDedup(rows, "vec_id", col("embedding"),
+        signBits = 4, threshold = 0.8, probes = p)
+      .collect().map(r => r.getLong(0)).toSet
+    val p1 = run(1)
+    assert(p1.contains(20L) && p1.contains(21L),
+      "probes=1: the one-bit-miss near-dup is invisible")
+    val p2 = run(2)
+    assert(!p2.contains(20L), "probes=2: neighbor-cell member dropped")
+    assert(p2.contains(21L), "far neighbor-cell member survives")
+    assert((p1 - 20L) == p2, "only the near-dup's verdict changes")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("semanticDedup multi-probe: near-dup singleton REPS dedupe, smaller id wins") {
+    // two near-identical vectors, each alone in its cell (one crossed
+    // hyperplane apart) — both are reps, invisible to the member rule;
+    // the rep-vs-rep rule keeps the smaller id only
+    val rows = embDf(
+      30L -> Seq(1f, 1f, 1f, 1f),
+      31L -> Seq(-0.01f, 1f, 1f, 1f))
+    def run(p: Int) = Dedup.semanticDedup(rows, "vec_id", col("embedding"),
+        signBits = 4, threshold = 0.8, probes = p)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(run(1) == Set(30L, 31L), "probes=1: both singleton reps survive")
+    assert(run(2) == Set(30L), "probes=2: the larger-id rep is dropped")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("semanticDedup: overfull cells pass through undeduped (cos_rep null)") {
     val twin = Seq(1f, 1f, 1f)
     val out = Dedup.semanticDedup(
