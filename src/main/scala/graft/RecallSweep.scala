@@ -49,6 +49,34 @@ object RecallSweep {
         f""""found":${r.getDouble(1)}%.1f,"scanned_per_query":$scanned%.0f,""" +
         f""""corpus":$n,"wall_s":$wall%.2f}""")
     }
+
+    // IVF rows: recall@10 of ivfTopK against the same brute truth, with
+    // the 8-seed coarse quantizer raw vs kmeansFitInt8-fitted — the
+    // data-adapted cells are the recall-per-scanned-row comparison the
+    // sign-LSH grid can't show
+    val truth = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10).select(col("qid"), col("id"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val fitted = graft.ops.Similarity.kmeansFitInt8(emb, "embedding", seeds, iters = 2)
+    for ((label, cents) <- Seq("ivf_seed" -> seeds, "ivf_fitted" -> fitted);
+         nProbe <- Seq(1, 2, 4)) {
+      val t0 = System.nanoTime()
+      val approx = graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", cents, k = 10, nProbe = nProbe)
+      val hit = truth.join(approx.select(col("qid"), col("id")), Seq("qid", "id"))
+        .count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // scanned fraction = mass of the probed cells
+      val assign = emb.select(graft.functions.NearestCentroidFn(
+          col("embedding"), cents).as("c"))
+        .groupBy("c").count().collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+      val qProbe = queries.collect().length  // 25 queries
+      println(f"""{"index":"$label","nprobe":$nProbe,""" +
+        f""""recall_bp":${hit * 10000.0 / (qProbe * 10)}%.0f,""" +
+        f""""cells":${assign.size},"corpus":$n,"wall_s":$wall%.2f}""")
+    }
     spark.stop()
   }
 }

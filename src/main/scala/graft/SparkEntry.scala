@@ -498,13 +498,10 @@ object SparkEntry {
 
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = cpuTable(s, dir, "embeddings")
-    // centroids are a model parameter (production: offline k-means); the
-    // 8 lowest-id corpus vectors make the cell assignment deterministic
-    // and oracle-mirrorable. Driver-side collect of 8 rows, like the
-    // broadcast query set.
-    val cents = table(s, dir, "embeddings").filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    // centroids are a model parameter (production: offline k-means —
+    // see q156 for the FITTED variant); the 8 lowest-id corpus vectors
+    // make the cell assignment deterministic and oracle-mirrorable.
+    val cents = seedCentroids(s, dir)
     Similarity.ivfTopK(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 5), "vec_id", "embedding",
       cents, k = 5, nProbe = 2)
@@ -1376,9 +1373,7 @@ object SparkEntry {
     * the narrow codegen cosine chain, the new centroids integer-exact
     * int8 sums, projected to the q61/q80 hash-stable facts. */
   private def qKmeansStep(s: SparkSession, dir: String): DataFrame = {
-    val cents = table(s, dir, "embeddings").filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val cents = seedCentroids(s, dir)
     Similarity.kmeansStepInt8(
       cpuTable(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       "embedding", cents)
@@ -2080,6 +2075,47 @@ object SparkEntry {
         sum(col("__sz")).as("n_docs"))
   }
 
+  /** The 8 lowest-id corpus vectors as deterministic seed centroids —
+    * q37/q98's convention (a bounded 8-row model fetch). */
+  private def seedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
+    table(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+
+  /** q155: iterative k-means fit ([[Similarity.kmeansFitInt8]] — two
+    * Lloyd rounds from the q98 seed, int8-exact updates, FLOAT-cast
+    * centroids) emitting the fitted assignment's per-cluster stats in
+    * q98's shape: the oracle unrolls both rounds as CTEs, so c_md5
+    * moves if ANY round's assignment flips anywhere — DuckDB confirms
+    * the whole iteration exactly, the q113 discipline. */
+  private def qKmeansFit(s: SparkSession, dir: String): DataFrame = {
+    val embs = cpuTable(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fitted = Similarity.kmeansFitInt8(embs, "embedding",
+      seedCentroids(s, dir), iters = 2)
+    Similarity.kmeansStepInt8(embs, "embedding", fitted)
+      .select(col("cluster").cast("long").as("cluster"), col("n_vecs"),
+        md5(array_join(transform(col("centroid_sum"), _.cast("string")), ","))
+          .as("c_md5"),
+        aggregate(col("centroid_sum"), lit(0L), _ + _).as("c_sum"))
+  }
+
+  /** q156: IVF top-k over FITTED centroids — [[Similarity.ivfTopK]]
+    * consuming [[Similarity.kmeansFitInt8]]'s output instead of the raw
+    * seed (q37's remaining gap): the coarse quantizer is now trained on
+    * the data, which is what makes IVF the recall-per-scanned-row
+    * winner on sign-unstable embeddings (measured in SCALING.md's ANN
+    * recall sweep). Same query/probe conventions as q37. */
+  private def qIvfFitted(s: SparkSession, dir: String): DataFrame = {
+    val emb = cpuTable(s, dir, "embeddings")
+    val fitted = Similarity.kmeansFitInt8(
+      table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", seedCentroids(s, dir), iters = 2)
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      fitted, k = 5, nProbe = 2)
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2237,6 +2273,8 @@ object SparkEntry {
     "q152_count_encoding" -> (qCountEncoding _),
     "q153_funnel_latency" -> (qFunnelLatency _),
     "q154_dup_histogram" -> (qDupHistogram _),
+    "q155_kmeans_fit" -> (qKmeansFit _),
+    "q156_ivf_fitted" -> (qIvfFitted _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2381,6 +2419,49 @@ object SparkEntry {
          |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))
          |    * sqrt(list_reduce(list_prepend(0.0, list_transform($b,
          |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))), 6)""".stripMargin
+  }
+
+  /** q155/q156's k-means fit unrolled: CTE chain `c0 → c<iters>`
+    * mirroring [[graft.ops.Similarity.kmeansFitInt8]] exactly — per
+    * round, assignment by round-6dp cosine against the PREVIOUS round's
+    * centroids (ties lowest cid; DuckDB sorts NaN first under DESC,
+    * matching NearestCentroid's zero-vector rule), update = the exact
+    * int8 component sums CAST to FLOAT (IEEE round-to-nearest on both
+    * engines), empty clusters keeping their previous centroid via the
+    * LEFT JOIN coalesce. Quantization (kqv) is per-vector and computed
+    * once, as in the engine. */
+  private def kmeansFitCtes(iters: Int): String = {
+    val head =
+      """c0 AS (SELECT vec_id AS cid, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |kee AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |kqz AS (SELECT vec_id, embedding, list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS s FROM kee),
+        |kqv AS (SELECT vec_id, embedding,
+        |    CASE WHEN s = 0 THEN list_transform(embedding,
+        |           x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
+        |    END AS q FROM kqz)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""ka${i}0 AS (SELECT kqv.vec_id, kqv.q, c.cid,
+         |  ${OSql.cosSql("kqv.embedding", "c.cvec")} AS cc
+         | FROM kqv CROSS JOIN c${i - 1} c),
+         |ka$i AS (SELECT vec_id, q, cid FROM ka${i}0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cc DESC, cid ASC) = 1),
+         |ke$i AS (SELECT cid, pos, q[pos + 1] AS qd FROM (
+         |   SELECT cid, q, unnest(generate_series(0, len(q) - 1)) AS pos
+         |   FROM ka$i)),
+         |kcs$i AS (SELECT cid, pos, CAST(sum(qd) AS BIGINT) AS cd
+         |  FROM ke$i GROUP BY 1, 2),
+         |karr$i AS (SELECT cid, list(CAST(cd AS FLOAT) ORDER BY pos) AS nv
+         |  FROM kcs$i GROUP BY 1),
+         |c$i AS (SELECT c.cid, coalesce(karr$i.nv, c.cvec) AS cvec
+         |  FROM c${i - 1} c LEFT JOIN karr$i USING (cid))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
   }
 
   /** q47's recursive-CTE clustering — shared with q154's histogram. */
@@ -4960,5 +5041,48 @@ object SparkEntry {
         |FROM (SELECT CAST(count(*) AS BIGINT) AS cluster_size
         |  FROM ($Sql_q47) GROUP BY cluster)
         |GROUP BY 1""".stripMargin,
+
+    // Two fit rounds unrolled (kmeansFitCtes mirrors the engine's
+    // assignment/update/empty-cell rules exactly), then round 3's
+    // assignment supplies the emitted stats — c_md5 over the component
+    // sums moves if ANY round's assignment flips anywhere.
+    "q155_kmeans_fit" ->
+      s"""WITH ${kmeansFitCtes(3)},
+        |karrb AS (SELECT cid, list(cd ORDER BY pos) AS csum
+        |  FROM kcs3 GROUP BY 1),
+        |kn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM ka3 GROUP BY 1)
+        |SELECT CAST(karrb.cid AS BIGINT) AS cluster, kn.n_vecs,
+        |  md5(array_to_string(list_transform(csum,
+        |    x -> CAST(x AS VARCHAR)), ',')) AS c_md5,
+        |  CAST(list_sum(csum) AS BIGINT) AS c_sum
+        |FROM karrb JOIN kn USING (cid)""".stripMargin,
+
+    // q37's IVF probe against the TRAINED coarse quantizer: the same
+    // fit unroll supplies c2, then assignment/probe/top-k as in q37.
+    "q156_ivf_fitted" ->
+      s"""WITH ${kmeansFitCtes(2)},
+        |av0 AS (SELECT e.vec_id, e.embedding, c.cid,
+        |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
+        | FROM embeddings e CROSS JOIN c2 c),
+        |av AS (SELECT vec_id, embedding, cid FROM av0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |vq0 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 5),
+        |vp0 AS (SELECT vq0.qid, vq0.qv, c.cid,
+        |  ${OSql.cosSql("vq0.qv", "c.cvec")} AS cc
+        | FROM vq0 CROSS JOIN c2 c),
+        |vp AS (SELECT qid, qv, cid FROM vp0
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY cc DESC, cid ASC) <= 2),
+        |vsc AS (SELECT vp.qid, av.vec_id AS id,
+        |  ${OSql.cosSql("av.embedding", "vp.qv")} AS cos
+        | FROM av JOIN vp ON av.cid = vp.cid)
+        |SELECT qid, id, cos,
+        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |FROM vsc
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, id ASC) <= 5""".stripMargin,
   )
 }

@@ -301,6 +301,42 @@ object Similarity {
       .select(col("__cid").as("cluster"), col("n_vecs"), col("centroid_sum"))
   }
 
+  /** Fixed-iteration Lloyd fit: [[kmeansStepInt8]] looped `iters` times
+    * from `init` — the convergence loop q98's single step was missing,
+    * so IVF coarse centroids no longer have to be a one-shot
+    * deterministic seed ([[ivfTopK]] consumes the result directly).
+    *
+    * Discipline (the q113 iterative-op conventions, adapted): the MODEL
+    * is driver-side — centroid literals ride the assignment expression —
+    * so each round is one fresh corpus scan + a (k × dims)-sized
+    * aggregate with new literals; there is NO lineage growth and
+    * therefore no `localCheckpoint` (pageRankInt checkpoints because
+    * its state is a distributed dataset; here the per-round `collect`
+    * fetches k rows — a bounded model fetch, never data). Determinism:
+    * assignment is the round-6dp cosine with first-centroid ties
+    * ([[graft.functions.NearestCentroid]]), the update is the EXACT
+    * int8 component sum cast to FLOAT (IEEE round-to-nearest — an
+    * external engine reproduces it bit-for-bit from the same integers;
+    * cosine is scale-invariant so the |cluster| division is dropped,
+    * the q64 convention). A cluster that attracts no vectors keeps its
+    * previous centroid (deterministic, documented — the standard Lloyd
+    * empty-cell rule). Fixed `iters`, idempotent once assignments
+    * stabilize — oracles unroll the same rounds as CTEs (the q113/q140
+    * discipline). Returns the fitted centroids in `init`'s shape. */
+  def kmeansFitInt8(df: DataFrame, vecCol: String,
+      init: Seq[(Int, Array[Float])], iters: Int): Seq[(Int, Array[Float])] = {
+    require(init.size >= 2, s"need >= 2 initial centroids, got ${init.size}")
+    require(iters >= 1 && iters <= 20, s"iters in [1, 20], got $iters")
+    var cents = init
+    for (_ <- 1 to iters) {
+      val step = kmeansStepInt8(df, vecCol, cents).collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Long](2).map(_.toFloat).toArray).toMap
+      cents = cents.map { case (cid, old) => (cid, step.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** Integer-exact per-group centroid SUMS over int8-quantized vectors —
     * the class-centroid pass behind nearest-centroid classification, IVF
     * coarse-quantizer training, and per-label drift monitoring. Mean-

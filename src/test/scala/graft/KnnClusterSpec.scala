@@ -200,6 +200,40 @@ class KnnClusterSpec extends AnyFunSuite {
     assert(got == List(0))
   }
 
+  test("kmeansFitInt8: centroids move to their clusters, empty cluster keeps its seed, fixpoint idempotent") {
+    // two tight clusters near axes, seeds off-center; one seed (c2)
+    // points between them but loses every vector — it must survive
+    // rounds unchanged (the empty-cell rule)
+    val df = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(1.0f, -0.05f)),
+      (3L, Array(0.05f, 1.0f)), (4L, Array(-0.05f, 1.0f)))
+      .toDF("id", "v")
+    val seeds = Seq(0 -> Array(1.0f, 0.3f), 1 -> Array(0.3f, 1.0f),
+      2 -> Array(-1.0f, -1.0f))
+    val fit1 = Similarity.kmeansFitInt8(df, "v", seeds, iters = 1)
+    // driver-side reference for round 1: assignments are clear-cut, the
+    // new centroid is the exact int8 sum cast to float
+    def q(v: Array[Float]): Array[Long] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => math.rint(x.toDouble * 127 / s).toLong)
+    }
+    val want0 = q(Array(1.0f, 0.05f)).zip(q(Array(1.0f, -0.05f)))
+      .map { case (a, b) => (a + b).toFloat }
+    val want1 = q(Array(0.05f, 1.0f)).zip(q(Array(-0.05f, 1.0f)))
+      .map { case (a, b) => (a + b).toFloat }
+    val m1 = fit1.toMap
+    assert(m1(0).toList == want0.toList)
+    assert(m1(1).toList == want1.toList)
+    assert(m1(2).toList == seeds.toMap.apply(2).toList,
+      "empty cluster keeps its previous centroid")
+    // assignments are stable from round 1 on this fixture, so more
+    // rounds are idempotent — the unrolled-oracle contract
+    val fit3 = Similarity.kmeansFitInt8(df, "v", seeds, iters = 3)
+    assert(fit3.map { case (c, a) => c -> a.toList } ==
+      fit1.map { case (c, a) => c -> a.toList })
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("pageRankInt: hand-computed fixed-point rounds, bit-exact, orphan keeps teleport mass only") {
     import graft.ops.Centrality
     val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
