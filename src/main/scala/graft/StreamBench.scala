@@ -235,11 +235,23 @@ object StreamBench {
       (0 until n).map(i => graft.stream.Rec(s"k${i % k}",
         ((1000L + i) * 1000L, 1.0), 1000L + i)))
     // 7-day presence replication: each event fans out to 7 state keys,
-    // so events/s here carries a built-in 7x state-write amplification
+    // so events/s here carries a built-in 7x state-write amplification.
+    // This feed (1000 users x 30 days -> 36 day groups holding ~1000-user
+    // sets) is STATE-SERIALIZATION-bound: per-batch wall is dominated by
+    // rewriting the big per-day user sets, so the map-side (user, day)
+    // pre-aggregation inside rollingActiveState barely moves it
     ops("rolling_active") = driveDs[Long](
       ms => graft.stream.Streamed.rollingActiveState(ms.toDS(), windowDays = 7),
       (0 until n).map(i => graft.stream.Rec(s"k${i % k}", 0L,
         (i % 30).toLong * 86400000L + i)))
+    // clumped-arrival twin — 100 users x 300 days: ~33 same-(user, day)
+    // events per batch collapse before the x7 expansion and the day
+    // groups hold small sets, so THIS feed measures the exchange-bound
+    // regime the pre-aggregation exists for
+    ops("rolling_active_clumped") = driveDs[Long](
+      ms => graft.stream.Streamed.rollingActiveState(ms.toDS(), windowDays = 7),
+      (0 until n).map(i => graft.stream.Rec(s"k${i % 100}", 0L,
+        (i % 300).toLong * 86400000L + i)))
 
     val opsJson = ops.map { case (name, eps) => s"\"$name\":${math.round(eps)}" }
       .mkString("{", ",", "}")

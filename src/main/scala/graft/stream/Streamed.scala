@@ -539,17 +539,45 @@ object Streamed {
     * the sets persist (NoTimeout — the congruity contract is exact
     * parity with batch on any replay); a production deployment caps
     * retention by watermarking the input and dropping days older than
-    * the horizon, trading the ability to count very-late events. */
+    * the horizon, trading the ability to count very-late events.
+    *
+    * Write amplification, decomposed (RollingStateProbe measures all
+    * three): presence replication sends `windowDays` EXCHANGE rows per
+    * input row toward the state shuffle, so each micro-batch partition
+    * first collapses to its DISTINCT (user, activity-day) pairs
+    * (keeping the max event ts) BEFORE expanding — a stateless
+    * map-side pre-aggregation bounding exchange rows by distinct
+    * user-days per batch, not events (measured: 700k → 210k on the
+    * uniform StreamBench feed, → 21k on the clumped twin). GROUP-state
+    * writes are a separate quantity no input collapse can change:
+    * flatMapGroupsWithState rewrites each TOUCHED day-group once per
+    * batch (numRowsUpdated = touched groups), so feeds whose cost is
+    * rewriting a few large per-day user sets measure flat wall-clock
+    * either way — the exchange win materializes where batches are
+    * duplication-heavy and day-cardinality is high (the clumped
+    * regime), and on any real cluster where shuffle rows are network
+    * bytes. Congruent by construction: the state op unions users, ORs
+    * observed, and maxes ts — idempotent/commutative in exactly the
+    * collapsed dimensions. */
   def rollingActiveState(ds: Dataset[Rec[String, Long]], windowDays: Int)(
       implicit pairEnc: Encoder[Rec[Long, (String, Boolean)]],
+      dayEnc: Encoder[Rec[Long, String]],
       stEnc: Encoder[(Set[String], Boolean)],
       outEnc: Encoder[Rec[Long, Long]]): Dataset[Rec[Long, Long]] = {
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays in [1, 366], got $windowDays")
     val dayMs = 86400000L
-    val expanded = ds.flatMap { r =>
-      val d = Math.floorDiv(r.tsMs, dayMs)
-      (0 until windowDays).map(i => Rec(d + i, (r.key, i == 0), r.tsMs))
+    val perDay = ds.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[(Long, String), Long]
+      it.foreach { r =>
+        val k = (Math.floorDiv(r.tsMs, dayMs), r.key)
+        val t = m.getOrElse(k, Long.MinValue)
+        if (r.tsMs > t) m(k) = r.tsMs
+      }
+      m.iterator.map { case ((d, u), t) => Rec(d, u, t) }
+    }
+    val expanded = perDay.flatMap { r =>
+      (0 until windowDays).map(i => Rec(r.key + i, (r.value, i == 0), r.tsMs))
     }
     expanded.groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroupsWithState[(Set[String], Boolean), Rec[Long, Long]](
