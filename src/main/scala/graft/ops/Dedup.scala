@@ -1135,18 +1135,24 @@ object Dedup {
       .groupBy(col("__bkt"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("__cd")))),
         x => x.getField("__cd")).as("__cent"))
-    val scored = members.join(centroid, Seq("__bkt"))
+    // scored feeds the rep election AND the probe join; rep feeds the
+    // registration AND the is_rep join; cand feeds the best-rep argmax
+    // AND the rep-vs-rep kill set — cache each or the centroid join /
+    // election / Int8Cos probe recompute per consumer (found by bench
+    // read: q64 3.2× over its r14 anchor before these three caches)
+    val scored = scope.cache(members.join(centroid, Seq("__bkt"))
       .withColumn("__dot",
         aggregate(zip_with(col("__q"), col("__cent"),
           (a, c) => a.cast("long") * c), lit(0L), (a, x) => a + x))
       .withColumn("__score",
         when(col("__nsq") === 0L, lit(-1e18))
           .otherwise(col("__dot").cast("double") /
-            sqrt(col("__nsq").cast("double"))))
-    val rep = Rank.topNPerGroup(scored, Seq("__bkt"), idCol, "__score", n = 1)
-      .select(col("__bkt"), col("id").as("__kid"))
-      .join(all.select(col(idCol).cast("long").as("__kid"), col("__bkt"),
-        col("__q").as("__kq"), col("__v").as("__kv")), Seq("__bkt", "__kid"))
+            sqrt(col("__nsq").cast("double")))))
+    val rep = scope.cache(
+      Rank.topNPerGroup(scored, Seq("__bkt"), idCol, "__score", n = 1)
+        .select(col("__bkt"), col("id").as("__kid"))
+        .join(all.select(col(idCol).cast("long").as("__kid"), col("__bkt"),
+          col("__q").as("__kq"), col("__v").as("__kv")), Seq("__bkt", "__kid")))
     // registration-side multi-probe (see scaladoc): reps register under
     // their probe cells — a cells-sized expansion; members keep their
     // one own-cell key, so the drop join's probe side never fans out
@@ -1155,8 +1161,8 @@ object Dedup {
       else rep.select(col("__kid"), col("__kq"),
         explode(Similarity.probeCells(col("__kv"), signBits, probes))
           .as("__bkt"))
-    val cand = scored.join(repReg, Seq("__bkt"))
-      .withColumn("__cr", graft.functions.Int8Cos(col("__q"), col("__kq")))
+    val cand = scope.cache(scored.join(repReg, Seq("__bkt"))
+      .withColumn("__cr", graft.functions.Int8Cos(col("__q"), col("__kq"))))
     // best probed rep per member: max cosine, ties to the lowest rep id
     // (bounded-heap argmax — k = 1 state per member per task, no sort);
     // every uncapped member meets at least its own cell's rep
