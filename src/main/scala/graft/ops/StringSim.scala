@@ -138,7 +138,8 @@ object StringSim {
         if (banded) expr(s"CAST(length(__s) AS BIGINT) div $lengthBand")
         else lit(0L)))
     val grams = scope.cache(s.select(
-      col("__id") +: col("__band") +: bks.map(col) :+
+      col("__id") +: col("__band") +: length(col("__s")).as("__len") +:
+        bks.map(col) :+
         posexplode(charGrams(col("__s"), q)).as(Seq("__pos", "__g")): _*))
     val freq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
     val rankW = Window.partitionBy(col("__id"))
@@ -146,17 +147,24 @@ object StringSim {
     val sig = grams.join(broadcast(freq), "__g")
       .withColumn("__rn", row_number().over(rankW))
       .filter(col("__rn") <= sigLen)
-      .select(col("__id") +: col("__g") +: col("__band") +: bks.map(col): _*)
+      .select(col("__id") +: col("__g") +: col("__band") +:
+        col("__len") +: bks.map(col): _*)
     // the prober side explodes to (own band, band above); canonicalize
     // ids AFTER matching — filtering prober < registered instead would
     // lose cross-band pairs whose LOWER id sits in the HIGHER band (only
-    // the higher-id side's probe reaches those)
+    // the higher-id side's probe reaches those). The length filter
+    // (step 3) runs HERE, on an int carried in the signature, so it
+    // prunes BEFORE the distinct — on banded data the band already
+    // bounds |Δlen| < 2·band, and this tightens it to ≤ maxDist while
+    // the candidate set is at its widest
     val candMain = sig.select(
-        probeBands(col("__id").as("__ida"), col("__g")) ++ bks.map(col): _*)
+        probeBands(col("__id").as("__ida"), col("__g"),
+          col("__len").as("__la")) ++ bks.map(col): _*)
       .join(sig.select(col("__id").as("__idb") +: col("__g") +:
-          col("__band") +: bks.map(col): _*),
+          col("__band") +: col("__len").as("__lb") +: bks.map(col): _*),
         "__g" +: candKeys)
-      .filter(col("__ida") =!= col("__idb"))
+      .filter(col("__ida") =!= col("__idb") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"))
     // both-short stragglers: no count-filter guarantee, all-pair per
