@@ -2011,7 +2011,17 @@ object SparkEntry {
     val auc = qScoreAuc(s, dir)
       .agg(min(col("auc_bp")).as("mn"), max(col("auc_bp")).as("mx"))
       .select(expr("stack(2, 'auc_bp_min', mn, 'auc_bp_max', mx) AS (metric, value)"))
-    ann.unionByName(lsh).unionByName(auc)
+    // the other index family on the card: fitted-IVF recall@5 against
+    // exact brute force over q156's 5-query sample (5 × 5 = 25 slots)
+    val embAll = cpuTable(s, dir, "embeddings")
+    val ivfTruth = Similarity.bruteForceTopK(embAll, "vec_id", "embedding",
+      embAll.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+    val ivf = ivfTruth.select(col("qid"), col("id"))
+      .join(qIvfFitted(s, dir).select(col("qid"), col("id")), Seq("qid", "id"))
+      .agg(count(lit(1)).as("h"))
+      .select(expr(
+        "stack(1, 'ivf_recall_bp_mean', (h * 10000) div 25) AS (metric, value)"))
+    ann.unionByName(lsh).unionByName(auc).unionByName(ivf)
       .select(col("metric"), col("value").cast("long").as("value"))
   }
 
@@ -4969,7 +4979,18 @@ object SparkEntry {
         |UNION ALL SELECT 'auc_bp_min', CAST(min(auc_bp) AS BIGINT)
         |FROM ($Sql_q145)
         |UNION ALL SELECT 'auc_bp_max', CAST(max(auc_bp) AS BIGINT)
-        |FROM ($Sql_q145)""".stripMargin,
+        |FROM ($Sql_q145)
+        |UNION ALL SELECT 'ivf_recall_bp_mean',
+        |  CAST((count(*) * 10000) // 25 AS BIGINT)
+        |FROM ($Sql_q156) a JOIN (
+        |  WITH vq AS (SELECT vec_id AS qid, embedding AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |  vsc AS (SELECT vq.qid, e.vec_id AS id,
+        |    ${OSql.cosSql("e.embedding", "vq.qv")} AS cos
+        |   FROM embeddings e, vq)
+        |  SELECT qid, id FROM vsc QUALIFY row_number()
+        |    OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 5) t
+        |ON a.qid = t.qid AND a.id = t.id""".stripMargin,
 
     // Identical truth to q145 — the oracle does not care which plan
     // computed the midranks.
@@ -5059,8 +5080,13 @@ object SparkEntry {
         |FROM karrb JOIN kn USING (cid)""".stripMargin,
 
     // q37's IVF probe against the TRAINED coarse quantizer: the same
-    // fit unroll supplies c2, then assignment/probe/top-k as in q37.
-    "q156_ivf_fitted" ->
+    // fit unroll supplies c2, then assignment/probe/top-k as in q37
+    // (shared with the q149 eval card's ivf_recall metric).
+    "q156_ivf_fitted" -> Sql_q156,
+  )
+
+  /** q156's oracle body — shared with the q149 eval-card composition. */
+  private lazy val Sql_q156: String =
       s"""WITH ${kmeansFitCtes(2)},
         |av0 AS (SELECT e.vec_id, e.embedding, c.cid,
         |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
@@ -5083,6 +5109,5 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
         |FROM vsc
         |QUALIFY row_number() OVER (PARTITION BY qid
-        |  ORDER BY cos DESC, id ASC) <= 5""".stripMargin,
-  )
+        |  ORDER BY cos DESC, id ASC) <= 5""".stripMargin
 }
