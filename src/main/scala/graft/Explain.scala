@@ -69,7 +69,8 @@ object Explain {
     * check. Triaged heavy for coverage; the RoundRobinPartitioning
     * assertion is carried by the non-iterative query sharing the same
     * pre-checkpoint build (q113's kNN edge build is q46's gated shape). */
-  private[graft] val CpuHeavyTruncated = Seq("q113_knn_pagerank")
+  private[graft] val CpuHeavyTruncated =
+    Seq("q113_knn_pagerank", "q157_cc_incremental")
 
   /** Queries audited as shuffle-bound or dimension-light: their first
     * real work is a join/aggregate exchange (which re-spreads rows on

@@ -2085,6 +2085,28 @@ object SparkEntry {
         sum(col("__sz")).as("n_docs"))
   }
 
+  /** q157: INCREMENTAL near-dup clustering — the corpus arrives as a
+    * standing 3/4 (clustered once) plus a new quarter; the batch's
+    * pairs fold into the standing labels through
+    * [[graft.ops.Dedup.connectedComponentsIncremental]] (iterative work
+    * on the touched-label graph only, pairs-sized). The oracle is q47's
+    * FULL-recompute SQL over the whole corpus — two plans, one truth:
+    * the incremental merge must be bit-identical to re-clustering
+    * everything. */
+  private def qCcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val pairs = graft.ops.CacheScope.session.cache(
+      Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+        n = 3, threshold = 0.5, maxDf = 100))
+    val isNew = (c: Column) => c % 4 === 0
+    val oldPairs = pairs.filter(!isNew(col("a")) && !isNew(col("b")))
+    val batchPairs = pairs.filter(isNew(col("a")) || isNew(col("b")))
+    val oldLabels = Dedup.connectedComponents(oldPairs,
+      docs.filter(!isNew(col("doc_id"))).select(col("doc_id")), "doc_id")
+    Dedup.connectedComponentsIncremental(oldLabels, batchPairs,
+      docs.filter(isNew(col("doc_id"))).select(col("doc_id")), "doc_id")
+  }
+
   /** The 8 lowest-id corpus vectors as deterministic seed centroids —
     * q37/q98's convention (a bounded 8-row model fetch). */
   private def seedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
@@ -2285,6 +2307,7 @@ object SparkEntry {
     "q154_dup_histogram" -> (qDupHistogram _),
     "q155_kmeans_fit" -> (qKmeansFit _),
     "q156_ivf_fitted" -> (qIvfFitted _),
+    "q157_cc_incremental" -> (qCcIncremental _),
   )
 
   // ------------------------------------------------------------------ //
@@ -5083,6 +5106,10 @@ object SparkEntry {
     // fit unroll supplies c2, then assignment/probe/top-k as in q37
     // (shared with the q149 eval card's ivf_recall metric).
     "q156_ivf_fitted" -> Sql_q156,
+
+    // The FULL recompute over the whole corpus — the incremental merge
+    // must reproduce it exactly (q47's clustering body verbatim).
+    "q157_cc_incremental" -> Sql_q47,
   )
 
   /** q156's oracle body — shared with the q149 eval-card composition. */

@@ -911,6 +911,65 @@ object Dedup {
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
   }
 
+  /** Incremental connected components — fold a NEW batch's pairs into a
+    * STANDING labeling without re-clustering the corpus: the missing
+    * merge half of the incremental-dedup family ([[minhashMatchedAgainst]]
+    * / [[cosineMatchedAgainst]] find the new pairs; this folds them in).
+    * At 100 TB a full [[connectedComponents]] re-run per ingest batch
+    * re-shuffles every vertex every day; here the iterative work runs on
+    * the COMPONENT graph touched by the batch — pairs-sized, not
+    * corpus-sized.
+    *
+    * Exactness (not an approximation): components of (old pairs ∪ new
+    * pairs) are exactly the old components unioned along new edges, so
+    * mapping each new pair's endpoints to their standing labels (an
+    * absent endpoint is its own label — new vertices and old
+    * singletons), running CC over THAT graph, and relabeling through
+    * the merge map reproduces the full recompute bit for bit — because
+    * every standing label is already the MIN id of its old component,
+    * the merged min-of-labels IS the global min id. The q157 oracle
+    * pins this: the incremental plan against the full-recompute SQL,
+    * same rows.
+    *
+    * Contract: `oldLabels` (idCol, cluster) must BE a
+    * [[connectedComponents]] output over the old pair set (labels =
+    * min member id — `require`-checked only in spirit; a violated
+    * contract surfaces as a changed oracle hash, not silently).
+    * `newVertices` = the batch's ids (old ids need not be repeated).
+    * Scale shape: two label-lookup equi-joins on the pair endpoints,
+    * the iterative CC over the touched-label graph (edges = batch
+    * pairs, label-edge acceleration as in [[connectedComponents]]),
+    * and one broadcast-sized relabel join back onto the standing
+    * labeling (touched components only; untouched rows pass through
+    * unchanged via the coalesce). Output: (idCol, cluster) over old ∪
+    * new vertices. */
+  def connectedComponentsIncremental(oldLabels: DataFrame,
+      newPairs: DataFrame, newVertices: DataFrame, idCol: String,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val lbl = scope.cache(oldLabels.select(col(idCol), col("cluster")))
+    // endpoints → standing labels (own id when unseen)
+    val e = scope.cache(newPairs
+      .join(lbl.select(col(idCol).as("a"), col("cluster").as("__la")),
+        Seq("a"), "left")
+      .join(lbl.select(col(idCol).as("b"), col("cluster").as("__lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("__la"), col("a")).as("a"),
+        coalesce(col("__lb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")))
+    // CC over the touched-label graph only — pairs-sized
+    val touched = e.select(col("a").as(idCol))
+      .unionByName(e.select(col("b").as(idCol))).distinct()
+    val merged = connectedComponents(e, touched, idCol)
+      .select(col(idCol).as("__l0"), col("cluster").as("__lm"))
+    val allV = lbl.select(col(idCol), col("cluster"))
+      .unionByName(newVertices.select(col(idCol))
+        .join(lbl.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), col(idCol).as("cluster")))
+    allV
+      .join(merged, allV("cluster") === merged("__l0"), "left")
+      .select(col(idCol), coalesce(col("__lm"), col("cluster")).as("cluster"))
+  }
+
   /** The consumer half of near-dup clustering: keep exactly one document
     * per [[connectedComponents]] cluster (its minimum id) and drop the
     * rest — [[dropNormalizedDups]]' analogue for transitive near-dup

@@ -134,6 +134,39 @@ class KnnClusterSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 5L, 7L))
   }
 
+  test("connectedComponentsIncremental == full recompute (random splits, property)") {
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(157L)
+    for (round <- 0 until 3) {
+      val nV = 40
+      val pairs = (0 until 30).map { _ =>
+        val a = rnd.nextInt(nV); val b = rnd.nextInt(nV)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      // arbitrary split: ~half the pairs are "standing", rest arrive as
+      // the batch; vertices split so some batch endpoints are brand new
+      val (oldP, newP) = pairs.partition(_ => rnd.nextBoolean())
+      val oldVs = (0 until nV).filter(_ % 3 != round % 3).map(_.toLong)
+      val newVs = (0L until nV.toLong).filterNot(oldVs.contains)
+      // contract: standing pairs must be WITHIN the standing vertex set
+      // (a real pipeline's old clustering never saw the batch) — route
+      // boundary pairs to the batch instead
+      val (oldIn, oldOut) = oldP.partition(p =>
+        oldVs.contains(p._1) && oldVs.contains(p._2))
+      val batch = (newP ++ oldOut).distinct
+      val full = Dedup.connectedComponents(
+        pairs.toDF("a", "b"), (0L until nV.toLong).toDF("id"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val standing = Dedup.connectedComponents(
+        oldIn.toDF("a", "b"), oldVs.toDF("id"), "id")
+      val inc = Dedup.connectedComponentsIncremental(standing,
+        batch.toDF("a", "b"), newVs.toDF("id"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc === full, s"round=$round")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("connected components throws instead of shipping unconverged labels") {
     // a diameter-4 chain cannot converge in one round
     val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
