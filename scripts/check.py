@@ -36,6 +36,46 @@ def rhash(rows):
         h.update(b"\x1e")
     return h.hexdigest()
 
+# Driver-safe type vocabulary (the r15 q145/q150 lesson: DECIMAL outputs
+# hash red on the driver even when values are exact, and pandas' float64
+# round-trip masks it locally). DuckDB DESCRIBE type strings; list/struct
+# wrappers are unwrapped recursively before the check.
+SAFE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT",
+              "UINTEGER", "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE",
+              "TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS",
+              "BLOB"}
+
+def unsafe_types(duck_type):
+    t = duck_type.strip()
+    if t.endswith("[]"):
+        return unsafe_types(t[:-2])
+    if t.startswith("STRUCT(") and t.endswith(")"):
+        inner, bad, depth, cur = t[7:-1], [], 0, ""
+        for ch in inner:  # split on top-level commas only
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                bad += unsafe_types(cur.strip().split(" ", 1)[1]); cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            bad += unsafe_types(cur.strip().split(" ", 1)[1])
+        return bad
+    return [] if t in SAFE_TYPES else [t]
+
+def type_lint(con, name, spark_src, oracle_sql):
+    """Both sides' DESCRIBE'd column types must stay driver-safe."""
+    errs = []
+    for side, q in (("spark", f"SELECT * FROM {spark_src}"),
+                    ("oracle", oracle_sql)):
+        for row in con.sql(f"DESCRIBE {q}").fetchall():
+            col, typ = row[0], row[1]
+            for bad in unsafe_types(typ):
+                errs.append(f"{side} col `{col}` has non-driver-safe type {bad}")
+    return errs
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -48,6 +88,14 @@ def main():
         if only and name not in only:
             continue
         try:
+            lint = type_lint(con, name, f"'{out_dir}/{name}/*.parquet'",
+                             oracle[name])
+            if lint:
+                fails += 1
+                print(f"FAIL {name}: type lint")
+                for e in lint:
+                    print(f"      {e}")
+                continue
             spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             oracle_df = con.sql(oracle[name]).df()
             sc, sr = canon(spark_df)

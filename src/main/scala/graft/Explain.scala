@@ -120,6 +120,48 @@ object Explain {
   /** Joins against a broadcast-worthy global/dimension table. */
   private val MustBroadcast = Seq("q02_join_global_inner", "q03_join_global_left")
 
+  /** Driver-safe output types — the r16 lesson (q145/q150): the driver's
+    * hasher canonicalizes parquet values by type, and the only way the
+    * local replica stays STRICTLY stricter than the driver is to pin the
+    * emitted-type vocabulary to the set with round-green evidence. The
+    * r15 regression emitted the surface's single DECIMAL(38,0) column;
+    * values were exactly right and the driver still hashed red, because
+    * decimal canonicalization differs between the driver and the local
+    * DuckDB float64 round-trip. Decimal stays legal INSIDE a plan
+    * (exact quadratic sums need it) — it must be cast to BIGINT/DOUBLE/
+    * STRING before the final select. Arrays/structs of safe leaves are
+    * safe (green since their introduction: q155's array<float>
+    * centroids, q45's sketch struct). */
+  private val SafeLeafTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(LongType, IntegerType, DoubleType, FloatType, StringType,
+      BooleanType, DateType, TimestampType, BinaryType)
+  }
+
+  private def unsafeLeaves(dt: org.apache.spark.sql.types.DataType)
+      : Seq[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case t if SafeLeafTypes.contains(t) => Nil
+      case ArrayType(e, _)  => unsafeLeaves(e)
+      case MapType(k, v, _) => unsafeLeaves(k) ++ unsafeLeaves(v)
+      case StructType(fs)   => fs.toSeq.flatMap(f => unsafeLeaves(f.dataType))
+      case other            => Seq(other.sql)
+    }
+  }
+
+  /** Emitted-schema violations for one query (empty = clean): every
+    * leaf type of every output column must be in [[SafeLeafTypes]].
+    * Run by PlanGateSpec over the whole surface — analysis-only, the
+    * schema comes from the logical plan without execution. */
+  def schemaViolations(name: String,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      unsafeLeaves(f.dataType).distinct.map(t =>
+        s"output column `${f.name}` leaks non-driver-safe type $t " +
+          "(cast to BIGINT/DOUBLE/STRING before the final select)")
+    }
+
   /** Violations for one query's formatted physical plan (empty = clean).
     * Exposed so the test suite runs the same gate as `--check`. */
   def violations(name: String, plan: String): Seq[String] = Seq(
@@ -163,7 +205,10 @@ object Explain {
       gaps.foreach(g => println(s"[plan-check] FAIL triage: $g"))
       val failures = gaps.map("triage" -> _) ++
         SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
-        val errs = violations(n, plan(n))
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val errs = violations(n, df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)) ++
+          schemaViolations(n, df.schema)
         errs.foreach(e => println(s"[plan-check] FAIL $n: $e"))
         if (errs.isEmpty) println(s"[plan-check] pass $n")
         errs.map(n -> _)

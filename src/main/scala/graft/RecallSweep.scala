@@ -68,14 +68,20 @@ object RecallSweep {
       val hit = truth.join(approx.select(col("qid"), col("id")), Seq("qid", "id"))
         .count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // scanned fraction = mass of the probed cells
+      // cost: corpus rows in the probed cells, summed over queries —
+      // the same scanned_per_query the sign-LSH rows report
       val assign = emb.select(graft.functions.NearestCentroidFn(
           col("embedding"), cents).as("c"))
         .groupBy("c").count().collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
-      val qProbe = queries.collect().length  // 25 queries
+      val qcells = queries.select(explode(graft.ops.Similarity.ivfProbes(
+          col("embedding"), cents, nProbe)).as("c"))
+        .collect().map(_.getInt(0))
+      val qProbe = queries.count()  // 25 queries
+      val scanned = qcells.map(c => assign.getOrElse(c, 0L)).sum / qProbe.toDouble
       println(f"""{"index":"$label","nprobe":$nProbe,""" +
         f""""recall_bp":${hit * 10000.0 / (qProbe * 10)}%.0f,""" +
-        f""""cells":${assign.size},"corpus":$n,"wall_s":$wall%.2f}""")
+        f""""cells":${assign.size},"scanned_per_query":$scanned%.0f,""" +
+        f""""corpus":$n,"wall_s":$wall%.2f}""")
     }
     spark.stop()
   }

@@ -261,6 +261,64 @@ object ScaleProbe {
         Dedup.connectedComponents(pairs, docs.select(col("doc_id")), "doc_id")
           .count()
       }),
+      // q157's DEPLOYMENT shape (r16 verdict task 4): the registered
+      // query pays a 3/4-corpus standing-label build in-query (it must
+      // be self-contained — the driver bench holds no state between
+      // queries), so its anchor overstates the operator's marginal
+      // cost. Here the standing labeling and the batch's pairs are
+      // PRECOMPUTED into localCheckpoint blocks (which survive time()'s
+      // per-rep clearCache), built lazily inside rep 1 — with reps >= 2
+      // the min-timed cell is the pairs-sized marginal merge alone.
+      "cc_incremental_marginal" -> {
+        lazy val staged = CacheScope.using { sc =>
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+            n = 3, threshold = 0.5, maxDf = 100, scope = sc)
+            .localCheckpoint(true)
+          val isNew = (c: Column) => c % 4 === 0
+          val standing = Dedup.connectedComponents(
+            pairs.filter(!isNew(col("a")) && !isNew(col("b"))),
+            docs.filter(!isNew(col("doc_id"))).select(col("doc_id")),
+            "doc_id").localCheckpoint(true)
+          val batch = pairs.filter(isNew(col("a")) || isNew(col("b")))
+            .localCheckpoint(true)
+          val newV = docs.filter(isNew(col("doc_id")))
+            .select(col("doc_id")).localCheckpoint(true)
+          (standing, batch, newV)
+        }
+        () => CacheScope.using { sc =>
+          val (standing, batch, newV) = staged
+          Dedup.connectedComponentsIncremental(standing, batch, newV,
+            "doc_id", scope = sc).count()
+        }
+      },
+      // task-5 adversarial split: a batch whose pairs CHAIN every
+      // standing component (touched-label graph = the entire component
+      // set, maximum diameter) — the worst case for the "iterative work
+      // is pairs-sized" claim. Standing stage precomputed as above; the
+      // probe's rows/exponent columns keep the honesty.
+      "cc_incremental_adversarial" -> {
+        lazy val staged = CacheScope.using { sc =>
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+            n = 3, threshold = 0.5, maxDf = 100, scope = sc)
+          val standing = Dedup.connectedComponents(pairs,
+            docs.select(col("doc_id")), "doc_id").localCheckpoint(true)
+          val w = org.apache.spark.sql.expressions.Window.orderBy(col("cluster"))
+          // one global sort over the COMPONENTS-sized label set (build
+          // cost only, checkpointed away from the timed merge)
+          val batch = standing.select(col("cluster")).distinct()
+            .select(col("cluster").as("b"),
+              lag(col("cluster"), 1).over(w).as("a"))
+            .filter(col("a").isNotNull)
+            .select(col("a"), col("b")).localCheckpoint(true)
+          (standing, batch)
+        }
+        () => CacheScope.using { sc =>
+          val (standing, batch) = staged
+          Dedup.connectedComponentsIncremental(standing, batch,
+            standing.select(col("doc_id")).limit(0), "doc_id",
+            scope = sc).count()
+        }
+      },
       // asymmetric banding (q63's exact shape: ref = doc_id % 4 == 0,
       // inc = rest, per-side caps) — the candidate join's within-bucket
       // term is |inc ∩ bucket| × |ref ∩ bucket|, so the red line is the

@@ -401,19 +401,33 @@ object SparkEntry {
     * oracles via `QUALIFY count(*) OVER (PARTITION BY bucket) <= cap`. */
   private val LshMaxBucket = 1000L
 
-  /** Registered sign-LSH ANN defaults (q27/q46/q62/q113/q133, evaluated
-    * by q137) — picked from the measured RecallSweep table, not assumed:
+  /** Registered sign-LSH ANN defaults (q27/q113/q133, evaluated by
+    * q137) — picked from the measured RecallSweep table, not assumed:
     * the r14 default (8 bits, Hamming ≤ 1) measured recall@10 = 24%
     * mean on the fixture (not deployment grade); (4 bits, Hamming ≤ 2)
     * measures 84–85% at both SFs at 11/16-cells probe cost (full curve
     * in SCALING.md "ANN recall sweep"). The sweep also shows WHY: these
     * embeddings' near neighbors freely cross coordinate hyperplanes, so
-    * recall per scanned row is inherently weak for sign-LSH here — at
-    * real scale prefer IVF over FITTED centroids (q37 + kmeansFit) or
-    * grow bits with the corpus (the scaled-bits probe), re-measuring
-    * recall with q137's harness after every knob change. */
+    * recall per scanned row is inherently weak for sign-LSH here —
+    * which is why the kNN-JOIN family (q46/q62) is registered on the
+    * FITTED-IVF quantizer instead ([[IvfProbe]]); sign-LSH stays the
+    * default only where its zero-fit, pure-projection cell key is the
+    * point (the live/streaming twins, the q113/q133 graph builds it
+    * feeds). Re-measure recall with q137's harness after every knob
+    * change; both families' recall AND scan fraction sit on the q149
+    * eval card. */
   private val AnnBits = 4
   private val AnnHamming = 2
+
+  /** Registered fitted-IVF ANN defaults (q46/q62, and the q149 card's
+    * ivf rows): [[fittedCentroids]]' 8 cells ([[Similarity.kmeansFitInt8]],
+    * 2 Lloyd rounds from the q98 seed), queries probing their
+    * [[IvfProbe]] nearest cells. Picked from the measured sweep
+    * (SCALING.md "ANN recall sweep"): nProbe 4 of 8 measures ~82%
+    * recall@10 scanning ~50% of the corpus — strictly better recall per
+    * scanned row than the sign-LSH default's 84–85% at an 11/16 scan
+    * fraction on these sign-unstable embeddings. */
+  private val IvfProbe = 4
 
   /** Registered multi-probe depth for semantic dedup (q64, and q118's
     * first stage): each cell's representative registers under its own
@@ -635,24 +649,27 @@ object SparkEntry {
       table(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars")
       .drop("approx_ids")
 
-  /** Approximate kNN JOIN ([[Similarity.knnJoin]]): top-3 neighbors for
-    * EVERY corpus vector via multi-probe sign-LSH — the whole-corpus
-    * neighbor graph behind clustering/diversity sampling, vs q26/q27's
-    * small broadcast query set. */
+  /** Approximate kNN JOIN on the registered fitted-IVF default
+    * ([[Similarity.knnJoinIvf]]): top-3 neighbors for EVERY corpus
+    * vector — the whole-corpus neighbor graph behind clustering/
+    * diversity sampling, vs q26/q27's small broadcast query set. The
+    * 2-round k-means fit runs in-query (the q156 convention: the query
+    * is self-contained and the oracle unrolls every fit round in CTEs);
+    * a deployment fits once and amortizes. */
   private def qKnnJoin(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnJoin(cpuTable(s, dir, "embeddings"), "vec_id", "embedding",
-      k = 3, signBits = AnnBits, probeHamming = AnnHamming,
-      maxBucket = LshMaxBucket)
+    Similarity.knnJoinIvf(cpuTable(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 3, centroids = fittedCentroids(s, dir),
+      nProbe = IvfProbe, maxBucket = LshMaxBucket)
 
   /** q46's kNN join with quantized coarse scoring + full-precision
-    * rerank ([[Similarity.knnJoinQuantized]]): the candidate hot loop
-    * scores int8 vectors (codegen [[graft.functions.Int8Cos]], ¼ the
-    * memory traffic), the float32 vectors move only for the
-    * coarseK-deep shortlist. Same output shape as q46. */
+    * rerank ([[Similarity.knnJoinIvfQuantized]]): the candidate hot
+    * loop scores int8 vectors (codegen [[graft.functions.Int8Cos]], ¼
+    * the memory traffic), the float32 vectors move only for the
+    * coarseK-deep shortlist. Same cells as q46, same output shape. */
   private def qKnnQuantized(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnJoinQuantized(cpuTable(s, dir, "embeddings"), "vec_id",
-      "embedding", k = 3, signBits = AnnBits, probeHamming = AnnHamming,
-      coarseK = 10, maxBucket = LshMaxBucket)
+    Similarity.knnJoinIvfQuantized(cpuTable(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 3, centroids = fittedCentroids(s, dir),
+      nProbe = IvfProbe, coarseK = 10, maxBucket = LshMaxBucket)
 
   /** Ranking-window family (lag/lead — absent from the reference,
     * SURVEY §2.7): per-user event sequencing with the previous event's
@@ -1880,8 +1897,9 @@ object SparkEntry {
       "doc_id", "text", maxDist = 6, q = 2,
       blockOn = Seq("lang"), lengthBand = 6)
 
-  /** q137: recall@10 of the Hamming-1-probed 8-bit LSH index against
-    * exact brute force, per query — the ANN evaluation harness
+  /** q137: recall@10 of the registered sign-LSH default ([[AnnBits]]
+    * bits, Hamming ≤ [[AnnHamming]] probing) against exact brute force,
+    * per query — the ANN evaluation harness
     * ([[graft.ops.Similarity.annRecall]]) under q26/q27's conventions. */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = cpuTable(s, dir, "embeddings")
@@ -1995,10 +2013,11 @@ object SparkEntry {
       critBp = 19600L)
 
   /** q149: the index/model evaluation card — q137's ANN recall, q142's
-    * LSH banding precision/recall, and q145's AUC spread scalarized
-    * into one (metric, value) report: the composed "is the approximate
-    * machinery good enough to ship" sheet, each metric riding its
-    * already-oracle-gated pipeline. */
+    * LSH banding precision/recall, q145's AUC spread, both index
+    * families' 25-query recall AND scanned-fraction (recall without
+    * scan cost is half a sheet), scalarized into one (metric, value)
+    * report: the composed "is the approximate machinery good enough to
+    * ship" sheet, each metric riding its oracle-gated pipeline. */
   private def qEvalCard(s: SparkSession, dir: String): DataFrame = {
     val ann = qAnnRecall(s, dir)
       .agg(expr("CAST(sum(recall_bp) div count(*) AS BIGINT)").as("m1"),
@@ -2012,16 +2031,65 @@ object SparkEntry {
       .agg(min(col("auc_bp")).as("mn"), max(col("auc_bp")).as("mx"))
       .select(expr("stack(2, 'auc_bp_min', mn, 'auc_bp_max', mx) AS (metric, value)"))
     // the other index family on the card: fitted-IVF recall@5 against
-    // exact brute force over q156's 5-query sample (5 × 5 = 25 slots)
+    // exact brute force over q156's 5-query sample (5 × 5 = 25 slots).
+    // ONE fit serves every ivf row on the card (q156's plan re-fit
+    // here would pay the 2-round model twice per card build).
     val embAll = cpuTable(s, dir, "embeddings")
+    val cents = fittedCentroids(s, dir)
     val ivfTruth = Similarity.bruteForceTopK(embAll, "vec_id", "embedding",
       embAll.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+    val ivf5 = Similarity.ivfTopK(embAll, "vec_id", "embedding",
+      embAll.filter(col("vec_id") < 5), "vec_id", "embedding",
+      cents, k = 5, nProbe = 2) // q156's exact registered shape
     val ivf = ivfTruth.select(col("qid"), col("id"))
-      .join(qIvfFitted(s, dir).select(col("qid"), col("id")), Seq("qid", "id"))
+      .join(ivf5.select(col("qid"), col("id")), Seq("qid", "id"))
       .agg(count(lit(1)).as("h"))
       .select(expr(
         "stack(1, 'ivf_recall_bp_mean', (h * 10000) div 25) AS (metric, value)"))
+    // recall WITHOUT scan cost is half a sheet (the r15 lesson: the
+    // sign-LSH default's 84% recall costs an 11/16 cell scan) — so the
+    // card pairs each family's recall with its SCANNED FRACTION on the
+    // same 25-query q137 sample: candidate rows met by the probe join
+    // (uncapped — the pruning-power instrument, not the capped
+    // production join) over nQueries × corpus, in basis points.
+    // candidate count = Σ_q occupancy(probed cells), so the probe list
+    // joins the CELLS-SIZED occupancy aggregate (≤ 2^bits rows), never
+    // the corpus — same number as the raw candidate join, one corpus
+    // aggregate instead of a 25×corpus materialization
+    val q25 = embAll.filter(col("vec_id") < 25)
+    val annCand = q25.select(explode(Similarity.hammingProbes(
+        Similarity.signBucket(col("embedding"), AnnBits), AnnBits, AnnHamming))
+        .as("__bkt"))
+      .join(broadcast(embAll.select(
+          Similarity.signBucket(col("embedding"), AnnBits).as("__bkt"))
+        .groupBy("__bkt").agg(count(lit(1)).as("__occ"))), Seq("__bkt"))
+      .agg(sum(col("__occ")).as("a_sc"))
+    val ivfCand = q25.select(explode(
+        Similarity.ivfProbes(col("embedding"), cents, IvfProbe)).as("__cell"))
+      .join(broadcast(embAll.select(
+          Similarity.ivfCell(col("embedding"), cents).as("__cell"))
+        .groupBy("__cell").agg(count(lit(1)).as("__occ"))), Seq("__cell"))
+      .agg(sum(col("__occ")).as("i_sc"))
+    val scan = broadcast(annCand).crossJoin(broadcast(ivfCand))
+      .crossJoin(broadcast(q25.agg(count(lit(1)).as("nq"))))
+      .crossJoin(broadcast(embAll.agg(count(lit(1)).as("nc"))))
+      .select(expr(
+        "stack(2, 'ann_scan_bp', (a_sc * 10000) div (nq * nc)," +
+          " 'ivf_scan_bp', (i_sc * 10000) div (nq * nc)) AS (metric, value)"))
+    // and the fitted family's recall on that same 25-query sample at
+    // the REGISTERED probe depth (comparable 1:1 with ann_recall_bp_mean
+    // and the two scan rows; 250 = 25 queries × 10 truth slots)
+    val truth25 = Similarity.bruteForceTopK(embAll, "vec_id", "embedding",
+      q25, "vec_id", "embedding", k = 10)
+    val ivf25 = Similarity.ivfTopK(embAll, "vec_id", "embedding",
+      q25, "vec_id", "embedding", cents, k = 10, nProbe = IvfProbe)
+    val ivfR25 = truth25.select(col("qid"), col("id"))
+      .join(ivf25.select(col("qid"), col("id")), Seq("qid", "id"))
+      .agg(count(lit(1)).as("h"))
+      .select(expr(
+        "stack(1, 'ivf_recall25_bp', (h * 10000) div 250) AS (metric, value)"))
     ann.unionByName(lsh).unionByName(auc).unionByName(ivf)
+      .unionByName(scan).unionByName(ivfR25)
       .select(col("metric"), col("value").cast("long").as("value"))
   }
 
@@ -2140,13 +2208,20 @@ object SparkEntry {
     * recall sweep). Same query/probe conventions as q37. */
   private def qIvfFitted(s: SparkSession, dir: String): DataFrame = {
     val emb = cpuTable(s, dir, "embeddings")
-    val fitted = Similarity.kmeansFitInt8(
-      table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-      "embedding", seedCentroids(s, dir), iters = 2)
     Similarity.ivfTopK(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-      fitted, k = 5, nProbe = 2)
+      fittedCentroids(s, dir), k = 5, nProbe = 2)
   }
+
+  /** The registered fitted coarse quantizer (q46/q62/q156/q149): 2
+    * Lloyd rounds ([[Similarity.kmeansFitInt8]]) from the q98 seed — a
+    * bounded 8-row model fetch per round, never data. Each consuming
+    * query runs the fit itself (self-contained; oracles unroll the
+    * rounds via [[kmeansFitCtes]]); a deployment fits once offline. */
+  private def fittedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
+    Similarity.kmeansFitInt8(
+      table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", seedCentroids(s, dir), iters = 2)
 
   // ------------------------------------------------------------------ //
 
@@ -2497,6 +2572,28 @@ object SparkEntry {
     (head +: rounds).mkString(",\n")
   }
 
+  /** q46/q62's fitted-IVF skeleton: [[kmeansFitCtes]](2)'s fit, then
+    * per-vector cell assignment (vcell, capped at [[LshMaxBucket]] as
+    * vcap) and the nProbe-deep query probe list (vprobe) against the
+    * fitted centroids c2 — same comparator everywhere (round-6 cosine
+    * DESC, cid ASC; DuckDB's NaN-first-under-DESC = the engine's
+    * zero-vector rule). kqv carries both the float vectors (q46's
+    * scoring) and the int8 lists (q62's coarse scoring). */
+  private def ivfKnnCtes(nProbe: Int): String =
+    s"""${kmeansFitCtes(2)},
+      |vass AS (SELECT kqv.vec_id, kqv.embedding, kqv.q, c.cid,
+      |  ${OSql.cosSql("kqv.embedding", "c.cvec")} AS cc
+      | FROM kqv CROSS JOIN c2 c),
+      |vcell AS (SELECT vec_id, embedding, q, cid FROM vass
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cc DESC, cid ASC) = 1),
+      |vcap AS (SELECT * FROM vcell
+      |  QUALIFY count(*) OVER (PARTITION BY cid) <= $LshMaxBucket),
+      |vprobe AS (SELECT vec_id AS qid, embedding AS qv, q AS qq, cid
+      |  FROM vass
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cc DESC, cid ASC) <= $nProbe)""".stripMargin
+
   /** q47's recursive-CTE clustering — shared with q154's histogram. */
   private lazy val Sql_q47: String =
       s"""${OSql.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -2541,6 +2638,54 @@ object SparkEntry {
         |FROM q LEFT JOIN f ON q.qid = f.qid
         |  LEFT JOIN h ON q.qid = h.qid""".stripMargin
 
+  /** q149's scan-fraction rows: candidate rows met by each family's
+    * UNCAPPED probe join on the q137 25-query sample, over nQueries ×
+    * corpus, in bp — the pruning-power companion to the recall rows. */
+  private lazy val Sql_q149AnnScan: String =
+    s"""WITH b AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt FROM embeddings),
+      |q0 AS (SELECT vec_id, embedding, bkt FROM b WHERE vec_id < 25),
+      |qp AS (SELECT vec_id,
+      |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM q0)
+      |SELECT CAST(((SELECT count(*) FROM b e JOIN qp ON e.bkt = qp.bkt)
+      |    * 10000) // ((SELECT count(*) FROM q0)
+      |    * (SELECT count(*) FROM embeddings)) AS BIGINT) AS value""".stripMargin
+
+  private lazy val Sql_q149IvfScan: String =
+    s"""WITH ${kmeansFitCtes(2)},
+      |vass AS (SELECT kqv.vec_id, c.cid,
+      |  ${OSql.cosSql("kqv.embedding", "c.cvec")} AS cc
+      | FROM kqv CROSS JOIN c2 c),
+      |vcell AS (SELECT vec_id, cid FROM vass
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cc DESC, cid ASC) = 1),
+      |vp AS (SELECT vec_id, cid FROM vass WHERE vec_id < 25
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cc DESC, cid ASC) <= $IvfProbe)
+      |SELECT CAST(((SELECT count(*) FROM vcell e JOIN vp ON e.cid = vp.cid)
+      |    * 10000) // ((SELECT count(*) FROM embeddings WHERE vec_id < 25)
+      |    * (SELECT count(*) FROM embeddings)) AS BIGINT) AS value""".stripMargin
+
+  /** q149's fitted-IVF top-10 over the 25-query sample at the
+    * registered probe depth — the recall row comparable 1:1 with
+    * ann_recall_bp_mean. */
+  private lazy val Sql_q149Ivf25: String =
+    s"""WITH ${kmeansFitCtes(2)},
+      |vass AS (SELECT kqv.vec_id, kqv.embedding, c.cid,
+      |  ${OSql.cosSql("kqv.embedding", "c.cvec")} AS cc
+      | FROM kqv CROSS JOIN c2 c),
+      |vcell AS (SELECT vec_id, embedding, cid FROM vass
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cc DESC, cid ASC) = 1),
+      |vp AS (SELECT vec_id AS qid, embedding AS qv, cid FROM vass
+      |  WHERE vec_id < 25
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cc DESC, cid ASC) <= $IvfProbe),
+      |sc AS (SELECT vp.qid, e.vec_id AS id,
+      |  ${OSql.cosSql("e.embedding", "vp.qv")} AS cos
+      | FROM vcell e JOIN vp ON e.cid = vp.cid)
+      |SELECT qid, id FROM sc QUALIFY row_number()
+      |  OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin
+
   private lazy val Sql_q142: String =
       s"""${OSql.shingleCte},
         |${OSql.sigCte},
@@ -2583,9 +2728,10 @@ object SparkEntry {
         |    sum(CASE WHEN y = 1 THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS rsum2
         |  FROM r GROUP BY 1)
         |SELECT lang, n_pos, n_neg,
-        |  CAST(rsum2 - n_pos * (n_pos + 1) AS DECIMAL(38,0)) AS u2,
+        |  CAST(rsum2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2,
         |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
-        |    THEN ((rsum2 - n_pos * (n_pos + 1)) * 5000) // (n_pos * n_neg)
+        |    THEN ((rsum2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 5000)
+        |      // (CAST(n_pos AS HUGEINT) * n_neg)
         |    ELSE -1 END AS BIGINT) AS auc_bp
         |FROM a""".stripMargin
 
@@ -3001,14 +3147,10 @@ object SparkEntry {
         |FROM documents GROUP BY lang""".stripMargin,
 
     "q46_knn_join" ->
-      s"""WITH b0 AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
-        |  FROM embeddings),
-        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
-        |q AS (SELECT vec_id AS qid, embedding AS qv,
-        |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM b0),
-        |sc AS (SELECT q.qid, e.vec_id AS id,
-        |  ${OSql.cosSql("e.embedding", "q.qv")} AS cos
-        | FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.qid)
+      s"""WITH ${ivfKnnCtes(IvfProbe)},
+        |sc AS (SELECT p.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "p.qv")} AS cos
+        | FROM vcap e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid)
         |SELECT qid, id, cos,
         | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
         |FROM sc
@@ -3268,26 +3410,10 @@ object SparkEntry {
     // input, is bit-identical across engines; both stages tie-break by
     // ascending id like the bounded-heap aggregator.
     "q62_knn_quantized" ->
-      s"""WITH qz AS (SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE)))) AS s
-        |  FROM embeddings),
-        |qv AS (SELECT vec_id, embedding,
-        |    CASE WHEN s = 0 THEN list_transform(embedding,
-        |           x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(embedding,
-        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
-        |    END AS q
-        |  FROM qz),
-        |b0 AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
-        |  FROM qv),
-        |b AS (SELECT * FROM b0
-        |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
-        |pq AS (SELECT vec_id AS qid, q AS qq,
-        |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM b0),
-        |co AS (SELECT pq.qid, e.vec_id AS id,
-        |  ${OSql.cosSql("e.q", "pq.qq")} AS cc
-        | FROM b e JOIN pq ON e.bkt = pq.bkt AND e.vec_id <> pq.qid),
+      s"""WITH ${ivfKnnCtes(IvfProbe)},
+        |co AS (SELECT p.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.q", "p.qq")} AS cc
+        | FROM vcap e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid),
         |short AS (SELECT qid, id FROM co
         |  QUALIFY row_number() OVER (PARTITION BY qid
         |    ORDER BY cc DESC, id ASC) <= 10),
@@ -5013,6 +5139,19 @@ object SparkEntry {
         |   FROM embeddings e, vq)
         |  SELECT qid, id FROM vsc QUALIFY row_number()
         |    OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 5) t
+        |ON a.qid = t.qid AND a.id = t.id
+        |UNION ALL SELECT 'ann_scan_bp', value FROM ($Sql_q149AnnScan)
+        |UNION ALL SELECT 'ivf_scan_bp', value FROM ($Sql_q149IvfScan)
+        |UNION ALL SELECT 'ivf_recall25_bp',
+        |  CAST((count(*) * 10000) // 250 AS BIGINT)
+        |FROM ($Sql_q149Ivf25) a JOIN (
+        |  WITH vq AS (SELECT vec_id AS qid, embedding AS qv
+        |      FROM embeddings WHERE vec_id < 25),
+        |  vsc AS (SELECT vq.qid, e.vec_id AS id,
+        |    ${OSql.cosSql("e.embedding", "vq.qv")} AS cos
+        |   FROM embeddings e, vq)
+        |  SELECT qid, id FROM vsc QUALIFY row_number()
+        |    OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10) t
         |ON a.qid = t.qid AND a.id = t.id""".stripMargin,
 
     // Identical truth to q145 — the oracle does not care which plan

@@ -64,6 +64,51 @@ case class NearestCentroid(child: Expression,
     copy(child = newChild)
 }
 
+/** [[NearestCentroid]]'s top-n sibling: the `n` nearest centroid ids by
+  * the SAME comparator (round-6dp cosine descending, sequence order
+  * breaking ties, NaN above every number — so an all-NaN zero vector
+  * returns the first `n` centroids in sequence order), as one generated
+  * static call returning `array<int>` — the query-side IVF probe list
+  * ([[graft.ops.Similarity.knnJoinIvf]]) without the corpus-sized
+  * row_number window an argmax-by-join would need. Centroids whose
+  * dimension count mismatches the row's vector are skipped (the chain's
+  * NULL-cosine rule); fewer than `n` valid centroids return a shorter
+  * array (empty when all mismatch). Callers pass centroids sorted by
+  * cid ascending (every call site's convention) so sequence-order ties
+  * equal the oracle's `ORDER BY cc DESC, cid ASC`. Null vector → null. */
+case class NearestCentroids(child: Expression,
+    centroids: Seq[(Int, Array[Float])], n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if centroids.nonEmpty && n >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires >= 1 centroid and n >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val cids: Array[Int] = centroids.map(_._1).toArray
+  @transient private lazy val mat: Array[Array[Float]] =
+    centroids.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidUtil.assignTopN(input.asInstanceOf[ArrayData], cids, mat, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("nvCids", cids, "int[]")
+    val matRef = ctx.addReferenceObj("nvMat", mat, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroidUtil.assignTopN($c, $cidsRef, $matRef, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object NearestCentroidUtil {
 
   /** Spark codegen `round(x, 6)` parity: exact-binary BigDecimal,
@@ -102,9 +147,61 @@ object NearestCentroidUtil {
     }
     bestCid
   }
+
+  /** Top-n selection under [[assign]]'s exact comparator: cosine
+    * descending ([[gt]]: NaN above every number), sequence order on
+    * ties — a k-sized insertion pass (k = |centroids| is single digits;
+    * no sort, no allocation beyond the result). */
+  def assignTopN(v: ArrayData, cids: Array[Int], mat: Array[Array[Float]],
+      n: Int): ArrayData = {
+    val dim = v.numElements()
+    val cos = new Array[Double](mat.length)
+    val ok = new Array[Boolean](mat.length)
+    var c = 0
+    while (c < mat.length) {
+      val m = mat(c)
+      if (m.length == dim) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < dim) {
+          val xi = v.getFloat(i).toDouble
+          val yi = m(i).toDouble
+          dot += xi * yi; na += xi * xi; nb += yi * yi
+          i += 1
+        }
+        cos(c) = round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+        ok(c) = true
+      }
+      c += 1
+    }
+    val taken = new Array[Boolean](mat.length)
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n)
+    var r = 0
+    var more = true
+    while (r < n && more) {
+      var best = -1
+      var c2 = 0
+      while (c2 < mat.length) {
+        // strict gt ⇒ among equals the EARLIEST untaken index wins —
+        // the same tie rule as assign()
+        if (ok(c2) && !taken(c2) &&
+            (best == -1 || gt(cos(c2), cos(best)))) best = c2
+        c2 += 1
+      }
+      if (best == -1) more = false
+      else { taken(best) = true; out += cids(best); r += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 object NearestCentroidFn {
   def apply(vec: Column, centroids: Seq[(Int, Array[Float])]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centroids))
+}
+
+object NearestCentroidsFn {
+  def apply(vec: Column, centroids: Seq[(Int, Array[Float])], n: Int): Column =
+    GraftBridge.column(
+      NearestCentroids(GraftBridge.expression(vec), centroids, n))
 }

@@ -935,7 +935,10 @@ object Dedup {
     * [[connectedComponents]] output over the old pair set (labels =
     * min member id — `require`-checked only in spirit; a violated
     * contract surfaces as a changed oracle hash, not silently).
-    * `newVertices` = the batch's ids (old ids need not be repeated).
+    * `newVertices` = the batch's ids (old ids need not be repeated;
+    * an id appearing ONLY as a `newPairs` endpoint is covered too —
+    * endpoints are unioned into the output vertex set, so a caller
+    * who forgets to list a paired vertex still gets its row back).
     * Scale shape: two label-lookup equi-joins on the pair endpoints,
     * the iterative CC over the touched-label graph (edges = batch
     * pairs, label-edge acceleration as in [[connectedComponents]]),
@@ -961,8 +964,15 @@ object Dedup {
       .unionByName(e.select(col("b").as(idCol))).distinct()
     val merged = connectedComponents(e, touched, idCol)
       .select(col(idCol).as("__l0"), col("cluster").as("__lm"))
+    // vertex closure: declared batch ids ∪ raw pair endpoints — an id
+    // appearing only as an endpoint participates in the merge graph
+    // (it can relabel others), so it must appear in the output too,
+    // not silently vanish (its standing label = its own id)
     val allV = lbl.select(col(idCol), col("cluster"))
       .unionByName(newVertices.select(col(idCol))
+        .unionByName(newPairs.select(col("a").as(idCol)))
+        .unionByName(newPairs.select(col("b").as(idCol)))
+        .distinct()
         .join(lbl.select(col(idCol)), Seq(idCol), "left_anti")
         .select(col(idCol), col(idCol).as("cluster")))
     allV

@@ -253,6 +253,92 @@ object Similarity {
     topKReduce(reranked, "id", k)
   }
 
+  /** [[knnJoin]] with a FITTED IVF coarse quantizer instead of sign-LSH
+    * cells — the registered ANN default shape since the measured sweep
+    * (SCALING.md "ANN recall sweep") showed sign-LSH on sign-unstable
+    * embeddings buys 84% recall only by scanning 11/16 of all cells,
+    * while fitted centroids ([[kmeansFitInt8]]) give comparable recall
+    * at materially lower scanned fraction: items are assigned to their
+    * nearest centroid (one codegen projection,
+    * [[graft.functions.NearestCentroid]] — no shuffle), queries fan out
+    * to their `nProbe` nearest centroids
+    * ([[graft.functions.NearestCentroids]] — a per-row top-n against
+    * the centroid literals, NOT a corpus-sized row_number window), and
+    * the candidate join is a shuffle equi-join on the cell id. Per-query
+    * top-k rides the bounded-heap aggregator; self-pairs are excluded;
+    * null vectors drop out on both sides (null cell / null probe list).
+    * `maxBucket` caps the ITEM side's cell population exactly as in
+    * [[knnJoin]]. Recall contract: a true neighbor is found iff its
+    * cell is among the query's `nProbe` probes — the classic IVF knob,
+    * re-measure with [[annRecall]]'s harness after moving it. Output:
+    * qid, id, cos, rank ([[knnJoin]]'s exact shape — drop-in). */
+  def knnJoinIvf(items: DataFrame, itemId: String, itemVec: String,
+      k: Int, centroids: Seq[(Int, Array[Float])], nProbe: Int,
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(centroids.size >= 2 && nProbe >= 1 && nProbe <= centroids.size,
+      s"need >=2 centroids and 1 <= nProbe <= ${centroids.size}")
+    val bucketed = Dedup.capBuckets(
+      items.select(col(itemId), col(itemVec),
+        nearestCentroid(col(itemVec), centroids).as("__cell")),
+      Seq("__cell"), maxBucket, scope)
+    val queries = items.select(col(itemId).as("qid"), col(itemVec).as("__qv"),
+      explode(graft.functions.NearestCentroidsFn(
+        col(itemVec), centroids, nProbe)).as("__cell"))
+    val joined = bucketed.join(queries, Seq("__cell"))
+      .filter(col("qid") =!= col(itemId))
+      .withColumn("cos", cosine(col(itemVec), col("__qv")))
+    topKReduce(joined, itemId, k)
+  }
+
+  /** [[knnJoinIvf]] with quantized coarse scoring + full-precision
+    * rerank — [[knnJoinQuantized]]'s int8 hot loop on the fitted-IVF
+    * cells: the candidate join carries only int8 vectors scored by the
+    * codegen [[graft.functions.Int8Cos]], the bounded heap keeps
+    * `coarseK ≥ k` per query, and the float32 rerank joins back onto
+    * the nQueries·coarseK shortlist. Same approximation semantics as
+    * [[knnJoinQuantized]] (cells bound recall; int8 demotion bounded by
+    * rerank depth), same output shape: qid, id, cos, rank. */
+  def knnJoinIvfQuantized(items: DataFrame, itemId: String, itemVec: String,
+      k: Int, centroids: Seq[(Int, Array[Float])], nProbe: Int, coarseK: Int,
+      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    require(centroids.size >= 2 && nProbe >= 1 && nProbe <= centroids.size,
+      s"need >=2 centroids and 1 <= nProbe <= ${centroids.size}")
+    val quant = scope.cache(
+      quantizeInt8(items.select(col(itemId), col(itemVec)), itemVec))
+    val bucketed = Dedup.capBuckets(
+      quant.select(col(itemId), col("qvec").as("__iq"),
+        nearestCentroid(col(itemVec), centroids).as("__cell")),
+      Seq("__cell"), maxBucket, scope)
+    val queries = quant.select(col(itemId).as("qid"), col("qvec").as("__qq"),
+      explode(graft.functions.NearestCentroidsFn(
+        col(itemVec), centroids, nProbe)).as("__cell"))
+    val coarse = bucketed.join(queries, Seq("__cell"))
+      .filter(col("qid") =!= col(itemId))
+      .withColumn("cos", graft.functions.Int8Cos(col("__iq"), col("__qq")))
+    val shortlist = topKReduce(coarse, itemId, coarseK).select("qid", "id")
+    val fpItem = quant.select(col(itemId).cast("long").as("id"),
+      col(itemVec).as("__iv"))
+    val fpQuery = quant.select(col(itemId).cast("long").as("qid"),
+      col(itemVec).as("__qv"))
+    val reranked = shortlist.join(fpItem, "id").join(fpQuery, "qid")
+      .withColumn("cos", cosine(col("__iv"), col("__qv")))
+    topKReduce(reranked, "id", k)
+  }
+
+  /** The IVF cell id of a vector (its nearest centroid) — the public
+    * face of the assignment expression, for instruments that audit the
+    * index (the q149 card's scan-fraction rows) without re-deriving the
+    * comparator. */
+  def ivfCell(vec: Column, centroids: Seq[(Int, Array[Float])]): Column =
+    nearestCentroid(vec, centroids)
+
+  /** A query vector's `nProbe` IVF probe cells, ordered best-first —
+    * [[knnJoinIvf]]'s query-side fan-out as a reusable column. */
+  def ivfProbes(vec: Column, centroids: Seq[(Int, Array[Float])],
+      nProbe: Int): Column =
+    graft.functions.NearestCentroidsFn(vec, centroids, nProbe)
+
   /** Nearest-centroid id by 6-dp cosine (ties to the lowest id) as one
     * codegen expression chain against centroid LITERALS — a narrow
     * per-row projection, no shuffle (an argmax-by-join would shuffle
@@ -510,8 +596,8 @@ object Similarity {
     * deeper probing buys recall at probe × bucket-occupancy candidate
     * cost, never at index cost — the standard recall knob when the
     * embedding distribution defeats single-bit stability (measured on
-    * the fixture: recall@10 24% at (8 bits, H≤1) → 97% at (4, H≤2) —
-    * SCALING.md "ANN recall sweep"). */
+    * the fixture: recall@10 24% at (8 bits, H≤1) → 84–85% at (4, H≤2),
+    * at an 11/16 cell-scan fraction — SCALING.md "ANN recall sweep"). */
   def hammingProbes(own: Column, signBits: Int, probeHamming: Int): Column = {
     require(probeHamming >= 0 && probeHamming <= 2,
       s"probeHamming in [0, 2], got $probeHamming")

@@ -336,10 +336,16 @@ object Stats {
     * is exact integer arithmetic end to end — two engines agree
     * bit-for-bit, and a 0.5000 AUC means EXACTLY uninformative.
     * The rank sum and U are quadratic in the group size (≈ n²), so
-    * they are carried and EMITTED in DECIMAL(38,0) (DuckDB HUGEINT
-    * covers the same range) — in BIGINT, u2·5000 would silently wrap
-    * past ~6·10⁷ balanced rows per group and rsum2 itself past ~3·10⁹;
-    * decimal keeps the statistic exact to n per group ≈ 10¹⁷.
+    * every intermediate — rsum2, the n⁺ products, and the u2·5000
+    * numerator — is carried in DECIMAL(38,0) (DuckDB HUGEINT covers
+    * the same range): in BIGINT, u2·5000 would silently wrap past
+    * ~6·10⁷ balanced rows per group, rsum2 past ~3·10⁹, and
+    * n⁺·(n⁺+1) past ~3·10⁹. The EMITTED u2 column is BIGINT — the
+    * engine-portable output convention (exactly one emitted-type set
+    * on the whole surface, see [[graft.Verify]]'s schema lint) —
+    * which is exact while u2 ≤ n⁺·n⁻ ≤ n²/4 fits 2⁶³, i.e. to
+    * ~6·10⁹ rows per group; auc_bp itself stays exact far beyond,
+    * because its arithmetic never leaves decimal.
     *
     * Scale shape: one group-keyed rank window (the sort is the honest
     * cost of an exact rank statistic — same class as any per-group
@@ -366,11 +372,16 @@ object Stats {
         sum(when(col("__y") === 1L, col("__r2"))
           .otherwise(lit(0L).cast("decimal(38,0)"))).as("__rsum2"))
       .select(gs ++ Seq(col("n_pos"), col("n_neg"),
-        (col("__rsum2") - (col("n_pos") * (col("n_pos") + 1L))
-          .cast("decimal(38,0)")).cast("decimal(38,0)").as("u2")): _*)
+        // cast n_pos BEFORE the product: n_pos*(n_pos+1) wraps BIGINT
+        // at n_pos ~ 3e9, and Spark wraps silently where DuckDB errors
+        (col("__rsum2") - col("n_pos").cast("decimal(38,0)") *
+          (col("n_pos").cast("decimal(38,0)") + 1)).as("__u2d")): _*)
       .withColumn("auc_bp", expr(
         "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 " +
-          "THEN (u2 * 5000) div (n_pos * n_neg) ELSE -1 END AS BIGINT)"))
+          "THEN (__u2d * 5000) div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) " +
+          "ELSE -1 END AS BIGINT)"))
+      .select(gs ++ Seq(col("n_pos"), col("n_neg"),
+        col("__u2d").cast("long").as("u2"), col("auc_bp")): _*)
   }
 
   /** [[groupAuc]] without the per-row rank window — the 100 TB form for
@@ -409,11 +420,14 @@ object Stats {
         sum(col("__np").cast("decimal(38,0)") *
           (lit(2L) * col("__c") + col("__n") + 1L)).as("__rsum2"))
       .select(gs ++ Seq(col("n_pos"), col("n_neg"),
-        (col("__rsum2") - (col("n_pos") * (col("n_pos") + 1L))
-          .cast("decimal(38,0)")).cast("decimal(38,0)").as("u2")): _*)
+        (col("__rsum2") - col("n_pos").cast("decimal(38,0)") *
+          (col("n_pos").cast("decimal(38,0)") + 1)).as("__u2d")): _*)
       .withColumn("auc_bp", expr(
         "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 " +
-          "THEN (u2 * 5000) div (n_pos * n_neg) ELSE -1 END AS BIGINT)"))
+          "THEN (__u2d * 5000) div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) " +
+          "ELSE -1 END AS BIGINT)"))
+      .select(gs ++ Seq(col("n_pos"), col("n_neg"),
+        col("__u2d").cast("long").as("u2"), col("auc_bp")): _*)
   }
 
   /** Score calibration table — the reliability companion to

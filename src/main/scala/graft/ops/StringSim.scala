@@ -104,11 +104,21 @@ object StringSim {
     * block sizes), and a pair-keyed verify. No all-pairs product
     * anywhere (except the per-block short bucket by design).
     *
+    * `maxBandOccupancy` (banded mode): fail-fast bound on strings per
+    * (block, band). Banding prunes, it does not change the exponent —
+    * with a FIXED length spread the band count saturates and
+    * within-band occupancy grows ∝ corpus, so the self-join trends
+    * quadratic again (measured exponent 0.37 @10× → 0.78 @30×). Past
+    * the bound the job raises with the routing (the [[graft.ops.Joins]]
+    * rangeJoin discipline) instead of silently degrading:
+    * [[editDistanceLookup]] for incremental corpora, wider length
+    * spread / more `blockOn` keys otherwise. 0 disables.
+    *
     * Output: `blockOn` columns, `id_a`, `id_b` (`id_a < id_b`),
     * `dist` (long). */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 2, blockOn: Seq[String] = Nil,
-      lengthBand: Int = 0,
+      lengthBand: Int = 0, maxBandOccupancy: Long = 1L << 16,
       scope: CacheScope = CacheScope.session): DataFrame = {
     require(maxDist >= 1 && maxDist <= 32, s"maxDist in [1, 32], got $maxDist")
     require(q >= 1 && q <= 8, s"q in [1, 8], got $q")
@@ -149,6 +159,38 @@ object StringSim {
       .filter(col("__rn") <= sigLen)
       .select(col("__id") +: col("__g") +: col("__band") +:
         col("__len") +: bks.map(col): _*)
+    // Saturation guard (banded mode only — the mode whose contract is
+    // "bounded blocks"): banding is a completeness-preserving PRUNE,
+    // not an exponent fix, and when the corpus's length spread is fixed
+    // the band count saturates while within-(block, band) occupancy
+    // grows ∝ corpus — the self-join silently trends quadratic again
+    // (measured: exponent 0.37 @10× → 0.78 @30× on the fixed-spread
+    // fixture, SCALING.md "edit join at scale"). The rangeJoin
+    // discipline applies: fail FAST with the routing, never degrade
+    // silently. The check is a (blocks × bands)-sized aggregate over
+    // the cached string table; the guard rides the occupancy table's
+    // JOIN KEY (the rangeJoin trick — column pruning can't drop it),
+    // and the occupancy table broadcasts, so the registered side pays
+    // one tiny hash join.
+    val sigReg = if (banded && maxBandOccupancy > 0) {
+      val boom = raise_error(concat(
+        lit("editDistanceJoin: length band "),
+        col("__band").cast("string"), lit(" holds "),
+        col("__occ").cast("string"),
+        lit(s" strings (> maxBandOccupancy = $maxBandOccupancy): the" +
+          " within-band self-join is trending quadratic. Route" +
+          " incremental corpora through editDistanceLookup (probe ×" +
+          " standing reference, linear per batch); for one-shot" +
+          " corpora widen the length spread or add blockOn keys;" +
+          " raise maxBandOccupancy only with the quadratic budget" +
+          " costed."))).cast("long")
+      val occ = s.groupBy((bks.map(col) :+ col("__band")): _*)
+        .agg(count(lit(1)).as("__occ"))
+        .select((bks.map(col) :+
+          when(col("__occ") > maxBandOccupancy, boom)
+            .otherwise(col("__band")).as("__band")): _*)
+      sig.join(broadcast(occ), candKeys)
+    } else sig
     // the prober side explodes to (own band, band above); canonicalize
     // ids AFTER matching — filtering prober < registered instead would
     // lose cross-band pairs whose LOWER id sits in the HIGHER band (only
@@ -157,7 +199,7 @@ object StringSim {
     // prunes BEFORE the distinct — on banded data the band already
     // bounds |Δlen| < 2·band, and this tightens it to ≤ maxDist while
     // the candidate set is at its widest
-    val candMain = sig.select(
+    val candMain = sigReg.select(
         probeBands(col("__id").as("__ida"), col("__g"),
           col("__len").as("__la")) ++ bks.map(col): _*)
       .join(sig.select(col("__id").as("__idb") +: col("__g") +:

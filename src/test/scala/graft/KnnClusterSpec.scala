@@ -115,6 +115,61 @@ class KnnClusterSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall at coarseK=10")
   }
 
+  // a small deterministic centroid model for the IVF-join tests: 4
+  // spread-out fixture vectors, cid-sorted (every call site's contract)
+  private def testCentroids: Seq[(Int, Array[Float])] =
+    Seq(0, 7, 31, 90).map(i =>
+      i -> Array.tabulate(8)(d => (math.sin(i * 37 + d * 13) * 2).toFloat))
+
+  test("knnJoinIvf equals window-rank over the same probed cells") {
+    val cents = testCentroids
+    val knn = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 2)
+      .select("qid", "id", "cos", "rank")
+    // reference: explicit assignment + probe construction, window rank
+    val b = vecs.withColumn("__cell",
+      Similarity.ivfCell(col("embedding"), cents))
+    val q = vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      explode(Similarity.ivfProbes(col("embedding"), cents, 2)).as("__cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    val ref = b.join(q, Seq("__cell")).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("id"),
+        Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+    assert(knn.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
+    assert(knn.count() > 0)
+  }
+
+  test("ivfProbes: best-first order, argmax prefix, zero vector takes the first n cids") {
+    val cents = testCentroids
+    val got = vecs.select(col("vec_id"),
+        Similarity.ivfCell(col("embedding"), cents).as("own"),
+        Similarity.ivfProbes(col("embedding"), cents, 3).as("probes"))
+      .collect()
+    got.foreach { r =>
+      val probes = r.getSeq[Int](2)
+      assert(probes.size === 3)
+      assert(probes.head === r.getInt(1), s"probe[0] must be the argmax cell (vec ${r.getLong(0)})")
+      assert(probes.distinct.size === 3)
+    }
+    // zero vector: every cosine NaN -> the first n centroids in cid order
+    val z = Seq((0L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+      .select(Similarity.ivfProbes(col("embedding"), cents, 2)).head().getSeq[Int](0)
+    assert(z === Seq(0, 7))
+  }
+
+  test("knnJoinIvfQuantized with a deep shortlist equals knnJoinIvf exactly") {
+    val cents = testCentroids
+    val plain = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 2)
+    val quant = Similarity.knnJoinIvfQuantized(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 2, coarseK = 120)
+    assert(quant.collect().map(_.toSeq).toSet ===
+      plain.collect().map(_.toSeq).toSet)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("connected components: cliques, chains, singletons") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
@@ -165,6 +220,21 @@ class KnnClusterSpec extends AnyFunSuite {
       assert(inc === full, s"round=$round")
       spark.sharedState.cacheManager.clearCache()
     }
+  }
+
+  test("connectedComponentsIncremental keeps endpoints listed nowhere else") {
+    import graft.ops.Dedup
+    // vertex 9 appears ONLY as a batch-pair endpoint (not in oldLabels,
+    // not in newVertices): it must still come back, relabeled into the
+    // merged component — and it can relabel others (1—9—5 merges the
+    // {1,2} and {5} standing components through it)
+    val standing = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "cluster")
+    val batch = Seq((1L, 9L), (9L, 5L)).toDF("a", "b")
+    val got = Dedup.connectedComponentsIncremental(standing, batch,
+        spark.emptyDataset[Long].toDF("id"), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (5L, 1L), (9L, 1L)))
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("connected components throws instead of shipping unconverged labels") {

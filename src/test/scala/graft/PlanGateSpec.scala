@@ -28,6 +28,34 @@ class PlanGateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
   }
 
+  test("every query's emitted schema stays in the driver-safe type set") {
+    // the r15 q145/q150 lesson: a value-correct DECIMAL output column
+    // hashes red on the driver while the local DuckDB replica (float64
+    // round-trip) stays green — so the emitted-type vocabulary is pinned
+    // to the set with round-green evidence, analysis-only at sf0.001
+    val sfDir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+        Explain.schemaViolations(n,
+          SparkEntry.queries(n)(spark, sfDir).schema).map(v => s"$n: $v")
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+  }
+
+  test("the schema lint actually fires on a decimal output column") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("n")
+      .select(org.apache.spark.sql.functions.col("n")
+        .cast("decimal(38,0)").as("u2"))
+    val errs = Explain.schemaViolations("synthetic", df.schema)
+    assert(errs.nonEmpty && errs.head.contains("u2"))
+    // nested leak too: array<decimal> must be caught, not just top-level
+    val nested = Seq(Seq(java.math.BigDecimal.ONE)).toDF("xs")
+    assert(Explain.schemaViolations("synthetic", nested.schema).nonEmpty)
+  }
+
   test("registration discipline: every query is triaged heavy or light") {
     // a query in neither list (or both) fails here the moment it is
     // registered — the triage can never lag the surface again

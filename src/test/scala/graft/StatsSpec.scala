@@ -260,7 +260,7 @@ class StatsSpec extends AnyFunSuite {
     val got = Stats.groupAuc(rows, Seq("g"), "y", "s")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2),
-          r.getDecimal(3).longValueExact(), r.getLong(4)))).toMap
+          r.getLong(3), r.getLong(4)))).toMap
     assert(got("g1") === ((2L, 2L, 8L, 10000L)))
     assert(got("g2") === ((1L, 1L, 1L, 5000L)))
     assert(got("g3") === ((2L, 0L, /* u2 */ got("g3")._3, -1L)))
@@ -294,7 +294,7 @@ class StatsSpec extends AnyFunSuite {
     val got = Stats.groupAuc(rows.toDF("g", "s", "y"), Seq("g"), "y", "s")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2),
-          r.getDecimal(3).longValueExact(), r.getLong(4)))).toMap
+          r.getLong(3), r.getLong(4)))).toMap
     assert(got === want)
   }
 
@@ -427,7 +427,7 @@ class StatsSpec extends AnyFunSuite {
     }.toDF("g", "s", "y")
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).longValueExact(), r.getLong(4))).toSet
+        r.getLong(3), r.getLong(4))).toSet
     assert(canon(Stats.groupAucHist(rows, Seq("g"), "y", "s")) ===
       canon(Stats.groupAuc(rows, Seq("g"), "y", "s")))
   }

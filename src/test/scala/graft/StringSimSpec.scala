@@ -109,6 +109,30 @@ class StringSimSpec extends AnyFunSuite {
     }
   }
 
+  test("band-saturation guard fires on an over-full band and names the routing") {
+    // 60 same-length strings = ONE saturated (block, band) cell; the
+    // guard must fail the job loudly, not let the self-join run quadratic
+    val df = (0 until 60).map(i => (i.toLong, "abcdefgh" + (i % 10)))
+      .toDF("id", "s")
+    val e = intercept[Exception] {
+      StringSim.editDistanceJoin(df, "id", "s", maxDist = 2, q = 2,
+        lengthBand = 2, maxBandOccupancy = 50).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val all = msgs(e).mkString("\n")
+    assert(all.contains("maxBandOccupancy"), s"unexpected error: $all")
+    assert(all.contains("editDistanceLookup"), "error must name the routing")
+    // same corpus under the bound: identical rows to the unguarded form
+    val guarded = StringSim.editDistanceJoin(df, "id", "s", maxDist = 2,
+        q = 2, lengthBand = 2, maxBandOccupancy = 60)
+      .collect().map(_.toSeq).toSet
+    val off = StringSim.editDistanceJoin(df, "id", "s", maxDist = 2,
+        q = 2, lengthBand = 2, maxBandOccupancy = 0)
+      .collect().map(_.toSeq).toSet
+    assert(guarded === off && guarded.nonEmpty)
+  }
+
   test("editDistanceJoin with blockOn AND lengthBand together") {
     val rnd = new scala.util.Random(77L)
     val rows = (0 until 30).map { i =>
