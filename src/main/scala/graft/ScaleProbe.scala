@@ -370,6 +370,36 @@ object ScaleProbe {
         graft.ops.Retrieval.bm25TopK(docs, "doc_id", col("text"),
           queries, "query_id", col("qtext"), k = 10, scope = sc).count()
       }),
+      // q158's exact shape — both retrieval arms at k=20 plus the RRF
+      // fuse; the red line is whichever arm bends (bm25's corpus-keyed
+      // doc-length join or the brute cosine scan) — the fuse layer is
+      // Σk rows per query and must stay invisible at any scale
+      "hybrid_rrf" -> (() => CacheScope.using { sc =>
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 6), " ").as("qtext"))
+        val lex = graft.ops.Retrieval.bm25TopK(docs, "doc_id", col("text"),
+            queries, "query_id", col("qtext"), k = 20, scope = sc)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val vec = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+            embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+          .select(col("qid").as("query_id"), col("id").as("doc_id"),
+            col("rank"))
+        graft.ops.Retrieval.rrfFuse(Seq(lex, vec), "query_id", "doc_id",
+          "rank", k = 10).count()
+      }),
+      // q159's exact shape — the corpus-scale work is the brute
+      // shortlist scan; the six greedy steps run over cached m/m²-per-
+      // query tables and must stay flat as the corpus grows
+      "mmr_select" -> (() => CacheScope.using { sc =>
+        val shortlist = Similarity.bruteForceTopK(embs, "vec_id",
+          "embedding", embs.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 20)
+        val cand = shortlist.join(
+          embs.select(col("vec_id").as("id"), col("embedding")), "id")
+        Similarity.mmrSelect(cand, "qid", "id", "cos", "embedding",
+          k = 6, lambda = 0.7, scope = sc).count()
+      }),
       // q84's exact shape — codegen pair scan (fan-out ≤ window per
       // token) + distinct-pair exchange; vocab ∝ cbrt(scale) grows the
       // pair key space ∝ scale^(2/3), so the red line is the pair

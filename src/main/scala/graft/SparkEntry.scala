@@ -2223,6 +2223,46 @@ object SparkEntry {
       table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       "embedding", seedCentroids(s, dir), iters = 2)
 
+  /** q158: hybrid lexical ⊕ vector retrieval — the q82 BM25 top-20 and
+    * the q26 brute-cosine top-20 (same doc_id ↔ vec_id key space)
+    * fused by reciprocal-rank fusion ([[graft.ops.Retrieval.rrfFuse]],
+    * c = 60, exact decimal term sum), top-10 per query. The RAG-era
+    * curation primitive: rank-based fusion needs no score calibration
+    * between the two arms, and each arm stays its own scale path (the
+    * corpus-sized work is producing the two top-k lists; the fuse is a
+    * bounded-union aggregate). */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val emb = cpuTable(s, dir, "embeddings")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(col("text"), " "), 1, 6), " ").as("qtext"))
+    val lex = graft.ops.Retrieval.bm25TopK(docs, "doc_id", col("text"),
+        queries, "query_id", col("qtext"), k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val vec = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+      .select(col("qid").as("query_id"), col("id").as("doc_id"), col("rank"))
+    graft.ops.Retrieval.rrfFuse(Seq(lex, vec), "query_id", "doc_id",
+      "rank", k = 10)
+  }
+
+  /** q159: MMR-diversified selection ([[Similarity.mmrSelect]],
+    * λ = 0.7, 6 picks from the q26 brute-cosine top-20 shortlist) —
+    * diverse exemplar mining over a near-dup-heavy corpus. The oracle
+    * unrolls all six greedy steps as CTEs (the q155 discipline), so
+    * every argmax — not just the final pick set — is hash-pinned
+    * cross-engine. */
+  private def qMmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val emb = cpuTable(s, dir, "embeddings")
+    val shortlist = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+    val cand = shortlist.join(
+      emb.select(col("vec_id").as("id"), col("embedding")), "id")
+    Similarity.mmrSelect(cand, "qid", "id", "cos", "embedding",
+      k = 6, lambda = 0.7)
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2383,6 +2423,8 @@ object SparkEntry {
     "q155_kmeans_fit" -> (qKmeansFit _),
     "q156_ivf_fitted" -> (qIvfFitted _),
     "q157_cc_incremental" -> (qCcIncremental _),
+    "q158_hybrid_rrf" -> (qHybridRrf _),
+    "q159_mmr_diversify" -> (qMmrDiversify _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2518,6 +2560,40 @@ object SparkEntry {
       "[bkt" + (if (h >= 1) h1.mkString else "") +
         (if (h >= 2) h2.mkString else "") + "]"
     }
+
+    /** The q82 BM25 scoring chain through `sc` (query_id, doc_id,
+      * score) — rational IDF × tf saturation, round-6dp decimal term
+      * sum, the [[graft.ops.Retrieval.bm25TopK]] arithmetic verbatim.
+      * Shared by q82's top-10 and q158's hybrid-fusion lexical arm. */
+    val bm25Ctes: String =
+      """t0 AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM t0 WHERE len(tok) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(dl) AS DOUBLE) AS len FROM dl),
+        |q AS (SELECT doc_id AS query_id,
+        |   array_to_string((string_split(text, ' '))[1:6], ' ') AS qtext
+        | FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id, tok FROM
+        |   (SELECT query_id, unnest(string_split(qtext, ' ')) AS tok
+        |    FROM q) WHERE len(tok) > 0),
+        |post AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        | WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+        |term AS (SELECT qt.query_id, p.doc_id,
+        |   CAST(round(
+        |     ((st.n - CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE)
+        |       / (CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE))
+        |     * (CAST(p.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)
+        |        / (CAST(p.tf AS DOUBLE) + 1.2::DOUBLE
+        |           * (0.25::DOUBLE + 0.75::DOUBLE
+        |              * (CAST(dl.dl AS DOUBLE) * st.n / st.len)))),
+        |     6) AS DECIMAL(18,6)) AS ts
+        | FROM post p JOIN dl USING (doc_id) CROSS JOIN st
+        |   JOIN dfq USING (tok) JOIN qt USING (tok)),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE) AS score
+        | FROM term GROUP BY 1, 2)""".stripMargin
 
     /** The 6-dp cosine fold, identical to CosineSim's sequential order. */
     def cosSql(a: String, b: String): String =
@@ -3782,34 +3858,7 @@ object SparkEntry {
     // as DECIMAL (exact, order-free); heap tie order = (score desc,
     // doc_id asc).
     "q82_bm25_topk" ->
-      """WITH t0 AS (SELECT doc_id,
-        |   unnest(string_split(text, ' ')) AS tok FROM documents),
-        |t AS (SELECT doc_id, tok FROM t0 WHERE len(tok) > 0),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |   CAST(sum(dl) AS DOUBLE) AS len FROM dl),
-        |q AS (SELECT doc_id AS query_id,
-        |   array_to_string((string_split(text, ' '))[1:6], ' ') AS qtext
-        | FROM documents WHERE doc_id < 5),
-        |qt AS (SELECT DISTINCT query_id, tok FROM
-        |   (SELECT query_id, unnest(string_split(qtext, ' ')) AS tok
-        |    FROM q) WHERE len(tok) > 0),
-        |post AS (SELECT doc_id, tok, count(*) AS tf FROM t
-        | WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
-        |dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
-        |term AS (SELECT qt.query_id, p.doc_id,
-        |   CAST(round(
-        |     ((st.n - CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE)
-        |       / (CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE))
-        |     * (CAST(p.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)
-        |        / (CAST(p.tf AS DOUBLE) + 1.2::DOUBLE
-        |           * (0.25::DOUBLE + 0.75::DOUBLE
-        |              * (CAST(dl.dl AS DOUBLE) * st.n / st.len)))),
-        |     6) AS DECIMAL(18,6)) AS ts
-        | FROM post p JOIN dl USING (doc_id) CROSS JOIN st
-        |   JOIN dfq USING (tok) JOIN qt USING (tok)),
-        |sc AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE) AS score
-        | FROM term GROUP BY 1, 2)
+      s"""WITH ${OSql.bm25Ctes}
         |SELECT query_id, doc_id, score, rank FROM (
         | SELECT query_id, doc_id, score, row_number() OVER (
         |   PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
@@ -5249,7 +5298,92 @@ object SparkEntry {
     // The FULL recompute over the whole corpus — the incremental merge
     // must reproduce it exactly (q47's clustering body verbatim).
     "q157_cc_incremental" -> Sql_q47,
+
+    // Hybrid fusion: q82's BM25 chain (top-20) ⊕ q26's brute cosine
+    // (top-20), RRF with c=60 — per-term reciprocals rounded to 9 dp
+    // and summed as DECIMAL so the fused score is addition-order-free.
+    "q158_hybrid_rrf" ->
+      s"""WITH ${OSql.bm25Ctes},
+        |lexr AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM sc) WHERE rank <= 20),
+        |cq AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |cs AS (SELECT cq.query_id, e.vec_id AS doc_id,
+        |  ${OSql.cosSql("e.embedding", "cq.qv")} AS cos
+        | FROM embeddings e CROSS JOIN cq),
+        |vecr AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rank
+        |  FROM cs) WHERE rank <= 20),
+        |u AS (SELECT * FROM lexr UNION ALL SELECT * FROM vecr),
+        |f AS (SELECT query_id, doc_id,
+        |   CAST(sum(CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(19,9)))
+        |     AS DOUBLE) AS rrf,
+        |   CAST(count(*) AS BIGINT) AS n_lists,
+        |   CAST(min(rank) AS BIGINT) AS best_rank
+        | FROM u GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rrf, n_lists, best_rank, rank FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+        | FROM f) WHERE rank <= 10""".stripMargin,
+
+    // All six MMR greedy steps unrolled (the q155 discipline): each
+    // step's max-penalty aggregate and argmax replayed verbatim, the
+    // 1−λ weight formed by the same 1.0 − 0.7 IEEE subtraction.
+    "q159_mmr_diversify" -> mmrSql(k = 6, m = 20, lambda = "0.7"),
   )
+
+  /** q159's oracle: the q26 brute-cosine shortlist (top `m` per query),
+    * pairwise round-6dp cosines, then `k` unrolled greedy MMR steps —
+    * sel_i CTEs accumulate picks, each r_i scores the unpicked
+    * remainder against max similarity to the picked set. */
+  private def mmrSql(k: Int, m: Int, lambda: String): String = {
+    val head =
+      s"""cq AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |sc0 AS (SELECT cq.qid, e.vec_id AS id, e.embedding AS v,
+        |  ${OSql.cosSql("e.embedding", "cq.qv")} AS rel
+        | FROM embeddings e CROSS JOIN cq),
+        |cand AS (SELECT qid, id, v, rel FROM sc0
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY rel DESC, id ASC) <= $m),
+        |ps AS (SELECT x.qid, x.id AS a, y.id AS b,
+        |  ${OSql.cosSql("x.v", "y.v")} AS sim
+        | FROM cand x JOIN cand y ON x.qid = y.qid AND x.id <> y.id),
+        |s1 AS (SELECT qid, id, rel, mmrd FROM (
+        |  SELECT qid, id, rel,
+        |    CAST(round($lambda * rel, 9) AS DECIMAL(19,9)) AS mmrd,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY CAST(round($lambda * rel, 9) AS DECIMAL(19,9)) DESC,
+        |        id ASC) AS rn
+        |  FROM cand) WHERE rn = 1),
+        |sel1 AS (SELECT qid, id FROM s1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""ms$i AS (SELECT ps.qid, ps.a AS id, max(ps.sim) AS ms
+        | FROM ps JOIN sel${i - 1} s ON ps.qid = s.qid AND ps.b = s.id
+        | GROUP BY 1, 2),
+        |r$i AS (SELECT c.qid, c.id, c.rel,
+        |   CAST(round($lambda * c.rel, 9) AS DECIMAL(19,9))
+        |     - CAST(round((1.0 - $lambda) * m.ms, 9) AS DECIMAL(19,9))
+        |     AS mmrd
+        | FROM cand c JOIN ms$i m ON c.qid = m.qid AND c.id = m.id
+        | WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+        |   WHERE s.qid = c.qid AND s.id = c.id)),
+        |s$i AS (SELECT qid, id, rel, mmrd FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY mmrd DESC, id ASC) AS rn
+        |  FROM r$i) WHERE rn = 1),
+        |sel$i AS (SELECT qid, id FROM sel${i - 1}
+        |  UNION ALL SELECT qid, id FROM s$i)""".stripMargin
+    }
+    val out = (1 to k).map(i =>
+      s"SELECT qid, CAST($i AS BIGINT) AS pick, id, rel, " +
+        s"CAST(mmrd AS DOUBLE) AS mmr FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"WITH $head,\n${steps.mkString(",\n")}\n$out"
+  }
 
   /** q156's oracle body — shared with the q149 eval-card composition. */
   private lazy val Sql_q156: String =

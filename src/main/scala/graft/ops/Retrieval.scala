@@ -137,4 +137,51 @@ object Retrieval {
     }
     aligned.groupBy(col(idCol)).agg(count(lit(1)).as("n_occ"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of N
+    * per-query ranked lists into one hybrid ranking:
+    * `rrf(d) = Σ_lists 1/(c + rank_list(d))`, the standard lexical ⊕
+    * vector retrieval combiner (the BM25 + ANN "hybrid search" every
+    * RAG-era curation pipeline runs). Rank-based fusion needs no score
+    * calibration between lists — BM25 scores and cosines never share a
+    * scale, ranks always do.
+    *
+    * Each input must carry (`qidCol`, `idCol`, `rankCol`) with 1-based
+    * ranks — i.e. each IS already a bounded top-k list (the output of
+    * [[bm25TopK]], [[Similarity.bruteForceTopK]], [[Similarity
+    * .ivfTopKFitted]], …). Per-term reciprocals are rounded to 9 dp and
+    * summed as DECIMAL(19,9), so the fused score is an exact decimal
+    * sum — immune to float addition order across any number of lists
+    * (the [[bm25TopK]] trick). Ties broken by ascending id.
+    *
+    * Scale shape: the union is Σ|list_i| rows — each input is a top-k
+    * output, so per query this is ≤ Σk_i rows, NOT corpus-sized; the
+    * fuse is one (qid, id) partial-aggregating exchange of that bounded
+    * union and the final rank is a window over ≤ Σk_i rows per query.
+    * The expensive part of hybrid search is producing the input lists;
+    * fusion itself never touches the corpus.
+    *
+    * Output: `qidCol`, `idCol`, `rrf` (double), `n_lists` (long — how
+    * many lists surfaced the doc), `best_rank` (long), `rank` (long,
+    * 1-based by rrf desc, id asc), capped at `k` per query. */
+  def rrfFuse(ranked: Seq[DataFrame], qidCol: String, idCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    require(k >= 1, s"k >= 1, got $k")
+    require(c >= 0, s"rrf constant c >= 0, got $c")
+    val u = ranked.map(_.select(col(qidCol), col(idCol),
+      col(rankCol).cast("long").as("__r"))).reduce(_ unionByName _)
+    val fused = u
+      .withColumn("__term",
+        round(lit(1.0) / (lit(c).cast("double") + col("__r").cast("double")), 9)
+          .cast("decimal(19,9)"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__term")).cast("double").as("rrf"),
+        count(lit(1)).as("n_lists"),
+        min(col("__r")).as("best_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("rrf").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -704,4 +704,94 @@ object Similarity {
         expr(s"CAST((coalesce(n_hit, 0) * 10000) div $k AS BIGINT)")
           .as("recall_bp"))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): from each query's candidate shortlist, greedily pick `k`
+    * documents maximizing `λ·rel − (1−λ)·max_{s∈picked} cos(d, s)` —
+    * relevance traded against redundancy with what's already picked.
+    * The curation use is diverse exemplar selection: a plain top-k over
+    * a near-dup-heavy corpus returns k copies of one document; MMR
+    * returns k DIFFERENT ones. The first pick maximizes bare `λ·rel`
+    * (empty-set penalty 0), matching the paper.
+    *
+    * `candidates` must be a bounded per-query shortlist (the output of
+    * [[bruteForceTopK]] / [[ivfTopKFitted]] joined back to its vectors)
+    * — MMR is O(m²) in shortlist size m by nature, so the corpus-scale
+    * work is the ANN that BUILT the shortlist, never this operator.
+    *
+    * Fully declarative unrolled greedy (the [[kmeansFitInt8]] pattern,
+    * minus the collect — no driver round-trip at all): pairwise
+    * round-6dp cosines are computed ONCE into a cached m²-per-query
+    * pair table, then each of the k steps is a qid-keyed
+    * (anti-join → max-penalty aggregate → argmax window) over cached
+    * shortlist-sized tables, so an external engine replays the exact
+    * IEEE tree step by step. Two cross-engine traps are closed by
+    * construction: the 1−λ weight is folded from the same `1.0 − λ`
+    * subtraction on both engines (never a pre-simplified decimal
+    * literal, which would differ in the last ulp), and the MMR score
+    * itself is NOT the raw `a·b − c·d` double tree — that shape
+    * invites FMA contraction on native engines (measured: DuckDB's is
+    * 1 ulp off the JVM's two-multiply form). Instead each product is
+    * rounded to 9 dp and the subtraction done in DECIMAL(19,9) (the
+    * [[Retrieval.bm25TopK]] trick), so every step's argmax compares
+    * values that are bit-identical on any engine. Ties broken by
+    * ascending id at every argmax.
+    *
+    * Scale shape: everything after the shortlist is partitioned by qid
+    * and sized m or m² per query; the k steps reuse the two cached
+    * tables (no recomputation of the shortlist per step) and nothing
+    * ever touches the corpus. Queries with fewer than k candidates
+    * yield all of them, in pick order.
+    *
+    * Output: `qidCol`, `pick` (long, 1-based selection order), `idCol`,
+    * `rel` (double — the candidate's relevance), `mmr` (double — the
+    * score it was picked at). */
+  def mmrSelect(candidates: DataFrame, qidCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int, lambda: Double,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val cand = scope.cache(candidates.select(
+      col(qidCol), col(idCol),
+      col(relCol).cast("double").as("__rel"), col(vecCol).as("__v")))
+    val pairs = scope.cache(
+      cand.select(col(qidCol), col(idCol).as("__a"), col("__v").as("__va"))
+        .join(cand.select(col(qidCol), col(idCol).as("__b"),
+          col("__v").as("__vb")), Seq(qidCol))
+        .filter(col("__a") =!= col("__b"))
+        .select(col(qidCol), col("__a"), col("__b"),
+          cosine(col("__va"), col("__vb")).as("__sim")))
+    // both weights as folded literals: λ verbatim, 1−λ as the SAME
+    // IEEE subtraction an external engine writes (1.0 - λ); each
+    // product rounded to 9 dp and the subtraction done in decimal so
+    // no engine can FMA-contract the a·b − c·d tree
+    val wRel = lit(lambda)
+    val wDiv = lit(1.0) - lit(lambda)
+    def dec9(c: Column): Column = round(c, 9).cast("decimal(19,9)")
+    def argmax(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(qidCol))
+        .orderBy(col("__mmrd").desc, col(idCol).asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(qidCol), col(idCol), col("__rel"), col("__mmrd"))
+    }
+    val first = argmax(cand.withColumn("__mmrd", dec9(wRel * col("__rel"))))
+    val picks = (2 to k).foldLeft(Vector(first)) { (acc, _) =>
+      val selected = acc.map(_.select(col(qidCol), col(idCol)))
+        .reduce(_ unionByName _)
+      val penalty = pairs
+        .join(selected.withColumnRenamed(idCol, "__b"), Seq(qidCol, "__b"))
+        .groupBy(col(qidCol), col("__a")).agg(max(col("__sim")).as("__ms"))
+        .withColumnRenamed("__a", idCol)
+      val scored = cand.join(selected, Seq(qidCol, idCol), "left_anti")
+        .join(penalty, Seq(qidCol, idCol))
+        .withColumn("__mmrd",
+          dec9(wRel * col("__rel")) - dec9(wDiv * col("__ms")))
+      acc :+ argmax(scored)
+    }
+    picks.zipWithIndex.map { case (p, i) =>
+      p.select(col(qidCol), lit(i + 1L).as("pick"), col(idCol),
+        col("__rel").as("rel"), col("__mmrd").cast("double").as("mmr"))
+    }.reduce(_ unionByName _)
+  }
 }
