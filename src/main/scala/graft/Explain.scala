@@ -61,7 +61,7 @@ object Explain {
     "q84_cooccur_topk", "q91_curation_e2e", "q92_random_project",
     "q94_snapshot_diff", "q95_lm_score", "q96_dsir_weights",
     "q97_source_card", "q98_kmeans_step", "q155_kmeans_fit",
-    "q156_ivf_fitted", "q158_hybrid_rrf", "q159_mmr_diversify")
+    "q156_ivf_fitted", "q158_hybrid_rrf")
 
   /** CPU-heavy queries whose FINAL plan is truncated by an eager
     * `localCheckpoint` inside an iterative op (PageRank rounds), so the
@@ -70,7 +70,7 @@ object Explain {
     * assertion is carried by the non-iterative query sharing the same
     * pre-checkpoint build (q113's kNN edge build is q46's gated shape). */
   private[graft] val CpuHeavyTruncated =
-    Seq("q113_knn_pagerank", "q157_cc_incremental")
+    Seq("q113_knn_pagerank", "q157_cc_incremental", "q159_mmr_diversify")
 
   /** Queries audited as shuffle-bound or dimension-light: their first
     * real work is a join/aggregate exchange (which re-spreads rows on

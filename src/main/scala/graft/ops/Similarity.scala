@@ -720,7 +720,9 @@ object Similarity {
     * work is the ANN that BUILT the shortlist, never this operator.
     *
     * Fully declarative unrolled greedy (the [[kmeansFitInt8]] pattern,
-    * minus the collect — no driver round-trip at all): pairwise
+    * minus the collect — no driver round-trip at all; each step's
+    * picks-sized result is eagerly localCheckpoint'ed executor-side,
+    * the pageRankInt iterative-lineage discipline): pairwise
     * round-6dp cosines are computed ONCE into a cached m²-per-query
     * pair table, then each of the k steps is a qid-keyed
     * (anti-join → max-penalty aggregate → argmax window) over cached
@@ -775,7 +777,16 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col(qidCol), col(idCol), col("__rel"), col("__mmrd"))
     }
-    val first = argmax(cand.withColumn("__mmrd", dec9(wRel * col("__rel"))))
+    // each pick is EAGERLY localCheckpoint'ed (≤ one row per query —
+    // the pageRankInt iterative discipline): step i's plan references
+    // every prior pick, so without truncation the nested lineage both
+    // re-executes combinatorially AND re-plans each occurrence —
+    // measured at 2k vectors: 80 s raw, 43 s cache-only (planning
+    // still walks the nest), ~4 s truncated. The checkpoint is a
+    // picks-sized RDD, never data.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val first = pin(
+      argmax(cand.withColumn("__mmrd", dec9(wRel * col("__rel")))))
     val picks = (2 to k).foldLeft(Vector(first)) { (acc, _) =>
       val selected = acc.map(_.select(col(qidCol), col(idCol)))
         .reduce(_ unionByName _)
@@ -787,7 +798,7 @@ object Similarity {
         .join(penalty, Seq(qidCol, idCol))
         .withColumn("__mmrd",
           dec9(wRel * col("__rel")) - dec9(wDiv * col("__ms")))
-      acc :+ argmax(scored)
+      acc :+ pin(argmax(scored))
     }
     picks.zipWithIndex.map { case (p, i) =>
       p.select(col(qidCol), lit(i + 1L).as("pick"), col(idCol),
