@@ -60,7 +60,16 @@ object RecallSweep {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
     val fitted = graft.ops.Similarity.kmeansFitInt8(emb, "embedding", seeds, iters = 2)
-    for ((label, cents) <- Seq("ivf_seed" -> seeds, "ivf_fitted" -> fitted);
+    // centroid-count dimension: more cells = less scanned per probe —
+    // the pruning-power lever (8 cells can never prune past 1/8)
+    val fittedK = Seq(16, 32).map { kc =>
+      val seedsK = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+      s"ivf_fitted_k$kc" ->
+        graft.ops.Similarity.kmeansFitInt8(emb, "embedding", seedsK, iters = 2)
+    }
+    for ((label, cents) <- Seq("ivf_seed" -> seeds, "ivf_fitted" -> fitted) ++ fittedK;
          nProbe <- Seq(1, 2, 4)) {
       val t0 = System.nanoTime()
       val approx = graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",

@@ -246,6 +246,61 @@ object ScaleProbe {
           k = 3, signBits = 8, probeHamming = 1, coarseK = 10,
           maxBucket = MaxBucket, scope = sc).count()
       }),
+      // q46's registered shape since r16 (fitted IVF, 32 cells, nProbe
+      // 4): the fit is 2 rounds × corpus × cells cosines (linear in
+      // corpus at fixed cells), the candidate join scans nProbe/cells
+      // of the corpus per item — the same occupancy² red line as the
+      // sign-LSH family, governed by the cells knob instead of bits
+      "knn_join_ivf_fitted" -> (() => CacheScope.using { sc =>
+        val seeds = embs.filter(col("vec_id") < 32)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val cents = Similarity.kmeansFitInt8(
+          embs.select(col("vec_id"), col("embedding")), "embedding",
+          seeds, iters = 2)
+        Similarity.knnJoinIvf(embs, "vec_id", "embedding",
+          k = 3, centroids = cents, nProbe = 4, maxBucket = MaxBucket,
+          scope = sc).count()
+      }),
+      // q160's exact shape — standing-only 2-round fit + one codegen
+      // assignment pass per side + cells-sized aggregates; everything
+      // is linear in corpus at fixed cells (no pair join at all), so
+      // the red line is any bend from the assignment's corpus × cells
+      // cosine work
+      "ivf_drift" -> (() => CacheScope.using { _ =>
+        val standing = embs.filter(col("vec_id") % 4 =!= 0)
+        val batch = embs.filter(col("vec_id") % 4 === 0)
+        val seeds = standing.filter(col("vec_id") < 43)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val cents = Similarity.kmeansFitInt8(
+          standing.select(col("vec_id"), col("embedding")), "embedding",
+          seeds, iters = 2)
+        Similarity.ivfDrift(standing, batch, "embedding", cents,
+          cohesionFloorBp = 3500, growthCapBp = 5000).count()
+      }),
+      // the IVF deployment knobs a 100 TB corpus MUST turn (mirroring
+      // knn_join_scaled_bits): cells ∝ corpus holds per-cell occupancy
+      // constant (candidate pairs ∝ corpus·nProbe·occupancy — linear),
+      // and the fit runs on a 1/scale SAMPLE (quantizer training is
+      // sample-sized in any real IVF build), so the fit's corpus×cells
+      // cosine pass stays constant-cost instead of going quadratic
+      "knn_join_ivf_scaled_cells" -> (() => CacheScope.using { sc =>
+        val cells = 32 * scale
+        val sample = embs.filter(col("vec_id") % scale === 0)
+        val seeds = sample.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val cents = Similarity.kmeansFitInt8(
+          sample.select(col("vec_id"), col("embedding")), "embedding",
+          seeds, iters = 2)
+        Similarity.knnJoinIvf(embs, "vec_id", "embedding",
+          k = 3, centroids = cents, nProbe = 4, maxBucket = MaxBucket,
+          scope = sc).count()
+      }),
       // scaled bits: occupancy held constant (bits + log2(scale)) — the
       // knob a 100 TB deployment MUST turn; the probe proves it restores
       // the exponent

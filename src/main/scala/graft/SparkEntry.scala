@@ -420,13 +420,19 @@ object SparkEntry {
   private val AnnHamming = 2
 
   /** Registered fitted-IVF ANN defaults (q46/q62, and the q149 card's
-    * ivf rows): [[fittedCentroids]]' 8 cells ([[Similarity.kmeansFitInt8]],
-    * 2 Lloyd rounds from the q98 seed), queries probing their
-    * [[IvfProbe]] nearest cells. Picked from the measured sweep
-    * (SCALING.md "ANN recall sweep"): nProbe 4 of 8 measures ~82%
-    * recall@10 scanning ~50% of the corpus — strictly better recall per
-    * scanned row than the sign-LSH default's 84–85% at an 11/16 scan
-    * fraction on these sign-unstable embeddings. */
+    * ivf rows): [[fittedCentroids]]' [[IvfCells]] cells
+    * ([[Similarity.kmeansFitInt8]], 2 Lloyd rounds from the lowest-id
+    * seeds), queries probing their [[IvfProbe]] nearest cells. Picked
+    * from the measured sweep (SCALING.md "ANN recall sweep"): the r15
+    * default (8 cells, nProbe 4) measured ~82% recall@10 scanning ~50%
+    * of the corpus — 8 cells can never prune past 1/8. At 32 cells the
+    * same sweep reads 88–91% recall@10 scanning 3–12% (nProbe 1–4 at
+    * both SFs) — better recall AND 4–8× less scanned, because the
+    * extra cells subdivide the fixture's latent clusters instead of
+    * splitting neighbors. Fit cost grows ∝ cells (2 rounds × corpus ×
+    * cells cosines, in-query here, offline in a deployment); probe
+    * cost ∝ nProbe × occupancy shrinks 4×. */
+  private val IvfCells = 32
   private val IvfProbe = 4
 
   /** Registered multi-probe depth for semantic dedup (q64, and q118's
@@ -2214,14 +2220,19 @@ object SparkEntry {
   }
 
   /** The registered fitted coarse quantizer (q46/q62/q156/q149): 2
-    * Lloyd rounds ([[Similarity.kmeansFitInt8]]) from the q98 seed — a
-    * bounded 8-row model fetch per round, never data. Each consuming
-    * query runs the fit itself (self-contained; oracles unroll the
-    * rounds via [[kmeansFitCtes]]); a deployment fits once offline. */
-  private def fittedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
+    * Lloyd rounds ([[Similarity.kmeansFitInt8]]) from the [[IvfCells]]
+    * lowest-id seeds — a bounded cells-row model fetch per round,
+    * never data. Each consuming query runs the fit itself
+    * (self-contained; oracles unroll the rounds via [[kmeansFitCtes]]
+    * at the same cell count); a deployment fits once offline. */
+  private def fittedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] = {
+    val seeds = table(s, dir, "embeddings").filter(col("vec_id") < IvfCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
     Similarity.kmeansFitInt8(
       table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-      "embedding", seedCentroids(s, dir), iters = 2)
+      "embedding", seeds, iters = 2)
+  }
 
   /** q158: hybrid lexical ⊕ vector retrieval — the q82 BM25 top-20 and
     * the q26 brute-cosine top-20 (same doc_id ↔ vec_id key space)
@@ -2261,6 +2272,30 @@ object SparkEntry {
       emb.select(col("vec_id").as("id"), col("embedding")), "id")
     Similarity.mmrSelect(cand, "qid", "id", "cos", "embedding",
       k = 6, lambda = 0.7)
+  }
+
+  /** q160: IVF index drift monitor ([[Similarity.ivfDrift]]) — the
+    * standing 3/4 of the corpus carries the fitted quantizer (32
+    * standing seeds below id 43, 2 Lloyd rounds — the q157 batch
+    * convention on the q156 fit discipline); the arriving quarter
+    * assigns to it and each cell reports growth + cohesion + a refit
+    * trigger. The oracle unrolls the standing-only fit and both
+    * assignment passes; all stats are exact integers (bp), so the
+    * whole maintenance decision is hash-pinned. */
+  private def qIvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = cpuTable(s, dir, "embeddings")
+    val standing = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val seeds = table(s, dir, "embeddings")
+      .filter(col("vec_id") % 4 =!= 0 && col("vec_id") < 43)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val cents = Similarity.kmeansFitInt8(
+      standing.select(col("vec_id"), col("embedding")), "embedding",
+      seeds, iters = 2)
+    Similarity.ivfDrift(standing, batch, "embedding", cents,
+      cohesionFloorBp = 3500, growthCapBp = 5000)
   }
 
   // ------------------------------------------------------------------ //
@@ -2425,6 +2460,7 @@ object SparkEntry {
     "q157_cc_incremental" -> (qCcIncremental _),
     "q158_hybrid_rrf" -> (qHybridRrf _),
     "q159_mmr_diversify" -> (qMmrDiversify _),
+    "q160_ivf_drift" -> (qIvfDrift _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2614,12 +2650,13 @@ object SparkEntry {
     * engines), empty clusters keeping their previous centroid via the
     * LEFT JOIN coalesce. Quantization (kqv) is per-vector and computed
     * once, as in the engine. */
-  private def kmeansFitCtes(iters: Int): String = {
+  private def kmeansFitCtes(iters: Int, kc: Int = 8,
+      pred: String = "TRUE"): String = {
     val head =
-      """c0 AS (SELECT vec_id AS cid, embedding AS cvec
-        |  FROM embeddings WHERE vec_id < 8),
+      s"""c0 AS (SELECT vec_id AS cid, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < $kc AND ($pred)),
         |kee AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE embedding IS NOT NULL),
+        |  WHERE embedding IS NOT NULL AND ($pred)),
         |kqz AS (SELECT vec_id, embedding, list_max(list_transform(embedding,
         |    x -> abs(CAST(x AS DOUBLE)))) AS s FROM kee),
         |kqv AS (SELECT vec_id, embedding,
@@ -2656,7 +2693,7 @@ object SparkEntry {
     * zero-vector rule). kqv carries both the float vectors (q46's
     * scoring) and the int8 lists (q62's coarse scoring). */
   private def ivfKnnCtes(nProbe: Int): String =
-    s"""${kmeansFitCtes(2)},
+    s"""${kmeansFitCtes(2, IvfCells)},
       |vass AS (SELECT kqv.vec_id, kqv.embedding, kqv.q, c.cid,
       |  ${OSql.cosSql("kqv.embedding", "c.cvec")} AS cc
       | FROM kqv CROSS JOIN c2 c),
@@ -2727,7 +2764,7 @@ object SparkEntry {
       |    * (SELECT count(*) FROM embeddings)) AS BIGINT) AS value""".stripMargin
 
   private lazy val Sql_q149IvfScan: String =
-    s"""WITH ${kmeansFitCtes(2)},
+    s"""WITH ${kmeansFitCtes(2, IvfCells)},
       |vass AS (SELECT kqv.vec_id, c.cid,
       |  ${OSql.cosSql("kqv.embedding", "c.cvec")} AS cc
       | FROM kqv CROSS JOIN c2 c),
@@ -2745,7 +2782,7 @@ object SparkEntry {
     * registered probe depth — the recall row comparable 1:1 with
     * ann_recall_bp_mean. */
   private lazy val Sql_q149Ivf25: String =
-    s"""WITH ${kmeansFitCtes(2)},
+    s"""WITH ${kmeansFitCtes(2, IvfCells)},
       |vass AS (SELECT kqv.vec_id, kqv.embedding, c.cid,
       |  ${OSql.cosSql("kqv.embedding", "c.cvec")} AS cc
       | FROM kqv CROSS JOIN c2 c),
@@ -5333,6 +5370,47 @@ object SparkEntry {
     // step's max-penalty aggregate and argmax replayed verbatim, the
     // 1−λ weight formed by the same 1.0 − 0.7 IEEE subtraction.
     "q159_mmr_diversify" -> mmrSql(k = 6, m = 20, lambda = "0.7"),
+
+    // Standing-only fit unroll (predicate-filtered kmeansFitCtes),
+    // both assignment passes, exact-integer bp stats; the +10000·n
+    // shift keeps the cohesion division over non-negative operands
+    // (trunc-vs-floor integer division diverges on negatives).
+    "q160_ivf_drift" ->
+      s"""WITH ${kmeansFitCtes(2, 43, "vec_id % 4 <> 0")},
+        |sa AS (SELECT kee.vec_id, c.cid,
+        |  ${OSql.cosSql("kee.embedding", "c.cvec")} AS cc
+        | FROM kee CROSS JOIN c2 c),
+        |ssel AS (SELECT vec_id, cid FROM sa
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |scount AS (SELECT cid, count(*) AS ns FROM ssel GROUP BY 1),
+        |bat AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 4 = 0 AND embedding IS NOT NULL),
+        |ba0 AS (SELECT b.vec_id, c.cid,
+        |  ${OSql.cosSql("b.embedding", "c.cvec")} AS cc
+        | FROM bat b CROSS JOIN c2 c),
+        |ba AS (SELECT vec_id, cid, CAST(round(cc * 10000, 0) AS BIGINT) AS bp
+        |  FROM ba0 QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |bs AS (SELECT cid, count(*) AS nn, sum(bp) AS sbp,
+        |    min(bp) AS mbp FROM ba GROUP BY 1)
+        |SELECT CAST(c2.cid AS BIGINT) AS cell,
+        |  CAST(coalesce(scount.ns, 0) AS BIGINT) AS n_standing,
+        |  CAST(coalesce(bs.nn, 0) AS BIGINT) AS n_new,
+        |  CAST((coalesce(bs.nn, 0) * 10000)
+        |    // greatest(coalesce(scount.ns, 0), 1) AS BIGINT) AS growth_bp,
+        |  CASE WHEN coalesce(bs.nn, 0) > 0 THEN
+        |    CAST((bs.sbp + 10000 * bs.nn) // bs.nn AS BIGINT) - 10000
+        |  END AS cohesion_bp,
+        |  CASE WHEN coalesce(bs.nn, 0) > 0 THEN CAST(bs.mbp AS BIGINT)
+        |  END AS min_cos_bp,
+        |  (CASE WHEN coalesce(bs.nn, 0) > 0 THEN
+        |     (CAST((bs.sbp + 10000 * bs.nn) // bs.nn AS BIGINT) - 10000) < 3500
+        |   ELSE FALSE END
+        |   OR CAST((coalesce(bs.nn, 0) * 10000)
+        |     // greatest(coalesce(scount.ns, 0), 1) AS BIGINT) > 5000)
+        |    AS needs_refit
+        |FROM c2 LEFT JOIN scount USING (cid) LEFT JOIN bs USING (cid)""".stripMargin,
   )
 
   /** q159's oracle: the q26 brute-cosine shortlist (top `m` per query),
@@ -5387,7 +5465,7 @@ object SparkEntry {
 
   /** q156's oracle body — shared with the q149 eval-card composition. */
   private lazy val Sql_q156: String =
-      s"""WITH ${kmeansFitCtes(2)},
+      s"""WITH ${kmeansFitCtes(2, IvfCells)},
         |av0 AS (SELECT e.vec_id, e.embedding, c.cid,
         |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
         | FROM embeddings e CROSS JOIN c2 c),

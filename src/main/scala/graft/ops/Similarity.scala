@@ -423,6 +423,72 @@ object Similarity {
     cents
   }
 
+  /** IVF index-maintenance monitor: assign an arriving batch to the
+    * STANDING fitted coarse quantizer and emit per-cell drift facts —
+    * the operational companion to a LIVING 100 TB ANN index, where the
+    * question is never "is the index right today" but "is this week's
+    * data still shaped like the data the quantizer was fitted on".
+    * Per cell: standing occupancy, new-batch occupancy, growth in
+    * basis points, mean/min cosine of new members to their assigned
+    * centroid (cohesion — falling cohesion means the batch lands
+    * BETWEEN the fitted cells), and a refit trigger
+    * (`cohesion < cohesionFloorBp` or `growth > growthCapBp`).
+    *
+    * All emitted stats are exact integers (bp = round(cos·10⁴), summed
+    * and integer-divided through a +10⁴·n shift so the division is
+    * over non-negative operands — trunc-vs-floor integer division
+    * diverges across engines on negative numerators). One narrow
+    * codegen assignment pass per side (no shuffle until the cells-
+    * sized aggregate), one broadcast join against the cells-sized
+    * centroid table for the assigned-centroid cosine; at 100 TB the
+    * standing side's assignment is the index itself (amortized — here
+    * recomputed in-query, the q157 self-containment convention).
+    *
+    * Output: cell (long), n_standing, n_new, growth_bp (long;
+    * divisor floored at 1 for empty standing cells), cohesion_bp /
+    * min_cos_bp (long, null when the cell got no new members),
+    * needs_refit (boolean). One row per centroid. */
+  def ivfDrift(standing: DataFrame, batch: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], cohesionFloorBp: Long,
+      growthCapBp: Long): DataFrame = {
+    require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
+    val sess = standing.sparkSession
+    import sess.implicits._
+    val centsDf = centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("__cid", "__cvec")
+    val sCount = standing.filter(col(vecCol).isNotNull)
+      .select(nearestCentroid(col(vecCol), centroids).as("__cid"))
+      .groupBy(col("__cid")).agg(count(lit(1)).as("n_standing"))
+    val bAssigned = batch.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__v"),
+        nearestCentroid(col(vecCol), centroids).as("__cid"))
+      .join(broadcast(centsDf), Seq("__cid"))
+      .withColumn("__bp",
+        round(cosine(col("__v"), col("__cvec")) * 10000, 0).cast("long"))
+    val bStats = bAssigned.groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_new"), sum(col("__bp")).as("__sbp"),
+        min(col("__bp")).as("__minbp"))
+    val nNew = coalesce(col("n_new"), lit(0L))
+    val nStanding = coalesce(col("n_standing"), lit(0L))
+    val cohesion =
+      expr("CAST((__sbp + 10000 * n_new) div n_new AS BIGINT) - 10000")
+    centsDf.select(col("__cid"))
+      .join(sCount, Seq("__cid"), "left")
+      .join(bStats, Seq("__cid"), "left")
+      .select(
+        col("__cid").cast("long").as("cell"),
+        nStanding.as("n_standing"),
+        nNew.as("n_new"),
+        expr("(coalesce(n_new, 0) * 10000) div " +
+          "greatest(coalesce(n_standing, 0), 1)").as("growth_bp"),
+        when(nNew > 0, cohesion).as("cohesion_bp"),
+        when(nNew > 0, col("__minbp")).as("min_cos_bp"),
+        (when(nNew > 0, cohesion < cohesionFloorBp).otherwise(lit(false)) ||
+          expr("(coalesce(n_new, 0) * 10000) div " +
+            "greatest(coalesce(n_standing, 0), 1)") > growthCapBp)
+          .as("needs_refit"))
+  }
+
   /** Integer-exact per-group centroid SUMS over int8-quantized vectors —
     * the class-centroid pass behind nearest-centroid classification, IVF
     * coarse-quantizer training, and per-label drift monitoring. Mean-

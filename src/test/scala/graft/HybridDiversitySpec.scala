@@ -79,6 +79,31 @@ class HybridDiversitySpec extends AnyFunSuite {
     assert(d1._4 === 3L && d1._5 === 2L && d1._6 === 1L)
   }
 
+  test("rrfFuse: matches driver-side reference on seeded random lists") {
+    val rnd = new scala.util.Random(1716)
+    // 3 lists × 4 queries: each list ranks a random subset of 40 ids
+    val lists = (0 until 3).map { _ =>
+      for {
+        qid <- 0L to 3L
+        (id, r) <- rnd.shuffle((0L until 40L).toList).take(12).zipWithIndex
+      } yield (qid, id, r + 1L)
+    }
+    val got = fuse(lists, k = 8)
+    // reference: exact decimal sum of round-9dp reciprocals, rank by
+    // (rrf desc, id asc), top 8 per query
+    val exp = lists.flatten.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((qid, id), rs) =>
+        val rrf = rs.map(t => BigDecimal(1.0 / (60 + t._3))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        (qid, id, rrf, rs.size.toLong, rs.map(_._3).min)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(t => (-t._3, t._2)).take(8).zipWithIndex
+          .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, i + 1L) }
+      }.sortBy(t => (t._1, t._6))
+    assert(got === exp)
+  }
+
   // ---------------------------------------------------------- mmrSelect
 
   /** CosineSim's exact arithmetic: sequential double fold, 6-dp
