@@ -2298,6 +2298,31 @@ object SparkEntry {
       cohesionFloorBp = 3500, growthCapBp = 5000)
   }
 
+  /** q161: warm-start IVF refit migration ([[Similarity
+    * .ivfRefitReport]]) — the repair step q160's triggers call for:
+    * the standing quantizer (q160's exact fit) takes ONE more Lloyd
+    * round over the GROWN corpus (warm start — ids keep their cells'
+    * identity), and the report counts per-cell stay/in/out migration,
+    * deciding relabel-vs-rebuild. The oracle unrolls the standing fit,
+    * the full-corpus refit round, and both assignment passes — every
+    * emitted count is hash-pinned through the entire model history. */
+  private def qIvfRefit(s: SparkSession, dir: String): DataFrame = {
+    val emb = cpuTable(s, dir, "embeddings")
+    val standing = emb.filter(col("vec_id") % 4 =!= 0)
+    val seeds = table(s, dir, "embeddings")
+      .filter(col("vec_id") % 4 =!= 0 && col("vec_id") < 43)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val oldC = Similarity.kmeansFitInt8(
+      standing.select(col("vec_id"), col("embedding")), "embedding",
+      seeds, iters = 2)
+    val newC = Similarity.kmeansFitInt8(
+      emb.select(col("vec_id"), col("embedding")), "embedding",
+      oldC, iters = 1)
+    Similarity.ivfRefitReport(emb, "embedding", oldC, newC)
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2461,6 +2486,7 @@ object SparkEntry {
     "q158_hybrid_rrf" -> (qHybridRrf _),
     "q159_mmr_diversify" -> (qMmrDiversify _),
     "q160_ivf_drift" -> (qIvfDrift _),
+    "q161_ivf_refit" -> (qIvfRefit _),
   )
 
   // ------------------------------------------------------------------ //
@@ -5411,6 +5437,58 @@ object SparkEntry {
         |     // greatest(coalesce(scount.ns, 0), 1) AS BIGINT) > 5000)
         |    AS needs_refit
         |FROM c2 LEFT JOIN scount USING (cid) LEFT JOIN bs USING (cid)""".stripMargin,
+
+    // Standing fit (c2) + ONE warm-start Lloyd round over the FULL
+    // corpus (fqv — full-corpus quantization, fa — assignment under
+    // the OLD quantizer, farr/c3 — the int8-exact update) + both
+    // assignment passes joined per vector; per-cell exact-integer
+    // migration counts.
+    "q161_ivf_refit" ->
+      s"""WITH ${kmeansFitCtes(2, 43, "vec_id % 4 <> 0")},
+        |fke AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |fqz AS (SELECT vec_id, embedding, list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS s FROM fke),
+        |fqv AS (SELECT vec_id, embedding,
+        |    CASE WHEN s = 0 THEN list_transform(embedding,
+        |           x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
+        |    END AS q FROM fqz),
+        |fa0 AS (SELECT fqv.vec_id, fqv.q, c.cid,
+        |  ${OSql.cosSql("fqv.embedding", "c.cvec")} AS cc
+        | FROM fqv CROSS JOIN c2 c),
+        |fa AS (SELECT vec_id, q, cid FROM fa0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |fe AS (SELECT cid, pos, q[pos + 1] AS qd FROM (
+        |   SELECT cid, q, unnest(generate_series(0, len(q) - 1)) AS pos
+        |   FROM fa)),
+        |fcs AS (SELECT cid, pos, CAST(sum(qd) AS BIGINT) AS cd
+        |  FROM fe GROUP BY 1, 2),
+        |farr AS (SELECT cid, list(CAST(cd AS FLOAT) ORDER BY pos) AS nv
+        |  FROM fcs GROUP BY 1),
+        |c3 AS (SELECT c.cid, coalesce(farr.nv, c.cvec) AS cvec
+        |  FROM c2 c LEFT JOIN farr USING (cid)),
+        |na0 AS (SELECT fqv.vec_id, c.cid,
+        |  ${OSql.cosSql("fqv.embedding", "c.cvec")} AS cc
+        | FROM fqv CROSS JOIN c3 c),
+        |na AS (SELECT vec_id, cid FROM na0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |mv AS (SELECT fa.vec_id, fa.cid AS oc, na.cid AS nc
+        |  FROM fa JOIN na USING (vec_id)),
+        |bef AS (SELECT oc AS cid, count(*) AS nb FROM mv GROUP BY 1),
+        |aft AS (SELECT nc AS cid, count(*) AS nf,
+        |    sum(CASE WHEN oc = nc THEN 1 ELSE 0 END) AS nst
+        |  FROM mv GROUP BY 1)
+        |SELECT CAST(c2.cid AS BIGINT) AS cell,
+        |  CAST(coalesce(bef.nb, 0) AS BIGINT) AS n_before,
+        |  CAST(coalesce(aft.nf, 0) AS BIGINT) AS n_after,
+        |  CAST(coalesce(aft.nst, 0) AS BIGINT) AS n_stay,
+        |  CAST(coalesce(aft.nf, 0) - coalesce(aft.nst, 0) AS BIGINT) AS n_in,
+        |  CAST(coalesce(bef.nb, 0) - coalesce(aft.nst, 0) AS BIGINT) AS n_out
+        |FROM c2 LEFT JOIN bef USING (cid) LEFT JOIN aft USING (cid)""".stripMargin,
   )
 
   /** q159's oracle: the q26 brute-cosine shortlist (top `m` per query),

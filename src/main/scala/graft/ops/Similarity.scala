@@ -489,6 +489,52 @@ object Similarity {
           .as("needs_refit"))
   }
 
+  /** IVF refit migration report — the repair step [[ivfDrift]]'s
+    * triggers call for: given the OLD (standing) and NEW (warm-start
+    * refit) coarse quantizers, report how the corpus moves between
+    * cells. Per new-quantizer cell: occupancy before/after, how many
+    * vectors stayed, arrived, and left — the numbers that decide
+    * whether the refit is a cheap relabel (small migration → update
+    * postings incrementally) or a rebuild (mass migration → rewrite
+    * the index), and the audit trail that a "refit" actually changed
+    * something.
+    *
+    * ONE corpus pass: both assignments are codegen centroid-literal
+    * expressions in the same projection (no join, no shuffle until the
+    * cells-sized aggregate); every emitted fact is an exact integer
+    * count. Output: cell, n_before, n_after, n_stay, n_in, n_out —
+    * one row per centroid id (the two quantizers must share ids, the
+    * warm-start contract). */
+  def ivfRefitReport(df: DataFrame, vecCol: String,
+      oldCents: Seq[(Int, Array[Float])],
+      newCents: Seq[(Int, Array[Float])]): DataFrame = {
+    require(oldCents.map(_._1) == newCents.map(_._1),
+      "old/new quantizers must share centroid ids (warm-start refit)")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val assigned = df.filter(col(vecCol).isNotNull)
+      .select(nearestCentroid(col(vecCol), oldCents).as("__old"),
+        nearestCentroid(col(vecCol), newCents).as("__new"))
+    val before = assigned.groupBy(col("__old").as("__cid"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = assigned.groupBy(col("__new").as("__cid"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("__old") === col("__new"), 1L).otherwise(0L))
+          .as("n_stay"))
+    newCents.map(_._1).toDF("__cid")
+      .join(before, Seq("__cid"), "left")
+      .join(after, Seq("__cid"), "left")
+      .select(
+        col("__cid").cast("long").as("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_stay"), lit(0L)).as("n_stay"),
+        (coalesce(col("n_after"), lit(0L)) -
+          coalesce(col("n_stay"), lit(0L))).as("n_in"),
+        (coalesce(col("n_before"), lit(0L)) -
+          coalesce(col("n_stay"), lit(0L))).as("n_out"))
+  }
+
   /** Integer-exact per-group centroid SUMS over int8-quantized vectors —
     * the class-centroid pass behind nearest-centroid classification, IVF
     * coarse-quantizer training, and per-label drift monitoring. Mean-
