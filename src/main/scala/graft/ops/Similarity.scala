@@ -423,6 +423,31 @@ object Similarity {
     cents
   }
 
+  /** Assignment-with-cohesion projection shared by the IVF maintenance
+    * family and its live twin: each non-null vector gets `cell` (long —
+    * nearest fitted centroid, the [[ivfTopK]] assignment rule) and `bp`
+    * (long — round-6dp cosine to THAT centroid, in integer basis
+    * points: `round(cos·10⁴)`). One codegen assignment expression plus
+    * one broadcast join against the cells-sized centroid table — a
+    * stateless narrow projection, which is exactly why the streaming
+    * twin ([[graft.stream.Streamed.ivfDriftState]]) can reuse it
+    * verbatim on a stream before its keyed state op. */
+  def assignBp(df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val centsDf = centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("__cid", "__cvec")
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("__cid", nearestCentroid(col(vecCol), centroids))
+      .join(broadcast(centsDf), Seq("__cid"))
+      .withColumn("cell", col("__cid").cast("long"))
+      .withColumn("bp",
+        round(cosine(col(vecCol), col("__cvec")) * 10000, 0).cast("long"))
+      .drop("__cid", "__cvec")
+  }
+
   /** IVF index-maintenance monitor: assign an arriving batch to the
     * STANDING fitted coarse quantizer and emit per-cell drift facts —
     * the operational companion to a LIVING 100 TB ANN index, where the
@@ -454,25 +479,18 @@ object Similarity {
     require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
     val sess = standing.sparkSession
     import sess.implicits._
-    val centsDf = centroids.map { case (cid, v) => (cid, v.toSeq) }
-      .toDF("__cid", "__cvec")
     val sCount = standing.filter(col(vecCol).isNotNull)
       .select(nearestCentroid(col(vecCol), centroids).as("__cid"))
       .groupBy(col("__cid")).agg(count(lit(1)).as("n_standing"))
-    val bAssigned = batch.filter(col(vecCol).isNotNull)
-      .select(col(vecCol).as("__v"),
-        nearestCentroid(col(vecCol), centroids).as("__cid"))
-      .join(broadcast(centsDf), Seq("__cid"))
-      .withColumn("__bp",
-        round(cosine(col("__v"), col("__cvec")) * 10000, 0).cast("long"))
-    val bStats = bAssigned.groupBy(col("__cid"))
-      .agg(count(lit(1)).as("n_new"), sum(col("__bp")).as("__sbp"),
-        min(col("__bp")).as("__minbp"))
+    val bStats = assignBp(batch.select(col(vecCol)), vecCol, centroids)
+      .groupBy(col("cell").cast("int").as("__cid"))
+      .agg(count(lit(1)).as("n_new"), sum(col("bp")).as("__sbp"),
+        min(col("bp")).as("__minbp"))
     val nNew = coalesce(col("n_new"), lit(0L))
     val nStanding = coalesce(col("n_standing"), lit(0L))
     val cohesion =
       expr("CAST((__sbp + 10000 * n_new) div n_new AS BIGINT) - 10000")
-    centsDf.select(col("__cid"))
+    centroids.map(_._1).toDF("__cid")
       .join(sCount, Seq("__cid"), "left")
       .join(bStats, Seq("__cid"), "left")
       .select(

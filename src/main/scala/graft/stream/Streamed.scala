@@ -325,6 +325,62 @@ object Streamed {
       }
   }
 
+  /** State for [[ivfDriftState]]: exact integer moments of the cell's
+    * arrived members. */
+  final case class IvfDriftSt(nNew: Long, sumBp: Long, minBp: Long)
+
+  /** One emitted drift row: the cell's standing occupancy, arrivals so
+    * far, growth/cohesion/min in integer basis points, refit flag —
+    * [[graft.ops.Similarity.ivfDrift]]'s facts, live. */
+  final case class IvfDriftOut(nStanding: Long, nNew: Long, growthBp: Long,
+      cohesionBp: Long, minCosBp: Long, needsRefit: Boolean)
+
+  /** LIVE IVF drift monitor — the streaming twin of
+    * [[graft.ops.Similarity.ivfDrift]]: the stream carries
+    * already-assigned `(cell, bp)` records (the producer maps raw
+    * vectors through [[graft.ops.Similarity.assignBp]] — the SAME
+    * stateless codegen projection the batch op uses, so assignment
+    * can't diverge between the twins), `standingCounts` is the fitted
+    * index's occupancy (a cells-sized model, broadcast as a plain Map),
+    * and each arrival re-emits its cell's updated drift facts. State
+    * per cell is three longs (count, bp sum, bp min) — constant size,
+    * commutative moments, so like [[driftState]] this twin is
+    * order-INSENSITIVE: once all records land, every cell's final
+    * emission equals the batch row bit-for-bit (congruity-tested;
+    * cells that receive no arrivals never emit — the batch op's
+    * null-stat rows, which a monitor reads from the index itself).
+    * The integer arithmetic is the batch op's exactly, including the
+    * +10⁴·n shift keeping the cohesion division over non-negative
+    * operands. */
+  def ivfDriftState(ds: Dataset[Rec[Long, Long]],
+      standingCounts: Map[Long, Long], cohesionFloorBp: Long,
+      growthCapBp: Long)(
+      implicit outEnc: Encoder[Rec[Long, IvfDriftOut]])
+      : Dataset[Rec[Long, IvfDriftOut]] = {
+    implicit val stEnc: Encoder[IvfDriftSt] = Encoders.product[IvfDriftSt]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[IvfDriftSt, Rec[Long, IvfDriftOut]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (cell: Long, records: Iterator[Rec[Long, Long]],
+            state: GroupState[IvfDriftSt]) =>
+          var IvfDriftSt(n, sum, mn) =
+            state.getOption.getOrElse(IvfDriftSt(0L, 0L, Long.MaxValue))
+          val nStanding = standingCounts.getOrElse(cell, 0L)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[Rec[Long, IvfDriftOut]]
+          records.toSeq.sortBy(_.tsMs).foreach { r =>
+            n += 1; sum += r.value; mn = math.min(mn, r.value)
+            val growth = (n * 10000L) / math.max(nStanding, 1L)
+            val cohesion = (sum + 10000L * n) / n - 10000L
+            out += Rec(cell, IvfDriftOut(nStanding, n, growth, cohesion, mn,
+              cohesion < cohesionFloorBp || growth > growthCapBp), r.tsMs)
+          }
+          state.update(IvfDriftSt(n, sum, mn))
+          out.iterator
+      }
+  }
+
   /** LIVE per-group admission quota: admit at most `n` records per key,
     * first-come-first-admitted in (ts, arrival) order — the ingest-time
     * domain cap ("stop taking documents from this domain once we have

@@ -96,6 +96,50 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(bp < 0L)
   }
 
+  test("ivfDriftState: LIVE final == batch ivfDrift per arrived cell, " +
+      "under SHUFFLED arrival (moments commute)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(1234)
+    val cents4 = (0 until 4).map(i =>
+      i -> Array.fill(4)(rnd.nextGaussian().toFloat)).toSeq
+    val standing = (0L until 40L).map(id =>
+      (id, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    val arriving = (100L until 130L).map(id =>
+      (id, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    val floor = 3500L; val cap = 8000L
+    val batchOut = Similarity.ivfDrift(df(standing), df(arriving),
+        "embedding", cents4, floor, cap)
+      .collect().filter(_.getLong(2) > 0) // cells with arrivals
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    // the live producer reuses the batch op's own stateless projection
+    val standingCounts = Similarity.assignBp(df(standing), "embedding", cents4)
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feedRows = Similarity.assignBp(df(arriving), "embedding", cents4)
+      .select("cell", "bp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val feed = rnd.shuffle(feedRows.toSeq).zipWithIndex
+      .map { case ((c, bp), i) => Rec(c, bp, i.toLong) }
+    val ms = MemoryStream[Rec[Long, Long]]
+    val q = Streamed.ivfDriftState(ms.toDS(), standingCounts, floor, cap)
+      .writeStream.format("memory").queryName("liveivfdrift")
+      .outputMode("update").start()
+    try {
+      ms.addData(feed.take(15): _*); q.processAllAvailable()
+      ms.addData(feed.drop(15): _*); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("liveivfdrift").collect()
+      .map(r => (r.getLong(0), r.getStruct(1))).groupBy(_._1)
+      .map { case (c, rows) =>
+        val last = rows.map(_._2).maxBy(_.getLong(1)) // final nNew
+        c -> (last.getLong(0), last.getLong(1), last.getLong(2),
+          last.getLong(3), last.getLong(4), last.getBoolean(5))
+      }
+    assert(live == batchOut)
+  }
+
   test("every centroid emits exactly one row") {
     val standing = Seq((1L, Array(1f, 0f, 0f)))
     val got = run(standing, Seq.empty[(Long, Array[Float])])
