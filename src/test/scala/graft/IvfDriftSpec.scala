@@ -140,6 +140,44 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(live == batchOut)
   }
 
+  test("ivfDriftState: cell moments survive restart (no reset, no replay)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.{Rec, Streamed}
+    import org.apache.spark.sql.Dataset
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfdrift_ckpt").toString
+    val ms = MemoryStream[Rec[Long, Long]]
+    val out = Streamed.ivfDriftState(ms.toDS(),
+      Map(0L -> 2L, 1L -> 1L), cohesionFloorBp = 3500L, growthCapBp = 50000L)
+    def start(buf: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]) =
+      out.writeStream.outputMode("update")
+        .option("checkpointLocation", dir)
+        .foreachBatch { (b: Dataset[Rec[Long, Streamed.IvfDriftOut]], _: Long) =>
+          val rows = b.collect()
+          buf.synchronized {
+            buf ++= rows.map(r =>
+              (r.key, r.value.nNew, r.value.cohesionBp, r.value.minCosBp))
+          }
+          ()
+        }.start()
+    val buf1 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q1 = start(buf1)
+    try {
+      ms.addData(Rec(0L, 9000L, 1L), Rec(0L, 8000L, 2L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf1.synchronized(buf1.maxBy(_._2)) === ((0L, 2L, 8500L, 8000L)))
+
+    val buf2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q2 = start(buf2)
+    try {
+      ms.addData(Rec(0L, 7000L, 3L)); q2.processAllAvailable()
+    } finally q2.stop()
+    // moments restored (count 3, mean over ALL three bps, min drops to
+    // 7000), offsets restored (exactly one emission — no replay)
+    assert(buf2.synchronized(buf2.toSeq) === Seq((0L, 3L, 8000L, 7000L)))
+  }
+
   test("every centroid emits exactly one row") {
     val standing = Seq((1L, Array(1f, 0f, 0f)))
     val got = run(standing, Seq.empty[(Long, Array[Float])])
