@@ -2323,6 +2323,26 @@ object SparkEntry {
     Similarity.ivfRefitReport(emb, "embedding", oldC, newC)
   }
 
+  /** q162: cluster cards — the fitted quantizer's cells labeled by
+    * their top-3 distinguishing tokens ([[TextAnalysis
+    * .distinguishingTokens]] over the doc_id ↔ vec_id linkage): the
+    * human-readable answer to "what did the quantizer put in this
+    * cell", pairing with q160's occupancy/cohesion numbers. Exact
+    * integers end to end (distinctiveness weight tf·(n_groups−df+1) —
+    * the rational-idf ordering with no float); ties by the vocabTopK
+    * hash60 convention. */
+  private def qClusterCard(s: SparkSession, dir: String): DataFrame = {
+    val emb = cpuTable(s, dir, "embeddings")
+    val docs = cpuTable(s, dir, "documents")
+    val cents = fittedCentroids(s, dir)
+    val assigned = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        Similarity.ivfCell(col("embedding"), cents).cast("long").as("cell"))
+    val clustered = assigned.join(
+      docs.select(col("doc_id").as("vec_id"), col("text")), "vec_id")
+    TextAnalysis.distinguishingTokens(clustered, "cell", col("text"), k = 3)
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2487,6 +2507,7 @@ object SparkEntry {
     "q159_mmr_diversify" -> (qMmrDiversify _),
     "q160_ivf_drift" -> (qIvfDrift _),
     "q161_ivf_refit" -> (qIvfRefit _),
+    "q162_cluster_card" -> (qClusterCard _),
   )
 
   // ------------------------------------------------------------------ //
@@ -5489,6 +5510,37 @@ object SparkEntry {
         |  CAST(coalesce(aft.nf, 0) - coalesce(aft.nst, 0) AS BIGINT) AS n_in,
         |  CAST(coalesce(bef.nb, 0) - coalesce(aft.nst, 0) AS BIGINT) AS n_out
         |FROM c2 LEFT JOIN bef USING (cid) LEFT JOIN aft USING (cid)""".stripMargin,
+
+    // The q156 fit + assignment, documents joined on doc_id = vec_id,
+    // (cell, token) counts, the exact 2·df ≤ n_groups stopword cut,
+    // top-3 by (count desc, md5-hash60(token) asc) — vocabTopK's heap
+    // tie convention.
+    "q162_cluster_card" ->
+      s"""WITH ${kmeansFitCtes(2, IvfCells)},
+        |av0 AS (SELECT e.vec_id, c.cid,
+        |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
+        | FROM embeddings e CROSS JOIN c2 c),
+        |av AS (SELECT vec_id, cid FROM av0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |dt0 AS (SELECT av.cid AS cell,
+        |   unnest(string_split(d.text, ' ')) AS token
+        | FROM av JOIN documents d ON av.vec_id = d.doc_id),
+        |dt AS (SELECT cell, token FROM dt0 WHERE len(token) > 0),
+        |tf AS (SELECT cell, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+        |ngr AS (SELECT count(DISTINCT cell) AS ng FROM tf),
+        |sc2 AS (SELECT tf.cell, tf.token, tf.tf, dfc.dfc,
+        |   tf.tf * (ngr.ng - dfc.dfc + 1) AS score
+        | FROM tf JOIN dfc USING (token) CROSS JOIN ngr),
+        |rk AS (SELECT cell, token, tf, dfc, score, row_number() OVER (
+        |   PARTITION BY cell ORDER BY score DESC,
+        |     CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) ASC) AS rank
+        | FROM sc2)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(rank AS BIGINT) AS rank,
+        |  token, CAST(tf AS BIGINT) AS tf, CAST(dfc AS BIGINT) AS group_df,
+        |  CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 3""".stripMargin,
   )
 
   /** q159's oracle: the q26 brute-cosine shortlist (top `m` per query),

@@ -262,6 +262,52 @@ object TextAnalysis {
         col("score").cast("long").as("cnt"), col("rank"))
   }
 
+  /** Distinguishing-token card per group: [[vocabTopK]] re-ranked by
+    * an EXACT-INTEGER distinctiveness weight — `score = tf ·
+    * (n_groups − group_df + 1)` — so the card surfaces what makes each
+    * group DIFFERENT rather than the corpus-wide vocabulary every
+    * group shares: a token in every group weighs 1 (pure frequency
+    * fallback), a token unique to one group weighs n_groups. The
+    * weight is the rational-idf ORDERING at integer exactness (idf is
+    * monotone decreasing in df; so is this — no float, no log, no
+    * cross-engine rounding surface). The curation use is cluster
+    * inspection: "the quantizer put these 2M documents in one cell —
+    * what ARE they?" — the human-readable companion to
+    * [[Similarity.ivfDrift]]'s occupancy numbers (q162 composes the
+    * two over doc_id ↔ vec_id).
+    *
+    * Scale shape: one token explode into the (group, token) hash
+    * aggregate, a token-keyed join against the vocab-sized group-df
+    * table, a 1-row broadcast for the group count, then the
+    * bounded-heap [[Rank.topNPerGroup]] — k rows of state per group
+    * per task, never a per-group window sort. Ranking is (score desc,
+    * [[Dedup.hash60]] of the token asc) — the vocabTopK tie
+    * convention, cross-engine reproducible. Output: groupCol, rank,
+    * token, tf, group_df, score. */
+  def distinguishingTokens(df: DataFrame, groupCol: String, text: Column,
+      k: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val counts = scope.cache(
+      df.select(col(groupCol), explode(split(text, " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col(groupCol), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__tid", Dedup.hash60(col("token"))))
+    val dfc = counts.groupBy(col("token")).agg(count(lit(1)).as("__dfc"))
+    val ng = counts.select(col(groupCol)).distinct()
+      .agg(count(lit(1)).as("__ng"))
+    val scored = counts.join(dfc, "token").crossJoin(broadcast(ng))
+      .withColumn("__score",
+        col("cnt") * (col("__ng") - col("__dfc") + lit(1L)))
+    Rank.topNPerGroup(scored, Seq(groupCol), "__tid", "__score", k)
+      .join(scored.select(col(groupCol), col("token"), col("cnt"),
+          col("__dfc"), col("__tid").as("id")),
+        Seq(groupCol, "id"))
+      .select(col(groupCol), col("rank"), col("token"),
+        col("cnt").as("tf"), col("__dfc").as("group_df"),
+        col("score").cast("long").as("score"))
+  }
+
   /** Per-document script/character-class mix — the cheap signal a
     * multilingual curation pass cuts on before any model-based langid:
     * fractions of Latin letters, digits, whitespace, CJK ideographs

@@ -628,6 +628,31 @@ class CurationOpsSpec extends AnyFunSuite {
       ("de", "x", 2L, 1L), ("de", "y", 1L, 2L)))
   }
 
+  test("distinguishingTokens: group-unique token outranks a more frequent shared one") {
+    // "the" is everywhere (df=3, weight 1); each group's marker token is
+    // unique (df=1, weight 3) and outranks it despite lower tf
+    val docs = Seq(
+      ("a", "the the the alpha alpha"),
+      ("b", "the the the beta"),
+      ("c", "the the gamma gamma gamma gamma")).toDF("g", "text")
+    val got = TextAnalysis.distinguishingTokens(docs, "g", col("text"), k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // scores: alpha 2·3=6 vs the 3·1=3; beta 1·3=3 vs the 3·1=3 (tie →
+    // hash60 order decides); gamma 4·3=12
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val bTop = Seq("beta", "the").sortBy(h60).head
+    val bRow = if (bTop == "beta") ("b", 1L, "beta", 1L, 1L, 3L)
+      else ("b", 1L, "the", 3L, 3L, 3L)
+    assert(got == Set(
+      ("a", 1L, "alpha", 2L, 1L, 6L), bRow,
+      ("c", 1L, "gamma", 4L, 1L, 12L)))
+  }
+
   test("vocabTopK: k larger than the vocabulary returns the whole vocabulary ranked") {
     val docs = Seq(("en", "p q p")).toDF("lang", "text")
     val got = TextAnalysis.vocabTopK(docs, "lang", col("text"), k = 10)
