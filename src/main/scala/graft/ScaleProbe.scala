@@ -425,6 +425,15 @@ object ScaleProbe {
         graft.ops.Retrieval.bm25TopK(docs, "doc_id", col("text"),
           queries, "query_id", col("qtext"), k = 10, scope = sc).count()
       }),
+      // q163's exact shape — positional shingle explode (∝ corpus
+      // tokens), duplicated-sliver semi-join, per-doc island window;
+      // the red line is the distinct-doc aggregate over hot shingles
+      // bending super-linear (the probe corpus has the same every-20th
+      // near-dup rate as the fixture)
+      "dup_spans" -> (() => CacheScope.using { sc =>
+        Dedup.duplicatedSpans(docs, "doc_id", col("text"),
+          n = 8, minDocs = 2, scope = sc).count()
+      }),
       // q158's exact shape — both retrieval arms at k=20 plus the RRF
       // fuse; the red line is whichever arm bends (bm25's corpus-keyed
       // doc-length join or the brute cosine scan) — the fuse layer is

@@ -2343,6 +2343,16 @@ object SparkEntry {
     TextAnalysis.distinguishingTokens(clustered, "cell", col("text"), k = 3)
   }
 
+  /** q163: maximal duplicated token spans ([[Dedup.duplicatedSpans]],
+    * n = 8, minDocs = 2) — the exact-substring dedup unit (Lee et al.):
+    * character-exact shared runs coalesced to their maximal extent,
+    * reported per document with 1-based token boundaries. On the
+    * fixture the spans are the mutated every-20th near-dup pairs'
+    * shared prefixes/suffixes. */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(cpuTable(s, dir, "documents"), "doc_id",
+      col("text"), n = 8, minDocs = 2)
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2508,6 +2518,7 @@ object SparkEntry {
     "q160_ivf_drift" -> (qIvfDrift _),
     "q161_ivf_refit" -> (qIvfRefit _),
     "q162_cluster_card" -> (qClusterCard _),
+    "q163_dup_spans" -> (qDupSpans _),
   )
 
   // ------------------------------------------------------------------ //
@@ -5541,6 +5552,29 @@ object SparkEntry {
         |  token, CAST(tf AS BIGINT) AS tf, CAST(dfc AS BIGINT) AS group_df,
         |  CAST(score AS BIGINT) AS score
         |FROM rk WHERE rank <= 3""".stripMargin,
+
+    // Positional 8-shingles, distinct-doc duplicated set, islands via
+    // the pos − row_number trick, maximal spans with 1-based token
+    // boundaries and exact span text.
+    "q163_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |we AS (SELECT * FROM w WHERE len(ws) >= 8),
+        |g AS (SELECT doc_id, ws, i AS pos,
+        |   array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM we, lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |hot AS (SELECT sh FROM g GROUP BY sh
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT g.doc_id, g.ws, g.pos FROM g JOIN hot USING (sh)),
+        |isl AS (SELECT doc_id, ws, pos, pos - row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+        |sp AS (SELECT doc_id, min(pos) AS a, max(pos) AS b,
+        |   any_value(ws) AS ws FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(a AS BIGINT) AS span_start,
+        |  CAST(b + 7 AS BIGINT) AS span_end,
+        |  CAST(b - a + 8 AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[a:b+7], ' ') AS span_text
+        |FROM sp""".stripMargin,
   )
 
   /** q159's oracle: the q26 brute-cosine shortlist (top `m` per query),

@@ -215,6 +215,66 @@ object Dedup {
         col("n_spans_dropped"))
   }
 
+  /** MAXIMAL duplicated token spans — the exact-substring dedup unit of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (the suffix-array pass, re-expressed relationally): a
+    * position is duplicated when its `n`-token shingle occurs in at
+    * least `minDocs` DISTINCT documents; consecutive duplicated
+    * positions then coalesce into maximal spans (the gaps-and-islands
+    * `pos − row_number` trick), so the output is exactly the
+    * longest-run regions a dedup pass would cut — not fixed chunks
+    * ([[boilerplateSpans]]' unit) and not document pairs (the MinHash
+    * family's): character-exact shared RUNS, each reported once per
+    * document with 1-based token boundaries and the span text.
+    *
+    * Scale shape: one positional shingle explode (docs shorter than n
+    * are filtered BEFORE the `sequence` so it never runs descending),
+    * cached once through `scope`; the duplicated-shingle set is a
+    * per-md5 distinct-doc hash aggregate (two-level partials) and
+    * comes back as a left-semi probe — at corpus scale it is the
+    * sliver of shingles that ARE duplicated, never the corpus. The
+    * island merge is a per-document window over that sliver's
+    * positions (bounded by document length, the sessionize shape).
+    * Keys are the span's full 128-bit md5 (birthday-safe), like
+    * [[chunkDedup]]. Output: idCol, span_start, span_end (1-based
+    * inclusive token indexes), n_tokens, span_text. */
+  def duplicatedSpans(df: DataFrame, idCol: String, text: Column,
+      n: Int = 8, minDocs: Int = 2,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(n >= 2, s"n >= 2, got $n")
+    require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val shingled = scope.cache(df
+      .select(col(idCol), split(text, " ").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(1), size(col("__ws")) - lit(n - 1))).as("pos"))
+      .withColumn("__k",
+        md5(array_join(slice(col("__ws"), col("pos"), lit(n)), " "))))
+    val hot = shingled.groupBy(col("__k"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__k"))
+    val dup = shingled.join(hot, Seq("__k"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // the words array stays OUT of the span aggregate (First over an
+    // array falls back to SortAggregate — the plan gate's red line);
+    // spans join back to a one-row-per-doc words table read from the
+    // same cache (the pos = 1 slice exists for every doc ≥ n tokens)
+    val words = shingled.filter(col("pos") === 1)
+      .select(col(idCol), col("__ws"))
+    dup.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("__a"), max(col("pos")).as("__b"))
+      .join(words, Seq(idCol))
+      .select(col(idCol),
+        col("__a").cast("long").as("span_start"),
+        (col("__b") + lit(n - 1)).cast("long").as("span_end"),
+        (col("__b") - col("__a") + lit(n)).cast("long").as("n_tokens"),
+        array_join(slice(col("__ws"), col("__a"),
+          col("__b") - col("__a") + lit(n)), " ").as("span_text"))
+  }
+
   // ---------------------------------------------------------------- text
 
   /** Distinct word `n`-gram shingles of a whitespace-tokenized text.

@@ -257,6 +257,57 @@ class TextPipelineOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  //  duplicatedSpans                                                  //
+  // ---------------------------------------------------------------- //
+
+  private def spans(rows: (Long, String)*)(n: Int, minDocs: Int) =
+    graft.ops.Dedup.duplicatedSpans(rows.toSeq.toDF("doc_id", "text"),
+      "doc_id", col("text"), n, minDocs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  test("duplicatedSpans: one mutated token splits a shared run into " +
+      "two maximal spans with exact boundaries") {
+    val a = (1 to 20).map("t" + _).mkString(" ")
+    val b = (1 to 20).map(i => if (i == 10) "zz" else "t" + i).mkString(" ")
+    val got = spans(1L -> a, 2L -> b)(n = 8, minDocs = 2)
+    // 8-windows at positions 1..13; windows covering position 10
+    // (p in 3..10) differ between the docs → duplicated positions are
+    // {1,2} and {11,12,13} in BOTH docs: spans [1..9] and [11..20]
+    def tok(lo: Int, hi: Int, doc: Long) =
+      (lo to hi).map(i => if (i == 10 && doc == 2L) "zz" else "t" + i)
+        .mkString(" ")
+    assert(got === Seq(
+      (1L, 1L, 9L, 9L, tok(1, 9, 1L)),
+      (1L, 11L, 20L, 10L, tok(11, 20, 1L)),
+      (2L, 1L, 9L, 9L, tok(1, 9, 2L)),
+      (2L, 11L, 20L, 10L, tok(11, 20, 2L))))
+  }
+
+  test("duplicatedSpans: identical docs report one full-length span each") {
+    val t = (1 to 12).map("w" + _).mkString(" ")
+    val got = spans(1L -> t, 2L -> t)(n = 8, minDocs = 2)
+    assert(got === Seq((1L, 1L, 12L, 12L, t), (2L, 1L, 12L, 12L, t)))
+  }
+
+  test("duplicatedSpans: unique and too-short docs yield nothing") {
+    val got = spans(
+      1L -> (1 to 12).map("u" + _).mkString(" "),  // unique content
+      2L -> "a b c",                               // shorter than n
+      3L -> "a b c")(n = 8, minDocs = 2)
+    assert(got.isEmpty)
+  }
+
+  test("duplicatedSpans: minDocs counts DISTINCT documents, not occurrences") {
+    // the run repeats TWICE inside doc 1 but exists in no other doc
+    val run = (1 to 8).map("r" + _).mkString(" ")
+    val got = spans(1L -> s"$run x y z $run", 2L -> "p q")(n = 8, minDocs = 2)
+    assert(got.isEmpty)
+  }
+
+  // ---------------------------------------------------------------- //
   //  mixtureByBudget                                                  //
   // ---------------------------------------------------------------- //
 
