@@ -2345,10 +2345,12 @@ object SparkEntry {
 
   /** q163: maximal duplicated token spans ([[Dedup.duplicatedSpans]],
     * n = 8, minDocs = 2) — the exact-substring dedup unit (Lee et al.):
-    * character-exact shared runs coalesced to their maximal extent,
-    * reported per document with 1-based token boundaries. On the
-    * fixture the spans are the mutated every-20th near-dup pairs'
-    * shared prefixes/suffixes. */
+    * duplicated runs coalesced by token-interval union into DISJOINT
+    * maximal regions (r17: overlapping/touching spans merge, so the
+    * rows can feed a cutter directly — see q164), reported per
+    * document with 1-based token boundaries. On the fixture the spans
+    * are the mutated every-20th near-dup pairs' shared
+    * prefixes/suffixes. */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedSpans(cpuTable(s, dir, "documents"), "doc_id",
       col("text"), n = 8, minDocs = 2)
@@ -5427,7 +5429,7 @@ object SparkEntry {
     // All six MMR greedy steps unrolled (the q155 discipline): each
     // step's max-penalty aggregate and argmax replayed verbatim, the
     // 1−λ weight formed by the same 1.0 − 0.7 IEEE subtraction.
-    "q159_mmr_diversify" -> mmrSql(k = 6, m = 20, lambda = "0.7"),
+    "q159_mmr_diversify" -> mmrSql(k = 6, m = 20, lambda = 0.7),
 
     // Standing-only fit unroll (predicate-filtered kmeansFitCtes),
     // both assignment passes, exact-integer bp stats; the +10000·n
@@ -5523,14 +5525,15 @@ object SparkEntry {
         |FROM c2 LEFT JOIN bef USING (cid) LEFT JOIN aft USING (cid)""".stripMargin,
 
     // The q156 fit + assignment, documents joined on doc_id = vec_id,
-    // (cell, token) counts, the exact 2·df ≤ n_groups stopword cut,
-    // top-3 by (count desc, md5-hash60(token) asc) — vocabTopK's heap
-    // tie convention.
+    // (cell, token) counts scored by the exact-integer distinctiveness
+    // weight tf·(n_groups − group_df + 1), top-3 by (score desc,
+    // md5-hash60(token) asc) — vocabTopK's heap tie convention.
     "q162_cluster_card" ->
       s"""WITH ${kmeansFitCtes(2, IvfCells)},
         |av0 AS (SELECT e.vec_id, c.cid,
         |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
-        | FROM embeddings e CROSS JOIN c2 c),
+        | FROM embeddings e CROSS JOIN c2 c
+        | WHERE e.embedding IS NOT NULL),
         |av AS (SELECT vec_id, cid FROM av0
         |  QUALIFY row_number() OVER (PARTITION BY vec_id
         |    ORDER BY cc DESC, cid ASC) = 1),
@@ -5553,9 +5556,10 @@ object SparkEntry {
         |  CAST(score AS BIGINT) AS score
         |FROM rk WHERE rank <= 3""".stripMargin,
 
-    // Positional 8-shingles, distinct-doc duplicated set, islands via
-    // the pos − row_number trick, maximal spans with 1-based token
-    // boundaries and exact span text.
+    // Positional 8-shingles, distinct-doc duplicated set, interval-union
+    // islands (a start opens a new region when its gap to the previous
+    // start exceeds n — spans merge while they overlap or touch), maximal
+    // disjoint regions with 1-based token boundaries and exact span text.
     "q163_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -5566,8 +5570,11 @@ object SparkEntry {
         |hot AS (SELECT sh FROM g GROUP BY sh
         |  HAVING count(DISTINCT doc_id) >= 2),
         |d AS (SELECT g.doc_id, g.ws, g.pos FROM g JOIN hot USING (sh)),
-        |isl AS (SELECT doc_id, ws, pos, pos - row_number() OVER (
-        |   PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+        |lg AS (SELECT doc_id, ws, pos, CASE WHEN pos - lag(pos) OVER (
+        |   PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS opens
+        | FROM d),
+        |isl AS (SELECT doc_id, ws, pos, sum(opens) OVER (
+        |   PARTITION BY doc_id ORDER BY pos) AS grp FROM lg),
         |sp AS (SELECT doc_id, min(pos) AS a, max(pos) AS b,
         |   any_value(ws) AS ws FROM isl GROUP BY doc_id, grp)
         |SELECT doc_id, CAST(a AS BIGINT) AS span_start,
@@ -5580,8 +5587,16 @@ object SparkEntry {
   /** q159's oracle: the q26 brute-cosine shortlist (top `m` per query),
     * pairwise round-6dp cosines, then `k` unrolled greedy MMR steps —
     * sel_i CTEs accumulate picks, each r_i scores the unpicked
-    * remainder against max similarity to the picked set. */
-  private def mmrSql(k: Int, m: Int, lambda: String): String = {
+    * remainder against max similarity to the picked set. Both weights
+    * are interpolated as the JVM-computed doubles in full repr and
+    * CAST to DOUBLE (a bare `1.0 - 0.7` would evaluate in DuckDB
+    * DECIMAL — exactly 0.3 → double 0.2999999999999999889 — while the
+    * engine's lit(1.0) − lit(0.7) folds to IEEE 0.30000000000000004:
+    * 1 ulp apart, r16 ADVICE), so both engines provably share the
+    * weights. */
+  private def mmrSql(k: Int, m: Int, lambda: Double): String = {
+    val wRel = s"CAST($lambda AS DOUBLE)"
+    val wDiv = s"CAST(${1.0 - lambda} AS DOUBLE)"
     val head =
       s"""cq AS (SELECT vec_id AS qid, embedding AS qv
         |  FROM embeddings WHERE vec_id < 5),
@@ -5596,9 +5611,9 @@ object SparkEntry {
         | FROM cand x JOIN cand y ON x.qid = y.qid AND x.id <> y.id),
         |s1 AS (SELECT qid, id, rel, mmrd FROM (
         |  SELECT qid, id, rel,
-        |    CAST(round($lambda * rel, 9) AS DECIMAL(19,9)) AS mmrd,
+        |    CAST(round($wRel * rel, 9) AS DECIMAL(19,9)) AS mmrd,
         |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY CAST(round($lambda * rel, 9) AS DECIMAL(19,9)) DESC,
+        |      ORDER BY CAST(round($wRel * rel, 9) AS DECIMAL(19,9)) DESC,
         |        id ASC) AS rn
         |  FROM cand) WHERE rn = 1),
         |sel1 AS (SELECT qid, id FROM s1)""".stripMargin
@@ -5607,8 +5622,8 @@ object SparkEntry {
         | FROM ps JOIN sel${i - 1} s ON ps.qid = s.qid AND ps.b = s.id
         | GROUP BY 1, 2),
         |r$i AS (SELECT c.qid, c.id, c.rel,
-        |   CAST(round($lambda * c.rel, 9) AS DECIMAL(19,9))
-        |     - CAST(round((1.0 - $lambda) * m.ms, 9) AS DECIMAL(19,9))
+        |   CAST(round($wRel * c.rel, 9) AS DECIMAL(19,9))
+        |     - CAST(round($wDiv * m.ms, 9) AS DECIMAL(19,9))
         |     AS mmrd
         | FROM cand c JOIN ms$i m ON c.qid = m.qid AND c.id = m.id
         | WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
@@ -5632,7 +5647,8 @@ object SparkEntry {
       s"""WITH ${kmeansFitCtes(2, IvfCells)},
         |av0 AS (SELECT e.vec_id, e.embedding, c.cid,
         |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
-        | FROM embeddings e CROSS JOIN c2 c),
+        | FROM embeddings e CROSS JOIN c2 c
+        | WHERE e.embedding IS NOT NULL),
         |av AS (SELECT vec_id, embedding, cid FROM av0
         |  QUALIFY row_number() OVER (PARTITION BY vec_id
         |    ORDER BY cc DESC, cid ASC) = 1),

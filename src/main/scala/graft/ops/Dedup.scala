@@ -219,13 +219,20 @@ object Dedup {
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (the suffix-array pass, re-expressed relationally): a
     * position is duplicated when its `n`-token shingle occurs in at
-    * least `minDocs` DISTINCT documents; consecutive duplicated
-    * positions then coalesce into maximal spans (the gaps-and-islands
-    * `pos − row_number` trick), so the output is exactly the
-    * longest-run regions a dedup pass would cut — not fixed chunks
-    * ([[boilerplateSpans]]' unit) and not document pairs (the MinHash
-    * family's): character-exact shared RUNS, each reported once per
-    * document with 1-based token boundaries and the span text.
+    * least `minDocs` DISTINCT documents; duplicated positions then
+    * coalesce by TOKEN-INTERVAL UNION — start positions merge while the
+    * next span's interval overlaps or touches the previous one's
+    * (`next_start ≤ prev_end + 1`, i.e. position gap ≤ n) — so the
+    * output is the DISJOINT maximal duplicated regions a Lee-et-al
+    * cutter cuts directly, with no double-reported overlap between
+    * rows (the r16 fix: consecutive-position islands emitted spans
+    * overlapping by up to n−2 tokens when positions p and p+2 were
+    * duplicated via different partner docs but p+1 was not). Not fixed
+    * chunks ([[boilerplateSpans]]' unit) and not document pairs (the
+    * MinHash family's): each region is a union of overlapping/adjacent
+    * duplicated n-token runs (the region as a WHOLE need not recur
+    * elsewhere as one run), reported once per document with 1-based
+    * token boundaries and the span text.
     *
     * Scale shape: one positional shingle explode (docs shorter than n
     * are filtered BEFORE the `sequence` so it never runs descending),
@@ -263,7 +270,14 @@ object Dedup {
     // same cache (the pos = 1 slice exists for every doc ≥ n tokens)
     val words = shingled.filter(col("pos") === 1)
       .select(col(idCol), col("__ws"))
-    dup.withColumn("__grp", col("pos") - row_number().over(w))
+    // interval-union islands: a start opens a NEW region only when its
+    // span cannot overlap or touch the previous start's (gap > n); the
+    // region id is the running count of such openers — two ordered
+    // window passes over the duplicated sliver, same sessionize shape
+    dup.withColumn("__opens",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__opens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("__grp"))
       .agg(min(col("pos")).as("__a"), max(col("pos")).as("__b"))
       .join(words, Seq(idCol))

@@ -893,10 +893,11 @@ object Similarity {
         .filter(col("__a") =!= col("__b"))
         .select(col(qidCol), col("__a"), col("__b"),
           cosine(col("__va"), col("__vb")).as("__sim")))
-    // both weights as folded literals: λ verbatim, 1−λ as the SAME
-    // IEEE subtraction an external engine writes (1.0 - λ); each
-    // product rounded to 9 dp and the subtraction done in decimal so
-    // no engine can FMA-contract the a·b − c·d tree
+    // both weights as folded literals: λ verbatim, 1−λ computed ONCE
+    // on the JVM and shipped to the oracle in full repr (a re-derived
+    // decimal `1.0 - λ` lands 1 ulp away from the IEEE fold — r16
+    // ADVICE); each product rounded to 9 dp and the subtraction done
+    // in decimal so no engine can FMA-contract the a·b − c·d tree
     val wRel = lit(lambda)
     val wDiv = lit(1.0) - lit(lambda)
     def dec9(c: Column): Column = round(c, 9).cast("decimal(19,9)")

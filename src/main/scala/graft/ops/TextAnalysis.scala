@@ -269,8 +269,13 @@ object TextAnalysis {
     * group shares: a token in every group weighs 1 (pure frequency
     * fallback), a token unique to one group weighs n_groups. The
     * weight is the rational-idf ORDERING at integer exactness (idf is
-    * monotone decreasing in df; so is this — no float, no log, no
-    * cross-engine rounding surface). The curation use is cluster
+    * monotone decreasing in df; so is this — no log, no cross-engine
+    * rounding surface, with ONE bound: [[Rank.topNPerGroup]]'s heap
+    * keys the score as a double, so scores past 2⁵³ (tf · n_groups ≳
+    * 9·10¹⁵ — a quadrillion-token group) can collide in the heap's
+    * ordering even though the EMITTED score column stays exact
+    * integer; keep tf · (n_groups + 1) under 2⁵³ or rank on a
+    * pre-scaled score). The curation use is cluster
     * inspection: "the quantizer put these 2M documents in one cell —
     * what ARE they?" — the human-readable companion to
     * [[Similarity.ivfDrift]]'s occupancy numbers (q162 composes the

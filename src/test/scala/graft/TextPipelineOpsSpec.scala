@@ -286,6 +286,24 @@ class TextPipelineOpsSpec extends AnyFunSuite {
       (2L, 11L, 20L, 10L, tok(11, 20, 2L))))
   }
 
+  test("duplicatedSpans: overlapping spans via DIFFERENT partner runs " +
+      "merge into one disjoint region (interval union)") {
+    // doc 1 = t1..t20; doc 2 carries t1..t8 and t3..t10 as separate
+    // runs (an 'x' between them), so doc 1's duplicated start positions
+    // are {1, 3} — position 2 is NOT duplicated, yet the two spans
+    // overlap by 6 tokens. Interval union reports ONE region [1, 10].
+    val t = (1 to 20).map("t" + _)
+    val a = t.mkString(" ")
+    val b = (t.take(8) ++ Seq("x") ++ t.slice(2, 10)).mkString(" ")
+    val got = spans(1L -> a, 2L -> b)(n = 8, minDocs = 2)
+    assert(got.filter(_._1 == 1L) ===
+      Seq((1L, 1L, 10L, 10L, t.take(10).mkString(" "))))
+    // doc 2's duplicated starts are {1, 10}: gap 9 > n → two regions
+    assert(got.filter(_._1 == 2L) === Seq(
+      (2L, 1L, 8L, 8L, t.take(8).mkString(" ")),
+      (2L, 10L, 17L, 8L, t.slice(2, 10).mkString(" "))))
+  }
+
   test("duplicatedSpans: identical docs report one full-length span each") {
     val t = (1 to 12).map("w" + _).mkString(" ")
     val got = spans(1L -> t, 2L -> t)(n = 8, minDocs = 2)
