@@ -62,7 +62,8 @@ object Explain {
     "q94_snapshot_diff", "q95_lm_score", "q96_dsir_weights",
     "q97_source_card", "q98_kmeans_step", "q155_kmeans_fit",
     "q156_ivf_fitted", "q158_hybrid_rrf", "q160_ivf_drift",
-    "q161_ivf_refit", "q162_cluster_card", "q163_dup_spans")
+    "q161_ivf_refit", "q162_cluster_card", "q163_dup_spans",
+    "q164_span_cut", "q165_knn_sampled_fit")
 
   /** CPU-heavy queries whose FINAL plan is truncated by an eager
     * `localCheckpoint` inside an iterative op (PageRank rounds), so the

@@ -435,6 +435,20 @@ object SparkEntry {
   private val IvfCells = 32
   private val IvfProbe = 4
 
+  /** q165's quantizer-training sample fraction: deterministic hash
+    * membership (`hash60("ivf" || vec_id) % 10⁴ < 2500`), so both
+    * engines and any rerun see the identical training set. 1/4 keeps
+    * ~125 sampled vectors at sf0.01 — comfortably above the 32 seeds —
+    * while exercising the real sample-fit path end to end. */
+  private val SampleFitFraction = 0.25
+
+  /** [[SampleFitFraction]]'s membership predicate in DuckDB —
+    * [[graft.ops.Sampling.hashSample]]("vec_id", 0.25, "ivf") exactly
+    * (the cross-engine hash60 identity, seed prepended). */
+  private val SamplePredSql: String =
+    "CAST(('0x'||substr(md5('ivf'||CAST(vec_id AS VARCHAR)),1,15)) " +
+      "AS BIGINT) % 10000 < 2500"
+
   /** Registered multi-probe depth for semantic dedup (q64, and q118's
     * first stage): each cell's representative registers under its own
     * cell plus `SemProbes − 1` least-confident sign flips
@@ -665,7 +679,7 @@ object SparkEntry {
   private def qKnnJoin(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoinIvf(cpuTable(s, dir, "embeddings"), "vec_id",
       "embedding", k = 3, centroids = fittedCentroids(s, dir),
-      nProbe = IvfProbe, maxBucket = LshMaxBucket)
+      nProbe = IvfProbe, maxCellOccupancy = LshMaxBucket)
 
   /** q46's kNN join with quantized coarse scoring + full-precision
     * rerank ([[Similarity.knnJoinIvfQuantized]]): the candidate hot
@@ -675,7 +689,45 @@ object SparkEntry {
   private def qKnnQuantized(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoinIvfQuantized(cpuTable(s, dir, "embeddings"), "vec_id",
       "embedding", k = 3, centroids = fittedCentroids(s, dir),
-      nProbe = IvfProbe, coarseK = 10, maxBucket = LshMaxBucket)
+      nProbe = IvfProbe, coarseK = 10, maxCellOccupancy = LshMaxBucket)
+
+  /** q165's quantizer: 2 Lloyd rounds trained on the fitFraction =
+    * [[SampleFitFraction]] deterministic hash sample ([[Similarity
+    * .kmeansFitInt8]]'s r17 knob), seeded by the [[IvfCells]]
+    * LOWEST-ID SAMPLED vectors — the whole model history is
+    * sample-pure, so the oracle unrolls it with the sample as a WHERE
+    * predicate and an ORDER BY/LIMIT seed rule. Memoized like
+    * [[fittedCentroids]]. */
+  private def sampledCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
+    CacheScope.session.model(
+        ("sampledCentroids", dir, IvfCells, 2, SampleFitFraction)) {
+      val all = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val sample = graft.ops.Sampling.hashSample(
+        all, "vec_id", SampleFitFraction, "ivf")
+      val seeds = sample.orderBy(col("vec_id")).limit(IvfCells)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq.sortBy(_._1)
+      Similarity.kmeansFitInt8(all, "embedding", seeds, iters = 2,
+        fitFraction = SampleFitFraction, fitIdCol = "vec_id",
+        fitSeed = "ivf")
+    }
+
+  /** q165: the SCALE-SAFE kNN join shape — [[Similarity.knnJoinIvf]]
+    * over a quantizer FIT ON A SAMPLE ([[sampledCentroids]]): the
+    * deployment build for a growing corpus, where cells grow ∝ corpus
+    * and a full-corpus fit would itself be the quadratic term (rounds ×
+    * corpus × cells cosines). q46 stays the fixture-tuned default
+    * (full fit at 32 cells — occupancy is the right trade at 2k
+    * vectors); this query registers the sample-fit path the 30× probe
+    * validated (exponent 0.54, full row counts — SCALING.md
+    * "cap-masking catch") so the sampled model history is
+    * oracle-pinned end to end. Same k/nProbe/guard as q46. */
+  private def qKnnSampledFit(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinIvf(cpuTable(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 3, centroids = sampledCentroids(s, dir),
+      nProbe = IvfProbe, maxCellOccupancy = LshMaxBucket)
 
   /** Ranking-window family (lag/lead — absent from the reference,
     * SURVEY §2.7): per-user event sequencing with the previous event's
@@ -2219,20 +2271,45 @@ object SparkEntry {
       fittedCentroids(s, dir), k = 5, nProbe = 2)
   }
 
-  /** The registered fitted coarse quantizer (q46/q62/q156/q149): 2
-    * Lloyd rounds ([[Similarity.kmeansFitInt8]]) from the [[IvfCells]]
-    * lowest-id seeds — a bounded cells-row model fetch per round,
-    * never data. Each consuming query runs the fit itself
-    * (self-contained; oracles unroll the rounds via [[kmeansFitCtes]]
-    * at the same cell count); a deployment fits once offline. */
-  private def fittedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] = {
-    val seeds = table(s, dir, "embeddings").filter(col("vec_id") < IvfCells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
-    Similarity.kmeansFitInt8(
-      table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-      "embedding", seeds, iters = 2)
-  }
+  /** The registered fitted coarse quantizer (q46/q62/q149/q156/q162):
+    * 2 Lloyd rounds ([[Similarity.kmeansFitInt8]]) from the
+    * [[IvfCells]] lowest-id seeds — a bounded cells-row model fetch
+    * per round, never data. Each consuming query's ORACLE unrolls the
+    * fit itself (self-contained, [[kmeansFitCtes]] at the same cell
+    * count); the engine-side fit is memoized per (corpus dir, cells,
+    * iters) through the session [[CacheScope]]'s model cache, so one
+    * Verify/Bench pass pays the identical deterministic fit once
+    * instead of once per consumer (~1.3 s × 5, the r16 verdict item) —
+    * exactly the fit-once-amortize-everywhere shape a deployment runs.
+    * Determinism (int8-exact updates, fixed seeds/rounds) is what
+    * makes the memo invisible to correctness. */
+  private def fittedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
+    CacheScope.session.model(("fittedCentroids", dir, IvfCells, 2)) {
+      val seeds = table(s, dir, "embeddings").filter(col("vec_id") < IvfCells)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+      Similarity.kmeansFitInt8(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "embedding", seeds, iters = 2)
+    }
+
+  /** q160/q161's STANDING quantizer — the q156-discipline fit restricted
+    * to the standing three quarters (vec_id % 4 ≠ 0, 43 lowest-id
+    * standing seeds ⇒ 32 cells), memoized like [[fittedCentroids]]:
+    * both maintenance queries replay the same model history, so the
+    * fit is keyed once per corpus. */
+  private def standingCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
+    CacheScope.session.model(("standingCentroids", dir, 43, 2)) {
+      val seeds = table(s, dir, "embeddings")
+        .filter(col("vec_id") % 4 =!= 0 && col("vec_id") < 43)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq.sortBy(_._1)
+      Similarity.kmeansFitInt8(
+        table(s, dir, "embeddings").filter(col("vec_id") % 4 =!= 0)
+          .select(col("vec_id"), col("embedding")),
+        "embedding", seeds, iters = 2)
+    }
 
   /** q158: hybrid lexical ⊕ vector retrieval — the q82 BM25 top-20 and
     * the q26 brute-cosine top-20 (same doc_id ↔ vec_id key space)
@@ -2286,15 +2363,8 @@ object SparkEntry {
     val emb = cpuTable(s, dir, "embeddings")
     val standing = emb.filter(col("vec_id") % 4 =!= 0)
     val batch = emb.filter(col("vec_id") % 4 === 0)
-    val seeds = table(s, dir, "embeddings")
-      .filter(col("vec_id") % 4 =!= 0 && col("vec_id") < 43)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_._1)
-    val cents = Similarity.kmeansFitInt8(
-      standing.select(col("vec_id"), col("embedding")), "embedding",
-      seeds, iters = 2)
-    Similarity.ivfDrift(standing, batch, "embedding", cents,
+    Similarity.ivfDrift(standing, batch, "embedding",
+      standingCentroids(s, dir),
       cohesionFloorBp = 3500, growthCapBp = 5000)
   }
 
@@ -2308,15 +2378,7 @@ object SparkEntry {
     * emitted count is hash-pinned through the entire model history. */
   private def qIvfRefit(s: SparkSession, dir: String): DataFrame = {
     val emb = cpuTable(s, dir, "embeddings")
-    val standing = emb.filter(col("vec_id") % 4 =!= 0)
-    val seeds = table(s, dir, "embeddings")
-      .filter(col("vec_id") % 4 =!= 0 && col("vec_id") < 43)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_._1)
-    val oldC = Similarity.kmeansFitInt8(
-      standing.select(col("vec_id"), col("embedding")), "embedding",
-      seeds, iters = 2)
+    val oldC = standingCentroids(s, dir)
     val newC = Similarity.kmeansFitInt8(
       emb.select(col("vec_id"), col("embedding")), "embedding",
       oldC, iters = 1)
@@ -2353,6 +2415,19 @@ object SparkEntry {
     * prefixes/suffixes. */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedSpans(cpuTable(s, dir, "documents"), "doc_id",
+      col("text"), n = 8, minDocs = 2)
+
+  /** q164: exact-substring span-cut dedup ([[Dedup.spanCutDedup]],
+    * n = 8, minDocs = 2) — the CUTTER q163's regions exist for (Lee et
+    * al.'s actual dedup step): each duplicated run keeps its first
+    * corpus-wide occurrence, every other occurrence's tokens are cut,
+    * and the surviving text reassembles per document — the
+    * exact-substring analogue of q56's chunk-level keep-earliest.
+    * Every document survives with clean text + kept/cut counts, so the
+    * output chains into the q91 curation pipeline shape (filter on
+    * n_tokens_kept, feed dedup_text downstream). */
+  private def qSpanCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanCutDedup(cpuTable(s, dir, "documents"), "doc_id",
       col("text"), n = 8, minDocs = 2)
 
   // ------------------------------------------------------------------ //
@@ -2521,6 +2596,8 @@ object SparkEntry {
     "q161_ivf_refit" -> (qIvfRefit _),
     "q162_cluster_card" -> (qClusterCard _),
     "q163_dup_spans" -> (qDupSpans _),
+    "q164_span_cut" -> (qSpanCut _),
+    "q165_knn_sampled_fit" -> (qKnnSampledFit _),
   )
 
   // ------------------------------------------------------------------ //
@@ -2711,11 +2788,21 @@ object SparkEntry {
     * LEFT JOIN coalesce. Quantization (kqv) is per-vector and computed
     * once, as in the engine. */
   private def kmeansFitCtes(iters: Int, kc: Int = 8,
-      pred: String = "TRUE"): String = {
-    val head =
-      s"""c0 AS (SELECT vec_id AS cid, embedding AS cvec
-        |  FROM embeddings WHERE vec_id < $kc AND ($pred)),
-        |kee AS (SELECT vec_id, embedding FROM embeddings
+      pred: String = "TRUE", seedLimit: Boolean = false): String = {
+    // two seed conventions: vec_id < kc (the fixture default — ids are
+    // dense so the bound IS the kc lowest) vs ORDER BY vec_id LIMIT kc
+    // (the kc lowest rows SATISFYING pred — required when pred is a
+    // hash sample, where a fixed id bound would yield a fraction-
+    // dependent seed count; q165's convention)
+    val c0 =
+      if (seedLimit)
+        s"""c0 AS (SELECT vec_id AS cid, embedding AS cvec
+          |  FROM embeddings WHERE ($pred) ORDER BY vec_id LIMIT $kc),""".stripMargin
+      else
+        s"""c0 AS (SELECT vec_id AS cid, embedding AS cvec
+          |  FROM embeddings WHERE vec_id < $kc AND ($pred)),""".stripMargin
+    val head = c0 + "\n" +
+      s"""kee AS (SELECT vec_id, embedding FROM embeddings
         |  WHERE embedding IS NOT NULL AND ($pred)),
         |kqz AS (SELECT vec_id, embedding, list_max(list_transform(embedding,
         |    x -> abs(CAST(x AS DOUBLE)))) AS s FROM kee),
@@ -2746,12 +2833,16 @@ object SparkEntry {
   }
 
   /** q46/q62's fitted-IVF skeleton: [[kmeansFitCtes]](2)'s fit, then
-    * per-vector cell assignment (vcell, capped at [[LshMaxBucket]] as
-    * vcap) and the nProbe-deep query probe list (vprobe) against the
-    * fitted centroids c2 — same comparator everywhere (round-6 cosine
-    * DESC, cid ASC; DuckDB's NaN-first-under-DESC = the engine's
-    * zero-vector rule). kqv carries both the float vectors (q46's
-    * scoring) and the int8 lists (q62's coarse scoring). */
+    * per-vector cell assignment (vcell) and the nProbe-deep query probe
+    * list (vprobe) against the fitted centroids c2 — same comparator
+    * everywhere (round-6 cosine DESC, cid ASC; DuckDB's
+    * NaN-first-under-DESC = the engine's zero-vector rule). kqv carries
+    * both the float vectors (q46's scoring) and the int8 lists (q62's
+    * coarse scoring). No occupancy filter: the engine's
+    * `maxCellOccupancy` guard FAIL-FASTS on an over-full cell instead
+    * of dropping it (r17 — the r16 cap-masking fix), so when the query
+    * runs at all, every cell participates; the fixture's occupancy
+    * (~63 of the [[LshMaxBucket]] bound) keeps the guard silent. */
   private def ivfKnnCtes(nProbe: Int): String =
     s"""${kmeansFitCtes(2, IvfCells)},
       |vass AS (SELECT kqv.vec_id, kqv.embedding, kqv.q, c.cid,
@@ -2760,8 +2851,6 @@ object SparkEntry {
       |vcell AS (SELECT vec_id, embedding, q, cid FROM vass
       |  QUALIFY row_number() OVER (PARTITION BY vec_id
       |    ORDER BY cc DESC, cid ASC) = 1),
-      |vcap AS (SELECT * FROM vcell
-      |  QUALIFY count(*) OVER (PARTITION BY cid) <= $LshMaxBucket),
       |vprobe AS (SELECT vec_id AS qid, embedding AS qv, q AS qq, cid
       |  FROM vass
       |  QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -3323,7 +3412,7 @@ object SparkEntry {
       s"""WITH ${ivfKnnCtes(IvfProbe)},
         |sc AS (SELECT p.qid, e.vec_id AS id,
         |  ${OSql.cosSql("e.embedding", "p.qv")} AS cos
-        | FROM vcap e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid)
+        | FROM vcell e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid)
         |SELECT qid, id, cos,
         | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
         |FROM sc
@@ -3586,7 +3675,7 @@ object SparkEntry {
       s"""WITH ${ivfKnnCtes(IvfProbe)},
         |co AS (SELECT p.qid, e.vec_id AS id,
         |  ${OSql.cosSql("e.q", "p.qq")} AS cc
-        | FROM vcap e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid),
+        | FROM vcell e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid),
         |short AS (SELECT qid, id FROM co
         |  QUALIFY row_number() OVER (PARTITION BY qid
         |    ORDER BY cc DESC, id ASC) <= 10),
@@ -5582,6 +5671,71 @@ object SparkEntry {
         |  CAST(b - a + 8 AS BIGINT) AS n_tokens,
         |  array_to_string(ws[a:b+7], ' ') AS span_text
         |FROM sp""".stripMargin,
+
+    // Positional 8-shingles with the packed (doc·2^20 + pos) owner key,
+    // duplicated set with corpus-first owners, token coverage resolved
+    // over the duplicated sliver (cut iff no covering occurrence owns),
+    // reassembly only for docs that lost tokens, pass-through otherwise.
+    "q164_span_cut" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, ws, i AS pos,
+        |   array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM (SELECT * FROM w WHERE len(ws) >= 8) we,
+        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |st AS (SELECT sh, min(doc_id * 1048576 + pos) AS own
+        |  FROM g GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT g.doc_id, g.pos,
+        |   (g.doc_id * 1048576 + g.pos = st.own) AS owned
+        | FROM g JOIN st USING (sh)),
+        |cv AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS t,
+        |   owned FROM d),
+        |ct AS (SELECT doc_id, t FROM cv GROUP BY doc_id, t
+        |  HAVING NOT bool_or(owned)),
+        |cc AS (SELECT doc_id, count(*) AS ncut FROM ct GROUP BY 1),
+        |tok AS (SELECT w.doc_id, ti.i AS t, ws[ti.i] AS wd
+        | FROM w JOIN cc USING (doc_id),
+        |   lateral unnest(generate_series(1, len(ws))) ti(i)),
+        |keep AS (SELECT tok.doc_id, tok.t, tok.wd FROM tok
+        | LEFT JOIN ct ON tok.doc_id = ct.doc_id AND tok.t = ct.t
+        | WHERE ct.t IS NULL),
+        |rb AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY t) AS rbt,
+        |   count(*) AS nk FROM keep GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CASE WHEN cc.doc_id IS NULL THEN array_to_string(ws, ' ')
+        |       ELSE coalesce(rb.rbt, '') END AS dedup_text,
+        |  CAST(CASE WHEN cc.doc_id IS NULL THEN len(ws)
+        |       ELSE coalesce(rb.nk, 0) END AS BIGINT) AS n_tokens_kept,
+        |  CAST(coalesce(cc.ncut, 0) AS BIGINT) AS n_tokens_cut
+        |FROM w LEFT JOIN cc USING (doc_id) LEFT JOIN rb USING (doc_id)""".stripMargin,
+
+    // The sample-fit model history unrolled: hash-sample membership as
+    // a WHERE predicate (pure function of vec_id — engine hashSample
+    // parity), seeds = the IvfCells lowest SAMPLED ids (ORDER BY/LIMIT
+    // rule), 2 Lloyd rounds over the sample only; assignment + probes
+    // then cover the FULL corpus — the scale-safe split (sampled fit,
+    // exhaustive assignment) of SCALING.md's 30× prescription.
+    "q165_knn_sampled_fit" ->
+      s"""WITH ${kmeansFitCtes(2, IvfCells, SamplePredSql, seedLimit = true)},
+        |fe AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |vass AS (SELECT fe.vec_id, fe.embedding, c.cid,
+        |  ${OSql.cosSql("fe.embedding", "c.cvec")} AS cc
+        | FROM fe CROSS JOIN c2 c),
+        |vcell AS (SELECT vec_id, embedding, cid FROM vass
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |vprobe AS (SELECT vec_id AS qid, embedding AS qv, cid FROM vass
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) <= $IvfProbe),
+        |sc AS (SELECT p.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "p.qv")} AS cos
+        | FROM vcell e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid)
+        |SELECT qid, id, cos,
+        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin,
   )
 
   /** q159's oracle: the q26 brute-cosine shortlist (top `m` per query),

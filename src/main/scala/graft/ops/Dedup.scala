@@ -289,6 +289,98 @@ object Dedup {
           col("__b") - col("__a") + lit(n)), " ").as("span_text"))
   }
 
+  /** Exact-substring SPAN-CUT dedup — the consumer [[duplicatedSpans]]
+    * reports FOR: the Lee-et-al pass that keeps each duplicated run's
+    * FIRST corpus-wide occurrence, cuts every other occurrence's
+    * tokens, and reassembles the surviving text (the exact-substring
+    * analogue of [[chunkDedup]]'s keep-earliest + reassemble, at token
+    * rather than chunk granularity).
+    *
+    * Semantics, fully relational: a position is duplicated when its
+    * `n`-token shingle occurs in ≥ `minDocs` DISTINCT documents; the
+    * duplicated shingle's OWNER is its first occurrence corpus-wide
+    * (minimum packed `doc·2²⁰ + pos` — [[chunkDedup]]'s keeper rule,
+    * so a within-document repeat keeps exactly one copy too); a token
+    * covered by ≥ 1 duplicated occurrence survives iff SOME covering
+    * occurrence in its document is an owner. Uncovered tokens always
+    * survive; a document that is entirely someone else's text comes
+    * back with empty `dedup_text` and `n_tokens_kept = 0` (dropping
+    * short survivors is a downstream filter's decision —
+    * [[boilerplateSpans]]' convention). Null-text documents are absent
+    * (the [[chunkDedup]] rule).
+    *
+    * Scale shape: the positional shingle explode is cached once
+    * through `scope` and feeds (a) the per-md5 (distinct-doc count,
+    * min-packed-owner) hash aggregate and (b) the join probe; the
+    * ownership join returns only the duplicated SLIVER, token coverage
+    * explodes that sliver n× (bounded — it is the duplicated fraction
+    * of the corpus, never the corpus), and REASSEMBLY re-explodes only
+    * documents that actually lost tokens (left-semi on the cut set) —
+    * untouched documents pass through as one narrow projection. Keys
+    * are the span md5 (birthday-safe); the packed owner key fail-fasts
+    * past [[MaxChunksPerDoc]] positions, riding the sequence bound so
+    * pruning can't drop it. Output: idCol, dedup_text, n_tokens_kept,
+    * n_tokens_cut. */
+  def spanCutDedup(df: DataFrame, idCol: String, text: Column,
+      n: Int = 8, minDocs: Int = 2,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(n >= 2, s"n >= 2, got $n")
+    require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
+    val base = df.select(col(idCol), split(text, " ").as("__ws"))
+      .filter(col("__ws").isNotNull)
+    val nRaw = (size(col("__ws")) - lit(n - 1)).cast("long")
+    val nPos = when(nRaw > MaxChunksPerDoc,
+      raise_error(concat(
+        lit(s"spanCutDedup: more than $MaxChunksPerDoc positions in doc "),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(nRaw)
+    val shingled = scope.cache(base
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(1L), nPos)).as("pos"))
+      .withColumn("__k",
+        md5(array_join(slice(col("__ws"), col("pos").cast("int"), lit(n)), " ")))
+      .withColumn("__dp",
+        col(idCol).cast("long") * MaxChunksPerDoc + col("pos")))
+    val hotOwn = shingled.groupBy(col("__k"))
+      .agg(count_distinct(col(idCol)).as("__df"), min(col("__dp")).as("__own"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__k"), col("__own"))
+    val dup = shingled.join(hotOwn, Seq("__k"))
+      .select(col(idCol), col("pos"),
+        (col("__dp") === col("__own")).as("__owned"))
+    // token-level resolution over the duplicated sliver: cut iff NO
+    // covering occurrence in this doc owns its shingle
+    val cutToks = dup
+      .select(col(idCol), col("__owned"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
+      .groupBy(col(idCol), col("t"))
+      .agg(max(col("__owned")).as("__keep"))
+      .filter(!col("__keep"))
+      .select(col(idCol), col("t"))
+    val cutCounts = cutToks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__ncut"))
+    // reassemble ONLY documents that lost tokens; the rest never explode
+    val rebuilt = base.join(cutCounts, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(col("__ws")).as(Seq("__p0", "__w")))
+      .withColumn("t", (col("__p0") + 1).cast("long"))
+      .join(cutToks, Seq(idCol, "t"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("t"), col("__w"))).as("__kw"))
+      .select(col(idCol),
+        array_join(transform(array_sort(col("__kw")),
+          x => x.getField("__w")), " ").as("__rbText"),
+        size(col("__kw")).cast("long").as("__rbKept"))
+    base.join(cutCounts, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ncut").isNull, array_join(col("__ws"), " "))
+          .otherwise(coalesce(col("__rbText"), lit(""))).as("dedup_text"),
+        when(col("__ncut").isNull, size(col("__ws")).cast("long"))
+          .otherwise(coalesce(col("__rbKept"), lit(0L))).as("n_tokens_kept"),
+        coalesce(col("__ncut"), lit(0L)).as("n_tokens_cut"))
+  }
+
   // ---------------------------------------------------------------- text
 
   /** Distinct word `n`-gram shingles of a whitespace-tokenized text.

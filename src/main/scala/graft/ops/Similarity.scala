@@ -267,20 +267,25 @@ object Similarity {
     * the candidate join is a shuffle equi-join on the cell id. Per-query
     * top-k rides the bounded-heap aggregator; self-pairs are excluded;
     * null vectors drop out on both sides (null cell / null probe list).
-    * `maxBucket` caps the ITEM side's cell population exactly as in
-    * [[knnJoin]]. Recall contract: a true neighbor is found iff its
-    * cell is among the query's `nProbe` probes — the classic IVF knob,
-    * re-measure with [[annRecall]]'s harness after moving it. Output:
-    * qid, id, cos, rank ([[knnJoin]]'s exact shape — drop-in). */
+    * `maxCellOccupancy` FAIL-FASTS when any cell's item population
+    * exceeds it (see [[guardCellOccupancy]] — an over-full IVF cell is
+    * a popular region of embedding space, and the r16 30× probe showed
+    * the previous LSH-style drop-the-bucket cap silently removing its
+    * members from every query's candidate set; 0 disables). Recall
+    * contract: a true neighbor is found iff its cell is among the
+    * query's `nProbe` probes — the classic IVF knob, re-measure with
+    * [[annRecall]]'s harness after moving it. Output: qid, id, cos,
+    * rank ([[knnJoin]]'s exact shape — drop-in). */
   def knnJoinIvf(items: DataFrame, itemId: String, itemVec: String,
       k: Int, centroids: Seq[(Int, Array[Float])], nProbe: Int,
-      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+      maxCellOccupancy: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(centroids.size >= 2 && nProbe >= 1 && nProbe <= centroids.size,
       s"need >=2 centroids and 1 <= nProbe <= ${centroids.size}")
-    val bucketed = Dedup.capBuckets(
+    val bucketed = guardCellOccupancy(
       items.select(col(itemId), col(itemVec),
         nearestCentroid(col(itemVec), centroids).as("__cell")),
-      Seq("__cell"), maxBucket, scope)
+      maxCellOccupancy, scope)
     val queries = items.select(col(itemId).as("qid"), col(itemVec).as("__qv"),
       explode(graft.functions.NearestCentroidsFn(
         col(itemVec), centroids, nProbe)).as("__cell"))
@@ -300,16 +305,17 @@ object Similarity {
     * rerank depth), same output shape: qid, id, cos, rank. */
   def knnJoinIvfQuantized(items: DataFrame, itemId: String, itemVec: String,
       k: Int, centroids: Seq[(Int, Array[Float])], nProbe: Int, coarseK: Int,
-      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+      maxCellOccupancy: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
     require(centroids.size >= 2 && nProbe >= 1 && nProbe <= centroids.size,
       s"need >=2 centroids and 1 <= nProbe <= ${centroids.size}")
     val quant = scope.cache(
       quantizeInt8(items.select(col(itemId), col(itemVec)), itemVec))
-    val bucketed = Dedup.capBuckets(
+    val bucketed = guardCellOccupancy(
       quant.select(col(itemId), col("qvec").as("__iq"),
         nearestCentroid(col(itemVec), centroids).as("__cell")),
-      Seq("__cell"), maxBucket, scope)
+      maxCellOccupancy, scope)
     val queries = quant.select(col(itemId).as("qid"), col("qvec").as("__qq"),
       explode(graft.functions.NearestCentroidsFn(
         col(itemVec), centroids, nProbe)).as("__cell"))
@@ -325,6 +331,50 @@ object Similarity {
       .withColumn("cos", cosine(col("__iv"), col("__qv")))
     topKReduce(reranked, "id", k)
   }
+
+  /** Fail-fast occupancy guard for IVF cell populations — the
+    * [[StringSim.editDistanceJoin]] `maxBandOccupancy` discipline
+    * applied to the coarse quantizer, replacing the [[Dedup.capBuckets]]
+    * drop these joins inherited from the LSH family. The contracts
+    * differ: an over-full LSH BAND bucket is a set of already-known
+    * near-identical docs (dropping it loses only redundant candidate
+    * pairs), but an over-full IVF CELL is just a popular region of
+    * embedding space — dropping it silently removes its members from
+    * every query's candidate set (caught by the r16 30× probe,
+    * SCALING.md "cap-masking catch": output shrank to the under-cap
+    * cells while the run read as a clean timing). Past the bound the
+    * job raises with the routing instead of degrading: grow the cell
+    * count ∝ corpus (holds occupancy constant — measured exponent 0.54
+    * vs 1.07 at fixed cells) and fit the quantizer on a hash sample
+    * ([[kmeansFitInt8]]'s `fitFraction`).
+    *
+    * Cost shape (same as the cap it replaces): the assigned input is
+    * cached once through `scope` (it feeds both the occupancy aggregate
+    * and the candidate join), the occupancy table is cells-sized and
+    * broadcast, and the guard rides the occupancy table's JOIN KEY (the
+    * rangeJoin trick — column pruning cannot drop the raise_error). */
+  private def guardCellOccupancy(assigned: DataFrame, maxCellOccupancy: Long,
+      scope: CacheScope): DataFrame =
+    if (maxCellOccupancy <= 0) assigned
+    else {
+      val b = scope.cache(assigned)
+      val boom = raise_error(concat(
+        lit("knnJoinIvf: IVF cell "), col("__cell").cast("string"),
+        lit(" holds "), col("__occ").cast("string"),
+        lit(s" vectors (> maxCellOccupancy = $maxCellOccupancy): an" +
+          " over-full IVF cell is a popular region of embedding space," +
+          " not a bucket of near-duplicates - dropping it would" +
+          " silently remove its members from every query's candidate" +
+          " set. Grow the cell count with the corpus (cells" +
+          " proportional to corpus holds occupancy constant) and fit" +
+          " the quantizer on a hash sample (kmeansFitInt8 fitFraction);" +
+          " raise maxCellOccupancy only with the occupancy^2 scan" +
+          " budget costed."))).cast("int")
+      val occ = b.groupBy(col("__cell")).agg(count(lit(1)).as("__occ"))
+        .select(when(col("__occ") > maxCellOccupancy, boom)
+          .otherwise(col("__cell")).as("__cell"))
+      b.join(broadcast(occ), Seq("__cell"))
+    }
 
   /** The IVF cell id of a vector (its nearest centroid) — the public
     * face of the assignment expression, for instruments that audit the
@@ -408,14 +458,39 @@ object Similarity {
     * previous centroid (deterministic, documented — the standard Lloyd
     * empty-cell rule). Fixed `iters`, idempotent once assignments
     * stabilize — oracles unroll the same rounds as CTEs (the q113/q140
-    * discipline). Returns the fitted centroids in `init`'s shape. */
+    * discipline). Returns the fitted centroids in `init`'s shape.
+    *
+    * `fitFraction` < 1 trains each round on a DETERMINISTIC hash
+    * sample of the corpus ([[Sampling.hashSample]] on `fitIdCol` with
+    * `fitSeed` — membership is a pure function of the id, so oracles
+    * unroll it as a WHERE predicate and reruns/repartitions see the
+    * same sample). This is the 100 TB fit discipline: any real IVF
+    * build trains its quantizer on a sample, and with cells grown ∝
+    * corpus a full-corpus fit would itself be the quadratic term
+    * (rounds × corpus × cells cosines). Sampling the fit keeps that
+    * pass constant-cost while the ASSIGNMENT (the consumer's
+    * nearest-centroid pass over all rows) still covers every vector —
+    * measured: growth exponent 0.54-0.72 at 10-30× vs 1.07 with a
+    * fixed-cell full fit (SCALING.md). Callers pass seeds drawn FROM
+    * the sample (the lowest-id sampled rows — q165's convention) so
+    * the whole model history stays sample-pure. */
   def kmeansFitInt8(df: DataFrame, vecCol: String,
-      init: Seq[(Int, Array[Float])], iters: Int): Seq[(Int, Array[Float])] = {
+      init: Seq[(Int, Array[Float])], iters: Int,
+      fitFraction: Double = 1.0, fitIdCol: String = "",
+      fitSeed: String = "ivf"): Seq[(Int, Array[Float])] = {
     require(init.size >= 2, s"need >= 2 initial centroids, got ${init.size}")
     require(iters >= 1 && iters <= 20, s"iters in [1, 20], got $iters")
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction in (0, 1], got $fitFraction")
+    require(fitFraction == 1.0 || fitIdCol.nonEmpty,
+      "fitFraction < 1 requires fitIdCol (hash-sample membership is " +
+        "keyed on a stable id, never on partitioning)")
+    val fitDf =
+      if (fitFraction >= 1.0) df
+      else Sampling.hashSample(df, fitIdCol, fitFraction, fitSeed)
     var cents = init
     for (_ <- 1 to iters) {
-      val step = kmeansStepInt8(df, vecCol, cents).collect()
+      val step = kmeansStepInt8(fitDf, vecCol, cents).collect()
         .map(r => r.getInt(0) ->
           r.getSeq[Long](2).map(_.toFloat).toArray).toMap
       cents = cents.map { case (cid, old) => (cid, step.getOrElse(cid, old)) }

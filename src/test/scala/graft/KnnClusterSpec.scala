@@ -159,6 +159,38 @@ class KnnClusterSpec extends AnyFunSuite {
     assert(z === Seq(0, 7))
   }
 
+  test("knnJoinIvf fail-fasts on an over-cap cell, naming the routing " +
+      "(never silently drops it)") {
+    val cents = testCentroids
+    // all 120 fixture vectors spread over 4 cells: some cell holds >= 30
+    // members, so maxCellOccupancy = 20 must trip the guard
+    val e = intercept[Exception] {
+      Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+        k = 3, centroids = cents, nProbe = 2,
+        maxCellOccupancy = 20L).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    val msg = chain(e).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msg.contains("maxCellOccupancy = 20"), msg.take(300))
+    assert(msg.contains("cells proportional to corpus"), msg.take(300))
+    // quantized variant rides the same guard
+    val e2 = intercept[Exception] {
+      Similarity.knnJoinIvfQuantized(vecs, "vec_id", "embedding",
+        k = 3, centroids = cents, nProbe = 2, coarseK = 10,
+        maxCellOccupancy = 20L).count()
+    }
+    assert(chain(e2).flatMap(t => Option(t.getMessage)).mkString("\n")
+      .contains("maxCellOccupancy = 20"))
+    // under-cap population passes every row through untouched
+    val got = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 2, maxCellOccupancy = 1000L)
+    val ref = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 2)
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("knnJoinIvfQuantized with a deep shortlist equals knnJoinIvf exactly") {
     val cents = testCentroids
     val plain = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",

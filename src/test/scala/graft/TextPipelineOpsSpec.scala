@@ -326,6 +326,57 @@ class TextPipelineOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  //  spanCutDedup                                                     //
+  // ---------------------------------------------------------------- //
+
+  private def cut(rows: (Long, String)*)(n: Int, minDocs: Int) =
+    graft.ops.Dedup.spanCutDedup(rows.toSeq.toDF("doc_id", "text"),
+      "doc_id", col("text"), n, minDocs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("spanCutDedup: exact duplicate keeps the first occurrence whole, " +
+      "cuts the second to empty") {
+    val t = (1 to 20).map("t" + _).mkString(" ")
+    val got = cut(1L -> t, 2L -> t)(n = 8, minDocs = 2)
+    assert(got(1L) === ((t, 20L, 0L)))
+    assert(got(2L) === (("", 0L, 20L)))
+  }
+
+  test("spanCutDedup: shared prefix cut from the later doc only; unique " +
+      "tail survives; untouched docs pass through") {
+    // docs share tokens 1..10 (positions 1..3 duplicated); doc 2's tail
+    // differs. doc 2 loses exactly tokens 1..10, keeps its tail.
+    val shared = (1 to 10).map("s" + _)
+    val a = (shared ++ (1 to 10).map("a" + _)).mkString(" ")
+    val b = (shared ++ (1 to 10).map("b" + _)).mkString(" ")
+    val c = (1 to 12).map("c" + _).mkString(" ")
+    val got = cut(1L -> a, 2L -> b, 3L -> c)(n = 8, minDocs = 2)
+    assert(got(1L) === ((a, 20L, 0L)))
+    assert(got(2L) ===
+      (((1 to 10).map("b" + _).mkString(" "), 10L, 10L)))
+    assert(got(3L) === ((c, 12L, 0L)))
+  }
+
+  test("spanCutDedup: a within-document repeat of a duplicated run keeps " +
+      "only the corpus-first copy") {
+    val run = (1 to 8).map("r" + _).mkString(" ")
+    // doc 1 carries the run twice, doc 2 once: the first copy in doc 1
+    // owns; doc 1's second copy and doc 2's copy are cut
+    val got = cut(1L -> s"$run x y z $run", 2L -> run)(n = 8, minDocs = 2)
+    assert(got(1L) === ((s"$run x y z", 11L, 8L)))
+    assert(got(2L) === (("", 0L, 8L)))
+  }
+
+  test("spanCutDedup: short and unique docs are untouched") {
+    val got = cut(1L -> "a b c", 2L -> (1 to 12).map("u" + _).mkString(" "))(
+      n = 8, minDocs = 2)
+    assert(got(1L) === (("a b c", 3L, 0L)))
+    assert(got(2L) === (((1 to 12).map("u" + _).mkString(" "), 12L, 0L)))
+  }
+
+  // ---------------------------------------------------------------- //
   //  mixtureByBudget                                                  //
   // ---------------------------------------------------------------- //
 
