@@ -92,6 +92,85 @@ object RecallSweep {
         f""""cells":${assign.size},"scanned_per_query":$scanned%.0f,""" +
         f""""corpus":$n,"wall_s":$wall%.2f}""")
     }
+
+    // Two-level (IMI) rows — recall parity vs the flat rows at equal
+    // scanned fraction is the gate for the sublinear assignment: the
+    // descent changes WHICH cells get probed (a true neighbor under an
+    // undescended branch is lost), so the parity must be measured, not
+    // assumed, and it is a CELL-COUNT-REGIME property (at 32 cells the
+    // branches carry ~4 fines each — no hierarchy to exploit; the IMI
+    // trade exists for the many-cells regime, so the sweep measures
+    // both 32 and 128 cells).
+    {
+      import org.apache.spark.sql.expressions.Window
+      val cents32 = fittedK.collectFirst { case ("ivf_fitted_k32", c) => c }.get
+      val seeds128 = emb.filter(col("vec_id") < 128)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq.sortBy(_._1)
+      val cents128 =
+        graft.ops.Similarity.kmeansFitInt8(emb, "embedding", seeds128, iters = 2)
+      // flat k128 baseline rows (same instrument as the fitted_k rows)
+      val qn = queries.count().toDouble
+      for (nProbe <- Seq(4, 8, 16)) {
+        val approx = graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", cents128, k = 10, nProbe = nProbe)
+        val hit = truth.join(approx.select(col("qid"), col("id")),
+          Seq("qid", "id")).count()
+        val assign = emb.select(graft.functions.NearestCentroidFn(
+            col("embedding"), cents128).as("c"))
+          .groupBy("c").count().collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+        val qcells = queries.select(explode(graft.ops.Similarity.ivfProbes(
+            col("embedding"), cents128, nProbe)).as("c"))
+          .collect().map(_.getInt(0))
+        val scanned = qcells.map(c => assign.getOrElse(c, 0L)).sum / qn
+        println(f"""{"index":"ivf_fitted_k128","nprobe":$nProbe,""" +
+          f""""recall_bp":${hit * 10000.0 / (qn * 10)}%.0f,""" +
+          f""""cells":${assign.size},"scanned_per_query":$scanned%.0f,""" +
+          f""""corpus":$n}""")
+      }
+      for ((kcLabel, cents, branches, bps, nProbes) <- Seq(
+             ("k32_b8", cents32, 8, Seq(1, 2, 3, 4, 5), Seq(1, 2, 4)),
+             ("k128_b16", cents128, 16, Seq(2, 4, 6), Seq(4, 8, 16)));
+           (fitTops, replicas) <- Seq((false, 1), (true, 1), (true, 2), (true, 3));
+           bp <- bps; nProbe <- nProbes) {
+        val (tops, fines) =
+          if (fitTops)
+            graft.ops.Similarity.twoLevelIndexFitted(cents, branches,
+              replicas = replicas)
+          else graft.ops.Similarity.twoLevelIndex(cents, branches)
+        val label = "ivf_2l_" + kcLabel +
+          (if (fitTops) "_fit" else "") +
+          (if (replicas > 1) s"_r$replicas" else "")
+        val t0 = System.nanoTime()
+        val items2 = emb.select(col("vec_id").as("id"), col("embedding"),
+          graft.ops.Similarity.ivfCell2L(col("embedding"), tops, fines, bp)
+            .as("c"))
+        val q2 = queries.select(col("vec_id").as("qid"),
+          col("embedding").as("qv"),
+          explode(graft.ops.Similarity.ivfProbes2L(
+            col("embedding"), tops, fines, bp, nProbe)).as("c"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("id").asc)
+        val approx = items2.join(q2, Seq("c"))
+          .filter(col("qid") =!= col("id"))
+          .withColumn("cos",
+            graft.ops.Similarity.cosine(col("embedding"), col("qv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+        val hit = truth.join(approx.select(col("qid"), col("id")),
+          Seq("qid", "id")).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val occ = items2.groupBy("c").count().collect()
+          .map(x => x.getInt(0) -> x.getLong(1)).toMap
+        val qcells = q2.select(col("c")).collect().map(_.getInt(0))
+        val scanned = qcells.map(c => occ.getOrElse(c, 0L)).sum / qn
+        println(f"""{"index":"$label","branch_probes":$bp,""" +
+          f""""nprobe":$nProbe,"recall_bp":${hit * 10000.0 / (qn * 10)}%.0f,""" +
+          f""""cells":${occ.size},"scanned_per_query":$scanned%.0f,""" +
+          f""""corpus":$n,"wall_s":$wall%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -301,6 +301,36 @@ object ScaleProbe {
           k = 3, centroids = cents, nProbe = 4,
           maxCellOccupancy = MaxBucket, scope = sc).count()
       }),
+      // the assignment-cost pair behind the two-level quantizer: with
+      // cells ∝ corpus (32·scale — the scaled-cells routing) the FLAT
+      // assignment does corpus × cells cosines (work ∝ scale², the next
+      // super-linear term the r16 verdict named), while the two-level
+      // descent does corpus × (branches + branchProbes·cells/branches)
+      // at branches ≈ √(2·cells) (work ∝ scale^1.5). Seed centroids
+      // (no Lloyd rounds) — this pair measures ASSIGNMENT, not recall
+      // (recall parity is RecallSweep's ivf_2l rows)
+      "ivf_assign_flat" -> (() => {
+        val cells = 32 * scale
+        val seeds = embs.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        embs.select(Similarity.ivfCell(col("embedding"), seeds).as("c"))
+          .groupBy("c").count().count()
+      }),
+      "ivf_assign_2l" -> (() => {
+        val cells = 32 * scale
+        val seeds = embs.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val b = math.max(2, math.round(math.sqrt(2.0 * cells)).toInt)
+        val (tops, fines) =
+          Similarity.twoLevelIndexFitted(seeds, b, replicas = 2)
+        embs.select(Similarity.ivfCell2L(col("embedding"), tops, fines, 2)
+            .as("c"))
+          .groupBy("c").count().count()
+      }),
       // scaled bits: occupancy held constant (bits + log2(scale)) — the
       // knob a 100 TB deployment MUST turn; the probe proves it restores
       // the exponent
@@ -463,6 +493,60 @@ object ScaleProbe {
           embs.select(col("vec_id").as("id"), col("embedding")), "id")
         Similarity.mmrSelect(cand, "qid", "id", "cos", "embedding",
           k = 6, lambda = 0.7, scope = sc).count()
+      }),
+      // q158's fuse layer at deployment shape: 4 arms (production fuses
+      // 3-5, the registered q158 fuses 2) over per-query lists ∝ scale
+      // (100·scale ranks/query, 20 queries, synthetic hash-ranked arms
+      // — the fuse layer's cost does not care where ranks came from).
+      // The fuse must stay ∝ Σ list sizes (arm count a constant
+      // factor), never a pairwise blow-up across arms
+      "rrf_fuse_deploy" -> (() => {
+        val L = 100L * scale
+        val sess = docs.sparkSession
+        val arms = (1 to 4).map { a =>
+          sess.range(20L * L).select(
+            (col("id") % 20).as("query_id"),
+            pmod(hash(col("id"), lit(a)).cast("long"), lit(100000L))
+              .as("doc_id"),
+            (col("id") / 20 + 1).as("rank"))
+            .groupBy("query_id", "doc_id").agg(min("rank").as("rank"))
+        }
+        graft.ops.Retrieval.rrfFuse(arms, "query_id", "doc_id", "rank",
+          k = 100).count()
+      }),
+      // q159 at deployment pick counts: shortlist m = 50·scale per
+      // query, k = 10·scale greedy picks (production picks ~100 from
+      // ~1k; the registered q159 picks 6 from 20). The red line is the
+      // pick CHAIN: per-pick localCheckpoint count grows with k, so
+      // superlinear growth here means planning/churn cost per step is
+      // rising with the chain length, not the data volume (each step
+      // is a small job over the cached shortlist/pairs tables)
+      "mmr_deploy" -> (() => CacheScope.using { sc =>
+        val m = 50 * scale
+        val kPicks = 10 * scale
+        val shortlist = Similarity.bruteForceTopK(embs, "vec_id",
+          "embedding", embs.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = m)
+        val cand = shortlist.join(
+          embs.select(col("vec_id").as("id"), col("embedding")), "id")
+        Similarity.mmrSelect(cand, "qid", "id", "cos", "embedding",
+          k = kPicks, lambda = 0.7, scope = sc).count()
+      }),
+      // the same deployment shape through mmrSelectLocal — ONE mapGroups
+      // job instead of ~3 jobs per pick: the per-query candidate set is
+      // bounded (m vectors), so the greedy loop is per-group-imperative
+      // work and the growth should be the in-memory k·m product, not
+      // the job-launch chain
+      "mmr_deploy_local" -> (() => {
+        val m = 50 * scale
+        val kPicks = 10 * scale
+        val shortlist = Similarity.bruteForceTopK(embs, "vec_id",
+          "embedding", embs.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = m)
+        val cand = shortlist.join(
+          embs.select(col("vec_id").as("id"), col("embedding")), "id")
+        Similarity.mmrSelectLocal(cand, "qid", "id", "cos", "embedding",
+          k = kPicks, lambda = 0.7).count()
       }),
       // q84's exact shape — codegen pair scan (fan-out ≤ window per
       // token) + distinct-pair exchange; vocab ∝ cbrt(scale) grows the

@@ -729,6 +729,35 @@ object SparkEntry {
       "embedding", k = 3, centroids = sampledCentroids(s, dir),
       nProbe = IvfProbe, maxCellOccupancy = LshMaxBucket)
 
+  /** q166: the TWO-LEVEL (IMI-style) kNN join ([[Similarity
+    * .knnJoinIvf2L]]) — the next-decade knob after q165's cells ∝
+    * corpus: once cells grow with the corpus, the FLAT assignment
+    * (corpus × cells cosines) is itself the super-linear term, and the
+    * two-level descent replaces it with ∝ branches + branchProbes ·
+    * replicas · cells/branches per row. The index is DERIVED from
+    * q46's fitted centroids with NO second corpus pass
+    * ([[Similarity.twoLevelIndexFitted]]: a driver-side cells-sized
+    * Lloyd fit of the 8 tops under the exact kmeansStepInt8
+    * discipline, fines registered under their 2 nearest tops), so the
+    * oracle unrolls the whole structure — top fit rounds, replicated
+    * registration, descent, assignment, probes — from the same fit
+    * CTEs. Registered at the sweep's best recall point (RecallSweep
+    * ivf_2l_k32_b8_fit_r2: branchProbes 3, 7960 bp at the same 12.6%
+    * scan as q46's 9080 — the measured cost of the sublinear
+    * assignment on this fixture's shallow 32-cell hierarchy). Same
+    * k/nProbe/guard as q46. */
+  private def qKnnTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    val (tops, fines) = CacheScope.session.model(
+        ("twoLevel", dir, IvfCells, 8, 2, 2)) {
+      Similarity.twoLevelIndexFitted(fittedCentroids(s, dir),
+        branches = 8, iters = 2, replicas = 2)
+    }
+    Similarity.knnJoinIvf2L(cpuTable(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 3, tops, fines,
+      branchProbes = 3, nProbe = IvfProbe,
+      maxCellOccupancy = LshMaxBucket)
+  }
+
   /** Ranking-window family (lag/lead — absent from the reference,
     * SURVEY §2.7): per-user event sequencing with the previous event's
     * type and the inter-event gap. Deterministic order: (µs timestamp,
@@ -2351,6 +2380,26 @@ object SparkEntry {
       k = 6, lambda = 0.7)
   }
 
+  /** q167: q159's selection through the DEPLOYMENT-scale MMR path
+    * ([[Similarity.mmrSelectLocal]] — the per-query greedy loop as one
+    * `mapGroups` pass instead of k chained jobs): identical inputs,
+    * identical arithmetic, IDENTICAL oracle SQL as q159 — registering
+    * both paths against the same unrolled CTEs pins their equivalence
+    * in the driver gate itself, not just the unit suite. The local
+    * form is why production can pick ~100 from ~1k per query without
+    * paying ~3 Spark jobs per pick (ScaleProbe `mmr_deploy` exponent
+    * 1.15 distributed vs `mmr_deploy_local` — the candidate set is
+    * per-query bounded, the legitimate per-group-imperative case). */
+  private def qMmrLocal(s: SparkSession, dir: String): DataFrame = {
+    val emb = cpuTable(s, dir, "embeddings")
+    val shortlist = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+    val cand = shortlist.join(
+      emb.select(col("vec_id").as("id"), col("embedding")), "id")
+    Similarity.mmrSelectLocal(cand, "qid", "id", "cos", "embedding",
+      k = 6, lambda = 0.7)
+  }
+
   /** q160: IVF index drift monitor ([[Similarity.ivfDrift]]) — the
     * standing 3/4 of the corpus carries the fitted quantizer (32
     * standing seeds below id 43, 2 Lloyd rounds — the q157 batch
@@ -2598,6 +2647,8 @@ object SparkEntry {
     "q163_dup_spans" -> (qDupSpans _),
     "q164_span_cut" -> (qSpanCut _),
     "q165_knn_sampled_fit" -> (qKnnSampledFit _),
+    "q166_knn_two_level" -> (qKnnTwoLevel _),
+    "q167_mmr_local" -> (qMmrLocal _),
   )
 
   // ------------------------------------------------------------------ //
@@ -5520,6 +5571,11 @@ object SparkEntry {
     // 1−λ weight formed by the same 1.0 − 0.7 IEEE subtraction.
     "q159_mmr_diversify" -> mmrSql(k = 6, m = 20, lambda = 0.7),
 
+    // q167 = the SAME unrolled MMR oracle: the local (mapGroups) path
+    // must land on identical rows as the distributed q159 — driver-gate
+    // pinned equivalence, not just a unit test.
+    "q167_mmr_local" -> mmrSql(k = 6, m = 20, lambda = 0.7),
+
     // Standing-only fit unroll (predicate-filtered kmeansFitCtes),
     // both assignment passes, exact-integer bp stats; the +10000·n
     // shift keeps the cohesion division over non-negative operands
@@ -5736,6 +5792,81 @@ object SparkEntry {
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY qid
         |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin,
+
+    // The whole two-level structure unrolled from the same corpus fit:
+    // top-level Lloyd over the 32 fitted centroids themselves (tqv =
+    // per-centroid int8 quantization, t0 = 8 lowest-cid seeds, two
+    // update rounds t1/t2 — the kmeansFitCtes shape on a cells-sized
+    // table), fines registered under their 2 nearest fitted tops (fb,
+    // rn <= 2 — replicated registration), vectors descend their 3 best
+    // branches (vt), then assignment (vcell) and 4-deep probes (vprobe)
+    // rank the probed branches' fines with a DISTINCT collapsing the
+    // replica duplicates — every stage the engine's round-6 comparator
+    // with cid-ASC ties (DuckDB NaN-first-under-DESC = the zero-vector
+    // rule).
+    "q166_knn_two_level" -> {
+      val topRounds = (1 to 2).map { i =>
+        s"""ta${i}0 AS (SELECT tqv.cid, tqv.q, t.tid,
+           |  ${OSql.cosSql("tqv.cvec", "t.tvec")} AS cc
+           | FROM tqv CROSS JOIN t${i - 1} t),
+           |ta$i AS (SELECT cid, q, tid FROM ta${i}0
+           |  QUALIFY row_number() OVER (PARTITION BY cid
+           |    ORDER BY cc DESC, tid ASC) = 1),
+           |te$i AS (SELECT tid, pos, q[pos + 1] AS qd FROM (
+           |   SELECT tid, q, unnest(generate_series(0, len(q) - 1)) AS pos
+           |   FROM ta$i)),
+           |tcs$i AS (SELECT tid, pos, CAST(sum(qd) AS BIGINT) AS cd
+           |  FROM te$i GROUP BY 1, 2),
+           |tarr$i AS (SELECT tid, list(CAST(cd AS FLOAT) ORDER BY pos) AS nv
+           |  FROM tcs$i GROUP BY 1),
+           |t$i AS (SELECT t.tid, coalesce(tarr$i.nv, t.tvec) AS tvec
+           |  FROM t${i - 1} t LEFT JOIN tarr$i USING (tid))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${kmeansFitCtes(2, IvfCells)},
+        |tq0 AS (SELECT cid, cvec, list_max(list_transform(cvec,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS s FROM c2),
+        |tqv AS (SELECT cid, cvec,
+        |    CASE WHEN s = 0 THEN list_transform(cvec,
+        |           x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(cvec,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT))
+        |    END AS q FROM tq0),
+        |t0 AS (SELECT cid AS tid, cvec AS tvec FROM c2
+        |  ORDER BY cid LIMIT 8),
+        |$topRounds,
+        |fb0 AS (SELECT f.cid, f.cvec, t.tid,
+        |  ${OSql.cosSql("f.cvec", "t.tvec")} AS cc
+        | FROM c2 f CROSS JOIN t2 t),
+        |fb AS (SELECT cid, cvec, tid FROM fb0
+        |  QUALIFY row_number() OVER (PARTITION BY cid
+        |    ORDER BY cc DESC, tid ASC) <= 2),
+        |fe AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |vt0 AS (SELECT e.vec_id, t.tid,
+        |  ${OSql.cosSql("e.embedding", "t.tvec")} AS cc
+        | FROM fe e CROSS JOIN t2 t),
+        |vt AS (SELECT vec_id, tid FROM vt0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, tid ASC) <= 3),
+        |vf0 AS (SELECT DISTINCT e.vec_id, e.embedding, fb.cid,
+        |  ${OSql.cosSql("e.embedding", "fb.cvec")} AS cc
+        | FROM fe e JOIN vt ON vt.vec_id = e.vec_id
+        |   JOIN fb ON fb.tid = vt.tid),
+        |vcell AS (SELECT vec_id, embedding, cid FROM vf0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |vprobe AS (SELECT vec_id AS qid, embedding AS qv, cid FROM vf0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) <= $IvfProbe),
+        |sc AS (SELECT p.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "p.qv")} AS cos
+        | FROM vcell e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid)
+        |SELECT qid, id, cos,
+        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin
+    },
   )
 
   /** q159's oracle: the q26 brute-cosine shortlist (top `m` per query),

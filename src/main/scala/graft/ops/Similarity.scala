@@ -389,6 +389,161 @@ object Similarity {
       nProbe: Int): Column =
     graft.functions.NearestCentroidsFn(vec, centroids, nProbe)
 
+  /** Two-level (IMI-style) index structure DERIVED from a flat fitted
+    * centroid list — no second fit, so oracles unroll it from the same
+    * centroid CTEs: tops = the `branches` LOWEST-CID centroids (the
+    * deterministic seed convention — centroids arrive cid-sorted at
+    * every call site); every centroid becomes a FINE cell assigned to
+    * its nearest top under the exact flat comparator (round-6dp cosine,
+    * sequence ties — [[graft.functions.TwoLevelCentroidUtil.assignF]]).
+    * Returns (tops, fines) where each fine is (cid, branch index in
+    * tops order, vector) — the model the [[ivfCell2L]]/[[ivfProbes2L]]
+    * expressions carry as codegen references.
+    *
+    * Why this exists: with cells ∝ corpus (the [[guardCellOccupancy]]
+    * routing), the flat assignment is the next super-linear term —
+    * ∝ corpus × cells. The two-level descent costs ∝ branches +
+    * branchProbes · cells/branches per row, minimized at branches ≈
+    * √cells: sublinear in cells at every probe budget (ScaleProbe
+    * `ivf_assign_flat` vs `ivf_assign_2l`). */
+  def twoLevelIndex(centroids: Seq[(Int, Array[Float])], branches: Int):
+      (Seq[(Int, Array[Float])], Seq[(Int, Int, Array[Float])]) = {
+    require(branches >= 2 && branches <= centroids.size,
+      s"branches in [2, ${centroids.size}], got $branches")
+    val tops = centroids.sortBy(_._1).take(branches)
+    val topCidx = tops.indices.toArray
+    val topMat = tops.map(_._2).toArray
+    val fines = centroids.sortBy(_._1).map { case (cid, v) =>
+      (cid, graft.functions.TwoLevelCentroidUtil.assignF(v, topCidx, topMat), v)
+    }
+    (tops, fines)
+  }
+
+  /** [[quantizeInt8]]'s per-vector rule on the driver — max-|x| scale,
+    * `round(x·127/s)` HALF_UP (Spark's codegen `round` is exact-binary
+    * BigDecimal HALF_UP; DuckDB `round` is half-away-from-zero — the
+    * same function on these operands, the q155 precedent). */
+  private def q127(v: Array[Float]): Array[Long] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble); if (a > s) s = a; i += 1
+    }
+    if (s == 0.0) Array.fill(v.length)(0L)
+    else v.map(x => new java.math.BigDecimal(x.toDouble * 127.0 / s)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+  }
+
+  /** [[twoLevelIndex]] with a FITTED top level — the recall fix the
+    * naive subset-tops derivation measurably needs (RecallSweep: subset
+    * tops at branchProbes 2 lose ~3300 bp of recall vs flat at equal
+    * probes, because an arbitrary low-cid centroid is a poor proxy for
+    * its branch members): `iters` Lloyd rounds over the CENTROID SET
+    * itself, entirely driver-side (the "corpus" here is cells-sized —
+    * no job, no shuffle), under the EXACT [[kmeansStepInt8]] update
+    * discipline — assignment by round-6dp cosine with sequence-order
+    * ties ([[graft.functions.TwoLevelCentroidUtil.assignF]]),
+    * per-vector int8 quantization ([[q127]] = [[quantizeInt8]]'s
+    * formula), update = integer component sums cast to FLOAT, an empty
+    * branch keeps its previous top — so an oracle replays the whole
+    * top-level fit from the same centroid CTEs in cells-sized SQL.
+    * Seeds: the `branches` lowest-cid centroids (tops keep their seed
+    * cids, [[kmeansFitInt8]]'s convention). Fines are assigned to the
+    * FITTED tops. */
+  def twoLevelIndexFitted(centroids: Seq[(Int, Array[Float])],
+      branches: Int, iters: Int = 2, replicas: Int = 1):
+      (Seq[(Int, Array[Float])], Seq[(Int, Int, Array[Float])]) = {
+    require(branches >= 2 && branches <= centroids.size,
+      s"branches in [2, ${centroids.size}], got $branches")
+    require(iters >= 0 && iters <= 20, s"iters in [0, 20], got $iters")
+    require(replicas >= 1 && replicas <= branches,
+      s"replicas in [1, $branches], got $replicas")
+    val sorted = centroids.sortBy(_._1)
+    val qs: Map[Int, Array[Long]] =
+      sorted.map { case (cid, v) => cid -> q127(v) }.toMap
+    var tops = sorted.take(branches)
+    for (_ <- 1 to iters) {
+      val tIdx = tops.indices.toArray
+      val tMat = tops.map(_._2).toArray
+      val byBranch = sorted.groupBy { case (_, v) =>
+        graft.functions.TwoLevelCentroidUtil.assignF(v, tIdx, tMat)
+      }
+      tops = tops.zipWithIndex.map { case ((tcid, told), bi) =>
+        byBranch.get(bi) match {
+          case Some(members) if members.nonEmpty =>
+            val sum = new Array[Long](told.length)
+            members.foreach { case (cid, _) =>
+              val q = qs(cid)
+              var d = 0
+              while (d < told.length) { sum(d) += q(d); d += 1 }
+            }
+            (tcid, sum.map(_.toFloat))
+          case _ => (tcid, told)
+        }
+      }
+    }
+    val tMat = tops.map(_._2).toArray
+    // replicated registration (spill-tree redundancy): each fine cell
+    // registers under its `replicas` nearest FITTED tops, so a query
+    // descending either branch reaches it — the measured recall
+    // recovery for partial descents (RecallSweep ivf_2l *_r2 rows); the
+    // probe expressions dedup repeated cids, so cell ids stay unique
+    // per probe list. Cost: probed fines × replicas.
+    val fines = sorted.flatMap { case (cid, v) =>
+      graft.functions.TwoLevelCentroidUtil.assignTopNF(v, tMat, replicas)
+        .map(b => (cid, b, v))
+    }
+    (tops, fines)
+  }
+
+  /** [[ivfCell]]'s two-level form: the fine cell id reached by probing
+    * the `branchProbes` best branches. With `branchProbes = branches`
+    * it EQUALS the flat assignment exactly (unit-pinned). */
+  def ivfCell2L(vec: Column, tops: Seq[(Int, Array[Float])],
+      fines: Seq[(Int, Int, Array[Float])], branchProbes: Int): Column =
+    graft.functions.TwoLevelCellFn(vec, tops, fines, branchProbes)
+
+  /** [[ivfProbes]]'s two-level form: the best `nProbe` fine cells among
+    * the probed branches' fines, best-first. */
+  def ivfProbes2L(vec: Column, tops: Seq[(Int, Array[Float])],
+      fines: Seq[(Int, Int, Array[Float])], branchProbes: Int,
+      nProbe: Int): Column =
+    graft.functions.TwoLevelCellsFn(vec, tops, fines, branchProbes, nProbe)
+
+  /** [[knnJoinIvf]] with the TWO-LEVEL coarse quantizer — the
+    * registered ANN shape's next-decade variant: same candidate
+    * equi-join on the fine cell id, same bounded-heap top-k, same
+    * [[guardCellOccupancy]] fail-fast, but item assignment and query
+    * probes descend a caller-built two-level index
+    * ([[twoLevelIndexFitted]] — fitted tops + replicated fines are the
+    * measured recall configuration; [[twoLevelIndex]] is the cheap
+    * derivation) instead of scoring every cell — the knob SCALING.md
+    * documents for when cells ∝ corpus makes the flat assignment
+    * itself the super-linear term.
+    * Recall contract: a true neighbor is found iff BOTH its branch is
+    * among the query's `branchProbes` descents AND its cell is among
+    * the query's `nProbe` fine probes — two knobs, measured together
+    * in RecallSweep. Output: qid, id, cos, rank (drop-in). */
+  def knnJoinIvf2L(items: DataFrame, itemId: String, itemVec: String,
+      k: Int, tops: Seq[(Int, Array[Float])],
+      fines: Seq[(Int, Int, Array[Float])],
+      branchProbes: Int, nProbe: Int, maxCellOccupancy: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(tops.size >= 2 && fines.nonEmpty && nProbe >= 1,
+      s"need >=2 tops, >=1 fines and nProbe >= 1")
+    val bucketed = guardCellOccupancy(
+      items.select(col(itemId), col(itemVec),
+        ivfCell2L(col(itemVec), tops, fines, branchProbes).as("__cell")),
+      maxCellOccupancy, scope)
+    val queries = items.select(col(itemId).as("qid"), col(itemVec).as("__qv"),
+      explode(ivfProbes2L(col(itemVec), tops, fines, branchProbes, nProbe))
+        .as("__cell"))
+    val joined = bucketed.join(queries, Seq("__cell"))
+      .filter(col("qid") =!= col(itemId))
+      .withColumn("cos", cosine(col(itemVec), col("__qv")))
+    topKReduce(joined, itemId, k)
+  }
+
   /** Nearest-centroid id by 6-dp cosine (ties to the lowest id) as one
     * codegen expression chain against centroid LITERALS — a narrow
     * per-row projection, no shuffle (an argmax-by-join would shuffle
@@ -993,9 +1148,16 @@ object Similarity {
     def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
     val first = pin(
       argmax(cand.withColumn("__mmrd", dec9(wRel * col("__rel")))))
+    // the selected set accumulates as ONE checkpointed table (re-pinned
+    // per step) rather than a re-built union of every prior pick: the
+    // per-pick union chain made step i's plan carry i leaves, so the
+    // TOTAL planning work grew ∝ k² — measured at deployment pick
+    // counts (ScaleProbe mmr_deploy, k 10→100: exponent 1.29 before,
+    // the per-step re-plan dominating) even though each step's data is
+    // tiny. One extra ≤ picks-sized checkpoint per step buys a
+    // constant-shape plan for every step.
+    var selected = first.select(col(qidCol), col(idCol))
     val picks = (2 to k).foldLeft(Vector(first)) { (acc, _) =>
-      val selected = acc.map(_.select(col(qidCol), col(idCol)))
-        .reduce(_ unionByName _)
       val penalty = pairs
         .join(selected.withColumnRenamed(idCol, "__b"), Seq(qidCol, "__b"))
         .groupBy(col(qidCol), col("__a")).agg(max(col("__sim")).as("__ms"))
@@ -1004,11 +1166,146 @@ object Similarity {
         .join(penalty, Seq(qidCol, idCol))
         .withColumn("__mmrd",
           dec9(wRel * col("__rel")) - dec9(wDiv * col("__ms")))
-      acc :+ pin(argmax(scored))
+      val next = pin(argmax(scored))
+      selected = pin(
+        selected.unionByName(next.select(col(qidCol), col(idCol))))
+      acc :+ next
     }
     picks.zipWithIndex.map { case (p, i) =>
       p.select(col(qidCol), lit(i + 1L).as("pick"), col(idCol),
         col("__rel").as("rel"), col("__mmrd").cast("double").as("mmr"))
     }.reduce(_ unionByName _)
+  }
+
+  /** [[mmrSelect]] at DEPLOYMENT pick counts — the per-query greedy MMR
+    * loop as ONE `mapGroups` pass instead of `k` chained Spark jobs:
+    * the distributed form launches ~3 jobs per pick (penalty aggregate,
+    * argmax, checkpoint), so at production shapes (pick ~100 from ~1k)
+    * the job-launch/checkpoint overhead dominates and the probe reads
+    * super-linear (ScaleProbe `mmr_deploy`: exponent 1.15 even after
+    * the plan fix). A query's candidate set is BOUNDED (m vectors — a
+    * few MB), which is the legitimate per-group-imperative case: one
+    * shuffle on the query id, then the greedy loop runs in memory per
+    * group, computing pairwise cosines lazily against the selected set
+    * (∝ k·m per query, never the m² pair table).
+    *
+    * Semantics are IDENTICAL to [[mmrSelect]] — the unit suite pins
+    * equality row-for-row: the same round-6dp cosine ([[cosine]]'s
+    * sequential double fold), the same 9-dp decimal weighting
+    * (`round(x, 9)` exact-binary HALF_UP, then the double→decimal(19,9)
+    * cast via shortest-repr — both replicated from Spark's codegen),
+    * decimal subtraction, (mmrd desc NULLS LAST, id asc) argmax, and
+    * Spark's NaN-above-everything `max` for the penalty. Ids must cast
+    * to long (the kNN-family convention); candidate (qid, id) pairs are
+    * assumed unique (they are a top-k shortlist). Output exactly
+    * [[mmrSelect]]'s: qidCol, pick, idCol, rel, mmr — with long ids. */
+  def mmrSelectLocal(candidates: DataFrame, qidCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val sess = candidates.sparkSession
+    import sess.implicits._
+    val wRel = lambda
+    val wDiv = 1.0 - lambda
+    val kk = k
+    val prepped = candidates.select(
+        col(qidCol).cast("long"), col(idCol).cast("long"),
+        col(relCol).cast("double"), col(vecCol))
+      .as[(Long, Long, Double, Array[Float])]
+    val picked = prepped.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val arr = it.toArray.sortBy(_._2) // id order = the tie order
+      val n = arr.length
+      val done = new Array[Boolean](n)
+      val ms = new Array[Double](n)
+      val hasMs = new Array[Boolean](n)
+      val out = Vector.newBuilder[(Long, Long, Long, Double, Option[Double])]
+      var pickNo = 1L
+      var go = true
+      while (pickNo <= kk && go) {
+        var best = -1
+        var bestScore: java.math.BigDecimal = null
+        var i = 0
+        while (i < n) {
+          if (!done(i)) {
+            // step 1 scores every candidate by relevance alone; later
+            // steps subtract the decimal-weighted max-sim penalty
+            val score: java.math.BigDecimal =
+              if (pickNo == 1L) MmrMath.dec9(wRel * arr(i)._3)
+              else {
+                val a = MmrMath.dec9(wRel * arr(i)._3)
+                val b = if (hasMs(i)) MmrMath.dec9(wDiv * ms(i)) else null
+                if (a == null || b == null) null else a.subtract(b)
+              }
+            // strict better-than scanned in id order replicates the
+            // window's (mmrd DESC NULLS LAST, id ASC): non-null beats
+            // null, larger decimal beats smaller, ties keep the
+            // earlier (smaller) id
+            val better =
+              if (best == -1) true
+              else if (score == null) false
+              else if (bestScore == null) true
+              else score.compareTo(bestScore) > 0
+            if (better) { best = i; bestScore = score }
+          }
+          i += 1
+        }
+        if (best == -1) go = false
+        else {
+          done(best) = true
+          out += ((qid, pickNo, arr(best)._2, arr(best)._3,
+            Option(bestScore).map(_.doubleValue())))
+          // fold the new pick into every survivor's max-sim penalty
+          // (Spark max: NaN above every number)
+          var j = 0
+          while (j < n) {
+            if (!done(j)) {
+              val s = MmrMath.cos6(arr(j)._4, arr(best)._4)
+              if (!hasMs(j)) { ms(j) = s; hasMs(j) = true }
+              else if (s.isNaN || (!ms(j).isNaN && s > ms(j))) ms(j) = s
+            }
+            j += 1
+          }
+          pickNo += 1
+        }
+      }
+      out.result()
+    }
+    picked.toDF(qidCol, "pick", idCol, "rel", "mmr")
+  }
+}
+
+/** [[Similarity.mmrSelectLocal]]'s scalar replicas of the distributed
+  * form's arithmetic — kept serializable-object-level so the mapGroups
+  * closure ships no outer state. */
+private[ops] object MmrMath {
+
+  /** Spark `round(x, 9)` then `CAST(double AS DECIMAL(19,9))`, exactly:
+    * exact-binary BigDecimal HALF_UP to 9 dp back to double (the codegen
+    * round), then the cast's shortest-repr re-parse
+    * (`BigDecimal.valueOf`) re-scaled to 9 dp. NaN/∞ → null (the cast's
+    * rule). */
+  def dec9(x: Double): java.math.BigDecimal =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) null
+    else {
+      val rounded = new java.math.BigDecimal(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      java.math.BigDecimal.valueOf(rounded)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** [[Similarity.cosine]] on driver-shipped float arrays: sequential
+    * double fold, `round(·, 6)` exact-binary HALF_UP — the
+    * [[graft.functions.CosineSim]] arithmetic verbatim. */
+  def cos6(a: Array[Float], b: Array[Float]): Double = {
+    if (a.length != b.length) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    graft.functions.NearestCentroidUtil.round6(
+      dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }

@@ -214,4 +214,41 @@ class HybridDiversitySpec extends AnyFunSuite {
       assert(picks.map(_._2) === Seq(1L, 2L, 3L, 4L))
     }
   }
+
+  // ---------------------------------------------------- mmrSelectLocal
+
+  private def runMmrLocal(cand: Seq[(Long, Long, Double, Array[Float])],
+      k: Int, lambda: Double): Seq[(Long, Long, Long, Double, Double)] =
+    Similarity.mmrSelectLocal(
+      cand.map { case (q, id, rel, v) => (q, id, rel, v.toSeq) }
+        .toDF("qid", "id", "rel", "vec"),
+      "qid", "id", "rel", "vec", k, lambda)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  test("mmrSelectLocal: row-for-row equal to the distributed mmrSelect " +
+      "on seeded random data (both lambdas)") {
+    val rnd = new scala.util.Random(90125)
+    val cand = for {
+      qid <- 0L to 2L
+      id <- 0L until 15L
+    } yield (qid, id,
+      BigDecimal(rnd.nextDouble())
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      Array.fill(6)(rnd.nextGaussian().toFloat))
+    for (lambda <- Seq(0.5, 0.7)) {
+      assert(runMmrLocal(cand, k = 6, lambda) === runMmr(cand, k = 6, lambda))
+    }
+  }
+
+  test("mmrSelectLocal: fewer candidates than k yields all, in pick order") {
+    val cand = Seq(
+      (0L, 1L, 0.9, Array(1f, 0f)),
+      (0L, 2L, 0.5, Array(0f, 1f)))
+    val got = runMmrLocal(cand, k = 5, lambda = 0.7)
+    assert(got.map(_._3) === Seq(1L, 2L))
+    assert(got.map(_._2) === Seq(1L, 2L))
+  }
 }

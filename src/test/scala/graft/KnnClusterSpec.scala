@@ -202,6 +202,87 @@ class KnnClusterSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("two-level descent with ALL branches probed equals the flat " +
+      "assignment and probe list exactly") {
+    // 8 centroids, 3 branches: exhaustive descent (branchProbes = 3)
+    // scores every fine centroid under the identical comparator, so
+    // cell AND probe list must match the flat expressions bit-for-bit
+    // — including the zero vector's all-NaN tie rule
+    val cents = (0 until 8).map(i =>
+      i * 3 -> Array.tabulate(8)(d => (math.cos(i * 41 + d * 7) * 2).toFloat))
+    val (tops, fines) = Similarity.twoLevelIndex(cents, branches = 3)
+    val withZero = vecs.unionByName(
+      Seq((999L, Array.fill(8)(0f))).toDF("vec_id", "embedding"))
+    val got = withZero.select(col("vec_id"),
+      Similarity.ivfCell(col("embedding"), cents).as("flat"),
+      Similarity.ivfCell2L(col("embedding"), tops, fines, 3).as("two"),
+      Similarity.ivfProbes(col("embedding"), cents, 4).as("flatP"),
+      Similarity.ivfProbes2L(col("embedding"), tops, fines, 3, 4).as("twoP"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"cell mismatch vec ${r.getLong(0)}")
+      assert(r.getSeq[Int](3) === r.getSeq[Int](4),
+        s"probe mismatch vec ${r.getLong(0)}")
+    }
+  }
+
+  test("two-level index: tops are the lowest-cid centroids; every fine " +
+      "assigns to its nearest top; partial descent stays within probed branches") {
+    val cents = (0 until 8).map(i =>
+      i * 3 -> Array.tabulate(8)(d => (math.cos(i * 41 + d * 7) * 2).toFloat))
+    val (tops, fines) = Similarity.twoLevelIndex(cents, branches = 3)
+    assert(tops.map(_._1) === Seq(0, 3, 6))
+    assert(fines.map(_._1) === cents.map(_._1))
+    assert(fines.forall(f => f._2 >= 0 && f._2 < 3))
+    // a 1-branch descent can only return fines of the single best branch
+    val byBranch = fines.groupBy(_._2).map { case (b, fs) =>
+      b -> fs.map(_._1).toSet
+    }
+    val got = vecs.select(col("vec_id"),
+      Similarity.ivfCell2L(col("embedding"), tops, fines, 1).as("cell"))
+      .collect()
+    got.foreach { r =>
+      val cell = r.getInt(1)
+      assert(byBranch.values.exists(_.contains(cell)))
+    }
+    // and the knnJoin2L with full probing equals knnJoinIvf exactly
+    val flat = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 2)
+    val two = Similarity.knnJoinIvf2L(vecs, "vec_id", "embedding",
+      k = 3, tops, fines, branchProbes = 3, nProbe = 2)
+    assert(two.collect().map(_.toSeq).toSet === flat.collect().map(_.toSeq).toSet)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("fitted-tops + replicated fines: full descent still equals flat; " +
+      "replica probe lists never repeat a cell") {
+    val cents = (0 until 8).map(i =>
+      i * 3 -> Array.tabulate(8)(d => (math.cos(i * 41 + d * 7) * 2).toFloat))
+    val (tops, fines) =
+      Similarity.twoLevelIndexFitted(cents, branches = 3, replicas = 2)
+    assert(fines.size === cents.size * 2) // every fine registered twice
+    // exhaustive descent: fitted tops and replicas cannot change the
+    // result — the candidate set is every fine, deduped
+    val got = vecs.select(col("vec_id"),
+      Similarity.ivfCell(col("embedding"), cents).as("flat"),
+      Similarity.ivfCell2L(col("embedding"), tops, fines, 3).as("two"),
+      Similarity.ivfProbes(col("embedding"), cents, 4).as("flatP"),
+      Similarity.ivfProbes2L(col("embedding"), tops, fines, 3, 4).as("twoP"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2))
+      assert(r.getSeq[Int](3) === r.getSeq[Int](4))
+    }
+    // partial descent: probe lists stay duplicate-free despite replicas
+    val probes = vecs.select(
+      Similarity.ivfProbes2L(col("embedding"), tops, fines, 1, 4).as("p"))
+      .collect()
+    probes.foreach { r =>
+      val p = r.getSeq[Int](0)
+      assert(p.distinct.size === p.size, s"duplicate cell in probes $p")
+    }
+  }
+
   test("connected components: cliques, chains, singletons") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
