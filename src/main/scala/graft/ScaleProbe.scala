@@ -286,7 +286,14 @@ object ScaleProbe {
       // constant (candidate pairs ∝ corpus·nProbe·occupancy — linear),
       // and the fit runs on a 1/scale SAMPLE (quantizer training is
       // sample-sized in any real IVF build), so the fit's corpus×cells
-      // cosine pass stays constant-cost instead of going quadratic
+      // cosine pass stays constant-cost instead of going quadratic.
+      // Guard OFF here, deliberately: the fail-fast guard surfaced that
+      // even this shape carries ONE skew cell past mean occupancy × 16
+      // at 30× (r16's "clean" 179,972-row figure was itself 28 rows
+      // short of 3 × corpus — the old cap's silent drop, invisible
+      // until the guard existed); the probe instruments honesty by ROW
+      // COUNT instead, and one popular cell's occupancy² is within the
+      // pair budget at any probed scale
       "knn_join_ivf_scaled_cells" -> (() => CacheScope.using { sc =>
         val cells = 32 * scale
         val sample = embs.filter(col("vec_id") % scale === 0)
@@ -299,7 +306,7 @@ object ScaleProbe {
           seeds, iters = 2)
         Similarity.knnJoinIvf(embs, "vec_id", "embedding",
           k = 3, centroids = cents, nProbe = 4,
-          maxCellOccupancy = MaxBucket, scope = sc).count()
+          maxCellOccupancy = 0L, scope = sc).count()
       }),
       // the assignment-cost pair behind the two-level quantizer: with
       // cells ∝ corpus (32·scale — the scaled-cells routing) the FLAT
