@@ -2099,18 +2099,20 @@ object SparkEntry {
       Seq("l_linestatus"), "l_returnflag", "R", "A", "conv",
       critBp = 19600L)
 
-  /** q149: the index/model evaluation card — q137's ANN recall, q142's
-    * LSH banding precision/recall, q145's AUC spread, both index
-    * families' 25-query recall AND scanned-fraction (recall without
-    * scan cost is half a sheet), scalarized into one (metric, value)
+  /** q149: the index/model evaluation card — q142's LSH banding
+    * precision/recall/candidates, q145's AUC spread, and the fitted
+    * IVF's q156-shape recall@5, scalarized into one (metric, value)
     * report: the composed "is the approximate machinery good enough to
-    * ship" sheet, each metric riding its oracle-gated pipeline. */
+    * ship" sheet, each metric riding its oracle-gated pipeline. r17
+    * trim (verdict task 6): the 25-query recall + scanned-fraction
+    * INSTRUMENT rows (ann_recall/ann_hit/ann_scan/ivf_scan/
+    * ivf_recall25) moved to the RecallSweep harness — they re-ran
+    * q137's and a second 25-query brute truth inside every card build
+    * (the card was the bench's most expensive query at 7.4 s steady),
+    * while q137/q142 already gate those shapes as registered queries
+    * and RecallSweep measures the recall-vs-scan trade at every knob
+    * setting, not one point. */
   private def qEvalCard(s: SparkSession, dir: String): DataFrame = {
-    val ann = qAnnRecall(s, dir)
-      .agg(expr("CAST(sum(recall_bp) div count(*) AS BIGINT)").as("m1"),
-        sum(col("n_hit")).as("m2"))
-      .select(expr(
-        "stack(2, 'ann_recall_bp_mean', m1, 'ann_hit_total', m2) AS (metric, value)"))
     val lsh = qLshEval(s, dir).select(expr(
       "stack(3, 'lsh_precision_bp', precision_bp, 'lsh_recall_bp', recall_bp," +
         " 'lsh_candidates', n_candidates) AS (metric, value)"))
@@ -2133,50 +2135,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("h"))
       .select(expr(
         "stack(1, 'ivf_recall_bp_mean', (h * 10000) div 25) AS (metric, value)"))
-    // recall WITHOUT scan cost is half a sheet (the r15 lesson: the
-    // sign-LSH default's 84% recall costs an 11/16 cell scan) — so the
-    // card pairs each family's recall with its SCANNED FRACTION on the
-    // same 25-query q137 sample: candidate rows met by the probe join
-    // (uncapped — the pruning-power instrument, not the capped
-    // production join) over nQueries × corpus, in basis points.
-    // candidate count = Σ_q occupancy(probed cells), so the probe list
-    // joins the CELLS-SIZED occupancy aggregate (≤ 2^bits rows), never
-    // the corpus — same number as the raw candidate join, one corpus
-    // aggregate instead of a 25×corpus materialization
-    val q25 = embAll.filter(col("vec_id") < 25)
-    val annCand = q25.select(explode(Similarity.hammingProbes(
-        Similarity.signBucket(col("embedding"), AnnBits), AnnBits, AnnHamming))
-        .as("__bkt"))
-      .join(broadcast(embAll.select(
-          Similarity.signBucket(col("embedding"), AnnBits).as("__bkt"))
-        .groupBy("__bkt").agg(count(lit(1)).as("__occ"))), Seq("__bkt"))
-      .agg(sum(col("__occ")).as("a_sc"))
-    val ivfCand = q25.select(explode(
-        Similarity.ivfProbes(col("embedding"), cents, IvfProbe)).as("__cell"))
-      .join(broadcast(embAll.select(
-          Similarity.ivfCell(col("embedding"), cents).as("__cell"))
-        .groupBy("__cell").agg(count(lit(1)).as("__occ"))), Seq("__cell"))
-      .agg(sum(col("__occ")).as("i_sc"))
-    val scan = broadcast(annCand).crossJoin(broadcast(ivfCand))
-      .crossJoin(broadcast(q25.agg(count(lit(1)).as("nq"))))
-      .crossJoin(broadcast(embAll.agg(count(lit(1)).as("nc"))))
-      .select(expr(
-        "stack(2, 'ann_scan_bp', (a_sc * 10000) div (nq * nc)," +
-          " 'ivf_scan_bp', (i_sc * 10000) div (nq * nc)) AS (metric, value)"))
-    // and the fitted family's recall on that same 25-query sample at
-    // the REGISTERED probe depth (comparable 1:1 with ann_recall_bp_mean
-    // and the two scan rows; 250 = 25 queries × 10 truth slots)
-    val truth25 = Similarity.bruteForceTopK(embAll, "vec_id", "embedding",
-      q25, "vec_id", "embedding", k = 10)
-    val ivf25 = Similarity.ivfTopK(embAll, "vec_id", "embedding",
-      q25, "vec_id", "embedding", cents, k = 10, nProbe = IvfProbe)
-    val ivfR25 = truth25.select(col("qid"), col("id"))
-      .join(ivf25.select(col("qid"), col("id")), Seq("qid", "id"))
-      .agg(count(lit(1)).as("h"))
-      .select(expr(
-        "stack(1, 'ivf_recall25_bp', (h * 10000) div 250) AS (metric, value)"))
-    ann.unionByName(lsh).unionByName(auc).unionByName(ivf)
-      .unionByName(scan).unionByName(ivfR25)
+    lsh.unionByName(auc).unionByName(ivf)
       .select(col("metric"), col("value").cast("long").as("value"))
   }
 
@@ -2950,54 +2909,6 @@ object SparkEntry {
         |  CAST((coalesce(h.n_hit, 0) * 10000) // 10 AS BIGINT) AS recall_bp
         |FROM q LEFT JOIN f ON q.qid = f.qid
         |  LEFT JOIN h ON q.qid = h.qid""".stripMargin
-
-  /** q149's scan-fraction rows: candidate rows met by each family's
-    * UNCAPPED probe join on the q137 25-query sample, over nQueries ×
-    * corpus, in bp — the pruning-power companion to the recall rows. */
-  private lazy val Sql_q149AnnScan: String =
-    s"""WITH b AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt FROM embeddings),
-      |q0 AS (SELECT vec_id, embedding, bkt FROM b WHERE vec_id < 25),
-      |qp AS (SELECT vec_id,
-      |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM q0)
-      |SELECT CAST(((SELECT count(*) FROM b e JOIN qp ON e.bkt = qp.bkt)
-      |    * 10000) // ((SELECT count(*) FROM q0)
-      |    * (SELECT count(*) FROM embeddings)) AS BIGINT) AS value""".stripMargin
-
-  private lazy val Sql_q149IvfScan: String =
-    s"""WITH ${kmeansFitCtes(2, IvfCells)},
-      |vass AS (SELECT kqv.vec_id, c.cid,
-      |  ${OSql.cosSql("kqv.embedding", "c.cvec")} AS cc
-      | FROM kqv CROSS JOIN c2 c),
-      |vcell AS (SELECT vec_id, cid FROM vass
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY cc DESC, cid ASC) = 1),
-      |vp AS (SELECT vec_id, cid FROM vass WHERE vec_id < 25
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY cc DESC, cid ASC) <= $IvfProbe)
-      |SELECT CAST(((SELECT count(*) FROM vcell e JOIN vp ON e.cid = vp.cid)
-      |    * 10000) // ((SELECT count(*) FROM embeddings WHERE vec_id < 25)
-      |    * (SELECT count(*) FROM embeddings)) AS BIGINT) AS value""".stripMargin
-
-  /** q149's fitted-IVF top-10 over the 25-query sample at the
-    * registered probe depth — the recall row comparable 1:1 with
-    * ann_recall_bp_mean. */
-  private lazy val Sql_q149Ivf25: String =
-    s"""WITH ${kmeansFitCtes(2, IvfCells)},
-      |vass AS (SELECT kqv.vec_id, kqv.embedding, c.cid,
-      |  ${OSql.cosSql("kqv.embedding", "c.cvec")} AS cc
-      | FROM kqv CROSS JOIN c2 c),
-      |vcell AS (SELECT vec_id, embedding, cid FROM vass
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY cc DESC, cid ASC) = 1),
-      |vp AS (SELECT vec_id AS qid, embedding AS qv, cid FROM vass
-      |  WHERE vec_id < 25
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY cc DESC, cid ASC) <= $IvfProbe),
-      |sc AS (SELECT vp.qid, e.vec_id AS id,
-      |  ${OSql.cosSql("e.embedding", "vp.qv")} AS cos
-      | FROM vcell e JOIN vp ON e.cid = vp.cid)
-      |SELECT qid, id FROM sc QUALIFY row_number()
-      |  OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin
 
   private lazy val Sql_q142: String =
       s"""${OSql.shingleCte},
@@ -5403,12 +5314,8 @@ object SparkEntry {
     // The three eval oracles scalarized — each sub-SELECT is the exact
     // body its own green row runs.
     "q149_eval_card" ->
-      s"""SELECT 'ann_recall_bp_mean' AS metric,
-        |  CAST(sum(recall_bp) // count(*) AS BIGINT) AS value
-        |FROM ($Sql_q137)
-        |UNION ALL SELECT 'ann_hit_total', CAST(sum(n_hit) AS BIGINT)
-        |FROM ($Sql_q137)
-        |UNION ALL SELECT 'lsh_precision_bp', precision_bp FROM ($Sql_q142)
+      s"""SELECT 'lsh_precision_bp' AS metric,
+        |  precision_bp AS value FROM ($Sql_q142)
         |UNION ALL SELECT 'lsh_recall_bp', recall_bp FROM ($Sql_q142)
         |UNION ALL SELECT 'lsh_candidates', n_candidates FROM ($Sql_q142)
         |UNION ALL SELECT 'auc_bp_min', CAST(min(auc_bp) AS BIGINT)
@@ -5425,19 +5332,6 @@ object SparkEntry {
         |   FROM embeddings e, vq)
         |  SELECT qid, id FROM vsc QUALIFY row_number()
         |    OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 5) t
-        |ON a.qid = t.qid AND a.id = t.id
-        |UNION ALL SELECT 'ann_scan_bp', value FROM ($Sql_q149AnnScan)
-        |UNION ALL SELECT 'ivf_scan_bp', value FROM ($Sql_q149IvfScan)
-        |UNION ALL SELECT 'ivf_recall25_bp',
-        |  CAST((count(*) * 10000) // 250 AS BIGINT)
-        |FROM ($Sql_q149Ivf25) a JOIN (
-        |  WITH vq AS (SELECT vec_id AS qid, embedding AS qv
-        |      FROM embeddings WHERE vec_id < 25),
-        |  vsc AS (SELECT vq.qid, e.vec_id AS id,
-        |    ${OSql.cosSql("e.embedding", "vq.qv")} AS cos
-        |   FROM embeddings e, vq)
-        |  SELECT qid, id FROM vsc QUALIFY row_number()
-        |    OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10) t
         |ON a.qid = t.qid AND a.id = t.id""".stripMargin,
 
     // Identical truth to q145 — the oracle does not care which plan
