@@ -471,6 +471,24 @@ object ScaleProbe {
         Dedup.duplicatedSpans(docs, "doc_id", col("text"),
           n = 8, minDocs = 2, scope = sc).count()
       }),
+      // q164's exact shape — dup_spans' stages plus token coverage over
+      // the duplicated sliver and reassembly of only the docs that lost
+      // tokens; the red line is the reassembly re-explode growing past
+      // the near-dup fraction (cut docs ∝ corpus at the fixture's
+      // every-20th rate, so rows and time should both stay ∝ corpus)
+      "span_cut" -> (() => CacheScope.using { sc =>
+        Dedup.spanCutDedup(docs, "doc_id", col("text"),
+          n = 8, minDocs = 2, scope = sc).count()
+      }),
+      // q168's exact shape — the standing reference reduces to its
+      // distinct shingle index (amortizable in deployment, rebuilt here)
+      // and the incoming side probes it; both sides ∝ corpus
+      "span_cut_ingest" -> (() => CacheScope.using { sc =>
+        Dedup.spanCutAgainst(
+          docs.filter(col("doc_id") % 4 =!= 0),
+          docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", col("text"), n = 8, scope = sc).count()
+      }),
       // q158's exact shape — both retrieval arms at k=20 plus the RRF
       // fuse; the red line is whichever arm bends (bm25's corpus-keyed
       // doc-length join or the brute cosine scan) — the fuse layer is

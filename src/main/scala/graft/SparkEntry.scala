@@ -2438,6 +2438,22 @@ object SparkEntry {
     Dedup.spanCutDedup(cpuTable(s, dir, "documents"), "doc_id",
       col("text"), n = 8, minDocs = 2)
 
+  /** q168: crawl-ingest span-cut ([[Dedup.spanCutAgainst]]) — q164's
+    * incremental form on the q63/q77 split (reference = doc_id % 4 ==
+    * 0, incoming = the rest): every incoming token covered by an
+    * 8-shingle already present in the standing reference is cut; the
+    * reference reduces to its distinct shingle index (the amortizable
+    * standing artifact) and is never itself re-cut. The ingest-time
+    * answer to "don't let the crawl re-admit text the corpus already
+    * has", at exact-substring granularity. */
+  private def qSpanCutIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    Dedup.spanCutAgainst(
+      docs.filter(col("doc_id") % 4 =!= 0),
+      docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", col("text"), n = 8)
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2608,6 +2624,7 @@ object SparkEntry {
     "q165_knn_sampled_fit" -> (qKnnSampledFit _),
     "q166_knn_two_level" -> (qKnnTwoLevel _),
     "q167_mmr_local" -> (qMmrLocal _),
+    "q168_span_cut_ingest" -> (qSpanCutIngest _),
   )
 
   // ------------------------------------------------------------------ //
@@ -5642,6 +5659,41 @@ object SparkEntry {
         |   owned FROM d),
         |ct AS (SELECT doc_id, t FROM cv GROUP BY doc_id, t
         |  HAVING NOT bool_or(owned)),
+        |cc AS (SELECT doc_id, count(*) AS ncut FROM ct GROUP BY 1),
+        |tok AS (SELECT w.doc_id, ti.i AS t, ws[ti.i] AS wd
+        | FROM w JOIN cc USING (doc_id),
+        |   lateral unnest(generate_series(1, len(ws))) ti(i)),
+        |keep AS (SELECT tok.doc_id, tok.t, tok.wd FROM tok
+        | LEFT JOIN ct ON tok.doc_id = ct.doc_id AND tok.t = ct.t
+        | WHERE ct.t IS NULL),
+        |rb AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY t) AS rbt,
+        |   count(*) AS nk FROM keep GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CASE WHEN cc.doc_id IS NULL THEN array_to_string(ws, ' ')
+        |       ELSE coalesce(rb.rbt, '') END AS dedup_text,
+        |  CAST(CASE WHEN cc.doc_id IS NULL THEN len(ws)
+        |       ELSE coalesce(rb.nk, 0) END AS BIGINT) AS n_tokens_kept,
+        |  CAST(coalesce(cc.ncut, 0) AS BIGINT) AS n_tokens_cut
+        |FROM w LEFT JOIN cc USING (doc_id) LEFT JOIN rb USING (doc_id)""".stripMargin,
+
+    // q164's shape on the incremental split: the reference's DISTINCT
+    // shingle set (rk), incoming positional shingles (g), duplicated
+    // positions by semi-join, DISTINCT token coverage, reassembly only
+    // for incoming docs that lost tokens.
+    "q168_span_cut_ingest" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 <> 0),
+        |rw AS (SELECT string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
+        |rk AS (SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM (SELECT * FROM rw WHERE len(ws) >= 8) r,
+        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM (SELECT * FROM w WHERE len(ws) >= 8) we,
+        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN rk USING (sh)),
+        |ct AS (SELECT DISTINCT doc_id, t FROM (
+        |   SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS t FROM d)),
         |cc AS (SELECT doc_id, count(*) AS ncut FROM ct GROUP BY 1),
         |tok AS (SELECT w.doc_id, ti.i AS t, ws[ti.i] AS wd
         | FROM w JOIN cc USING (doc_id),

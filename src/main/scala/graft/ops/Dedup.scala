@@ -358,9 +358,20 @@ object Dedup {
       .agg(max(col("__owned")).as("__keep"))
       .filter(!col("__keep"))
       .select(col(idCol), col("t"))
+    cutAndReassemble(base, cutToks, idCol)
+  }
+
+  /** The span-cut reassembly shared by [[spanCutDedup]] and
+    * [[spanCutAgainst]]: `base` is (idCol, __ws words array), `cutToks`
+    * is the (idCol, t) set of 1-based token indexes to drop. Only
+    * documents that actually lost tokens re-explode (left-semi on the
+    * cut set); everyone else passes through as a narrow projection. A
+    * fully-cut document survives with empty `dedup_text` and
+    * `n_tokens_kept = 0`. */
+  private def cutAndReassemble(base: DataFrame, cutToks: DataFrame,
+      idCol: String): DataFrame = {
     val cutCounts = cutToks.groupBy(col(idCol))
       .agg(count(lit(1)).as("__ncut"))
-    // reassemble ONLY documents that lost tokens; the rest never explode
     val rebuilt = base.join(cutCounts, Seq(idCol), "left_semi")
       .select(col(idCol), posexplode(col("__ws")).as(Seq("__p0", "__w")))
       .withColumn("t", (col("__p0") + 1).cast("long"))
@@ -379,6 +390,54 @@ object Dedup {
         when(col("__ncut").isNull, size(col("__ws")).cast("long"))
           .otherwise(coalesce(col("__rbKept"), lit(0L))).as("n_tokens_kept"),
         coalesce(col("__ncut"), lit(0L)).as("n_tokens_cut"))
+  }
+
+  /** [[spanCutDedup]]'s crawl-ingest form — the q63/q77 family shape at
+    * span granularity: cut every incoming token covered by an n-shingle
+    * that ALREADY EXISTS in the standing reference corpus. The
+    * reference is the authoritative kept text, so its copies own every
+    * shared run (no packed-key ownership race — incoming occurrences
+    * are never owners), and the reference side reduces to a DISTINCT
+    * shingle-md5 set: the standing span INDEX a deployment precomputes
+    * once and probes per batch (in-query it is rebuilt — the q157
+    * self-containment convention; the reference TEXT is never
+    * reassembled or re-cut). Within-batch duplication is deliberately
+    * out of scope — run [[spanCutDedup]] over the batch first (or
+    * after), exactly as [[dropNearDupsAgainst]] composes with the batch
+    * MinHash pass.
+    *
+    * Scale shape: reference explode → distinct md5 hash aggregate (the
+    * index build, amortizable); incoming explode cached once; the
+    * duplicated sliver is a left-semi probe of the index; token
+    * coverage explodes the sliver n× with a DISTINCT collapse; the
+    * reassembly re-explodes only the documents that lost tokens.
+    * Output: [[spanCutDedup]]'s exact shape, for INCOMING docs only. */
+  def spanCutAgainst(incoming: DataFrame, reference: DataFrame,
+      idCol: String, text: Column, n: Int = 8,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(n >= 2, s"n >= 2, got $n")
+    val refKeys = reference
+      .select(split(text, " ").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("__ws"),
+        explode(sequence(lit(1), size(col("__ws")) - lit(n - 1))).as("pos"))
+      .select(md5(array_join(
+        slice(col("__ws"), col("pos"), lit(n)), " ")).as("__k"))
+      .distinct()
+    val base = incoming.select(col(idCol), split(text, " ").as("__ws"))
+      .filter(col("__ws").isNotNull)
+    val shingled = scope.cache(base
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(1), size(col("__ws")) - lit(n - 1))).as("pos"))
+      .withColumn("__k",
+        md5(array_join(slice(col("__ws"), col("pos"), lit(n)), " "))))
+    val cutToks = shingled.join(refKeys, Seq("__k"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
+      .distinct()
+      .select(col(idCol), col("t").cast("long").as("t"))
+    cutAndReassemble(base, cutToks, idCol)
   }
 
   // ---------------------------------------------------------------- text

@@ -369,6 +369,40 @@ class TextPipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) === (("", 0L, 8L)))
   }
 
+  test("spanCutAgainst: incoming tokens covered by reference shingles are " +
+      "cut; within-batch duplicates are NOT (the documented composition)") {
+    val shared = (1 to 10).map("s" + _)
+    val ref = Seq(0L -> shared.mkString(" "))
+    val incA = (shared ++ (1 to 10).map("a" + _)).mkString(" ")
+    val dup = (1 to 12).map("d" + _).mkString(" ")
+    val got = graft.ops.Dedup.spanCutAgainst(
+      Seq(1L -> incA, 2L -> dup, 3L -> dup).toSeq.toDF("doc_id", "text"),
+      ref.toDF("doc_id", "text"), "doc_id", col("text"), n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 loses exactly the reference-covered prefix, keeps its tail
+    assert(got(1L) === (((1 to 10).map("a" + _).mkString(" "), 10L, 10L)))
+    // docs 2/3 duplicate each other but not the reference: untouched
+    assert(got(2L) === ((dup, 12L, 0L)))
+    assert(got(3L) === ((dup, 12L, 0L)))
+    // reference docs never appear in the output
+    assert(!got.contains(0L))
+  }
+
+  test("spanCutAgainst: an incoming doc fully inside the reference is " +
+      "cut to empty; short docs pass through") {
+    val t = (1 to 20).map("t" + _).mkString(" ")
+    val got = graft.ops.Dedup.spanCutAgainst(
+      Seq(1L -> t, 2L -> "a b c").toDF("doc_id", "text"),
+      Seq(0L -> t).toDF("doc_id", "text"), "doc_id", col("text"), n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === (("", 0L, 20L)))
+    assert(got(2L) === (("a b c", 3L, 0L)))
+  }
+
   test("spanCutDedup: short and unique docs are untouched") {
     val got = cut(1L -> "a b c", 2L -> (1 to 12).map("u" + _).mkString(" "))(
       n = 8, minDocs = 2)
