@@ -158,4 +158,58 @@ class ScaleOpsPropSpec extends AnyFunSuite {
       assert(got == expected, s"seed $i chunkTokens $ct")
     }
   }
+
+  test("prop: spanCutDedup equals a sequential ownership reference on " +
+      "random near-duplicated corpora") {
+    // reference semantics, computed naively: a position is duplicated
+    // when its n-shingle occurs in >= minDocs distinct docs; the owner
+    // is the minimum (doc, pos); a token is cut iff covered by >= 1
+    // duplicated position and by NO owned position
+    def reference(docs: Seq[(Long, String)], n: Int, minDocs: Int)
+        : Map[Long, (String, Long, Long)] = {
+      val words = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val occ = for {
+        (id, ws) <- words.toSeq if ws.size >= n
+        p <- 1 to (ws.size - n + 1)
+      } yield (ws.slice(p - 1, p + n - 1).mkString(" "), id, p)
+      val hot = occ.groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.size >= minDocs)
+      val owners = hot.map { case (sh, os) =>
+        sh -> os.map(o => (o._2, o._3)).min
+      }
+      docs.map { case (id, _) =>
+        val ws = words(id)
+        val covered = Array.fill(ws.size + 1)(false)
+        val owned = Array.fill(ws.size + 1)(false)
+        for {
+          p <- 1 to math.max(0, ws.size - n + 1)
+          sh = ws.slice(p - 1, p + n - 1).mkString(" ")
+          if hot.contains(sh)
+          t <- p until (p + n)
+        } {
+          covered(t) = true
+          if (owners(sh) == ((id, p))) owned(t) = true
+        }
+        val keep = (1 to ws.size).filter(t => !covered(t) || owned(t))
+        id -> ((keep.map(t => ws(t - 1)).mkString(" "),
+          keep.size.toLong, (ws.size - keep.size).toLong))
+      }.toMap
+    }
+    (1 to 4).foreach { i =>
+      // tiny vocab + mutation-heavy docs → real shared runs
+      val docGen = for {
+        len <- Gen.choose(3, 30)
+        ws <- Gen.listOfN(len, Gen.choose(0, 6).map("w" + _))
+      } yield ws.mkString(" ")
+      val docs = sample(Gen.listOfN(14, docGen), i * 131)
+        .zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val n = sample(Gen.choose(2, 4), i * 17)
+      val got = Dedup.spanCutDedup(docs.toDF("doc_id", "text"),
+          "doc_id", col("text"), n = n, minDocs = 2)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == reference(docs, n, 2), s"seed $i n $n")
+    }
+  }
 }
