@@ -35,13 +35,13 @@ object EmbedBreakdown {
         .withColumn("lbl", when(col("vec_id") % 3 === 0, col("label"))))
     def predicted(sc: CacheScope) = Similarity.labelPropagate(masked(sc),
       "vec_id", "embedding", "lbl", k = 5, signBits = 8, probeHamming = 1,
-      maxBucket = 1000L, scope = sc)
+      maxBucketOccupancy = 1000L, scope = sc)
     def full(sc: CacheScope) = {
       val m = masked(sc)
       m.filter(col("lbl").isNotNull).select(col("vec_id"), col("lbl"))
         .unionByName(Similarity.labelPropagate(m, "vec_id", "embedding",
           "lbl", k = 5, signBits = 8, probeHamming = 1,
-          maxBucket = 1000L, scope = sc).select(col("vec_id"), col("lbl")))
+          maxBucketOccupancy = 1000L, scope = sc).select(col("vec_id"), col("lbl")))
         .groupBy(col("lbl").as("label"))
         .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_ids"))
     }

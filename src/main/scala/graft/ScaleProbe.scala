@@ -234,7 +234,7 @@ object ScaleProbe {
       // grows O(occupancy²) as the corpus outruns 2^bits buckets
       "knn_join_fixed_bits" -> (() => CacheScope.using { sc =>
         Similarity.knnJoin(embs, "vec_id", "embedding",
-          k = 3, signBits = 8, probeHamming = 1, maxBucket = MaxBucket,
+          k = 3, signBits = 8, probeHamming = 1, maxBucketOccupancy = MaxBucket,
           scope = sc).count()
       }),
       // quantized coarse + fp rerank at the same fixed bits (q62's exact
@@ -244,7 +244,7 @@ object ScaleProbe {
       "knn_join_quantized" -> (() => CacheScope.using { sc =>
         Similarity.knnJoinQuantized(embs, "vec_id", "embedding",
           k = 3, signBits = 8, probeHamming = 1, coarseK = 10,
-          maxBucket = MaxBucket, scope = sc).count()
+          maxBucketOccupancy = MaxBucket, scope = sc).count()
       }),
       // q46's registered shape since r16 (fitted IVF, 32 cells, nProbe
       // 4): the fit is 2 rounds × corpus × cells cosines (linear in
@@ -344,7 +344,7 @@ object ScaleProbe {
       "knn_join_scaled_bits" -> (() => CacheScope.using { sc =>
         val bits = 8 + math.round(math.log(scale.toDouble) / math.log(2.0)).toInt
         Similarity.knnJoin(embs, "vec_id", "embedding",
-          k = 3, signBits = bits, probeHamming = 1, maxBucket = MaxBucket,
+          k = 3, signBits = bits, probeHamming = 1, maxBucketOccupancy = MaxBucket,
           scope = sc).count()
       }),
       "connected_components" -> (() => CacheScope.using { sc =>
@@ -596,7 +596,7 @@ object ScaleProbe {
           embs.withColumn("lbl",
             when(col("vec_id") % 3 === 0, col("label"))),
           "vec_id", "embedding", "lbl", k = 5, signBits = 8,
-          probeHamming = 1, maxBucket = 1000L, scope = sc).count()
+          probeHamming = 1, maxBucketOccupancy = 1000L, scope = sc).count()
       }),
       "sessionize" -> (() =>
         graft.ops.Events.sessionize(evs, "user_id", "ts_us", "event_id",
@@ -713,7 +713,8 @@ object ScaleProbe {
         // it as a guarded cell; any other exception still fails fast
         def isGuard(e: Throwable): Boolean = e != null && (
           Option(e.getMessage).exists(m =>
-            m.contains("maxCellOccupancy") || m.contains("maxBandOccupancy"))
+            m.contains("maxCellOccupancy") || m.contains("maxBandOccupancy")
+              || m.contains("maxBucketOccupancy"))
             || isGuard(e.getCause))
         val (t, rows) = try time(spark, reps)(body()) catch {
           case e: Throwable if isGuard(e) => (-1.0, -1L)

@@ -395,10 +395,16 @@ object SparkEntry {
   //  LLM-pipeline extension operators (graft.ops)                       //
   // ------------------------------------------------------------------ //
 
-  /** LSH bucket-size cap for the band/sign candidate self-joins (q24/q25/
-    * q28) — the `maxDf` analogue: a degenerate bucket key would put its
-    * whole bucket on one reducer doing O(bucket²) pairs. Mirrored in the
-    * oracles via `QUALIFY count(*) OVER (PARTITION BY bucket) <= cap`. */
+  /** LSH bucket-size bound, with TWO contracts by op family (r17):
+    * near-dup ops (q24/q25/q28 bands and threshold sign buckets) DROP
+    * over-cap buckets — an over-full bucket there means already-known
+    * near-identical docs, and the drop is mirrored in their oracles via
+    * `QUALIFY count(*) OVER (PARTITION BY bucket) <= cap`; the
+    * kNN/retrieval/labeling family (q46/q62/q106/q111/q113/q133/q165/
+    * q166 and q118's label stage) FAIL-FASTS instead — an over-full
+    * cell/sign bucket is a popular region whose silent drop removes
+    * members from every candidate set (the r16/r17 cap-masking catch),
+    * so those oracles carry NO occupancy filter. */
   private val LshMaxBucket = 1000L
 
   /** Registered sign-LSH ANN defaults (q27/q113/q133, evaluated by
@@ -1551,7 +1557,7 @@ object SparkEntry {
   private def qHardNegatives(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.hardNegatives(cpuTable(s, dir, "embeddings"),
       "vec_id", "embedding", "label", k = 3, signBits = 8,
-      probeHamming = 1, maxBucket = LshMaxBucket)
+      probeHamming = 1, maxBucketOccupancy = LshMaxBucket)
 
   /** Time-decayed activity score ([[graft.ops.Events.decayedScore]]):
     * per-user engagement with a 1-day half-life anchored at the
@@ -1587,7 +1593,7 @@ object SparkEntry {
         .withColumn("lbl", when(col("vec_id") % 3 === 0, col("label"))))
     val predicted = Similarity.labelPropagate(masked, "vec_id",
       "embedding", "lbl", k = 5, signBits = 8, probeHamming = 1,
-      maxBucket = LshMaxBucket)
+      maxBucketOccupancy = LshMaxBucket)
       .select(col("vec_id"), col("lbl"))
     masked.filter(col("lbl").isNotNull).select(col("vec_id"), col("lbl"))
       .unionByName(predicted)
@@ -1723,7 +1729,7 @@ object SparkEntry {
     val embs = cpuTable(s, dir, "embeddings")
     val edges = graft.ops.Similarity.knnJoin(embs, "vec_id", "embedding",
       k = 3, signBits = AnnBits, probeHamming = AnnHamming,
-      maxBucket = LshMaxBucket)
+      maxBucketOccupancy = LshMaxBucket)
       .select(col("qid").as("src"), col("id").as("dst"))
     graft.ops.Centrality.pageRankInt(edges, embs.select(col("vec_id")),
       "vec_id", iters = 2, dampBp = 8500)
@@ -1789,7 +1795,7 @@ object SparkEntry {
       cpuTable(s, dir, "embeddings").withColumn("lbl",
         when(col("vec_id") % 3 === 0, col("label"))),
       "vec_id", "embedding", "lbl", k = 5, signBits = 8,
-      probeHamming = 1, maxBucket = LshMaxBucket)
+      probeHamming = 1, maxBucketOccupancy = LshMaxBucket)
       .select(col("vec_id"), col("lbl").as("label"), col("votes"))
 
   /** Per-source percentile gate ([[graft.ops.Sampling.percentileGate]]):
@@ -1923,7 +1929,7 @@ object SparkEntry {
     val embs = cpuTable(s, dir, "embeddings")
     val edges = Similarity.knnJoin(embs, "vec_id", "embedding",
       k = 3, signBits = AnnBits, probeHamming = AnnHamming,
-      maxBucket = LshMaxBucket)
+      maxBucketOccupancy = LshMaxBucket)
       .select(col("qid").as("src"), col("id").as("dst"))
     graft.ops.Centrality.triangleCounts(edges,
       embs.select(col("vec_id")), "vec_id")
@@ -4557,8 +4563,7 @@ object SparkEntry {
       s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
         |  FROM embeddings),
-        |lab AS (SELECT * FROM b0 WHERE vec_id % 3 = 0
-        |  QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |lab AS (SELECT * FROM b0 WHERE vec_id % 3 = 0),
         |q AS (SELECT vec_id AS qid, embedding AS qv, unnest([bkt${(0 until 8).map(i =>
              s", xor(bkt, ${1L << i})").mkString}]) AS bkt
         |  FROM b0 WHERE vec_id % 3 <> 0),
@@ -4632,7 +4637,7 @@ object SparkEntry {
       s"""WITH b0 AS (SELECT *, ${(0 until 8).map(i =>
             s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bkt
         |  FROM embeddings),
-        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |b AS (SELECT * FROM b0),
         |q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql,
         |   unnest([bkt${(0 until 8).map(i => s", xor(bkt, ${1L << i})").mkString}]) AS bkt
         | FROM b0),
@@ -4667,7 +4672,7 @@ object SparkEntry {
     "q113_knn_pagerank" ->
       s"""WITH b0 AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
         |  FROM embeddings),
-        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |b AS (SELECT * FROM b0),
         |q AS (SELECT vec_id AS qid, embedding AS qv,
         |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM b0),
         |nn AS (SELECT q.qid, e.vec_id AS id,
@@ -4778,8 +4783,7 @@ object SparkEntry {
         |sb AS (SELECT e.vec_id, e.embedding, e.label, ${(0 until 8).map(i =>
             s"(CASE WHEN e.embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS sbkt
         |  FROM embeddings e JOIN surv USING (vec_id)),
-        |lab AS (SELECT * FROM sb WHERE vec_id % 3 = 0
-        |  QUALIFY count(*) OVER (PARTITION BY sbkt) <= $LshMaxBucket),
+        |lab AS (SELECT * FROM sb WHERE vec_id % 3 = 0),
         |qq AS (SELECT vec_id AS qid, embedding AS qv,
         |   unnest([sbkt${(0 until 8).map(i => s", xor(sbkt, ${1L << i})").mkString}]) AS sbkt
         | FROM sb WHERE vec_id % 3 <> 0),
@@ -5080,7 +5084,7 @@ object SparkEntry {
     "q133_knn_triangles" ->
       s"""WITH b0 AS (SELECT *, ${OSql.bktSql(AnnBits)} AS bkt
         |  FROM embeddings),
-        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bkt) <= $LshMaxBucket),
+        |b AS (SELECT * FROM b0),
         |q AS (SELECT vec_id AS qid, embedding AS qv,
         |  unnest(${OSql.probeSql(AnnBits, AnnHamming)}) AS bkt FROM b0),
         |nn AS (SELECT q.qid, e.vec_id AS id,

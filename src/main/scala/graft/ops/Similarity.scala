@@ -180,17 +180,20 @@ object Similarity {
     * aggregator, so the post-join shuffle carries k rows per task per
     * query. Self-pairs are excluded.
     *
-    * `maxBucket` caps the ITEM side's bucket population (the
-    * [[graft.ops.Dedup]] LSH skew guard): a degenerate bucket otherwise
-    * costs |bucket|² pairs. Queries keep all their probes — a dropped hot
-    * bucket only removes its candidates. Output: qid, id, cos, rank. */
+    * `maxBucketOccupancy` FAIL-FASTS when any sign bucket's item
+    * population exceeds it (r17, [[guardSignOccupancy]]: an over-full
+    * sign bucket is a popular region of embedding space — the silent
+    * drop these ops inherited from the near-dup band cap removed its
+    * members from every query's candidate set; 0 disables). Output:
+    * qid, id, cos, rank. */
   def knnJoin(items: DataFrame, itemId: String, itemVec: String,
       k: Int, signBits: Int, probeHamming: Int = 1,
-      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
-    val bucketed = Dedup.capBuckets(
+      maxBucketOccupancy: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val bucketed = guardSignOccupancy(
       items.select(col(itemId), col(itemVec),
         signBucket(col(itemVec), signBits).as("__bkt")),
-      Seq("__bkt"), maxBucket, scope)
+      "knnJoin", maxBucketOccupancy, scope)
     val probes = hammingProbes(signBucket(col(itemVec), signBits),
       signBits, probeHamming)
     val queries = items.select(col(itemId).as("qid"), col(itemVec).as("__qv"),
@@ -228,14 +231,15 @@ object Similarity {
     * exact shape, so the two are drop-in interchangeable. */
   def knnJoinQuantized(items: DataFrame, itemId: String, itemVec: String,
       k: Int, signBits: Int, probeHamming: Int = 1, coarseK: Int,
-      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+      maxBucketOccupancy: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
     val quant = scope.cache(
       quantizeInt8(items.select(col(itemId), col(itemVec)), itemVec))
-    val bucketed = Dedup.capBuckets(
+    val bucketed = guardSignOccupancy(
       quant.select(col(itemId), col("qvec").as("__iq"),
         signBucket(col(itemVec), signBits).as("__bkt")),
-      Seq("__bkt"), maxBucket, scope)
+      "knnJoinQuantized", maxBucketOccupancy, scope)
     val probes = hammingProbes(signBucket(col(itemVec), signBits),
       signBits, probeHamming)
     val queries = quant.select(col(itemId).as("qid"), col("qvec").as("__qq"),
@@ -355,25 +359,48 @@ object Similarity {
     * rangeJoin trick — column pruning cannot drop the raise_error). */
   private def guardCellOccupancy(assigned: DataFrame, maxCellOccupancy: Long,
       scope: CacheScope): DataFrame =
-    if (maxCellOccupancy <= 0) assigned
+    guardOccupancy(assigned, "__cell", maxCellOccupancy, scope,
+      "knnJoinIvf", "IVF cell", "maxCellOccupancy",
+      "Grow the cell count with the corpus (cells proportional to" +
+        " corpus holds occupancy constant) and fit the quantizer on a" +
+        " hash sample (kmeansFitInt8 fitFraction); raise" +
+        " maxCellOccupancy only with the occupancy^2 scan budget" +
+        " costed.")
+
+  /** The sign-LSH kNN family's instance of the same discipline: an
+    * over-full SIGN bucket is a popular region too (the cap these ops
+    * inherited was written for near-dup BAND buckets, where an
+    * over-full bucket means already-known near-identical docs — the
+    * r16/r17 cap-masking lesson, extended here before it bites). */
+  private def guardSignOccupancy(assigned: DataFrame, opName: String,
+      maxOccupancy: Long, scope: CacheScope): DataFrame =
+    guardOccupancy(assigned, "__bkt", maxOccupancy, scope,
+      opName, "sign bucket", "maxBucketOccupancy",
+      "Grow signBits with the corpus (occupancy is n/2^bits - the" +
+        " scaled-bits discipline, measured in SCALING.md) or route" +
+        " through the fitted-IVF family (knnJoinIvf, cells" +
+        " proportional to corpus); raise maxBucketOccupancy only with" +
+        " the occupancy^2 scan budget costed.")
+
+  private def guardOccupancy(assigned: DataFrame, keyCol: String,
+      maxOccupancy: Long, scope: CacheScope, opName: String,
+      unit: String, knob: String, routing: String): DataFrame =
+    if (maxOccupancy <= 0) assigned
     else {
       val b = scope.cache(assigned)
+      val keyType = assigned.schema(keyCol).dataType
       val boom = raise_error(concat(
-        lit("knnJoinIvf: IVF cell "), col("__cell").cast("string"),
+        lit(s"$opName: $unit "), col(keyCol).cast("string"),
         lit(" holds "), col("__occ").cast("string"),
-        lit(s" vectors (> maxCellOccupancy = $maxCellOccupancy): an" +
-          " over-full IVF cell is a popular region of embedding space," +
-          " not a bucket of near-duplicates - dropping it would" +
-          " silently remove its members from every query's candidate" +
-          " set. Grow the cell count with the corpus (cells" +
-          " proportional to corpus holds occupancy constant) and fit" +
-          " the quantizer on a hash sample (kmeansFitInt8 fitFraction);" +
-          " raise maxCellOccupancy only with the occupancy^2 scan" +
-          " budget costed."))).cast("int")
-      val occ = b.groupBy(col("__cell")).agg(count(lit(1)).as("__occ"))
-        .select(when(col("__occ") > maxCellOccupancy, boom)
-          .otherwise(col("__cell")).as("__cell"))
-      b.join(broadcast(occ), Seq("__cell"))
+        lit(s" vectors (> $knob = $maxOccupancy): an over-full $unit" +
+          " is a popular region of embedding space, not a bucket of" +
+          " near-duplicates - dropping it would silently remove its" +
+          " members from every query's candidate set. " + routing)))
+        .cast(keyType)
+      val occ = b.groupBy(col(keyCol)).agg(count(lit(1)).as("__occ"))
+        .select(when(col("__occ") > maxOccupancy, boom)
+          .otherwise(col(keyCol)).as(keyCol))
+      b.join(broadcast(occ), Seq(keyCol))
     }
 
   /** The IVF cell id of a vector (its nearest centroid) — the public
@@ -882,13 +909,14 @@ object Similarity {
     * (predicted), votes. */
   def labelPropagate(items: DataFrame, itemId: String, itemVec: String,
       labelCol: String, k: Int, signBits: Int, probeHamming: Int = 1,
-      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+      maxBucketOccupancy: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
-    val labeled = Dedup.capBuckets(
+    val labeled = guardSignOccupancy(
       items.filter(col(labelCol).isNotNull)
         .select(col(itemId), col(itemVec), col(labelCol),
           signBucket(col(itemVec), signBits).as("__bkt")),
-      Seq("__bkt"), maxBucket, scope)
+      "labelPropagate", maxBucketOccupancy, scope)
     val probes = hammingProbes(signBucket(col(itemVec), signBits),
       signBits, probeHamming)
     val queries = items.filter(col(labelCol).isNull)
@@ -924,13 +952,14 @@ object Similarity {
     * (negative), cos, rank. */
   def hardNegatives(items: DataFrame, itemId: String, itemVec: String,
       labelCol: String, k: Int, signBits: Int, probeHamming: Int = 1,
-      maxBucket: Long = 0L, scope: CacheScope = CacheScope.session): DataFrame = {
+      maxBucketOccupancy: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
     val labeled = items.filter(col(labelCol).isNotNull)
-    val bucketed = Dedup.capBuckets(
+    val bucketed = guardSignOccupancy(
       labeled.select(col(itemId), col(itemVec), col(labelCol),
         signBucket(col(itemVec), signBits).as("__bkt")),
-      Seq("__bkt"), maxBucket, scope)
+      "hardNegatives", maxBucketOccupancy, scope)
     val probes = hammingProbes(signBucket(col(itemVec), signBits),
       signBits, probeHamming)
     val queries = labeled.select(col(itemId).as("qid"),

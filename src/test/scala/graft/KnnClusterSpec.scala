@@ -43,15 +43,29 @@ class KnnClusterSpec extends AnyFunSuite {
     assert(knn.count() > 0)
   }
 
-  test("knnJoin maxBucket drops candidates from a degenerate bucket") {
+  test("knnJoin fail-fasts on a degenerate sign bucket, naming the " +
+      "routing (r17: the near-dup drop contract does not transfer)") {
     // 100 identical vectors = one bucket of 100; 3 in another bucket
     val dup = ((0 until 100).map(i => (i.toLong, Array(1f, 1f, 1f, 1f))) ++
       (100 until 103).map(i => (i.toLong, Array(-1f, -1f, -1f, -1f))))
       .toDF("vec_id", "embedding")
-    val capped = Similarity.knnJoin(dup, "vec_id", "embedding",
-      k = 2, signBits = 4, probeHamming = 0, maxBucket = 50)
-    // hot bucket's items dropped from the index: only the 3-bucket answers
-    assert(capped.agg(min(col("qid"))).head().getLong(0) >= 100L)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    val e = intercept[Exception] {
+      Similarity.knnJoin(dup, "vec_id", "embedding",
+        k = 2, signBits = 4, probeHamming = 0,
+        maxBucketOccupancy = 50).count()
+    }
+    val msg = chain(e).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msg.contains("maxBucketOccupancy = 50"), msg.take(300))
+    assert(msg.contains("signBits"), msg.take(300))
+    // under-cap population passes every row through untouched
+    val got = Similarity.knnJoin(dup, "vec_id", "embedding",
+      k = 2, signBits = 4, probeHamming = 0, maxBucketOccupancy = 1000)
+    val ref = Similarity.knnJoin(dup, "vec_id", "embedding",
+      k = 2, signBits = 4, probeHamming = 0)
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("Int8Cos equals a hand fold over the quantized ints; zero norm is 0") {
