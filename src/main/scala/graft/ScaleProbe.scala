@@ -338,6 +338,32 @@ object ScaleProbe {
             .as("c"))
           .groupBy("c").count().count()
       }),
+      // the two-level path END TO END at scaled cells (sample fit,
+      // fitted tops at √(2·cells), replicas 2, branchProbes 2). Guard
+      // off like scaled_cells (rows are the honesty instrument).
+      // MEASURED VERDICT (SCALING.md r17): WORSE than the flat scaled
+      // path at this fixture — the partial descent concentrates items
+      // and probes into popular cells, inflating the candidate join
+      // (exp 1.11 vs 0.81 at 30×, same rows); the sublinear ASSIGNMENT
+      // term (ivf_assign_2l) only dominates once cells ≫ 10³ and the
+      // join is occupancy-cheap — kept as the negative control
+      "knn_join_ivf_2l_scaled" -> (() => CacheScope.using { sc =>
+        val cells = 32 * scale
+        val sample = embs.filter(col("vec_id") % scale === 0)
+        val seeds = sample.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val cents = Similarity.kmeansFitInt8(
+          sample.select(col("vec_id"), col("embedding")), "embedding",
+          seeds, iters = 2)
+        val b = math.max(2, math.round(math.sqrt(2.0 * cells)).toInt)
+        val (tops, fines) =
+          Similarity.twoLevelIndexFitted(cents, b, replicas = 2)
+        Similarity.knnJoinIvf2L(embs, "vec_id", "embedding",
+          k = 3, tops, fines, branchProbes = 2, nProbe = 4,
+          maxCellOccupancy = 0L, scope = sc).count()
+      }),
       // scaled bits: occupancy held constant (bits + log2(scale)) — the
       // knob a 100 TB deployment MUST turn; the probe proves it restores
       // the exponent
