@@ -900,7 +900,7 @@ object Similarity {
     * each null-label row takes the MAJORITY label among its top-`k`
     * exact-cosine neighbors from the reference, candidates generated by
     * the [[knnJoin]] multi-probe sign-LSH machinery (same `signBits` /
-    * `probeHamming` / `maxBucket` semantics — a query whose probed
+    * `probeHamming` / `maxBucketOccupancy` semantics — a query whose probed
     * cells hold no labeled vector propagates nothing and is absent
     * from the output; raise `probeHamming` when coverage matters).
     * Vote counts are exact integers; vote ties break by ascending
