@@ -212,4 +212,50 @@ class ScaleOpsPropSpec extends AnyFunSuite {
       assert(got == reference(docs, n, 2), s"seed $i n $n")
     }
   }
+
+  test("prop: spanCutAgainst equals a sequential reference-membership " +
+      "cut on random corpora") {
+    // reference semantics: a token of an INCOMING doc is cut iff it is
+    // covered by an n-shingle occurrence whose shingle appears anywhere
+    // in the reference corpus; reference docs never appear in the output
+    def reference(inc: Seq[(Long, String)], ref: Seq[String], n: Int)
+        : Map[Long, (String, Long, Long)] = {
+      val refSh = (for {
+        t <- ref
+        ws = t.split(" ", -1).toSeq if ws.size >= n
+        p <- 1 to (ws.size - n + 1)
+      } yield ws.slice(p - 1, p + n - 1).mkString(" ")).toSet
+      inc.map { case (id, t) =>
+        val ws = t.split(" ", -1).toSeq
+        val covered = Array.fill(ws.size + 1)(false)
+        for {
+          p <- 1 to math.max(0, ws.size - n + 1)
+          if refSh.contains(ws.slice(p - 1, p + n - 1).mkString(" "))
+          k <- p until (p + n)
+        } covered(k) = true
+        val keep = (1 to ws.size).filterNot(covered)
+        id -> ((keep.map(k => ws(k - 1)).mkString(" "),
+          keep.size.toLong, (ws.size - keep.size).toLong))
+      }.toMap
+    }
+    (1 to 4).foreach { i =>
+      val docGen = for {
+        len <- Gen.choose(3, 30)
+        ws <- Gen.listOfN(len, Gen.choose(0, 6).map("w" + _))
+      } yield ws.mkString(" ")
+      val inc = sample(Gen.listOfN(10, docGen), i * 977)
+        .zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val ref = sample(Gen.listOfN(6, docGen), i * 977 + 1)
+      val n = sample(Gen.choose(2, 4), i * 13)
+      val got = Dedup.spanCutAgainst(
+          inc.toDF("doc_id", "text"),
+          ref.zipWithIndex.map { case (t, j) => (1000L + j, t) }
+            .toDF("doc_id", "text"),
+          "doc_id", col("text"), n = n)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == reference(inc, ref, n), s"seed $i n $n")
+    }
+  }
 }
