@@ -580,8 +580,10 @@ object ScaleProbe {
           "embedding", k = m)
         val cand = shortlist.join(
           embs.select(col("vec_id").as("id"), col("embedding")), "id")
+        // maxK lifted: this probe IS the instrument that measures the
+        // loss the default bound (MmrDistributedMaxK) refuses to ship
         Similarity.mmrSelect(cand, "qid", "id", "cos", "embedding",
-          k = kPicks, lambda = 0.7, scope = sc).count()
+          k = kPicks, lambda = 0.7, scope = sc, maxK = kPicks).count()
       }),
       // the same deployment shape through mmrSelectLocal — ONE mapGroups
       // job instead of ~3 jobs per pick: the per-query candidate set is

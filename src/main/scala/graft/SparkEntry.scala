@@ -24,6 +24,28 @@ object SparkEntry {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Cheap corpus fingerprint folded into every session-lifetime model
+    * key below (r17 ADVICE): [[graft.ops.CacheScope.model]] memoizes
+    * fitted models for the JVM lifetime, and a key of (name, dir,
+    * params) alone goes silently stale if a harness REGENERATES the
+    * data under the same dir mid-session — a stale model is silently
+    * wrong where a stale cache is merely slow. The stamp walks the
+    * local dir (name, length, mtime per file — a handful of stat
+    * calls, no data read) so any rewrite changes the key. Non-local
+    * paths (no such File) stamp 0 and fall back to dir identity —
+    * cluster deployments own their model lifecycle via
+    * [[graft.ops.CacheScope.using]] scopes. */
+  private def corpusStamp(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 31 + walk(c))
+      else (f.getName.hashCode.toLong * 31 + f.length()) * 31 +
+        f.lastModified()
+    val root = new java.io.File(dir)
+    if (root.exists()) walk(root) else 0L
+  }
+
   /** Read a table that feeds CPU-heavy per-row work (shingling, hashing,
     * cosine). The testdata files are single-row-group parquet —
     * unsplittable, so a bare scan plans ONE partition and serializes all
@@ -705,8 +727,8 @@ object SparkEntry {
     * predicate and an ORDER BY/LIMIT seed rule. Memoized like
     * [[fittedCentroids]]. */
   private def sampledCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
-    CacheScope.session.model(
-        ("sampledCentroids", dir, IvfCells, 2, SampleFitFraction)) {
+    CacheScope.session.model(("sampledCentroids", dir,
+        corpusStamp(dir), IvfCells, 2, SampleFitFraction)) {
       val all = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val sample = graft.ops.Sampling.hashSample(
@@ -754,7 +776,7 @@ object SparkEntry {
     * k/nProbe/guard as q46. */
   private def qKnnTwoLevel(s: SparkSession, dir: String): DataFrame = {
     val (tops, fines) = CacheScope.session.model(
-        ("twoLevel", dir, IvfCells, 8, 2, 2)) {
+        ("twoLevel", dir, corpusStamp(dir), IvfCells, 8, 2, 2)) {
       Similarity.twoLevelIndexFitted(fittedCentroids(s, dir),
         branches = 8, iters = 2, replicas = 2)
     }
@@ -2243,7 +2265,7 @@ object SparkEntry {
   private def qKmeansFit(s: SparkSession, dir: String): DataFrame = {
     val embs = cpuTable(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val fitted = CacheScope.session.model(("kmeansFit8", dir, 8, 2)) {
+    val fitted = CacheScope.session.model(("kmeansFit8", dir, corpusStamp(dir), 8, 2)) {
       Similarity.kmeansFitInt8(embs, "embedding",
         seedCentroids(s, dir), iters = 2)
     }
@@ -2280,7 +2302,8 @@ object SparkEntry {
     * Determinism (int8-exact updates, fixed seeds/rounds) is what
     * makes the memo invisible to correctness. */
   private def fittedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
-    CacheScope.session.model(("fittedCentroids", dir, IvfCells, 2)) {
+    CacheScope.session.model(("fittedCentroids", dir,
+      corpusStamp(dir), IvfCells, 2)) {
       val seeds = table(s, dir, "embeddings").filter(col("vec_id") < IvfCells)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
@@ -2295,7 +2318,8 @@ object SparkEntry {
     * both maintenance queries replay the same model history, so the
     * fit is keyed once per corpus. */
   private def standingCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
-    CacheScope.session.model(("standingCentroids", dir, 43, 2)) {
+    CacheScope.session.model(("standingCentroids", dir,
+      corpusStamp(dir), 43, 2)) {
       val seeds = table(s, dir, "embeddings")
         .filter(col("vec_id") % 4 =!= 0 && col("vec_id") < 43)
         .select(col("vec_id"), col("embedding")).collect()
@@ -2336,7 +2360,16 @@ object SparkEntry {
     * diverse exemplar mining over a near-dup-heavy corpus. The oracle
     * unrolls all six greedy steps as CTEs (the q155 discipline), so
     * every argmax — not just the final pick set — is hash-pinned
-    * cross-engine. */
+    * cross-engine.
+    *
+    * NOT THE DEPLOYMENT PATH (r18 routing mark): this registration is
+    * the distributed CONGRUITY TWIN of q167 — it stays registered so
+    * the driver gate itself pins the two paths to the same unrolled
+    * oracle, but deployments select through q167's
+    * [[Similarity.mmrSelectLocal]] (66× faster, exponent 0.37 vs 1.26
+    * — the ~3-jobs-per-pick chain measured in ScaleProbe
+    * `mmr_deploy`). [[Similarity.mmrSelect]] itself fail-fasts past
+    * [[Similarity.MmrDistributedMaxK]] picks. */
   private def qMmrDiversify(s: SparkSession, dir: String): DataFrame = {
     val emb = cpuTable(s, dir, "embeddings")
     val shortlist = Similarity.bruteForceTopK(emb, "vec_id", "embedding",

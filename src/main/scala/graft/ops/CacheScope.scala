@@ -40,10 +40,15 @@ final class CacheScope private[ops] (tracking: Boolean) extends AutoCloseable {
     * it), which at bench time re-pays the identical 2-round Lloyd fit
     * once per consuming query (~1.3 s × 7 queries per pass, r16
     * verdict); a deployment fits once. Keying discipline: the key MUST
-    * pin everything the fit reads — corpus identity (the sf dir), the
-    * vector column, cell count, iteration count, sample fraction —
-    * because a stale model is silently wrong where a stale DataFrame
-    * cache is merely slow. Determinism makes the memo safe: the fit is
+    * pin everything the fit reads — corpus identity (the sf dir AND a
+    * content fingerprint: `SparkEntry.corpusStamp` folds per-file
+    * name/length/mtime into every session-scope key, so a harness that
+    * regenerates data under the same dir changes the key — r17
+    * ADVICE), the vector column, cell count, iteration count, sample
+    * fraction — because a stale model is silently wrong where a stale
+    * DataFrame cache is merely slow. Harnesses that rewrite their data
+    * dir mid-scope should prefer per-run scopes via [[CacheScope
+    * .using]]. Determinism makes the memo safe: the fit is
     * a pure function of (corpus, seeds, iters), so cached-vs-refit
     * cannot diverge. Entries release with [[close]]; on the session
     * scope they live for the JVM (a handful of k×dims float arrays). */

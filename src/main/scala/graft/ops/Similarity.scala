@@ -25,6 +25,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** [[mmrSelect]]'s pick-count bound: the distributed chain launches
+    * ~3 Spark jobs per pick, measured super-linear at deployment pick
+    * counts (ScaleProbe `mmr_deploy`, exponent 1.26 at k→100) next to
+    * the flat [[mmrSelectLocal]] (0.37, 66× faster at k=100). 25 keeps
+    * the audit/congruity use (every registered query picks ≤ 10) while
+    * refusing the regime where the job-launch overhead dominates. */
+  val MmrDistributedMaxK = 25
+
   /** Dot product of two float arrays in double precision (higher-order
     * function form — interpreted lambda per element). */
   def dot(a: Column, b: Column): Column =
@@ -397,7 +405,12 @@ object Similarity {
           " near-duplicates - dropping it would silently remove its" +
           " members from every query's candidate set. " + routing)))
         .cast(keyType)
-      val occ = b.groupBy(col(keyCol)).agg(count(lit(1)).as("__occ"))
+      // null keys (null vectors) are EXCLUDED from the occupancy
+      // aggregate: the candidate equi-join drops them, so they can
+      // never join any probe — counting them would fail-fast on a
+      // group that contributes zero scan work (r17 ADVICE)
+      val occ = b.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("__occ"))
         .select(when(col("__occ") > maxOccupancy, boom)
           .otherwise(col(keyCol)).as(keyCol))
       b.join(broadcast(occ), Seq(keyCol))
@@ -1103,6 +1116,20 @@ object Similarity {
     * returns k DIFFERENT ones. The first pick maximizes bare `λ·rel`
     * (empty-set penalty 0), matching the paper.
     *
+    * ROUTING (r17 measured): this distributed form is the
+    * CONGRUITY/audit twin, NOT the deployment path — each pick costs ~3
+    * Spark jobs (penalty aggregate, argmax, checkpoint), so the chain
+    * probes super-linear in k (ScaleProbe `mmr_deploy` exponent 1.26 at
+    * k→100). Deployments run [[mmrSelectLocal]] (identical arithmetic,
+    * unit-pinned row-for-row, 66× faster, exponent 0.37): a query's
+    * candidate set is bounded at m, the legitimate per-group-imperative
+    * case. This form stays public for plan-level auditability (every
+    * argmax is a declarative step an external engine replays) and is
+    * FAIL-FASTED at `maxK` (default [[MmrDistributedMaxK]]) picks so
+    * the 3-jobs-per-pick chain cannot ship at deployment pick counts
+    * unremarked — `maxK` exists only so instruments (ScaleProbe
+    * `mmr_deploy`) can keep measuring the documented loss.
+    *
     * `candidates` must be a bounded per-query shortlist (the output of
     * [[bruteForceTopK]] / [[ivfTopKFitted]] joined back to its vectors)
     * — MMR is O(m²) in shortlist size m by nature, so the corpus-scale
@@ -1139,8 +1166,15 @@ object Similarity {
     * score it was picked at). */
   def mmrSelect(candidates: DataFrame, qidCol: String, idCol: String,
       relCol: String, vecCol: String, k: Int, lambda: Double,
-      scope: CacheScope = CacheScope.session): DataFrame = {
+      scope: CacheScope = CacheScope.session,
+      maxK: Int = MmrDistributedMaxK): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
+    require(k <= maxK,
+      s"mmrSelect: k = $k exceeds maxK = $maxK." +
+        " The distributed MMR chain costs ~3 Spark jobs PER PICK" +
+        " (measured exponent 1.26 at deployment pick counts - ScaleProbe" +
+        " mmr_deploy); route deployment selection through mmrSelectLocal" +
+        " (identical arithmetic, one mapGroups pass, measured 66x faster).")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
     val cand = scope.cache(candidates.select(
       col(qidCol), col(idCol),
@@ -1224,7 +1258,12 @@ object Similarity {
     * (`round(x, 9)` exact-binary HALF_UP, then the double→decimal(19,9)
     * cast via shortest-repr — both replicated from Spark's codegen),
     * decimal subtraction, (mmrd desc NULLS LAST, id asc) argmax, and
-    * Spark's NaN-above-everything `max` for the penalty. Ids must cast
+    * Spark's NaN-above-everything `max` for the penalty — INCLUDING
+    * the null contract (r17 ADVICE): a null `rel` or null vector rides
+    * through as a null score (sorts last under the argmax, exactly the
+    * distributed NULLS-LAST window), and a null vector's cosines are
+    * ignored by the max-sim penalty fold (the `max` aggregate's
+    * null-skipping), rather than throwing on decode. Ids must cast
     * to long (the kNN-family convention); candidate (qid, id) pairs are
     * assumed unique (they are a top-k shortlist). Output exactly
     * [[mmrSelect]]'s: qidCol, pick, idCol, rel, mmr — with long ids. */
@@ -1237,17 +1276,20 @@ object Similarity {
     val wRel = lambda
     val wDiv = 1.0 - lambda
     val kk = k
+    // Option decode mirrors the distributed form's null tolerance: a
+    // null rel/vector must ride through as a null score, not NPE on
+    // primitive unboxing (r17 ADVICE)
     val prepped = candidates.select(
         col(qidCol).cast("long"), col(idCol).cast("long"),
         col(relCol).cast("double"), col(vecCol))
-      .as[(Long, Long, Double, Array[Float])]
+      .as[(Long, Long, Option[Double], Option[Array[Float]])]
     val picked = prepped.groupByKey(_._1).flatMapGroups { (qid, it) =>
       val arr = it.toArray.sortBy(_._2) // id order = the tie order
       val n = arr.length
       val done = new Array[Boolean](n)
       val ms = new Array[Double](n)
       val hasMs = new Array[Boolean](n)
-      val out = Vector.newBuilder[(Long, Long, Long, Double, Option[Double])]
+      val out = Vector.newBuilder[(Long, Long, Long, Option[Double], Option[Double])]
       var pickNo = 1L
       var go = true
       while (pickNo <= kk && go) {
@@ -1257,11 +1299,15 @@ object Similarity {
         while (i < n) {
           if (!done(i)) {
             // step 1 scores every candidate by relevance alone; later
-            // steps subtract the decimal-weighted max-sim penalty
+            // steps subtract the decimal-weighted max-sim penalty. A
+            // None rel is the distributed null: wRel * null = null.
+            val a = arr(i)._3 match {
+              case Some(r) => MmrMath.dec9(wRel * r)
+              case None => null
+            }
             val score: java.math.BigDecimal =
-              if (pickNo == 1L) MmrMath.dec9(wRel * arr(i)._3)
+              if (pickNo == 1L) a
               else {
-                val a = MmrMath.dec9(wRel * arr(i)._3)
                 val b = if (hasMs(i)) MmrMath.dec9(wDiv * ms(i)) else null
                 if (a == null || b == null) null else a.subtract(b)
               }
@@ -1284,13 +1330,17 @@ object Similarity {
           out += ((qid, pickNo, arr(best)._2, arr(best)._3,
             Option(bestScore).map(_.doubleValue())))
           // fold the new pick into every survivor's max-sim penalty
-          // (Spark max: NaN above every number)
+          // (Spark max: NaN above every number, nulls skipped — a
+          // None vector on either side contributes no sim, exactly
+          // the null cosine the distributed max aggregate ignores)
           var j = 0
           while (j < n) {
             if (!done(j)) {
-              val s = MmrMath.cos6(arr(j)._4, arr(best)._4)
-              if (!hasMs(j)) { ms(j) = s; hasMs(j) = true }
-              else if (s.isNaN || (!ms(j).isNaN && s > ms(j))) ms(j) = s
+              for (vj <- arr(j)._4; vb <- arr(best)._4) {
+                val s = MmrMath.cos6(vj, vb)
+                if (!hasMs(j)) { ms(j) = s; hasMs(j) = true }
+                else if (s.isNaN || (!ms(j).isNaN && s > ms(j))) ms(j) = s
+              }
             }
             j += 1
           }

@@ -251,4 +251,42 @@ class HybridDiversitySpec extends AnyFunSuite {
     assert(got.map(_._3) === Seq(1L, 2L))
     assert(got.map(_._2) === Seq(1L, 2L))
   }
+
+  /** Null-bearing congruity (r17 ADVICE): a null rel or null vector
+    * must ride through the local form exactly as the distributed one
+    * treats it (null score sorts last, null cosines skipped by the
+    * penalty max) — not throw on decode. Run both forms on the same
+    * null-bearing frame and compare rows, nulls included. */
+  test("mmrSelectLocal: null rel / null vector match the distributed " +
+      "form row-for-row") {
+    val rows = Seq(
+      // qid 0: d2 has null rel (never beats a scored doc, but is
+      // pickable once everything scored is exhausted); d3 has a null
+      // vector (scoreable by rel, contributes no penalty)
+      (0L, 1L, Some(0.90), Some(Seq(1f, 0f, 0f))),
+      (0L, 2L, None: Option[Double], Some(Seq(0f, 1f, 0f))),
+      (0L, 3L, Some(0.80), None: Option[Seq[Float]]),
+      (0L, 4L, Some(0.10), Some(Seq(0.9f, 0.1f, 0f))),
+      // qid 1: ALL rels null — picks fall back to id order (the
+      // NULLS-LAST window's id ASC tie rule)
+      (1L, 5L, None: Option[Double], Some(Seq(1f, 0f, 0f))),
+      (1L, 6L, None: Option[Double], Some(Seq(0f, 1f, 0f))))
+      .toDF("qid", "id", "rel", "vec")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)),
+        if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val dist = collect(Similarity.mmrSelect(
+      rows, "qid", "id", "rel", "vec", k = 3, lambda = 0.7))
+    val local = collect(Similarity.mmrSelectLocal(
+      rows, "qid", "id", "rel", "vec", k = 3, lambda = 0.7))
+    assert(local === dist)
+    // the null-rel doc is picked only after every scored doc
+    val q0 = local.filter(_._1 == 0L)
+    assert(q0.map(_._3).take(3).last === 2L)
+    // qid 1 picks in id order with null scores end-to-end
+    val q1 = local.filter(_._1 == 1L)
+    assert(q1.map(_._3) === Seq(5L, 6L) && q1.forall(_._5 == null))
+  }
 }

@@ -205,6 +205,25 @@ class KnnClusterSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("occupancy guard ignores the null-vector group (null keys never " +
+      "feed the candidate join)") {
+    // 70 null-vector rows would form a 70-deep NULL cell; the guard at
+    // 60 must NOT fire on it (those rows drop out of the equi-join),
+    // while every real cell holds <= 60 members (only 60 non-null rows
+    // exist). r17 ADVICE: the old aggregate counted the null group and
+    // fail-fasted on work that contributes zero scan.
+    val withNulls = vecs.limit(60).unionByName(
+      spark.range(1000L, 1070L).select(col("id").as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val got = Similarity.knnJoinIvf(withNulls, "vec_id", "embedding",
+      k = 3, centroids = testCentroids, nProbe = 2,
+      maxCellOccupancy = 60L)
+    val ref = Similarity.knnJoinIvf(vecs.limit(60), "vec_id", "embedding",
+      k = 3, centroids = testCentroids, nProbe = 2)
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("knnJoinIvfQuantized with a deep shortlist equals knnJoinIvf exactly") {
     val cents = testCentroids
     val plain = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
