@@ -171,6 +171,46 @@ object RecallSweep {
           f""""corpus":$n,"wall_s":$wall%.2f}""")
       }
     }
+
+    // Split-refined rows (r18, the hot-cell-splitting parity gate):
+    // refine the fitted 32-cell index's over-occupancy cells
+    // (splitAbove 40 / targetOcc 32 — q169's registered thresholds)
+    // and measure recall across probe depths. Parity reads against the
+    // flat ivf_fitted_k32 rows AT EQUAL scanned_per_query — the
+    // refined index has more, smaller cells, so equal scan means more
+    // (cheaper) probes; the question the gate answers is whether
+    // splitting trades recall for its occupancy relief.
+    {
+      val seeds32 = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq.sortBy(_._1)
+      val cents32 =
+        graft.ops.Similarity.kmeansFitInt8(emb, "embedding", seeds32, iters = 2)
+      val refined = graft.ops.Similarity.refineHotCells(emb, "vec_id",
+        "embedding", cents32, splitAbove = 40L, targetOcc = 32L, iters = 1)
+      val qn = queries.count().toDouble
+      val assign = emb.select(graft.functions.NearestCentroidFn(
+          col("embedding"), refined).as("c"))
+        .groupBy("c").count().collect()
+        .map(x => x.getInt(0) -> x.getLong(1)).toMap
+      for (nProbe <- Seq(1, 2, 4, 6, 8).filter(_ <= refined.size)) {
+        val t0 = System.nanoTime()
+        val approx = graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", refined, k = 10, nProbe = nProbe)
+        val hit = truth.join(approx.select(col("qid"), col("id")),
+          Seq("qid", "id")).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val qcells = queries.select(explode(graft.ops.Similarity.ivfProbes(
+            col("embedding"), refined, nProbe)).as("c"))
+          .collect().map(_.getInt(0))
+        val scanned = qcells.map(c => assign.getOrElse(c, 0L)).sum / qn
+        println(f"""{"index":"ivf_split_k32","nprobe":$nProbe,""" +
+          f""""recall_bp":${hit * 10000.0 / (qn * 10)}%.0f,""" +
+          f""""cells":${assign.size},"scanned_per_query":$scanned%.0f,""" +
+          f""""corpus":$n,"wall_s":$wall%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

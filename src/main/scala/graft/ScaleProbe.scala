@@ -230,12 +230,18 @@ object ScaleProbe {
         Dedup.boilerplateSpans(docs, "doc_id", col("text"),
           spanTokens = 3, minDocs = 3, scope = sc).count()
       }),
-      // fixed bits: the query as registered — within-bucket pair work
-      // grows O(occupancy²) as the corpus outruns 2^bits buckets
+      // fixed bits + the r18 SPLIT KNOB: the registered sign-LSH
+      // geometry refused at 10x in r17 (hot bucket > 1,000 on this
+      // clustered fixture — SCALING.md records the guard-fire rows);
+      // with splitAbove = the guard bound, over-cap buckets split into
+      // locally-fitted sub-cells and the SAME guard then audits the
+      // refined keys. Full rows at 10x = the knob works; a residual
+      // guard fire = genuinely unsplittable mass (exact duplicates)
       "knn_join_fixed_bits" -> (() => CacheScope.using { sc =>
         Similarity.knnJoin(embs, "vec_id", "embedding",
           k = 3, signBits = 8, probeHamming = 1, maxBucketOccupancy = MaxBucket,
-          scope = sc).count()
+          scope = sc, splitAbove = MaxBucket, splitTargetOcc = 64L,
+          subProbes = 2).count()
       }),
       // quantized coarse + fp rerank at the same fixed bits (q62's exact
       // shape) — A/B against knn_join_fixed_bits: the int8 candidate
@@ -244,7 +250,9 @@ object ScaleProbe {
       "knn_join_quantized" -> (() => CacheScope.using { sc =>
         Similarity.knnJoinQuantized(embs, "vec_id", "embedding",
           k = 3, signBits = 8, probeHamming = 1, coarseK = 10,
-          maxBucketOccupancy = MaxBucket, scope = sc).count()
+          maxBucketOccupancy = MaxBucket, scope = sc,
+          splitAbove = MaxBucket, splitTargetOcc = 64L,
+          subProbes = 2).count()
       }),
       // q46's registered shape since r16 (fitted IVF, 32 cells, nProbe
       // 4): the fit is 2 rounds × corpus × cells cosines (linear in
@@ -259,8 +267,14 @@ object ScaleProbe {
         val cents = Similarity.kmeansFitInt8(
           embs.select(col("vec_id"), col("embedding")), "embedding",
           seeds, iters = 2)
+        // r18 split knob: refine over-guard cells before the join (the
+        // q169 shape) — fixed 32 cells at 10x put whole-corpus mass in
+        // single cells, which is exactly the regime splitting serves
+        val refined = Similarity.refineHotCells(embs, "vec_id",
+          "embedding", cents, splitAbove = MaxBucket, targetOcc = 64L,
+          iters = 1, scope = sc)
         Similarity.knnJoinIvf(embs, "vec_id", "embedding",
-          k = 3, centroids = cents, nProbe = 4,
+          k = 3, centroids = refined, nProbe = 4,
           maxCellOccupancy = MaxBucket, scope = sc).count()
       }),
       // q160's exact shape — standing-only 2-round fit + one codegen
@@ -294,6 +308,29 @@ object ScaleProbe {
       // until the guard existed); the probe instruments honesty by ROW
       // COUNT instead, and one popular cell's occupancy² is within the
       // pair budget at any probed scale
+      // q46's REGISTERED geometry since the r18 flip, verbatim: cells
+      // derived from the corpus count (ceil(n / 64) — SparkEntry
+      // TargetCellOcc), quantizer fit on the 25% hash sample (seeds =
+      // the cells lowest-id sampled ids), GUARD ON at the registered
+      // LshMaxBucket — this is the row that must complete with FULL
+      // counts and a silent guard at 10×/30× where the fixed-32 shape
+      // refused (r17 sweep; verdict task 1's Done criterion)
+      "knn_join_registered" -> (() => CacheScope.using { sc =>
+        val n = embs.filter(col("embedding").isNotNull).count()
+        val cells = math.max(2, math.ceil(n / 64.0).toInt)
+        val all = embs.select(col("vec_id"), col("embedding"))
+        val sample = graft.ops.Sampling.hashSample(all, "vec_id", 0.25, "ivf")
+        val seeds = sample.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val cents = Similarity.kmeansFitInt8(all, "embedding", seeds,
+          iters = 2, fitFraction = 0.25, fitIdCol = "vec_id",
+          fitSeed = "ivf")
+        Similarity.knnJoinIvf(embs, "vec_id", "embedding",
+          k = 3, centroids = cents, nProbe = 4,
+          maxCellOccupancy = MaxBucket, scope = sc).count()
+      }),
       "knn_join_ivf_scaled_cells" -> (() => CacheScope.using { sc =>
         val cells = 32 * scale
         val sample = embs.filter(col("vec_id") % scale === 0)

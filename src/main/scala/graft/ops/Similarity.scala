@@ -192,21 +192,40 @@ object Similarity {
     * population exceeds it (r17, [[guardSignOccupancy]]: an over-full
     * sign bucket is a popular region of embedding space — the silent
     * drop these ops inherited from the near-dup band cap removed its
-    * members from every query's candidate set; 0 disables). Output:
-    * qid, id, cos, rank. */
+    * members from every query's candidate set; 0 disables).
+    *
+    * `splitAbove` > 0 engages the r18 SKEW KNOB before the guard:
+    * buckets whose population exceeds it are split into locally-fitted
+    * sub-cells ([[fitHotSubCentroids]] — ⌈population/splitTargetOcc⌉
+    * sub-centroids each), members re-key to their nearest sub-cell and
+    * queries probing a split bucket route to their `subProbes` best
+    * sub-cells. This is the knob for the regime the r17 sweep
+    * identified — scaled bits bound the MEAN occupancy but a clustered
+    * corpus's HOT bucket still trips the guard (mean ~7, hot > 1000 at
+    * 30×). Recall contract: within a split bucket a true neighbor
+    * survives iff it shares one of the query's subProbes sub-cells
+    * (RecallSweep measures the trade); the guard then applies to the
+    * REFINED keys, so a genuinely unsplittable hot spot still
+    * fail-fasts. Output: qid, id, cos, rank. */
   def knnJoin(items: DataFrame, itemId: String, itemVec: String,
       k: Int, signBits: Int, probeHamming: Int = 1,
       maxBucketOccupancy: Long = 0L,
-      scope: CacheScope = CacheScope.session): DataFrame = {
-    val bucketed = guardSignOccupancy(
-      items.select(col(itemId), col(itemVec),
-        signBucket(col(itemVec), signBits).as("__bkt")),
-      "knnJoin", maxBucketOccupancy, scope)
+      scope: CacheScope = CacheScope.session,
+      splitAbove: Long = 0L, splitTargetOcc: Long = 64L,
+      subProbes: Int = 2): DataFrame = {
+    val rawItems = items.select(col(itemId), col(itemVec),
+      signBucket(col(itemVec), signBits).as("__bkt"))
     val probes = hammingProbes(signBucket(col(itemVec), signBits),
       signBits, probeHamming)
-    val queries = items.select(col(itemId).as("qid"), col(itemVec).as("__qv"),
-      explode(probes).as("__bkt"))
-    val joined = bucketed.join(queries, Seq("__bkt"))
+    val rawQueries = items.select(col(itemId).as("qid"),
+      col(itemVec).as("__qv"), explode(probes).as("__bkt"))
+    val (refItems, refQueries) =
+      if (splitAbove <= 0L) (rawItems, rawQueries)
+      else splitHotKeyed(rawItems, itemId, itemVec, rawQueries, "__qv",
+        splitAbove, splitTargetOcc, subProbes, scope = scope)
+    val bucketed = guardSignOccupancy(refItems,
+      "knnJoin", maxBucketOccupancy, scope)
+    val joined = bucketed.join(refQueries, Seq("__bkt"))
       .filter(col("qid") =!= col(itemId))
       .withColumn("cos", cosine(col(itemVec), col("__qv")))
     topKReduce(joined, itemId, k)
@@ -240,18 +259,36 @@ object Similarity {
   def knnJoinQuantized(items: DataFrame, itemId: String, itemVec: String,
       k: Int, signBits: Int, probeHamming: Int = 1, coarseK: Int,
       maxBucketOccupancy: Long = 0L,
-      scope: CacheScope = CacheScope.session): DataFrame = {
+      scope: CacheScope = CacheScope.session,
+      splitAbove: Long = 0L, splitTargetOcc: Long = 64L,
+      subProbes: Int = 2): DataFrame = {
     require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
     val quant = scope.cache(
       quantizeInt8(items.select(col(itemId), col(itemVec)), itemVec))
-    val bucketed = guardSignOccupancy(
-      quant.select(col(itemId), col("qvec").as("__iq"),
-        signBucket(col(itemVec), signBits).as("__bkt")),
-      "knnJoinQuantized", maxBucketOccupancy, scope)
     val probes = hammingProbes(signBucket(col(itemVec), signBits),
       signBits, probeHamming)
-    val queries = quant.select(col(itemId).as("qid"), col("qvec").as("__qq"),
-      explode(probes).as("__bkt"))
+    // split mode carries the float vector through the re-keying (the
+    // sub-cell scoring is full-precision like the fit) and drops it
+    // after — the candidate hot loop stays int8-only either way
+    val (refItems, refQueries) =
+      if (splitAbove <= 0L)
+        (quant.select(col(itemId), col("qvec").as("__iq"),
+          signBucket(col(itemVec), signBits).as("__bkt")),
+          quant.select(col(itemId).as("qid"), col("qvec").as("__qq"),
+            explode(probes).as("__bkt")))
+      else {
+        val (ri, rq) = splitHotKeyed(
+          quant.select(col(itemId), col("qvec").as("__iq"), col(itemVec),
+            signBucket(col(itemVec), signBits).as("__bkt")),
+          itemId, itemVec,
+          quant.select(col(itemId).as("qid"), col("qvec").as("__qq"),
+            col(itemVec).as("__qv"), explode(probes).as("__bkt")),
+          "__qv", splitAbove, splitTargetOcc, subProbes, scope = scope)
+        (ri.drop(itemVec), rq.drop("__qv"))
+      }
+    val bucketed = guardSignOccupancy(refItems,
+      "knnJoinQuantized", maxBucketOccupancy, scope)
+    val queries = refQueries
     val coarse = bucketed.join(queries, Seq("__bkt"))
       .filter(col("qid") =!= col(itemId))
       .withColumn("cos", graft.functions.Int8Cos(col("__iq"), col("__qq")))
@@ -415,6 +452,217 @@ object Similarity {
           .otherwise(col(keyCol)).as(keyCol))
       b.join(broadcast(occ), Seq(keyCol))
     }
+
+  // ------------------------------------------------------------------
+  // Hot-cell / hot-bucket SPLITTING — the skew knob (r18, verdict task
+  // 2). Scaled cells/bits bound the MEAN occupancy; on clustered
+  // embeddings the HOT cell is what the guard fires on (r17 sweep:
+  // knn_join_scaled_bits refused at 30× with mean occupancy ~7). The
+  // split fits sub-centroids LOCALLY on an over-cap group's members
+  // (Lloyd restricted to the group — the twoLevelIndexFitted branch
+  // locality, but data-driven: only where the data is hot), reassigns
+  // the group's members to their nearest sub-centroid, and routes
+  // queries probing a split group to their best sub-cells. Everything
+  // stays oracle-unrollable: occupancy is a GROUP BY, the sub-fit is
+  // the kmeansFitCtes arithmetic keyed by (parent, seed), and sub-ids
+  // are the seed vector ids offset by [[RefineOffset]].
+  // ------------------------------------------------------------------
+
+  /** Sub-cell ids are `RefineOffset + seedVectorId` — disjoint from
+    * every parent cell/bucket id (cells are sampled vector ids < 2^30;
+    * sign buckets are < 2^signBits) and deterministic cross-engine
+    * (the seed id IS the identity). Corpora whose vector ids reach
+    * 2^30 renumber before splitting (enforced). */
+  val RefineOffset: Long = 1L << 30
+
+  /** Grouped local Lloyd fit for the members of over-occupancy groups.
+    * `assigned` carries (`idCol`, `vecCol`, `keyCol`: long). A group
+    * with population > `splitAbove` becomes HOT and gets
+    * `max(2, ⌈population / targetOcc⌉)` sub-centroids, seeded by its
+    * lowest-id members and refined by `iters` Lloyd rounds restricted
+    * to the group (assignment = round-6 cosine argmax over the PARENT's
+    * sub-centroids — one broadcast join + hash argmax per round, never
+    * a per-group driver loop; update = the [[kmeansStepInt8]]
+    * integer-exact int8 component sums; empty sub-cluster keeps its
+    * seed). Returns (hot group → subk, sub-centroids as (parentKey,
+    * seedId, vector)). Model-sized collects only: the occupancy table
+    * is groups-sized, the sub-centroid table Σsubk-sized.
+    *
+    * Cost shape: each fit round joins hot members × their parent's
+    * subk — Σ population²/targetOcc over hot groups. That is the skew
+    * regime's budget by construction (few popular groups); when MANY
+    * groups run hot the corpus has outgrown its geometry and the
+    * routing is more cells/bits, not more splitting. */
+  private def fitHotSubCentroids(assigned: DataFrame, idCol: String,
+      vecCol: String, keyCol: String, splitAbove: Long, targetOcc: Long,
+      iters: Int, scope: CacheScope)
+      : (Map[Long, Int], Seq[(Long, Int, Array[Float])]) = {
+    require(splitAbove >= 1, s"splitAbove >= 1, got $splitAbove")
+    require(targetOcc >= 1, s"targetOcc >= 1, got $targetOcc")
+    require(iters >= 1 && iters <= 5, s"iters in [1, 5], got $iters")
+    val sess = assigned.sparkSession
+    import sess.implicits._
+    val base = scope.cache(assigned
+      .filter(col(vecCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__key"),
+        col(idCol).cast("long").as("__sid"), col(vecCol).as("__sv")))
+    val hot = base.groupBy(col("__key")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > splitAbove)
+      .select(col("__key"),
+        greatest(lit(2L), ceil(col("__n") / lit(targetOcc.toDouble))
+          .cast("long")).cast("int").as("__subk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    if (hot.isEmpty) return (hot, Nil)
+    val hotDf = broadcast(hot.toSeq.toDF("__key", "__subk"))
+    val members = base.join(hotDf, Seq("__key"))
+    // seeds: each hot group's subk lowest-id members (the kmeansFitInt8
+    // seed convention, per group) — a window over hot members only
+    // (fit-time, skew-bounded), collected at Σsubk rows
+    val w = Window.partitionBy(col("__key")).orderBy(col("__sid"))
+    var subs: Seq[(Long, Int, Array[Float])] = members
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__subk"))
+      .select(col("__key"), col("__sid"), col("__sv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt,
+        r.getSeq[Float](2).toArray))
+      .toSeq.sortBy(s => (s._1, s._2))
+    require(subs.forall(s => s._2 >= 0 && s._2 < RefineOffset),
+      s"refineHotCells: seed vector ids must sit in [0, $RefineOffset)" +
+        " so RefineOffset + id cannot collide with a parent key -" +
+        " renumber wider ids before splitting")
+    for (_ <- 1 to iters) {
+      val scDf = broadcast(
+        subs.map { case (k, scid, v) => (k, scid, v.toSeq) }
+          .toDF("__key", "__scid", "__cv"))
+      // assignment: argmax over the PARENT's sub-centroids — ord
+      // struct mirrors the oracle's (cc DESC, scid ASC): doubles in
+      // SQL total order (NaN greatest = DuckDB NaN-first-under-DESC)
+      val pick = members.join(scDf, Seq("__key"))
+        .withColumn("__cc", cosine(col("__sv"), col("__cv")))
+        .groupBy(col("__sid"))
+        .agg(graft.functions.ArgExtremum.maxBy(
+          struct(col("__key"), col("__scid"), col("__sv")),
+          struct(col("__cc"), (-col("__scid")).as("__neg"))).as("__b"))
+        .select(col("__b.__key").as("__key"), col("__b.__scid").as("__scid"),
+          col("__b.__sv").as("__sv"))
+      // update: integer-exact int8 component sums cast to float (the
+      // kmeansStepInt8 arithmetic, keyed by (parent, seed))
+      val upd = quantizeInt8(pick, "__sv")
+        .select(col("__key"), col("__scid"), posexplode(col("qvec")))
+        .groupBy(col("__key"), col("__scid"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("__cd"))
+        .groupBy(col("__key"), col("__scid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("__cd")))),
+          x => x.getField("__cd")).as("__nv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          r.getSeq[Long](2).map(_.toFloat).toArray).toMap
+      subs = subs.map { case (k, scid, old) =>
+        (k, scid, upd.getOrElse((k, scid), old))
+      }
+    }
+    (hot, subs)
+  }
+
+  /** The [[knnJoin]] family's split: re-key over-occupancy sign
+    * buckets' members to their nearest locally-fitted sub-cell
+    * (refined key = [[RefineOffset]] + seed id) and expand query probe
+    * rows hitting a split bucket to their `subProbes` best sub-cells
+    * (bounded-heap top-k per probe row — ties (cos DESC, seed ASC),
+    * the family convention). Cold buckets and their probes pass
+    * through untouched; the caller's occupancy guard then audits the
+    * REFINED key space. Both frames keep their column sets. */
+  private def splitHotKeyed(itemsKeyed: DataFrame, itemId: String,
+      itemVec: String, queriesKeyed: DataFrame, queryVec: String,
+      splitAbove: Long, targetOcc: Long, subProbes: Int, iters: Int = 1,
+      scope: CacheScope = CacheScope.session): (DataFrame, DataFrame) = {
+    require(subProbes >= 1, s"subProbes >= 1, got $subProbes")
+    val (hot, subs) = fitHotSubCentroids(itemsKeyed, itemId, itemVec,
+      "__bkt", splitAbove, targetOcc, iters, scope)
+    if (hot.isEmpty) return (itemsKeyed, queriesKeyed)
+    val sess = itemsKeyed.sparkSession
+    import sess.implicits._
+    val hotDf = broadcast(hot.keys.toSeq.toDF("__bkt"))
+    val subDf = broadcast(
+      subs.map { case (k, scid, v) => (k, scid, v.toSeq) }
+        .toDF("__bkt", "__scid", "__cv"))
+    // items: cold keep their bucket; hot members argmax their parent's
+    // sub-centroids, payload columns riding the argmax value struct
+    val itemPayload = itemsKeyed.columns.filterNot(_ == "__bkt")
+    val coldItems = itemsKeyed.join(hotDf, Seq("__bkt"), "left_anti")
+    val pickedItems = itemsKeyed.join(subDf, Seq("__bkt"))
+      .withColumn("__cc", cosine(col(itemVec), col("__cv")))
+      .groupBy(col(itemId))
+      .agg(graft.functions.ArgExtremum.maxBy(
+        struct(itemPayload.map(col) :+
+          (lit(RefineOffset) + col("__scid").cast("long")).as("__bkt"): _*),
+        struct(col("__cc"), (-col("__scid")).as("__neg"))).as("__b"))
+      .select(col("__b.*"))
+    // queries: probe rows into a hot bucket expand to the subProbes
+    // best sub-cells (payloads are constant per (qid, bucket) row —
+    // first() is deterministic here)
+    val qPayload = queriesKeyed.columns
+      .filterNot(c => c == "__bkt" || c == "qid")
+    val coldQueries = queriesKeyed.join(hotDf, Seq("__bkt"), "left_anti")
+    val topk = udaf(new graft.functions.TopKAggregator(subProbes))
+    val pickedQueries = queriesKeyed.join(subDf, Seq("__bkt"))
+      .withColumn("__cc", cosine(col(queryVec), col("__cv")))
+      .groupBy(col("qid"), col("__bkt"))
+      .agg(topk(col("__scid").cast("long"), col("__cc")).as("__tk"),
+        qPayload.map(c => first(col(c)).as(c)): _*)
+      .select(col("qid") +: qPayload.map(col) :+
+        explode(col("__tk")).as("__s"): _*)
+      .withColumn("__bkt", lit(RefineOffset) + col("__s.id"))
+      .drop("__s")
+    (coldItems.unionByName(pickedItems.select(itemsKeyed.columns.map(col): _*)),
+      coldQueries.unionByName(
+        pickedQueries.select(queriesKeyed.columns.map(col): _*)))
+  }
+
+  /** IVF index refinement — split over-cap cells into locally-fitted
+    * sub-cells and return the REFINED FLAT CENTROID LIST: cold cells
+    * keep their centroid, each hot cell (population > `splitAbove`) is
+    * REPLACED by its `⌈population/targetOcc⌉` fitted sub-centroids
+    * (ids = [[RefineOffset]] + seed vector id). The result plugs
+    * straight back into [[knnJoinIvf]]/[[ivfTopK]]/[[ivfCell]]: a
+    * finer quantizer concentrated exactly where the data is dense, so
+    * the hot cell's occupancy² candidate work drops to (occupancy /
+    * subk)² per sub-cell while the cold geometry — and every consumer
+    * API — is untouched. Deployment shape: run once per index build
+    * when the occupancy report (or the [[guardCellOccupancy]]
+    * fail-fast) names hot cells; the assignment pass it costs is the
+    * index build itself.
+    *
+    * Oracle-unrollable end to end: assignment CTEs → occupancy GROUP
+    * BY → per-parent seed rule (row_number ≤ ⌈n/target⌉) → the
+    * kmeansFitCtes update arithmetic keyed by (parent, seed) → cold ∪
+    * sub-centroid union (q169 unrolls exactly this). Determinism: the
+    * refined list is cid-sorted; sub-fit assignment ties break (cc
+    * DESC, scid ASC); empty sub-clusters keep their seed. */
+  def refineHotCells(items: DataFrame, itemId: String, itemVec: String,
+      centroids: Seq[(Int, Array[Float])], splitAbove: Long,
+      targetOcc: Long, iters: Int = 1,
+      scope: CacheScope = CacheScope.session): Seq[(Int, Array[Float])] = {
+    require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
+    require(centroids.forall(c => c._1 >= 0 && c._1 < RefineOffset),
+      s"cell ids must sit in [0, $RefineOffset) - the sub-cell id space" +
+        " starts there")
+    val assigned = items
+      .filter(col(itemVec).isNotNull)
+      .select(col(itemId), col(itemVec),
+        nearestCentroid(col(itemVec), centroids).cast("long").as("__cell"))
+    val (hot, subs) = fitHotSubCentroids(assigned, itemId, itemVec,
+      "__cell", splitAbove, targetOcc, iters, scope)
+    if (hot.isEmpty) centroids.sortBy(_._1)
+    else {
+      val cold = centroids.filterNot(c => hot.contains(c._1.toLong))
+      val refined = cold ++ subs.map { case (_, scid, v) =>
+        ((RefineOffset + scid).toInt, v)
+      }
+      refined.sortBy(_._1)
+    }
+  }
 
   /** The IVF cell id of a vector (its nearest centroid) — the public
     * face of the assignment expression, for instruments that audit the

@@ -205,6 +205,128 @@ class KnnClusterSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  // ------------------------------------------------ hot-cell splitting
+
+  test("refineHotCells: no hot cell is a sorted no-op; hot cells are " +
+      "replaced by sub-cells that relieve the guard") {
+    val cents = testCentroids
+    // splitAbove above the whole corpus: nothing hot, list unchanged
+    assert(Similarity.refineHotCells(vecs, "vec_id", "embedding",
+      cents, splitAbove = 1000L, targetOcc = 10L) === cents.sortBy(_._1))
+    // the existing guard fixture: some cell holds >= 30 of the 120
+    // vectors, so maxCellOccupancy = 20 refuses the UNSPLIT index
+    // (proven in the fail-fast test above); refining at the same
+    // threshold must relieve it
+    val refined = Similarity.refineHotCells(vecs, "vec_id", "embedding",
+      cents, splitAbove = 20L, targetOcc = 10L)
+    // hot parents are gone, their sub-cells sit at RefineOffset + seed
+    val refinedIds = refined.map(_._1).toSet
+    assert(refined.exists(_._1 >= Similarity.RefineOffset))
+    val hotParents = cents.map(_._1).toSet -- refinedIds
+    assert(hotParents.nonEmpty)
+    assert(refined.map(_._1) === refined.map(_._1).sorted)
+    // the refined index passes the exact guard the unsplit one tripped
+    val got = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+      k = 3, centroids = refined, nProbe = 2, maxCellOccupancy = 20L)
+    assert(got.count() > 0)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("refineHotCells: probing ALL refined cells equals brute force " +
+      "(the refined index partitions the corpus)") {
+    val refined = Similarity.refineHotCells(vecs, "vec_id", "embedding",
+      testCentroids, splitAbove = 20L, targetOcc = 10L)
+    val got = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+      k = 3, centroids = refined, nProbe = refined.size)
+      .select("qid", "id", "cos", "rank")
+    val ref = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 4)
+      .filter(col("qid") =!= col("id"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("id").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "id", "cos", "rank")
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("knnJoin split: full probe coverage equals brute force; high " +
+      "threshold is a no-op; the degenerate bucket now completes " +
+      "under its guard") {
+    // signBits = 1 + Hamming 1 probes BOTH buckets; subProbes large
+    // enough to cover every sub-cell -> candidates = whole corpus,
+    // so split results must equal exact brute force
+    val got = Similarity.knnJoin(vecs, "vec_id", "embedding",
+      k = 3, signBits = 1, probeHamming = 1,
+      splitAbove = 20L, splitTargetOcc = 10L, subProbes = 64)
+      .select("qid", "id", "cos", "rank")
+    val ref = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 4)
+      .filter(col("qid") =!= col("id"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("id").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "id", "cos", "rank")
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    // nothing hot -> identical to the unsplit op
+    val a = Similarity.knnJoin(vecs, "vec_id", "embedding",
+      k = 3, signBits = 4, probeHamming = 1, splitAbove = 10000L)
+    val b = Similarity.knnJoin(vecs, "vec_id", "embedding",
+      k = 3, signBits = 4, probeHamming = 1)
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+    // a guard-tripping hot bucket WITH latent structure: 80 all-positive
+    // vectors (one sign bucket at 4 bits) in two interleaved direction
+    // clusters — the clustered-corpus regime the r17 sweep identified.
+    // Unsplit, the bucket of 80 trips maxBucketOccupancy = 50; split at
+    // the same threshold, the local fit separates the two directions
+    // into sub-cells of ~40 and the SAME guard passes on refined keys.
+    val hotStruct = ((0 until 80).map { i =>
+      val v = if (i % 2 == 0) Array(1f, 0.1f, 0.1f, 0.1f)
+      else Array(0.1f, 1f, 0.1f, 0.1f)
+      (i.toLong, v.zipWithIndex.map { case (x, d) =>
+        x + (math.sin(i * 7 + d) * 0.02).toFloat })
+    } ++ (100 until 103).map(i => (i.toLong, Array(-1f, -1f, -1f, -1f))))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.knnJoin(hotStruct, "vec_id", "embedding",
+        k = 2, signBits = 4, probeHamming = 0,
+        maxBucketOccupancy = 50).count()
+    }
+    val relieved = Similarity.knnJoin(hotStruct, "vec_id", "embedding",
+      k = 2, signBits = 4, probeHamming = 0, maxBucketOccupancy = 50,
+      splitAbove = 50L, splitTargetOcc = 40L, subProbes = 2)
+    assert(relieved.count() > 0)
+    // truly unsplittable mass (identical vectors) STILL fail-fasts:
+    // geometry cannot separate exact duplicates — that is dedup's job,
+    // and a silent pass here would hide the occupancy^2 scan
+    val dup = ((0 until 100).map(i => (i.toLong, Array(1f, 1f, 1f, 1f))) ++
+      (100 until 103).map(i => (i.toLong, Array(-1f, -1f, -1f, -1f))))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.knnJoin(dup, "vec_id", "embedding",
+        k = 2, signBits = 4, probeHamming = 0, maxBucketOccupancy = 50,
+        splitAbove = 50L, splitTargetOcc = 25L, subProbes = 2).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).flatMap(t => Option(t.getMessage)).mkString("\n")
+      .contains("maxBucketOccupancy = 50"))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("knnJoinQuantized split: deep shortlist under full coverage " +
+      "equals the unsplit deep-shortlist results") {
+    val a = Similarity.knnJoinQuantized(vecs, "vec_id", "embedding",
+      k = 3, signBits = 1, probeHamming = 1, coarseK = 119,
+      splitAbove = 20L, splitTargetOcc = 10L, subProbes = 64)
+      .select("qid", "id", "cos", "rank")
+    val b = Similarity.knnJoinQuantized(vecs, "vec_id", "embedding",
+      k = 3, signBits = 1, probeHamming = 1, coarseK = 119)
+      .select("qid", "id", "cos", "rank")
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("occupancy guard ignores the null-vector group (null keys never " +
       "feed the candidate join)") {
     // 70 null-vector rows would form a 70-deep NULL cell; the guard at
