@@ -375,6 +375,63 @@ object ScaleProbe {
             .as("c"))
           .groupBy("c").count().count()
       }),
+      // the two-level knob IN ITS CLAIMED REGIME (r18 verdict task 7):
+      // the r17 negative control showed the descent LOSES end-to-end
+      // at moderate cells (32·scale, occupancy ~63) because partial
+      // descent concentrates probes into popular cells; its documented
+      // operating rule says the sublinear assignment pays off only at
+      // many cells / low occupancy. These four rows measure that
+      // regime directly instead of extrapolating it: cells = corpus/2
+      // (occupancy 2 — 1,000 cells at 1×, 10,000 at 10×), seed
+      // centroids (no Lloyd rounds: the pair isolates ASSIGNMENT and
+      // join cost at equal structure; recall is RecallSweep's job),
+      // branches = √(2·cells), branchProbes 2. flat does corpus ×
+      // cells cosines; 2L does corpus × (branches + 2·cells/branches).
+      "ivf_assign_flat_dense" -> (() => {
+        val cells = (1000 * scale).toInt
+        val seeds = embs.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        embs.select(Similarity.ivfCell(col("embedding"), seeds).as("c"))
+          .groupBy("c").count().count()
+      }),
+      "ivf_assign_2l_dense" -> (() => {
+        val cells = (1000 * scale).toInt
+        val seeds = embs.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val b = math.max(2, math.round(math.sqrt(2.0 * cells)).toInt)
+        val (tops, fines) =
+          Similarity.twoLevelIndexFitted(seeds, b, replicas = 2)
+        embs.select(Similarity.ivfCell2L(col("embedding"), tops, fines, 2)
+            .as("c"))
+          .groupBy("c").count().count()
+      }),
+      "knn_join_ivf_dense_flat" -> (() => CacheScope.using { sc =>
+        val cells = (1000 * scale).toInt
+        val seeds = embs.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        Similarity.knnJoinIvf(embs, "vec_id", "embedding",
+          k = 3, centroids = seeds, nProbe = 8,
+          maxCellOccupancy = 0L, scope = sc).count()
+      }),
+      "knn_join_ivf_dense_2l" -> (() => CacheScope.using { sc =>
+        val cells = (1000 * scale).toInt
+        val seeds = embs.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val b = math.max(2, math.round(math.sqrt(2.0 * cells)).toInt)
+        val (tops, fines) =
+          Similarity.twoLevelIndexFitted(seeds, b, replicas = 2)
+        Similarity.knnJoinIvf2L(embs, "vec_id", "embedding",
+          k = 3, tops, fines, branchProbes = 2, nProbe = 8,
+          maxCellOccupancy = 0L, scope = sc).count()
+      }),
       // the two-level path END TO END at scaled cells (sample fit,
       // fitted tops at √(2·cells), replicas 2, branchProbes 2). Guard
       // off like scaled_cells (rows are the honesty instrument).
@@ -551,6 +608,39 @@ object ScaleProbe {
           docs.filter(col("doc_id") % 4 =!= 0),
           docs.filter(col("doc_id") % 4 === 0),
           "doc_id", col("text"), n = 8, scope = sc).count()
+      }),
+      // the standing-index amortization, COSTS SEPARATED (r18 verdict
+      // task 3): build = extract + bucketed-write the reference
+      // quarter's distinct shingle keys (what a deployment pays ONCE
+      // per index build); probe = q171's exact shape reading the
+      // persisted index back (what every batch pays). span_cut_ingest
+      // above pays BOTH in one query — the difference between its row
+      // and probe's row IS the amortized cost.
+      "span_index_build" -> (() => {
+        val sess = docs.sparkSession
+        val name = s"graft_probe_span_idx_s$scale"
+        graft.sources.Sources.writeBucketedTable(
+          Dedup.spanIndexKeys(docs.filter(col("doc_id") % 4 === 0),
+            col("text"), n = 8),
+          name, nBuckets = 32, bucketCols = Seq("__k"),
+          path = Some(s"/tmp/graft_probe_span_idx/s$scale"))
+        sess.table(name).count()
+      }),
+      "span_cut_probe_indexed" -> (() => CacheScope.using { sc =>
+        val sess = docs.sparkSession
+        val name = s"graft_probe_span_idx_s$scale"
+        // first rep builds if span_index_build did not run this session;
+        // min-of-reps then reads the warm, probe-only cost
+        if (!sess.catalog.tableExists(name))
+          graft.sources.Sources.writeBucketedTable(
+            Dedup.spanIndexKeys(docs.filter(col("doc_id") % 4 === 0),
+              col("text"), n = 8),
+            name, nBuckets = 32, bucketCols = Seq("__k"),
+            path = Some(s"/tmp/graft_probe_span_idx/s$scale"))
+        Dedup.spanCutAgainstIndex(
+          docs.filter(col("doc_id") % 4 =!= 0),
+          sess.table(name), "doc_id", col("text"), n = 8,
+          scope = sc).count()
       }),
       // q158's exact shape — both retrieval arms at k=20 plus the RRF
       // fuse; the red line is whichever arm bends (bm25's corpus-keyed

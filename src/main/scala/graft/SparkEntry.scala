@@ -2633,6 +2633,39 @@ object SparkEntry {
       "doc_id", col("text"), n = 8)
   }
 
+  /** q171: q168's span-cut ingest probing a PERSISTED standing index
+    * (r18, verdict task 3 — the amortization claim, exercised): the
+    * reference quarter's distinct shingle keys are extracted once
+    * ([[graft.ops.Dedup.spanIndexKeys]]), WRITTEN as a parquet table
+    * bucketed on the key ([[graft.sources.Sources.writeBucketedTable]]
+    * — the standing-index artifact a deployment builds at ingest), and
+    * every probe READS IT BACK from disk: the index side of the
+    * semi-join scans pre-bucketed files with no exchange, and the
+    * reference corpus is never re-read at probe time. Same inputs,
+    * same semantics, IDENTICAL oracle SQL as q168 — registering both
+    * paths against one truth pins build-then-probe ≡ in-query-rebuild
+    * in the driver gate itself (the q159/q167 twin convention). The
+    * write happens once per (corpus, JVM) through the model memo;
+    * ScaleProbe `span_index_build` vs `span_cut_probe_indexed`
+    * separates the two costs the composition amortizes. */
+  private def qSpanCutIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    val idxTable = CacheScope.session.model(
+        ("spanIndex", dir, corpusStamp(dir), 8)) {
+      val name = "graft_span_idx_" +
+        java.lang.Long.toHexString(corpusStamp(dir) & Long.MaxValue)
+      graft.sources.Sources.writeBucketedTable(
+        Dedup.spanIndexKeys(docs.filter(col("doc_id") % 4 === 0),
+          col("text"), n = 8),
+        name, nBuckets = 32, bucketCols = Seq("__k"),
+        path = Some(s"/tmp/graft_span_index/$name"))
+      name
+    }
+    Dedup.spanCutAgainstIndex(
+      docs.filter(col("doc_id") % 4 =!= 0),
+      s.table(idxTable), "doc_id", col("text"), n = 8)
+  }
+
   // ------------------------------------------------------------------ //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2804,6 +2837,7 @@ object SparkEntry {
     "q166_knn_two_level" -> (qKnnTwoLevel _),
     "q169_knn_split" -> (qKnnSplit _),
     "q170_curation_span" -> (qCurationSpan _),
+    "q171_span_cut_indexed" -> (qSpanCutIndexed _),
     "q167_mmr_local" -> (qMmrLocal _),
     "q168_span_cut_ingest" -> (qSpanCutIngest _),
   )
@@ -3885,6 +3919,12 @@ object SparkEntry {
     // dropNearDupsAgainstLive exactly (q78 makes the same asymmetry
     // explicit for the vector twin).
     "q77_dedup_ingest" -> incrementalDedupSqlWith(capIncoming = false),
+
+    // q171 = the SAME truth as q168: the persisted-index probe path
+    // must land on identical rows as the in-query rebuild — the
+    // q159/q167 twin convention, here pinning the standing-index
+    // amortization to the driver gate.
+    "q171_span_cut_indexed" -> SpanCutIngestSql,
   ) ++ oracleSql2
 
   /** q63's oracle (capIncoming = true) and q77's live-contract variant
@@ -6017,36 +6057,7 @@ object SparkEntry {
     // shingle set (rk), incoming positional shingles (g), duplicated
     // positions by semi-join, DISTINCT token coverage, reassembly only
     // for incoming docs that lost tokens.
-    "q168_span_cut_ingest" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 <> 0),
-        |rw AS (SELECT string_split(text, ' ') AS ws
-        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
-        |rk AS (SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS sh
-        | FROM (SELECT * FROM rw WHERE len(ws) >= 8) r,
-        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
-        |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS sh
-        | FROM (SELECT * FROM w WHERE len(ws) >= 8) we,
-        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
-        |d AS (SELECT g.doc_id, g.pos FROM g JOIN rk USING (sh)),
-        |ct AS (SELECT DISTINCT doc_id, t FROM (
-        |   SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS t FROM d)),
-        |cc AS (SELECT doc_id, count(*) AS ncut FROM ct GROUP BY 1),
-        |tok AS (SELECT w.doc_id, ti.i AS t, ws[ti.i] AS wd
-        | FROM w JOIN cc USING (doc_id),
-        |   lateral unnest(generate_series(1, len(ws))) ti(i)),
-        |keep AS (SELECT tok.doc_id, tok.t, tok.wd FROM tok
-        | LEFT JOIN ct ON tok.doc_id = ct.doc_id AND tok.t = ct.t
-        | WHERE ct.t IS NULL),
-        |rb AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY t) AS rbt,
-        |   count(*) AS nk FROM keep GROUP BY doc_id)
-        |SELECT w.doc_id,
-        |  CASE WHEN cc.doc_id IS NULL THEN array_to_string(ws, ' ')
-        |       ELSE coalesce(rb.rbt, '') END AS dedup_text,
-        |  CAST(CASE WHEN cc.doc_id IS NULL THEN len(ws)
-        |       ELSE coalesce(rb.nk, 0) END AS BIGINT) AS n_tokens_kept,
-        |  CAST(coalesce(cc.ncut, 0) AS BIGINT) AS n_tokens_cut
-        |FROM w LEFT JOIN cc USING (doc_id) LEFT JOIN rb USING (doc_id)""".stripMargin,
+    "q168_span_cut_ingest" -> SpanCutIngestSql,
 
     // The sample-fit model history unrolled: hash-sample membership as
     // a WHERE predicate (pure function of vec_id — engine hashSample
@@ -6209,6 +6220,40 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     s"WITH $head,\n${steps.mkString(",\n")}\n$out"
   }
+
+  /** q168's oracle body — shared verbatim with q171 (the
+    * persisted-index probe path must land on identical rows as the
+    * in-query rebuild; one truth, two registered plans). */
+  private lazy val SpanCutIngestSql: String =
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 <> 0),
+        |rw AS (SELECT string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
+        |rk AS (SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM (SELECT * FROM rw WHERE len(ws) >= 8) r,
+        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM (SELECT * FROM w WHERE len(ws) >= 8) we,
+        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN rk USING (sh)),
+        |ct AS (SELECT DISTINCT doc_id, t FROM (
+        |   SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS t FROM d)),
+        |cc AS (SELECT doc_id, count(*) AS ncut FROM ct GROUP BY 1),
+        |tok AS (SELECT w.doc_id, ti.i AS t, ws[ti.i] AS wd
+        | FROM w JOIN cc USING (doc_id),
+        |   lateral unnest(generate_series(1, len(ws))) ti(i)),
+        |keep AS (SELECT tok.doc_id, tok.t, tok.wd FROM tok
+        | LEFT JOIN ct ON tok.doc_id = ct.doc_id AND tok.t = ct.t
+        | WHERE ct.t IS NULL),
+        |rb AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY t) AS rbt,
+        |   count(*) AS nk FROM keep GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CASE WHEN cc.doc_id IS NULL THEN array_to_string(ws, ' ')
+        |       ELSE coalesce(rb.rbt, '') END AS dedup_text,
+        |  CAST(CASE WHEN cc.doc_id IS NULL THEN len(ws)
+        |       ELSE coalesce(rb.nk, 0) END AS BIGINT) AS n_tokens_kept,
+        |  CAST(coalesce(cc.ncut, 0) AS BIGINT) AS n_tokens_cut
+        |FROM w LEFT JOIN cc USING (doc_id) LEFT JOIN rb USING (doc_id)""".stripMargin
 
   /** q156's oracle body — shared with the q149 eval-card composition. */
   private lazy val Sql_q156: String =

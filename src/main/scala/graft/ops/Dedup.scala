@@ -440,6 +440,56 @@ object Dedup {
     cutAndReassemble(base, cutToks, idCol)
   }
 
+  /** The standing span INDEX [[spanCutAgainst]] describes — the
+    * reference corpus's DISTINCT shingle-md5 keys as a one-column
+    * (`__k`) frame, extracted once so a deployment can PERSIST it
+    * (e.g. [[graft.sources.Sources.writeBucketedTable]] bucketed on
+    * `__k`: every later probe batch semi-joins against the standing
+    * files with no exchange on the index side) instead of re-paying
+    * the reference explode per batch. [[spanCutAgainstIndex]] probes
+    * it; `spanCutAgainstIndex(inc, spanIndexKeys(ref, text, n), ...)`
+    * ≡ `spanCutAgainst(inc, ref, ...)` by construction (unit-pinned). */
+  def spanIndexKeys(reference: DataFrame, text: Column, n: Int): DataFrame = {
+    require(n >= 2, s"n >= 2, got $n")
+    reference
+      .select(split(text, " ").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("__ws"),
+        explode(sequence(lit(1), size(col("__ws")) - lit(n - 1))).as("pos"))
+      .select(md5(array_join(
+        slice(col("__ws"), col("pos"), lit(n)), " ")).as("__k"))
+      .distinct()
+  }
+
+  /** [[spanCutAgainst]] probing a PRE-BUILT standing index
+    * ([[spanIndexKeys]]' (`__k`) shape — typically read back from the
+    * bucketed table a deployment wrote at index-build time): identical
+    * semantics, but the per-batch cost is ONLY the incoming explode +
+    * the semi-join probe — the reference corpus is never re-read,
+    * which is the amortization the incremental family's scale story
+    * rests on (measured: ScaleProbe `span_index_build` vs
+    * `span_cut_probe_indexed`). */
+  def spanCutAgainstIndex(incoming: DataFrame, refIndex: DataFrame,
+      idCol: String, text: Column, n: Int = 8,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(n >= 2, s"n >= 2, got $n")
+    val base = incoming.select(col(idCol), split(text, " ").as("__ws"))
+      .filter(col("__ws").isNotNull)
+    val shingled = scope.cache(base
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(1), size(col("__ws")) - lit(n - 1))).as("pos"))
+      .withColumn("__k",
+        md5(array_join(slice(col("__ws"), col("pos"), lit(n)), " "))))
+    val cutToks = shingled
+      .join(refIndex.select(col("__k")), Seq("__k"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
+      .distinct()
+      .select(col(idCol), col("t").cast("long").as("t"))
+    cutAndReassemble(base, cutToks, idCol)
+  }
+
   // ---------------------------------------------------------------- text
 
   /** Distinct word `n`-gram shingles of a whitespace-tokenized text.

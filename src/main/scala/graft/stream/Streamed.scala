@@ -741,4 +741,44 @@ object Streamed {
           out.iterator
       }
   }
+
+  /** Live twin of [[graft.ops.Dedup.spanCutAgainstIndex]] — span-cut
+    * crawl ingest on a live feed against the STANDING span index
+    * (r18, the q77/q78 chained-ingest discipline at span granularity).
+    *
+    * Why `foreachBatch` and not a raw streaming plan: span-cut must
+    * REASSEMBLE each document's surviving tokens, and reassembly is a
+    * per-document aggregation — on a raw streaming plan Spark would
+    * materialize it as a state store that can never be read again (a
+    * document is complete the moment it arrives; nothing merges across
+    * batches). Instead each arriving micro-batch runs the BATCH
+    * operator atomically against the static index under a per-batch
+    * [[graft.ops.CacheScope]]: one code path (zero live-vs-batch
+    * divergence possible), and the streaming query itself carries ZERO
+    * state operators — all cross-batch knowledge lives in the
+    * PERSISTED index, none in stream state (asserted in
+    * CurationOpsSpec). Batch-split invariance is exact by the
+    * [[graft.ops.Dedup.spanCutAgainst]] contract: documents do not
+    * interact (within-batch duplication is out of scope), so the union
+    * of per-batch outputs equals the batch operator over the union —
+    * the congruity the unit suite pins.
+    *
+    * `sink` receives each micro-batch's cut/reassembled rows
+    * ([[graft.ops.Dedup.spanCutDedup]]'s output shape) INSIDE the
+    * batch scope — write them there (the loan-pattern contract). */
+  def spanCutIngestLive(incoming: org.apache.spark.sql.DataFrame,
+      refIndex: org.apache.spark.sql.DataFrame, idCol: String,
+      text: org.apache.spark.sql.Column, n: Int, checkpoint: String)(
+      sink: org.apache.spark.sql.DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.ops.CacheScope.using { sc =>
+            sink(graft.ops.Dedup.spanCutAgainstIndex(
+              batch.toDF(), refIndex, idCol, text, n, sc))
+          }
+          ()
+      }.start()
 }

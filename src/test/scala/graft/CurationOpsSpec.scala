@@ -604,6 +604,51 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("spanCutIngestLive: LIVE stream cuts == batch twin across batch " +
+      "splits, ZERO state operators (standing index carries all state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val shared = (1 to 10).map("s" + _)
+    val refDocs = Seq(0L -> shared.mkString(" "),
+      2L -> (1 to 15).map("r" + _).mkString(" "))
+    val incRows = Seq(
+      1L -> (shared ++ (1 to 10).map("a" + _)).mkString(" "), // prefix cut
+      3L -> (1 to 12).map("d" + _).mkString(" "),             // untouched
+      5L -> (1 to 15).map("r" + _).mkString(" "),             // fully cut
+      7L -> "a b c")                                          // short
+    val refIndex = CacheScope.session.cache(
+      Dedup.spanIndexKeys(refDocs.toDF("doc_id", "text"), col("text"), n = 8))
+    val batchTwin = Dedup.spanCutAgainstIndex(
+        incRows.toDF("doc_id", "text"), refIndex, "doc_id", col("text"), n = 8)
+      .collect().map(_.toSeq).toSet
+    // same truth as the non-indexed form
+    assert(batchTwin === Dedup.spanCutAgainst(
+      incRows.toDF("doc_id", "text"), refDocs.toDF("doc_id", "text"),
+      "doc_id", col("text"), n = 8).collect().map(_.toSeq).toSet)
+    val ms = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_spanlive")
+    val q = graft.stream.Streamed.spanCutIngestLive(
+      ms.toDF().toDF("doc_id", "text"), refIndex, "doc_id", col("text"),
+      n = 8, checkpoint = ckpt.toString) { b =>
+      val rows = b.collect().map(_.toSeq)
+      out.synchronized { out ++= rows }
+    }
+    try {
+      // batch split straddles the cut/uncut docs — split invariance is
+      // the contract (documents do not interact)
+      ms.addData(incRows.take(2): _*); q.processAllAvailable()
+      ms.addData(incRows.drop(2): _*); q.processAllAvailable()
+      val sp = q.lastProgress
+      assert(sp == null || sp.stateOperators.isEmpty,
+        s"expected zero state operators, got ${Option(sp).map(_.stateOperators.length)}")
+    } finally q.stop()
+    assert(out.synchronized(out.toSet) === batchTwin,
+      "live cuts == batch twin")
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   // ---------------------------------------------------------------- //
   //  Vocabulary top-K                                                 //
   // ---------------------------------------------------------------- //

@@ -403,6 +403,37 @@ class TextPipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) === (("a b c", 3L, 0L)))
   }
 
+  test("spanCutAgainstIndex over spanIndexKeys equals spanCutAgainst, " +
+      "including through a persisted bucketed index") {
+    val shared = (1 to 10).map("s" + _)
+    val ref = Seq(0L -> shared.mkString(" "),
+      5L -> (1 to 15).map("r" + _).mkString(" ")).toDF("doc_id", "text")
+    val inc = Seq(
+      1L -> (shared ++ (1 to 10).map("a" + _)).mkString(" "),
+      2L -> (1 to 12).map("d" + _).mkString(" "),
+      3L -> ((1 to 15).map("r" + _) ++ Seq("tail1", "tail2")).mkString(" "))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val direct = rows(graft.ops.Dedup.spanCutAgainst(
+      inc, ref, "doc_id", col("text"), n = 8))
+    // in-memory index
+    val viaKeys = rows(graft.ops.Dedup.spanCutAgainstIndex(
+      inc, graft.ops.Dedup.spanIndexKeys(ref, col("text"), n = 8),
+      "doc_id", col("text"), n = 8))
+    assert(viaKeys === direct)
+    // persisted bucketed index, read back from disk (the q171 path)
+    val name = "graft_test_span_idx"
+    graft.sources.Sources.writeBucketedTable(
+      graft.ops.Dedup.spanIndexKeys(ref, col("text"), n = 8),
+      name, nBuckets = 4, bucketCols = Seq("__k"),
+      path = Some(s"/tmp/graft_test_span_idx_${System.nanoTime()}"))
+    val viaDisk = rows(graft.ops.Dedup.spanCutAgainstIndex(
+      inc, spark.table(name), "doc_id", col("text"), n = 8))
+    assert(viaDisk === direct)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("spanCutDedup: short and unique docs are untouched") {
     val got = cut(1L -> "a b c", 2L -> (1 to 12).map("u" + _).mkString(" "))(
       n = 8, minDocs = 2)
