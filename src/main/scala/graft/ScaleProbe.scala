@@ -626,6 +626,32 @@ object ScaleProbe {
           path = Some(s"/tmp/graft_probe_span_idx/s$scale"))
         sess.table(name).count()
       }),
+      // the same pair at the DEPLOYMENT shape: a FIXED-SIZE arriving
+      // batch (the 1× corpus's first 1,250 docs) against a standing
+      // reference that grows ∝ scale. This is where amortization lives:
+      // the rebuild form re-pays the reference explode+distinct per
+      // batch (cost ∝ standing corpus), the indexed form pays only the
+      // probe semi-join against the pre-built keys
+      "span_ingest_rebuild_smallbatch" -> (() => CacheScope.using { sc =>
+        Dedup.spanCutAgainst(
+          docs.filter(col("doc_id") < 1250),
+          docs.filter(col("doc_id") >= 1250),
+          "doc_id", col("text"), n = 8, scope = sc).count()
+      }),
+      "span_probe_indexed_smallbatch" -> (() => CacheScope.using { sc =>
+        val sess = docs.sparkSession
+        val name = s"graft_probe_span_idx_big_s$scale"
+        if (!sess.catalog.tableExists(name))
+          graft.sources.Sources.writeBucketedTable(
+            Dedup.spanIndexKeys(docs.filter(col("doc_id") >= 1250),
+              col("text"), n = 8),
+            name, nBuckets = 32, bucketCols = Seq("__k"),
+            path = Some(s"/tmp/graft_probe_span_idx_big/s$scale"))
+        Dedup.spanCutAgainstIndex(
+          docs.filter(col("doc_id") < 1250),
+          sess.table(name), "doc_id", col("text"), n = 8,
+          scope = sc).count()
+      }),
       "span_cut_probe_indexed" -> (() => CacheScope.using { sc =>
         val sess = docs.sparkSession
         val name = s"graft_probe_span_idx_s$scale"

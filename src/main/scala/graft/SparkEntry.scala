@@ -1479,8 +1479,14 @@ object SparkEntry {
     val gated = docs.filter(col("n_chars") >= 100L && col("n_chars") <= 5000L)
     val cut = Dedup.spanCutDedup(gated, "doc_id", col("text"),
       n = 8, minDocs = 2)
-    val surv = cut.filter(col("n_tokens_kept") >= 5L)
-      .join(gated.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    // the span-cut subtree (two aggregation stages + reassembly) fans
+    // out to FOUR consumers below (both sides of the near-dup pair
+    // join, the survivor semi-join, the final projection) — cache the
+    // survivors once or the whole cut re-executes per consumer
+    // (measured: 18 s uncached vs the cached form; the q91 stages are
+    // narrow projections that never needed this)
+    val surv = CacheScope.session.cache(cut.filter(col("n_tokens_kept") >= 5L)
+      .join(gated.select(col("doc_id"), col("lang"), col("source")), "doc_id"))
     val pairs = Dedup.ngramJaccardPairs(surv, "doc_id", col("dedup_text"),
       n = 3, threshold = 0.5, maxDf = 100)
     val d2 = Dedup.dropNearDups(surv, "doc_id", pairs)
