@@ -408,9 +408,10 @@ object Similarity {
       "knnJoinIvf", "IVF cell", "maxCellOccupancy",
       "Grow the cell count with the corpus (cells proportional to" +
         " corpus holds occupancy constant) and fit the quantizer on a" +
-        " hash sample (kmeansFitInt8 fitFraction); raise" +
-        " maxCellOccupancy only with the occupancy^2 scan budget" +
-        " costed.")
+        " hash sample (kmeansFitInt8 fitFraction); if only a FEW cells" +
+        " are hot (skew, not undersized geometry), split them locally" +
+        " with refineHotCells; raise maxCellOccupancy only with the" +
+        " occupancy^2 scan budget costed.")
 
   /** The sign-LSH kNN family's instance of the same discipline: an
     * over-full SIGN bucket is a popular region too (the cap these ops
@@ -422,10 +423,12 @@ object Similarity {
     guardOccupancy(assigned, "__bkt", maxOccupancy, scope,
       opName, "sign bucket", "maxBucketOccupancy",
       "Grow signBits with the corpus (occupancy is n/2^bits - the" +
-        " scaled-bits discipline, measured in SCALING.md) or route" +
+        " scaled-bits discipline, measured in SCALING.md), route" +
         " through the fitted-IVF family (knnJoinIvf, cells" +
-        " proportional to corpus); raise maxBucketOccupancy only with" +
-        " the occupancy^2 scan budget costed.")
+        " proportional to corpus), or - when only a FEW buckets are" +
+        " hot - split them locally (splitAbove on this op); raise" +
+        " maxBucketOccupancy only with the occupancy^2 scan budget" +
+        " costed.")
 
   private def guardOccupancy(assigned: DataFrame, keyCol: String,
       maxOccupancy: Long, scope: CacheScope, opName: String,
@@ -639,7 +642,15 @@ object Similarity {
     * kmeansFitCtes update arithmetic keyed by (parent, seed) → cold ∪
     * sub-centroid union (q169 unrolls exactly this). Determinism: the
     * refined list is cid-sorted; sub-fit assignment ties break (cc
-    * DESC, scid ASC); empty sub-clusters keep their seed. */
+    * DESC, scid ASC); empty sub-clusters keep their seed.
+    *
+    * Recall (RecallSweep `ivf_split_k32_i*`, measured): vs the unsplit
+    * index at its top operating point, the refined index is within
+    * 120–160 bp at MATCHED scan and reaches exact parity at ~1.2× the
+    * scan; `iters = 2` is the measured knee of the sub-fit depth
+    * (1 leaves sub-centroids near their lowest-id seeds, 3 over-fits
+    * and drops back). A split hot cell is usually a coherent cluster,
+    * so probe depth, not fit depth, reassembles its neighborhood. */
   def refineHotCells(items: DataFrame, itemId: String, itemVec: String,
       centroids: Seq[(Int, Array[Float])], splitAbove: Long,
       targetOcc: Long, iters: Int = 1,
