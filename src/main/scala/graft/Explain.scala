@@ -65,7 +65,8 @@ object Explain {
     "q161_ivf_refit", "q162_cluster_card", "q163_dup_spans",
     "q164_span_cut", "q165_knn_sampled_fit", "q166_knn_two_level",
     "q167_mmr_local", "q168_span_cut_ingest", "q169_knn_split",
-    "q170_curation_span", "q171_span_cut_indexed")
+    "q170_curation_span", "q171_span_cut_indexed",
+    "q172_ivf_occupancy")
 
   /** CPU-heavy queries whose FINAL plan is truncated by an eager
     * `localCheckpoint` inside an iterative op (PageRank rounds), so the

@@ -845,6 +845,21 @@ object SparkEntry {
       maxCellOccupancy = LshMaxBucket)
   }
 
+  /** q172: the index occupancy / split-decision report
+    * ([[Similarity.ivfOccupancyReport]]) over the registered quantizer
+    * — the instrument a deployment reads BEFORE the occupancy guard
+    * fires: per cell, the exact population, whether it exceeds the
+    * q169 split threshold, and the sub-cell count [[Similarity
+    * .refineHotCells]] would fit for it. Empty cells report n = 0
+    * (drift evidence, q160's territory) rather than vanishing. Closes
+    * the operational loop the round built: report (q172) → split
+    * (q169) → guard (q46's fail-fast) all on one geometry, each stage
+    * oracle-gated. */
+  private def qIvfOccupancy(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfOccupancyReport(cpuTable(s, dir, "embeddings"),
+      "embedding", registeredCentroids(s, dir),
+      guardAt = SplitAbove, targetOcc = SplitTargetOcc)
+
   /** Ranking-window family (lag/lead — absent from the reference,
     * SURVEY §2.7): per-user event sequencing with the previous event's
     * type and the inter-event gap. Deterministic order: (µs timestamp,
@@ -2844,6 +2859,7 @@ object SparkEntry {
     "q169_knn_split" -> (qKnnSplit _),
     "q170_curation_span" -> (qCurationSpan _),
     "q171_span_cut_indexed" -> (qSpanCutIndexed _),
+    "q172_ivf_occupancy" -> (qIvfOccupancy _),
     "q167_mmr_local" -> (qMmrLocal _),
     "q168_span_cut_ingest" -> (qSpanCutIngest _),
   )
@@ -3931,6 +3947,23 @@ object SparkEntry {
     // q159/q167 twin convention, here pinning the standing-index
     // amortization to the driver gate.
     "q171_span_cut_indexed" -> SpanCutIngestSql,
+
+    // q172: the q46 fit skeleton's assignment (vcell), occupancy per
+    // cell LEFT-joined onto the full derived centroid list (empty
+    // cells report 0), the hot flag at the q169 split threshold and
+    // the derived sub-cell count - all exact integers.
+    "q172_ivf_occupancy" ->
+      s"""WITH ${ivfKnnCtes(IvfProbe)},
+        |rocc AS (SELECT cid, count(*) AS n FROM vcell GROUP BY 1)
+        |SELECT CAST(c2.cid AS BIGINT) AS cell,
+        |  CAST(coalesce(rocc.n, 0) AS BIGINT) AS n_members,
+        |  CAST(CASE WHEN coalesce(rocc.n, 0) > $SplitAbove
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_hot,
+        |  CAST(CASE WHEN coalesce(rocc.n, 0) > $SplitAbove
+        |    THEN greatest(2, CAST(ceil(coalesce(rocc.n, 0)
+        |      / $SplitTargetOcc.0) AS BIGINT))
+        |    ELSE 0 END AS BIGINT) AS suggested_subcells
+        |FROM c2 LEFT JOIN rocc ON c2.cid = rocc.cid""".stripMargin,
   ) ++ oracleSql2
 
   /** q63's oracle (capIncoming = true) and q77's live-contract variant

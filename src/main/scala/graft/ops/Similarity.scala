@@ -675,6 +675,43 @@ object Similarity {
     }
   }
 
+  /** The operational companion to [[refineHotCells]] and
+    * [[guardCellOccupancy]]: per-cell occupancy of an IVF index with
+    * the split decision PRE-COMPUTED — the report a deployment reads
+    * before (instead of after) the fail-fast fires. One codegen
+    * assignment pass + a cells-sized aggregate left-joined back onto
+    * the full centroid list, so EMPTY cells appear with n = 0 (an
+    * empty cell is drift evidence — [[ivfDrift]]'s territory — and a
+    * report that silently omits it reads as healthy). Per cell:
+    * population, whether it exceeds `guardAt` (the bound
+    * [[knnJoinIvf]]'s guard would refuse at), and the sub-cell count
+    * [[refineHotCells]] would fit for it at `targetOcc` (0 when not
+    * hot). All exact integers; output cells-sized (never data):
+    * cell, n_members, is_hot (long 0/1 — the driver-safe boolean
+    * convention), suggested_subcells. */
+  def ivfOccupancyReport(items: DataFrame, itemVec: String,
+      centroids: Seq[(Int, Array[Float])], guardAt: Long,
+      targetOcc: Long): DataFrame = {
+    require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
+    require(guardAt >= 1 && targetOcc >= 1,
+      s"guardAt/targetOcc >= 1, got $guardAt/$targetOcc")
+    val sess = items.sparkSession
+    import sess.implicits._
+    val occ = items.filter(col(itemVec).isNotNull)
+      .select(nearestCentroid(col(itemVec), centroids)
+        .cast("long").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    centroids.map(_._1.toLong).toDF("cell")
+      .join(occ, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("__n"), lit(0L)).as("n_members"),
+        (coalesce(col("__n"), lit(0L)) > guardAt).cast("long").as("is_hot"),
+        when(coalesce(col("__n"), lit(0L)) > guardAt,
+          greatest(lit(2L), ceil(coalesce(col("__n"), lit(0L)) /
+            lit(targetOcc.toDouble)).cast("long")))
+          .otherwise(lit(0L)).as("suggested_subcells"))
+  }
+
   /** The IVF cell id of a vector (its nearest centroid) — the public
     * face of the assignment expression, for instruments that audit the
     * index (the q149 card's scan-fraction rows) without re-deriving the

@@ -327,6 +327,33 @@ class KnnClusterSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ivfOccupancyReport: every centroid reported, empties zero, hot " +
+      "rows carry the refineHotCells sub-cell count") {
+    val withNull = vecs.unionByName(
+      spark.range(900L, 910L).select(col("id").as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val rep = Similarity.ivfOccupancyReport(withNull, "embedding",
+      testCentroids, guardAt = 20L, targetOcc = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // one row per centroid, nulls excluded from every population
+    assert(rep.keySet === testCentroids.map(_._1.toLong).toSet)
+    assert(rep.values.map(_._1).sum === 120L)
+    rep.values.foreach { case (n, hot, subk) =>
+      if (n > 20) { assert(hot === 1L)
+        assert(subk === math.max(2L, math.ceil(n / 10.0).toLong)) }
+      else { assert(hot === 0L); assert(subk === 0L) }
+    }
+    // the report's hot set is exactly what refineHotCells splits
+    val refined = Similarity.refineHotCells(vecs, "vec_id", "embedding",
+      testCentroids, splitAbove = 20L, targetOcc = 10L)
+    val hotCells = rep.filter(_._2._2 == 1L).keySet
+    assert(refined.map(_._1.toLong).toSet.intersect(hotCells).isEmpty)
+    assert(testCentroids.map(_._1.toLong).toSet -- hotCells ===
+      refined.map(_._1.toLong).toSet.filter(_ < Similarity.RefineOffset))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("occupancy guard ignores the null-vector group (null keys never " +
       "feed the candidate join)") {
     // 70 null-vector rows would form a 70-deep NULL cell; the guard at
