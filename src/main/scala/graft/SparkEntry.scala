@@ -489,6 +489,12 @@ object SparkEntry {
   private val SplitAbove = 40L
   private val SplitTargetOcc = 32L
 
+  /** q169's sub-fit depth: 2 grouped Lloyd rounds — the measured knee
+    * of the RecallSweep `ivf_split_k32_i{1,2,3}` depth sweep (1 leaves
+    * sub-centroids near their lowest-id seeds; 3 over-fits and drops
+    * back). */
+  private val SplitIters = 2
+
   /** q165's quantizer-training sample fraction: deterministic hash
     * membership (`hash60("ivf" || vec_id) % 10⁴ < 2500`), so both
     * engines and any rerun see the identical training set. 1/4 keeps
@@ -835,10 +841,12 @@ object SparkEntry {
     * assignment/probe/join. Same k/nProbe/guard as q46. */
   private def qKnnSplit(s: SparkSession, dir: String): DataFrame = {
     val refined = CacheScope.session.model(("refinedCentroids", dir,
-        corpusStamp(dir), TargetCellOcc, SplitAbove, SplitTargetOcc)) {
+        corpusStamp(dir), TargetCellOcc, SplitAbove, SplitTargetOcc,
+        SplitIters)) {
       Similarity.refineHotCells(cpuTable(s, dir, "embeddings"), "vec_id",
         "embedding", registeredCentroids(s, dir),
-        splitAbove = SplitAbove, targetOcc = SplitTargetOcc, iters = 1)
+        splitAbove = SplitAbove, targetOcc = SplitTargetOcc,
+        iters = SplitIters)
     }
     Similarity.knnJoinIvf(cpuTable(s, dir, "embeddings"), "vec_id",
       "embedding", k = 3, centroids = refined, nProbe = IvfProbe,
@@ -5846,13 +5854,33 @@ object SparkEntry {
     // fit skeleton (ivfKnnCtes: derived cells, sampled fit, full-corpus
     // assignment in vcell): occupancy GROUP BY, hot set with the
     // derived per-parent sub-cell count, seeds = each hot cell's subk
-    // lowest member ids, ONE grouped Lloyd round (assignment ties
-    // cc DESC / scid ASC; integer-exact int8 component sums from the
-    // same fqv quantization; empty sub-cluster keeps its seed), the
-    // refined list cref = cold centroids ∪ (RefineOffset + seed id)
-    // sub-centroids, then the standard assignment/probe/candidate tail
-    // over cref.
-    "q169_knn_split" ->
+    // lowest member ids, then SplitIters grouped Lloyd rounds
+    // (assignment ties cc DESC / scid ASC; integer-exact int8
+    // component sums from the same fqv quantization; empty sub-cluster
+    // keeps its previous centroid), the refined list cref = cold
+    // centroids ∪ (RefineOffset + seed id) sub-centroids, then the
+    // standard assignment/probe/candidate tail over cref. Depth
+    // [[SplitIters]] = the RecallSweep knee (ivf_split_k32_i2).
+    "q169_knn_split" -> {
+      val rounds = (1 to SplitIters).map { i =>
+        s"""ssa${i}0 AS (SELECT shm.vec_id, shm.q, shm.cid, p.scid,
+           |  ${OSql.cosSql("shm.embedding", "p.cvec")} AS cc
+           | FROM shm JOIN ss${i - 1} p USING (cid)),
+           |ssa$i AS (SELECT vec_id, q, cid, scid FROM ssa${i}0
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY cc DESC, scid ASC) = 1),
+           |sse$i AS (SELECT cid, scid, pos, q[pos + 1] AS qd FROM (
+           |   SELECT cid, scid, q, unnest(generate_series(0, len(q) - 1)) AS pos
+           |   FROM ssa$i)),
+           |sscs$i AS (SELECT cid, scid, pos, CAST(sum(qd) AS BIGINT) AS cd
+           |  FROM sse$i GROUP BY 1, 2, 3),
+           |ssarr$i AS (SELECT cid, scid,
+           |   list(CAST(cd AS FLOAT) ORDER BY pos) AS nv
+           |  FROM sscs$i GROUP BY 1, 2),
+           |ss$i AS (SELECT p.cid, p.scid, coalesce(a.nv, p.cvec) AS cvec
+           |  FROM ss${i - 1} p LEFT JOIN ssarr$i a
+           |    ON p.cid = a.cid AND p.scid = a.scid)""".stripMargin
+      }.mkString(",\n")
       s"""WITH ${ivfKnnCtes(IvfProbe)},
         |socc AS (SELECT cid, count(*) AS n FROM vcell GROUP BY 1),
         |shot AS (SELECT cid,
@@ -5861,30 +5889,15 @@ object SparkEntry {
         |shm AS (SELECT vcell.vec_id, vcell.embedding, vcell.q, vcell.cid,
         |   shot.subk
         | FROM vcell JOIN shot USING (cid)),
-        |sss AS (SELECT cid, vec_id AS scid, embedding AS svec FROM (
+        |ss0 AS (SELECT cid, vec_id AS scid, embedding AS cvec FROM (
         |   SELECT cid, vec_id, embedding, subk,
         |     row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
         |   FROM shm) t WHERE rn <= subk),
-        |ssa0 AS (SELECT shm.vec_id, shm.q, shm.cid, sss.scid,
-        |  ${OSql.cosSql("shm.embedding", "sss.svec")} AS cc
-        | FROM shm JOIN sss USING (cid)),
-        |ssa AS (SELECT vec_id, q, cid, scid FROM ssa0
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cc DESC, scid ASC) = 1),
-        |sse AS (SELECT cid, scid, pos, q[pos + 1] AS qd FROM (
-        |   SELECT cid, scid, q, unnest(generate_series(0, len(q) - 1)) AS pos
-        |   FROM ssa)),
-        |sscs AS (SELECT cid, scid, pos, CAST(sum(qd) AS BIGINT) AS cd
-        |  FROM sse GROUP BY 1, 2, 3),
-        |ssarr AS (SELECT cid, scid, list(CAST(cd AS FLOAT) ORDER BY pos) AS nv
-        |  FROM sscs GROUP BY 1, 2),
-        |ss1 AS (SELECT sss.cid, sss.scid, coalesce(ssarr.nv, sss.svec) AS cvec
-        |  FROM sss LEFT JOIN ssarr
-        |    ON sss.cid = ssarr.cid AND sss.scid = ssarr.scid),
+        |$rounds,
         |cref AS (SELECT cid, cvec FROM c2
         |   WHERE cid NOT IN (SELECT cid FROM shot)
         |  UNION ALL SELECT scid + ${Similarity.RefineOffset} AS cid, cvec
-        |   FROM ss1),
+        |   FROM ss$SplitIters),
         |ra0 AS (SELECT fqv.vec_id, fqv.embedding, c.cid,
         |  ${OSql.cosSql("fqv.embedding", "c.cvec")} AS cc
         | FROM fqv CROSS JOIN cref c),
@@ -5901,7 +5914,8 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
         |FROM rsc
         |QUALIFY row_number() OVER (PARTITION BY qid
-        |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin,
+        |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin
+    },
 
     // Standing-only fit unroll (predicate-filtered kmeansFitCtes),
     // both assignment passes, exact-integer bp stats; the +10000·n

@@ -649,6 +649,48 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("spanCutIngestLive: restart recovery is OFFSETS-ONLY (no " +
+      "re-emission, no state to rebuild, standing index unchanged)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val shared = (1 to 10).map("s" + _)
+    val refIndex = CacheScope.session.cache(Dedup.spanIndexKeys(
+      Seq(0L -> shared.mkString(" ")).toDF("doc_id", "text"),
+      col("text"), n = 8))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-spanlive-ckpt-")
+    val ms = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def start() = graft.stream.Streamed.spanCutIngestLive(
+      ms.toDF().toDF("doc_id", "text"), refIndex, "doc_id", col("text"),
+      n = 8, checkpoint = ckpt.toString) { b =>
+      val rows = b.select("doc_id", "n_tokens_cut").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      out.synchronized { out ++= rows }
+    }
+    val q1 = start()
+    try {
+      ms.addData(1L -> shared.mkString(" "),
+        2L -> (1 to 12).map("d" + _).mkString(" "))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(out.synchronized(out.toSet) === Set((1L, 10L), (2L, 0L)),
+      "shared doc fully cut, fresh doc untouched pre-restart")
+    // restart against the same checkpoint: the committed batch must NOT
+    // re-emit (offsets restored) and there is no stream state to
+    // rebuild — the standing index carries everything
+    val q2 = start()
+    try {
+      ms.addData(3L -> (shared ++ Seq("tail1", "tail2")).mkString(" "))
+      q2.processAllAvailable()
+      assert(q2.lastProgress == null || q2.lastProgress.stateOperators.isEmpty)
+    } finally q2.stop()
+    assert(out.synchronized(out.toSet) ===
+      Set((1L, 10L), (2L, 0L), (3L, 10L)),
+      "no re-emission of batch 1; post-restart doc cut against the index")
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   // ---------------------------------------------------------------- //
   //  Vocabulary top-K                                                 //
   // ---------------------------------------------------------------- //
