@@ -240,7 +240,8 @@ object ScaleProbe {
       "knn_join_fixed_bits" -> (() => CacheScope.using { sc =>
         Similarity.knnJoin(embs, "vec_id", "embedding",
           k = 3, signBits = 8, probeHamming = 1, maxBucketOccupancy = MaxBucket,
-          scope = sc, splitAbove = MaxBucket, splitTargetOcc = 64L,
+          scope = sc, splitAbove = MaxBucket,
+          splitTargetOcc = SparkEntry.TargetCellOcc.toLong,
           subProbes = 2).count()
       }),
       // quantized coarse + fp rerank at the same fixed bits (q62's exact
@@ -251,7 +252,8 @@ object ScaleProbe {
         Similarity.knnJoinQuantized(embs, "vec_id", "embedding",
           k = 3, signBits = 8, probeHamming = 1, coarseK = 10,
           maxBucketOccupancy = MaxBucket, scope = sc,
-          splitAbove = MaxBucket, splitTargetOcc = 64L,
+          splitAbove = MaxBucket,
+          splitTargetOcc = SparkEntry.TargetCellOcc.toLong,
           subProbes = 2).count()
       }),
       // q46's registered shape since r16 (fitted IVF, 32 cells, nProbe
@@ -308,29 +310,6 @@ object ScaleProbe {
       // until the guard existed); the probe instruments honesty by ROW
       // COUNT instead, and one popular cell's occupancy² is within the
       // pair budget at any probed scale
-      // q46's REGISTERED geometry since the r18 flip, verbatim: cells
-      // derived from the corpus count (ceil(n / 64) — SparkEntry
-      // TargetCellOcc), quantizer fit on the 25% hash sample (seeds =
-      // the cells lowest-id sampled ids), GUARD ON at the registered
-      // LshMaxBucket — this is the row that must complete with FULL
-      // counts and a silent guard at 10×/30× where the fixed-32 shape
-      // refused (r17 sweep; verdict task 1's Done criterion)
-      "knn_join_registered" -> (() => CacheScope.using { sc =>
-        val n = embs.filter(col("embedding").isNotNull).count()
-        val cells = math.max(2, math.ceil(n / 64.0).toInt)
-        val all = embs.select(col("vec_id"), col("embedding"))
-        val sample = graft.ops.Sampling.hashSample(all, "vec_id", 0.25, "ivf")
-        val seeds = sample.orderBy(col("vec_id")).limit(cells)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-          .toSeq.sortBy(_._1)
-        val cents = Similarity.kmeansFitInt8(all, "embedding", seeds,
-          iters = 2, fitFraction = 0.25, fitIdCol = "vec_id",
-          fitSeed = "ivf")
-        Similarity.knnJoinIvf(embs, "vec_id", "embedding",
-          k = 3, centroids = cents, nProbe = 4,
-          maxCellOccupancy = MaxBucket, scope = sc).count()
-      }),
       "knn_join_ivf_scaled_cells" -> (() => CacheScope.using { sc =>
         val cells = 32 * scale
         val sample = embs.filter(col("vec_id") % scale === 0)
@@ -344,6 +323,34 @@ object ScaleProbe {
         Similarity.knnJoinIvf(embs, "vec_id", "embedding",
           k = 3, centroids = cents, nProbe = 4,
           maxCellOccupancy = 0L, scope = sc).count()
+      }),
+      // q46's REGISTERED geometry since the r18 flip, verbatim: cells
+      // derived from the corpus count (ceil(n / 64) — SparkEntry
+      // TargetCellOcc), quantizer fit on the 25% hash sample (seeds =
+      // the cells lowest-id sampled ids), GUARD ON at the registered
+      // LshMaxBucket — this is the row that must complete with FULL
+      // counts and a silent guard at 10×/30× where the fixed-32 shape
+      // refused (r17 sweep; verdict task 1's Done criterion)
+      "knn_join_registered" -> (() => CacheScope.using { sc =>
+        // constants referenced FROM SparkEntry (not re-hardcoded) so
+        // this row cannot silently drift from the shipped geometry if
+        // a future round retunes the registered knobs (r18 review)
+        val n = embs.filter(col("embedding").isNotNull).count()
+        val cells = math.max(2,
+          math.ceil(n / SparkEntry.TargetCellOcc.toDouble).toInt)
+        val all = embs.select(col("vec_id"), col("embedding"))
+        val sample = graft.ops.Sampling.hashSample(
+          all, "vec_id", SparkEntry.SampleFitFraction, "ivf")
+        val seeds = sample.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val cents = Similarity.kmeansFitInt8(all, "embedding", seeds,
+          iters = 2, fitFraction = SparkEntry.SampleFitFraction,
+          fitIdCol = "vec_id", fitSeed = "ivf")
+        Similarity.knnJoinIvf(embs, "vec_id", "embedding",
+          k = 3, centroids = cents, nProbe = 4,
+          maxCellOccupancy = MaxBucket, scope = sc).count()
       }),
       // the assignment-cost pair behind the two-level quantizer: with
       // cells ∝ corpus (32·scale — the scaled-cells routing) the FLAT

@@ -36,14 +36,23 @@ object SparkEntry {
     * cluster deployments own their model lifecycle via
     * [[graft.ops.CacheScope.using]] scopes. */
   private def corpusStamp(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
-          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 31 + walk(c))
+    // depth-bounded and null-safe (r18 review catch): listFiles()
+    // returns null on an unreadable/racing directory — stamp what is
+    // visible rather than NPE-ing every fit query; the depth bound
+    // makes a symlink cycle terminate (fixture dirs are 1 level deep)
+    def walk(f: java.io.File, depth: Int): Long =
+      if (f.isDirectory && depth < 8) {
+        val kids = f.listFiles()
+        if (kids == null)
+          f.getName.hashCode.toLong * 31 + f.lastModified()
+        else kids.sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)(
+            (a, c) => a * 31 + walk(c, depth + 1))
+      }
       else (f.getName.hashCode.toLong * 31 + f.length()) * 31 +
         f.lastModified()
     val root = new java.io.File(dir)
-    if (root.exists()) walk(root) else 0L
+    if (root.exists()) walk(root, 0) else 0L
   }
 
   /** Read a table that feeds CPU-heavy per-row work (shingling, hashing,
@@ -470,7 +479,7 @@ object SparkEntry {
     * fixture. The count is a 1-row aggregate interpolable into BOTH
     * engines ([[CellsSql]]), so the oracle derives the identical cell
     * count from the same corpus. */
-  private val TargetCellOcc = 64
+  private[graft] val TargetCellOcc = 64
 
   /** [[registeredCells]] in DuckDB — the same `greatest(2,
     * ceil(count/occ))` over non-null embeddings, as a scalar subquery
@@ -486,21 +495,21 @@ object SparkEntry {
     * arithmetic (hot detection, per-parent seeds, the grouped Lloyd
     * round, the cold ∪ sub-cell union) at sf0.01, not just the no-op
     * path. A deployment sets SplitAbove near its occupancy guard. */
-  private val SplitAbove = 40L
-  private val SplitTargetOcc = 32L
+  private[graft] val SplitAbove = 40L
+  private[graft] val SplitTargetOcc = 32L
 
   /** q169's sub-fit depth: 2 grouped Lloyd rounds — the measured knee
     * of the RecallSweep `ivf_split_k32_i{1,2,3}` depth sweep (1 leaves
     * sub-centroids near their lowest-id seeds; 3 over-fits and drops
     * back). */
-  private val SplitIters = 2
+  private[graft] val SplitIters = 2
 
   /** q165's quantizer-training sample fraction: deterministic hash
     * membership (`hash60("ivf" || vec_id) % 10⁴ < 2500`), so both
     * engines and any rerun see the identical training set. 1/4 keeps
     * ~125 sampled vectors at sf0.01 — comfortably above the 32 seeds —
     * while exercising the real sample-fit path end to end. */
-  private val SampleFitFraction = 0.25
+  private[graft] val SampleFitFraction = 0.25
 
   /** [[SampleFitFraction]]'s membership predicate in DuckDB —
     * [[graft.ops.Sampling.hashSample]]("vec_id", 0.25, "ivf") exactly
@@ -2679,17 +2688,20 @@ object SparkEntry {
     * separates the two costs the composition amortizes. */
   private def qSpanCutIndexed(s: SparkSession, dir: String): DataFrame = {
     val docs = cpuTable(s, dir, "documents")
-    val idxTable = CacheScope.session.model(
-        ("spanIndex", dir, corpusStamp(dir), 8)) {
-      val name = "graft_span_idx_" +
-        java.lang.Long.toHexString(corpusStamp(dir) & Long.MaxValue)
+    // build-once is keyed on the CATALOG, not the JVM-lifetime model
+    // memo: saveAsTable registers in the current SparkSession's
+    // catalog only, so a later session in the same JVM must rebuild —
+    // a memoized NAME would hit while the new session's catalog is
+    // empty (r18 review catch). The corpus fingerprint in the name
+    // keeps regenerated fixtures from reading a stale index.
+    val idxTable = "graft_span_idx_" +
+      java.lang.Long.toHexString(corpusStamp(dir) & Long.MaxValue)
+    if (!s.catalog.tableExists(idxTable))
       graft.sources.Sources.writeBucketedTable(
         Dedup.spanIndexKeys(docs.filter(col("doc_id") % 4 === 0),
           col("text"), n = 8),
-        name, nBuckets = 32, bucketCols = Seq("__k"),
-        path = Some(s"/tmp/graft_span_index/$name"))
-      name
-    }
+        idxTable, nBuckets = 32, bucketCols = Seq("__k"),
+        path = Some(s"/tmp/graft_span_index/$idxTable"))
     Dedup.spanCutAgainstIndex(
       docs.filter(col("doc_id") % 4 =!= 0),
       s.table(idxTable), "doc_id", col("text"), n = 8)

@@ -204,15 +204,16 @@ object Similarity {
     * corpus's HOT bucket still trips the guard (mean ~7, hot > 1000 at
     * 30×). Recall contract: within a split bucket a true neighbor
     * survives iff it shares one of the query's subProbes sub-cells
-    * (RecallSweep measures the trade); the guard then applies to the
-    * REFINED keys, so a genuinely unsplittable hot spot still
-    * fail-fasts. Output: qid, id, cos, rank. */
+    * (RecallSweep measures the trade; `splitIters = 2` is the measured
+    * sub-fit depth knee — see [[refineHotCells]]); the guard then
+    * applies to the REFINED keys, so a genuinely unsplittable hot spot
+    * still fail-fasts. Output: qid, id, cos, rank. */
   def knnJoin(items: DataFrame, itemId: String, itemVec: String,
       k: Int, signBits: Int, probeHamming: Int = 1,
       maxBucketOccupancy: Long = 0L,
       scope: CacheScope = CacheScope.session,
       splitAbove: Long = 0L, splitTargetOcc: Long = 64L,
-      subProbes: Int = 2): DataFrame = {
+      subProbes: Int = 2, splitIters: Int = 1): DataFrame = {
     val rawItems = items.select(col(itemId), col(itemVec),
       signBucket(col(itemVec), signBits).as("__bkt"))
     val probes = hammingProbes(signBucket(col(itemVec), signBits),
@@ -222,7 +223,8 @@ object Similarity {
     val (refItems, refQueries) =
       if (splitAbove <= 0L) (rawItems, rawQueries)
       else splitHotKeyed(rawItems, itemId, itemVec, rawQueries, "__qv",
-        splitAbove, splitTargetOcc, subProbes, scope = scope)
+        splitAbove, splitTargetOcc, subProbes, iters = splitIters,
+        scope = scope)
     val bucketed = guardSignOccupancy(refItems,
       "knnJoin", maxBucketOccupancy, scope)
     val joined = bucketed.join(refQueries, Seq("__bkt"))
@@ -261,7 +263,7 @@ object Similarity {
       maxBucketOccupancy: Long = 0L,
       scope: CacheScope = CacheScope.session,
       splitAbove: Long = 0L, splitTargetOcc: Long = 64L,
-      subProbes: Int = 2): DataFrame = {
+      subProbes: Int = 2, splitIters: Int = 1): DataFrame = {
     require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
     val quant = scope.cache(
       quantizeInt8(items.select(col(itemId), col(itemVec)), itemVec))
@@ -283,7 +285,8 @@ object Similarity {
           itemId, itemVec,
           quant.select(col(itemId).as("qid"), col("qvec").as("__qq"),
             col(itemVec).as("__qv"), explode(probes).as("__bkt")),
-          "__qv", splitAbove, splitTargetOcc, subProbes, scope = scope)
+          "__qv", splitAbove, splitTargetOcc, subProbes,
+          iters = splitIters, scope = scope)
         (ri.drop(itemVec), rq.drop("__qv"))
       }
     val bucketed = guardSignOccupancy(refItems,
