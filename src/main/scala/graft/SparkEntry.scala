@@ -877,6 +877,31 @@ object SparkEntry {
       "embedding", registeredCentroids(s, dir),
       guardAt = SplitAbove, targetOcc = SplitTargetOcc)
 
+  /** q173: the AUTO-ROUTED kNN join (r19, verdict task 1 — the engine
+    * acting on its own measurements): [[Similarity.knnJoinIvfAuto]]
+    * derives the geometry route from the same corpus count the
+    * registered cells derive from, instead of a human reading q172's
+    * report and SCALING.md's boundary tables. Cells ≥ [[Similarity
+    * .TwoLevelAtCells]] (the measured flat-vs-descent crossover —
+    * reached at ~262k corpus vectors under [[TargetCellOcc]]) →
+    * q166's two-level descent; below it → q169's hot-cell refinement,
+    * whose split arm engages exactly when any cell exceeds
+    * [[SplitAbove]] and is the IDENTITY otherwise. Same k/nProbe/
+    * guard/split constants as q46/q169 everywhere, so the oracle is
+    * q169's VERBATIM (one truth, two registered plans — the q171 ≡
+    * q168 convention): its `shot` CTE already conditions the split on
+    * the data, so the SQL covers both sub-boundary arms; the
+    * above-boundary arm is unreachable at any oracle fixture (8–32
+    * derived cells) and is pinned by the knnJoinIvfAuto ≡ knnJoinIvf2L
+    * congruity unit test plus the `knn_join_auto_dense` ScaleProbe row
+    * on a 10⁴-cell fixture. */
+  private def qKnnAuto(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinIvfAuto(cpuTable(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 3, centroids = registeredCentroids(s, dir),
+      nProbe = IvfProbe, splitAbove = SplitAbove,
+      targetOcc = SplitTargetOcc, splitIters = SplitIters,
+      maxCellOccupancy = LshMaxBucket)
+
   /** Ranking-window family (lag/lead — absent from the reference,
     * SURVEY §2.7): per-user event sequencing with the previous event's
     * type and the inter-event gap. Deterministic order: (µs timestamp,
@@ -2880,6 +2905,7 @@ object SparkEntry {
     "q170_curation_span" -> (qCurationSpan _),
     "q171_span_cut_indexed" -> (qSpanCutIndexed _),
     "q172_ivf_occupancy" -> (qIvfOccupancy _),
+    "q173_knn_auto" -> (qKnnAuto _),
     "q167_mmr_local" -> (qMmrLocal _),
     "q168_span_cut_ingest" -> (qSpanCutIngest _),
   )
@@ -5873,61 +5899,14 @@ object SparkEntry {
     // centroids ∪ (RefineOffset + seed id) sub-centroids, then the
     // standard assignment/probe/candidate tail over cref. Depth
     // [[SplitIters]] = the RecallSweep knee (ivf_split_k32_i2).
-    "q169_knn_split" -> {
-      val rounds = (1 to SplitIters).map { i =>
-        s"""ssa${i}0 AS (SELECT shm.vec_id, shm.q, shm.cid, p.scid,
-           |  ${OSql.cosSql("shm.embedding", "p.cvec")} AS cc
-           | FROM shm JOIN ss${i - 1} p USING (cid)),
-           |ssa$i AS (SELECT vec_id, q, cid, scid FROM ssa${i}0
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY cc DESC, scid ASC) = 1),
-           |sse$i AS (SELECT cid, scid, pos, q[pos + 1] AS qd FROM (
-           |   SELECT cid, scid, q, unnest(generate_series(0, len(q) - 1)) AS pos
-           |   FROM ssa$i)),
-           |sscs$i AS (SELECT cid, scid, pos, CAST(sum(qd) AS BIGINT) AS cd
-           |  FROM sse$i GROUP BY 1, 2, 3),
-           |ssarr$i AS (SELECT cid, scid,
-           |   list(CAST(cd AS FLOAT) ORDER BY pos) AS nv
-           |  FROM sscs$i GROUP BY 1, 2),
-           |ss$i AS (SELECT p.cid, p.scid, coalesce(a.nv, p.cvec) AS cvec
-           |  FROM ss${i - 1} p LEFT JOIN ssarr$i a
-           |    ON p.cid = a.cid AND p.scid = a.scid)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ${ivfKnnCtes(IvfProbe)},
-        |socc AS (SELECT cid, count(*) AS n FROM vcell GROUP BY 1),
-        |shot AS (SELECT cid,
-        |   greatest(2, CAST(ceil(n / $SplitTargetOcc.0) AS BIGINT)) AS subk
-        | FROM socc WHERE n > $SplitAbove),
-        |shm AS (SELECT vcell.vec_id, vcell.embedding, vcell.q, vcell.cid,
-        |   shot.subk
-        | FROM vcell JOIN shot USING (cid)),
-        |ss0 AS (SELECT cid, vec_id AS scid, embedding AS cvec FROM (
-        |   SELECT cid, vec_id, embedding, subk,
-        |     row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
-        |   FROM shm) t WHERE rn <= subk),
-        |$rounds,
-        |cref AS (SELECT cid, cvec FROM c2
-        |   WHERE cid NOT IN (SELECT cid FROM shot)
-        |  UNION ALL SELECT scid + ${Similarity.RefineOffset} AS cid, cvec
-        |   FROM ss$SplitIters),
-        |ra0 AS (SELECT fqv.vec_id, fqv.embedding, c.cid,
-        |  ${OSql.cosSql("fqv.embedding", "c.cvec")} AS cc
-        | FROM fqv CROSS JOIN cref c),
-        |rcell AS (SELECT vec_id, embedding, cid FROM ra0
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cc DESC, cid ASC) = 1),
-        |rprobe AS (SELECT vec_id AS qid, embedding AS qv, cid FROM ra0
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cc DESC, cid ASC) <= $IvfProbe),
-        |rsc AS (SELECT p.qid, e.vec_id AS id,
-        |  ${OSql.cosSql("e.embedding", "p.qv")} AS cos
-        | FROM rcell e JOIN rprobe p ON e.cid = p.cid AND e.vec_id <> p.qid)
-        |SELECT qid, id, cos,
-        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
-        |FROM rsc
-        |QUALIFY row_number() OVER (PARTITION BY qid
-        |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin
-    },
+    "q169_knn_split" -> Sql_q169,
+
+    // q173: the auto route's sub-boundary arm IS q169's refined flat
+    // join (the refinement conditions itself on the data in both
+    // engines — the shot CTE is the engine's hotCellCount), and the
+    // above-boundary descent arm is unreachable at oracle scale; one
+    // truth, two registered plans (the q171 ≡ q168 convention).
+    "q173_knn_auto" -> Sql_q169,
 
     // Standing-only fit unroll (predicate-filtered kmeansFitCtes),
     // both assignment passes, exact-integer bp stats; the +10000·n
@@ -6285,6 +6264,67 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     s"WITH $head,\n${steps.mkString(",\n")}\n$out"
   }
+
+  /** q169's oracle body — shared verbatim with q173 (the auto route's
+    * sub-boundary arm is q169's refined flat join; the shot CTE
+    * conditions the split on the data exactly as the engine's
+    * hotCellCount does, so one SQL covers both the split and
+    * no-hot-cell arms). */
+  private lazy val Sql_q169: String = {
+      val rounds = (1 to SplitIters).map { i =>
+        s"""ssa${i}0 AS (SELECT shm.vec_id, shm.q, shm.cid, p.scid,
+           |  ${OSql.cosSql("shm.embedding", "p.cvec")} AS cc
+           | FROM shm JOIN ss${i - 1} p USING (cid)),
+           |ssa$i AS (SELECT vec_id, q, cid, scid FROM ssa${i}0
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY cc DESC, scid ASC) = 1),
+           |sse$i AS (SELECT cid, scid, pos, q[pos + 1] AS qd FROM (
+           |   SELECT cid, scid, q, unnest(generate_series(0, len(q) - 1)) AS pos
+           |   FROM ssa$i)),
+           |sscs$i AS (SELECT cid, scid, pos, CAST(sum(qd) AS BIGINT) AS cd
+           |  FROM sse$i GROUP BY 1, 2, 3),
+           |ssarr$i AS (SELECT cid, scid,
+           |   list(CAST(cd AS FLOAT) ORDER BY pos) AS nv
+           |  FROM sscs$i GROUP BY 1, 2),
+           |ss$i AS (SELECT p.cid, p.scid, coalesce(a.nv, p.cvec) AS cvec
+           |  FROM ss${i - 1} p LEFT JOIN ssarr$i a
+           |    ON p.cid = a.cid AND p.scid = a.scid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ivfKnnCtes(IvfProbe)},
+        |socc AS (SELECT cid, count(*) AS n FROM vcell GROUP BY 1),
+        |shot AS (SELECT cid,
+        |   greatest(2, CAST(ceil(n / $SplitTargetOcc.0) AS BIGINT)) AS subk
+        | FROM socc WHERE n > $SplitAbove),
+        |shm AS (SELECT vcell.vec_id, vcell.embedding, vcell.q, vcell.cid,
+        |   shot.subk
+        | FROM vcell JOIN shot USING (cid)),
+        |ss0 AS (SELECT cid, vec_id AS scid, embedding AS cvec FROM (
+        |   SELECT cid, vec_id, embedding, subk,
+        |     row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+        |   FROM shm) t WHERE rn <= subk),
+        |$rounds,
+        |cref AS (SELECT cid, cvec FROM c2
+        |   WHERE cid NOT IN (SELECT cid FROM shot)
+        |  UNION ALL SELECT scid + ${Similarity.RefineOffset} AS cid, cvec
+        |   FROM ss$SplitIters),
+        |ra0 AS (SELECT fqv.vec_id, fqv.embedding, c.cid,
+        |  ${OSql.cosSql("fqv.embedding", "c.cvec")} AS cc
+        | FROM fqv CROSS JOIN cref c),
+        |rcell AS (SELECT vec_id, embedding, cid FROM ra0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) = 1),
+        |rprobe AS (SELECT vec_id AS qid, embedding AS qv, cid FROM ra0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cc DESC, cid ASC) <= $IvfProbe),
+        |rsc AS (SELECT p.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "p.qv")} AS cos
+        | FROM rcell e JOIN rprobe p ON e.cid = p.cid AND e.vec_id <> p.qid)
+        |SELECT qid, id, cos,
+        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |FROM rsc
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin
+    }
 
   /** q168's oracle body — shared verbatim with q171 (the
     * persisted-index probe path must land on identical rows as the

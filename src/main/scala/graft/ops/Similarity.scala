@@ -213,7 +213,7 @@ object Similarity {
       maxBucketOccupancy: Long = 0L,
       scope: CacheScope = CacheScope.session,
       splitAbove: Long = 0L, splitTargetOcc: Long = 64L,
-      subProbes: Int = 2, splitIters: Int = 1): DataFrame = {
+      subProbes: Int = 2, splitIters: Int = 2): DataFrame = {
     val rawItems = items.select(col(itemId), col(itemVec),
       signBucket(col(itemVec), signBits).as("__bkt"))
     val probes = hammingProbes(signBucket(col(itemVec), signBits),
@@ -263,7 +263,7 @@ object Similarity {
       maxBucketOccupancy: Long = 0L,
       scope: CacheScope = CacheScope.session,
       splitAbove: Long = 0L, splitTargetOcc: Long = 64L,
-      subProbes: Int = 2, splitIters: Int = 1): DataFrame = {
+      subProbes: Int = 2, splitIters: Int = 2): DataFrame = {
     require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
     val quant = scope.cache(
       quantizeInt8(items.select(col(itemId), col(itemVec)), itemVec))
@@ -529,13 +529,19 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__subk"))
       .select(col("__key"), col("__sid"), col("__sv")).collect()
-      .map(r => (r.getLong(0), r.getLong(1).toInt,
-        r.getSeq[Float](2).toArray))
+      .map { r =>
+        // validate the RAW long BEFORE narrowing to Int (r18 ADVICE):
+        // ids >= 2^32 whose low bits land back in [0, 2^30) would
+        // otherwise alias as sub-cell ids instead of tripping the
+        // renumber-wider-ids enforcement
+        val sid = r.getLong(1)
+        require(sid >= 0L && sid < RefineOffset,
+          s"refineHotCells: seed vector id $sid outside [0, $RefineOffset)" +
+            " - RefineOffset + id must not collide with a parent key;" +
+            " renumber wider ids before splitting")
+        (r.getLong(0), sid.toInt, r.getSeq[Float](2).toArray)
+      }
       .toSeq.sortBy(s => (s._1, s._2))
-    require(subs.forall(s => s._2 >= 0 && s._2 < RefineOffset),
-      s"refineHotCells: seed vector ids must sit in [0, $RefineOffset)" +
-        " so RefineOffset + id cannot collide with a parent key -" +
-        " renumber wider ids before splitting")
     for (_ <- 1 to iters) {
       val scDf = broadcast(
         subs.map { case (k, scid, v) => (k, scid, v.toSeq) }
@@ -656,7 +662,7 @@ object Similarity {
     * so probe depth, not fit depth, reassembles its neighborhood. */
   def refineHotCells(items: DataFrame, itemId: String, itemVec: String,
       centroids: Seq[(Int, Array[Float])], splitAbove: Long,
-      targetOcc: Long, iters: Int = 1,
+      targetOcc: Long, iters: Int = 2,
       scope: CacheScope = CacheScope.session): Seq[(Int, Array[Float])] = {
     require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
     require(centroids.forall(c => c._1 >= 0 && c._1 < RefineOffset),
@@ -713,6 +719,116 @@ object Similarity {
           greatest(lit(2L), ceil(coalesce(col("__n"), lit(0L)) /
             lit(targetOcc.toDouble)).cast("long")))
           .otherwise(lit(0L)).as("suggested_subcells"))
+  }
+
+  // ------------------------------------------------------------------
+  // AUTO-ROUTED geometry (r19, verdict task 1) — the engine acting on
+  // its own measurements instead of a human reading SCALING.md's
+  // boundary tables: the r18 round measured every regime edge (flat
+  // loses to the two-level descent 4.2× e2e at 10⁴ cells and 6.1× at
+  // 3·10⁴, but WINS 2.3× at moderate cells/occupancy ~63; hot-cell
+  // splitting relieves skew at a measured 120–160 bp recall cost) and
+  // left the route a documented operating rule. These entry points
+  // derive the route from the same data the geometry derives from:
+  // the CELL COUNT (known before any job — centroids.size) picks flat
+  // vs descent, and below the descent boundary the occupancy pass
+  // [[refineHotCells]] already runs picks split vs plain flat.
+  // ------------------------------------------------------------------
+
+  /** The measured flat-vs-two-level boundary, in CELLS: below it the
+    * flat assignment (corpus × cells cosines) is within noise of the
+    * descent and its simplicity wins (measured LOSS of 2.3× e2e for 2L
+    * at 32·scale cells / occupancy ~63 — the r17 negative control);
+    * above it the descent's sublinear assignment dominates (measured
+    * e2e WIN of 4.2× at 10⁴ cells and 6.1× at 3·10⁴, exponent 0.61–
+    * 0.96 vs flat 1.17–1.46 — SCALING.md r18 "two-level regime").
+    * 4096 sits at the conservative end of the measured 10³–10⁴
+    * crossover band: the flat path never runs where the descent's win
+    * is measured, and the descent never runs where its loss is. At the
+    * registered occupancy ([[graft.SparkEntry.TargetCellOcc]] = 64) the
+    * boundary is crossed at ~262k corpus vectors. */
+  val TwoLevelAtCells: Int = 4096
+
+  /** The descent's branch count at a given cell count: ⌈√(2·cells)⌉ —
+    * the minimizer of the per-row descent cost branches +
+    * branchProbes·cells/branches at branchProbes ≈ 2 (the ScaleProbe
+    * `ivf_assign_2l` derivation, shared here so the auto route and the
+    * probes cannot drift apart). */
+  def twoLevelBranches(cells: Int): Int =
+    math.max(2, math.min(cells, math.round(math.sqrt(2.0 * cells)).toInt))
+
+  /** Count of cells whose population exceeds `splitAbove` — the route
+    * signal [[knnJoinIvfAuto]] reads below the descent boundary (the
+    * decision column of [[ivfOccupancyReport]] as one number). One
+    * assignment pass + a cells-sized aggregate; null vectors excluded
+    * exactly as the occupancy guard excludes them. */
+  def hotCellCount(items: DataFrame, itemVec: String,
+      centroids: Seq[(Int, Array[Float])], splitAbove: Long): Long =
+    items.filter(col(itemVec).isNotNull)
+      .select(nearestCentroid(col(itemVec), centroids).as("__cell"))
+      .groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > splitAbove)
+      .count()
+
+  /** The data-derived route [[knnJoinIvfAuto]] takes, as an inspectable
+    * value: `"two_level"` when the index has at least `twoLevelAtCells`
+    * cells, else `"split_flat"` when any cell's population exceeds
+    * `splitAbove` (the [[refineHotCells]] skew knob fires), else
+    * `"flat"`. Exposed separately so probes and reports can assert
+    * WHICH path the auto join runs without re-deriving the rule. */
+  def annRouteFor(items: DataFrame, itemVec: String,
+      centroids: Seq[(Int, Array[Float])], splitAbove: Long,
+      twoLevelAtCells: Int = TwoLevelAtCells): String =
+    if (centroids.size >= twoLevelAtCells) "two_level"
+    else if (hotCellCount(items, itemVec, centroids, splitAbove) > 0L)
+      "split_flat"
+    else "flat"
+
+  /** [[knnJoinIvf]] with the GEOMETRY ROUTE DERIVED FROM THE DATA —
+    * the r18 verdict's "make the engine act on its own measurements":
+    *
+    *  - cells ≥ `twoLevelAtCells` ([[TwoLevelAtCells]] — the measured
+    *    crossover): build the two-level descent from the given
+    *    centroids ([[twoLevelIndexFitted]], branches = ⌈√(2·cells)⌉,
+    *    the measured-recall replicas/branchProbes defaults) and run
+    *    [[knnJoinIvf2L]];
+    *  - below the boundary: [[refineHotCells]] + [[knnJoinIvf]] — the
+    *    occupancy pass both need runs ONCE, and when no cell exceeds
+    *    `splitAbove` the refinement is the identity, so the flat and
+    *    split routes are one code path whose split arm engages exactly
+    *    when the q172 report would flag hot cells ([[annRouteFor]]
+    *    names the arm taken).
+    *
+    * Every arm is the corresponding registered operator verbatim —
+    * same k/nProbe/guard — so the auto join's output is ALWAYS equal
+    * to one of the oracle-pinned shapes: q169's refined flat below the
+    * boundary (≡ q46's plain flat when nothing is hot, since the
+    * refinement is then the identity), q166's descent machinery above
+    * it (unit-pinned equal to [[knnJoinIvf2L]] on a dense corpus;
+    * the boundary itself is probed, not oracled — no oracle fixture
+    * reaches 4096 derived cells). Output: qid, id, cos, rank. */
+  def knnJoinIvfAuto(items: DataFrame, itemId: String, itemVec: String,
+      k: Int, centroids: Seq[(Int, Array[Float])], nProbe: Int,
+      splitAbove: Long, targetOcc: Long, splitIters: Int = 2,
+      twoLevelAtCells: Int = TwoLevelAtCells,
+      branchProbes: Int = 3, replicas: Int = 2, topIters: Int = 2,
+      maxCellOccupancy: Long = 0L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
+    if (centroids.size >= twoLevelAtCells) {
+      val (tops, fines) = twoLevelIndexFitted(centroids,
+        branches = twoLevelBranches(centroids.size),
+        iters = topIters, replicas = replicas)
+      knnJoinIvf2L(items, itemId, itemVec, k, tops, fines,
+        branchProbes = branchProbes, nProbe = nProbe,
+        maxCellOccupancy = maxCellOccupancy, scope = scope)
+    } else {
+      val refined = refineHotCells(items, itemId, itemVec, centroids,
+        splitAbove = splitAbove, targetOcc = targetOcc,
+        iters = splitIters, scope = scope)
+      knnJoinIvf(items, itemId, itemVec, k, refined, nProbe,
+        maxCellOccupancy = maxCellOccupancy, scope = scope)
+    }
   }
 
   /** The IVF cell id of a vector (its nearest centroid) — the public
