@@ -66,7 +66,8 @@ object Explain {
     "q164_span_cut", "q165_knn_sampled_fit", "q166_knn_two_level",
     "q167_mmr_local", "q168_span_cut_ingest", "q169_knn_split",
     "q170_curation_span", "q171_span_cut_indexed",
-    "q172_ivf_occupancy", "q173_knn_auto")
+    "q172_ivf_occupancy", "q173_knn_auto", "q174_knn_persisted",
+    "q175_span_index_update")
 
   /** CPU-heavy queries whose FINAL plan is truncated by an eager
     * `localCheckpoint` inside an iterative op (PageRank rounds), so the

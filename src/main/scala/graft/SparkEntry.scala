@@ -2717,23 +2717,105 @@ object SparkEntry {
     // memo: saveAsTable registers in the current SparkSession's
     // catalog only, so a later session in the same JVM must rebuild —
     // a memoized NAME would hit while the new session's catalog is
-    // empty (r18 review catch). The corpus fingerprint in the name
-    // keeps regenerated fixtures from reading a stale index.
-    val idxTable = "graft_span_idx_" +
-      java.lang.Long.toHexString(corpusStamp(dir) & Long.MaxValue)
-    if (!s.catalog.tableExists(idxTable))
-      graft.sources.Sources.writeBucketedTable(
-        Dedup.spanIndexKeys(docs.filter(col("doc_id") % 4 === 0),
-          col("text"), n = 8),
-        idxTable, nBuckets = 32, bucketCols = Seq("__k"),
-        path = Some(s"/tmp/graft_span_index/$idxTable"))
+    // empty (r18 review catch). The name pins corpus identity
+    // (fingerprint + dir hash) and the build is race-safe under
+    // parallel query execution — [[graft.sources.Artifacts]], the r19
+    // restructure of the r18 inline check-then-act.
+    val idxTable = graft.sources.Artifacts.tableName(
+      "graft_span_idx", dir, corpusStamp(dir))
+    graft.sources.Artifacts.ensureTable(s, idxTable,
+        path = s"/tmp/graft_span_index/$idxTable",
+        nBuckets = 32, bucketCols = Seq("__k")) {
+      Dedup.spanIndexKeys(docs.filter(col("doc_id") % 4 === 0),
+        col("text"), n = 8)
+    }
     Dedup.spanCutAgainstIndex(
       docs.filter(col("doc_id") % 4 =!= 0),
       s.table(idxTable), "doc_id", col("text"), n = 8)
   }
 
+  /** q175: the standing span index UPDATED between batches (r19,
+    * verdict task 3 — the ingest loop's missing step after q171's
+    * frozen artifact): a TWO-BATCH crawl sequence where batch 2's cut
+    * provably sees batch 1's survivors. Reference = doc_id % 4 == 0
+    * (its distinct shingles are the standing index), batch 1 = % 4 ∈
+    * {1, 2} is span-cut against the index, then the index ABSORBS
+    * batch 1's surviving text ([[graft.ops.Dedup.spanIndexAppend]] —
+    * new keys are the survivors' reassembled `dedup_text` shingles
+    * anti-joined against the standing set), and batch 2 = % 4 == 3 is
+    * cut against the UPDATED index. The split is chosen so the append
+    * is what batch 2's cut consists of: the fixture's near-dup pairs
+    * sit at ids 18/19 mod 20, i.e. 2/3 mod 4 — batch 2's docs share
+    * runs with BATCH-1 text, not with the reference (measured at
+    * sf0.01: 0 batch-2 shingle hits on the reference keys, 279 on the
+    * appended keys), so a frozen index would emit batch 2 UNCUT and
+    * this oracle's rows are unreachable without the update. Output:
+    * batch 2's [[graft.ops.Dedup.spanCutDedup]]-shaped rows; the
+    * oracle unrolls reference keys → batch-1 cut → batch-1 reassembly
+    * → appended keys → the union → batch-2 cut, every boundary
+    * hash-pinned. ScaleProbe `span_index_append` pins the append cost
+    * ∝ batch, not ∝ index. */
+  private def qSpanIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    val docs = cpuTable(s, dir, "documents")
+    // the standing index feeds three consumers (batch-1 probe, the
+    // append anti-join, the union) — one materialization, the q171
+    // convention (a deployment reads the persisted table instead)
+    val idx1 = CacheScope.session.cache(
+      Dedup.spanIndexKeys(docs.filter(col("doc_id") % 4 === 0),
+        col("text"), n = 8))
+    val b1cut = Dedup.spanCutAgainstIndex(
+      docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+      idx1, "doc_id", col("text"), n = 8)
+    val idx2 = idx1.unionByName(
+      Dedup.spanIndexAppend(idx1, b1cut, col("dedup_text"), n = 8))
+    Dedup.spanCutAgainstIndex(docs.filter(col("doc_id") % 4 === 3),
+      idx2, "doc_id", col("text"), n = 8)
+  }
+
+  /** q174: q46's kNN join probing the PERSISTED quantizer model (r19,
+    * verdict task 2 — q171's write-then-read discipline applied to the
+    * ANN artifact): [[registeredCentroids]] is fitted once, WRITTEN as
+    * a cells × dims parquet table in the session catalog
+    * ([[graft.sources.Artifacts.ensureTable]] — corpus fingerprint +
+    * dir hash in the name, race-safe build), and the join reads the
+    * centroids BACK FROM THE FILES — the model fetch is cells-sized,
+    * and the fit never re-runs once the artifact exists (where q46's
+    * self-contained in-query fit re-pays it per session). float32
+    * round-trips parquet bit-exactly and the read is cid-sorted (the
+    * nearest-centroid tie rule is order-sensitive), so the probe is
+    * IDENTICAL to q46 — same inputs, same k/nProbe/guard, IDENTICAL
+    * oracle SQL (one truth, two plans: in-query fit vs persisted
+    * artifact — the q171 ≡ q168 convention). ScaleProbe
+    * `ivf_model_build` vs `knn_probe_persisted_model` separates the
+    * build cost this artifact amortizes from the per-batch probe. */
+  private def qKnnPersisted(s: SparkSession, dir: String): DataFrame = {
+    val mdlTable = graft.sources.Artifacts.tableName(
+      "graft_ivf_model", dir, corpusStamp(dir))
+    graft.sources.Artifacts.ensureTable(s, mdlTable,
+        path = s"/tmp/graft_ivf_model/$mdlTable") {
+      import s.implicits._
+      registeredCentroids(s, dir)
+        .map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+    }
+    val cents = s.table(mdlTable).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    Similarity.knnJoinIvf(cpuTable(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 3, centroids = cents, nProbe = IvfProbe,
+      maxCellOccupancy = LshMaxBucket)
+  }
+
   // ------------------------------------------------------------------ //
 
+  /** The registered query surface. Deterministic, self-contained, and
+    * side-effect-free per run — with one DOCUMENTED exception (r18
+    * verdict item): the ARTIFACT-PROBE queries q171_span_cut_indexed
+    * and q174_knn_persisted write a warehouse table on their FIRST run
+    * per session catalog ([[graft.sources.Artifacts.ensureTable]] —
+    * build-once, `synchronized` so parallel query execution cannot
+    * race the build, name pinned to corpus fingerprint + dir). Their
+    * first execution pays the build (benchers: the first rep carries
+    * it; min-of-reps reads the probe); every later run only reads. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_pipeline" -> (qPipeline _),
     "q36_fold_agg" -> (qFoldAgg _),
@@ -2906,6 +2988,8 @@ object SparkEntry {
     "q171_span_cut_indexed" -> (qSpanCutIndexed _),
     "q172_ivf_occupancy" -> (qIvfOccupancy _),
     "q173_knn_auto" -> (qKnnAuto _),
+    "q174_knn_persisted" -> (qKnnPersisted _),
+    "q175_span_index_update" -> (qSpanIndexUpdate _),
     "q167_mmr_local" -> (qMmrLocal _),
     "q168_span_cut_ingest" -> (qSpanCutIngest _),
   )
@@ -3693,15 +3777,13 @@ object SparkEntry {
         | quantile_disc(n_chars, 0.75) AS val_p75
         |FROM documents GROUP BY lang""".stripMargin,
 
-    "q46_knn_join" ->
-      s"""WITH ${ivfKnnCtes(IvfProbe)},
-        |sc AS (SELECT p.qid, e.vec_id AS id,
-        |  ${OSql.cosSql("e.embedding", "p.qv")} AS cos
-        | FROM vcell e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid)
-        |SELECT qid, id, cos,
-        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
-        |FROM sc
-        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 3""".stripMargin,
+    "q46_knn_join" -> Sql_q46,
+
+    // q174: the persisted-model probe lands on identical rows as the
+    // in-query fit — float32 centroids round-trip parquet bit-exactly,
+    // so the artifact path and q46's self-contained path share one
+    // truth (the q171 ≡ q168 convention applied to the ANN model).
+    "q174_knn_persisted" -> Sql_q46,
 
     "q47_neardup_clusters" -> Sql_q47,
 
@@ -6103,6 +6185,64 @@ object SparkEntry {
     // for incoming docs that lost tokens.
     "q168_span_cut_ingest" -> SpanCutIngestSql,
 
+    // q175: reference keys (rk) → batch-1 cut (d1/ct1) → batch-1
+    // reassembly for EVERY doc (rb1 — string_agg over kept tokens =
+    // the engine's dedup_text, original rejoined when nothing was
+    // cut; fully-cut docs vanish, matching their empty dedup_text
+    // producing no shingles) → appended keys (nk, len >= 8 like
+    // spanIndexKeys) → the union index (idx2) → the q168 body for
+    // batch 2 against idx2.
+    "q175_span_index_update" ->
+      """WITH rw AS (SELECT string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
+        |rk AS (SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM (SELECT * FROM rw WHERE len(ws) >= 8) r,
+        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |w1 AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 IN (1, 2)),
+        |g1 AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM (SELECT * FROM w1 WHERE len(ws) >= 8) we,
+        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |d1 AS (SELECT g1.doc_id, g1.pos FROM g1 JOIN rk USING (sh)),
+        |ct1 AS (SELECT DISTINCT doc_id, t FROM (
+        |   SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS t FROM d1)),
+        |tok1 AS (SELECT w1.doc_id, ti.i AS t, ws[ti.i] AS wd
+        | FROM w1, lateral unnest(generate_series(1, len(ws))) ti(i)),
+        |keep1 AS (SELECT tok1.doc_id, tok1.t, tok1.wd FROM tok1
+        | LEFT JOIN ct1 ON tok1.doc_id = ct1.doc_id AND tok1.t = ct1.t
+        | WHERE ct1.t IS NULL),
+        |rb1 AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY t) AS dt
+        |  FROM keep1 GROUP BY doc_id),
+        |b1w AS (SELECT string_split(dt, ' ') AS ws FROM rb1),
+        |nk AS (SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM (SELECT * FROM b1w WHERE len(ws) >= 8) b,
+        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |idx2 AS (SELECT sh FROM rk UNION SELECT sh FROM nk),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 3),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS sh
+        | FROM (SELECT * FROM w WHERE len(ws) >= 8) we,
+        |   lateral unnest(generate_series(1, len(ws) - 7)) t(i)),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN idx2 USING (sh)),
+        |ct AS (SELECT DISTINCT doc_id, t FROM (
+        |   SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS t FROM d)),
+        |cc AS (SELECT doc_id, count(*) AS ncut FROM ct GROUP BY 1),
+        |tok AS (SELECT w.doc_id, ti.i AS t, ws[ti.i] AS wd
+        | FROM w JOIN cc USING (doc_id),
+        |   lateral unnest(generate_series(1, len(ws))) ti(i)),
+        |keep AS (SELECT tok.doc_id, tok.t, tok.wd FROM tok
+        | LEFT JOIN ct ON tok.doc_id = ct.doc_id AND tok.t = ct.t
+        | WHERE ct.t IS NULL),
+        |rb AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY t) AS rbt,
+        |   count(*) AS nk FROM keep GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CASE WHEN cc.doc_id IS NULL THEN array_to_string(ws, ' ')
+        |       ELSE coalesce(rb.rbt, '') END AS dedup_text,
+        |  CAST(CASE WHEN cc.doc_id IS NULL THEN len(ws)
+        |       ELSE coalesce(rb.nk, 0) END AS BIGINT) AS n_tokens_kept,
+        |  CAST(coalesce(cc.ncut, 0) AS BIGINT) AS n_tokens_cut
+        |FROM w LEFT JOIN cc USING (doc_id) LEFT JOIN rb USING (doc_id)""".stripMargin,
+
     // The sample-fit model history unrolled: hash-sample membership as
     // a WHERE predicate (pure function of vec_id — engine hashSample
     // parity), seeds = the IvfCells lowest SAMPLED ids (ORDER BY/LIMIT
@@ -6264,6 +6404,19 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     s"WITH $head,\n${steps.mkString(",\n")}\n$out"
   }
+
+  /** q46's oracle body — shared verbatim with q174 (the persisted-
+    * model probe must land on identical rows as the in-query fit; one
+    * truth, two registered plans). */
+  private lazy val Sql_q46: String =
+      s"""WITH ${ivfKnnCtes(IvfProbe)},
+        |sc AS (SELECT p.qid, e.vec_id AS id,
+        |  ${OSql.cosSql("e.embedding", "p.qv")} AS cos
+        | FROM vcell e JOIN vprobe p ON e.cid = p.cid AND e.vec_id <> p.qid)
+        |SELECT qid, id, cos,
+        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 3""".stripMargin
 
   /** q169's oracle body — shared verbatim with q173 (the auto route's
     * sub-boundary arm is q169's refined flat join; the shot CTE

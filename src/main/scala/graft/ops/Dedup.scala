@@ -490,6 +490,37 @@ object Dedup {
     cutAndReassemble(base, cutToks, idCol)
   }
 
+  /** Standing-index UPDATE — the step after [[spanCutAgainstIndex]]
+    * that closes the ingest loop (r18 verdict: q171 probes a FROZEN
+    * artifact; a real crawl appends each batch's surviving spans so
+    * batch N+1 dedups against reference ∪ batches 1..N): once a batch
+    * is span-cut, its SURVIVING text is corpus text, and its shingles
+    * must join the index or the next batch re-admits the same runs.
+    * Returns the NEW keys only — the batch text's distinct shingle
+    * keys ([[spanIndexKeys]]) anti-joined against the standing index —
+    * so the append cost is ∝ batch, never ∝ index (the anti-join
+    * probes the index per batch key; appended to a bucketed standing
+    * table via `insertInto` the write keeps the bucketing and later
+    * probes see old ∪ new with no index-side exchange). In-query
+    * composition unions instead of writing
+    * (`index.unionByName(spanIndexAppend(index, batch, …))` — q175).
+    * `text` must be the survivors' REASSEMBLED `dedup_text`: shingles
+    * the cut removed are no longer corpus text and must not enter the
+    * index (and spans of the cut boundary's new token adjacencies are
+    * REAL corpus runs of the surviving text — exactly what the next
+    * batch should dedup against). Read-your-own-writes hazard: when
+    * `index` reads the very TABLE the keys will be appended to, the
+    * returned frame is LAZY and re-anti-joins against the
+    * already-appended table (emptying itself) — and CACHING does not
+    * save it: Spark invalidates caches over a table on write, so a
+    * materialized plan recomputes too. Derive the frames reused after
+    * the append from SOURCE lineage (or a staging write), as the
+    * persisted-append spec pins. */
+  def spanIndexAppend(index: DataFrame, batch: DataFrame, text: Column,
+      n: Int): DataFrame =
+    spanIndexKeys(batch, text, n)
+      .join(index.select(col("__k")), Seq("__k"), "left_anti")
+
   // ---------------------------------------------------------------- text
 
   /** Distinct word `n`-gram shingles of a whitespace-tokenized text.

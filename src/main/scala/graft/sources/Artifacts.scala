@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once WAREHOUSE ARTIFACTS — the shared discipline behind the
+  * registered queries that probe a PERSISTED standing structure (the
+  * q171 span index, the q174 quantizer model) instead of rebuilding it
+  * in-query: the artifact is written to the session catalog at most
+  * once per (corpus fingerprint, dir), and every later probe reads the
+  * files back — the amortization a deployment's ingest loop rests on.
+  *
+  * Convention (registered in the `SparkEntry.queries` scaladoc too): a
+  * query routed through [[ensureTable]] has a WRITE SIDE EFFECT on its
+  * first run in a session catalog. The build is `synchronized` on this
+  * object, so registered queries executing in PARALLEL in one driver
+  * cannot race the check-then-act (the r18 q171 convention break);
+  * runs after the first see `tableExists` and pay nothing. Two
+  * DRIVERS sharing one external warehouse path must own the build
+  * step explicitly (run it once at ingest) — cross-process fencing is
+  * [[Sources.idempotentBatchWriter]]'s job, not this helper's. */
+object Artifacts {
+
+  /** Catalog table name pinning CORPUS IDENTITY: prefix + the content
+    * fingerprint + a hash of the dir string. The dir hash matters
+    * because `SparkEntry.corpusStamp` stamps 0 for any non-local path
+    * (r18 ADVICE: two remote corpora in one catalog would otherwise
+    * share a name and the second query would silently probe the
+    * first's stale artifact); on local fixtures the stamp alone
+    * already separates regenerated data under the same dir. */
+  def tableName(prefix: String, dir: String, stamp: Long): String =
+    prefix + "_" + java.lang.Long.toHexString(stamp & Long.MaxValue) +
+      "_" + Integer.toHexString(dir.hashCode)
+
+  /** Ensure catalog table `name` exists, building it at most once per
+    * session catalog from `build` (evaluated lazily — never when the
+    * table already exists). `nBuckets > 0` writes through
+    * [[Sources.writeBucketedTable]] (probe joins on `bucketCols` scan
+    * pre-bucketed files with no exchange on the artifact side);
+    * otherwise a plain external parquet table. */
+  def ensureTable(s: SparkSession, name: String, path: String,
+      nBuckets: Int = 0, bucketCols: Seq[String] = Nil)(
+      build: => DataFrame): Unit = synchronized {
+    if (!s.catalog.tableExists(name)) {
+      if (nBuckets > 0)
+        Sources.writeBucketedTable(build, name, nBuckets, bucketCols,
+          path = Some(path))
+      else
+        build.write.mode("overwrite").format("parquet")
+          .option("path", path).saveAsTable(name)
+    }
+  }
+}

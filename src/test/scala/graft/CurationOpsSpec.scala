@@ -604,6 +604,95 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("spanIndexAppend: new keys = survivor-text shingles absent from " +
+      "the index; the updated index equals rebuilding over ref UNION " +
+      "survivor texts; batch 2 sees batch 1's survivors") {
+    val shared = (1 to 10).map("s" + _)
+    val b1only = (1 to 10).map("x" + _)
+    val refDocs = Seq(0L -> ((1 to 15).map("r" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    // doc 1: a ref-shared prefix (cut) + its own tail (survives);
+    // doc 3: entirely its own text (survives whole)
+    val b1 = Seq(
+      1L -> (((1 to 15).map("r" + _)) ++ b1only).mkString(" "),
+      3L -> shared.mkString(" ")).toDF("doc_id", "text")
+    val idx1 = CacheScope.session.cache(
+      Dedup.spanIndexKeys(refDocs, col("text"), n = 8))
+    val b1cut = CacheScope.session.cache(
+      Dedup.spanCutAgainstIndex(b1, idx1, "doc_id", col("text"), n = 8))
+    val newKeys = Dedup.spanIndexAppend(idx1, b1cut, col("dedup_text"), n = 8)
+    // new keys are disjoint from the standing index
+    assert(newKeys.join(idx1, Seq("__k"), "left_semi").count() === 0L)
+    // and equal the shingle set of the survivors' reassembled text
+    // minus the standing keys (the contract, re-derived)
+    val expected = Dedup.spanIndexKeys(b1cut, col("dedup_text"), n = 8)
+      .join(idx1, Seq("__k"), "left_anti")
+    assert(newKeys.collect().map(_.getString(0)).toSet ===
+      expected.collect().map(_.getString(0)).toSet)
+    // updated index == rebuilding from scratch over ref + survivor text
+    val idx2 = idx1.unionByName(newKeys)
+    val rebuilt = Dedup.spanIndexKeys(
+      refDocs.select(col("text"))
+        .unionByName(b1cut.select(col("dedup_text").as("text"))),
+      col("text"), n = 8)
+    assert(idx2.collect().map(_.getString(0)).toSet ===
+      rebuilt.collect().map(_.getString(0)).toSet)
+    // batch 2 repeats batch 1's SURVIVING text (shared - never in the
+    // reference): a frozen index admits it, the updated index cuts it
+    val b2 = Seq(5L -> shared.mkString(" ")).toDF("doc_id", "text")
+    val frozen = Dedup.spanCutAgainstIndex(b2, idx1, "doc_id",
+      col("text"), n = 8).select("n_tokens_cut").as[Long].collect()
+    val updated = Dedup.spanCutAgainstIndex(b2, idx2, "doc_id",
+      col("text"), n = 8).select("n_tokens_cut").as[Long].collect()
+    assert(frozen.toSeq === Seq(0L), "frozen index re-admits the text")
+    assert(updated.toSeq === Seq(10L), "updated index cuts all 10 tokens")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("spanIndexAppend: PERSISTED append - appending the new keys to " +
+      "the standing bucketed table makes the table probe equal the " +
+      "in-memory union (the deployment ingest loop)") {
+    val shared = (1 to 10).map("s" + _)
+    val refDocs = Seq(0L -> ((1 to 15).map("r" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val b1 = Seq(3L -> shared.mkString(" ")).toDF("doc_id", "text")
+    val tbl = "graft_test_span_idx_append"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-span-append-").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // every frame reused AFTER the append derives from SOURCE lineage,
+    // never from spark.table(tbl): Spark invalidates caches over a
+    // table when it is written, so even a materialized plan reading
+    // the table recomputes against the appended content (the
+    // spanIndexAppend scaladoc hazard, pinned here)
+    val refKeys = CacheScope.session.cache(
+      Dedup.spanIndexKeys(refDocs, col("text"), n = 8))
+    graft.sources.Sources.writeBucketedTable(refKeys,
+      tbl, nBuckets = 4, bucketCols = Seq("__k"),
+      path = Some(path + "/idx"))
+    val b1cut = CacheScope.session.cache(Dedup.spanCutAgainstIndex(
+      b1, refKeys, "doc_id", col("text"), n = 8))
+    val newKeys = Dedup.spanIndexAppend(refKeys, b1cut,
+      col("dedup_text"), n = 8)
+    // the append keeps the table's bucketing (datasource bucketed
+    // append), so later probes still skip the index-side exchange
+    newKeys.write.mode("append").format("parquet")
+      .bucketBy(4, "__k").saveAsTable(tbl)
+    val b2 = Seq(5L -> shared.mkString(" ")).toDF("doc_id", "text")
+    val viaTable = Dedup.spanCutAgainstIndex(b2, spark.table(tbl),
+      "doc_id", col("text"), n = 8).collect().map(_.toSeq).toSet
+    val viaUnion = Dedup.spanCutAgainstIndex(b2,
+      refKeys.unionByName(newKeys),
+      "doc_id", col("text"), n = 8).collect().map(_.toSeq).toSet
+    assert(viaTable === viaUnion)
+    // and the appended table actually cuts the repeated survivor text
+    assert(viaTable.exists(r => r(3) == 10L))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("spanCutIngestLive: LIVE stream cuts == batch twin across batch " +
       "splits, ZERO state operators (standing index carries all state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -736,4 +736,65 @@ class KnnClusterSpec extends AnyFunSuite {
     val g9 = graft.ops.Centrality.kCore(edges, "node_id", k = 9)
     assert(g9.count() === 0L)
   }
+
+  // ------------------------------------------------ auto-routed geometry
+
+  test("knnJoinIvfAuto: below the boundary the route is data-derived - " +
+      "flat when nothing is hot (== plain knnJoinIvf), split_flat when " +
+      "a cell exceeds splitAbove (== explicit refineHotCells + join)") {
+    val cents = testCentroids
+    // nothing hot: annRouteFor says flat and the auto output IS the
+    // plain flat join's (the refinement is the identity)
+    assert(Similarity.annRouteFor(vecs, "embedding", cents,
+      splitAbove = 1000L) === "flat")
+    val autoCold = Similarity.knnJoinIvfAuto(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 2,
+      splitAbove = 1000L, targetOcc = 10L)
+    val flat = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 2)
+    assert(autoCold.collect().map(_.toSeq).toSet ===
+      flat.collect().map(_.toSeq).toSet)
+    // a hot cell: the split arm engages and equals the explicit
+    // refine-then-join composition (q169's registered machinery)
+    assert(Similarity.annRouteFor(vecs, "embedding", cents,
+      splitAbove = 20L) === "split_flat")
+    val autoHot = Similarity.knnJoinIvfAuto(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 2,
+      splitAbove = 20L, targetOcc = 10L)
+    val refined = Similarity.refineHotCells(vecs, "vec_id", "embedding",
+      cents, splitAbove = 20L, targetOcc = 10L)
+    val split = Similarity.knnJoinIvf(vecs, "vec_id", "embedding",
+      k = 3, centroids = refined, nProbe = 2)
+    assert(autoHot.collect().map(_.toSeq).toSet ===
+      split.collect().map(_.toSeq).toSet)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("knnJoinIvfAuto: past the cell boundary the DESCENT runs - " +
+      "output equals knnJoinIvf2L over the same derived index (the " +
+      "flat path never runs past the boundary)") {
+    // 16 cells with the boundary overridden to 16: the route crosses
+    val cents16 = (0 until 128 by 8).map(i =>
+      i -> Array.tabulate(8)(d => (math.sin(i * 37 + d * 13) * 2).toFloat))
+    assert(Similarity.annRouteFor(vecs, "embedding", cents16,
+      splitAbove = 1000L, twoLevelAtCells = 16) === "two_level")
+    val auto = Similarity.knnJoinIvfAuto(vecs, "vec_id", "embedding",
+      k = 3, centroids = cents16, nProbe = 4,
+      splitAbove = 1000L, targetOcc = 10L, twoLevelAtCells = 16)
+    val (tops, fines) = Similarity.twoLevelIndexFitted(cents16,
+      branches = Similarity.twoLevelBranches(cents16.size),
+      iters = 2, replicas = 2)
+    val twin = Similarity.knnJoinIvf2L(vecs, "vec_id", "embedding",
+      k = 3, tops, fines, branchProbes = 3, nProbe = 4)
+    assert(auto.collect().map(_.toSeq).toSet ===
+      twin.collect().map(_.toSeq).toSet)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("twoLevelBranches: the sqrt(2 cells) rule, clamped to [2, cells]") {
+    assert(Similarity.twoLevelBranches(2) === 2)
+    assert(Similarity.twoLevelBranches(32) === 8)
+    assert(Similarity.twoLevelBranches(10000) === 141)
+    assert(Similarity.twoLevelBranches(3) === 2) // round(sqrt(6))=2
+  }
 }

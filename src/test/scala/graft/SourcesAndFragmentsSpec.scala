@@ -961,4 +961,35 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     assert(out.synchronized(out.toMap) ==
       Map(1L -> false, 2L -> true, 3L -> false, 5L -> true))
   }
+
+  test("Artifacts: ensureTable builds exactly once per catalog (lazy " +
+      "build, no rebuild on re-run); tableName pins corpus identity " +
+      "including the dir when the stamp is 0") {
+    import graft.sources.Artifacts
+    val tbl = "graft_test_artifact_once"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-artifact-").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    var builds = 0
+    def build() = {
+      import spark.implicits._
+      builds += 1
+      Seq((1, "a"), (2, "b")).toDF("id", "v")
+    }
+    Artifacts.ensureTable(spark, tbl, path = path + "/t")(build())
+    Artifacts.ensureTable(spark, tbl, path = path + "/t")(build())
+    assert(builds === 1, "second ensure must not re-build")
+    assert(spark.table(tbl).count() === 2L)
+    // non-local corpora stamp 0 (SparkEntry.corpusStamp contract):
+    // the dir hash is what keeps two corpora from sharing an artifact
+    val a = Artifacts.tableName("p", "s3://bucket/corpusA", 0L)
+    val b = Artifacts.tableName("p", "s3://bucket/corpusB", 0L)
+    assert(a !== b)
+    // and regenerated local data (stamp moves) changes the name too
+    assert(Artifacts.tableName("p", "/d", 1L) !==
+      Artifacts.tableName("p", "/d", 2L))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path))
+  }
 }
