@@ -219,6 +219,57 @@ object RecallSweep {
         }
       }
     }
+
+    // REGISTERED-GEOMETRY occupancy sweep (r19 verdict task 7): the
+    // derived default has exactly one constant — TargetCellOcc = 64,
+    // from a single r18 sweep point — and it is the knob every 100 TB
+    // consumer would tune first. Sweep it at FIXED SCAN BUDGET:
+    // scanned rows per query ≈ nProbe × occupancy, so each occupancy
+    // gets nProbe = budget / occ — the comparison isolates what the
+    // occupancy ITSELF buys (finer cells at more probes vs coarser
+    // cells at fewer) with the scan cost held level. Every fit is the
+    // registered discipline verbatim: cells = ⌈n/occ⌉, 25% hash-sample
+    // fit, seeds = the cells lowest SAMPLED ids, 2 Lloyd rounds.
+    {
+      val qn = queries.count().toDouble
+      for (occ <- Seq(32, 64, 128); budget <- Seq(128, 256)) {
+        val cells = math.max(2, math.ceil(n / occ.toDouble).toInt)
+        val nProbe = math.max(1, math.round(budget / occ.toDouble).toInt)
+        val all = emb.select(col("vec_id"), col("embedding"))
+        // the r19 registered rule: full-corpus prefix seeds, fit on
+        // the SampleFitFraction hash sample (constants referenced so
+        // this table cannot drift from the shipped geometry)
+        val seeds = all.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val cents = graft.ops.Similarity.kmeansFitInt8(all, "embedding",
+          seeds, iters = 2, fitFraction = SparkEntry.SampleFitFraction,
+          fitIdCol = "vec_id", fitSeed = "ivf")
+        if (nProbe <= cents.size) {
+          val t0 = System.nanoTime()
+          val approx = graft.ops.Similarity.ivfTopK(emb, "vec_id",
+            "embedding", queries, "vec_id", "embedding", cents,
+            k = 10, nProbe = nProbe)
+          val hit = truth.join(approx.select(col("qid"), col("id")),
+            Seq("qid", "id")).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val assign = emb.select(graft.functions.NearestCentroidFn(
+              col("embedding"), cents).as("c"))
+            .groupBy("c").count().collect()
+            .map(x => x.getInt(0) -> x.getLong(1)).toMap
+          val qcells = queries.select(explode(graft.ops.Similarity
+              .ivfProbes(col("embedding"), cents, nProbe)).as("c"))
+            .collect().map(_.getInt(0))
+          val scanned = qcells.map(c => assign.getOrElse(c, 0L)).sum / qn
+          println(f"""{"index":"ivf_occ${occ}_budget$budget",""" +
+            f""""nprobe":$nProbe,""" +
+            f""""recall_bp":${hit * 10000.0 / (qn * 10)}%.0f,""" +
+            f""""cells":${assign.size},"scanned_per_query":$scanned%.0f,""" +
+            f""""corpus":$n,"wall_s":$wall%.2f}""")
+        }
+      }
+    }
     spark.stop()
   }
 }

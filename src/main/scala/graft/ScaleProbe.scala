@@ -339,9 +339,10 @@ object ScaleProbe {
         val cells = math.max(2,
           math.ceil(n / SparkEntry.TargetCellOcc.toDouble).toInt)
         val all = embs.select(col("vec_id"), col("embedding"))
-        val sample = graft.ops.Sampling.hashSample(
-          all, "vec_id", SparkEntry.SampleFitFraction, "ivf")
-        val seeds = sample.orderBy(col("vec_id")).limit(cells)
+        // r19 registered rule: seeds = the derived-count lowest
+        // FULL-CORPUS ids (the sampled-seed rule was the measured
+        // recall cost), fit on the hash sample
+        val seeds = all.orderBy(col("vec_id")).limit(cells)
           .select(col("vec_id"), col("embedding")).collect()
           .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
           .toSeq.sortBy(_._1)
@@ -438,6 +439,109 @@ object ScaleProbe {
         Similarity.knnJoinIvf2L(embs, "vec_id", "embedding",
           k = 3, tops, fines, branchProbes = 2, nProbe = 8,
           maxCellOccupancy = 0L, scope = sc).count()
+      }),
+      // the AUTO ROUTE on the registered geometry (r19 verdict task 1):
+      // knnJoinIvfAuto with the shipped constants — derived cells stay
+      // far under TwoLevelAtCells at probe scales (313 cells at 10×,
+      // 938 at 30×), so the route must read flat/split_flat and the
+      // cost must track knn_join_registered (+ the occupancy pass the
+      // route decision costs). The route is printed as a side line.
+      "knn_join_auto" -> (() => CacheScope.using { sc =>
+        val n = embs.filter(col("embedding").isNotNull).count()
+        val cells = math.max(2,
+          math.ceil(n / SparkEntry.TargetCellOcc.toDouble).toInt)
+        val all = embs.select(col("vec_id"), col("embedding"))
+        // r19 registered rule: seeds = the derived-count lowest
+        // FULL-CORPUS ids (the sampled-seed rule was the measured
+        // recall cost), fit on the hash sample
+        val seeds = all.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val cents = Similarity.kmeansFitInt8(all, "embedding", seeds,
+          iters = 2, fitFraction = SparkEntry.SampleFitFraction,
+          fitIdCol = "vec_id", fitSeed = "ivf")
+        val route = Similarity.annRouteFor(embs, "embedding", cents,
+          splitAbove = SparkEntry.SplitAbove)
+        println(s"""{"note":"ann_route","op":"knn_join_auto",""" +
+          s""""scale":$scale,"cells":${cents.size},"route":"$route"}""")
+        Similarity.knnJoinIvfAuto(embs, "vec_id", "embedding",
+          k = 3, centroids = cents, nProbe = 4,
+          splitAbove = SparkEntry.SplitAbove,
+          targetOcc = SparkEntry.SplitTargetOcc,
+          splitIters = SparkEntry.SplitIters,
+          maxCellOccupancy = MaxBucket, scope = sc).count()
+      }),
+      // the auto route ON THE DENSE FIXTURE (the verdict's Done
+      // criterion: the flat path must never run past the boundary):
+      // cells = corpus/2 — 1,000 at 1× (below TwoLevelAtCells → the
+      // auto join runs flat), 10,000 at 10× (past it → the descent
+      // runs). The probe asserts the route crossing and the timing
+      // must land on knn_join_ivf_dense_2l's tN, not dense_flat's —
+      // the engine acting on the boundary a human applied in r18.
+      "knn_join_auto_dense" -> (() => CacheScope.using { sc =>
+        val cells = (1000 * scale).toInt
+        val seeds = embs.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val route = Similarity.annRouteFor(embs, "embedding", seeds,
+          splitAbove = 100000L)
+        println(s"""{"note":"ann_route","op":"knn_join_auto_dense",""" +
+          s""""scale":$scale,"cells":$cells,"route":"$route"}""")
+        require(scale == 1 || route == "two_level",
+          s"dense fixture past the boundary must route two_level, got $route")
+        require(scale > 1 || route == "flat",
+          s"dense fixture below the boundary must route flat, got $route")
+        Similarity.knnJoinIvfAuto(embs, "vec_id", "embedding",
+          k = 3, centroids = seeds, nProbe = 8,
+          splitAbove = 100000L, targetOcc = 64L, branchProbes = 2,
+          maxCellOccupancy = 0L, scope = sc).count()
+      }),
+      // the ANN model artifact's COSTS SEPARATED (r19 verdict task 2 —
+      // the span_index_build/span_cut_probe_indexed pair applied to the
+      // quantizer): build = the registered-geometry sample fit plus the
+      // cells × dims parquet write (once per corpus); probe = q174's
+      // exact shape reading the persisted centroids back and running
+      // the join — what every consumer pays after amortization.
+      // knn_join_registered above pays BOTH in one query.
+      "ivf_model_build" -> (() => {
+        val sess = embs.sparkSession
+        import sess.implicits._
+        val n = embs.filter(col("embedding").isNotNull).count()
+        val cells = math.max(2,
+          math.ceil(n / SparkEntry.TargetCellOcc.toDouble).toInt)
+        val all = embs.select(col("vec_id"), col("embedding"))
+        // r19 registered rule: seeds = the derived-count lowest
+        // FULL-CORPUS ids (the sampled-seed rule was the measured
+        // recall cost), fit on the hash sample
+        val seeds = all.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        val cents = Similarity.kmeansFitInt8(all, "embedding", seeds,
+          iters = 2, fitFraction = SparkEntry.SampleFitFraction,
+          fitIdCol = "vec_id", fitSeed = "ivf")
+        cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+          .write.mode("overwrite")
+          .parquet(s"/tmp/graft_probe_ivf_model/s$scale")
+        cents.size.toLong
+      }),
+      "knn_probe_persisted_model" -> (() => CacheScope.using { sc =>
+        val sess = embs.sparkSession
+        // first rep builds if ivf_model_build did not run this session;
+        // min-of-reps then reads the warm, probe-only cost
+        val path = s"/tmp/graft_probe_ivf_model/s$scale"
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+          sess.sparkContext.hadoopConfiguration)
+        require(fs.exists(new org.apache.hadoop.fs.Path(path)),
+          "run ivf_model_build first (the pair separates build from probe)")
+        val cents = sess.read.parquet(path).collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        Similarity.knnJoinIvf(embs, "vec_id", "embedding",
+          k = 3, centroids = cents, nProbe = 4,
+          maxCellOccupancy = MaxBucket, scope = sc).count()
       }),
       // the two-level path END TO END at scaled cells (sample fit,
       // fitted tops at √(2·cells), replicas 2, branchProbes 2). Guard
@@ -658,6 +762,29 @@ object ScaleProbe {
           docs.filter(col("doc_id") < 1250),
           sess.table(name), "doc_id", col("text"), n = 8,
           scope = sc).count()
+      }),
+      // the standing-index UPDATE at the deployment shape (r19 verdict
+      // task 3): a FIXED-SIZE arriving batch is cut against the
+      // pre-built standing index, and its survivors' new shingle keys
+      // are derived by anti-join (q175's append stage). The cost
+      // budget is ∝ batch plus one bucket-local scan of the standing
+      // files — NOT ∝ re-deriving the index (which
+      // span_ingest_rebuild_smallbatch pays); the row's exponent
+      // should track span_probe_indexed_smallbatch's, not rebuild's.
+      "span_index_append_smallbatch" -> (() => CacheScope.using { sc =>
+        val sess = docs.sparkSession
+        val name = s"graft_probe_span_idx_big_s$scale"
+        if (!sess.catalog.tableExists(name))
+          graft.sources.Sources.writeBucketedTable(
+            Dedup.spanIndexKeys(docs.filter(col("doc_id") >= 1250),
+              col("text"), n = 8),
+            name, nBuckets = 32, bucketCols = Seq("__k"),
+            path = Some(s"/tmp/graft_probe_span_idx_big/s$scale"))
+        val b1cut = Dedup.spanCutAgainstIndex(
+          docs.filter(col("doc_id") < 1250),
+          sess.table(name), "doc_id", col("text"), n = 8, scope = sc)
+        Dedup.spanIndexAppend(sess.table(name), b1cut,
+          col("dedup_text"), n = 8).count()
       }),
       "span_cut_probe_indexed" -> (() => CacheScope.using { sc =>
         val sess = docs.sparkSession

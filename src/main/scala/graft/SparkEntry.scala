@@ -504,19 +504,28 @@ object SparkEntry {
     * back). */
   private[graft] val SplitIters = 2
 
-  /** q165's quantizer-training sample fraction: deterministic hash
-    * membership (`hash60("ivf" || vec_id) % 10⁴ < 2500`), so both
-    * engines and any rerun see the identical training set. 1/4 keeps
-    * ~125 sampled vectors at sf0.01 — comfortably above the 32 seeds —
-    * while exercising the real sample-fit path end to end. */
-  private[graft] val SampleFitFraction = 0.25
+  /** The quantizer-training sample fraction: deterministic hash
+    * membership (`hash60("ivf" || vec_id) % 10⁴ < 5000`), so both
+    * engines and any rerun see the identical training set.
+    *
+    * 0.5 since r19, from the MEASURED recall decomposition (SCALING.md
+    * "the registered geometry's recall, measured"): with cells ∝
+    * corpus/[[TargetCellOcc]] the per-cell fit density is fraction ×
+    * occupancy — a corpus-size-independent constant — and the r18
+    * fraction (0.25 → 16 points/cell) starved the Lloyd update:
+    * 7440 bp recall@10 at the bench operating point vs 8440 at 0.5
+    * (32/cell) vs 9080 at a full fit (64/cell), all at matched scan.
+    * The fit pass costs fraction × corpus × cells, so 0.5 doubles the
+    * (sub-dominant) fit term the probes price — the r19 re-probe of
+    * `knn_join_registered` confirms the exponent holds. */
+  private[graft] val SampleFitFraction = 0.5
 
   /** [[SampleFitFraction]]'s membership predicate in DuckDB —
-    * [[graft.ops.Sampling.hashSample]]("vec_id", 0.25, "ivf") exactly
+    * [[graft.ops.Sampling.hashSample]]("vec_id", 0.5, "ivf") exactly
     * (the cross-engine hash60 identity, seed prepended). */
   private val SamplePredSql: String =
     "CAST(('0x'||substr(md5('ivf'||CAST(vec_id AS VARCHAR)),1,15)) " +
-      "AS BIGINT) % 10000 < 2500"
+      "AS BIGINT) % 10000 < 5000"
 
   /** Registered multi-probe depth for semantic dedup (q64, and q118's
     * first stage): each cell's representative registers under its own
@@ -1541,7 +1550,16 @@ object SparkEntry {
     // join, the survivor semi-join, the final projection) — cache the
     // survivors once or the whole cut re-executes per consumer
     // (measured: 18 s uncached vs the cached form; the q91 stages are
-    // narrow projections that never needed this)
+    // narrow projections that never needed this).
+    // Staleness contract (r18 ADVICE): this is a PLAN-KEYED Spark
+    // persist with no corpus fingerprint — unlike the model memos it
+    // cannot go silently WRONG across reruns (same plan + same files →
+    // same rows), but a harness that REGENERATES the fixture under the
+    // same dir mid-JVM would read the stale blocks until clearCache.
+    // The registered harnesses are safe by construction (Verify is
+    // one-pass; Bench clears the cache between queries); a long-lived
+    // driver re-running this query over mutating data must
+    // clearCache() on data change or run it under CacheScope.using.
     val surv = CacheScope.session.cache(cut.filter(col("n_tokens_kept") >= 5L)
       .join(gated.select(col("doc_id"), col("lang"), col("source")), "doc_id"))
     val pairs = Dedup.ngramJaccardPairs(surv, "doc_id", col("dedup_text"),
@@ -2502,9 +2520,19 @@ object SparkEntry {
       val kc = registeredCells(s, dir)
       val all = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val sample = graft.ops.Sampling.hashSample(
-        all, "vec_id", SampleFitFraction, "ivf")
-      val seeds = sample.orderBy(col("vec_id")).limit(kc)
+      // seeds come from the FULL corpus since r19, not the sample —
+      // the r18 sampled-seed rule was the registered geometry's
+      // dominant recall cost, MEASURED (SCALING.md "the registered
+      // geometry's recall, measured": sampled seeds −2,900 bp even
+      // under a full fit; sample-fit thinness −1,640 more; Lloyd depth
+      // does not recover either). The full-corpus id prefix is a
+      // distributed top-k (cheap at any scale); on corpora whose id
+      // order correlates with content a prefix is NOT a stratified
+      // draw — re-measure with the RecallSweep occupancy table before
+      // trusting it (a hash-ordered pseudorandom draw measured WORSE
+      // here precisely because this fixture's id order interleaves its
+      // label clusters).
+      val seeds = all.orderBy(col("vec_id")).limit(kc)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
         .toSeq.sortBy(_._1)
@@ -3183,27 +3211,31 @@ object SparkEntry {
     * once, as in the engine. */
   private def kmeansFitCtes(iters: Int, kc: Int = 8,
       pred: String = "TRUE", seedLimit: Boolean = false,
-      kcSql: String = null): String = {
+      kcSql: String = null, seedPred: String = null): String = {
     // three seed conventions: vec_id < kc (the fixture default — ids
     // are dense so the bound IS the kc lowest) vs ORDER BY vec_id
-    // LIMIT kc (the kc lowest rows SATISFYING pred — required when
-    // pred is a hash sample, where a fixed id bound would yield a
-    // fraction-dependent seed count; q165's convention) vs kcSql (the
-    // r18 registered default: the seed COUNT itself is a scalar
+    // LIMIT kc (the kc lowest rows SATISFYING the seed predicate —
+    // required when it is a hash sample, where a fixed id bound would
+    // yield a fraction-dependent seed count; q165's convention) vs
+    // kcSql (the registered default: the seed COUNT itself is a scalar
     // subquery deriving cells from the corpus count — [[CellsSql]] —
     // so the oracle's geometry grows with the data exactly like the
-    // engine's [[registeredCells]])
+    // engine's [[registeredCells]]). `seedPred` decouples WHERE the
+    // seeds come from (r19: the FULL corpus — pass "TRUE") from WHERE
+    // the fit rounds read (`pred` — the hash sample); defaults to
+    // `pred`, the pre-r19 coupling.
+    val sp = if (seedPred != null) seedPred else pred
     val c0 =
       if (kcSql != null)
         s"""c0 AS (SELECT vec_id AS cid, embedding AS cvec
-          |  FROM embeddings WHERE ($pred)
+          |  FROM embeddings WHERE ($sp)
           |  QUALIFY row_number() OVER (ORDER BY vec_id) <= $kcSql),""".stripMargin
       else if (seedLimit)
         s"""c0 AS (SELECT vec_id AS cid, embedding AS cvec
-          |  FROM embeddings WHERE ($pred) ORDER BY vec_id LIMIT $kc),""".stripMargin
+          |  FROM embeddings WHERE ($sp) ORDER BY vec_id LIMIT $kc),""".stripMargin
       else
         s"""c0 AS (SELECT vec_id AS cid, embedding AS cvec
-          |  FROM embeddings WHERE vec_id < $kc AND ($pred)),""".stripMargin
+          |  FROM embeddings WHERE vec_id < $kc AND ($sp)),""".stripMargin
     val head = c0 + "\n" +
       s"""kee AS (SELECT vec_id, embedding FROM embeddings
         |  WHERE embedding IS NOT NULL AND ($pred)),
@@ -3252,7 +3284,8 @@ object SparkEntry {
     * runs at all, every cell participates; derived cells hold the
     * occupancy near [[TargetCellOcc]], far under [[LshMaxBucket]]. */
   private def ivfKnnCtes(nProbe: Int): String =
-    s"""${kmeansFitCtes(2, pred = SamplePredSql, kcSql = CellsSql)},
+    s"""${kmeansFitCtes(2, pred = SamplePredSql, kcSql = CellsSql,
+        seedPred = "TRUE")},
       |fqz AS (SELECT vec_id, embedding, list_max(list_transform(embedding,
       |    x -> abs(CAST(x AS DOUBLE)))) AS s FROM embeddings
       |  WHERE embedding IS NOT NULL),
@@ -6088,7 +6121,8 @@ object SparkEntry {
     // weight tf·(n_groups − group_df + 1), top-3 by (score desc,
     // md5-hash60(token) asc) — vocabTopK's heap tie convention.
     "q162_cluster_card" ->
-      s"""WITH ${kmeansFitCtes(2, pred = SamplePredSql, kcSql = CellsSql)},
+      s"""WITH ${kmeansFitCtes(2, pred = SamplePredSql, kcSql = CellsSql,
+          seedPred = "TRUE")},
         |av0 AS (SELECT e.vec_id, c.cid,
         |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
         | FROM embeddings e CROSS JOIN c2 c
@@ -6515,7 +6549,8 @@ object SparkEntry {
 
   /** q156's oracle body — shared with the q149 eval-card composition. */
   private lazy val Sql_q156: String =
-      s"""WITH ${kmeansFitCtes(2, pred = SamplePredSql, kcSql = CellsSql)},
+      s"""WITH ${kmeansFitCtes(2, pred = SamplePredSql, kcSql = CellsSql,
+          seedPred = "TRUE")},
         |av0 AS (SELECT e.vec_id, e.embedding, c.cid,
         |  ${OSql.cosSql("e.embedding", "c.cvec")} AS cc
         | FROM embeddings e CROSS JOIN c2 c

@@ -766,6 +766,113 @@ object Streamed {
     * `sink` receives each micro-batch's cut/reassembled rows
     * ([[graft.ops.Dedup.spanCutDedup]]'s output shape) INSIDE the
     * batch scope — write them there (the loan-pattern contract). */
+  /** LIVE COMPOSED curation ingest — q170's streaming twin (r19,
+    * verdict task 4): gate → span-cut-against-index → near-dup-against
+    * → per-source admission quota, on one live document feed, with the
+    * quota counter as the ONLY stream state. Two chained streaming
+    * queries (the Kafka-stage deployment shape, files as the stage
+    * boundary):
+    *
+    *  1. THE STATELESS FRONT (returned first): each micro-batch runs
+    *     the BATCH operators atomically under a per-batch
+    *     [[graft.ops.CacheScope]] — the quality `gate`, [[graft.ops
+    *     .Dedup.spanCutAgainstIndex]] against the standing span index,
+    *     the `minKept` survivor floor, then [[graft.ops.Dedup
+    *     .minhashMatchedAgainst]] + [[graft.ops.Dedup
+    *     .dropNearDupsAgainst]] over the REASSEMBLED `dedup_text`
+    *     (span-cut first, near-dup second — q170's Lee-et-al ordering)
+    *     against the standing signatures. One code path with the batch
+    *     composition (zero live-vs-batch divergence possible), ZERO
+    *     state operators — all cross-batch knowledge lives in the two
+    *     PERSISTED standing structures. Survivors land in
+    *     `stagingDir/b=<batchId>` through [[graft.sources.Sources
+    *     .idempotentBatchWriter]] (exactly-once per batch under
+    *     restart).
+    *  2. THE QUOTA STAGE (returned second): a file stream over the
+    *     staging dir feeding [[capPerGroupState]] keyed on `source` —
+    *     admit the first `capN` survivors per source in (doc_id,
+    *     arrival) order (doc_id is the tie-stable tsMs: the front
+    *     emits whole batches, so arrival order is batch order). ONE
+    *     state operator holding ONE counter per source; its checkpoint
+    *     (`ckptCap`) is the composition's only stream state, asserted
+    *     in the spec together with the front's empty list.
+    *
+    * `sink` receives each cap-stage micro-batch's ADMITTED rows
+    * (`key` = source, `value` = (doc_id, dedup_text, n_tokens_kept),
+    * `tsMs` = doc_id). Congruity (spec-pinned): with the quota open
+    * the live survivor set equals the batch composition over the
+    * union; under a binding quota the per-source admitted counts are
+    * exact across batch splits AND a restart. */
+  def curationIngestLive(incoming: org.apache.spark.sql.DataFrame,
+      refIndex: org.apache.spark.sql.DataFrame,
+      refSigs: org.apache.spark.sql.DataFrame,
+      gate: org.apache.spark.sql.Column, minKept: Long, spanN: Int,
+      sigN: Int, sigK: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Long, capN: Long, stagingDir: String,
+      ckptFront: String, ckptCap: String)(
+      sink: Dataset[Rec[String, (Long, String, Long)]] => Unit)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         org.apache.spark.sql.streaming.StreamingQuery) = {
+    import org.apache.spark.sql.functions._
+    val session = incoming.sparkSession
+    import session.implicits._
+    // the staging boundary must exist before the quota stage's file
+    // source resolves its schema (a Kafka-stage boundary would be a
+    // pre-created topic; here it's a pre-created dir)
+    new org.apache.hadoop.fs.Path(stagingDir).getFileSystem(
+      session.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
+    val front = incoming.writeStream.outputMode("append")
+      .option("checkpointLocation", ckptFront)
+      .foreachBatch(graft.sources.Sources.idempotentBatchWriter(
+          s"$ckptFront/__sink_mark") { (batch, id) =>
+        graft.ops.CacheScope.using { sc =>
+          val gated = batch.filter(gate)
+          val cut = graft.ops.Dedup.spanCutAgainstIndex(
+            gated, refIndex, "doc_id", col("text"), spanN, sc)
+          val surv = cut.filter(col("n_tokens_kept") >= minKept)
+            .join(gated.select(col("doc_id"), col("source")), "doc_id")
+          val sigs = graft.ops.Dedup.minHashSignatures(
+            surv, "doc_id", col("dedup_text"), sigN, sigK)
+          val matched = graft.ops.Dedup.minhashMatchedAgainst(
+            sigs, refSigs, "doc_id", sigK, rowsPerBand, threshold,
+            maxBucket, sc)
+          graft.ops.Dedup.dropNearDupsAgainst(surv, "doc_id", matched)
+            .select(col("doc_id"), col("dedup_text"),
+              col("n_tokens_kept"), col("source"))
+            .write.mode("overwrite").parquet(s"$stagingDir/b=$id")
+        }
+      }).start()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dedup_text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens_kept",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+    val staged = session.readStream.schema(schema)
+      // recursive lookup: b=<id> subdirs must read as FILES of one
+      // stream, not as a partition column the schema doesn't carry
+      .option("recursiveFileLookup", "true")
+      .parquet(stagingDir)
+    val recs = staged.select(col("source").as("key"),
+        struct(col("doc_id").as("_1"), col("dedup_text").as("_2"),
+          col("n_tokens_kept").as("_3")).as("value"),
+        col("doc_id").as("tsMs"))
+      .as[Rec[String, (Long, String, Long)]]
+    val capQ = capPerGroupState(recs, capN)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckptCap)
+      .foreachBatch {
+        (b: Dataset[Rec[String, (Long, String, Long)]], _: Long) =>
+          sink(b)
+          ()
+      }.start()
+    (front, capQ)
+  }
+
   def spanCutIngestLive(incoming: org.apache.spark.sql.DataFrame,
       refIndex: org.apache.spark.sql.DataFrame, idCol: String,
       text: org.apache.spark.sql.Column, n: Int, checkpoint: String)(

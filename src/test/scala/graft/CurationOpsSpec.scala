@@ -780,6 +780,142 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  // ------------------------------------------------- composed live ingest
+
+  private def liveCurationFixture = {
+    val r = (1 to 15).map("r" + _)
+    val m = (1 to 7).map("m" + _)
+    val refDocs = Seq(0L -> r.mkString(" "), 2L -> m.mkString(" "))
+      .toDF("doc_id", "text")
+    val refIndex = CacheScope.session.cache(
+      Dedup.spanIndexKeys(refDocs, col("text"), n = 8))
+    val refSigs = CacheScope.session.cache(
+      Dedup.minHashSignatures(refDocs, "doc_id", col("text"), n = 3, k = 8))
+    // (doc_id, text, n_chars, source): 1 = span-cut survivor (ref
+    // prefix cut, own tail kept), 3 = exact near-dup of ref 2 (under 8
+    // tokens - survives span, dropped by minhash-against), 5 = fresh,
+    // 7 = gate-failed, 9 = fully span-cut (kept 0 < minKept), 11/13/15
+    // = fresh source-b fillers for the quota
+    val rows = Seq(
+      (1L, (r ++ (1 to 6).map("x" + _)).mkString(" "), 50L, "a"),
+      (3L, m.mkString(" "), 50L, "a"),
+      (5L, (1 to 10).map("y" + _).mkString(" "), 50L, "a"),
+      (7L, (1 to 10).map("g" + _).mkString(" "), 1L, "a"),
+      (9L, r.mkString(" "), 50L, "b"),
+      (11L, (1 to 5).map("z" + _).mkString(" "), 50L, "b"),
+      (13L, (1 to 5).map("w" + _).mkString(" "), 50L, "b"),
+      (15L, (1 to 5).map("v" + _).mkString(" "), 50L, "b"))
+    (refDocs, refIndex, refSigs, rows)
+  }
+
+  /** The batch composition the live chain must equal - gate, span-cut
+    * against the index, survivor floor, minhash-against drop. */
+  private def liveCurationBatchTwin(inc: org.apache.spark.sql.DataFrame,
+      refIndex: org.apache.spark.sql.DataFrame,
+      refSigs: org.apache.spark.sql.DataFrame) = {
+    val gated = inc.filter(col("n_chars") >= 5L)
+    val cut = Dedup.spanCutAgainstIndex(gated, refIndex, "doc_id",
+      col("text"), n = 8)
+    val surv = cut.filter(col("n_tokens_kept") >= 2L)
+      .join(gated.select(col("doc_id"), col("source")), "doc_id")
+    val matched = Dedup.minhashMatchedAgainst(
+      Dedup.minHashSignatures(surv, "doc_id", col("dedup_text"),
+        n = 3, k = 8),
+      refSigs, "doc_id", k = 8, rowsPerBand = 4, threshold = 0.5)
+    Dedup.dropNearDupsAgainst(surv, "doc_id", matched)
+  }
+
+  test("curationIngestLive: live survivors == the batch composition " +
+      "across batch splits with the quota open; the front is " +
+      "STATELESS and the quota stage holds exactly ONE state operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val (_, refIndex, refSigs, rows) = liveCurationFixture
+    val base = java.nio.file.Files.createTempDirectory("graft-curlive-")
+    val ms = MemoryStream[(Long, String, Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, Long)]
+    val (front, capQ) = graft.stream.Streamed.curationIngestLive(
+      ms.toDF().toDF("doc_id", "text", "n_chars", "source"),
+      refIndex, refSigs, gate = col("n_chars") >= 5L, minKept = 2L,
+      spanN = 8, sigN = 3, sigK = 8, rowsPerBand = 4, threshold = 0.5,
+      maxBucket = 0L, capN = 100L,
+      stagingDir = s"$base/staging", ckptFront = s"$base/ckA",
+      ckptCap = s"$base/ckB") { b =>
+      val rs = b.collect().map(r =>
+        (r.key, r.value._1, r.value._2, r.value._3))
+      out.synchronized { out ++= rs }
+    }
+    try {
+      // the batch split straddles the span-cut survivor and the
+      // near-dup drop - stage congruity must hold across it
+      ms.addData(rows.take(4): _*); front.processAllAvailable()
+      capQ.processAllAvailable()
+      ms.addData(rows.drop(4): _*); front.processAllAvailable()
+      capQ.processAllAvailable()
+      val fp = front.lastProgress
+      assert(fp == null || fp.stateOperators.isEmpty,
+        "front must be stateless - the standing structures carry it all")
+      assert(capQ.lastProgress.stateOperators.length === 1,
+        "the quota counter is the composition's ONLY state operator")
+    } finally { front.stop(); capQ.stop() }
+    val twin = liveCurationBatchTwin(
+      rows.toDF("doc_id", "text", "n_chars", "source"), refIndex, refSigs)
+      .select(col("source"), col("doc_id"), col("dedup_text"),
+        col("n_tokens_kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(out.synchronized(out.toSet) === twin)
+    assert(twin.map(_._2) === Set(1L, 5L, 11L, 13L, 15L),
+      "fixture sanity: gate, span floor and near-dup drop each bit")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("curationIngestLive: a binding quota admits first-n per source " +
+      "EXACTLY across batch splits and a full restart (the counter is " +
+      "the one piece of stream state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val (_, refIndex, refSigs, rows) = liveCurationFixture
+    val base = java.nio.file.Files.createTempDirectory("graft-curlive2-")
+    val ms = MemoryStream[(Long, String, Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def start() = graft.stream.Streamed.curationIngestLive(
+      ms.toDF().toDF("doc_id", "text", "n_chars", "source"),
+      refIndex, refSigs, gate = col("n_chars") >= 5L, minKept = 2L,
+      spanN = 8, sigN = 3, sigK = 8, rowsPerBand = 4, threshold = 0.5,
+      maxBucket = 0L, capN = 2L,
+      stagingDir = s"$base/staging", ckptFront = s"$base/ckA",
+      ckptCap = s"$base/ckB") { b =>
+      val rs = b.collect().map(r => (r.key, r.value._1))
+      out.synchronized { out ++= rs }
+    }
+    val (f1, c1) = start()
+    try {
+      ms.addData(rows.take(4): _*) // source a: survivors 1, 5
+      f1.processAllAvailable(); c1.processAllAvailable()
+      ms.addData(rows.slice(4, 7): _*) // 9 dropped; 11, 13 admitted (b)
+      f1.processAllAvailable(); c1.processAllAvailable()
+    } finally { f1.stop(); c1.stop() }
+    assert(out.synchronized(out.toSet) ===
+      Set(("a", 1L), ("a", 5L), ("b", 11L), ("b", 13L)))
+    // full restart from both checkpoints: source b's counter is at its
+    // quota, so the post-restart b survivor must be REJECTED - and
+    // nothing re-emits
+    val (f2, c2) = start()
+    try {
+      ms.addData(rows.drop(7): _*) // doc 15, source b - over quota
+      f2.processAllAvailable(); c2.processAllAvailable()
+      assert(c2.lastProgress == null ||
+        c2.lastProgress.stateOperators.length <= 1)
+    } finally { f2.stop(); c2.stop() }
+    assert(out.synchronized(out.toSet) ===
+      Set(("a", 1L), ("a", 5L), ("b", 11L), ("b", 13L)),
+      "the restarted counter rejects over-quota arrivals; no re-emission")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   // ---------------------------------------------------------------- //
   //  Vocabulary top-K                                                 //
   // ---------------------------------------------------------------- //
