@@ -67,7 +67,7 @@ object Explain {
     "q167_mmr_local", "q168_span_cut_ingest", "q169_knn_split",
     "q170_curation_span", "q171_span_cut_indexed",
     "q172_ivf_occupancy", "q173_knn_auto", "q174_knn_persisted",
-    "q175_span_index_update")
+    "q175_span_index_update", "q176_vector_corpus_update")
 
   /** CPU-heavy queries whose FINAL plan is truncated by an eager
     * `localCheckpoint` inside an iterative op (PageRank rounds), so the

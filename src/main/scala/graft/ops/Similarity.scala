@@ -813,19 +813,36 @@ object Similarity {
       twoLevelAtCells: Int = TwoLevelAtCells,
       branchProbes: Int = 3, replicas: Int = 2, topIters: Int = 2,
       maxCellOccupancy: Long = 0L,
-      scope: CacheScope = CacheScope.session): DataFrame = {
+      scope: CacheScope = CacheScope.session,
+      modelMemoKey: Any = null): DataFrame = {
     require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
+    // derived-index memo (fit-once): the route's derived structure —
+    // the refined centroid list or the two-level index — is a pure
+    // function of (corpus, centroids, knobs), so a caller that can
+    // name the corpus (q173 folds dir + corpusStamp) amortizes the
+    // refine/derive cost across executions exactly as q169's memo
+    // does; the caller's key MUST pin corpus identity (a stale derived
+    // index is silently wrong, the model-memo discipline). Null = fit
+    // per call (the pure self-contained form).
+    def memo[V](stage: String)(fit: => V): V =
+      if (modelMemoKey == null) fit
+      else scope.model((modelMemoKey, stage, splitAbove, targetOcc,
+        splitIters, twoLevelAtCells, replicas, topIters))(fit)
     if (centroids.size >= twoLevelAtCells) {
-      val (tops, fines) = twoLevelIndexFitted(centroids,
-        branches = twoLevelBranches(centroids.size),
-        iters = topIters, replicas = replicas)
+      val (tops, fines) = memo("twoLevel") {
+        twoLevelIndexFitted(centroids,
+          branches = twoLevelBranches(centroids.size),
+          iters = topIters, replicas = replicas)
+      }
       knnJoinIvf2L(items, itemId, itemVec, k, tops, fines,
         branchProbes = branchProbes, nProbe = nProbe,
         maxCellOccupancy = maxCellOccupancy, scope = scope)
     } else {
-      val refined = refineHotCells(items, itemId, itemVec, centroids,
-        splitAbove = splitAbove, targetOcc = targetOcc,
-        iters = splitIters, scope = scope)
+      val refined = memo("refine") {
+        refineHotCells(items, itemId, itemVec, centroids,
+          splitAbove = splitAbove, targetOcc = targetOcc,
+          iters = splitIters, scope = scope)
+      }
       knnJoinIvf(items, itemId, itemVec, k, refined, nProbe,
         maxCellOccupancy = maxCellOccupancy, scope = scope)
     }

@@ -49,4 +49,28 @@ object Artifacts {
           .option("path", path).saveAsTable(name)
     }
   }
+
+  /** REBUILD an artifact in place — the refit step of the maintenance
+    * loop ([[ensureTable]] builds once; when the drift report says
+    * `needs_refit` — `Similarity.ivfDrift`/`ivfRefitReport`'s verdict
+    * — the deployment re-derives the model and the artifact must
+    * follow, or every consumer keeps probing the stale one): drops the
+    * catalog entry and re-creates it from `build`. Shares
+    * [[ensureTable]]'s lock, so a concurrent build-once cannot
+    * interleave with the rebuild; consumers that already RESOLVED the
+    * old table keep their snapshot (Spark reads the file listing at
+    * plan time), new resolutions see the new files. Frames derived
+    * from the OLD table must not be reused across the refresh — the
+    * same read-your-own-writes contract as `Dedup.spanIndexAppend`. */
+  def refreshTable(s: SparkSession, name: String, path: String,
+      nBuckets: Int = 0, bucketCols: Seq[String] = Nil)(
+      build: => DataFrame): Unit = synchronized {
+    s.sql(s"DROP TABLE IF EXISTS `$name`")
+    if (nBuckets > 0)
+      Sources.writeBucketedTable(build, name, nBuckets, bucketCols,
+        path = Some(path))
+    else
+      build.write.mode("overwrite").format("parquet")
+        .option("path", path).saveAsTable(name)
+  }
 }

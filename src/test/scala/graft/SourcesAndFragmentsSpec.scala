@@ -992,4 +992,36 @@ class SourcesAndFragmentsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(path))
   }
+
+  test("Artifacts: refreshTable rebuilds in place (the refit step); a " +
+      "later ensureTable sees the refreshed table and does not rebuild") {
+    import graft.sources.Artifacts
+    val tbl = "graft_test_artifact_refresh"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-artifact-r-").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    import spark.implicits._
+    Artifacts.ensureTable(spark, tbl, path = path + "/t") {
+      Seq((1, "old")).toDF("id", "v")
+    }
+    assert(spark.table(tbl).select("v").as[String].collect().toSeq ===
+      Seq("old"))
+    // the drift loop fires: rebuild with new content at a new path
+    // (a refit writes a new model snapshot)
+    Artifacts.refreshTable(spark, tbl, path = path + "/t2") {
+      Seq((1, "new"), (2, "new")).toDF("id", "v")
+    }
+    assert(spark.table(tbl).select("v").as[String].collect().toSet ===
+      Set("new"))
+    assert(spark.table(tbl).count() === 2L)
+    // build-once respects the refreshed artifact
+    var built = false
+    Artifacts.ensureTable(spark, tbl, path = path + "/t3") {
+      built = true; Seq((9, "x")).toDF("id", "v")
+    }
+    assert(!built, "ensure after refresh must not rebuild")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path))
+  }
 }
