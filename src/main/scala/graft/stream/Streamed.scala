@@ -802,7 +802,15 @@ object Streamed {
     * `tsMs` = doc_id). Congruity (spec-pinned): with the quota open
     * the live survivor set equals the batch composition over the
     * union; under a binding quota the per-source admitted counts are
-    * exact across batch splits AND a restart. */
+    * exact across batch splits AND a restart.
+    *
+    * Cap contract: with `maxBucket > 0` the INCOMING side's occupancy
+    * caps apply PER MICRO-BATCH (the q77 live contract — a stream has
+    * no global bucket counts), so a multi-batch feed can keep
+    * near-cap buckets a one-shot batch run over the union would cap.
+    * The cap is the STATIC side's skew guard; the static registration
+    * is capped once over the whole standing corpus either way, and
+    * the congruity spec runs the open form. */
   def curationIngestLive(incoming: org.apache.spark.sql.DataFrame,
       refIndex: org.apache.spark.sql.DataFrame,
       refSigs: org.apache.spark.sql.DataFrame,
