@@ -786,6 +786,27 @@ object ScaleProbe {
         Dedup.spanIndexAppend(sess.table(name), b1cut,
           col("dedup_text"), n = 8).count()
       }),
+      // the vector-side corpus-update chain (q176) at the deployment
+      // shape: two FIXED batches against a standing reference ∝ scale
+      // — round 1 drops batch 1, survivors join the corpus, round 2
+      // drops batch 2 against the union. The budget is the standing
+      // registration (∝ corpus, amortizable as a persisted bucketed
+      // table) plus two fixed-batch probe joins; rows ∝ batch.
+      "cosine_corpus_update_smallbatch" -> (() => CacheScope.using { sc =>
+        val ref = embs.filter(col("vec_id") >= 1000)
+        val b1 = embs.filter(col("vec_id") < 500)
+        val b2 = embs.filter(col("vec_id") >= 500 && col("vec_id") < 1000)
+        // 0.9 = near-dup semantics on this fixture (0.3 would match
+        // every same-label vector once the reference is dense enough,
+        // collapsing survivors to zero — a degenerate instrument)
+        val s1 = sc.cache(Dedup.dropNearDupsAgainst(b1, "vec_id",
+          Dedup.cosineMatchedAgainst(b1, ref, "vec_id", col("embedding"),
+            signBits = 8, threshold = 0.9, probes = 4, scope = sc)))
+        Dedup.dropNearDupsAgainst(b2.select(col("vec_id")), "vec_id",
+          Dedup.cosineMatchedAgainst(b2, ref.unionByName(s1), "vec_id",
+            col("embedding"), signBits = 8, threshold = 0.9, probes = 4,
+            scope = sc)).count()
+      }),
       "span_cut_probe_indexed" -> (() => CacheScope.using { sc =>
         val sess = docs.sparkSession
         val name = s"graft_probe_span_idx_s$scale"
