@@ -67,7 +67,8 @@ object Explain {
     "q167_mmr_local", "q168_span_cut_ingest", "q169_knn_split",
     "q170_curation_span", "q171_span_cut_indexed",
     "q172_ivf_occupancy", "q173_knn_auto", "q174_knn_persisted",
-    "q175_span_index_update", "q176_vector_corpus_update")
+    "q175_span_index_update", "q176_vector_corpus_update",
+    "q177_knn_auto_two_level")
 
   /** CPU-heavy queries whose FINAL plan is truncated by an eager
     * `localCheckpoint` inside an iterative op (PageRank rounds), so the
@@ -95,6 +96,7 @@ object Explain {
     "q127_median_mad", "q129_rolling_active", "q12_agg_running",
     "q130_stratified_sample", "q131_percentile_digest",
     "q132_session_stats", "q135_split_audit", "q13_window_tumbling",
+    "q178_seed_coverage",
     "q140_kcore", "q145_score_auc", "q146_ab_test", "q147_target_encoding",
     "q148_conversion_ab", "q149_eval_card", "q14_window_hopping",
     "q150_auc_hist", "q151_calibration", "q152_count_encoding",

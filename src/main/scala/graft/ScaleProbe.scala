@@ -46,6 +46,14 @@ object ScaleProbe {
   private val Langs = Seq("en", "de", "es", "fr", "zh")
   private val Dim = 64
 
+  /** Version stamp of the synthetic-corpus GENERATORS above — folded
+    * into every cross-run artifact path (the persisted probe model) so
+    * a parquet left under /tmp by an older generator can never be
+    * silently probed against a newer corpus (r19 ADVICE: the path was
+    * keyed on scale alone). Bump when [[docOf]]/[[vecOf]]/[[evOf]] or
+    * their constants change. */
+  private val CorpusGenVersion = 1
+
   /** Word list for a given scale: vocabulary ∝ cbrt(scale) holds the
     * 3-shingle df distribution (shingle space ∝ vocab³) constant. */
   private def vocab(scale: Int): Int =
@@ -141,6 +149,37 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(evPath)
     (spark.read.parquet(docPath), spark.read.parquet(vecPath),
       spark.read.parquet(evPath))
+  }
+
+  /** The persisted probe-model path — keyed on the corpus generator
+    * version AND the scale (the probe corpus is a pure function of
+    * both), mirroring [[graft.sources.Artifacts.tableName]]'s
+    * corpus-identity discipline at /tmp-artifact granularity. */
+  private def probeModelPath(scale: Int): String =
+    s"/tmp/graft_probe_ivf_model/v${CorpusGenVersion}_s$scale"
+
+  /** The ivf_model_build body, shared with the probe op's inline
+    * build-when-missing: the REGISTERED geometry's fit verbatim (r19
+    * seed rule — derived-count lowest FULL-corpus ids; fit on the
+    * [[SparkEntry.SampleFitFraction]] hash sample) plus the cells ×
+    * dims parquet write. Returns the cell count. */
+  private def buildProbeIvfModel(embs: DataFrame, scale: Int): Int = {
+    val sess = embs.sparkSession
+    import sess.implicits._
+    val n = embs.filter(col("embedding").isNotNull).count()
+    val cells = math.max(2,
+      math.ceil(n / SparkEntry.TargetCellOcc.toDouble).toInt)
+    val all = embs.select(col("vec_id"), col("embedding"))
+    val seeds = all.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val cents = Similarity.kmeansFitInt8(all, "embedding", seeds,
+      iters = 2, fitFraction = SparkEntry.SampleFitFraction,
+      fitIdCol = "vec_id", fitSeed = "ivf")
+    cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(probeModelPath(scale))
+    cents.size
   }
 
   /** Wall-seconds of `body` (forced via count), min of `reps`, plus the
@@ -489,9 +528,14 @@ object ScaleProbe {
           splitAbove = 100000L)
         println(s"""{"note":"ann_route","op":"knn_join_auto_dense",""" +
           s""""scale":$scale,"cells":$cells,"route":"$route"}""")
-        require(scale == 1 || route == "two_level",
+        // gate the route assertion on the BOUNDARY ITSELF, not on the
+        // scale (r19 ADVICE: scales 2-4 put 1000·scale cells inside the
+        // crossover band below TwoLevelAtCells — the route correctly
+        // reads flat there, and a scale-keyed assert would hard-fail
+        // the whole probe run with a non-guard-shaped exception)
+        require(cells < Similarity.TwoLevelAtCells || route == "two_level",
           s"dense fixture past the boundary must route two_level, got $route")
-        require(scale > 1 || route == "flat",
+        require(cells >= Similarity.TwoLevelAtCells || route == "flat",
           s"dense fixture below the boundary must route flat, got $route")
         Similarity.knnJoinIvfAuto(embs, "vec_id", "embedding",
           k = 3, centroids = seeds, nProbe = 8,
@@ -506,36 +550,19 @@ object ScaleProbe {
       // the join — what every consumer pays after amortization.
       // knn_join_registered above pays BOTH in one query.
       "ivf_model_build" -> (() => {
-        val sess = embs.sparkSession
-        import sess.implicits._
-        val n = embs.filter(col("embedding").isNotNull).count()
-        val cells = math.max(2,
-          math.ceil(n / SparkEntry.TargetCellOcc.toDouble).toInt)
-        val all = embs.select(col("vec_id"), col("embedding"))
-        // r19 registered rule: seeds = the derived-count lowest
-        // FULL-CORPUS ids (the sampled-seed rule was the measured
-        // recall cost), fit on the hash sample
-        val seeds = all.orderBy(col("vec_id")).limit(cells)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-          .toSeq.sortBy(_._1)
-        val cents = Similarity.kmeansFitInt8(all, "embedding", seeds,
-          iters = 2, fitFraction = SparkEntry.SampleFitFraction,
-          fitIdCol = "vec_id", fitSeed = "ivf")
-        cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
-          .write.mode("overwrite")
-          .parquet(s"/tmp/graft_probe_ivf_model/s$scale")
-        cents.size.toLong
+        buildProbeIvfModel(embs, scale).toLong
       }),
       "knn_probe_persisted_model" -> (() => CacheScope.using { sc =>
         val sess = embs.sparkSession
-        // first rep builds if ivf_model_build did not run this session;
-        // min-of-reps then reads the warm, probe-only cost
-        val path = s"/tmp/graft_probe_ivf_model/s$scale"
+        // first rep builds if ivf_model_build did not run this session
+        // (the path is generator-version + scale keyed, so a model left
+        // by an OLDER probe-corpus generator is never silently reused —
+        // r19 ADVICE); min-of-reps then reads the warm, probe-only cost
+        val path = probeModelPath(scale)
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
           sess.sparkContext.hadoopConfiguration)
-        require(fs.exists(new org.apache.hadoop.fs.Path(path)),
-          "run ivf_model_build first (the pair separates build from probe)")
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+          buildProbeIvfModel(embs, scale)
         val cents = sess.read.parquet(path).collect()
           .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
           .toSeq.sortBy(_._1)

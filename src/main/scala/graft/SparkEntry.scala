@@ -436,7 +436,7 @@ object SparkEntry {
     * cell/sign bucket is a popular region whose silent drop removes
     * members from every candidate set (the r16/r17 cap-masking catch),
     * so those oracles carry NO occupancy filter. */
-  private val LshMaxBucket = 1000L
+  private[graft] val LshMaxBucket = 1000L
 
   /** Registered sign-LSH ANN defaults (q27/q113/q133, evaluated by
     * q137) — picked from the measured RecallSweep table, not assumed:
@@ -467,7 +467,7 @@ object SparkEntry {
     * (q46/q62/q149/q156/q162) moved to [[registeredCells]]' derived
     * count (r18, verdict task 1). */
   private val IvfCells = 32
-  private val IvfProbe = 4
+  private[graft] val IvfProbe = 4
 
   /** The registered quantizer's target MEAN cell occupancy: cells =
     * ⌈corpus / TargetCellOcc⌉ holds per-cell population roughly
@@ -859,8 +859,8 @@ object SparkEntry {
     * assignment/probe/join. Same k/nProbe/guard as q46. */
   private def qKnnSplit(s: SparkSession, dir: String): DataFrame = {
     val refined = CacheScope.session.model(("refinedCentroids", dir,
-        corpusStamp(dir), TargetCellOcc, SplitAbove, SplitTargetOcc,
-        SplitIters)) {
+        corpusStamp(dir), ivfModelGen(dir), TargetCellOcc, SplitAbove,
+        SplitTargetOcc, SplitIters)) {
       Similarity.refineHotCells(cpuTable(s, dir, "embeddings"), "vec_id",
         "embedding", registeredCentroids(s, dir),
         splitAbove = SplitAbove, targetOcc = SplitTargetOcc,
@@ -915,7 +915,52 @@ object SparkEntry {
       // without this the query re-paid the refine fit per execution
       // (measured 4.85 s vs q169's 1.71 at bench)
       modelMemoKey = ("q173auto", dir, corpusStamp(dir),
-        TargetCellOcc, SampleFitFraction))
+        ivfModelGen(dir), TargetCellOcc, SampleFitFraction))
+
+  /** q178: the SEED-QUALITY report over the registered seed rule (r20,
+    * verdict task 6): [[Similarity.seedCoverageReport]] with nSeeds =
+    * the derived cell count ([[registeredCells]] — exactly the prefix
+    * [[registeredCentroids]] seeds from) and 8 sign bits. Per
+    * populated sign-cell: corpus population, seeds landed, covered
+    * 0/1 — the per-corpus precondition check for the prefix seed rule
+    * (on corpora whose id order correlates with content the prefix is
+    * NOT a stratified draw; `graft.SeedAudit` measures both shapes and
+    * SCALING.md records them). 4 sign bits per the operator's
+    * granularity rule — 2^bits strata must not exceed the seed count,
+    * or the report under-covers by construction (measured at 8 bits:
+    * ~8600 bp "uncovered" on BOTH healthy and adversarial shapes —
+    * no signal). The oracle unrolls the sign-cell sum, the derived
+    * count ([[CellsSql]]) and the prefix boundary as scalar
+    * subqueries. */
+  private def qSeedCoverage(s: SparkSession, dir: String): DataFrame =
+    Similarity.seedCoverageReport(table(s, dir, "embeddings"), "vec_id",
+      "embedding", nSeeds = registeredCells(s, dir), signBits = 4)
+
+  /** q177: the auto route's TWO-LEVEL ARM under the driver gate (r20,
+    * verdict task 7 — r19 registered the router but no oracle fixture
+    * reaches [[Similarity.TwoLevelAtCells]] = 4096 derived cells, so
+    * the above-boundary arm was pinned only by unit congruity + a
+    * probe assert): [[Similarity.knnJoinIvfAuto]] with the boundary
+    * knob LOWERED to the fixture's fixed cell count ([[IvfCells]] =
+    * 32 ≤ cells, so the router provably takes the descent — the knob
+    * exists precisely so deployments can tune the crossover, and the
+    * route rule `centroids.size >= twoLevelAtCells` is a driver-side
+    * size check with zero jobs). Every constant is q166's: the same
+    * [[fittedCentroids]] base, branches = [[Similarity
+    * .twoLevelBranches]](32) = 8, topIters = 2, replicas = 2,
+    * branchProbes = 3, same k/nProbe/guard — so the output IS q166's
+    * two-level join and the oracle is q166's SQL verbatim (one truth,
+    * two plans; AutoRouteSpec pins the arm congruity knnJoinIvfAuto ≡
+    * knnJoinIvf2L at these knobs, and with q173 BOTH arms of the
+    * registered router now carry a green oracle row). */
+  private def qKnnAutoTwoLevel(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinIvfAuto(cpuTable(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 3, centroids = fittedCentroids(s, dir),
+      nProbe = IvfProbe, splitAbove = SplitAbove,
+      targetOcc = SplitTargetOcc, splitIters = SplitIters,
+      twoLevelAtCells = IvfCells, branchProbes = 3, replicas = 2,
+      topIters = 2, maxCellOccupancy = LshMaxBucket,
+      modelMemoKey = ("q177auto", dir, corpusStamp(dir), IvfCells))
 
   /** Ranking-window family (lag/lead — absent from the reference,
     * SURVEY §2.7): per-user event sequencing with the previous event's
@@ -2490,6 +2535,45 @@ object SparkEntry {
         "embedding", seeds, iters = 2)
     }
 
+  /** The registered quantizer's PERSISTED-ARTIFACT name (q174's table —
+    * [[graft.sources.Artifacts.tableName]] pins corpus fingerprint +
+    * dir), shared by the probe query, the refit entry point and the
+    * generation token below. */
+  private[graft] def ivfModelTable(dir: String): String =
+    graft.sources.Artifacts.tableName("graft_ivf_model", dir,
+      corpusStamp(dir))
+
+  /** The registered quantizer's MODEL GENERATION — folded into every
+    * memo key that caches the fit or a structure derived from it
+    * ([[registeredCentroids]], q169's refined list, q173's auto-route
+    * index), so a drift-triggered [[refitIvfModel]] invalidates the
+    * whole chain even when `corpusStamp` cannot move (same-bytes refit;
+    * non-local dirs stamp 0) — r19 verdict item 2. */
+  private def ivfModelGen(dir: String): Long =
+    graft.sources.Artifacts.generation(ivfModelTable(dir))
+
+  /** REFIT-IN-PLACE of the registered quantizer — the composed
+    * drift→refit→consume step (r19 verdict item 2): when q160/q161's
+    * drift report says `needs_refit`, this re-derives the model and
+    * rebuilds the q174 artifact under [[graft.sources.Artifacts
+    * .refreshTable]]'s lock. The generation bump inside `refreshTable`
+    * happens BEFORE the rebuild, so the `build` closure's call to
+    * [[registeredCentroids]] re-runs the fit (its memo key carries the
+    * generation) rather than persisting the stale memo back — and
+    * every downstream generation-keyed memo (q169's refined list,
+    * q173's derived index) re-derives at its next resolution. Spec-
+    * pinned: ArtifactsSpec proves a probe after refit serves the
+    * refreshed geometry. */
+  private[graft] def refitIvfModel(s: SparkSession, dir: String): Unit = {
+    val tbl = ivfModelTable(dir)
+    graft.sources.Artifacts.refreshTable(s, tbl,
+        path = s"/tmp/graft_ivf_model/$tbl") {
+      import s.implicits._
+      registeredCentroids(s, dir)
+        .map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+    }
+  }
+
   /** The registered quantizer's DERIVED cell count: ⌈non-null corpus /
     * [[TargetCellOcc]]⌉ (min 2) — a 1-row aggregate, memoized. This is
     * what makes the default geometry scale-surviving: occupancy stays
@@ -2499,7 +2583,7 @@ object SparkEntry {
     * oracle derives the identical count via [[CellsSql]]. */
   private def registeredCells(s: SparkSession, dir: String): Int =
     CacheScope.session.model(("registeredCells", dir,
-        corpusStamp(dir), TargetCellOcc)) {
+        corpusStamp(dir), ivfModelGen(dir), TargetCellOcc)) {
       val n = table(s, dir, "embeddings")
         .filter(col("embedding").isNotNull).count()
       math.max(2, math.ceil(n / TargetCellOcc.toDouble).toInt)
@@ -2520,9 +2604,10 @@ object SparkEntry {
     * `kcSql = CellsSql`). Memoized per (dir, fingerprint, occupancy,
     * iters, fraction) — one fit serves all five consumers per pass,
     * the deployment's fit-once shape. */
-  private def registeredCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
+  private[graft] def registeredCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] =
     CacheScope.session.model(("registeredCentroids", dir,
-        corpusStamp(dir), TargetCellOcc, 2, SampleFitFraction)) {
+        corpusStamp(dir), ivfModelGen(dir), TargetCellOcc, 2,
+        SampleFitFraction)) {
       val kc = registeredCells(s, dir)
       val all = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -2858,8 +2943,7 @@ object SparkEntry {
     * `ivf_model_build` vs `knn_probe_persisted_model` separates the
     * build cost this artifact amortizes from the per-batch probe. */
   private def qKnnPersisted(s: SparkSession, dir: String): DataFrame = {
-    val mdlTable = graft.sources.Artifacts.tableName(
-      "graft_ivf_model", dir, corpusStamp(dir))
+    val mdlTable = ivfModelTable(dir)
     graft.sources.Artifacts.ensureTable(s, mdlTable,
         path = s"/tmp/graft_ivf_model/$mdlTable") {
       import s.implicits._
@@ -3057,6 +3141,8 @@ object SparkEntry {
     "q171_span_cut_indexed" -> (qSpanCutIndexed _),
     "q172_ivf_occupancy" -> (qIvfOccupancy _),
     "q173_knn_auto" -> (qKnnAuto _),
+    "q177_knn_auto_two_level" -> (qKnnAutoTwoLevel _),
+    "q178_seed_coverage" -> (qSeedCoverage _),
     "q174_knn_persisted" -> (qKnnPersisted _),
     "q175_span_index_update" -> (qSpanIndexUpdate _),
     "q176_vector_corpus_update" -> (qVectorCorpusUpdate _),
@@ -6395,7 +6481,40 @@ object SparkEntry {
     // replica duplicates — every stage the engine's round-6 comparator
     // with cid-ASC ties (DuckDB NaN-first-under-DESC = the zero-vector
     // rule).
-    "q166_knn_two_level" -> {
+    "q166_knn_two_level" -> Sql_q166,
+
+    // q177: the auto route's ABOVE-BOUNDARY arm is q166's two-level
+    // descent verbatim (same derivation/branches/replicas/probes — the
+    // boundary knob is lowered to fixture scale so the descent arm
+    // actually executes under the driver gate), so the oracle is
+    // q166's SQL — one truth, two registered plans
+    "q177_knn_auto_two_level" -> Sql_q166,
+
+    // q178: sign-cell coverage of the registered prefix seed rule —
+    // the q66-family sign-cell sum, the derived cell count (CellsSql)
+    // and the prefix boundary (max id of the ORDER BY/LIMIT prefix)
+    // as scalar subqueries; covered is the driver-safe 0/1 long
+    "q178_seed_coverage" ->
+      s"""WITH sd AS (SELECT vec_id FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= $CellsSql),
+        |b0 AS (SELECT vec_id, CAST(${(0 until 4).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+            .mkString(" + ")} AS BIGINT) AS cell
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT cell, count(*) AS n_corpus,
+        |  CAST(sum(CASE WHEN vec_id <= (SELECT max(vec_id) FROM sd)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+        |  CAST(CASE WHEN sum(CASE WHEN vec_id <=
+        |      (SELECT max(vec_id) FROM sd) THEN 1 ELSE 0 END) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS covered
+        |FROM b0 GROUP BY cell""".stripMargin,
+  )
+
+  /** q166's oracle body — shared verbatim with q177 (the auto route's
+    * above-boundary arm IS q166's two-level descent: same derivation,
+    * same branches/replicas/probes, so one SQL is the truth for both
+    * registered plans — the q171 ≡ q168 / q174 ≡ q46 convention). */
+  private lazy val Sql_q166: String = {
       val topRounds = (1 to 2).map { i =>
         s"""ta${i}0 AS (SELECT tqv.cid, tqv.q, t.tid,
            |  ${OSql.cosSql("tqv.cvec", "t.tvec")} AS cc
@@ -6457,8 +6576,7 @@ object SparkEntry {
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY qid
         |  ORDER BY cos DESC, id ASC) <= 3""".stripMargin
-    },
-  )
+  }
 
   /** q159's oracle: the q26 brute-cosine shortlist (top `m` per query),
     * pairwise round-6dp cosines, then `k` unrolled greedy MMR steps —

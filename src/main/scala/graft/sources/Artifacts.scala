@@ -20,6 +20,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[Sources.idempotentBatchWriter]]'s job, not this helper's. */
 object Artifacts {
 
+  /** Per-artifact MODEL GENERATION — the invalidation token coupling
+    * [[refreshTable]] to the JVM model memos derived from the artifact
+    * (r19 verdict item 2: a refit rebuilt the files, but
+    * `CacheScope.session.model` entries fitted FROM the old model —
+    * q173's derived index, q169's refined centroid list — keyed on
+    * (dir, corpusStamp) alone and kept serving the stale geometry; on
+    * non-local dirs the stamp is constant 0, so NOTHING distinguished
+    * pre- from post-refit). Every memo whose value derives from an
+    * artifact (or from the fit that artifact persists) must fold
+    * `generation(name)` into its key: [[refreshTable]] bumps it BEFORE
+    * rebuilding, so the rebuild itself — and every later consumer —
+    * re-derives instead of hitting the old entry. Monotone per (JVM,
+    * name); 0 until the first refresh, matching the build-once world
+    * where no refit has happened. */
+  private val gens =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** The current model generation of artifact `name` — fold into every
+    * model-memo key derived from it. */
+  def generation(name: String): Long = gens.getOrElse(name, 0L)
+
   /** Catalog table name pinning CORPUS IDENTITY: prefix + the content
     * fingerprint + a hash of the dir string. The dir hash matters
     * because `SparkEntry.corpusStamp` stamps 0 for any non-local path
@@ -61,10 +82,20 @@ object Artifacts {
     * old table keep their snapshot (Spark reads the file listing at
     * plan time), new resolutions see the new files. Frames derived
     * from the OLD table must not be reused across the refresh — the
-    * same read-your-own-writes contract as `Dedup.spanIndexAppend`. */
+    * same read-your-own-writes contract as `Dedup.spanIndexAppend`.
+    *
+    * MEMO COUPLING (r19 verdict item 2): [[generation]]`(name)` is
+    * bumped FIRST, before the drop+rebuild, so (a) `build` itself —
+    * which typically calls a generation-keyed fit memo — re-derives
+    * the model instead of persisting the stale one back, and (b) every
+    * consumer memo keyed on the generation re-derives at its next
+    * resolution. A bump without a completed rebuild (build threw) is
+    * safe: the old memo entries are merely abandoned, and the next
+    * refresh retries the fit. */
   def refreshTable(s: SparkSession, name: String, path: String,
       nBuckets: Int = 0, bucketCols: Seq[String] = Nil)(
       build: => DataFrame): Unit = synchronized {
+    gens.update(name, generation(name) + 1L)
     s.sql(s"DROP TABLE IF EXISTS `$name`")
     if (nBuckets > 0)
       Sources.writeBucketedTable(build, name, nBuckets, bucketCols,

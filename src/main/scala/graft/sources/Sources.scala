@@ -496,4 +496,47 @@ object Sources {
     * fencer. The split-brain analogue of Kafka's `ProducerFencedException`. */
   final class FencedWriterException(msg: String)
     extends IllegalStateException(msg)
+
+  /** Stage one batch's rows into `targetDir` TRANSACTIONALLY for a
+    * downstream FILE-SOURCE reader (r19 ADVICE: the streaming file
+    * source tracks processed files BY NAME, so a crash between a
+    * partial parquet write and [[idempotentBatchWriter]]'s mark swap
+    * must not let the re-run — which writes fresh random part-file
+    * names — double the batch's rows downstream). Two rules close it:
+    *
+    *  - ALL-OR-NOTHING VISIBILITY: the plan is written to a sibling
+    *    dot-prefixed tmp dir (Spark's file listing skips `.`/`_` paths,
+    *    so a partial attempt is invisible to the reader) and RENAMED
+    *    into `targetDir` — one atomic metadata op on a real FS, so the
+    *    reader sees either nothing or the complete batch.
+    *  - AT-MOST-ONCE PUBLICATION: if `targetDir` already exists, a
+    *    previous attempt's rename committed — the batch's staged output
+    *    is complete (rename-after-full-write) and deterministic, so the
+    *    re-run SKIPS the write instead of replacing already-tracked
+    *    file names with new ones.
+    *
+    * Call only from an idempotent per-batch context (foreachBatch under
+    * [[idempotentBatchWriter]]) with a per-batch-unique `targetDir`
+    * (`.../b=<batchId>`). `df` is evaluated lazily, never when the
+    * target already exists. */
+  def stageBatchAtomically(s: SparkSession, targetDir: String)(
+      df: => DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+        "." + target.getName + ".staging")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, target)) {
+        // rename refuses when target appeared concurrently (another
+        // incarnation committed first under the writer's one-batch
+        // takeover window): the committed copy is the same rows —
+        // drop ours
+        if (!fs.exists(target))
+          throw new java.io.IOException(
+            s"staging rename $tmp -> $target failed with no committed copy")
+        fs.delete(tmp, true)
+      }
+    }
+  }
 }

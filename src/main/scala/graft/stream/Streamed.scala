@@ -845,10 +845,12 @@ object Streamed {
           val matched = graft.ops.Dedup.minhashMatchedAgainst(
             sigs, refSigs, "doc_id", sigK, rowsPerBand, threshold,
             maxBucket, sc)
-          graft.ops.Dedup.dropNearDupsAgainst(surv, "doc_id", matched)
-            .select(col("doc_id"), col("dedup_text"),
-              col("n_tokens_kept"), col("source"))
-            .write.mode("overwrite").parquet(s"$stagingDir/b=$id")
+          graft.sources.Sources.stageBatchAtomically(session,
+            s"$stagingDir/b=$id") {
+            graft.ops.Dedup.dropNearDupsAgainst(surv, "doc_id", matched)
+              .select(col("doc_id"), col("dedup_text"),
+                col("n_tokens_kept"), col("source"))
+          }
         }
       }).start()
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -791,6 +791,27 @@ class KnnClusterSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q177 == q166 at fixture scale: the registered router's descent " +
+      "arm IS the registered two-level join (one truth, two plans), and " +
+      "the route provably reads two_level at the lowered boundary") {
+    val dir = "/root/testdata/sf0.001"
+    val cents = SparkEntry.registeredCentroids(spark, dir)
+    // q177's boundary knob (IvfCells = 32) vs the q166-base fitted list:
+    // the route is a driver-side size check — no corpus job
+    assert(Similarity.annRouteFor(
+      SparkEntry.cpuTable(spark, dir, "embeddings"), "embedding",
+      (0 until 32).map(i => i -> Array(i.toFloat, 1f)),
+      splitAbove = Long.MaxValue, twoLevelAtCells = 32) === "two_level")
+    val a = SparkEntry.queries("q177_knn_auto_two_level")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q166_knn_two_level")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    assert(cents.size >= 2) // fixture sanity for the registered family
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("twoLevelBranches: the sqrt(2 cells) rule, clamped to [2, cells]") {
     assert(Similarity.twoLevelBranches(2) === 2)
     assert(Similarity.twoLevelBranches(32) === 8)
