@@ -96,7 +96,7 @@ object ScaleProbe {
       text.length.toLong)
   }
 
-  private def vecOf(id: Long): Vec = {
+  private[graft] def vecOf(id: Long): Vec = {
     val label = (id % 10).toInt
     val cr = rng(label.toLong, 0xce0721dL) // the label's centroid
     val centroid = Array.fill(Dim)(cr.nextGaussian().toFloat)
@@ -131,7 +131,7 @@ object ScaleProbe {
     * events) read BACK from parquet so every op sees the same scan it
     * sees in production (columnar read, not an in-memory local
     * relation). */
-  private def corpus(spark: SparkSession, dir: String, scale: Int)
+  private[graft] def corpus(spark: SparkSession, dir: String, scale: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val v = vocab(scale)

@@ -810,14 +810,30 @@ object Streamed {
     * near-cap buckets a one-shot batch run over the union would cap.
     * The cap is the STATIC side's skew guard; the static registration
     * is capped once over the whole standing corpus either way, and
-    * the congruity spec runs the open form. */
+    * the congruity spec runs the open form.
+    *
+    * SELF-UPDATING SPAN INDEX (r19 verdict task 3 — opt in by passing
+    * `spanIndexDir`): with a non-null dir, the front IGNORES the
+    * frozen `refIndex` frame and instead resolves the standing index
+    * fresh from the dir each batch, then ABSORBS the batch's ADMITTED
+    * survivors' reassembled-text shingles into `spanIndexDir/b=<id>`
+    * ([[graft.ops.Dedup.spanIndexAppend]] under [[graft.sources
+    * .Sources.stageBatchAtomically]] — exactly-once under replay), so
+    * live batch N+1 span-cuts against reference ∪ batches 1..N's
+    * survivors: q175's two-batch discipline at stream granularity
+    * (spec-pinned congruity + the frozen-index control). Seed the dir
+    * with the reference keys before start (e.g. `spanIndexDir/ref`);
+    * the dir belongs to this query alone. The near-dup signature side
+    * stays frozen by design here — [[vectorCorpusIngestLive]] is the
+    * growing-signature discipline on the embedding path. */
   def curationIngestLive(incoming: org.apache.spark.sql.DataFrame,
       refIndex: org.apache.spark.sql.DataFrame,
       refSigs: org.apache.spark.sql.DataFrame,
       gate: org.apache.spark.sql.Column, minKept: Long, spanN: Int,
       sigN: Int, sigK: Int, rowsPerBand: Int, threshold: Double,
       maxBucket: Long, capN: Long, stagingDir: String,
-      ckptFront: String, ckptCap: String)(
+      ckptFront: String, ckptCap: String,
+      spanIndexDir: String = null)(
       sink: Dataset[Rec[String, (Long, String, Long)]] => Unit)
       : (org.apache.spark.sql.streaming.StreamingQuery,
          org.apache.spark.sql.streaming.StreamingQuery) = {
@@ -835,9 +851,18 @@ object Streamed {
       .foreachBatch(graft.sources.Sources.idempotentBatchWriter(
           s"$ckptFront/__sink_mark") { (batch, id) =>
         graft.ops.CacheScope.using { sc =>
+          // self-updating span index (r19 verdict task 3, opted in via
+          // `spanIndexDir`): resolve the standing index FRESH per batch
+          // — reference ∪ every prior batch's absorbed survivors; the
+          // pre-batch file-listing snapshot keeps spanIndexAppend's
+          // read-your-own-writes hazard structurally unreachable
+          val idx =
+            if (spanIndexDir == null) refIndex
+            else session.read.option("recursiveFileLookup", "true")
+              .parquet(spanIndexDir)
           val gated = batch.filter(gate)
           val cut = graft.ops.Dedup.spanCutAgainstIndex(
-            gated, refIndex, "doc_id", col("text"), spanN, sc)
+            gated, idx, "doc_id", col("text"), spanN, sc)
           val surv = cut.filter(col("n_tokens_kept") >= minKept)
             .join(gated.select(col("doc_id"), col("source")), "doc_id")
           val sigs = graft.ops.Dedup.minHashSignatures(
@@ -845,12 +870,26 @@ object Streamed {
           val matched = graft.ops.Dedup.minhashMatchedAgainst(
             sigs, refSigs, "doc_id", sigK, rowsPerBand, threshold,
             maxBucket, sc)
+          val admittedRaw = graft.ops.Dedup.dropNearDupsAgainst(
+              surv, "doc_id", matched)
+            .select(col("doc_id"), col("dedup_text"),
+              col("n_tokens_kept"), col("source"))
+          // when updating, the admitted rows feed BOTH the staging
+          // write and the index append — one materialization
+          val admitted =
+            if (spanIndexDir == null) admittedRaw else sc.cache(admittedRaw)
           graft.sources.Sources.stageBatchAtomically(session,
-            s"$stagingDir/b=$id") {
-            graft.ops.Dedup.dropNearDupsAgainst(surv, "doc_id", matched)
-              .select(col("doc_id"), col("dedup_text"),
-                col("n_tokens_kept"), col("source"))
-          }
+            s"$stagingDir/b=$id") { admitted }
+          if (spanIndexDir != null)
+            // absorb the batch's ADMITTED survivors' reassembled-text
+            // shingles (q175's append rule — new keys only, cost ∝
+            // batch); exactly-once under replay by the same
+            // skip-if-committed discipline as the staging write
+            graft.sources.Sources.stageBatchAtomically(session,
+              s"$spanIndexDir/b=$id") {
+              graft.ops.Dedup.spanIndexAppend(idx, admitted,
+                col("dedup_text"), spanN)
+            }
         }
       }).start()
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -881,6 +920,121 @@ object Streamed {
           ()
       }.start()
     (front, capQ)
+  }
+
+  /** LIVE span-cut ingest with a SELF-UPDATING standing index — q175's
+    * two-batch discipline composed into the stream (r19 verdict task
+    * 3: [[curationIngestLive]] cuts every batch against a FROZEN
+    * index, so live batch N+1 never saw batch N's survivors). Each
+    * micro-batch, atomically under [[graft.sources.Sources
+    * .idempotentBatchWriter]]:
+    *
+    *  1. resolves the standing index FRESH from `indexDir` (a plain
+    *     recursive parquet read — the file listing snapshots at read
+    *     time, BEFORE this batch's append lands, so the
+    *     [[graft.ops.Dedup.spanIndexAppend]] read-your-own-writes
+    *     hazard cannot fire: every frame derives from the pre-batch
+    *     listing);
+    *  2. span-cuts the batch against it ([[graft.ops.Dedup
+    *     .spanCutAgainstIndex]] — one code path with the batch
+    *     operator), materialized ONCE per batch (it feeds both the
+    *     append and the sink);
+    *  3. APPENDS the batch's new keys — the survivors' REASSEMBLED
+    *     `dedup_text` shingles anti-joined against the standing set
+    *     (q175's exact append rule, cost ∝ batch) — into
+    *     `indexDir/b=<batchId>` through [[graft.sources.Sources
+    *     .stageBatchAtomically]]: all-or-nothing visibility and
+    *     at-most-once publication, so a crash/replay can neither
+    *     half-append nor double-append (the restart spec kills the
+    *     query between batches and proves the append landed exactly
+    *     once);
+    *  4. hands the cut rows to `sink` (the batch scope is still open).
+    *
+    * The streaming query carries ZERO state operators — ALL cross-
+    * batch knowledge lives in the growing persisted index, exactly
+    * like the batch q175 whose congruity the spec pins (live batch 2
+    * provably shares runs with batch 1's survivors, not just the
+    * reference). `indexDir` must be SEEDED before start (write the
+    * reference corpus's [[graft.ops.Dedup.spanIndexKeys]] under e.g.
+    * `indexDir/ref` — a parquet read cannot infer a schema from an
+    * empty dir), and belongs to THIS query alone: the per-batch read →
+    * cut → append sequence is the single-writer contract the
+    * idempotent mark fences. */
+  def spanIndexIngestLive(incoming: org.apache.spark.sql.DataFrame,
+      indexDir: String, idCol: String,
+      text: org.apache.spark.sql.Column, n: Int, checkpoint: String)(
+      sink: org.apache.spark.sql.DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val session = incoming.sparkSession
+    incoming.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.sources.Sources.idempotentBatchWriter(
+          s"$checkpoint/__sink_mark") { (batch, id) =>
+        graft.ops.CacheScope.using { sc =>
+          // fresh standing-index resolution: reference ∪ every prior
+          // batch's appended keys (the b=<id> subdirs read as files of
+          // one frame, not as a partition column)
+          val idx = session.read
+            .option("recursiveFileLookup", "true").parquet(indexDir)
+          val cut = sc.cache(graft.ops.Dedup.spanCutAgainstIndex(
+            batch, idx, idCol, text, n, sc))
+          graft.sources.Sources.stageBatchAtomically(session,
+            s"$indexDir/b=$id") {
+            graft.ops.Dedup.spanIndexAppend(idx, cut,
+              org.apache.spark.sql.functions.col("dedup_text"), n)
+          }
+          sink(cut)
+        }
+      }).start()
+  }
+
+  /** LIVE vector-corpus ingest with a SELF-GROWING standing corpus —
+    * q176's two-batch discipline composed into the stream (r19 verdict
+    * task 4, the embedding twin of [[spanIndexIngestLive]]): each
+    * micro-batch is near-dup-dropped against reference ∪ ALL PRIOR
+    * admitted survivors, and its own survivors join the corpus for the
+    * next batch — so a near-dup of an ADMITTED crawl vector is
+    * rejected even though it matches nothing in the original
+    * reference. Per batch, atomically under the idempotent writer:
+    * resolve the standing corpus fresh from `corpusDir` (pre-batch
+    * listing snapshot), drop the batch against it ([[graft.ops.Dedup
+    * .cosineMatchedAgainst]] + [[graft.ops.Dedup.dropNearDupsAgainst]]
+    * — q176's exact machinery and constants, within-batch duplication
+    * out of scope per the family contract), stage the survivors into
+    * `corpusDir/b=<batchId>` ([[graft.sources.Sources
+    * .stageBatchAtomically]] — exactly-once under replay), then sink
+    * them. ZERO state operators on the stream (the q78 pin) — the
+    * growing corpus dir is the only cross-batch state. `corpusDir`
+    * must be seeded with the reference rows in `incoming`'s schema
+    * (survivor rows append in the same shape), and is this query's
+    * alone. */
+  def vectorCorpusIngestLive(incoming: org.apache.spark.sql.DataFrame,
+      corpusDir: String, idCol: String, vecCol: String, signBits: Int,
+      threshold: Double, maxBucket: Long, probes: Int,
+      checkpoint: String)(
+      sink: org.apache.spark.sql.DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val session = incoming.sparkSession
+    incoming.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.sources.Sources.idempotentBatchWriter(
+          s"$checkpoint/__sink_mark") { (batch, id) =>
+        graft.ops.CacheScope.using { sc =>
+          val corpus = session.read
+            .option("recursiveFileLookup", "true").parquet(corpusDir)
+          val survivors = sc.cache(graft.ops.Dedup.dropNearDupsAgainst(
+            batch, idCol,
+            graft.ops.Dedup.cosineMatchedAgainst(batch, corpus, idCol,
+              org.apache.spark.sql.functions.col(vecCol), signBits,
+              threshold, maxBucket, probes, sc)))
+          graft.sources.Sources.stageBatchAtomically(session,
+            s"$corpusDir/b=$id") {
+            survivors.select(corpus.columns.map(
+              org.apache.spark.sql.functions.col): _*)
+          }
+          sink(survivors)
+        }
+      }).start()
   }
 
   def spanCutIngestLive(incoming: org.apache.spark.sql.DataFrame,

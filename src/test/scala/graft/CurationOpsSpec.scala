@@ -780,6 +780,183 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  // --------------------------------------- self-updating standing index
+
+  test("spanIndexIngestLive: live batch 2 is cut against batch 1's " +
+      "SURVIVORS (q175's two-batch semantics, congruity-pinned), a " +
+      "frozen index provably would not cut it; zero state operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val shared = (1 to 10).map("s" + _)
+    val novel = (1 to 10).map("a" + _) // batch-1 survivor text
+    val refDocs = Seq(0L -> shared.mkString(" ")).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-spanidx-live-")
+    val indexDir = s"$base/idx"
+    Dedup.spanIndexKeys(refDocs, col("text"), n = 8)
+      .write.mode("overwrite").parquet(s"$indexDir/ref")
+    // batch 1: doc 1 = shared prefix (cut by the reference) + the novel
+    // tail (survives -> must enter the index); doc 3 fresh.
+    // batch 2: doc 5 repeats the NOVEL run — it shares nothing with the
+    // reference, so only the updated index can cut it (q175's split
+    // rationale at stream granularity).
+    val b1 = Seq(1L -> (shared ++ novel).mkString(" "),
+      3L -> (1 to 12).map("d" + _).mkString(" "))
+    val b2 = Seq(5L -> (novel ++ (1 to 9).map("z" + _)).mkString(" "))
+    val ms = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = graft.stream.Streamed.spanIndexIngestLive(
+      ms.toDF().toDF("doc_id", "text"), indexDir, "doc_id", col("text"),
+      n = 8, checkpoint = s"$base/ck") { b =>
+      val rows = b.collect().map(_.toSeq)
+      out.synchronized { out ++= rows }
+    }
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val sp = q.lastProgress
+      assert(sp == null || sp.stateOperators.isEmpty,
+        "all cross-batch state lives in the persisted index")
+    } finally q.stop()
+    // the batch twin: q175's composition over the same two batches
+    val refKeys = CacheScope.session.cache(
+      Dedup.spanIndexKeys(refDocs, col("text"), n = 8))
+    val b1cut = CacheScope.session.cache(Dedup.spanCutAgainstIndex(
+      b1.toDF("doc_id", "text"), refKeys, "doc_id", col("text"), n = 8))
+    val idx2 = refKeys.unionByName(
+      Dedup.spanIndexAppend(refKeys, b1cut, col("dedup_text"), n = 8))
+    val b2cut = Dedup.spanCutAgainstIndex(
+      b2.toDF("doc_id", "text"), idx2, "doc_id", col("text"), n = 8)
+    val twin = (b1cut.collect() ++ b2cut.collect()).map(_.toSeq).toSet
+    assert(out.synchronized(out.toSet) === twin,
+      "live two-batch feed == q175's batch composition")
+    // the differential: doc 5 is cut ONLY because the index absorbed
+    // batch 1's survivors — against the frozen reference it is intact
+    assert(out.synchronized(out.exists(r => r(0) == 5L && r(3) == 10L)),
+      "doc 5's novel-run tokens cut by the appended keys")
+    val frozen = Dedup.spanCutAgainstIndex(b2.toDF("doc_id", "text"),
+      refKeys, "doc_id", col("text"), n = 8).collect().map(_.toSeq)
+    assert(frozen.forall(r => r(3) == 0L),
+      "a frozen index would have admitted the repeat uncut")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("spanIndexIngestLive: the index append survives a checkpoint " +
+      "kill EXACTLY ONCE (no duplicate b=<id> content, no re-emission; " +
+      "post-restart batches cut against the appended keys)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val shared = (1 to 10).map("s" + _)
+    val novel = (1 to 10).map("a" + _)
+    val refDocs = Seq(0L -> shared.mkString(" ")).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-spanidx-restart-")
+    val indexDir = s"$base/idx"
+    Dedup.spanIndexKeys(refDocs, col("text"), n = 8)
+      .write.mode("overwrite").parquet(s"$indexDir/ref")
+    val ms = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def start() = graft.stream.Streamed.spanIndexIngestLive(
+      ms.toDF().toDF("doc_id", "text"), indexDir, "doc_id", col("text"),
+      n = 8, checkpoint = s"$base/ck") { b =>
+      val rows = b.select("doc_id", "n_tokens_cut").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      out.synchronized { out ++= rows }
+    }
+    val q1 = start()
+    try {
+      ms.addData(1L -> (shared ++ novel).mkString(" "))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(out.synchronized(out.toSet) === Set((1L, 10L)))
+    def appendDirs() = new java.io.File(indexDir).listFiles()
+      .map(_.getName).filter(_.startsWith("b=")).toSet
+    assert(appendDirs() === Set("b=0"), "batch 1's append landed once")
+    val keysAfterB1 = spark.read
+      .option("recursiveFileLookup", "true").parquet(indexDir).count()
+    // restart against the same checkpoint: the committed batch must not
+    // re-emit OR re-append; the new batch repeats batch 1's survivor
+    // run and must be cut by the appended keys
+    val q2 = start()
+    try {
+      ms.addData(5L -> (novel ++ (1 to 9).map("z" + _)).mkString(" "))
+      q2.processAllAvailable()
+      assert(q2.lastProgress == null ||
+        q2.lastProgress.stateOperators.isEmpty)
+    } finally q2.stop()
+    assert(out.synchronized(out.toSet) === Set((1L, 10L), (5L, 10L)),
+      "no re-emission; the post-restart batch is cut by batch 1's keys")
+    assert(appendDirs() === Set("b=0", "b=1"))
+    val b0Again = spark.read.parquet(s"$indexDir/b=0").count()
+    assert(keysAfterB1 === spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$indexDir/ref")
+      .count() + b0Again, "b=0 holds exactly one append's keys")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("vectorCorpusIngestLive: batch 2 drops against reference UNION " +
+      "batch-1 survivors (q176's two-batch semantics); a frozen " +
+      "reference would re-admit the near-dup; zero state operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-veccorpus-live-")
+    val corpusDir = s"$base/corpus"
+    val r0 = Seq(0.99f, 0.1f, 0f, 0f)
+    val v1 = Seq(0f, 1f, 0f, 0f)        // batch-1 novel survivor
+    val v2 = Seq(1f, 0.05f, 0f, 0f)     // ≈ r0 -> dropped in batch 1
+    val v3 = Seq(0.05f, 0.99f, 0.1f, 0f) // ≈ v1 -> dropped ONLY if v1 admitted
+    val v4 = Seq(0f, 0f, 1f, 0f)        // novel in batch 2
+    Seq((0L, r0)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpusDir/ref")
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.stream.Streamed.vectorCorpusIngestLive(
+      ms.toDF().toDF("vec_id", "embedding"), corpusDir, "vec_id",
+      "embedding", signBits = 4, threshold = 0.9, maxBucket = 0L,
+      probes = 2, checkpoint = s"$base/ck") { b =>
+      val ids = b.select("vec_id").collect().map(_.getLong(0))
+      out.synchronized { out ++= ids }
+    }
+    try {
+      ms.addData(1L -> v1, 2L -> v2); q.processAllAvailable()
+      ms.addData(3L -> v3, 4L -> v4); q.processAllAvailable()
+      val sp = q.lastProgress
+      assert(sp == null || sp.stateOperators.isEmpty,
+        "the growing corpus dir is the only cross-batch state")
+    } finally q.stop()
+    assert(out.synchronized(out.toSet) === Set(1L, 4L),
+      "v2 dropped by the reference; v3 dropped by ADMITTED v1; v4 kept")
+    // congruity with q176's batch composition over the same split
+    val ref = Seq((0L, r0)).toDF("vec_id", "embedding")
+    val b1 = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val b2 = Seq((3L, v3), (4L, v4)).toDF("vec_id", "embedding")
+    val s1 = CacheScope.session.cache(Dedup.dropNearDupsAgainst(b1,
+      "vec_id", Dedup.cosineMatchedAgainst(b1, ref, "vec_id",
+        col("embedding"), signBits = 4, threshold = 0.9, probes = 2)))
+    val s2 = Dedup.dropNearDupsAgainst(b2, "vec_id",
+      Dedup.cosineMatchedAgainst(b2, ref.unionByName(s1), "vec_id",
+        col("embedding"), signBits = 4, threshold = 0.9, probes = 2))
+    val twin = (s1.collect() ++ s2.collect()).map(_.getLong(0)).toSet
+    assert(out.synchronized(out.toSet) === twin)
+    // the frozen-reference control: without the growth v3 is re-admitted
+    val frozen = Dedup.dropNearDupsAgainst(b2, "vec_id",
+      Dedup.cosineMatchedAgainst(b2, ref, "vec_id", col("embedding"),
+        signBits = 4, threshold = 0.9, probes = 2))
+      .collect().map(_.getLong(0)).toSet
+    assert(frozen === Set(3L, 4L),
+      "a frozen reference would re-admit the near-dup of an admitted doc")
+    // and the corpus dir grew by exactly the survivors
+    val grown = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpusDir).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(grown === Set(0L, 1L, 4L))
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   // ------------------------------------------------- composed live ingest
 
   private def liveCurationFixture = {
@@ -867,6 +1044,69 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.synchronized(out.toSet) === twin)
     assert(twin.map(_._2) === Set(1L, 5L, 11L, 13L, 15L),
       "fixture sanity: gate, span floor and near-dup drop each bit")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("curationIngestLive with spanIndexDir: live batch 2 span-cuts " +
+      "against batch 1's ADMITTED survivors (q175 composed into the " +
+      "curation front); the frozen form provably admits it uncut") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val shared = (1 to 15).map("r" + _)
+    val novel = (1 to 10).map("a" + _)
+    val refDocs = Seq(0L -> shared.mkString(" ")).toDF("doc_id", "text")
+    val refIndex = CacheScope.session.cache(
+      Dedup.spanIndexKeys(refDocs, col("text"), n = 8))
+    val refSigs = CacheScope.session.cache(
+      Dedup.minHashSignatures(refDocs, "doc_id", col("text"), n = 3, k = 8))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-curlive-upd-")
+    val indexDir = s"$base/idx"
+    refIndex.write.mode("overwrite").parquet(s"$indexDir/ref")
+    // batch 1: doc 1 = ref prefix + novel tail -> admitted with
+    // dedup_text = the novel run, which must enter the index
+    // batch 2: doc 5 repeats the novel run + its own tail — only the
+    // UPDATED index cuts it (it shares nothing with the reference)
+    val b1 = Seq((1L, (shared ++ novel).mkString(" "), 50L, "a"))
+    val b2 = Seq((5L, (novel ++ (1 to 9).map("z" + _)).mkString(" "), 50L, "a"))
+    val ms = MemoryStream[(Long, String, Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val (front, capQ) = graft.stream.Streamed.curationIngestLive(
+      ms.toDF().toDF("doc_id", "text", "n_chars", "source"),
+      refIndex, refSigs, gate = col("n_chars") >= 5L, minKept = 2L,
+      spanN = 8, sigN = 3, sigK = 8, rowsPerBand = 4, threshold = 0.5,
+      maxBucket = 0L, capN = 100L,
+      stagingDir = s"$base/staging", ckptFront = s"$base/ckA",
+      ckptCap = s"$base/ckB", spanIndexDir = indexDir) { b =>
+      val rs = b.collect().map(r => (r.value._1, r.value._2, r.value._3))
+      out.synchronized { out ++= rs }
+    }
+    try {
+      ms.addData(b1: _*); front.processAllAvailable()
+      capQ.processAllAvailable()
+      ms.addData(b2: _*); front.processAllAvailable()
+      capQ.processAllAvailable()
+      val fp = front.lastProgress
+      assert(fp == null || fp.stateOperators.isEmpty,
+        "the growing index is persisted state, not stream state")
+    } finally { front.stop(); capQ.stop() }
+    val got = out.synchronized(out.map(r => r._1 -> ((r._2, r._3))).toMap)
+    // doc 1: ref prefix cut, novel tail kept (10 tokens)
+    assert(got(1L) === ((novel.mkString(" "), 10L)))
+    // doc 5: the novel run cut by batch 1's ABSORBED survivor keys —
+    // only the z-tail survives
+    assert(got(5L) === (((1 to 9).map("z" + _).mkString(" "), 9L)))
+    // frozen-index control (the pre-r20 behavior): doc 5 fully intact
+    val frozenCut = Dedup.spanCutAgainstIndex(
+      Seq(5L -> (novel ++ (1 to 9).map("z" + _)).mkString(" "))
+        .toDF("doc_id", "text"),
+      refIndex, "doc_id", col("text"), n = 8).collect().head
+    assert(frozenCut.getAs[Long]("n_tokens_cut") === 0L,
+      "the frozen front would have admitted the repeat uncut")
+    // and the index absorbed exactly the two admitted batches
+    assert(new java.io.File(indexDir).listFiles().map(_.getName)
+      .filter(_.startsWith("b=")).toSet === Set("b=0", "b=1"))
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     spark.sharedState.cacheManager.clearCache()
   }
