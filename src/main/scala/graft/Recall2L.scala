@@ -41,6 +41,12 @@ object Recall2L {
     val nCorpus = sys.env.getOrElse("SPARK_GRAFT_R2L_CORPUS", "8192").toInt
     val cells = sys.env.getOrElse("SPARK_GRAFT_R2L_CELLS", "4096").toInt
     val nQ = sys.env.getOrElse("SPARK_GRAFT_R2L_QUERIES", "100").toInt
+    def intList(env: String, dflt: Seq[Int]): Seq[Int] =
+      sys.env.get(env).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(dflt)
+    val bpGrid = intList("SPARK_GRAFT_R2L_BP", Seq(2, 3, 4, 6))
+    val rGrid = intList("SPARK_GRAFT_R2L_REPLICAS", Seq(1, 2, 3))
+    val npGrid = intList("SPARK_GRAFT_R2L_NPROBE", Seq(4, 8, 16))
     val k = 10
     val path = s"/tmp/graft_recall2l/c${nCorpus}"
     spark.range(nCorpus.toLong).map(id => ScaleProbe.vecOf(id))
@@ -64,7 +70,7 @@ object Recall2L {
     // FLAT baseline at this geometry — what the route gives up by
     // flipping (the flat assignment is the wall-time loser the flip
     // avoids; its recall at matched nProbe is the bar)
-    for (nProbe <- Seq(4, 8, 16)) {
+    for (nProbe <- npGrid) {
       val t0 = System.nanoTime()
       val approx = graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", cents, k = k, nProbe = nProbe)
@@ -80,8 +86,7 @@ object Recall2L {
     // (twoLevelBranches, fitted tops, replicated fines) across the
     // branchProbes × replicas grid, bracketing the registered defaults
     val branches = graft.ops.Similarity.twoLevelBranches(cells)
-    for (replicas <- Seq(1, 2, 3); bp <- Seq(2, 3, 4, 6);
-         nProbe <- Seq(4, 8, 16)) {
+    for (replicas <- rGrid; bp <- bpGrid; nProbe <- npGrid) {
       val (tops, fines) = graft.ops.Similarity.twoLevelIndexFitted(
         cents, branches, iters = 2, replicas = replicas)
       val t0 = System.nanoTime()

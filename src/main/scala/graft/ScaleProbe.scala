@@ -570,6 +570,17 @@ object ScaleProbe {
           k = 3, centroids = cents, nProbe = 4,
           maxCellOccupancy = MaxBucket, scope = sc).count()
       }),
+      // q178's seed-quality report (r20): one corpus scan + a
+      // 2^4-cell aggregate + the 1-row boundary fetch — the audit a
+      // deployment runs before every fit, so its cost must stay ∝
+      // scan (the red line is any super-linear bend)
+      "seed_coverage" -> (() => {
+        val n = embs.filter(col("embedding").isNotNull).count()
+        val cells = math.max(2,
+          math.ceil(n / SparkEntry.TargetCellOcc.toDouble).toInt)
+        Similarity.seedCoverageReport(embs, "vec_id", "embedding",
+          nSeeds = cells, signBits = 4).count()
+      }),
       // the two-level path END TO END at scaled cells (sample fit,
       // fitted tops at √(2·cells), replicas 2, branchProbes 2). Guard
       // off like scaled_cells (rows are the honesty instrument).

@@ -517,7 +517,18 @@ object SparkEntry {
     * (32/cell) vs 9080 at a full fit (64/cell), all at matched scan.
     * The fit pass costs fraction × corpus × cells, so 0.5 doubles the
     * (sub-dominant) fit term the probes price — the r19 re-probe of
-    * `knn_join_registered` confirms the exponent holds. */
+    * `knn_join_registered` confirms the exponent holds.
+    *
+    * r20: confirmed as the KNEE of a measured two-axis curve
+    * (`graft.FitFrontier`, SCALING.md "fit-fraction frontier"):
+    * recall increments decelerate past 0.5 (+1,000 bp for 0.25→0.5,
+    * +440 for 0.5→0.75, +200 for 0.75→1.0) while the fit-cost
+    * increments grow with scale (0.5→1.0 = +38% of the fit at 30×,
+    * trending to +100% — the term is linear in fraction). The
+    * remaining 640 bp to a full fit is priced, not open: fit at 1.0
+    * once and amortize through the q174 artifact when a corpus wants
+    * it; the self-contained registered queries keep 0.5 because they
+    * re-pay the fit in-query by design. */
   private[graft] val SampleFitFraction = 0.5
 
   /** [[SampleFitFraction]]'s membership predicate in DuckDB —

@@ -791,7 +791,22 @@ object Similarity {
     * crossover band: the flat path never runs where the descent's win
     * is measured, and the descent never runs where its loss is. At the
     * registered occupancy ([[graft.SparkEntry.TargetCellOcc]] = 64) the
-    * boundary is crossed at ~262k corpus vectors. */
+    * boundary is crossed at ~262k corpus vectors.
+    *
+    * RECALL BUDGET AT THE FLIP (r20, measured — `graft.Recall2L`,
+    * SCALING.md "two-level recall at the route boundary"): crossing
+    * this boundary trades ≈1,000–1,250 bp of recall@10 at matched
+    * nProbe (measured at BOTH occupancy 2 and the registered 64, 4096
+    * cells, vs the flat assignment on brute-force truth) for a 5–6×
+    * e2e wall win AT the boundary corpus (68.5 → 10.5 s at 262k
+    * vectors; the gap widens with cells). The knob grid does NOT buy
+    * the recall back — branchProbes 3→6 recovers ≤ 220 bp and ~0 at
+    * occupancy 64; replicas 2→3 is noise (replicas 1 LOSES a further
+    * ~420 bp, which is why 2 is the default). The compensation rule is
+    * nProbe: doubling it recovers ~500 bp at one sixth of flat's wall.
+    * A recall-critical consumer should raise nProbe when the route
+    * flips, or pin `twoLevelAtCells` past its corpus and pay the flat
+    * assignment knowingly. */
   val TwoLevelAtCells: Int = 4096
 
   /** The descent's branch count at a given cell count: ⌈√(2·cells)⌉ —
