@@ -309,16 +309,19 @@ object Dedup {
     * [[boilerplateSpans]]' convention). Null-text documents are absent
     * (the [[chunkDedup]] rule).
     *
-    * Scale shape: the positional shingle explode is cached once
-    * through `scope` and feeds (a) the per-md5 (distinct-doc count,
-    * min-packed-owner) hash aggregate and (b) the join probe; the
-    * ownership join returns only the duplicated SLIVER, token coverage
-    * explodes that sliver n× (bounded — it is the duplicated fraction
-    * of the corpus, never the corpus), and REASSEMBLY re-explodes only
-    * documents that actually lost tokens (left-semi on the cut set) —
-    * untouched documents pass through as one narrow projection. Keys
-    * are the span md5 (birthday-safe); the packed owner key fail-fasts
-    * past [[MaxChunksPerDoc]] positions, riding the sequence bound so
+    * Scale shape (r20 array form): the positional shingle explode is
+    * cached once through `scope` and feeds (a) the per-md5
+    * (distinct-doc count, min-packed-owner) hash aggregate and (b) the
+    * join probe; the ownership join returns only the duplicated
+    * SLIVER, which folds into ONE per-document aggregate row carrying
+    * the occurrence-position arrays — token coverage and the
+    * owned/unowned set difference are narrow array expressions inside
+    * that row (O(positions·n) longs in-task, never an exchange), and
+    * REASSEMBLY is one left join of the doc table against the
+    * cut-array rows plus a codegen projection — untouched documents
+    * pass through on the null branch. Keys are the span md5
+    * (birthday-safe); the packed owner key fail-fasts past
+    * [[MaxChunksPerDoc]] positions, riding the sequence bound so
     * pruning can't drop it. Output: idCol, dedup_text, n_tokens_kept,
     * n_tokens_cut. */
   def spanCutDedup(df: DataFrame, idCol: String, text: Column,
@@ -349,48 +352,62 @@ object Dedup {
     val dup = shingled.join(hotOwn, Seq("__k"))
       .select(col(idCol), col("pos"),
         (col("__dp") === col("__own")).as("__owned"))
-    // token-level resolution over the duplicated sliver: cut iff NO
-    // covering occurrence in this doc owns its shingle
-    val cutToks = dup
-      .select(col(idCol), col("__owned"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
-      .groupBy(col(idCol), col("t"))
-      .agg(max(col("__owned")).as("__keep"))
-      .filter(!col("__keep"))
-      .select(col(idCol), col("t"))
-    cutAndReassemble(base, cutToks, idCol)
+    // token-level resolution over the duplicated sliver, per-document
+    // ARRAY form (r20): cut iff covered by SOME occurrence and by NO
+    // owned occurrence — cut = cover(all positions) \ cover(owned
+    // positions), computed inside one per-doc aggregate row instead of
+    // exploding the sliver n× into (doc, token) rows (collect_list
+    // skips the nulls the `when` leaves on non-owned rows)
+    val cutArrs = dup.groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__aps"),
+        collect_list(when(col("__owned"), col("pos"))).as("__ops"))
+      .select(col(idCol),
+        array_except(coverPositions(col("__aps"), n),
+          coverPositions(col("__ops"), n)).as("__cut"))
+      .filter(size(col("__cut")) > 0)
+    cutAndReassemble(base, cutArrs, idCol)
   }
 
+  /** Distinct 1-based token positions covered by the `n`-token runs
+    * starting at positions `ps` — the per-document cut-set
+    * materialization of the span-cut family. O(|ps|·n) longs built in
+    * one task per document (bounded by n·[[MaxChunksPerDoc]] in the
+    * worst fully-duplicated case — the r19 shape shuffled the same
+    * volume as (doc, token) ROWS through an exchange plus a distinct
+    * aggregate instead, so the array form is strictly cheaper). */
+  private def coverPositions(ps: Column, n: Int): Column =
+    array_distinct(flatten(transform(ps,
+      p => sequence(p.cast("long"), p.cast("long") + lit((n - 1).toLong)))))
+
   /** The span-cut reassembly shared by [[spanCutDedup]] and
-    * [[spanCutAgainst]]: `base` is (idCol, __ws words array), `cutToks`
-    * is the (idCol, t) set of 1-based token indexes to drop. Only
-    * documents that actually lost tokens re-explode (left-semi on the
-    * cut set); everyone else passes through as a narrow projection. A
-    * fully-cut document survives with empty `dedup_text` and
-    * `n_tokens_kept = 0`. */
-  private def cutAndReassemble(base: DataFrame, cutToks: DataFrame,
-      idCol: String): DataFrame = {
-    val cutCounts = cutToks.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__ncut"))
-    val rebuilt = base.join(cutCounts, Seq(idCol), "left_semi")
-      .select(col(idCol), posexplode(col("__ws")).as(Seq("__p0", "__w")))
-      .withColumn("t", (col("__p0") + 1).cast("long"))
-      .join(cutToks, Seq(idCol, "t"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("t"), col("__w"))).as("__kw"))
+    * [[spanCutAgainst]]/[[spanCutAgainstIndex]] — ARRAY form (r20
+    * optimization, guide §2.3/§2.4: shuffle the decision, not the
+    * payload): `base` is (idCol, __ws words array), `cutArrs` is one
+    * row per document that lost tokens, (idCol, __cut) with __cut the
+    * DISTINCT 1-based positions to drop. ONE left join replaces the
+    * r19 shape's four exchanges (per-token cut explode + (doc, token)
+    * distinct, cut-count aggregate, affected-doc re-explode +
+    * anti-join, per-doc collect + in-memory sort): the cut decision
+    * travels as a single int-array row per affected document, and the
+    * reassembly is a narrow codegen projection over the original words
+    * array (array_except keeps the ascending sequence order, so tokens
+    * rejoin in document order). Untouched documents pass through on
+    * the join's null branch; a fully-cut document survives with empty
+    * `dedup_text` and `n_tokens_kept = 0`. */
+  private def cutAndReassemble(base: DataFrame, cutArrs: DataFrame,
+      idCol: String): DataFrame =
+    base.join(cutArrs, Seq(idCol), "left")
       .select(col(idCol),
-        array_join(transform(array_sort(col("__kw")),
-          x => x.getField("__w")), " ").as("__rbText"),
-        size(col("__kw")).cast("long").as("__rbKept"))
-    base.join(cutCounts, Seq(idCol), "left")
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("__ncut").isNull, array_join(col("__ws"), " "))
-          .otherwise(coalesce(col("__rbText"), lit(""))).as("dedup_text"),
-        when(col("__ncut").isNull, size(col("__ws")).cast("long"))
-          .otherwise(coalesce(col("__rbKept"), lit(0L))).as("n_tokens_kept"),
-        coalesce(col("__ncut"), lit(0L)).as("n_tokens_cut"))
-  }
+        when(col("__cut").isNull, array_join(col("__ws"), " "))
+          .otherwise(array_join(transform(
+            array_except(sequence(lit(1L), size(col("__ws")).cast("long")),
+              col("__cut")),
+            t => element_at(col("__ws"), t.cast("int"))), " "))
+          .as("dedup_text"),
+        (size(col("__ws")).cast("long") -
+          coalesce(size(col("__cut")).cast("long"), lit(0L)))
+          .as("n_tokens_kept"),
+        coalesce(size(col("__cut")).cast("long"), lit(0L)).as("n_tokens_cut"))
 
   /** [[spanCutDedup]]'s crawl-ingest form — the q63/q77 family shape at
     * span granularity: cut every incoming token covered by an n-shingle
@@ -406,11 +423,12 @@ object Dedup {
     * after), exactly as [[dropNearDupsAgainst]] composes with the batch
     * MinHash pass.
     *
-    * Scale shape: reference explode → distinct md5 hash aggregate (the
-    * index build, amortizable); incoming explode cached once; the
-    * duplicated sliver is a left-semi probe of the index; token
-    * coverage explodes the sliver n× with a DISTINCT collapse; the
-    * reassembly re-explodes only the documents that lost tokens.
+    * Scale shape (r20 array form): reference explode → distinct md5
+    * hash aggregate (the index build, amortizable); the incoming
+    * explode's duplicated sliver is a left-semi probe of the index and
+    * folds into one per-document position-array aggregate; token
+    * coverage is a narrow array expression and the reassembly is one
+    * left join + codegen projection (see [[spanCutDedup]]).
     * Output: [[spanCutDedup]]'s exact shape, for INCOMING docs only. */
   def spanCutAgainst(incoming: DataFrame, reference: DataFrame,
       idCol: String, text: Column, n: Int = 8,
@@ -426,18 +444,19 @@ object Dedup {
       .distinct()
     val base = incoming.select(col(idCol), split(text, " ").as("__ws"))
       .filter(col("__ws").isNotNull)
-    val shingled = scope.cache(base
+    // single consumer since the r20 array-form reassembly (the matched
+    // sliver folds straight into one per-doc aggregate) — no cache:
+    // materializing a single-consumer explode costs a full extra pass
+    val shingled = base
       .filter(size(col("__ws")) >= n)
       .select(col(idCol), col("__ws"),
         explode(sequence(lit(1), size(col("__ws")) - lit(n - 1))).as("pos"))
       .withColumn("__k",
-        md5(array_join(slice(col("__ws"), col("pos"), lit(n)), " "))))
-    val cutToks = shingled.join(refKeys, Seq("__k"), "left_semi")
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
-      .distinct()
-      .select(col(idCol), col("t").cast("long").as("t"))
-    cutAndReassemble(base, cutToks, idCol)
+        md5(array_join(slice(col("__ws"), col("pos"), lit(n)), " ")))
+    val cutArrs = shingled.join(refKeys, Seq("__k"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__ps"))
+      .select(col(idCol), coverPositions(col("__ps"), n).as("__cut"))
+    cutAndReassemble(base, cutArrs, idCol)
   }
 
   /** The standing span INDEX [[spanCutAgainst]] describes — the
@@ -475,19 +494,19 @@ object Dedup {
     require(n >= 2, s"n >= 2, got $n")
     val base = incoming.select(col(idCol), split(text, " ").as("__ws"))
       .filter(col("__ws").isNotNull)
-    val shingled = scope.cache(base
+    // single consumer since the r20 array-form reassembly — no cache
+    // (see [[spanCutAgainst]])
+    val shingled = base
       .filter(size(col("__ws")) >= n)
       .select(col(idCol), col("__ws"),
         explode(sequence(lit(1), size(col("__ws")) - lit(n - 1))).as("pos"))
       .withColumn("__k",
-        md5(array_join(slice(col("__ws"), col("pos"), lit(n)), " "))))
-    val cutToks = shingled
+        md5(array_join(slice(col("__ws"), col("pos"), lit(n)), " ")))
+    val cutArrs = shingled
       .join(refIndex.select(col("__k")), Seq("__k"), "left_semi")
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
-      .distinct()
-      .select(col(idCol), col("t").cast("long").as("t"))
-    cutAndReassemble(base, cutToks, idCol)
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__ps"))
+      .select(col(idCol), coverPositions(col("__ps"), n).as("__cut"))
+    cutAndReassemble(base, cutArrs, idCol)
   }
 
   /** Standing-index UPDATE — the step after [[spanCutAgainstIndex]]
