@@ -139,23 +139,42 @@ object Dedup {
       .otherwise(nRaw)
     // persisted once (capBuckets discipline): the chunk projection feeds
     // both the keeper aggregate and the join probe — without the cache
-    // the corpus is scanned+exploded twice
+    // the corpus is scanned+exploded twice. r20: the chunk STRING is
+    // dropped after hashing (the cache and both exchanges carry only
+    // (id, pos, 16-byte key, packed owner)); kept text reassembles from
+    // the words array at the end (guide §2.3 — shuffle the decision,
+    // not the payload)
     val exploded = scope.cache(df
       .select(col(idCol), ws.as("__ws"),
         explode(sequence(lit(0L), nCh - 1)).as("pos"))
       .select(col(idCol), col("pos"),
-        array_join(slice(col("__ws"), (col("pos") * chunkTokens + 1).cast("int"),
-          lit(chunkTokens)), " ").as("chunk"))
-      .withColumn("__k", md5(col("chunk")))
+        md5(array_join(slice(col("__ws"),
+          (col("pos") * chunkTokens + 1).cast("int"),
+          lit(chunkTokens)), " ")).as("__k"))
       .withColumn("__dp", col(idCol).cast("long") * MaxChunksPerDoc + col("pos")))
-    val keepers = exploded.groupBy(col("__k")).agg(min(col("__dp")).as("__dp"))
-    exploded.join(keepers, Seq("__k", "__dp"))
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("pos"), col("chunk"))).as("__cs"))
+    val keepers = exploded.groupBy(col("__k")).agg(min(col("__dp")).as("__dpm"))
+    // LOST positions (occurrences beaten by an earlier copy) fold to one
+    // array row per AFFECTED doc — the duplicated sliver, not the
+    // corpus, so the reassembly join's right side stays broadcast-sized
+    // and the corpus text never crosses an exchange; a doc whose every
+    // chunk lost vanishes (the contract)
+    val lostPos = exploded.join(keepers, Seq("__k"))
+      .filter(col("__dp") =!= col("__dpm"))
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__lp"))
+    df.select(col(idCol), ws.as("__ws"))
+      .join(lostPos, Seq(idCol), "left")
+      .withColumn("__nch",
+        ceil(size(col("__ws")) / lit(chunkTokens.toDouble)).cast("long"))
+      .filter(coalesce(size(col("__lp")).cast("long"), lit(0L)) < col("__nch"))
       .select(col(idCol),
-        array_join(transform(array_sort(col("__cs")), c => c.getField("chunk")),
+        array_join(transform(
+          array_except(sequence(lit(0L), col("__nch") - 1),
+            coalesce(col("__lp"), array().cast("array<long>"))),
+          p => array_join(slice(col("__ws"),
+            (p * chunkTokens + 1).cast("int"), lit(chunkTokens)), " ")),
           " ").as("dedup_text"),
-        size(col("__cs")).cast("long").as("n_chunks_kept"))
+        (col("__nch") - coalesce(size(col("__lp")).cast("long"), lit(0L)))
+          .as("n_chunks_kept"))
   }
 
   /** Boilerplate-span removal — the C4/RefinedWeb companion to
@@ -191,28 +210,40 @@ object Dedup {
     require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
     val ws = split(text, " ")
     val nCh = ceil(size(ws) / lit(spanTokens.toDouble)).cast("long")
+    // r20: the span STRING is dropped after hashing and only HOT span
+    // positions travel (one array row per affected doc) — the r19 shape
+    // shipped every document's full text through the reassembly
+    // exchange as (pos, span) structs; clean text now reassembles from
+    // the words array in a final narrow projection
     val exploded = scope.cache(df
       .select(col(idCol), ws.as("__ws"),
         explode(sequence(lit(0L), nCh - 1)).as("pos"))
       .select(col(idCol), col("pos"),
-        array_join(slice(col("__ws"), (col("pos") * spanTokens + 1).cast("int"),
-          lit(spanTokens)), " ").as("span"))
-      .withColumn("__k", md5(col("span"))))
+        md5(array_join(slice(col("__ws"),
+          (col("pos") * spanTokens + 1).cast("int"),
+          lit(spanTokens)), " ")).as("__k")))
     val hot = exploded.groupBy(col("__k"))
       .agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col("__k"), lit(true).as("__hot"))
-    exploded.join(hot, Seq("__k"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        collect_list(when(col("__hot").isNull, struct(col("pos"), col("span"))))
-          .as("__cs"),
-        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_spans_dropped"))
+      .select(col("__k"))
+    val hotPos = exploded.join(hot, Seq("__k"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__hp"))
+    df.select(col(idCol), ws.as("__ws"))
+      .filter(col("__ws").isNotNull)
+      .join(hotPos, Seq(idCol), "left")
+      .withColumn("__nch",
+        ceil(size(col("__ws")) / lit(spanTokens.toDouble)).cast("long"))
       .select(col(idCol),
-        array_join(transform(array_sort(col("__cs")), c => c.getField("span")),
+        array_join(transform(
+          array_except(sequence(lit(0L), col("__nch") - 1),
+            coalesce(col("__hp"), array().cast("array<long>"))),
+          p => array_join(slice(col("__ws"),
+            (p * spanTokens + 1).cast("int"), lit(spanTokens)), " ")),
           " ").as("clean_text"),
-        size(col("__cs")).cast("long").as("n_spans_kept"),
-        col("n_spans_dropped"))
+        (col("__nch") - coalesce(size(col("__hp")).cast("long"), lit(0L)))
+          .as("n_spans_kept"),
+        coalesce(size(col("__hp")).cast("long"), lit(0L))
+          .as("n_spans_dropped"))
   }
 
   /** MAXIMAL duplicated token spans — the exact-substring dedup unit of
@@ -263,23 +294,38 @@ object Dedup {
       .filter(col("__df") >= minDocs)
       .select(col("__k"))
     val dup = shingled.join(hot, Seq("__k"), "left_semi")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     // the words array stays OUT of the span aggregate (First over an
     // array falls back to SortAggregate — the plan gate's red line);
     // spans join back to a one-row-per-doc words table read from the
     // same cache (the pos = 1 slice exists for every doc ≥ n tokens)
     val words = shingled.filter(col("pos") === 1)
       .select(col(idCol), col("__ws"))
-    // interval-union islands: a start opens a NEW region only when its
-    // span cannot overlap or touch the previous start's (gap > n); the
-    // region id is the running count of such openers — two ordered
-    // window passes over the duplicated sliver, same sessionize shape
-    dup.withColumn("__opens",
-        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
-      .withColumn("__grp", sum(col("__opens")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(idCol), col("__grp"))
-      .agg(min(col("pos")).as("__a"), max(col("pos")).as("__b"))
+    // interval-union islands, per-document ARRAY form (r20): the
+    // duplicated sliver folds into ONE sorted position array per doc;
+    // islands derive from it with narrow array expressions — an OPENER
+    // is the first position or one whose gap to its predecessor
+    // exceeds n, island k spans from opener k to the position just
+    // before opener k+1 (or the last position). This replaces the two
+    // ordered window passes (one exchange + per-partition sort) and
+    // the (doc, grp) aggregate exchange with a single per-doc
+    // aggregate; the explode returns islands only.
+    val grouped = dup.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("pos"))).as("__ps"))
+    val islands = grouped
+      // opener INDEXES into __ps (1-based, element_at convention)
+      .withColumn("__op", filter(
+        transform(sequence(lit(1), size(col("__ps"))), i => i),
+        i => i === 1 ||
+          element_at(col("__ps"), i) - element_at(col("__ps"), i - 1) > n))
+      .select(col(idCol), col("__ps"),
+        explode(transform(col("__op"), (i, k) => struct(
+          element_at(col("__ps"), i).as("__a"),
+          element_at(col("__ps"),
+            when(k === size(col("__op")) - 1, size(col("__ps")))
+              .otherwise(element_at(col("__op"), k + 2) - 1)).as("__b"))))
+          .as("__isl"))
+      .select(col(idCol), col("__isl.__a").as("__a"), col("__isl.__b").as("__b"))
+    islands
       .join(words, Seq(idCol))
       .select(col(idCol),
         col("__a").cast("long").as("span_start"),
