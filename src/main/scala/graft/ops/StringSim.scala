@@ -222,11 +222,26 @@ object StringSim {
         .filter(col("__ida") =!= col("__idb"))
         .select(least(col("__ida"), col("__idb")).as("id_a"),
           greatest(col("__ida"), col("__idb")).as("id_b"))
-    candMain.unionByName(candShort).distinct()
+    val paired = candMain.unionByName(candShort).distinct()
       .join(s.select(col("__id").as("id_a") +: col("__s").as("__sa") +:
         bks.map(col): _*), "id_a")
       .join(s.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
       .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+    // The verify is the CPU hot loop (~0.3 ms/pair measured on 2k-char
+    // docs) but its INPUT bytes are just two strings per pair, so AQE's
+    // byte-based partition coalescing collapses the verify stage to a
+    // handful of tasks exactly when pairs are numerous-but-small
+    // (measured: 3 tasks / 6.2 s cpu on q139's shape). HASH-repartition
+    // on the pair key to cluster width first: the extra exchange moves
+    // only the candidate sliver's strings, the key is deterministic
+    // (retry-safe, unlike round-robin it also skips the
+    // sortBeforeRepartition local sort), and pair keys are distinct so
+    // the spread is even. (Not [[graft.sources.Sources.scatter]] — its
+    // partition-count probe calls `.rdd`, which on this AQE multi-join
+    // plan would materialize every upstream stage at DataFrame-
+    // construction time.)
+    paired.repartition(paired.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
       // threshold form = banded DP: O(k·n) per pair with early exit
       // (returns −1 above the threshold), not the full O(n²) table
       .withColumn("dist",
@@ -289,10 +304,16 @@ object StringSim {
       .select(col("__pid").as("id_a"))
       .crossJoin(c.filter(length(col("__cs")) < maxDist * q + q)
         .select(col("__cid").as("id_b")))
-    candMain.unionByName(candShort).distinct()
+    val paired = candMain.unionByName(candShort).distinct()
       .join(p.select(col("__pid").as("id_a"), col("__ps").as("__sa")), "id_a")
       .join(c.select(col("__cid").as("id_b"), col("__cs").as("__sb")), "id_b")
       .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+    // hash-repartition before the CPU-bound verify (see
+    // [[editDistanceJoin]]): a probe batch's candidates are few BYTES
+    // however hot the verify, and the un-scattered stage measured ONE
+    // task on q136's shape
+    paired.repartition(paired.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
       .withColumn("dist",
         levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
