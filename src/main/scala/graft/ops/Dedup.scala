@@ -1210,9 +1210,16 @@ object Dedup {
     // propagate over the EDGE-TOUCHED subgraph only: in a near-dup
     // workload almost every document is in no pair at all, so the label
     // table each round shrinks from |V| to |V_with_edges|; singletons
-    // rejoin as identity at the end
-    var labels = sym.select(col("src").as(idCol)).distinct()
-      .select(col(idCol), col(idCol).as("cluster")).localCheckpoint()
+    // rejoin as identity at the end. The FIRST propagation round is
+    // fused into initialization (r20): min(self, neighbors) is one
+    // aggregate straight off the symmetrized edge list — the identity
+    // init plus round-1 join it replaces cost a full
+    // join + checkpoint + convergence-sum cycle, and near-dup cliques
+    // converge in 1-2 rounds so one round is a third of the loop
+    var labels = sym
+      .select(col("src").as(idCol), least(col("src"), col("dst")).as("cluster"))
+      .groupBy(col(idCol)).agg(min(col("cluster")).as("cluster"))
+      .localCheckpoint()
     var prevLabels = labels // previous generation, for label-edge hand-off
     var prevSum = labelSum(labels)
     var iter = 0
