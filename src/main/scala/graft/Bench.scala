@@ -57,8 +57,38 @@ object Bench {
     val total = best.map(_._2).sum
     val repTotals = runs.map(_.values.map(_._1).sum)
       .map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"reps":$reps,"agg":"min","rep_totals":$repTotals,"sf":"$sfDir"}""")
-    spark.stop()
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failed,"reps":$reps,"agg":"min","rep_totals":$repTotals,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full-precision line above runs ~8 KB at 178 queries; a consumer
+    // that keeps only a stdout tail loses its head. Persist the complete
+    // record to a file and then print a COMPACT line LAST: same contract
+    // keys, 3-decimal times, total/failed/reps over ALL queries, but the
+    // per-query map holds only the most expensive entries that fit a
+    // 2000-char stdout tail (178 full names alone exceed 3 KB, so the
+    // whole map can never fit; the heavy queries are the ones whose
+    // timings carry information at bench scale).
+    val fullFile = s"BENCH_FULL_c$cpus.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullFile),
+      (fullLine + "\n").getBytes("UTF-8"))
+    spark.stop() // before the compact line, so no engine logging trails it
+    def r3(v: Double) = f"$v%.3f"
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
+    def rest(k: Int) = s"""},"failed":$failed,"reps":$reps,"agg":"min",""" +
+      s""""rep_totals":$repTotals,"sf":"$sfDir","queries_total":${names.size},""" +
+      s""""queries_in_line":$k,"full_json":"$fullFile"}"""
+    val budget = 1450 // < 2000-char tail minus sbt's trailing [success] line
+    val sb = new StringBuilder(head)
+    var k = 0
+    val it = best.sortBy(-_._2).iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val (n, v) = it.next()
+      val e = (if (k == 0) "" else ",") + "\"" + n + "\":" + r3(v)
+      if (sb.length + e.length + rest(k + 1).length <= budget) { sb.append(e); k += 1 }
+      else full = true
+    }
+    sb.append(rest(k))
+    println(sb.toString)
   }
 }

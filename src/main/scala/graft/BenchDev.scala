@@ -22,7 +22,11 @@ object BenchDev {
     // config experiments don't need a recompile
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k.trim, v.trim)
+          case _ => sys.error(s"bad SPARK_GRAFT_CONF entry (need k=v): '$kv'")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (sys.env.contains("SPARK_GRAFT_STAGES"))

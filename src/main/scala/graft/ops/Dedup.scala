@@ -271,8 +271,10 @@ object Dedup {
     * per-md5 distinct-doc hash aggregate (two-level partials) and
     * comes back as a left-semi probe — at corpus scale it is the
     * sliver of shingles that ARE duplicated, never the corpus. The
-    * island merge is a per-document window over that sliver's
-    * positions (bounded by document length, the sessionize shape).
+    * island merge is array-form (r20): the sliver folds into one
+    * sorted per-document position array and interval-union islands
+    * derive from it with narrow array expressions — no window pass,
+    * no per-partition sort, state bounded by document length.
     * Keys are the span's full 128-bit md5 (birthday-safe), like
     * [[chunkDedup]]. Output: idCol, span_start, span_end (1-based
     * inclusive token indexes), n_tokens, span_text. */
@@ -281,7 +283,6 @@ object Dedup {
       scope: CacheScope = CacheScope.session): DataFrame = {
     require(n >= 2, s"n >= 2, got $n")
     require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
-    import org.apache.spark.sql.expressions.Window
     val shingled = scope.cache(df
       .select(col(idCol), split(text, " ").as("__ws"))
       .filter(size(col("__ws")) >= n)
@@ -312,11 +313,15 @@ object Dedup {
     val grouped = dup.groupBy(col(idCol))
       .agg(array_sort(collect_list(col("pos"))).as("__ps"))
     val islands = grouped
-      // opener INDEXES into __ps (1-based, element_at convention)
+      // opener INDEXES into __ps (1-based, element_at convention). The
+      // i = 1 arm is a structural `when`, not an Or: element_at with
+      // index 0 ALWAYS throws (INVALID_INDEX_OF_ZERO, ANSI or not), so
+      // the guard must not rely on Or's evaluation order surviving
+      // future expression rewrites (r20 ADVICE).
       .withColumn("__op", filter(
         transform(sequence(lit(1), size(col("__ps"))), i => i),
-        i => i === 1 ||
-          element_at(col("__ps"), i) - element_at(col("__ps"), i - 1) > n))
+        i => when(i === 1, lit(true)).otherwise(
+          element_at(col("__ps"), i) - element_at(col("__ps"), i - 1) > n)))
       .select(col(idCol), col("__ps"),
         explode(transform(col("__op"), (i, k) => struct(
           element_at(col("__ps"), i).as("__a"),
@@ -1190,6 +1195,13 @@ object Dedup {
     * @param pairs    edge list with columns `a`, `b` (undirected)
     * @param vertices one column `idCol`; vertices absent from any pair
     *                 form singleton clusters
+    * @param maxIter  bound on LOOP rounds — since r20 the first
+    *                 propagation round is fused into label init, so the
+    *                 total propagation budget is `maxIter + 1` rounds
+    *                 and the round-3 label-edge acceleration engages one
+    *                 propagation round later than the pre-fusion count
+    *                 (the maxIter=1 non-convergence contract now means
+    *                 "throws if 2 total rounds don't converge")
     * @return (idCol, cluster) — cluster = min id in the component */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame, idCol: String,
       maxIter: Int = 25): DataFrame = {

@@ -26,10 +26,10 @@ object Rank {
   def topNPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
       scoreCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val topk = udaf(new graft.functions.TopKAggregator(n))
     df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
-      .agg(topk(col(idCol).cast("long"), col(scoreCol).cast("double")).as("__tk"))
+      .agg(graft.functions.TopKHash.topK(
+        col(idCol).cast("long"), col(scoreCol).cast("double"), n).as("__tk"))
       .select(groupCols.map(col) :+ posexplode(col("__tk")).as(Seq("__pos", "__s")): _*)
       .select(groupCols.map(col) ++ Seq(
         col("__s.id").as("id"), col("__s.score").as("score"),

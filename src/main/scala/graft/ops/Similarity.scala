@@ -96,9 +96,9 @@ object Similarity {
     * carries k × tasks rows — not the whole scored corpus like a
     * window-rank would. Ties broken by ascending id (deterministic). */
   private def topKReduce(scored: DataFrame, itemId: String, k: Int): DataFrame = {
-    val topk = udaf(new graft.functions.TopKAggregator(k))
     scored.groupBy(col("qid"))
-      .agg(topk(col(itemId).cast("long"), col("cos")).as("__tk"))
+      .agg(graft.functions.TopKHash.topK(
+        col(itemId).cast("long"), col("cos"), k).as("__tk"))
       .select(col("qid"), posexplode(col("__tk")).as(Seq("__pos", "__s")))
       .select(col("qid"), col("__s.id").as("id"), col("__s.score").as("cos"),
         (col("__pos") + 1).cast("long").as("rank"))
@@ -617,11 +617,11 @@ object Similarity {
     val qPayload = queriesKeyed.columns
       .filterNot(c => c == "__bkt" || c == "qid")
     val coldQueries = queriesKeyed.join(hotDf, Seq("__bkt"), "left_anti")
-    val topk = udaf(new graft.functions.TopKAggregator(subProbes))
     val pickedQueries = queriesKeyed.join(subDf, Seq("__bkt"))
       .withColumn("__cc", cosine(col(queryVec), col("__cv")))
       .groupBy(col("qid"), col("__bkt"))
-      .agg(topk(col("__scid").cast("long"), col("__cc")).as("__tk"),
+      .agg(graft.functions.TopKHash.topK(
+          col("__scid").cast("long"), col("__cc"), subProbes).as("__tk"),
         qPayload.map(c => first(col(c)).as(c)): _*)
       .select(col("qid") +: qPayload.map(col) :+
         explode(col("__tk")).as("__s"): _*)

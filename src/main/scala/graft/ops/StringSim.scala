@@ -36,6 +36,26 @@ import org.apache.spark.sql.functions._
   */
 object StringSim {
 
+  /** Partition count for a pinned (AQE-exempt) exchange feeding a
+    * CPU-dense verify stage: `2 × max(cluster width, configured shuffle
+    * width)`. Rationale: AQE's byte-based partition coalescing shrinks a
+    * stage to a handful of tasks exactly when its INPUT is few bytes but
+    * its work is CPU-heavy (candidate verification: a levenshtein pair
+    * or an intersection count costs ~ms per row of input). A
+    * REPARTITION_BY_NUM exchange is exempt from coalescing, and this
+    * count (a) never narrows below either the cluster or the user's
+    * shuffle.partitions intent, (b) never equals the plan-time child
+    * partition count, so EnsureRequirements cannot elide the shuffle as
+    * already-satisfied (the r20 mistake), and (c) oversplits 2×, which
+    * smooths stragglers in compute-bound stages at worst-case half the
+    * configured partition byte size. */
+  private def verifyWidth(df: DataFrame): Int = {
+    val s = df.sparkSession
+    2 * math.max(s.sparkContext.defaultParallelism,
+      s.conf.getOption("spark.sql.shuffle.partitions")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200))
+  }
+
   /** All `q`-grams of a string as a multiset (duplicates kept — the
     * count filter below is a multiset bound). Empty array for strings
     * shorter than `q`. Kept inline per the [[Dedup.wordShingles]]
@@ -222,26 +242,30 @@ object StringSim {
         .filter(col("__ida") =!= col("__idb"))
         .select(least(col("__ida"), col("__idb")).as("id_a"),
           greatest(col("__ida"), col("__idb")).as("id_b"))
-    val paired = candMain.unionByName(candShort).distinct()
-      .join(s.select(col("__id").as("id_a") +: col("__s").as("__sa") +:
-        bks.map(col): _*), "id_a")
-      .join(s.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
-      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
     // The verify is the CPU hot loop (~0.3 ms/pair measured on 2k-char
     // docs) but its INPUT bytes are just two strings per pair, so AQE's
     // byte-based partition coalescing collapses the verify stage to a
     // handful of tasks exactly when pairs are numerous-but-small
-    // (measured: 3 tasks / 6.2 s cpu on q139's shape). HASH-repartition
-    // on the pair key to cluster width first: the extra exchange moves
-    // only the candidate sliver's strings, the key is deterministic
-    // (retry-safe, unlike round-robin it also skips the
-    // sortBeforeRepartition local sort), and pair keys are distinct so
-    // the spread is even. (Not [[graft.sources.Sources.scatter]] — its
-    // partition-count probe calls `.rdd`, which on this AQE multi-join
-    // plan would materialize every upstream stage at DataFrame-
-    // construction time.)
-    paired.repartition(paired.sparkSession.sparkContext.defaultParallelism,
-        col("id_a"), col("id_b"))
+    // (measured: 3 tasks / 6.2 s cpu on q139's shape). The verify
+    // executes in the stage fed by the exchange directly below the
+    // string-attach joins: the joins broadcast at this shape and
+    // Catalyst folds `levenshtein >= 0` into the last join's condition —
+    // so a repartition placed ABOVE the verify is useless (the filter
+    // pushes through it, and with the pair key already hash-partitioned
+    // at shuffle.partitions it is elided as already-satisfied — the r20
+    // mistake, caught by the committed plans). Instead, pin an exchange
+    // BETWEEN the distinct and the attach joins at [[verifyWidth]]:
+    // deterministic key (retry-safe, no sortBeforeRepartition pass),
+    // distinct pair keys spread evenly, and the exchange carries only
+    // the DEDUPED pair ids — the distinct keeps its map-side partial
+    // aggregation below its own exchange.
+    val paired = candMain.unionByName(candShort).distinct()
+      .repartition(verifyWidth(df), col("id_a"), col("id_b"))
+      .join(s.select(col("__id").as("id_a") +: col("__s").as("__sa") +:
+        bks.map(col): _*), "id_a")
+      .join(s.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+    paired
       // threshold form = banded DP: O(k·n) per pair with early exit
       // (returns −1 above the threshold), not the full O(n²) table
       .withColumn("dist",
@@ -304,16 +328,18 @@ object StringSim {
       .select(col("__pid").as("id_a"))
       .crossJoin(c.filter(length(col("__cs")) < maxDist * q + q)
         .select(col("__cid").as("id_b")))
+    // pin an AQE-exempt REPARTITION_BY_NUM exchange between the
+    // pair-distinct and the string-attach joins so the verify stage it
+    // feeds cannot be byte-coalesced (see [[editDistanceJoin]] for the
+    // full reasoning): a probe batch's candidates are few BYTES however
+    // hot the verify, and the un-pinned stage measured ONE task on
+    // q136's shape
     val paired = candMain.unionByName(candShort).distinct()
+      .repartition(verifyWidth(probe), col("id_a"), col("id_b"))
       .join(p.select(col("__pid").as("id_a"), col("__ps").as("__sa")), "id_a")
       .join(c.select(col("__cid").as("id_b"), col("__cs").as("__sb")), "id_b")
       .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
-    // hash-repartition before the CPU-bound verify (see
-    // [[editDistanceJoin]]): a probe batch's candidates are few BYTES
-    // however hot the verify, and the un-scattered stage measured ONE
-    // task on q136's shape
-    paired.repartition(paired.sparkSession.sparkContext.defaultParallelism,
-        col("id_a"), col("id_b"))
+    paired
       .withColumn("dist",
         levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
@@ -378,10 +404,22 @@ object StringSim {
       .withColumn("__rn", row_number().over(rankW))
       .filter(col("__rn") <= prefLen)
       .select(col("__id").as("id_a"), col("__t"))
+    // Pin an AQE-exempt exchange on the DEDUPED pair ids between the
+    // candidate distinct and the intersection count. Without it the
+    // whole tail of the query — rank window, candidate join, distinct,
+    // both intersection joins, the count aggregate — fuses into the ONE
+    // stage fed by the rank's doc-keyed exchange (hash(__id) already
+    // satisfies every downstream (id_a, id_b) clustering requirement and
+    // the index sides broadcast), and AQE coalesces that stage by its
+    // INPUT bytes while its work explodes downstream (measured: 3 tasks
+    // holding 4-8.6 s of cpu per run, the query's dominant stage). The
+    // pinned exchange moves only 16-byte pair rows and re-spreads the
+    // intersection work to [[verifyWidth]] tasks.
     val cand = sig
       .join(sh.select(col("__id").as("id_b"), col("__t")), "__t")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+      .repartition(verifyWidth(df), col("id_a"), col("id_b"))
     val inter = cand
       .join(sh.select(col("__id").as("id_a"), col("__t")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__t")), Seq("id_b", "__t"))
