@@ -2311,7 +2311,14 @@ object SparkEntry {
     * points ([[graft.ops.Dedup.minhashEval]]); the text-side twin of
     * q137's ANN recall. */
   private def qLshEval(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashEval(cpuTable(s, dir, "documents"), "doc_id", col("text"),
+    // shared narrow scan (r21): the eval tokenizes the corpus twice —
+    // the MinHash signature pass and the exact-Jaccard shingle pass —
+    // and each consumed its own parquet scan + scatter exchange; one
+    // cached (doc_id, text) projection feeds both
+    Dedup.minhashEval(
+      CacheScope.session.cache(
+        cpuTable(s, dir, "documents").select(col("doc_id"), col("text"))),
+      "doc_id", col("text"),
       n = 3, k = 8, rowsPerBand = 4, maxBucket = LshMaxBucket,
       threshold = 0.5, maxDf = 100)
 
