@@ -29,13 +29,17 @@ object BenchDev {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_STAGES_MIN (seconds, default 0.5) floors which stages
+    // print — drop it to see stages a fix made FAST (the spread-verify
+    // evidence runs under the default threshold after the fix)
+    val stageMin = sys.env.getOrElse("SPARK_GRAFT_STAGES_MIN", "0.5").toDouble
     if (sys.env.contains("SPARK_GRAFT_STAGES"))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = sc.stageInfo
           val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
-          if (wall > 0.5) {
+          if (wall > stageMin) {
             val m = i.taskMetrics
             println(f"[stage] ${i.stageId}%4d wall=$wall%6.2f tasks=${i.numTasks}%3d " +
               f"cpu=${m.executorCpuTime / 1e9}%7.2f run=${m.executorRunTime / 1e3}%7.2f " +
